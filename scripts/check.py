@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local differential harness mimicking the driver's correctness gate.
+
+Usage: python3 scripts/check.py <outDir> <sfDir>
+  (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+For each <outDir>/<name> parquet dir with an entry in oracle_sql.json:
+run the SQL in DuckDB over <sfDir> tables, compare row count, column
+names/types, and a row-order-insensitive hash of values.
+
+Dev-only tooling (not part of the engine library).
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(v):
+    if isinstance(v, float):
+        return repr(v)  # full precision
+    return str(v)
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    acc = 0
+    for row in rows:
+        h = hash(tuple(norm(row[i]) for i in order))
+        acc = (acc + h) & ((1 << 64) - 1)
+    return acc
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name in sorted(oracle):
+        res_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{res_dir}/*.parquet")
+        if not files:
+            failures.append((name, "no spark output"))
+            print(f"FAIL {name}: no spark output")
+            continue
+        got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
+        g_cols = [d[0] for d in got.description]
+        g_types = {d[0]: str(d[1]) for d in got.description}
+        g_rows = got.fetchall()
+        try:
+            exp = con.execute(oracle[name])
+        except Exception as e:
+            failures.append((name, f"oracle sql error: {e}"))
+            print(f"FAIL {name}: oracle sql error: {e}")
+            continue
+        e_cols = [d[0] for d in exp.description]
+        e_types = {d[0]: str(d[1]) for d in exp.description}
+        e_rows = exp.fetchall()
+        errs = []
+        if sorted(g_cols) != sorted(e_cols):
+            errs.append(f"cols {sorted(g_cols)} != {sorted(e_cols)}")
+        else:
+            mism = {c: (g_types[c], e_types[c]) for c in g_cols if g_types[c] != e_types[c]}
+            if mism:
+                errs.append(f"types {mism}")
+        if len(g_rows) != len(e_rows):
+            errs.append(f"rows {len(g_rows)} != {len(e_rows)}")
+        if not errs and table_hash(g_cols, g_rows) != table_hash(e_cols, e_rows):
+            errs.append("value hash mismatch")
+            # show a sample diff
+            gs = sorted(tuple(norm(v) for v in r) for r in
+                        (tuple(row[i] for i in sorted(range(len(g_cols)), key=lambda i: g_cols[i])) for row in g_rows))
+            es = sorted(tuple(norm(v) for v in r) for r in
+                        (tuple(row[i] for i in sorted(range(len(e_cols)), key=lambda i: e_cols[i])) for row in e_rows))
+            for a, b in zip(gs, es):
+                if a != b:
+                    errs.append(f"  first diff:\n   spark={a}\n   duck ={b}")
+                    break
+        if errs:
+            failures.append((name, "; ".join(errs)))
+            print(f"FAIL {name}: " + "; ".join(errs))
+        else:
+            print(f"OK   {name} ({len(g_rows)} rows)")
+    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders over the driver testdata layout
+  * (`<sfDir>/<name>.parquet`) plus shared numeric-parity helpers.
+  *
+  * Scale notes: loaders return plain scans so Catalyst can push filters
+  * and prune columns into the parquet reader; nothing is cached or
+  * collected here.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for — sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * and this loader rebuilds a microsecond TimestampType via integral
+    * division (`div`, not `/`: ns epochs exceed 2^53, double division
+    * would lose precision). Truncation toward zero matches DuckDB's
+    * ns→µs narrowing, keeping oracle parity.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Exact money arithmetic for oracle parity.
+    *
+    * Summing doubles is order-dependent; Spark's partial aggregation and
+    * DuckDB's parallel aggregation can disagree in the last ulp, which a
+    * hash compare would flag. `round(x*100)` yields integer-valued
+    * doubles, whose sum is exact (associative) for totals < 2^53, so
+    * both engines produce bit-identical results. The oracle SQL mirrors
+    * the same expression: `SUM(ROUND(x*100))/100`.
+    */
+  def cents(c: Column): Column = round(c * 100)
+
+  /** Exact (order-independent) sum of a money column; see [[cents]]. */
+  def moneySum(c: Column): Column = sum(cents(c)) / 100
+}

@@ -1,0 +1,563 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Batch (DataFrame) re-expressions of the reference's relational
+  * operator surface (SURVEY.md §2), re-based onto the driver testdata
+  * star schema: lineitem≈order_detail, orders≈order_info,
+  * part≈sku/trademark dims, customer≈user_info, nation/region≈province,
+  * events≈start_log.
+  *
+  * Every operator is a pure `(SparkSession, sfDir) => DataFrame` whose
+  * logical plan is fully declarative — Catalyst handles predicate
+  * pushdown, column pruning and join-strategy selection; nothing here
+  * collects to the driver or loops row-at-a-time.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --------------------------------------------------------------------
+  // S — sources (batch-visible slice)
+  // --------------------------------------------------------------------
+
+  /** S6 — dimension scan with predicate (reference: arbitrary Phoenix SQL
+    * scan, utils/HbaseUtils.scala:21-48). Here: nation⋈region dim lookup
+    * with a pushed-down filter; both dims are tiny → Catalyst plans a
+    * broadcast hash join, the filter reaches the parquet scan.
+    */
+  val s06_dim_scan: Q = (spark, dir) => {
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(col("r_name").isin("ASIA", "EUROPE"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+  }
+
+  // --------------------------------------------------------------------
+  // P — projections / filters / scalar derivations
+  // --------------------------------------------------------------------
+
+  /** P2 — CDC routing filter (ods/KafkaToODS_M.scala:49-69): keep rows
+    * whose (table,type) is allow-listed, tag each with its fan-out
+    * route `"ods_"+table`. Here event_type plays the CDC table name.
+    */
+  val p02_cdc_route: Q = (spark, dir) => {
+    events(spark, dir)
+      .where(col("event_type").isin("purchase", "signup", "click"))
+      .withColumn("route", concat(lit("ods_"), col("event_type")))
+      .select(col("event_id"), col("event_type"), col("route"), col("user_id"))
+  }
+
+  /** P3 — date + hour derivation from a timestamp
+    * (dwd/Ods_to_DWD_order_info.scala:59-64, string split in the
+    * reference; declarative date functions here).
+    */
+  val p03_date_hour: Q = (spark, dir) => {
+    events(spark, dir).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+      date_format(col("ts"), "HH").as("hr"))
+  }
+
+  /** P4 — epoch-millis → date/hour strings (app/Dau.scala:62-75). The
+    * round-trip ts→millis→ts exercises the epoch conversions the DAU
+    * app does with SimpleDateFormat.
+    */
+  val p04_epoch_derive: Q = (spark, dir) => {
+    events(spark, dir).select(
+      col("event_id"),
+      unix_millis(col("ts")).as("ts_ms"),
+      date_format(timestamp_millis(unix_millis(col("ts"))), "yyyy-MM-dd").as("dt"),
+      date_format(timestamp_millis(unix_millis(col("ts"))), "HH").as("hr"))
+  }
+
+  /** P5 — bucketing with when/otherwise chains + Chinese labels
+    * (age groups, dim/User_info_APP.scala:54-65). The reference buckets
+    * wall-clock age; testdata has no birthday, so the same three-way
+    * bucket logic runs on days-since-order against a *pinned* "now"
+    * (SURVEY §7.4: wall-clock must be injected for testability).
+    */
+  val p05_age_bucket: Q = (spark, dir) => {
+    // cast to long: DuckDB date_diff returns BIGINT — schema must match
+    val ageDays = datediff(to_date(lit("2026-01-01")), to_date(col("o_orderdate"))).cast("long")
+    orders(spark, dir).select(
+      col("o_orderkey"),
+      ageDays.as("age_days"),
+      when(ageDays < 365, "20岁及以下")
+        .when(ageDays <= 500, "20岁到30岁")
+        .otherwise("30岁及以上").as("age_group"))
+  }
+
+  /** P6 — code decode (gender "M"→"男"/"女",
+    * dim/User_info_APP.scala:66-70) — two-way decode on a code column.
+    */
+  val p06_decode: Q = (spark, dir) => {
+    customer(spark, dir).select(
+      col("c_custkey"),
+      when(col("c_mktsegment") === "AUTOMOBILE", "男").otherwise("女").as("segment_decoded"))
+  }
+
+  /** P7 — composite grouping key via concat
+    * (ads/TradeMarkAmountApp.scala:53). */
+  val p07_composite_key: Q = (spark, dir) => {
+    part(spark, dir).select(
+      col("p_partkey"),
+      concat_ws("_", col("p_brand"), col("p_type")).as("brand_type_key"))
+  }
+
+  /** P8 — key split back into fields (ads/TradeMarkAmountApp.scala:72-74). */
+  val p08_key_split: Q = (spark, dir) => {
+    part(spark, dir)
+      .select(col("p_partkey"),
+        concat_ws("_", col("p_brand"), col("p_size")).as("k"))
+      .select(col("p_partkey"),
+        split(col("k"), "_").getItem(0).as("brand"),
+        split(col("k"), "_").getItem(1).as("size_str"))
+  }
+
+  /** P9 — flag filter (first-orders only,
+    * dwd/Ods_to_DWD_order_info.scala:219). */
+  val p09_filter_flag: Q = (spark, dir) => {
+    lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+  }
+
+  /** P10 — bean merge / row widening (bean/OrderWide.scala:46-95): the
+    * 25-field OrderWide copy-constructor becomes a join projection with
+    * renames.
+    */
+  val p10_bean_merge: Q = (spark, dir) => {
+    val oi = orders(spark, dir)
+    val od = lineitem(spark, dir)
+    od.join(oi, od("l_orderkey") === oi("o_orderkey"))
+      .select(
+        od("l_orderkey").as("order_id"),
+        od("l_linenumber").as("order_detail_id"),
+        od("l_partkey").as("sku_id"),
+        od("l_quantity").as("sku_num"),
+        od("l_extendedprice").as("order_price"),
+        oi("o_custkey").as("user_id"),
+        oi("o_orderstatus").as("order_status"),
+        oi("o_totalprice").as("final_total_amount"),
+        date_format(oi("o_orderdate"), "yyyy-MM-dd").as("dt"))
+  }
+
+  /** P11 — envelope flatten: JSON field access after parse
+    * (ods/KafkaToODS_M.scala:49-52; app/Dau.scala:136-147). */
+  val p11_json_flatten: Q = (spark, dir) => {
+    events(spark, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k"))
+  }
+
+  // --------------------------------------------------------------------
+  // J — joins
+  // --------------------------------------------------------------------
+
+  /** J1 — per-partition dim lookup join (dwd/OrderDetailApp.scala:65-85,
+    * hand-built hash join over Phoenix `id IN (…)`): a stream-static
+    * left join on the dim key. part is small → broadcast hash join, no
+    * shuffle of the fact side; NULL dim fields on miss (fixing the
+    * reference's NPE, SURVEY §7.1).
+    */
+  val j01_lookup_join: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .select(
+        li("l_orderkey"), li("l_linenumber"), li("l_partkey"),
+        p("p_name").as("sku_name"),
+        p("p_brand").as("tm_name"),
+        p("p_type").as("category_name"))
+  }
+
+  /** J2 — broadcast multi-dim enrichment (3-way,
+    * dim/SkuInfoApp.scala:61-117 + province join
+    * dwd/Ods_to_DWD_order_info.scala:161-186): fact → customer →
+    * nation → region, all dims broadcast, zero fact-side shuffles.
+    */
+  val j02_broadcast_enrich: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+      .select(
+        o("o_orderkey"), o("o_custkey"),
+        c("c_name").as("user_name"),
+        n("n_name").as("province_name"),
+        r("r_name").as("region_name"))
+  }
+
+  /** J3 — existence anti-lookup (first-order flag,
+    * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
+    * with no match in the accumulated state table. Here: customers who
+    * have never ordered.
+    */
+  val j03_anti_join: Q = (spark, dir) => {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** J4 — dual-stream equi-join, batch twin (dws/OrderWiderApp.scala:119-128):
+    * orders⋈lineitem inner on order key. At scale both sides shuffle on
+    * the join key once; with AQE a skewed key is split automatically.
+    */
+  val j04_order_wide_join: Q = (spark, dir) => {
+    val oi = orders(spark, dir)
+    val od = lineitem(spark, dir)
+    od.join(oi, od("l_orderkey") === oi("o_orderkey"))
+      .select(
+        od("l_orderkey").as("order_id"),
+        od("l_linenumber").as("order_detail_id"),
+        od("l_extendedprice").as("sku_total"),
+        oi("o_totalprice").as("final_total_amount"),
+        oi("o_custkey").as("user_id"))
+  }
+
+  /** J5 — join-result dedup (Redis sadd first-wins,
+    * dws/OrderWiderApp.scala:129-147). Deterministic first-wins: keep
+    * the min-linenumber row per (orderkey, partkey) via row_number —
+    * *not* dropDuplicates, whose survivor is partition-order dependent.
+    */
+  val j05_join_dedup: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("l_orderkey"), col("l_partkey"))
+      .orderBy(col("l_linenumber"))
+    lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+  }
+
+  /** J7/W2 — within-group ordering + first-position flag
+    * (dwd/Ods_to_DWD_order_info.scala:106-127: sort a user's orders by
+    * create_time, only the earliest keeps if_first_order=1).
+    */
+  val j07_first_order_flag: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        when(col("rn") === 1, "1").otherwise("0").as("if_first_order"))
+  }
+
+  // --------------------------------------------------------------------
+  // A — aggregations
+  // --------------------------------------------------------------------
+
+  /** A1 — keyed revenue sum (trademark revenue,
+    * ads/TradeMarkAmountApp.scala:47-56): fact⋈dim star join +
+    * groupBy(brand).sum(net revenue). The flagship M0 query: broadcast
+    * dim join → partial (map-side) agg → single shuffle on p_brand.
+    */
+  val a01_brand_revenue: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** A2 — keyed sum, second key shape ("hot goods" by spu,
+    * ads/HotwoodsCount.scala:47-56 — replicating the intent: group on
+    * the two real columns, not the reference's buggy concat/split key).
+    */
+  val a02_type_revenue: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("amount"))
+  }
+
+  /** A3 — distinct-by-key-per-day (DAU, app/Dau.scala:104-123): the
+    * Redis-sadd dedup becomes an exact per-day distinct count. Partial
+    * aggregation makes this one shuffle of (dt, user_id) pairs.
+    */
+  val a03_dau: Q = (spark, dir) => {
+    events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .groupBy(col("dt"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+  }
+
+  /** A4 — per-order running accumulator (Redis read-modify-write
+    * sum-so-far, dws/OrderWiderApp.scala:163-191) as a deterministic
+    * window running sum ordered by line number. Exact integer-cents so
+    * the oracle hash-matches.
+    */
+  val a04_running_sum: Q = (spark, dir) => {
+    // RANGE (not ROWS) frame: (l_orderkey, l_linenumber) is NOT unique in
+    // the testdata, so a ROWS frame would be tie-order-dependent; RANGE
+    // includes all peers of the current row — deterministic.
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (sum(cents(col("l_extendedprice"))).over(w) / 100).as("running_amount"))
+  }
+
+  /** §2.7 — top-k (the ranking the reference leaves to MySQL consumers):
+    * ORDER BY revenue DESC LIMIT 10 with a deterministic tiebreak.
+    * Executes as TakeOrderedAndProject — no global sort materialized.
+    */
+  val a05_top_brands: Q = (spark, dir) => {
+    a01_brand_revenue(spark, dir)
+      .orderBy(col("revenue").desc, col("p_brand"))
+      .limit(10)
+  }
+
+  // --------------------------------------------------------------------
+  // W — analytic windows
+  // --------------------------------------------------------------------
+
+  /** W3 — payment allocation: proportional split with last-line
+    * remainder (dws/OrderWiderApp.scala:157-199). Per order, each line
+    * gets `round(total * line/Σlines)`; the final line takes
+    * `total − Σ(previous allocations)` so the per-order sum is exact.
+    * All arithmetic in integer cents (exact doubles) for determinism —
+    * fixing the reference's integer-division truncation bug at :183 and
+    * its cross-partition Redis race (SURVEY §7.1).
+    */
+  val w03_payment_allocation: Q = (spark, dir) => {
+    val oi = orders(spark, dir)
+    val od = lineitem(spark, dir)
+    val joined = od.join(oi, od("l_orderkey") === oi("o_orderkey"))
+      .select(
+        od("l_orderkey").as("order_id"),
+        od("l_linenumber").as("line_id"),
+        cents(od("l_extendedprice")).as("line_cents"),
+        cents(oi("o_totalprice")).as("total_cents"))
+    // order by (line_id, line_cents): line_id alone is not unique; adding
+    // line_cents makes any remaining ties carry identical values through
+    // the allocation, so the output multiset is deterministic.
+    val wOrd = Window.partitionBy(col("order_id")).orderBy(col("line_id"), col("line_cents"))
+    val wAll = Window.partitionBy(col("order_id"))
+    // floor, not round: Spark rounds the shortest decimal string
+    // (BigDecimal HALF_UP), DuckDB rounds the binary double — they
+    // disagree on x.5 boundaries. floor is bit-identical in both.
+    val prop = floor(col("total_cents") * col("line_cents") / col("sum_line_cents"))
+    joined
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_lines", count(lit(1)).over(wAll))
+      .withColumn("sum_line_cents", sum(col("line_cents")).over(wAll))
+      .withColumn("prop_cents", prop)
+      .withColumn("alloc_cents",
+        when(col("rn") === col("n_lines"),
+          col("total_cents") - (sum(prop).over(wAll) - prop))
+          .otherwise(prop))
+      .select(
+        col("order_id"), col("line_id"),
+        (col("line_cents") / 100).as("sku_total"),
+        (col("alloc_cents") / 100).as("final_detail_amount"))
+  }
+
+  // --------------------------------------------------------------------
+  // F — scalar function battery (§2.8)
+  // --------------------------------------------------------------------
+
+  /** §2.8 — the reference's full row-wise scalar surface in one
+    * projection: split, concat, substring/equality, upper/lower,
+    * coalesce/null-guard, 2-dp rounding, arithmetic.
+    */
+  val f01_scalar_suite: Q = (spark, dir) => {
+    part(spark, dir).select(
+      col("p_partkey"),
+      split(col("p_type"), " ").getItem(0).as("type_head"),
+      concat_ws("|", col("p_brand"), col("p_name")).as("brand_name"),
+      upper(col("p_brand")).as("brand_upper"),
+      lower(col("p_type")).as("type_lower"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      coalesce(col("p_type"), lit("unknown")).as("type_nn"),
+      // integer-cents form of round(x*1.1, 2): Spark's round(d, 2) goes
+      // through BigDecimal shortest-string semantics, DuckDB rounds in
+      // binary — they can disagree on decimal-exact halfway inputs.
+      (round(col("p_retailprice") * lit(110)) / 100).as("uplift"),
+      (col("p_size") + 1).as("size_next"),
+      (col("p_retailprice") > 1000).as("is_premium"))
+  }
+
+  // --------------------------------------------------------------------
+  // registry
+  // --------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "s06_dim_scan" -> s06_dim_scan,
+    "p02_cdc_route" -> p02_cdc_route,
+    "p03_date_hour" -> p03_date_hour,
+    "p04_epoch_derive" -> p04_epoch_derive,
+    "p05_age_bucket" -> p05_age_bucket,
+    "p06_decode" -> p06_decode,
+    "p07_composite_key" -> p07_composite_key,
+    "p08_key_split" -> p08_key_split,
+    "p09_filter_flag" -> p09_filter_flag,
+    "p10_bean_merge" -> p10_bean_merge,
+    "p11_json_flatten" -> p11_json_flatten,
+    "j01_lookup_join" -> j01_lookup_join,
+    "j02_broadcast_enrich" -> j02_broadcast_enrich,
+    "j03_anti_join" -> j03_anti_join,
+    "j04_order_wide_join" -> j04_order_wide_join,
+    "j05_join_dedup" -> j05_join_dedup,
+    "j07_first_order_flag" -> j07_first_order_flag,
+    "a01_brand_revenue" -> a01_brand_revenue,
+    "a02_type_revenue" -> a02_type_revenue,
+    "a03_dau" -> a03_dau,
+    "a04_running_sum" -> a04_running_sum,
+    "a05_top_brands" -> a05_top_brands,
+    "w03_payment_allocation" -> w03_payment_allocation,
+    "f01_scalar_suite" -> f01_scalar_suite,
+  )
+
+  /** DuckDB oracle SQL. Column aliases match the Spark side exactly
+    * (driver sorts columns by name before hashing). Money sums mirror
+    * the integer-cents expressions — see [[graft.Tables.cents]].
+    */
+  val oracles: Map[String, String] = Map(
+    "s06_dim_scan" ->
+      """SELECT n_nationkey, n_name, r_name
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name IN ('ASIA','EUROPE')""",
+    "p02_cdc_route" ->
+      """SELECT event_id, event_type, 'ods_' || event_type AS route, user_id
+         FROM events WHERE event_type IN ('purchase','signup','click')""",
+    "p03_date_hour" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hr
+         FROM events""",
+    "p04_epoch_derive" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms,
+                strftime(make_timestamp(epoch_ms(ts)*1000), '%Y-%m-%d') AS dt,
+                strftime(make_timestamp(epoch_ms(ts)*1000), '%H') AS hr
+         FROM events""",
+    "p05_age_bucket" ->
+      """SELECT o_orderkey,
+                date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS age_days,
+                CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') < 365 THEN '20岁及以下'
+                     WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') <= 500 THEN '20岁到30岁'
+                     ELSE '30岁及以上' END AS age_group
+         FROM orders""",
+    "p06_decode" ->
+      """SELECT c_custkey,
+                CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '男' ELSE '女' END AS segment_decoded
+         FROM customer""",
+    "p07_composite_key" ->
+      """SELECT p_partkey, p_brand || '_' || p_type AS brand_type_key FROM part""",
+    "p08_key_split" ->
+      """SELECT p_partkey,
+                string_split(p_brand || '_' || p_size, '_')[1] AS brand,
+                string_split(p_brand || '_' || p_size, '_')[2] AS size_str
+         FROM part""",
+    "p09_filter_flag" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag
+         FROM lineitem WHERE l_returnflag = 'R'""",
+    "p10_bean_merge" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS order_detail_id,
+                l_partkey AS sku_id, l_quantity AS sku_num,
+                l_extendedprice AS order_price, o_custkey AS user_id,
+                o_orderstatus AS order_status, o_totalprice AS final_total_amount,
+                strftime(o_orderdate, '%Y-%m-%d') AS dt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "p11_json_flatten" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k FROM events""",
+    "j01_lookup_join" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+                p_name AS sku_name, p_brand AS tm_name, p_type AS category_name
+         FROM lineitem LEFT JOIN part ON l_partkey = p_partkey""",
+    "j02_broadcast_enrich" ->
+      """SELECT o_orderkey, o_custkey, c_name AS user_name,
+                n_name AS province_name, r_name AS region_name
+         FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         LEFT JOIN region ON n_regionkey = r_regionkey""",
+    "j03_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "j04_order_wide_join" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS order_detail_id,
+                l_extendedprice AS sku_total, o_totalprice AS final_total_amount,
+                o_custkey AS user_id
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+    "j05_join_dedup" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
+         QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1""",
+    "j07_first_order_flag" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+                     THEN '1' ELSE '0' END AS if_first_order
+         FROM orders""",
+    "a01_brand_revenue" ->
+      """SELECT p_brand,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "a02_type_revenue" ->
+      """SELECT p_brand, p_type,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS amount
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand, p_type""",
+    "a03_dau" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(DISTINCT user_id) AS dau
+         FROM events GROUP BY 1""",
+    "a04_running_sum" ->
+      """SELECT l_orderkey, l_linenumber,
+                SUM(ROUND(l_extendedprice * 100)) OVER
+                  (PARTITION BY l_orderkey ORDER BY l_linenumber
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_amount
+         FROM lineitem""",
+    "a05_top_brands" ->
+      """SELECT p_brand,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand
+         ORDER BY revenue DESC, p_brand LIMIT 10""",
+    "w03_payment_allocation" ->
+      """WITH j AS (
+           SELECT l_orderkey AS order_id, l_linenumber AS line_id,
+                  ROUND(l_extendedprice * 100) AS line_cents,
+                  ROUND(o_totalprice * 100) AS total_cents
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ), w AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY order_id ORDER BY line_id, line_cents) AS rn,
+                  COUNT(*) OVER (PARTITION BY order_id) AS n_lines,
+                  SUM(line_cents) OVER (PARTITION BY order_id) AS sum_line_cents
+           FROM j
+         ), p AS (
+           SELECT *, FLOOR(total_cents * line_cents / sum_line_cents) AS prop_cents
+           FROM w
+         )
+         SELECT order_id, line_id,
+                line_cents / 100 AS sku_total,
+                CASE WHEN rn = n_lines
+                     THEN (total_cents - (SUM(prop_cents) OVER (PARTITION BY order_id) - prop_cents)) / 100
+                     ELSE prop_cents / 100 END AS final_detail_amount
+         FROM p""",
+    "f01_scalar_suite" ->
+      """SELECT p_partkey,
+                string_split(p_type, ' ')[1] AS type_head,
+                p_brand || '|' || p_name AS brand_name,
+                upper(p_brand) AS brand_upper,
+                lower(p_type) AS type_lower,
+                substring(p_name, 1, 5) AS name5,
+                coalesce(p_type, 'unknown') AS type_nn,
+                ROUND(p_retailprice * 110) / 100 AS uplift,
+                p_size + 1 AS size_next,
+                p_retailprice > 1000 AS is_premium
+         FROM part""",
+  )
+}
