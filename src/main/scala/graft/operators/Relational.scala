@@ -155,20 +155,54 @@ object Relational {
       get_json_object(col("props"), "$.k").as("k"))
   }
 
+  /** P1 — typed envelope parse: `from_json` with a declared StructType
+    * (dwd/Ods_to_DWD_order_info.scala:55-66 — fastjson
+    * `JSON.parseObject(v, classOf[T])`; app/Dau.scala:136-147 nested
+    * `{common:{…}, ts}` start-log envelope). Two layers exercised:
+    * (1) the real `props` JSON column parsed against a declared schema,
+    * (2) a nested CDC-style envelope serialized with `to_json` and
+    * re-parsed with a nested StructType — absent fields become NULL
+    * (from_json is null-on-mismatch like fastjson), never a crash.
+    */
+  val p01_envelope_parse: Q = (spark, dir) => {
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", LongType)))
+    val envSchema = StructType(Seq(
+      StructField("common", StructType(Seq(
+        StructField("uid", LongType),
+        StructField("ch", StringType)))),
+      StructField("ts_ms", LongType),
+      StructField("missing_field", StringType))) // absent in data → NULL
+    events(spark, dir)
+      .withColumn("envelope", to_json(struct(
+        struct(col("user_id").as("uid"), col("event_type").as("ch")).as("common"),
+        unix_millis(col("ts")).as("ts_ms"))))
+      .withColumn("parsed", from_json(col("envelope"), envSchema))
+      .select(
+        col("event_id"),
+        from_json(col("props"), propsSchema).getField("k").as("prop_k"),
+        col("parsed.common.uid").as("uid"),
+        col("parsed.common.ch").as("channel"),
+        col("parsed.ts_ms").as("ts_ms"),
+        col("parsed.missing_field").as("missing_field"))
+  }
+
   // --------------------------------------------------------------------
   // J — joins
   // --------------------------------------------------------------------
 
   /** J1 — per-partition dim lookup join (dwd/OrderDetailApp.scala:65-85,
     * hand-built hash join over Phoenix `id IN (…)`): a stream-static
-    * left join on the dim key. part is small → broadcast hash join, no
-    * shuffle of the fact side; NULL dim fields on miss (fixing the
-    * reference's NPE, SURVEY §7.1).
+    * left join on the dim key. No broadcast hint: `part` grows linearly
+    * with SF (a forced broadcast OOMs at 100×) — Catalyst picks
+    * broadcast-hash while under `autoBroadcastJoinThreshold` and falls
+    * back to shuffled hash/SMJ (AQE handles skew) beyond it. NULL dim
+    * fields on miss (fixing the reference's NPE, SURVEY §7.1).
     */
   val j01_lookup_join: Q = (spark, dir) => {
     val li = lineitem(spark, dir)
     val p = part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+    li.join(p, li("l_partkey") === p("p_partkey"), "left")
       .select(
         li("l_orderkey"), li("l_linenumber"), li("l_partkey"),
         p("p_name").as("sku_name"),
@@ -179,14 +213,18 @@ object Relational {
   /** J2 — broadcast multi-dim enrichment (3-way,
     * dim/SkuInfoApp.scala:61-117 + province join
     * dwd/Ods_to_DWD_order_info.scala:161-186): fact → customer →
-    * nation → region, all dims broadcast, zero fact-side shuffles.
+    * nation → region. Only the *bounded* dims (nation: 25 rows,
+    * region: 5 rows) carry a broadcast hint; `customer` scales with SF
+    * so its strategy is left to the auto-broadcast threshold + AQE —
+    * under the threshold this still plans as three chained broadcast
+    * hash joins with zero fact-side shuffles.
     */
   val j02_broadcast_enrich: Q = (spark, dir) => {
     val o = orders(spark, dir)
     val c = customer(spark, dir)
     val n = nation(spark, dir)
     val r = region(spark, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
       .select(
@@ -198,12 +236,14 @@ object Relational {
 
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
-    * with no match in the accumulated state table. Here: customers who
-    * have never ordered.
+    * with no match in the accumulated state table. The state table is
+    * a *selective subset* (orders with status 'F') so the result is
+    * non-empty and the check exercises real surviving rows: customers
+    * who never placed a completed order.
     */
   val j03_anti_join: Q = (spark, dir) => {
     val c = customer(spark, dir)
-    val o = orders(spark, dir)
+    val o = orders(spark, dir).where(col("o_orderstatus") === "F")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }
@@ -238,6 +278,36 @@ object Relational {
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
   }
 
+  /** J6 — full outer dual-stream join with unmatched-side completion
+    * (dws/OrderWiderApp.scala:63-115, the commented Redis-cache
+    * variant): order headers ⋈ aggregated returned-lines, FULL OUTER so
+    * both unmatched sides survive — headers with no returned lines keep
+    * NULL metrics, returned lines whose header is filtered out surface
+    * with NULL order fields (the reference caches these in Redis
+    * awaiting completion; Spark's outer join emits them directly).
+    * `coalesce` supplies the completion defaults. Both sides shuffle
+    * once on the join key; survives 100× (no broadcast of either side).
+    */
+  val j06_outer_join: Q = (spark, dir) => {
+    val o = orders(spark, dir).where(col("o_orderstatus") === "O")
+    val l = lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_returned"),
+        moneySum(col("l_extendedprice")).as("returned_amt"))
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "full_outer")
+      .select(
+        coalesce(o("o_orderkey"), l("l_orderkey")).as("order_id"),
+        o("o_custkey").as("user_id"),
+        o("o_totalprice").as("final_total_amount"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        coalesce(col("returned_amt"), lit(0.0)).as("returned_amt"),
+        when(o("o_orderkey").isNull, "detail_only")
+          .when(l("l_orderkey").isNull, "order_only")
+          .otherwise("matched").as("join_state"))
+  }
+
   /** J7/W2 — within-group ordering + first-position flag
     * (dwd/Ods_to_DWD_order_info.scala:106-127: sort a user's orders by
     * create_time, only the earliest keeps if_first_order=1).
@@ -258,13 +328,14 @@ object Relational {
 
   /** A1 — keyed revenue sum (trademark revenue,
     * ads/TradeMarkAmountApp.scala:47-56): fact⋈dim star join +
-    * groupBy(brand).sum(net revenue). The flagship M0 query: broadcast
-    * dim join → partial (map-side) agg → single shuffle on p_brand.
+    * groupBy(brand).sum(net revenue). The flagship M0 query: dim join
+    * (auto-broadcast under threshold; `part` scales with SF so no
+    * forced hint) → partial (map-side) agg → single shuffle on p_brand.
     */
   val a01_brand_revenue: Q = (spark, dir) => {
     val li = lineitem(spark, dir)
     val p = part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
@@ -278,7 +349,7 @@ object Relational {
   val a02_type_revenue: Q = (spark, dir) => {
     val li = lineitem(spark, dir)
     val p = part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"))
       .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("amount"))
   }
@@ -406,11 +477,13 @@ object Relational {
     "p09_filter_flag" -> p09_filter_flag,
     "p10_bean_merge" -> p10_bean_merge,
     "p11_json_flatten" -> p11_json_flatten,
+    "p01_envelope_parse" -> p01_envelope_parse,
     "j01_lookup_join" -> j01_lookup_join,
     "j02_broadcast_enrich" -> j02_broadcast_enrich,
     "j03_anti_join" -> j03_anti_join,
     "j04_order_wide_join" -> j04_order_wide_join,
     "j05_join_dedup" -> j05_join_dedup,
+    "j06_outer_join" -> j06_outer_join,
     "j07_first_order_flag" -> j07_first_order_flag,
     "a01_brand_revenue" -> a01_brand_revenue,
     "a02_type_revenue" -> a02_type_revenue,
@@ -452,12 +525,14 @@ object Relational {
       """SELECT c_custkey,
                 CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN '男' ELSE '女' END AS segment_decoded
          FROM customer""",
+    // concat_ws on BOTH sides (not ||): Spark concat_ws skips NULLs,
+    // DuckDB || propagates them — concat_ws shares one NULL semantic.
     "p07_composite_key" ->
-      """SELECT p_partkey, p_brand || '_' || p_type AS brand_type_key FROM part""",
+      """SELECT p_partkey, concat_ws('_', p_brand, p_type) AS brand_type_key FROM part""",
     "p08_key_split" ->
       """SELECT p_partkey,
-                string_split(p_brand || '_' || p_size, '_')[1] AS brand,
-                string_split(p_brand || '_' || p_size, '_')[2] AS size_str
+                string_split(concat_ws('_', p_brand, p_size), '_')[1] AS brand,
+                string_split(concat_ws('_', p_brand, p_size), '_')[2] AS size_str
          FROM part""",
     "p09_filter_flag" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag
@@ -471,6 +546,14 @@ object Relational {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     "p11_json_flatten" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k FROM events""",
+    "p01_envelope_parse" ->
+      """SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+                user_id AS uid,
+                event_type AS channel,
+                epoch_ms(ts) AS ts_ms,
+                CAST(NULL AS VARCHAR) AS missing_field
+         FROM events""",
     "j01_lookup_join" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,
                 p_name AS sku_name, p_brand AS tm_name, p_type AS category_name
@@ -484,7 +567,8 @@ object Relational {
          LEFT JOIN region ON n_regionkey = r_regionkey""",
     "j03_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""",
     "j04_order_wide_join" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS order_detail_id,
                 l_extendedprice AS sku_total, o_totalprice AS final_total_amount,
@@ -493,6 +577,20 @@ object Relational {
     "j05_join_dedup" ->
       """SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem
          QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) = 1""",
+    "j06_outer_join" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderstatus = 'O'),
+              l AS (SELECT l_orderkey, COUNT(*) AS n_returned,
+                           SUM(ROUND(l_extendedprice * 100)) / 100 AS returned_amt
+                    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+         SELECT COALESCE(o_orderkey, l_orderkey) AS order_id,
+                o_custkey AS user_id,
+                o_totalprice AS final_total_amount,
+                COALESCE(n_returned, 0) AS n_returned,
+                COALESCE(returned_amt, 0.0) AS returned_amt,
+                CASE WHEN o_orderkey IS NULL THEN 'detail_only'
+                     WHEN l_orderkey IS NULL THEN 'order_only'
+                     ELSE 'matched' END AS join_state
+         FROM o FULL OUTER JOIN l ON o_orderkey = l_orderkey""",
     "j07_first_order_flag" ->
       """SELECT o_orderkey, o_custkey,
                 CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
@@ -550,7 +648,7 @@ object Relational {
     "f01_scalar_suite" ->
       """SELECT p_partkey,
                 string_split(p_type, ' ')[1] AS type_head,
-                p_brand || '|' || p_name AS brand_name,
+                concat_ws('|', p_brand, p_name) AS brand_name,
                 upper(p_brand) AS brand_upper,
                 lower(p_type) AS type_lower,
                 substring(p_name, 1, 5) AS name5,
