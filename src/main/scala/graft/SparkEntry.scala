@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,10 @@ object SparkEntry {
     Relational.a01_brand_revenue(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
+      Similarity.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles
+    Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
+      Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Portable
+
+/** Deduplication operators for LLM training-data pipelines, over the
+  * `documents` table: exact (content-hash groupBy), MinHash+LSH
+  * near-dup, SimHash near-dup, and exact n-gram-Jaccard near-dup via an
+  * inverted index. All candidate generation is bucketed — there is no
+  * cross product anywhere; every pairing join is an equi-join on a
+  * bucket key (band hash, simhash band, or shingle), which shuffles
+  * both sides once on that key and scales horizontally.
+  *
+  * The testdata corpus has no natural duplicates (500 distinct texts at
+  * sf0.01), so each query derives its corpus as documents ∪ copies:
+  * exact copies for d01, head-truncated near-copies (first 5 tokens
+  * dropped) for d02-d04 — making every differential check non-vacuous.
+  *
+  * All hashing goes through [[graft.functions.Portable]] (md5-based,
+  * engine-portable) so the DuckDB oracles compute bit-identical values.
+  * Scale notes per operator below; no UDFs, no collects — everything is
+  * Catalyst built-ins (codegen'd) + higher-order array functions.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------
+  // shared corpus + shingling
+  // ------------------------------------------------------------------
+
+  /** documents ∪ exact copies of every 10th doc (ids offset by 1e6). */
+  private def exactDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private val duckExactCorpus =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+       )"""
+
+  /** documents ∪ near-copies (first 5 tokens dropped) of every 10th doc:
+    * head-truncation keeps ~90% of 3-gram shingles → Jaccard ≈ 0.9
+    * against the original, well above the 0.5 detection threshold.
+    */
+  private def nearDupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.where(col("doc_id") % 10 === 0)
+        .select(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text")))
+  }
+
+  private val duckNearCorpus =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000,
+                array_to_string(string_split(text, ' ')[6:], ' ')
+         FROM documents WHERE doc_id % 10 = 0
+       )"""
+
+  /** Distinct 3-gram word shingles of `text`. */
+  private def shingles(text: Column): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ",
+            element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** DuckDB twin of [[shingles]]: distinct 3-gram shingle list. */
+  private val duckShingles =
+    """sh AS (
+         SELECT doc_id,
+                list_distinct(list_transform(
+                  range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+                  i -> concat_ws(' ', string_split(text, ' ')[i+1],
+                                 string_split(text, ' ')[i+2],
+                                 string_split(text, ' ')[i+3]))) AS shd
+         FROM corpus
+       )"""
+
+  // ------------------------------------------------------------------
+  // d01 — exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id
+    * (deterministic survivor), count copies. One shuffle on the hash;
+    * partial aggregation combines map-side. At 100 TB this is the
+    * standard first dedup pass — the 64-hex md5 key is ~2× the text it
+    * replaces in the shuffle for short docs but constant for long ones.
+    */
+  val d01_exact_dedup: Q = (spark, dir) => {
+    exactDupCorpus(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
+  // ------------------------------------------------------------------
+  // d02 — MinHash + LSH near-dup
+  // ------------------------------------------------------------------
+
+  private val NumHashes = 12
+  private val Bands = 4 // × 3 rows; P(miss | J=0.9) = (1-0.9³)⁴ ≈ 0.5%
+
+  /** MinHash+LSH near-dup pairs: shingle → 12-way minhash signature →
+    * 4 bands of 3 → bucket-join on (band, band-key) → exact Jaccard
+    * verify ≥ 0.5 on the surviving candidates.
+    *
+    * Scale shape: candidate generation is an equi-join on the band key
+    * (O(n·bands) rows shuffled, never all-pairs); the exact verify then
+    * re-joins the two shingle sets by doc id — so signatures, not full
+    * shingle arrays, flow through the wide self-join. Skewed buckets
+    * (a degenerate band key shared by many docs) are the known failure
+    * mode; AQE skew-join splitting handles moderate skew, and a bucket
+    * df-cap (drop pathological buckets) is the documented escape hatch
+    * at extreme scale.
+    */
+  val d02_minhash_lsh: Q = (spark, dir) => {
+    val sh = nearDupCorpus(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+
+    val mh = sh.select(
+      col("doc_id") +: (0 until NumHashes).map(i =>
+        array_min(transform(col("shd"), s => Portable.hash60Keyed(i, s))).as(s"mh$i")): _*)
+
+    val bands = mh.select(
+      col("doc_id"),
+      explode(array((0 until Bands).map { b =>
+        struct(
+          lit(b).as("band"),
+          concat_ws("_", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}")).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val x = sh.select(col("doc_id").as("doc_a"), col("shd").as("sha"))
+    val y = sh.select(col("doc_id").as("doc_b"), col("shd").as("shb"))
+    cand.join(x, "doc_a").join(y, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  private def duckMinhashSql: String = {
+    val mhs = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(shd, s -> ${Portable.duckHash60Keyed(i, "s")}))").mkString("[", ", ", "]")
+    val bandKeys = (0 until Bands).map(b =>
+      s"concat_ws('_', mhs[${3 * b + 1}], mhs[${3 * b + 2}], mhs[${3 * b + 3}])")
+    s"""WITH $duckNearCorpus, $duckShingles,
+        shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+        mh AS (SELECT doc_id, $mhs AS mhs FROM shn),
+        bands AS (
+          SELECT doc_id, t.band,
+                 CASE ${bandKeys.zipWithIndex.map { case (k, b) => s"WHEN t.band = $b THEN $k" }.mkString(" ")} END AS bkey
+          FROM mh, (SELECT unnest([${(0 until Bands).mkString(",")}]) AS band) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        j AS (
+          SELECT doc_a, doc_b,
+                 CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(x.shd, y.shd))) AS DOUBLE) AS jaccard
+          FROM cand JOIN shn x ON x.doc_id = doc_a JOIN shn y ON y.doc_id = doc_b)
+        SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
+  }
+
+  // ------------------------------------------------------------------
+  // d03 — SimHash near-dup
+  // ------------------------------------------------------------------
+
+  private val SimBits = 48
+  private val SimBands = 6 // 8 bits each; hamming ≤ 5 ⇒ ≥1 band equal (pigeonhole)
+  private val MaxHamming = 5
+
+  /** 48-bit SimHash fingerprint: per bit position, strict majority vote
+    * of the token hashes (term frequency preserved — repeated tokens
+    * vote repeatedly). Returned per doc alongside the near-dup pairs
+    * query below.
+    */
+  private def simhash(text: Column): Column = {
+    val toks = split(text, " ")
+    val th = transform(toks, t => Portable.hash60(t))
+    (0 until SimBits).map { k =>
+      (size(filter(th, h => shiftright(h, k).bitwiseAND(lit(1L)) === 1)) * 2 > size(th))
+        .cast("long") * lit(1L << k)
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: fingerprint → 6 bands of 8 bits → bucket
+    * join on (band, byte) → hamming ≤ 5 filter. The banding is exact
+    * for hamming ≤ 5 (pigeonhole: 5 differing bits across 6 bands leave
+    * one band identical), approximate beyond. Bucket join = equi-join,
+    * no cross product; fingerprints are 8 bytes so the shuffle carries
+    * ids + longs only.
+    */
+  val d03_simhash: Q = (spark, dir) => {
+    val fp = nearDupCorpus(spark, dir)
+      .select(col("doc_id"), simhash(col("text")).as("fp"))
+
+    val bands = fp.select(
+      col("doc_id"), col("fp"),
+      explode(array((0 until SimBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= MaxHamming)
+  }
+
+  private def duckSimhashSql: String = {
+    val bitSum = (0 until SimBits).map { k =>
+      s"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> $k) & 1) = 1)) > len(th) THEN 1 ELSE 0 END)::BIGINT * (${1L << k}::BIGINT)"
+    }.mkString(" + ")
+    s"""WITH $duckNearCorpus,
+        tok AS (SELECT doc_id,
+                       list_transform(string_split(text, ' '), t -> ${Portable.duckHash60("t")}) AS th
+                FROM corpus),
+        fp AS (SELECT doc_id, ($bitSum) AS fp FROM tok),
+        bands AS (SELECT doc_id, fp, t.band, (fp >> (8 * t.band)) & 255 AS bkey
+                  FROM fp, (SELECT unnest([${(0 until SimBands).mkString(",")}]) AS band) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $MaxHamming"""
+  }
+
+  // ------------------------------------------------------------------
+  // d04 — exact n-gram Jaccard via inverted index
+  // ------------------------------------------------------------------
+
+  /** Exact 3-gram Jaccard near-dup pairs via a shingle inverted index:
+    * explode (doc, shingle), self-equi-join on the shingle, count
+    * intersections per pair, then Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5.
+    *
+    * Exact (no probabilistic miss) but quadratic in per-shingle
+    * document frequency: the equi-join on the shingle produces df²
+    * pairs for a shingle shared by df docs. At 100 TB the standard
+    * mitigations are a df-cap (drop stop-shingles — they carry no
+    * discrimination power) and AQE skew splitting; at testdata scale
+    * the full index is exact and cheap. d02 (MinHash) is the
+    * sub-quadratic scale path; this operator is the exactness anchor.
+    */
+  val d04_ngram_jaccard: Q = (spark, dir) => {
+    val sh = nearDupCorpus(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("shd")).as("s"))
+    val n = sh.select(col("doc_id"), size(col("shd")).cast("long").as("n"))
+
+    val a = ex.alias("a")
+    val b = ex.alias("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
+  private def duckNgramSql: String =
+    s"""WITH $duckNearCorpus, $duckShingles,
+        shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+        ex AS (SELECT doc_id, unnest(shd) AS s FROM shn),
+        n AS (SELECT doc_id, len(shd) AS n FROM shn),
+        i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) AS jaccard
+        FROM i JOIN n x ON x.doc_id = doc_a JOIN n y ON y.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5"""
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> d01_exact_dedup,
+    "d02_minhash_lsh" -> d02_minhash_lsh,
+    "d03_simhash" -> d03_simhash,
+    "d04_ngram_jaccard" -> d04_ngram_jaccard,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""WITH $duckExactCorpus
+          SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+                 COUNT(*) AS n_copies
+          FROM corpus GROUP BY 1""",
+    "d02_minhash_lsh" -> duckMinhashSql,
+    "d03_simhash" -> duckSimhashSql,
+    "d04_ngram_jaccard" -> duckNgramSql,
+  )
+}

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TopK
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * column): brute-force cosine top-k as the exactness baseline, an
+  * IVF-style cell-probed top-k as the scale path, and embedding-cosine
+  * near-dup pairs with bucketed candidate generation.
+  *
+  * Scale design: top-k ranking runs through [[graft.functions.TopK]] —
+  * a typed Aggregator whose map-side partial aggregation keeps only k
+  * candidates per partition, so the shuffle carries O(k × partitions)
+  * rows, not the full candidate set (the Window+row_number alternative
+  * shuffles and sorts everything). The query set is bounded and
+  * broadcast; the vector scan is embarrassingly parallel. Cosine math
+  * is a sequential fold over the 64 dims (`aggregate`/`zip_with`,
+  * codegen'd builtins, no UDF); scores are rounded to 6 dp before
+  * ranking so the DuckDB differential oracle ranks identically.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 10
+  private val NumQueries = 5 // vec_id < 5 form the query set
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** cosine rounded to 6 dp — stable across engines for ranking. */
+  private def cos6(qv: Column, qn: Column, v: Column, n: Column): Column =
+    round(dot(qv, v) / (qn * n) * 1000000) / 1000000
+
+  private def explodeTopK(tk: DataFrame): DataFrame =
+    tk.select(col("query_id"), posexplode(col("tk.items")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cos6"))
+
+  /** n01 — brute-force cosine top-k: every query (bounded set,
+    * broadcast) against every vector, ranked by (cos desc, id asc)
+    * through the bounded top-k Aggregator. This is the exact baseline
+    * ANN variants are measured against.
+    */
+  val n01_cosine_topk: Q = (spark, dir) => {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos6(col("qv"), col("qn"), col("v"), col("nrm")).as("c6"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+  }
+
+  /** n02 — IVF-style probed top-k: the `label` column plays the coarse
+    * quantizer's cell assignment (a prior clustering step at ingest);
+    * each query probes only its own cell, cutting the scanned
+    * candidates by ~the cell count. Recall vs n01 is the standard IVF
+    * trade; candidate generation is an equi-join on the cell id — no
+    * cross product, shuffle keyed on the cell.
+    */
+  val n02_ivf_topk: Q = (spark, dir) => {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cos6(col("qv"), col("qn"), col("v"), col("nrm")).as("c6"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+  }
+
+  private val NearDupThreshold = 0.8
+
+  /** d05 — embedding-cosine near-dup pairs: candidates are generated
+    * *within a bucket* (the `label` cell — at scale an LSH/IVF bucket
+    * id), never all-pairs; pairs with cosine ≥ 0.8 are emitted. The
+    * natural corpus has no near-dups (max natural cosine ≈ 0.51), so
+    * the corpus adds perturbed copies of every 10th vector (first 8
+    * dims zeroed → cosine ≈ 0.94 against the original) to make the
+    * check non-vacuous.
+    */
+  val d05_embedding_neardup: Q = (spark, dir) => {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+    val pert = e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
+        concat(array_repeat(lit(0.0), 8), slice(col("v"), 9, 56)).as("v"))
+    val corpus = e.unionAll(pert).withColumn("nrm", norm(col("v")))
+
+    val a = corpus.select(col("vec_id").as("vec_a"), col("label"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("label") === col("lb") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        cos6(col("va"), col("na"), col("vb"), col("nb")).as("cos6"))
+      .where(col("cos6") >= NearDupThreshold)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "n01_cosine_topk" -> n01_cosine_topk,
+    "n02_ivf_topk" -> n02_ivf_topk,
+    "d05_embedding_neardup" -> d05_embedding_neardup,
+  )
+
+  private val duckVecs =
+    """e AS (SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             FROM embeddings),
+       n AS (SELECT vec_id, label, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM e)"""
+
+  private val duckCos =
+    "round(list_sum(list_transform(list_zip(qv, v), t -> t[1] * t[2])) / (qn * nrm) * 1000000) / 1000000"
+
+  val oracles: Map[String, String] = Map(
+    "n01_cosine_topk" ->
+      s"""WITH $duckVecs,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+          p AS (SELECT query_id, vec_id, $duckCos AS cos6
+                FROM q JOIN n ON vec_id <> query_id)
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
+                 vec_id AS neighbor_id, cos6
+          FROM p QUALIFY rnk <= $K""",
+    "n02_ivf_topk" ->
+      s"""WITH $duckVecs,
+          q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+                FROM n WHERE vec_id < $NumQueries),
+          p AS (SELECT query_id, vec_id, $duckCos AS cos6
+                FROM q JOIN n ON n.label = qlabel AND vec_id <> query_id)
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
+                 vec_id AS neighbor_id, cos6
+          FROM p QUALIFY rnk <= $K""",
+    "d05_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          corpus AS (
+            SELECT vec_id, label, v FROM e
+            UNION ALL
+            SELECT vec_id + 1000000, label,
+                   list_concat([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], v[9:])
+            FROM e WHERE vec_id % 10 = 0),
+          n AS (SELECT vec_id, label, v,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM corpus),
+          p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+                  round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+                        / (a.nrm * b.nrm) * 1000000) / 1000000 AS cos6
+                FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, label, cos6 FROM p WHERE cos6 >= $NearDupThreshold""",
+  )
+}

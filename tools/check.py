@@ -55,15 +55,23 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_df = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
-            ora_df = con.execute(oracles[name]).fetchdf()
+            spark_rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
+            spark_types = dict(zip(spark_rel.description and
+                                   [d[0] for d in spark_rel.description] or [],
+                                   [str(d[1]) for d in spark_rel.description]))
+            spark_df = spark_rel.fetchdf()
+            ora_rel = con.execute(oracles[name])
+            ora_types = {d[0]: str(d[1]) for d in ora_rel.description}
+            ora_df = ora_rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         rows = len(spark_df) == len(ora_df)
         schema = sorted(spark_df.columns) == sorted(ora_df.columns)
+        if schema and spark_types != ora_types:
+            print(f"  TYPE mismatch {name}: spark={spark_types} oracle={ora_types}")
+            schema = False
         vals = False
         if rows and schema:
             a, b = norm(spark_df), norm(ora_df)
