@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A user's order as seen by the stateful first-order operator. */
+case class OrderEvent(o_orderkey: Long, o_custkey: Long, o_orderdate: java.sql.Timestamp)
+
+/** First-order flag output row. */
+case class OrderFlag(o_orderkey: Long, o_custkey: Long, if_first_order: String)
+
+/** Source-agnostic Structured Streaming pipelines — each takes
+  * streaming DataFrame(s) and returns the transformed streaming
+  * DataFrame, so the same operator runs over the [[Replay]] file source
+  * (verification), a `MemoryStream` (unit tests, out-of-order replay),
+  * or Kafka (production, [[graft.sources.Sources]]).
+  *
+  * These are the Spark-native re-expressions of the reference's
+  * DStream pipelines (SURVEY.md §2 S/W/A/J streaming rows): watermarks
+  * replace manual Redis state TTLs, `dropDuplicates` replaces the
+  * Redis-sadd DAU dedup, `flatMapGroupsWithState` replaces the
+  * Phoenix-lookup first-order flag, and stream-stream joins with event
+  * time bounds replace the hand-rolled dual-DStream join + cache.
+  *
+  * Scale notes: every stateful operator keys its state by the shuffle
+  * key (user / order key), so state is partition-local and scales
+  * horizontally; watermarks bound state size. Nothing collects to the
+  * driver.
+  */
+object Pipelines {
+
+  /** Max |l_shipdate − o_orderdate| the order-wide join accepts. The
+    * testdata generates the two dates independently inside a ~7-year
+    * range, so ±10 years covers every real pair — the bound exists to
+    * satisfy/exercise the stream-stream join's state-eviction contract
+    * (outer joins require an event-time range), and the batch oracles
+    * repeat it verbatim so both engines compute identical semantics.
+    */
+  val JoinRangeDays = 3650
+
+  /** W1/A3 — streaming DAU (ref app/Dau.scala:104-123: Redis-sadd
+    * first-visit dedup, then per-day counts): watermark → exact dedup
+    * on (dt, user) → 1-day tumbling window count. Two chained stateful
+    * operators (dedup feeding a windowed aggregation — Spark 3.4+
+    * watermark propagation); in append mode a day's row emits once the
+    * watermark passes the day's end, exactly once per day.
+    *
+    * At scale: dedup state is one entry per (day, user) keyed by the
+    * shuffle key; production would use `dropDuplicatesWithinWatermark`
+    * to let the store evict yesterday's users — semantics here match
+    * the exact batch twin (a03).
+    */
+  def dau(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .dropDuplicates("dt", "user_id")
+      .groupBy(window(col("ts"), "1 day"), col("dt"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("dt"), col("dau"))
+
+  /** W1 — sliding-window activity counts (ref app/RealTimeApp windowed
+    * DStream counts): 6-hour windows sliding every 3 hours, per event
+    * type. Append mode: each (window, type) row emits exactly once,
+    * when the watermark passes the window end.
+    */
+  def slidingActivity(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
+  /** J4 streaming — dual-stream inner equi-join within event-time
+    * bounds (ref dws/OrderWiderApp.scala:119-128: join of two
+    * per-batch RDDs, which silently drops cross-batch matches; the
+    * watermarked stream-stream join holds both sides in keyed state so
+    * matches land regardless of arrival batch). State is evicted once
+    * the watermark passes the range bound.
+    */
+  def orderWideInner(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    joinOrderWide(orders, lineitem, "inner")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("order_detail_id"),
+        col("l_extendedprice").as("sku_total"),
+        col("o_totalprice").as("final_total_amount"),
+        col("o_custkey").as("user_id"))
+
+  /** J6 streaming — dual-stream LEFT OUTER join + completion defaults
+    * (ref dws/OrderWiderApp.scala:63-115: unmatched rows parked in a
+    * Redis cache awaiting the partner; Spark emits the null-completed
+    * row itself once the watermark proves the partner can no longer
+    * arrive).
+    */
+  def orderWideOuter(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    joinOrderWide(orders, lineitem, "left_outer")
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("user_id"),
+        col("o_totalprice").as("final_total_amount"),
+        col("l_linenumber").as("order_detail_id"),
+        coalesce(col("l_extendedprice"), lit(0.0)).as("sku_total"),
+        when(col("l_orderkey").isNull, "order_only").otherwise("matched").as("join_state"))
+
+  private def joinOrderWide(orders: DataFrame, lineitem: DataFrame,
+                            joinType: String): DataFrame = {
+    val o = orders.withWatermark("o_orderdate", "1 hour")
+    val l = lineitem.withWatermark("l_shipdate", "1 hour")
+    o.join(l,
+      o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") >= o("o_orderdate") - expr(s"INTERVAL $JoinRangeDays DAYS") &&
+        l("l_shipdate") <= o("o_orderdate") + expr(s"INTERVAL $JoinRangeDays DAYS"),
+      joinType)
+  }
+
+  /** J7/W2 streaming — stateful first-order flag
+    * (ref dwd/Ods_to_DWD_order_info.scala:83-127: per batch, look the
+    * user up in Phoenix, sort the batch's orders by create_time, flag
+    * the earliest if the user is new, then write the user back).
+    * `flatMapGroupsWithState` is the Spark-native form: state is one
+    * boolean per user, partition-local, no external store, no
+    * cross-batch race. Within a batch the group's rows sort by
+    * (o_orderdate, o_orderkey) — the reference's in-batch sort with a
+    * deterministic tiebreak.
+    */
+  def firstOrderFlag(orders: Dataset[OrderEvent]): Dataset[OrderFlag] = {
+    import orders.sparkSession.implicits._
+    orders
+      .groupByKey(_.o_custkey)
+      .flatMapGroupsWithState[Boolean, OrderFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[OrderEvent], state: GroupState[Boolean]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.o_orderdate.getTime, r.o_orderkey))
+          val seen = state.getOption.getOrElse(false)
+          val out = sorted.zipWithIndex.map { case (r, i) =>
+            OrderFlag(r.o_orderkey, r.o_custkey,
+              if (!seen && i == 0) "1" else "0")
+          }
+          if (sorted.nonEmpty) state.update(true)
+          out.iterator
+      }
+  }
+
+  /** P2 streaming — CDC routing (ref ods/KafkaToODS_M.scala:45-74:
+    * filter the allow-listed tables, route each row to its `ods_*`
+    * topic). The projection is stateless; the fan-out itself happens in
+    * the sink (`foreachBatch` in [[StreamQueries.st04_cdc_route]],
+    * Kafka `topic` column in production).
+    */
+  def cdcRoute(events: DataFrame): DataFrame =
+    events
+      .where(col("event_type").isin("purchase", "signup", "click"))
+      .withColumn("route", concat(lit("ods_"), col("event_type")))
+      .select(col("event_id"), col("event_type"), col("route"), col("user_id"))
+}

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+
+/** Deterministic replay harness: drive a Structured Streaming pipeline
+  * over the driver's static parquet testdata and run it to completion.
+  *
+  * The reference replays Kafka topics; here the same pipelines read the
+  * testdata through the *file* streaming source (fully distributed — the
+  * scan, the stateful operators and the sink all run executor-side; the
+  * driver never holds rows). Each replay builds a temp source directory
+  * containing
+  *
+  *   - a symlink to the real `<table>.parquet` (no data copy), and
+  *   - a one-row far-future *sentinel* file (event time 2100-01-01,
+  *     negative keys).
+  *
+  * The sentinel drives every watermark past all real event time, so
+  * append-mode operators (windowed aggregations, stream-stream outer
+  * joins, dedup state) emit ALL results for the real data before
+  * `Trigger.AvailableNow` stops the query — making the replay
+  * deterministic and oracle-checkable. Callers filter the sentinel's
+  * own rows out of the read-back (negative key / far-future window).
+  *
+  * At production scale the same pipelines run unchanged on an unbounded
+  * source (Kafka / files-in-arrival-order); the sentinel trick is only
+  * the finite-replay analog of "the watermark eventually passes".
+  */
+object Replay {
+
+  /** Temp dir holding `a_data.parquet` (symlink to `src`) + the
+    * sentinel as `z_sentinel.parquet`, with increasing mtimes so the
+    * file source's oldest-first ordering sees the data first.
+    */
+  def streamDir(src: String, sentinel: DataFrame): Path = {
+    val dir = Files.createTempDirectory("graft_stream_")
+    Files.createSymbolicLink(dir.resolve("a_data.parquet"), Paths.get(src))
+    val tmp = Files.createTempDirectory("graft_sentinel_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+    Files.copy(part, dir.resolve("z_sentinel.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dir.resolve("a_data.parquet"), FileTime.fromMillis(1000000L))
+    Files.setLastModifiedTime(dir.resolve("z_sentinel.parquet"), FileTime.fromMillis(2000000L))
+    dir
+  }
+
+  /** Open `<sfDir>/<table>.parquet` as a file-source stream (with the
+    * sentinel appended) using the table's batch schema.
+    */
+  def tableStream(spark: SparkSession, sfDir: String, table: String,
+                  sentinel: DataFrame): DataFrame = {
+    val src = s"$sfDir/$table.parquet"
+    val schema = spark.read.parquet(src).schema
+    spark.readStream.schema(schema).parquet(streamDir(src, sentinel).toString)
+  }
+
+  /** Run an append-mode streaming DataFrame to completion
+    * (AvailableNow) through a parquet sink, then return a batch scan of
+    * the result. Checkpoint + output live in fresh temp dirs, so every
+    * replay is independent and repeatable.
+    */
+  def runAppend(spark: SparkSession, out: DataFrame): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_sink_").toString
+    val cpDir = Files.createTempDirectory("graft_cp_").toString
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", cpDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Run a streaming DataFrame to completion through `foreachBatch`
+    * (the reference's per-batch sink shape — SURVEY §2 K2/K5); the
+    * caller's function receives every micro-batch.
+    */
+  def runForeachBatch(spark: SparkSession, out: DataFrame)(
+      f: (DataFrame, Long) => Unit): Unit = {
+    val cpDir = Files.createTempDirectory("graft_cp_").toString
+    val q = out.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", cpDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  // ------------------------------------------------------------------
+  // sentinels (schemas mirror TESTDATA.md; keys negative, far-future
+  // event time so downstream filters can drop them)
+  // ------------------------------------------------------------------
+
+  /** 2100-01-01T00:00:00Z in the events table's raw nanosecond longs. */
+  val SentinelNanos = 4102444800000000000L
+
+  def eventsSentinel(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      lit(-1L).as("event_id"),
+      lit(SentinelNanos).as("ts"),
+      lit(-1L).as("user_id"),
+      lit("__sentinel").as("event_type"),
+      lit(0.0).as("value"),
+      lit("{}").as("props"))
+
+  def ordersSentinel(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      lit(-1L).as("o_orderkey"), lit(-1L).as("o_custkey"),
+      lit("X").as("o_orderstatus"), lit(0.0).as("o_totalprice"),
+      lit("2100-01-01").cast("timestamp_ntz").as("o_orderdate"),
+      lit("X").as("o_orderpriority"))
+
+  def lineitemSentinel(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      lit(-1L).as("l_orderkey"), lit(-1L).as("l_partkey"), lit(-1L).as("l_suppkey"),
+      lit(-1).as("l_linenumber"), lit(0.0).as("l_quantity"), lit(0.0).as("l_extendedprice"),
+      lit(0.0).as("l_discount"), lit(0.0).as("l_tax"), lit("X").as("l_returnflag"),
+      lit("X").as("l_linestatus"),
+      lit("2100-01-01").cast("timestamp_ntz").as("l_shipdate"))
+
+  /** events stream with `ts` rebuilt to TimestampType (see
+    * [[graft.Tables.events]] — parquet TIMESTAMP(NANOS) arrives as a
+    * long under `nanosAsLong`).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = tableStream(spark, sfDir, "events", eventsSentinel(spark))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** orders stream with `o_orderdate` cast to TIMESTAMP (watermarks
+    * reject TIMESTAMP_NTZ; the session is pinned to UTC so the cast is
+    * value-preserving).
+    */
+  def ordersStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "orders", ordersSentinel(spark))
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+
+  /** lineitem stream with `l_shipdate` cast to TIMESTAMP. */
+  def lineitemStream(spark: SparkSession, sfDir: String): DataFrame =
+    tableStream(spark, sfDir, "lineitem", lineitemSentinel(spark))
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+}

@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The streaming operator surface as driver-checkable queries: each
+  * `st_*` entry replays the static testdata through a real Structured
+  * Streaming pipeline ([[Replay]] file source → [[Pipelines]] operator
+  * → parquet/foreachBatch sink, `Trigger.AvailableNow`) and returns
+  * the materialized result, which must hash-match the batch-semantics
+  * DuckDB oracle. This is the determinism contract the round-1 verdict
+  * asked for: the streaming form provably computes the same answer as
+  * its batch twin.
+  */
+object StreamQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S4/W1/A3 — streaming DAU via watermarked dedup + daily window
+    * (batch twin a03).
+    */
+  val st01_stream_dau: Q = (spark, dir) => {
+    val out = Replay.runAppend(spark, Pipelines.dau(Replay.eventsStream(spark, dir)))
+    out.where(col("dt") < "2090-01-01")
+  }
+
+  /** J4 streaming — watermarked dual-stream inner join (batch twin j04,
+    * plus the event-time range bound both engines share).
+    */
+  val st02_stream_wide_join: Q = (spark, dir) => {
+    val out = Replay.runAppend(spark,
+      Pipelines.orderWideInner(
+        Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir)))
+    out.where(col("order_id") >= 0)
+  }
+
+  /** J7/W2 streaming — flatMapGroupsWithState first-order flag (batch
+    * twin j07). The replay delivers all real orders in one micro-batch,
+    * so the in-batch (o_orderdate, o_orderkey) sort makes the flag
+    * deterministic; cross-batch state carry-over is exercised by the
+    * MemoryStream spec.
+    */
+  val st03_first_order_flag: Q = (spark, dir) => {
+    import spark.implicits._
+    val orders = Replay.ordersStream(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .as[OrderEvent]
+    val flagged = Pipelines.firstOrderFlag(orders).toDF()
+    Replay.runAppend(spark, flagged).where(col("o_custkey") >= 0)
+  }
+
+  /** P2/K-layer streaming — CDC routing fan-out through `foreachBatch`:
+    * each micro-batch is split by route and appended to the route's own
+    * sink (the reference's per-table `ods_*` topic fan-out,
+    * ods/KafkaToODS_M.scala:45-74). The batch is cached once so the
+    * three filtered writes scan it once each from memory, not thrice
+    * from the source.
+    */
+  val st04_cdc_route: Q = (spark, dir) => {
+    val base = Files.createTempDirectory("graft_routes_").toString
+    val routes = Seq("purchase", "signup", "click")
+    val routed = Pipelines.cdcRoute(Replay.eventsStream(spark, dir))
+    Replay.runForeachBatch(spark, routed) { (batch, _) =>
+      batch.persist()
+      routes.foreach { r =>
+        batch.where(col("event_type") === r)
+          .write.mode("append").parquet(s"$base/ods_$r")
+      }
+      batch.unpersist()
+    }
+    val dirs = routes.map(r => s"$base/ods_$r")
+      .filter(d => Files.exists(java.nio.file.Paths.get(d)))
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** J6 streaming — watermarked dual-stream LEFT OUTER join with
+    * completion defaults (batch twin j06's shape over the raw join).
+    * The 257 unmatched orders emit as `order_only` rows once the
+    * watermark proves no partner can arrive — the streaming analog of
+    * the reference's Redis completion cache.
+    */
+  val st05_outer_wide_join: Q = (spark, dir) => {
+    val out = Replay.runAppend(spark,
+      Pipelines.orderWideOuter(
+        Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir)))
+    out.where(col("order_id") >= 0)
+  }
+
+  /** W1 — sliding-window activity counts (6h window / 3h slide) in
+    * append mode; every window emits exactly once. Window bounds are
+    * emitted as formatted strings so both engines agree on type.
+    */
+  val st06_sliding_window: Q = (spark, dir) => {
+    val out = Replay.runAppend(spark,
+      Pipelines.slidingActivity(Replay.eventsStream(spark, dir))
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          col("event_type"), col("n_events")))
+    out.where(col("window_start") < "2090-01-01")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "st01_stream_dau" -> st01_stream_dau,
+    "st02_stream_wide_join" -> st02_stream_wide_join,
+    "st03_first_order_flag" -> st03_first_order_flag,
+    "st04_cdc_route" -> st04_cdc_route,
+    "st05_outer_wide_join" -> st05_outer_wide_join,
+    "st06_sliding_window" -> st06_sliding_window,
+  )
+
+  private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
+
+  val oracles: Map[String, String] = Map(
+    "st01_stream_dau" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(DISTINCT user_id) AS dau
+         FROM events GROUP BY 1""",
+    "st02_stream_wide_join" ->
+      s"""SELECT l_orderkey AS order_id, l_linenumber AS order_detail_id,
+                 l_extendedprice AS sku_total, o_totalprice AS final_total_amount,
+                 o_custkey AS user_id
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            AND l_shipdate BETWEEN o_orderdate - $range AND o_orderdate + $range""",
+    "st03_first_order_flag" ->
+      """SELECT o_orderkey, o_custkey,
+                CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+                     THEN '1' ELSE '0' END AS if_first_order
+         FROM orders""",
+    "st04_cdc_route" ->
+      """SELECT event_id, event_type, 'ods_' || event_type AS route, user_id
+         FROM events WHERE event_type IN ('purchase','signup','click')""",
+    "st05_outer_wide_join" ->
+      s"""SELECT o_orderkey AS order_id, o_custkey AS user_id,
+                 o_totalprice AS final_total_amount,
+                 l_linenumber AS order_detail_id,
+                 COALESCE(l_extendedprice, 0.0) AS sku_total,
+                 CASE WHEN l_orderkey IS NULL THEN 'order_only' ELSE 'matched' END AS join_state
+          FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+            AND l_shipdate BETWEEN o_orderdate - $range AND o_orderdate + $range""",
+    "st06_sliding_window" ->
+      """WITH w AS (
+           SELECT event_type,
+                  unnest([(epoch_ms(ts) // 10800000) * 10800000,
+                          (epoch_ms(ts) // 10800000) * 10800000 - 10800000]) AS ws_ms
+           FROM events)
+         SELECT strftime(make_timestamp(ws_ms * 1000), '%Y-%m-%d %H:%M:%S') AS window_start,
+                strftime(make_timestamp((ws_ms + 21600000) * 1000), '%Y-%m-%d %H:%M:%S') AS window_end,
+                event_type, COUNT(*) AS n_events
+         FROM w GROUP BY 1, 2, 3""",
+  )
+}
