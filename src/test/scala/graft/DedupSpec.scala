@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup/text-analysis invariants over a hand-built corpus with known
+  * duplicates (the testdata's planted copies are asserted structurally
+  * by the differential gate; this fixes exact expected pairs).
+  */
+class DedupSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  /** doc 0 (30 tokens, %10==0 → gets a planted copy by the operators),
+    * docs 1 and 2 share identical text (natural exact dup), doc 3 is
+    * unrelated.
+    */
+  private lazy val fixtureDir: String = {
+    val dir = tmpDir("docs_fixture_")
+    val t0 = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val t1 = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val t3 = (1 to 12).map(i => s"other$i").mkString(" ")
+    Seq(
+      (0L, t0, "en", "web", t0.length.toLong),
+      (1L, t1, "en", "web", t1.length.toLong),
+      (2L, t1, "en", "web", t1.length.toLong),
+      (3L, t3, "en", "web", t3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d01: exact groups, deterministic keeper, copy counts") {
+    val got = Dedup.d01_exact_dedup(spark, fixtureDir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // keeper 0 has its planted copy (id 1000000); keeper 1 has doc 2; doc 3 alone
+    assert(got === Map(0L -> 2L, 1L -> 2L, 3L -> 1L))
+  }
+
+  test("d02: MinHash-LSH finds the planted near-dup and the exact dup") {
+    val pairs = Dedup.d02_minhash_lsh(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1000000L)), "head-truncated near-copy missed")
+    assert(pairs.contains((1L, 2L)), "identical docs missed")
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(1L, 3L) },
+      "unrelated docs must not pair")
+  }
+
+  test("d04: exact Jaccard equals 1.0 for identical docs") {
+    val rows = Dedup.d04_ngram_jaccard(spark, fixtureDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows((1L, 2L)) === 1.0)
+    assert(rows((0L, 1000000L)) >= 0.5)
+  }
+
+  test("t02: token stats on a known text") {
+    val dir = tmpDir("t02_fixture_")
+    Seq((1L, "a bb ccc", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t02_token_stats(spark, dir).collect().head
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_distinct") === 3L)
+    assert(r.getAs[Double]("ttr") === 1.0)
+    assert(r.getAs[Double]("avg_token_len") === 2.0)
+  }
+}

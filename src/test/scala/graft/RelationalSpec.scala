@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+/** Batch-operator invariants the differential oracle can't express:
+  * per-group properties, null-on-miss shapes, allocation exactness.
+  */
+class RelationalSpec extends SparkSpecBase {
+
+  test("w03: per-order allocations sum exactly to the order total") {
+    val alloc = Relational.w03_payment_allocation(spark, sf)
+      .groupBy(col("order_id"))
+      .agg(sum(round(col("final_detail_amount") * 100)).as("alloc_cents"))
+    val totals = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("order_id"),
+        round(col("o_totalprice") * 100).as("total_cents"))
+    val bad = alloc.join(totals, "order_id")
+      .where(col("alloc_cents") =!= col("total_cents"))
+    assert(bad.count() === 0)
+  }
+
+  test("a03: one row per day, all counts positive") {
+    val dau = Relational.a03_dau(spark, sf)
+    assert(dau.count() === dau.select("dt").distinct().count())
+    assert(dau.where(col("dau") <= 0).count() === 0)
+  }
+
+  test("j05: one survivor per (orderkey, partkey), and it is the min line number") {
+    val d = Relational.j05_join_dedup(spark, sf)
+    assert(d.groupBy("l_orderkey", "l_partkey").count().where(col("count") > 1).count() === 0)
+    val expected = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(min("l_linenumber").as("l_linenumber"))
+    assert(d.exceptAll(expected.select("l_orderkey", "l_partkey", "l_linenumber")).count() === 0)
+    assert(d.count() === expected.count())
+  }
+
+  test("j01: dim miss yields NULL dim fields, not a dropped row (fixture)") {
+    val dir = tmpDir("j01_fixture_")
+    import spark.implicits._
+    Seq((1L, 1, 100L), (2L, 1, 999L)) // partkey 999 has no dim row
+      .toDF("l_orderkey", "l_linenumber", "l_partkey")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((100L, "n", "b", "t"))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type")
+      .write.parquet(s"$dir/part.parquet")
+    val out = Relational.j01_lookup_join(spark, dir).collect()
+    assert(out.length === 2)
+    val miss = out.find(_.getLong(0) == 2L).get
+    assert(miss.isNullAt(miss.fieldIndex("sku_name")))
+    val hit = out.find(_.getLong(0) == 1L).get
+    assert(hit.getAs[String]("sku_name") === "n")
+  }
+
+  test("j06: completion defaults — no NULL metrics on unmatched sides") {
+    val j = Relational.j06_outer_join(spark, sf)
+    assert(j.where(col("n_returned").isNull || col("returned_amt").isNull).count() === 0)
+    // unmatched orders carry zero metrics and the order_only state
+    assert(j.where(col("join_state") === "order_only" && col("n_returned") =!= 0).count() === 0)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sinks.{IdempotentBatchAppend, KeyedUpsertTable}
+
+/** Exactly-once sink contract: idempotent replay, crash-replay
+  * rebuild, and checkpointed restart with no duplicates and no loss
+  * (SURVEY §2 K2/K3/K5/K6 + S4/S5 offset recovery).
+  */
+class SinkSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def kv(rows: (Long, String, Long)*): DataFrame =
+    rows.toDF("k", "v", "seq")
+
+  test("KeyedUpsertTable: upsert, batch-wins merge, idempotent replay") {
+    val path = tmpDir("upsert_")
+    val table = new KeyedUpsertTable(spark, path, Seq("k"), "seq")
+    table.upsert(kv((1, "a", 1), (2, "b", 1)), 0)
+    table.upsert(kv((2, "b2", 2), (3, "c", 2)), 1)
+    def state(): Map[Long, String] =
+      table.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // replay of a committed batch: no-op
+    table.upsert(kv((2, "b2", 2), (3, "c", 2)), 1)
+    assert(state() === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    assert(table.committedBatches === Seq(0L, 1L))
+    // crash replay: commit marker lost after data write -> same rebuild
+    Files.deleteIfExists(Paths.get(path, "_commits", "1"))
+    table.upsert(kv((2, "b2", 2), (3, "c", 2)), 1)
+    assert(state() === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    table.vacuum(keep = 1)
+    assert(table.committedBatches === Seq(1L))
+    assert(state() === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+
+  test("checkpointed restart: new data only, no dupes, no loss") {
+    val srcDir = tmpDir("src_")
+    val cp = tmpDir("cp_")
+    val path = tmpDir("table_")
+    val table = new KeyedUpsertTable(spark, path, Seq("k"), "seq")
+
+    def dropFile(name: String, df: DataFrame): Unit = {
+      val tmp = tmpDir("stage_")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, Paths.get(srcDir, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val schema = kv().schema
+      val q = spark.readStream.schema(schema).parquet(srcDir)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => table.upsert(b, id))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    dropFile("f1.parquet", kv((1, "a", 1), (2, "b", 1)))
+    runOnce()
+    assert(table.committedBatches === Seq(0L))
+
+    // "kill" = the first query is gone; restart from the same checkpoint
+    dropFile("f2.parquet", kv((2, "b2", 2), (3, "c", 2)))
+    runOnce()
+    assert(table.committedBatches === Seq(0L, 1L), "restart must not replay batch 0")
+    val state = table.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+
+    // restart with nothing new: no extra batch, same state
+    runOnce()
+    assert(table.committedBatches === Seq(0L, 1L))
+  }
+
+  test("IdempotentBatchAppend: replaying a batch does not duplicate rows") {
+    val path = tmpDir("append_")
+    val sink = new IdempotentBatchAppend(spark, path)
+    sink.append(kv((1, "a", 1)), 0)
+    sink.append(kv((2, "b", 1), (3, "c", 1)), 1)
+    assert(sink.read().count() === 3)
+    sink.append(kv((2, "b", 1), (3, "c", 1)), 1) // at-least-once replay
+    assert(sink.read().count() === 3)
+    assert(sink.read().where(col("k") === 2).count() === 1)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.{OrderEvent, Pipelines}
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String)
+case class OrderIn(o_orderkey: Long, o_custkey: Long, o_totalprice: Double, o_orderdate: Timestamp)
+case class LineIn(l_orderkey: Long, l_linenumber: Int, l_extendedprice: Double, l_shipdate: Timestamp)
+
+/** MemoryStream micro-batch tests: out-of-order arrival, cross-batch
+  * state carry-over, watermark finalization — the behaviors the
+  * single-batch replay queries can't exercise.
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+  private val sentinel = t("2100-01-01 00:00:00")
+
+  private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
+
+  test("dau: dedups within and across batches, accepts out-of-order rows, finalizes per watermark") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.dau(ms.toDF())
+      .writeStream.format("memory").queryName("dau_ms")
+      .option("checkpointLocation", tmpDir("cp_dau_"))
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(t("2024-01-01 10:00:00"), 1, "click"),
+        Ev(t("2024-01-01 11:00:00"), 1, "click"), // same-day duplicate user
+        Ev(t("2024-01-01 12:00:00"), 2, "click"))
+      drain(q)
+      ms.addData(
+        Ev(t("2024-01-02 01:00:00"), 2, "click"),
+        Ev(t("2024-01-01 23:00:00"), 3, "click")) // out-of-order, within watermark
+      drain(q)
+      ms.addData(Ev(sentinel, -1, "x")); drain(q)
+      ms.addData(Ev(t("2100-01-02 00:00:00"), -1, "x")); drain(q)
+      val got = spark.table("dau_ms").where(col("dt") < "2090-01-01")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("2024-01-01" -> 3L, "2024-01-02" -> 1L))
+    } finally q.stop()
+  }
+
+  test("firstOrderFlag: state carries across batches (arrival-order semantics)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[OrderEvent]
+    val q = Pipelines.firstOrderFlag(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("fof_ms")
+      .option("checkpointLocation", tmpDir("cp_fof_"))
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 has two orders; the earlier date wins the flag
+      ms.addData(
+        OrderEvent(10, 1, t("2024-02-01 00:00:00")),
+        OrderEvent(11, 1, t("2024-01-01 00:00:00")))
+      drain(q)
+      // batch 2: an even earlier order arrives late -> NOT first (state
+      // already marked user 1); a brand-new user gets the flag
+      ms.addData(
+        OrderEvent(5, 1, t("2023-06-01 00:00:00")),
+        OrderEvent(20, 2, t("2024-03-01 00:00:00")))
+      drain(q)
+      val got = spark.table("fof_ms")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got === Map(10L -> "0", 11L -> "1", 5L -> "0", 20L -> "1"))
+    } finally q.stop()
+  }
+
+  test("orderWideInner: cross-batch matches land (unlike a per-batch RDD join)") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val msO = MemoryStream[OrderIn]
+    val msL = MemoryStream[LineIn]
+    val q = Pipelines.orderWideInner(msO.toDF(), msL.toDF())
+      .writeStream.format("memory").queryName("wide_ms")
+      .option("checkpointLocation", tmpDir("cp_wide_"))
+      .outputMode("append").start()
+    try {
+      // batch 1: an order with no lines yet, a line with no order yet
+      msO.addData(OrderIn(1, 100, 50.0, t("2024-01-01 00:00:00")))
+      msL.addData(LineIn(2, 1, 9.0, t("2024-01-01 00:00:00")))
+      drain(q)
+      assert(spark.table("wide_ms").count() === 0)
+      // batch 2: the partners arrive -> both matches emit from state
+      msO.addData(OrderIn(2, 200, 70.0, t("2024-01-02 00:00:00")))
+      msL.addData(LineIn(1, 1, 25.0, t("2024-01-02 00:00:00")))
+      drain(q)
+      val got = spark.table("wide_ms")
+        .collect().map(r => r.getAs[Long]("order_id")).sorted
+      assert(got.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+}
