@@ -34,4 +34,25 @@ object Portable {
 
   def duckHash60Keyed(i: Int, s: String): String =
     duckHash60(s"concat('$i', ':', $s)")
+
+  /** Fixed 60-bit xor mixers: a cheap portable hash family over an
+    * already-hashed value (`h ⊕ seedᵢ`). One md5 per input + k xors
+    * replaces k md5 passes — the min-wise quality loss is acceptable
+    * for LSH candidate generation because candidates are re-verified
+    * with the exact measure. Seeds are the md5-derived 60-bit values of
+    * `"graft-minhash-<i>"`, materialized as literals so Spark and
+    * DuckDB share them exactly.
+    */
+  val xorSeeds: IndexedSeq[Long] = (0 until 16).map { i =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"graft-minhash-$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** `h ⊕ seedᵢ` over a hashed column. */
+  def xorMix(i: Int, h: Column): Column = h.bitwiseXOR(lit(xorSeeds(i)))
+
+  /** DuckDB twin of [[xorMix]]. `h` is a SQL expr yielding BIGINT. */
+  def duckXorMix(i: Int, h: String): String = s"xor($h, ${xorSeeds(i)})"
 }

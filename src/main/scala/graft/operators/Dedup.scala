@@ -132,9 +132,15 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text")).as("shd"))
       .where(size(col("shd")) > 0)
 
-    val mh = sh.select(
+    // One md5 per shingle, materialized in its own projection (higher-
+    // order functions are interpreted — an inline `transform` would be
+    // re-evaluated by every downstream reference), then 12 cheap
+    // xor-mixed minima instead of 12 md5 passes.
+    val hs = sh.select(col("doc_id"),
+      transform(col("shd"), s => Portable.hash60(s)).as("hs"))
+    val mh = hs.select(
       col("doc_id") +: (0 until NumHashes).map(i =>
-        array_min(transform(col("shd"), s => Portable.hash60Keyed(i, s))).as(s"mh$i")): _*)
+        array_min(transform(col("hs"), h => Portable.xorMix(i, h))).as(s"mh$i")): _*)
 
     val bands = mh.select(
       col("doc_id"),
@@ -164,12 +170,15 @@ object Dedup {
 
   private def duckMinhashSql: String = {
     val mhs = (0 until NumHashes).map(i =>
-      s"list_min(list_transform(shd, s -> ${Portable.duckHash60Keyed(i, "s")}))").mkString("[", ", ", "]")
+      s"list_min(list_transform(hs, h -> ${Portable.duckXorMix(i, "h")}))").mkString("[", ", ", "]")
     val bandKeys = (0 until Bands).map(b =>
       s"concat_ws('_', mhs[${3 * b + 1}], mhs[${3 * b + 2}], mhs[${3 * b + 3}])")
     s"""WITH $duckNearCorpus, $duckShingles,
         shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
-        mh AS (SELECT doc_id, $mhs AS mhs FROM shn),
+        hsx AS (SELECT doc_id,
+                       list_transform(shd, s -> ${Portable.duckHash60("s")}) AS hs
+                FROM shn),
+        mh AS (SELECT doc_id, $mhs AS mhs FROM hsx),
         bands AS (
           SELECT doc_id, t.band,
                  CASE ${bandKeys.zipWithIndex.map { case (k, b) => s"WHEN t.band = $b THEN $k" }.mkString(" ")} END AS bkey
@@ -194,18 +203,39 @@ object Dedup {
   private val SimBands = 6 // 8 bits each; hamming ≤ 5 ⇒ ≥1 band equal (pigeonhole)
   private val MaxHamming = 5
 
-  /** 48-bit SimHash fingerprint: per bit position, strict majority vote
-    * of the token hashes (term frequency preserved — repeated tokens
-    * vote repeatedly). Returned per doc alongside the near-dup pairs
-    * query below.
+  /** 48-bit SimHash fingerprints for a (doc_id, text) corpus: per bit
+    * position, strict majority vote of the token hashes (term frequency
+    * preserved — repeated tokens vote repeatedly).
+    *
+    * Evaluation shape matters here: higher-order array functions are
+    * interpreted (no codegen, no common-subexpression elimination), so
+    * the token-hash array is materialized once per row in its own
+    * projection — aliases referenced more than once are NOT re-inlined
+    * by `CollapseProject` — and all 48 bit counters accumulate in a
+    * SINGLE `aggregate` traversal. The naive form (one `filter` pass
+    * per bit over an inline `transform`) recomputes the md5 hashes
+    * 48×, a ~50× slowdown measured at sf0.001.
     */
-  private def simhash(text: Column): Column = {
-    val toks = split(text, " ")
-    val th = transform(toks, t => Portable.hash60(t))
-    (0 until SimBits).map { k =>
-      (size(filter(th, h => shiftright(h, k).bitwiseAND(lit(1L)) === 1)) * 2 > size(th))
-        .cast("long") * lit(1L << k)
-    }.reduce(_ + _)
+  private def simhashFp(corpus: DataFrame): DataFrame = {
+    val th = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => Portable.hash60(t)).as("th"))
+    val counts = th.select(
+      col("doc_id"), size(col("th")).as("n"),
+      aggregate(
+        col("th"),
+        array_repeat(lit(0), SimBits),
+        (acc, h) => zip_with(
+          acc,
+          array((0 until SimBits).map(k =>
+            shiftright(h, k).bitwiseAND(lit(1L)).cast("int")): _*),
+          (a, b) => a + b)).as("counts"))
+    counts.select(
+      col("doc_id"),
+      (0 until SimBits).map { k =>
+        (element_at(col("counts"), k + 1) * 2 > col("n")).cast("long") * lit(1L << k)
+      }.reduce(_ + _).as("fp"))
   }
 
   /** SimHash near-dup pairs: fingerprint → 6 bands of 8 bits → bucket
@@ -216,8 +246,7 @@ object Dedup {
     * ids + longs only.
     */
   val d03_simhash: Q = (spark, dir) => {
-    val fp = nearDupCorpus(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("fp"))
+    val fp = simhashFp(nearDupCorpus(spark, dir))
 
     val bands = fp.select(
       col("doc_id"), col("fp"),

@@ -89,12 +89,16 @@ object TextAnalysis {
     * minimizing window; one 8-byte value per document.
     */
   val t04_fingerprint: Q = (spark, dir) => {
-    val toks = split(col("text"), " ")
+    // `toks` is materialized in its own projection: higher-order array
+    // functions are interpreted (no CSE), so an inline split() would be
+    // re-evaluated by each of the 8 element_at calls per window.
+    val toks = col("toks")
     val nWin = size(toks) - (FpWindow - 1)
     val winHashes = transform(sequence(lit(0), nWin - 1), i =>
       Portable.hash60(concat_ws(" ",
         (0 until FpWindow).map(o => element_at(toks, i + o + 1)): _*)))
     documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(toks) >= FpWindow)
       .select(
         col("doc_id"),

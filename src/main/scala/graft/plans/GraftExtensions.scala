@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.CosineSimilarity
+
+/** Session extensions registering graft's native Catalyst functions —
+  * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
+  * get them in any session:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * Currently: `cosine_sim(array<float>, array<float>) -> double`
+  * ([[graft.functions.CosineSimilarity]], whole-stage-codegen'd).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.cosineSim)
+  }
+}
+
+object GraftExtensions {
+  val cosineSim: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"cosine_sim expects 2 arguments, got ${args.length}")
+      CosineSimilarity(args.head, args(1))
+    })
+
+  /** Imperative registration for sessions created without the
+    * `spark.sql.extensions` config (e.g. an already-running REPL).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (id, info, builder) = cosineSim
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
