@@ -38,6 +38,21 @@ object Sinks {
   /** K7 — console/debug sink (ref print-to-stdout debug paths). */
   def console(df: DataFrame, numRows: Int = 20) =
     df.writeStream.format("console").option("numRows", numRows)
+
+  /** K4 — JDBC append sink options (ref dws/OrderWiderApp.scala:215-216
+    * ClickHouse append, batchsize 100 / 4 partitions). Used inside
+    * `foreachBatch { (b, _) => b.write.format("jdbc").options(...)
+    * .mode("append").save() }`; config-only here (driver jar is a
+    * deploy-time dependency).
+    */
+  def jdbcAppend(url: String, table: String, batchSize: Int = 10000,
+                 numPartitions: Int = 8): Map[String, String] =
+    Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "batchsize" -> batchSize.toString,
+      "numPartitions" -> numPartitions.toString,
+      "isolationLevel" -> "NONE") // append-only bulk load: skip txn overhead
 }
 
 /** A versioned, keyed parquet table maintained by an idempotent

@@ -79,6 +79,36 @@ object Sources {
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond)
       .load()
+
+  /** S7 — JDBC batch source (ref utils/MySQLUtil.scala:29-59 arbitrary
+    * SQL → row list, driver-side). Re-expressed as a partitioned scan:
+    * `partitionColumn`/bounds/`numPartitions` split the read across
+    * executors — the reference's single-connection fetch is a driver
+    * bottleneck at any real scale. Config-only (JDBC driver jar is a
+    * deploy-time dependency).
+    */
+  def jdbcPartitioned(url: String, table: String, partitionColumn: String,
+                      lowerBound: Long, upperBound: Long,
+                      numPartitions: Int): JdbcSourceConfig =
+    JdbcSourceConfig(Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "partitionColumn" -> partitionColumn,
+      "lowerBound" -> lowerBound.toString,
+      "upperBound" -> upperBound.toString,
+      "numPartitions" -> numPartitions.toString))
+
+  /** S9 — properties/config loading (ref
+    * utils/PropertiesReaderUtils.scala:15-20, classpath
+    * `config.properties`). Returned as a plain map to feed
+    * `SparkSession.Builder.config` / source options.
+    */
+  def loadProperties(in: java.io.InputStream): Map[String, String] = {
+    val p = new java.util.Properties()
+    try p.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    p.asScala.toMap
+  }
 }
 
 /** A fully-specified Kafka source: `options` is the unit-testable
@@ -88,4 +118,12 @@ object Sources {
 case class KafkaSourceConfig(options: Map[String, String]) {
   def load(spark: SparkSession): DataFrame =
     spark.readStream.format("kafka").options(options).load()
+}
+
+/** A fully-specified partitioned JDBC scan; `options` is the
+  * unit-testable contract.
+  */
+case class JdbcSourceConfig(options: Map[String, String]) {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc").options(options).load()
 }

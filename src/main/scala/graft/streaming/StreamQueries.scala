@@ -101,6 +101,37 @@ object StreamQueries {
     out.where(col("window_start") < "2090-01-01")
   }
 
+  /** A1/A5/K2/K5 streaming — post-aggregation transactional sink: a
+    * stream-static dim join feeds an update-mode aggregation whose
+    * per-batch deltas land in a [[graft.sinks.KeyedUpsertTable]]
+    * through `foreachBatch` (the reference's collect→MySQL-transaction
+    * sink, ads/TradeMarkAmountApp.scala:59-88, with the atomic commit
+    * marker playing the result+offset transaction). The final table
+    * state must equal the batch a01 aggregation exactly.
+    */
+  val st07_agg_upsert: Q = (spark, dir) => {
+    import graft.Tables
+    val li = Replay.lineitemStream(spark, dir) // sentinel joins nothing (l_partkey = -1)
+    val p = Tables.part(spark, dir)
+    val agg = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, Files.createTempDirectory("graft_upsert_").toString,
+      Seq("p_brand"), "n_lines")
+    val cp = Files.createTempDirectory("graft_cp_").toString
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read()
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st02_stream_wide_join" -> st02_stream_wide_join,
@@ -108,6 +139,7 @@ object StreamQueries {
     "st04_cdc_route" -> st04_cdc_route,
     "st05_outer_wide_join" -> st05_outer_wide_join,
     "st06_sliding_window" -> st06_sliding_window,
+    "st07_agg_upsert" -> st07_agg_upsert,
   )
 
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
@@ -148,5 +180,11 @@ object StreamQueries {
                 strftime(make_timestamp((ws_ms + 21600000) * 1000), '%Y-%m-%d %H:%M:%S') AS window_end,
                 event_type, COUNT(*) AS n_events
          FROM w GROUP BY 1, 2, 3""",
+    "st07_agg_upsert" ->
+      """SELECT p_brand,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
   )
 }
