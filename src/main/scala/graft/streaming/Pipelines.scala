@@ -146,6 +146,23 @@ object Pipelines {
       }
   }
 
+  /** Session windows over user activity — the SURVEY §2.9 north-star
+    * the reference has no analog for (its windows are fixed-size). A
+    * session = consecutive events of one user with gaps < 30 minutes;
+    * `session_window` merges/extends state per key and emits the
+    * session once the watermark passes its close. Output bounds are
+    * formatted strings (engine-portable types).
+    */
+  def sessionActivity(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("user_id"), col("n_events"))
+
   /** P2 streaming — CDC routing (ref ods/KafkaToODS_M.scala:45-74:
     * filter the allow-listed tables, route each row to its `ods_*`
     * topic). The projection is stateless; the fan-out itself happens in

@@ -132,6 +132,19 @@ object StreamQueries {
     table.read()
   }
 
+  /** §2.9 north-star — session windows (30-minute inactivity gap) per
+    * user. The DuckDB oracle is the classic gaps-and-islands
+    * sessionization over microsecond-truncated timestamps (matching
+    * Spark's nanos→micros narrowing): a new session starts when the
+    * gap is ≥ the timeout, mirroring `session_window`'s half-open
+    * [start, last+gap) merge rule.
+    */
+  val st08_session_window: Q = (spark, dir) => {
+    val out = Replay.runAppend(spark,
+      Pipelines.sessionActivity(Replay.eventsStream(spark, dir)))
+    out.where(col("user_id") >= 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st02_stream_wide_join" -> st02_stream_wide_join,
@@ -140,6 +153,7 @@ object StreamQueries {
     "st05_outer_wide_join" -> st05_outer_wide_join,
     "st06_sliding_window" -> st06_sliding_window,
     "st07_agg_upsert" -> st07_agg_upsert,
+    "st08_session_window" -> st08_session_window,
   )
 
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
@@ -186,5 +200,23 @@ object StreamQueries {
                 COUNT(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "st08_session_window" ->
+      """WITH e AS (
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
+         o AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                user_id, COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
   )
 }

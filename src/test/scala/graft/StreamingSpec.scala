@@ -73,6 +73,28 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dau: data later than the watermark is dropped, not double-counted") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.dau(ms.toDF())
+      .writeStream.format("memory").queryName("dau_late")
+      .option("checkpointLocation", tmpDir("cp_late_"))
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(t("2024-01-01 10:00:00"), 1, "click")); drain(q)
+      // advance the watermark far past day 1 (delay is 1 hour)
+      ms.addData(Ev(t("2024-01-05 00:00:00"), 2, "click")); drain(q)
+      // a day-1 straggler, now behind the watermark: must be dropped
+      ms.addData(Ev(t("2024-01-01 09:00:00"), 9, "click")); drain(q)
+      ms.addData(Ev(sentinel, -1, "x")); drain(q)
+      ms.addData(Ev(t("2100-01-02 00:00:00"), -1, "x")); drain(q)
+      val got = spark.table("dau_late").where(col("dt") < "2090-01-01")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("2024-01-01" -> 1L, "2024-01-05" -> 1L))
+    } finally q.stop()
+  }
+
   test("orderWideInner: cross-batch matches land (unlike a per-batch RDD join)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
