@@ -159,8 +159,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
 
-    val x = sh.select(col("doc_id").as("doc_a"), col("shd").as("sha"))
-    val y = sh.select(col("doc_id").as("doc_b"), col("shd").as("shb"))
+    // exact verify over the HASHED shingle sets (longs, not 3-gram
+    // strings — ~3× smaller shuffle; the oracle hashes identically, so
+    // the comparison stays engine-exact)
+    val x = hs.select(col("doc_id").as("doc_a"), col("hs").as("sha"))
+    val y = hs.select(col("doc_id").as("doc_b"), col("hs").as("shb"))
     cand.join(x, "doc_a").join(y, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
@@ -189,9 +192,9 @@ object Dedup {
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
         j AS (
           SELECT doc_a, doc_b,
-                 CAST(len(list_intersect(x.shd, y.shd)) AS DOUBLE) /
-                 CAST(len(list_distinct(list_concat(x.shd, y.shd))) AS DOUBLE) AS jaccard
-          FROM cand JOIN shn x ON x.doc_id = doc_a JOIN shn y ON y.doc_id = doc_b)
+                 CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE) AS jaccard
+          FROM cand JOIN hsx x ON x.doc_id = doc_a JOIN hsx y ON y.doc_id = doc_b)
         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
   }
 
@@ -306,8 +309,12 @@ object Dedup {
     val sh = nearDupCorpus(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("shd"))
       .where(size(col("shd")) > 0)
-    val ex = sh.select(col("doc_id"), explode(col("shd")).as("s"))
-    val n = sh.select(col("doc_id"), size(col("shd")).cast("long").as("n"))
+    // inverted index over HASHED shingles: the self-equi-join shuffles
+    // 8-byte longs instead of 3-gram strings (oracle hashes identically)
+    val hs = sh.select(col("doc_id"),
+      transform(col("shd"), s => Portable.hash60(s)).as("hs"))
+    val ex = hs.select(col("doc_id"), explode(col("hs")).as("s"))
+    val n = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
 
     val a = ex.alias("a")
     val b = ex.alias("b")
@@ -326,8 +333,11 @@ object Dedup {
   private def duckNgramSql: String =
     s"""WITH $duckNearCorpus, $duckShingles,
         shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
-        ex AS (SELECT doc_id, unnest(shd) AS s FROM shn),
-        n AS (SELECT doc_id, len(shd) AS n FROM shn),
+        hsx AS (SELECT doc_id,
+                       list_transform(shd, s -> ${Portable.duckHash60("s")}) AS hs
+                FROM shn),
+        ex AS (SELECT doc_id, unnest(hs) AS s FROM hsx),
+        n AS (SELECT doc_id, len(hs) AS n FROM hsx),
         i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
