@@ -106,11 +106,33 @@ object TextAnalysis {
         array_min(winHashes).as("fingerprint"))
   }
 
+  /** Subword-ish tokenizer classes: letter runs, digit runs, single
+    * punctuation — the BPE-style pre-tokenization split. The regex uses
+    * only literal character classes so Java (Spark) and RE2 (DuckDB)
+    * agree exactly.
+    */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** t05 — token counting, whitespace vs BPE-ish regex: the two
+    * pre-tokenization counts an LLM-ingest pipeline tracks, plus
+    * chars-per-token fertility. Pure projection, shuffle-free.
+    */
+  val t05_token_count: Q = (spark, dir) => {
+    val nWs = size(split(col("text"), " "))
+    val nBpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+    documents(spark, dir).select(
+      col("doc_id"),
+      nWs.cast("long").as("n_ws_tokens"),
+      nBpe.cast("long").as("n_bpe_tokens"),
+      (col("n_chars").cast("double") / nBpe.cast("double")).as("chars_per_token"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
     "t03_quality_score" -> t03_quality_score,
     "t04_fingerprint" -> t04_fingerprint,
+    "t05_token_count" -> t05_token_count,
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,6 +176,13 @@ object TextAnalysis {
                      WHEN quality_score = 2 THEN 'medium'
                      ELSE 'low' END AS quality_class
          FROM s""",
+    "t05_token_count" ->
+      s"""SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_ws_tokens,
+                 len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens,
+                 CAST(n_chars AS DOUBLE)
+                   / CAST(len(regexp_extract_all(text, '$BpePattern')) AS DOUBLE) AS chars_per_token
+          FROM documents""",
     "t04_fingerprint" -> {
       val winExpr = (0 until FpWindow).map(o => s"toks[i+${o + 1}]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
