@@ -10,6 +10,16 @@ case class OrderEvent(o_orderkey: Long, o_custkey: Long, o_orderdate: java.sql.T
 /** First-order flag output row. */
 case class OrderFlag(o_orderkey: Long, o_custkey: Long, if_first_order: String)
 
+/** One order line entering the streaming allocation operator: integer
+  * cents carried as exact doubles (see [[graft.Tables.cents]]).
+  */
+case class AllocLine(order_id: Long, line_id: Int, line_cents: Double,
+                     total_cents: Double, event_time: java.sql.Timestamp)
+
+/** Allocation output row (same shape/aliases as batch w03). */
+case class AllocOut(order_id: Long, line_id: Int, sku_total: Double,
+                    final_detail_amount: Double)
+
 /** Source-agnostic Structured Streaming pipelines — each takes
   * streaming DataFrame(s) and returns the transformed streaming
   * DataFrame, so the same operator runs over the [[Replay]] file source
@@ -144,6 +154,73 @@ object Pipelines {
           if (sorted.nonEmpty) state.update(true)
           out.iterator
       }
+  }
+
+  /** How long an order's lines are awaited after its newest event time
+    * before the allocation is finalized (the reference's ~100 s Redis
+    * TTL, dws/OrderWiderApp.scala:139,189-191).
+    */
+  val AllocTimeoutMs: Long = 100 * 1000L
+
+  /** W3 streaming — payment allocation with per-order buffered state
+    * (SURVEY §7.4 item 1, ref dws/OrderWiderApp.scala:157-199). The
+    * reference allocates per arriving line against racy Redis
+    * accumulators; the deterministic re-design buffers an order's
+    * lines in keyed state and allocates the whole order at once when
+    * its event-time timeout fires — i.e. when the watermark proves no
+    * further lines can arrive (TTL semantics, minus the race). Line
+    * order inside an order is defined by (line_id, line_cents) — the
+    * same deterministic sort as the batch twin — so the emitted
+    * multiset equals w03's exactly, whatever the arrival batching.
+    *
+    * Scale shape: state is one buffered line list per in-flight order,
+    * keyed by the shuffle key and evicted on timeout; the allocation
+    * math is O(lines log lines) at flush. No cross-order state, no
+    * driver involvement.
+    *
+    * Contract: `lines` must already carry a watermark on `event_time`
+    * (EventTimeTimeout requires one; callers apply it where the
+    * sentinel/late-data policy is decided).
+    */
+  def paymentAllocation(lines: Dataset[AllocLine]): Dataset[AllocOut] = {
+    import lines.sparkSession.implicits._
+    lines
+      .groupByKey(_.order_id)
+      .flatMapGroupsWithState[Seq[AllocLine], AllocOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[AllocLine], state: GroupState[Seq[AllocLine]]) =>
+          if (state.hasTimedOut) {
+            val out = allocate(state.get)
+            state.remove()
+            out.iterator
+          } else {
+            val buf = state.getOption.getOrElse(Seq.empty) ++ rows
+            state.update(buf)
+            // await further lines until TTL past the newest line seen;
+            // clamped above the watermark (setTimeoutTimestamp rejects
+            // timestamps the watermark has already passed)
+            val newest = buf.map(_.event_time.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newest + AllocTimeoutMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The w03 allocation over one complete order: proportional floor
+    * split, last line takes the exact remainder (all integer-cents
+    * arithmetic — exact in doubles).
+    */
+  private def allocate(buf: Seq[AllocLine]): Seq[AllocOut] = {
+    val sorted = buf.sortBy(l => (l.line_id, l.line_cents))
+    val sumLine = sorted.map(_.line_cents).sum
+    val total = sorted.head.total_cents
+    val props = sorted.map(l => math.floor(total * l.line_cents / sumLine))
+    val lastAlloc = total - (props.sum - props.last)
+    sorted.zipWithIndex.map { case (l, i) =>
+      val alloc = if (i == sorted.size - 1) lastAlloc else props(i)
+      AllocOut(l.order_id, l.line_id, l.line_cents / 100, alloc / 100)
+    }
   }
 
   /** Session windows over user activity — the SURVEY §2.9 north-star

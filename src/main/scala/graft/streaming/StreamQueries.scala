@@ -145,6 +145,32 @@ object StreamQueries {
     out.where(col("user_id") >= 0)
   }
 
+  /** W3 streaming — per-order payment allocation with TTL state
+    * (SURVEY §7.4 item 1): lineitem stream → stream-static order
+    * lookup → [[Pipelines.paymentAllocation]] (buffer per order,
+    * allocate on event-time timeout). Left join so the sentinel
+    * survives to drive the watermark; its group is filtered after
+    * read-back. Must equal batch w03 exactly.
+    */
+  val st09_stream_allocation: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.Tables
+    val li = Replay.lineitemStream(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), Tables.cents(col("o_totalprice")).as("tc"))
+    val lines = li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_id"),
+        Tables.cents(col("l_extendedprice")).as("line_cents"),
+        coalesce(col("tc"), lit(0.0)).as("total_cents"),
+        col("l_shipdate").as("event_time"))
+      .withWatermark("event_time", "1 hour")
+      .as[AllocLine]
+    Replay.runAppend(spark, Pipelines.paymentAllocation(lines).toDF())
+      .where(col("order_id") >= 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st02_stream_wide_join" -> st02_stream_wide_join,
@@ -154,6 +180,7 @@ object StreamQueries {
     "st06_sliding_window" -> st06_sliding_window,
     "st07_agg_upsert" -> st07_agg_upsert,
     "st08_session_window" -> st08_session_window,
+    "st09_stream_allocation" -> st09_stream_allocation,
   )
 
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
@@ -218,5 +245,27 @@ object StreamQueries {
                 strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                 user_id, COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    "st09_stream_allocation" ->
+      """WITH j AS (
+           SELECT l_orderkey AS order_id, l_linenumber AS line_id,
+                  ROUND(l_extendedprice * 100) AS line_cents,
+                  ROUND(o_totalprice * 100) AS total_cents
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ), w AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY order_id ORDER BY line_id, line_cents) AS rn,
+                  COUNT(*) OVER (PARTITION BY order_id) AS n_lines,
+                  SUM(line_cents) OVER (PARTITION BY order_id) AS sum_line_cents
+           FROM j
+         ), p AS (
+           SELECT *, FLOOR(total_cents * line_cents / sum_line_cents) AS prop_cents
+           FROM w
+         )
+         SELECT order_id, line_id,
+                line_cents / 100 AS sku_total,
+                CASE WHEN rn = n_lines
+                     THEN (total_cents - (SUM(prop_cents) OVER (PARTITION BY order_id) - prop_cents)) / 100
+                     ELSE prop_cents / 100 END AS final_detail_amount
+         FROM p""",
   )
 }

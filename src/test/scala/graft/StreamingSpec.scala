@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.streaming.{OrderEvent, Pipelines}
+import graft.streaming.{AllocLine, OrderEvent, Pipelines}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String)
 case class OrderIn(o_orderkey: Long, o_custkey: Long, o_totalprice: Double, o_orderdate: Timestamp)
@@ -92,6 +92,39 @@ class StreamingSpec extends SparkSpecBase {
       val got = spark.table("dau_late").where(col("dt") < "2090-01-01")
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got === Map("2024-01-01" -> 1L, "2024-01-05" -> 1L))
+    } finally q.stop()
+  }
+
+  test("paymentAllocation: lines spanning batches allocate once, exactly to the total") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[AllocLine]
+    val lines = ms.toDS().withWatermark("event_time", "1 hour")
+    val q = Pipelines.paymentAllocation(lines).toDF()
+      .writeStream.format("memory").queryName("alloc_ms")
+      .option("checkpointLocation", tmpDir("cp_alloc_"))
+      .outputMode("append").start()
+    try {
+      val t0 = t("2024-01-01 00:00:00")
+      // order 1 arrives split across two batches; order 2 in one
+      ms.addData(
+        AllocLine(1, 1, 1000.0, 5000.0, t0),
+        AllocLine(1, 2, 2000.0, 5000.0, t0))
+      drain(q)
+      assert(spark.table("alloc_ms").count() === 0, "must wait for the TTL, not emit eagerly")
+      ms.addData(
+        AllocLine(1, 3, 2000.0, 5000.0, t("2024-01-01 00:00:10")),
+        AllocLine(2, 1, 700.0, 900.0, t("2024-01-01 00:00:10")))
+      drain(q)
+      ms.addData(AllocLine(-1, 0, 0.0, 0.0, sentinel)); drain(q)
+      ms.addData(AllocLine(-1, 1, 0.0, 0.0, t("2100-06-01 00:00:00"))); drain(q)
+      val got = spark.table("alloc_ms").where(col("order_id") >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+      // order 1: floor-proportional 10.00 / 20.00, last line takes the 20.00 remainder
+      assert(got === Map(
+        (1L, 1) -> 10.0, (1L, 2) -> 20.0, (1L, 3) -> 20.0,
+        (2L, 1) -> 9.0))
     } finally q.stop()
   }
 
