@@ -135,9 +135,14 @@ object Dedup {
     // One md5 per shingle, materialized in its own projection (higher-
     // order functions are interpreted — an inline `transform` would be
     // re-evaluated by every downstream reference), then 12 cheap
-    // xor-mixed minima instead of 12 md5 passes.
+    // xor-mixed minima instead of 12 md5 passes. The hashed table is
+    // used by THREE plan branches (signatures + both verify sides);
+    // without persist each branch would recompute the md5 pass, so it
+    // is cached (spills to disk, LRU-evicted under pressure) — the
+    // standard shape for a multi-use dedup intermediate.
     val hs = sh.select(col("doc_id"),
-      transform(col("shd"), s => Portable.hash60(s)).as("hs"))
+        transform(col("shd"), s => Portable.hash60(s)).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = hs.select(
       col("doc_id") +: (0 until NumHashes).map(i =>
         array_min(transform(col("hs"), h => Portable.xorMix(i, h))).as(s"mh$i")): _*)
@@ -310,11 +315,13 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text")).as("shd"))
       .where(size(col("shd")) > 0)
     // inverted index over HASHED shingles: the self-equi-join shuffles
-    // 8-byte longs instead of 3-gram strings (oracle hashes identically)
-    val hs = sh.select(col("doc_id"),
-      transform(col("shd"), s => Portable.hash60(s)).as("hs"))
-    val ex = hs.select(col("doc_id"), explode(col("hs")).as("s"))
-    val n = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    // 8-byte longs instead of 3-gram strings (oracle hashes identically).
+    // Only the exploded index needs the hashes; the per-doc counts come
+    // from the un-hashed shingle array (saves a full md5 pass — branches
+    // re-execute their subtrees).
+    val ex = sh.select(col("doc_id"),
+      explode(transform(col("shd"), s => Portable.hash60(s))).as("s"))
+    val n = sh.select(col("doc_id"), size(col("shd")).cast("long").as("n"))
 
     val a = ex.alias("a")
     val b = ex.alias("b")
