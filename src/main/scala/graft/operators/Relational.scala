@@ -391,6 +391,45 @@ object Relational {
       .limit(10)
   }
 
+  /** A6 — salt-and-merge two-phase aggregation: the standard
+    * skewed-key mitigation at scale (a hot brand would overload one
+    * reducer; salting spreads it over 8 partial groups, the second
+    * stage merges). Integer-cents partials are exact and
+    * order-independent, so the result equals the direct a01
+    * aggregation bit-for-bit — which is precisely what the oracle
+    * checks. (AQE skew handling makes this automatic for joins; the
+    * explicit form covers aggregation hot keys.)
+    */
+  val a06_salted_agg: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy(col("p_brand"), col("salt"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("part_cents"),
+        count(lit(1)).as("part_n"))
+      .groupBy(col("p_brand"))
+      .agg(
+        (sum(col("part_cents")) / 100).as("revenue"),
+        sum(col("part_n")).as("n_lines"))
+  }
+
+  /** A7 — approximate DAU via HyperLogLog++ (`approx_count_distinct`):
+    * the sketch path for per-day distincts at 100 TB, where the exact
+    * per-day shuffle of (dt, user) pairs (a03) is the bottleneck.
+    * Sketches merge map-side, so the shuffle carries one ~kB sketch
+    * per (partition, day). No cross-engine oracle (DuckDB's HLL is a
+    * different sketch) — the driver records the weaker rows-only
+    * check; the exact twin a03 anchors correctness.
+    */
+  val a07_dau_approx: Q = (spark, dir) => {
+    events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .groupBy(col("dt"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("dau_approx"))
+  }
+
   // --------------------------------------------------------------------
   // W — analytic windows
   // --------------------------------------------------------------------
@@ -490,6 +529,8 @@ object Relational {
     "a03_dau" -> a03_dau,
     "a04_running_sum" -> a04_running_sum,
     "a05_top_brands" -> a05_top_brands,
+    "a06_salted_agg" -> a06_salted_agg,
+    "a07_dau_approx" -> a07_dau_approx,
     "w03_payment_allocation" -> w03_payment_allocation,
     "f01_scalar_suite" -> f01_scalar_suite,
   )
@@ -616,6 +657,14 @@ object Relational {
                   (PARTITION BY l_orderkey ORDER BY l_linenumber
                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_amount
          FROM lineitem""",
+    // a07_dau_approx: no oracle — HLL sketches differ across engines;
+    // the driver records a rows-only check and a03 anchors exactness.
+    "a06_salted_agg" ->
+      """SELECT p_brand,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
     "a05_top_brands" ->
       """SELECT p_brand,
                 SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,

@@ -127,12 +127,45 @@ object TextAnalysis {
       (col("n_chars").cast("double") / nBpe.cast("double")).as("chars_per_token"))
   }
 
+  /** Common-English character trigrams — the profile of the n-gram
+    * language model. A production model scores against per-language
+    * frequency profiles; a fixed membership set keeps the operator
+    * deterministic and oracle-checkable while exercising the same
+    * shape (n-gram extraction → profile lookup → score).
+    */
+  private val EnTrigrams = Seq(
+    "the", "he ", " th", "ing", "ng ", "and", "nd ", " an", "ion", "on ",
+    " of", "of ", "ed ", " in", "er ", "es ", " to", "to ", "at ", " a ")
+  private val TrigramThreshold = 0.04
+
+  /** t06 — n-gram language ID: character-trigram profile scoring (the
+    * heuristic t01 approximates with stop words). Trigrams are taken
+    * over the raw lowercased text including spaces — word-boundary
+    * trigrams ("he ", " th") carry most of the signal. Pure per-row
+    * projection; the profile is a literal IN-list (codegen'd switch).
+    */
+  val t06_lang_ngram: Q = (spark, dir) => {
+    val txt = lower(col("text"))
+    val nTg = length(txt) - 2
+    val tgs = transform(sequence(lit(1), nTg), i => txt.substr(i, lit(3)))
+    val hits = size(filter(tgs, t => t.isin(EnTrigrams: _*)))
+    val score = hits.cast("double") / nTg.cast("double")
+    documents(spark, dir)
+      .where(length(col("text")) >= 3)
+      .select(
+        col("doc_id"), col("lang"),
+        nTg.cast("long").as("n_trigrams"),
+        score.as("en_score"),
+        when(score >= TrigramThreshold, "en").otherwise("unk").as("lang_pred"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
     "t03_quality_score" -> t03_quality_score,
     "t04_fingerprint" -> t04_fingerprint,
     "t05_token_count" -> t05_token_count,
+    "t06_lang_ngram" -> t06_lang_ngram,
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,6 +216,21 @@ object TextAnalysis {
                  CAST(n_chars AS DOUBLE)
                    / CAST(len(regexp_extract_all(text, '$BpePattern')) AS DOUBLE) AS chars_per_token
           FROM documents""",
+    "t06_lang_ngram" -> {
+      val inList = EnTrigrams.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, lower(text) AS txt FROM documents
+                     WHERE len(text) >= 3),
+          g AS (SELECT doc_id, lang, len(txt) - 2 AS n_trigrams,
+                       list_transform(range(1, len(txt) - 1), i -> substr(txt, i, 3)) AS tgs
+                FROM t)
+          SELECT doc_id, lang, n_trigrams,
+                 CAST(len(list_filter(tgs, x -> x IN ($inList))) AS DOUBLE)
+                   / CAST(n_trigrams AS DOUBLE) AS en_score,
+                 CASE WHEN CAST(len(list_filter(tgs, x -> x IN ($inList))) AS DOUBLE)
+                             / CAST(n_trigrams AS DOUBLE) >= $TrigramThreshold
+                      THEN 'en' ELSE 'unk' END AS lang_pred
+          FROM g"""
+    },
     "t04_fingerprint" -> {
       val winExpr = (0 until FpWindow).map(o => s"toks[i+${o + 1}]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
