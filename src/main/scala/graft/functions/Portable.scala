@@ -24,6 +24,13 @@ object Portable {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** [[hash60]] over every element of a string-array column in one
+    * codegen'd pass ([[Hash60Array]] — bit-identical values, ~none of
+    * the interpreted per-element hex round-trip cost). Requires
+    * [[graft.plans.GraftExtensions]] registration on the session.
+    */
+  def hash60Array(c: Column): Column = call_function("hash60_arr", c)
+
   /** SQL fragment computing [[hash60]] in DuckDB. `s` is a SQL expr. */
   def duckHash60(s: String): String =
     s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"

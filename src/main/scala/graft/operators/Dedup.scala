@@ -128,6 +128,7 @@ object Dedup {
     * at extreme scale.
     */
   val d02_minhash_lsh: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
     val sh = nearDupCorpus(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("shd"))
       .where(size(col("shd")) > 0)
@@ -140,8 +141,7 @@ object Dedup {
     // without persist each branch would recompute the md5 pass, so it
     // is cached (spills to disk, LRU-evicted under pressure) — the
     // standard shape for a multi-use dedup intermediate.
-    val hs = sh.select(col("doc_id"),
-        transform(col("shd"), s => Portable.hash60(s)).as("hs"))
+    val hs = sh.select(col("doc_id"), Portable.hash60Array(col("shd")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = hs.select(
       col("doc_id") +: (0 until NumHashes).map(i =>
@@ -227,8 +227,7 @@ object Dedup {
   private def simhashFp(corpus: DataFrame): DataFrame = {
     val th = corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        transform(col("toks"), t => Portable.hash60(t)).as("th"))
+      .select(col("doc_id"), Portable.hash60Array(col("toks")).as("th"))
     val counts = th.select(
       col("doc_id"), size(col("th")).as("n"),
       aggregate(
@@ -254,6 +253,7 @@ object Dedup {
     * ids + longs only.
     */
   val d03_simhash: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
     val fp = simhashFp(nearDupCorpus(spark, dir))
 
     val bands = fp.select(
@@ -311,6 +311,7 @@ object Dedup {
     * sub-quadratic scale path; this operator is the exactness anchor.
     */
   val d04_ngram_jaccard: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
     val sh = nearDupCorpus(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("shd"))
       .where(size(col("shd")) > 0)
@@ -320,7 +321,7 @@ object Dedup {
     // from the un-hashed shingle array (saves a full md5 pass — branches
     // re-execute their subtrees).
     val ex = sh.select(col("doc_id"),
-      explode(transform(col("shd"), s => Portable.hash60(s))).as("s"))
+      explode(Portable.hash60Array(col("shd"))).as("s"))
     val n = sh.select(col("doc_id"), size(col("shd")).cast("long").as("n"))
 
     val a = ex.alias("a")

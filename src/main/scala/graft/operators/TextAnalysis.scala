@@ -89,14 +89,17 @@ object TextAnalysis {
     * minimizing window; one 8-byte value per document.
     */
   val t04_fingerprint: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
     // `toks` is materialized in its own projection: higher-order array
     // functions are interpreted (no CSE), so an inline split() would be
-    // re-evaluated by each of the 8 element_at calls per window.
+    // re-evaluated by each of the 8 element_at calls per window; the
+    // window strings then hash in one codegen'd hash60_arr pass.
     val toks = col("toks")
     val nWin = size(toks) - (FpWindow - 1)
-    val winHashes = transform(sequence(lit(0), nWin - 1), i =>
-      Portable.hash60(concat_ws(" ",
-        (0 until FpWindow).map(o => element_at(toks, i + o + 1)): _*)))
+    val winHashes = Portable.hash60Array(
+      transform(sequence(lit(0), nWin - 1), i =>
+        concat_ws(" ",
+          (0 until FpWindow).map(o => element_at(toks, i + o + 1)): _*)))
     documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(toks) >= FpWindow)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, Hash60Array}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -20,6 +20,7 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.hash60Arr)
   }
 }
 
@@ -32,11 +33,19 @@ object GraftExtensions {
       CosineSimilarity(args.head, args(1))
     })
 
+  val hash60Arr: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hash60_arr"),
+    new ExpressionInfo(classOf[Hash60Array].getName, "hash60_arr"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"hash60_arr expects 1 argument, got ${args.length}")
+      Hash60Array(args.head)
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSim
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineSim, hash60Arr).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
