@@ -107,6 +107,22 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** d06 — dedup materialization: retrieve the surviving rows (the
+    * user-facing output of exact dedup — d01 identifies keepers, this
+    * joins them back to full rows). The keeper set is an aggregation
+    * over the same hash key, so Catalyst co-partitions the join with
+    * the groupBy — one logical shuffle on the content hash.
+    */
+  val d06_dedup_materialize: Q = (spark, dir) => {
+    val corpus = exactDupCorpus(spark, dir)
+      .withColumn("h", md5(col("text"))).alias("c")
+    val keepers = corpus.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keeper_id")).alias("k")
+    corpus.join(keepers,
+        col("c.h") === col("k.h") && col("c.doc_id") === col("k.keeper_id"))
+      .select(col("c.doc_id").as("doc_id"), col("c.h").as("content_hash"))
+  }
+
   // ------------------------------------------------------------------
   // d02 — MinHash + LSH near-dup
   // ------------------------------------------------------------------
@@ -363,6 +379,7 @@ object Dedup {
     "d02_minhash_lsh" -> d02_minhash_lsh,
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
+    "d06_dedup_materialize" -> d06_dedup_materialize,
   )
 
   val oracles: Map[String, String] = Map(
@@ -371,6 +388,10 @@ object Dedup {
           SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
                  COUNT(*) AS n_copies
           FROM corpus GROUP BY 1""",
+    "d06_dedup_materialize" ->
+      s"""WITH $duckExactCorpus
+          SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash
+          FROM corpus GROUP BY md5(text)""",
     "d02_minhash_lsh" -> duckMinhashSql,
     "d03_simhash" -> duckSimhashSql,
     "d04_ngram_jaccard" -> duckNgramSql,

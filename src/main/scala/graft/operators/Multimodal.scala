@@ -74,9 +74,32 @@ object Multimodal {
         feats): _*)
   }
 
+  private val FrameStep = 4
+
+  /** mm03 — frame sampling: one row per sampled frame (every 4th),
+    * the explode shape a video pipeline uses to fan a clip out into
+    * per-frame work items that then partition freely across executors.
+    * Frame count and digests are STUBS (token count stands in for the
+    * frame count; a real decoder emits actual frames); the
+    * explode/partition plumbing is the deliverable.
+    */
+  val mm03_frame_sample: Q = (spark, dir) => {
+    documents(spark, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("digest"),
+        size(split(col("text"), " ")).as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStep))).as("frame_id"),
+        col("digest"))
+      .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
+        // ---- STUB: per-frame content digest (no codecs in container) ----
+        Portable.hash60(concat(col("digest"), lit("_f"), col("frame_id").cast("string")))
+          .as("frame_digest"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm02_feature_stub" -> mm02_feature_stub,
+    "mm03_frame_sample" -> mm03_frame_sample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -90,6 +113,13 @@ object Multimodal {
                  ($h) % 480 AS height,
                  ($h) % 3 + 1 AS channels
           FROM documents"""
+    },
+    "mm03_frame_sample" -> {
+      val h = Portable.duckHash60("concat(sha256(text), '_f', CAST(f AS VARCHAR))")
+      s"""SELECT doc_id, f AS frame_id, ($h) AS frame_digest
+          FROM (SELECT doc_id, text,
+                       unnest(range(0, len(string_split(text, ' ')), $FrameStep)) AS f
+                FROM documents)"""
     },
     "mm02_feature_stub" -> {
       val feats = (0 until NumFeatures).map { i =>
