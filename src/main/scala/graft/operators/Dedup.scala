@@ -185,11 +185,18 @@ object Dedup {
     // the comparison stays engine-exact)
     val x = hs.select(col("doc_id").as("doc_a"), col("hs").as("sha"))
     val y = hs.select(col("doc_id").as("doc_b"), col("hs").as("shb"))
-    cand.join(x, "doc_a").join(y, "doc_b")
+    val pairs = cand.join(x, "doc_a").join(y, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= 0.5)
+
+    // materialize, then drop the cached intermediate — the persist is
+    // scoped to this query, not leaked into the session's LRU store
+    val out = java.nio.file.Files.createTempDirectory("graft_d02_").toString + "/out"
+    pairs.write.parquet(out)
+    hs.unpersist()
+    spark.read.parquet(out)
   }
 
   private def duckMinhashSql: String = {
@@ -231,35 +238,20 @@ object Dedup {
     * position, strict majority vote of the token hashes (term frequency
     * preserved — repeated tokens vote repeatedly).
     *
-    * Evaluation shape matters here: higher-order array functions are
-    * interpreted (no codegen, no common-subexpression elimination), so
-    * the token-hash array is materialized once per row in its own
-    * projection — aliases referenced more than once are NOT re-inlined
-    * by `CollapseProject` — and all 48 bit counters accumulate in a
-    * SINGLE `aggregate` traversal. The naive form (one `filter` pass
-    * per bit over an inline `transform`) recomputes the md5 hashes
-    * 48×, a ~50× slowdown measured at sf0.001.
+    * Both passes are codegen'd custom expressions: `hash60_arr` digests
+    * the tokens straight to longs, and `simhash48`
+    * ([[graft.functions.Simhash48]]) folds the 48 per-bit majority
+    * counters in one primitive loop. The builtin formulation (an
+    * `aggregate`/`zip_with` chain) runs interpreted — higher-order
+    * functions are CodegenFallback — and allocates a 48-element
+    * accumulator per token; the expression replaces it bit-identically
+    * (parity-locked by `Simhash48Spec`).
     */
-  private def simhashFp(corpus: DataFrame): DataFrame = {
-    val th = corpus
+  private def simhashFp(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), Portable.hash60Array(col("toks")).as("th"))
-    val counts = th.select(
-      col("doc_id"), size(col("th")).as("n"),
-      aggregate(
-        col("th"),
-        array_repeat(lit(0), SimBits),
-        (acc, h) => zip_with(
-          acc,
-          array((0 until SimBits).map(k =>
-            shiftright(h, k).bitwiseAND(lit(1L)).cast("int")): _*),
-          (a, b) => a + b)).as("counts"))
-    counts.select(
-      col("doc_id"),
-      (0 until SimBits).map { k =>
-        (element_at(col("counts"), k + 1) * 2 > col("n")).cast("long") * lit(1L << k)
-      }.reduce(_ + _).as("fp"))
-  }
+      .select(col("doc_id"),
+        call_function("simhash48", Portable.hash60Array(col("toks"))).as("fp"))
 
   /** SimHash near-dup pairs: fingerprint → 6 bands of 8 bits → bucket
     * join on (band, byte) → hamming ≤ 5 filter. The banding is exact
@@ -314,34 +306,50 @@ object Dedup {
   // d04 — exact n-gram Jaccard via inverted index
   // ------------------------------------------------------------------
 
-  /** Exact 3-gram Jaccard near-dup pairs via a shingle inverted index:
-    * explode (doc, shingle), self-equi-join on the shingle, count
-    * intersections per pair, then Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5.
-    *
-    * Exact (no probabilistic miss) but quadratic in per-shingle
-    * document frequency: the equi-join on the shingle produces df²
-    * pairs for a shingle shared by df docs. At 100 TB the standard
-    * mitigations are a df-cap (drop stop-shingles — they carry no
-    * discrimination power) and AQE skew splitting; at testdata scale
-    * the full index is exact and cheap. d02 (MinHash) is the
-    * sub-quadratic scale path; this operator is the exactness anchor.
+  /** Max documents a shingle may appear in and still enter the
+    * inverted index. A shingle shared by df documents emits df² rows
+    * from the self-join, so without a cap one stop-shingle ("of the
+    * and") is a guaranteed hot-partition explosion at scale; capped
+    * shingles carry no discrimination power, so Jaccard over the
+    * *kept* shingle sets is the standard near-dup measure.
     */
-  val d04_ngram_jaccard: Q = (spark, dir) => {
+  val DfCap = 100
+
+  /** Exact 3-gram Jaccard near-dup pairs via a df-capped shingle
+    * inverted index: explode (doc, shingle), drop stop-shingles with
+    * document frequency > `dfCap`, self-equi-join on the shingle,
+    * count intersections per pair, then Jaccard over the kept shingle
+    * sets = |∩| / (|A|+|B|−|∩|) ≥ 0.5.
+    *
+    * Exact over the capped universe (no probabilistic miss). The df
+    * filter is a window count over the same shingle key the self-join
+    * shuffles on, so candidate generation costs ONE exchange: df-count,
+    * filter and join all reuse one hash-partitioning on `s`, and the
+    * worst per-shingle join fan-out is dfCap² by construction. d02
+    * (MinHash) is the sub-quadratic scale path; this operator is the
+    * exactness anchor.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     val sh = nearDupCorpus(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("shd"))
       .where(size(col("shd")) > 0)
     // inverted index over HASHED shingles: the self-equi-join shuffles
-    // 8-byte longs instead of 3-gram strings (oracle hashes identically).
-    // Only the exploded index needs the hashes; the per-doc counts come
-    // from the un-hashed shingle array (saves a full md5 pass — branches
-    // re-execute their subtrees).
+    // 8-byte longs instead of 3-gram strings (oracle hashes identically)
     val ex = sh.select(col("doc_id"),
       explode(Portable.hash60Array(col("shd"))).as("s"))
-    val n = sh.select(col("doc_id"), size(col("shd")).cast("long").as("n"))
+    // df-cap as a window count: one shuffle on s, which the self-join
+    // below reuses (same key, same partitioning — no second exchange)
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .where(col("df") <= dfCap)
+      .drop("df")
+    // per-doc sizes AFTER the cap (Jaccard over the kept universe)
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
-    val a = ex.alias("a")
-    val b = ex.alias("b")
+    val a = kept.alias("a")
+    val b = kept.alias("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -354,14 +362,19 @@ object Dedup {
       .where(col("jaccard") >= 0.5)
   }
 
+  val d04_ngram_jaccard: Q = (spark, dir) => ngramJaccard(spark, dir, DfCap)
+
   private def duckNgramSql: String =
     s"""WITH $duckNearCorpus, $duckShingles,
         shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
         hsx AS (SELECT doc_id,
                        list_transform(shd, s -> ${Portable.duckHash60("s")}) AS hs
                 FROM shn),
-        ex AS (SELECT doc_id, unnest(hs) AS s FROM hsx),
-        n AS (SELECT doc_id, len(hs) AS n FROM hsx),
+        ex0 AS (SELECT doc_id, unnest(hs) AS s FROM hsx),
+        ex AS (SELECT doc_id, s FROM (
+                 SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex0)
+               WHERE df <= $DfCap),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
         i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
               GROUP BY 1, 2)

@@ -59,15 +59,28 @@ object TextAnalysis {
 
   /** t03 — quality scoring: length window + lexical diversity +
     * repetition cap, combined into a 0-3 score and class. The
-    * max-token-frequency probe is O(|vocab|·|doc|) per row — pure
-    * map-side work, no shuffle.
+    * max-token-frequency probe is a longest-equal-run fold over the
+    * SORTED token array — O(|doc| log |doc|) per row (the naive
+    * per-distinct-token `filter` scan is O(|doc|²), pathological on
+    * book-length documents). Pure map-side work, no shuffle.
     */
   val t03_quality_score: Q = (spark, dir) => {
     val toks = split(col("text"), " ")
     val nTok = size(toks)
     val ttr = size(array_distinct(toks)).cast("double") / nTok.cast("double")
-    val maxFreq = array_max(transform(array_distinct(toks), d =>
-      size(filter(toks, t => t === d))))
+    // max token frequency = longest run in the sorted array. The ""
+    // sentinel init is safe: with run=0, a leading "" token still
+    // yields run 0+1 = 1, same as the not-equal branch.
+    val maxFreq = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val maxRatio = maxFreq.cast("double") / nTok.cast("double")
     val lenOk = col("n_chars").between(100, 2000).cast("long")
     val divOk = (ttr >= 0.35).cast("long")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Hash60Array}
+import graft.functions.{CosineSimilarity, Hash60Array, Simhash48}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.hash60Arr)
+    ext.injectFunction(GraftExtensions.simhash48)
   }
 }
 
@@ -41,11 +42,19 @@ object GraftExtensions {
       Hash60Array(args.head)
     })
 
+  val simhash48: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash48"),
+    new ExpressionInfo(classOf[Simhash48].getName, "simhash48"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"simhash48 expects 1 argument, got ${args.length}")
+      Simhash48(args.head)
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSim, hash60Arr).foreach { case (id, info, builder) =>
+    Seq(cosineSim, hash60Arr, simhash48).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

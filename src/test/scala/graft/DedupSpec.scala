@@ -53,6 +53,34 @@ class DedupSpec extends SparkSpecBase {
     assert(rows((0L, 1000000L)) >= 0.5)
   }
 
+  test("d04: planted stop-shingle (df > cap) no longer pairs; discriminative dups still do") {
+    val dir = tmpDir("docs_dfcap_")
+    // docs 1-5: identical text whose ONLY shingle ("zz zz zz") lands in
+    // all five docs — df = 5 > cap, so the cap must kill every pairing.
+    // docs 21/22: identical text over discriminative shingles (df = 2)
+    // — must still pair with Jaccard 1.0.
+    val stop = "zz zz zz zz zz zz"
+    val disc = "aa bb cc dd ee ff"
+    val rows = (1L to 5L).map(i => (i, stop, "en", "web", stop.length.toLong)) ++
+      Seq((21L, disc, "en", "web", disc.length.toLong),
+          (22L, disc, "en", "web", disc.length.toLong))
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val capped = Dedup.ngramJaccard(spark, dir, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists { case (a, b) => a <= 5 && b <= 5 },
+      s"stop-shingle docs must not pair under the df-cap, got $capped")
+    assert(capped.contains((21L, 22L)), "discriminative dup pair lost by the cap")
+
+    // sanity: without the cap the stop-shingle docs DO pair (the
+    // quadratic blowup the cap exists to prevent)
+    val uncapped = Dedup.ngramJaccard(spark, dir, dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)), "fixture must pair without the cap")
+  }
+
   test("t02: token stats on a known text") {
     val dir = tmpDir("t02_fixture_")
     Seq((1L, "a bb ccc", "en", "web", 8L))
