@@ -40,32 +40,50 @@ case class AllocOut(order_id: Long, line_id: Int, sku_total: Double,
   */
 object Pipelines {
 
-  /** Max |l_shipdate − o_orderdate| the order-wide join accepts. The
-    * testdata generates the two dates independently inside a ~7-year
-    * range, so ±10 years covers every real pair — the bound exists to
-    * satisfy/exercise the stream-stream join's state-eviction contract
-    * (outer joins require an event-time range), and the batch oracles
-    * repeat it verbatim so both engines compute identical semantics.
+  /** Replay value for the order-wide join's event-time range: the
+    * testdata generates l_shipdate and o_orderdate independently inside
+    * a ~7-year span, so ±10 years covers every real pair, and the batch
+    * oracles repeat the bound verbatim so both engines compute
+    * identical semantics. A testdata artifact — production uses
+    * [[DefaultJoinRange]].
     */
   val JoinRangeDays = 3650
 
+  /** Replay range as an interval literal (see [[JoinRangeDays]]). */
+  val ReplayJoinRange: String = s"$JoinRangeDays days"
+
+  /** Production default for the order-wide join's event-time range —
+    * the analog of the reference's ~100 s Redis TTL on the awaiting
+    * side (dws/OrderWiderApp.scala:139). The range bounds BOTH sides'
+    * keyed state: a row is evicted once the watermark passes its event
+    * time + range, so state size is O(rows per range window), not
+    * O(stream length). `StreamingSpec` proves a partner arriving after
+    * eviction no longer matches.
+    */
+  val DefaultJoinRange = "100 seconds"
+
   /** W1/A3 — streaming DAU (ref app/Dau.scala:104-123: Redis-sadd
-    * first-visit dedup, then per-day counts): watermark → exact dedup
-    * on (dt, user) → 1-day tumbling window count. Two chained stateful
-    * operators (dedup feeding a windowed aggregation — Spark 3.4+
-    * watermark propagation); in append mode a day's row emits once the
-    * watermark passes the day's end, exactly once per day.
+    * first-visit dedup, then per-day counts): watermark → watermarked
+    * dedup on (dt, user) → 1-day tumbling window count. Two chained
+    * stateful operators (dedup feeding a windowed aggregation — Spark
+    * 3.4+ watermark propagation); in append mode a day's row emits once
+    * the watermark passes the day's end, exactly once per day.
     *
-    * At scale: dedup state is one entry per (day, user) keyed by the
-    * shuffle key; production would use `dropDuplicatesWithinWatermark`
-    * to let the store evict yesterday's users — semantics here match
-    * the exact batch twin (a03).
+    * State is BOUNDED: `dropDuplicatesWithinWatermark` evicts a
+    * (day, user) entry once the watermark passes its event time + the
+    * 25-hour delay, so months of uptime hold ~one day of users, not
+    * every user ever seen. The 25-hour delay makes the dedup exact
+    * per-day: same-day duplicates are at most 24 h apart, so when a
+    * duplicate arrives either the first sighting's state is still live
+    * (deduped) or the watermark has passed the duplicate itself
+    * (late-dropped) — never double-counted. `StreamingSpec` proves
+    * eviction and the exactness boundary.
     */
   def dau(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "25 hours")
       .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
-      .dropDuplicates("dt", "user_id")
+      .dropDuplicatesWithinWatermark("dt", "user_id")
       .groupBy(window(col("ts"), "1 day"), col("dt"))
       .agg(count(lit(1)).as("dau"))
       .select(col("dt"), col("dau"))
@@ -92,8 +110,9 @@ object Pipelines {
     * matches land regardless of arrival batch). State is evicted once
     * the watermark passes the range bound.
     */
-  def orderWideInner(orders: DataFrame, lineitem: DataFrame): DataFrame =
-    joinOrderWide(orders, lineitem, "inner")
+  def orderWideInner(orders: DataFrame, lineitem: DataFrame,
+                     range: String = DefaultJoinRange): DataFrame =
+    joinOrderWide(orders, lineitem, "inner", range)
       .select(
         col("l_orderkey").as("order_id"),
         col("l_linenumber").as("order_detail_id"),
@@ -107,8 +126,9 @@ object Pipelines {
     * row itself once the watermark proves the partner can no longer
     * arrive).
     */
-  def orderWideOuter(orders: DataFrame, lineitem: DataFrame): DataFrame =
-    joinOrderWide(orders, lineitem, "left_outer")
+  def orderWideOuter(orders: DataFrame, lineitem: DataFrame,
+                     range: String = DefaultJoinRange): DataFrame =
+    joinOrderWide(orders, lineitem, "left_outer", range)
       .select(
         col("o_orderkey").as("order_id"),
         col("o_custkey").as("user_id"),
@@ -117,14 +137,33 @@ object Pipelines {
         coalesce(col("l_extendedprice"), lit(0.0)).as("sku_total"),
         when(col("l_orderkey").isNull, "order_only").otherwise("matched").as("join_state"))
 
+  /** J6 streaming, FULL OUTER variant (ref dws/OrderWiderApp.scala:76:
+    * the commented-out `fullOuterJoin` path): both sides' unmatched
+    * rows emit with completion defaults once the watermark proves the
+    * partner can no longer arrive — orders with no lines as
+    * `order_only`, lines whose order never arrived as `line_only`.
+    */
+  def orderWideFull(orders: DataFrame, lineitem: DataFrame,
+                    range: String = DefaultJoinRange): DataFrame =
+    joinOrderWide(orders, lineitem, "full_outer", range)
+      .select(
+        coalesce(col("o_orderkey"), col("l_orderkey")).as("order_id"),
+        col("o_custkey").as("user_id"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("final_total_amount"),
+        col("l_linenumber").as("order_detail_id"),
+        coalesce(col("l_extendedprice"), lit(0.0)).as("sku_total"),
+        when(col("l_orderkey").isNull, "order_only")
+          .when(col("o_orderkey").isNull, "line_only")
+          .otherwise("matched").as("join_state"))
+
   private def joinOrderWide(orders: DataFrame, lineitem: DataFrame,
-                            joinType: String): DataFrame = {
+                            joinType: String, range: String): DataFrame = {
     val o = orders.withWatermark("o_orderdate", "1 hour")
     val l = lineitem.withWatermark("l_shipdate", "1 hour")
     o.join(l,
       o("o_orderkey") === l("l_orderkey") &&
-        l("l_shipdate") >= o("o_orderdate") - expr(s"INTERVAL $JoinRangeDays DAYS") &&
-        l("l_shipdate") <= o("o_orderdate") + expr(s"INTERVAL $JoinRangeDays DAYS"),
+        l("l_shipdate") >= o("o_orderdate") - expr(s"INTERVAL $range") &&
+        l("l_shipdate") <= o("o_orderdate") + expr(s"INTERVAL $range"),
       joinType)
   }
 

@@ -31,7 +31,8 @@ object StreamQueries {
   val st02_stream_wide_join: Q = (spark, dir) => {
     val out = Replay.runAppend(spark,
       Pipelines.orderWideInner(
-        Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir)))
+        Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir),
+        Pipelines.ReplayJoinRange))
     out.where(col("order_id") >= 0)
   }
 
@@ -83,7 +84,26 @@ object StreamQueries {
   val st05_outer_wide_join: Q = (spark, dir) => {
     val out = Replay.runAppend(spark,
       Pipelines.orderWideOuter(
-        Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir)))
+        Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir),
+        Pipelines.ReplayJoinRange))
+    out.where(col("order_id") >= 0)
+  }
+
+  /** J6 streaming, FULL OUTER — both-side completion (ref
+    * dws/OrderWiderApp.scala:76, the `fullOuterJoin` variant). The
+    * order stream drops every 97th order so the line side genuinely
+    * exercises `line_only` completion (TPC-H lineitems always have an
+    * order, which would otherwise make that branch vacuous); the DuckDB
+    * oracle is the batch FULL OUTER twin over the same filtered orders.
+    * The sentinel pair joins itself (both keys −1) and is filtered on
+    * read-back.
+    */
+  val st10_full_outer_join: Q = (spark, dir) => {
+    val orders = Replay.ordersStream(spark, dir)
+      .where(col("o_orderkey") % 97 =!= 0)
+    val out = Replay.runAppend(spark,
+      Pipelines.orderWideFull(
+        orders, Replay.lineitemStream(spark, dir), Pipelines.ReplayJoinRange))
     out.where(col("order_id") >= 0)
   }
 
@@ -181,6 +201,7 @@ object StreamQueries {
     "st07_agg_upsert" -> st07_agg_upsert,
     "st08_session_window" -> st08_session_window,
     "st09_stream_allocation" -> st09_stream_allocation,
+    "st10_full_outer_join" -> st10_full_outer_join,
   )
 
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
@@ -245,6 +266,19 @@ object StreamQueries {
                 strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                 user_id, COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    "st10_full_outer_join" ->
+      s"""SELECT COALESCE(o_orderkey, l_orderkey) AS order_id,
+                 o_custkey AS user_id,
+                 COALESCE(o_totalprice, 0.0) AS final_total_amount,
+                 l_linenumber AS order_detail_id,
+                 COALESCE(l_extendedprice, 0.0) AS sku_total,
+                 CASE WHEN l_orderkey IS NULL THEN 'order_only'
+                      WHEN o_orderkey IS NULL THEN 'line_only'
+                      ELSE 'matched' END AS join_state
+          FROM (SELECT * FROM orders WHERE o_orderkey % 97 <> 0) o
+          FULL JOIN lineitem
+            ON l_orderkey = o_orderkey
+            AND l_shipdate BETWEEN o_orderdate - $range AND o_orderdate + $range""",
     "st09_stream_allocation" ->
       """WITH j AS (
            SELECT l_orderkey AS order_id, l_linenumber AS line_id,

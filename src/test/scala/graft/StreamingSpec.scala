@@ -128,12 +128,112 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("orderWideInner: state evicts at the range bound — a partner past it does NOT match") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val msO = MemoryStream[OrderIn]
+    val msL = MemoryStream[LineIn]
+    // production-style tight range: state held ~1h of event time
+    val q = Pipelines.orderWideInner(msO.toDF(), msL.toDF(), range = "1 hour")
+      .writeStream.format("memory").queryName("evict_ms")
+      .option("checkpointLocation", tmpDir("cp_evict_"))
+      .outputMode("append").start()
+    try {
+      // order A arrives; its line will try to arrive after eviction
+      msO.addData(OrderIn(1, 100, 50.0, t("2024-01-01 00:00:00")))
+      msL.addData(LineIn(99, 1, 0.0, t("2024-01-01 00:00:00"))) // keeps line wm moving
+      drain(q)
+      // advance BOTH watermarks a week past order A's retention window
+      // (o_orderdate + range + delay); order B stays within retention
+      msO.addData(
+        OrderIn(98, 0, 0.0, t("2024-01-08 00:00:00")),
+        OrderIn(2, 200, 70.0, t("2024-01-07 23:30:00")))
+      msL.addData(LineIn(97, 1, 0.0, t("2024-01-08 00:00:00")))
+      drain(q)
+      // order A's partner: satisfies the range predicate, but A's state
+      // was evicted and the row is behind the watermark -> dropped.
+      // order B's partner: within range and watermark -> matches.
+      msL.addData(
+        LineIn(1, 1, 25.0, t("2024-01-01 00:30:00")),
+        LineIn(2, 1, 33.0, t("2024-01-07 23:45:00")))
+      drain(q)
+      val got = spark.table("evict_ms")
+        .collect().map(_.getAs[Long]("order_id")).toSet
+      assert(got === Set(2L), s"evicted order must not match, got $got")
+    } finally q.stop()
+  }
+
+  test("dau: dedup state for old days is evicted once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Ev]
+    val q = Pipelines.dau(ms.toDF())
+      .writeStream.format("memory").queryName("dau_evict")
+      .option("checkpointLocation", tmpDir("cp_dau_ev_"))
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(t("2024-01-01 12:00:00"), 1, "click"),
+        Ev(t("2024-01-01 13:00:00"), 2, "click"))
+      drain(q)
+      def dedupRows: Long = spark.streams.active
+        .flatMap(_.recentProgress).filter(_.stateOperators.nonEmpty)
+        .flatMap(_.stateOperators.filter(_.operatorName.contains("dedupe")))
+        .last.numRowsTotal
+      assert(dedupRows === 2L)
+      // watermark -> 2024-01-08 23:00, far past day-1 state's
+      // (event time + 25 h) retention: both entries must be evicted
+      ms.addData(Ev(t("2024-01-10 00:00:00"), 3, "click")); drain(q)
+      assert(dedupRows === 1L, "day-1 dedup entries must be evicted")
+      // a day-1 duplicate arriving now is late -> dropped, not recounted
+      ms.addData(Ev(t("2024-01-01 12:00:00"), 1, "click")); drain(q)
+      ms.addData(Ev(sentinel, -1, "x")); drain(q)
+      ms.addData(Ev(t("2100-01-03 00:00:00"), -1, "x")); drain(q)
+      val got = spark.table("dau_evict").where(col("dt") < "2090-01-01")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("2024-01-01" -> 2L, "2024-01-10" -> 1L))
+    } finally q.stop()
+  }
+
+  test("orderWideFull: both-side completion — order_only and line_only emit once the watermark closes") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val msO = MemoryStream[OrderIn]
+    val msL = MemoryStream[LineIn]
+    val q = Pipelines.orderWideFull(msO.toDF(), msL.toDF(), range = "1 hour")
+      .writeStream.format("memory").queryName("full_ms")
+      .option("checkpointLocation", tmpDir("cp_full_"))
+      .outputMode("append").start()
+    try {
+      // order 1 matched; order 2 never gets a line; line 3 never gets an order
+      msO.addData(
+        OrderIn(1, 100, 50.0, t("2024-01-01 00:00:00")),
+        OrderIn(2, 200, 70.0, t("2024-01-01 00:00:00")))
+      msL.addData(
+        LineIn(1, 1, 25.0, t("2024-01-01 00:10:00")),
+        LineIn(3, 1, 9.0, t("2024-01-01 00:10:00")))
+      drain(q)
+      // push both watermarks past retention so unmatched state flushes
+      msO.addData(OrderIn(-8, 0, 0.0, t("2024-01-02 00:00:00")))
+      msL.addData(LineIn(-9, 1, 0.0, t("2024-01-02 00:00:00")))
+      drain(q)
+      msO.addData(OrderIn(-8, 0, 0.0, t("2024-01-03 00:00:00")))
+      msL.addData(LineIn(-9, 1, 0.0, t("2024-01-03 00:00:00")))
+      drain(q)
+      val got = spark.table("full_ms").where(col("order_id") >= 0)
+        .collect().map(r => r.getAs[Long]("order_id") -> r.getAs[String]("join_state")).toSet
+      assert(got.contains(1L -> "matched"))
+      assert(got.contains(2L -> "order_only"))
+      assert(got.contains(3L -> "line_only"))
+    } finally q.stop()
+  }
+
   test("orderWideInner: cross-batch matches land (unlike a per-batch RDD join)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
     val msO = MemoryStream[OrderIn]
     val msL = MemoryStream[LineIn]
-    val q = Pipelines.orderWideInner(msO.toDF(), msL.toDF())
+    val q = Pipelines.orderWideInner(msO.toDF(), msL.toDF(), Pipelines.ReplayJoinRange)
       .writeStream.format("memory").queryName("wide_ms")
       .option("checkpointLocation", tmpDir("cp_wide_"))
       .outputMode("append").start()
