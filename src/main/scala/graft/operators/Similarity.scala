@@ -81,6 +81,69 @@ object Similarity {
         .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
   }
 
+  /** Every 100th vector seeds a centroid — a deterministic stand-in
+    * for k-means init (k scales with the corpus: 5 cells at sf0.01, 50
+    * at sf0.1).
+    */
+  private val CentroidStride = 100
+
+  /** The IVF coarse quantizer's assignment step: score every vector
+    * against every centroid (k = |centroids| is a small constant, so
+    * the scoring join is a broadcast nested-loop over a bounded side —
+    * n·k rows, never n²), then per-vector argmax via `max(struct)` with
+    * deterministic (cos desc, centroid asc) tiebreak. Partial
+    * aggregation collapses each vector's k scores map-side, so the
+    * shuffle carries one row per vector. This is the step that makes
+    * n02's cell-probed search usable on arbitrary embeddings (the
+    * `label` column there is a pre-baked stand-in for this output).
+    */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.join(broadcast(centroids), lit(true), "inner")
+      .select(col("vec_id"),
+        struct(cos6(col("v"), col("cv")).as("s"), (-col("cid")).as("ncid")).as("sc"))
+    scored.groupBy(col("vec_id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell_id"), col("m.s").as("cos6"))
+  }
+
+  private def centroidSeeds(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** n03 — centroid assignment over the embeddings table (the
+    * quantizer feeding an IVF index; see [[assignCells]]).
+    */
+  val n03_cell_assign: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    assignCells(e, centroidSeeds(e))
+  }
+
+  /** n04 — one Lloyd's k-means update step: element-wise mean of each
+    * cell's member vectors, emitted long-form as (cell_id, dim, cval).
+    * Cross-engine exactness: elements are scaled to integer
+    * thousandths and summed as longs (order-independent, unlike a
+    * float sum), then divided once — both engines compute the same
+    * double. Shuffle shape: assignment (one shuffle on vec_id for the
+    * join-back) → posexplode → one shuffle on (cell, dim) with
+    * map-side partial sums. No driver-side state; centroids update as
+    * a relation, ready to feed the next [[assignCells] round.
+    */
+  val n04_kmeans_step: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val assign = assignCells(e, centroidSeeds(e)).select(col("vec_id"), col("cell_id"))
+    assign.join(e, "vec_id")
+      .select(col("cell_id"), posexplode(col("v")))
+      .select(col("cell_id"), col("pos").cast("long").as("dim"),
+        round(col("col").cast("double") * 1000).cast("long").as("xi"))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n_members"))
+      .select(col("cell_id"), col("dim"),
+        (col("sx").cast("double") / (col("n_members").cast("double") * 1000.0)).as("cval"),
+        col("n_members"))
+  }
+
   private val NearDupThreshold = 0.8
 
   /** d05 — embedding-cosine near-dup pairs: candidates are generated
@@ -111,6 +174,8 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "n01_cosine_topk" -> n01_cosine_topk,
     "n02_ivf_topk" -> n02_ivf_topk,
+    "n03_cell_assign" -> n03_cell_assign,
+    "n04_kmeans_step" -> n04_kmeans_step,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -145,6 +210,34 @@ object Similarity {
                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id AS neighbor_id, cos6
           FROM p QUALIFY rnk <= $K""",
+    "n03_cell_assign" ->
+      s"""WITH $duckVecs,
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+                WHERE vec_id % $CentroidStride = 0),
+          p AS (SELECT n.vec_id, cid,
+                       round(list_sum(list_transform(list_zip(cv, v), t -> t[1] * t[2]))
+                             / (cn * nrm) * 1000000) / 1000000 AS cos6
+                FROM n, c)
+          SELECT vec_id, cid AS cell_id, cos6
+          FROM p QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) = 1""",
+    "n04_kmeans_step" ->
+      s"""WITH $duckVecs,
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+                WHERE vec_id % $CentroidStride = 0),
+          p AS (SELECT n.vec_id, cid,
+                       round(list_sum(list_transform(list_zip(cv, v), t -> t[1] * t[2]))
+                             / (cn * nrm) * 1000000) / 1000000 AS cos6
+                FROM n, c),
+          a AS (SELECT vec_id, cid AS cell_id
+                FROM p QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) = 1),
+          x AS (SELECT cell_id,
+                       unnest(range(0, len(v))) AS dim,
+                       CAST(round(unnest(list_transform(v, q -> q * 1000)) ) AS BIGINT) AS xi
+                FROM a JOIN e USING (vec_id))
+          SELECT cell_id, dim,
+                 CAST(SUM(xi) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000.0) AS cval,
+                 COUNT(*) AS n_members
+          FROM x GROUP BY cell_id, dim""",
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
