@@ -9,13 +9,16 @@ import graft.functions.Portable
   * media payloads as opaque `binary` columns with typed metadata, and
   * run decode / feature-extraction as columnar transforms.
   *
-  * The container ships no image/audio codecs, so the *decode step is a
-  * deterministic stub* (hash-derived metadata and features — clearly
-  * marked below); everything around it is real and tested: the binary
-  * column materialization, byte-level metadata extraction (length,
-  * digest, magic bytes), the feature-vector schema, and the fully
+  * Header-level decode is REAL: mm01 parses width/height/channels out
+  * of the payload's BMP byte layout ([[Multimodal.decodeBmp]] — magic
+  * sniff + little-endian field reads, all codegen'd built-ins). The
+  * container ships no compressed-image/audio codecs, so the *pixel/
+  * sample-level* steps stay deterministic stubs (hash-derived features
+  * and frame digests — clearly marked below); everything around them
+  * is real and tested: the binary column materialization, byte-level
+  * metadata extraction, the feature-vector schema, and the fully
   * distributed, shuffle-free execution shape. A production deployment
-  * swaps `fakeDecode*` for a vectorized decoder (a codegen'd Catalyst
+  * swaps the stubs for a vectorized decoder (a codegen'd Catalyst
   * Expression over BinaryType, or an Arrow-batched UDF) — the
   * surrounding plan is unchanged.
   */
@@ -23,32 +26,90 @@ object Multimodal {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** The corpus with a real BinaryType payload column (UTF-8 bytes of
-    * the text stand in for the media payload).
-    */
-  private def withPayload(spark: SparkSession, dir: String): DataFrame =
-    documents(spark, dir).select(
-      col("doc_id"),
-      encode(col("text"), "utf-8").as("payload"))
+  // ------------------------------------------------------------------
+  // BMP header encode/decode (codec-free — pure byte layout, all
+  // Catalyst built-ins under whole-stage codegen)
+  // ------------------------------------------------------------------
 
-  /** mm01 — binary metadata extraction: byte length, content digest,
-    * leading "magic" bytes (format sniffing), and STUBBED decoded
-    * dimensions (hash-derived width/height/channels — a real decoder
-    * reads the codec header here). Pure projection over the binary
-    * column; no shuffle.
+  /** Little-endian unsigned int: `nBytes` bytes of `bin` starting at
+    * 1-based `off`, reversed byte-wise and parsed from hex.
     */
-  val mm01_binary_meta: Q = (spark, dir) => {
+  def leUInt(bin: Column, off: Int, nBytes: Int): Column =
+    conv(concat((nBytes - 1 to 0 by -1).map(i =>
+      hex(substring(bin, off + i, 1))): _*), 16, 10).cast("long")
+
+  private def leBytes(x: Column, nBytes: Int): Column =
+    unhex(concat((0 until nBytes).map(i =>
+      lpad(hex(shiftright(x, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*))
+
+  /** A valid 54-byte BITMAPINFOHEADER BMP header for the given
+    * dimensions (the payload synthesizer — testdata carries no real
+    * media, so the corpus builds one; the DECODER below reads it back
+    * from the bytes like any BMP parser would).
+    */
+  def bmpHeader(width: Column, height: Column, channels: Column,
+                dataLen: Column): Column =
+    concat(
+      lit("BM").cast("binary"),              // 0-1  magic
+      leBytes(dataLen + 54, 4),              // 2-5  file size
+      lit(Array.fill[Byte](4)(0)),           // 6-9  reserved
+      leBytes(lit(54L), 4),                  // 10-13 pixel data offset
+      leBytes(lit(40L), 4),                  // 14-17 DIB header size
+      leBytes(width, 4),                     // 18-21 width (LE int32)
+      leBytes(height, 4),                    // 22-25 height (LE int32)
+      leBytes(lit(1L), 2),                   // 26-27 planes
+      leBytes(channels * 8, 2),              // 28-29 bits per pixel
+      lit(Array.fill[Byte](24)(0)))          // 30-53 compression..palette
+
+  /** REAL header decode: width/height/channels parsed from the BMP
+    * byte layout (LE int32 at offsets 18/22, bpp at 28); null for
+    * payloads that don't sniff as BMP. Pure codegen'd byte arithmetic
+    * — this is the decode path a production deployment keeps, with
+    * codec formats added beside it.
+    */
+  def decodeBmp(payload: Column): Column = {
+    val isBmp = substring(payload, 1, 2) === lit("BM").cast("binary")
+    struct(
+      when(isBmp, leUInt(payload, 19, 4)).as("width"),
+      when(isBmp, leUInt(payload, 23, 4)).as("height"),
+      when(isBmp, (leUInt(payload, 29, 2) / 8).cast("long")).as("channels"))
+  }
+
+  /** The corpus with a real BinaryType payload: a valid BMP header
+    * (dimensions hash-derived — the testdata ships no real media)
+    * followed by the text bytes as pixel data.
+    */
+  private def withPayload(spark: SparkSession, dir: String): DataFrame = {
     val digest = sha2(col("text"), 256)
     val h = Portable.hash60(digest)
+    val body = encode(col("text"), "utf-8")
     documents(spark, dir).select(
       col("doc_id"),
-      expr("octet_length(encode(text, 'utf-8'))").cast("long").as("byte_len"),
       digest.as("digest"),
-      lower(hex(substring(encode(col("text"), "utf-8"), 1, 8))).as("magic"),
-      // ---- STUB: deterministic fake decode (no codecs in container) ----
-      (h % 640).as("width"),
-      (h % 480).as("height"),
-      (h % 3 + 1).as("channels"))
+      concat(bmpHeader(h % 640, h % 480, h % 3 + 1, octet_length(body).cast("long")),
+        body).as("payload"))
+  }
+
+  /** mm01 — binary metadata extraction: byte length, content digest,
+    * leading "magic" bytes (format sniffing), and decoded dimensions
+    * parsed from the payload's BMP header by [[decodeBmp]] — a real
+    * byte-level decode, not a hash stub (the differential oracle
+    * closes the loop: construct∘parse must equal the construction
+    * values). Pure projection over the binary column; no shuffle.
+    */
+  val mm01_binary_meta: Q = (spark, dir) => {
+    val dims = col("dims")
+    withPayload(spark, dir)
+      .select(col("doc_id"), col("digest"), col("payload"),
+        decodeBmp(col("payload")).as("dims"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        col("digest"),
+        lower(hex(substring(col("payload"), 1, 8))).as("magic"),
+        dims.getField("width").as("width"),
+        dims.getField("height").as("height"),
+        dims.getField("channels").as("channels"))
   }
 
   private val NumFeatures = 8
@@ -104,11 +165,16 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm01_binary_meta" -> {
+      // the oracle mirrors the CONSTRUCTION (hash-derived dims + LE
+      // byte layout); the Spark side genuinely parses the bytes, so a
+      // match proves construct∘parse = identity
       val h = Portable.duckHash60("sha256(text)")
+      def le32hex(e: String) =
+        s"(SELECT substr(v,7,2)||substr(v,5,2)||substr(v,3,2)||substr(v,1,2) FROM (SELECT printf('%08x', $e) AS v))"
       s"""SELECT doc_id,
-                 octet_length(encode(text)) AS byte_len,
+                 54 + octet_length(encode(text)) AS byte_len,
                  sha256(text) AS digest,
-                 lower(hex(encode(substr(text, 1, 8)))) AS magic,
+                 '424d' || ${le32hex("54 + octet_length(encode(text))")} || '0000' AS magic,
                  ($h) % 640 AS width,
                  ($h) % 480 AS height,
                  ($h) % 3 + 1 AS channels

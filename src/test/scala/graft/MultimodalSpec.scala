@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Byte-level BMP header decode against hand-planted fixtures: the
+  * parser must read exact dimensions out of a real header and return
+  * nulls for payloads that don't sniff as BMP.
+  */
+class MultimodalSpec extends SparkSpecBase {
+
+  /** A literal 54-byte BMP header + 3 payload bytes, width 17 ×
+    * height 9, 24 bpp — built by hand with java.nio, independent of
+    * the operator's own header synthesizer.
+    */
+  private def plantedBmp(width: Int, height: Int, bpp: Short): Array[Byte] = {
+    val body = Array[Byte](1, 2, 3)
+    val buf = java.nio.ByteBuffer.allocate(54 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + body.length) // file size
+    buf.putInt(0)                // reserved
+    buf.putInt(54)               // pixel data offset
+    buf.putInt(40)               // DIB header size
+    buf.putInt(width)
+    buf.putInt(height)
+    buf.putShort(1)              // planes
+    buf.putShort(bpp)
+    buf.put(new Array[Byte](24)) // compression..palette
+    buf.put(body)
+    buf.array()
+  }
+
+  test("decodeBmp reads planted dimensions from the byte layout") {
+    import spark.implicits._
+    val df = Seq(Tuple1(plantedBmp(17, 9, 24))).toDF("payload")
+      .select(Multimodal.decodeBmp(col("payload")).as("d"))
+      .select(col("d.width"), col("d.height"), col("d.channels"))
+    val r = df.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((17L, 9L, 3L)))
+  }
+
+  test("decodeBmp on a multi-byte dimension (LE order matters)") {
+    import spark.implicits._
+    val r = Seq(Tuple1(plantedBmp(1920, 1080, 8))).toDF("payload")
+      .select(Multimodal.decodeBmp(col("payload")).as("d"))
+      .select(col("d.width"), col("d.height"), col("d.channels"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1920L, 1080L, 1L)))
+  }
+
+  test("decodeBmp yields nulls for a payload that is not a BMP") {
+    import spark.implicits._
+    val r = Seq(Tuple1("plain text bytes".getBytes("UTF-8"))).toDF("payload")
+      .select(Multimodal.decodeBmp(col("payload")).as("d"))
+      .select(col("d.width"), col("d.height"), col("d.channels"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("mm01 round-trip: synthesized header parses back to the derived dims") {
+    val rows = Multimodal.mm01_binary_meta(spark, sf)
+      .select(col("width"), col("height"), col("channels"), col("magic"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.isNullAt(0) && r.getLong(0) < 640)
+      assert(!r.isNullAt(1) && r.getLong(1) < 480)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 3)
+      assert(r.getString(3).startsWith("424d"), "payload must sniff as BMP")
+    }
+  }
+}
