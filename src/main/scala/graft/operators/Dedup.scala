@@ -329,7 +329,16 @@ object Dedup {
     * (MinHash) is the sub-quadratic scale path; this operator is the
     * exactness anchor.
     */
-  def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+  /** The lazy pair plan plus the persisted index handle — split out so
+    * the plan spec can assert the execution shape. `kept` (the
+    * df-capped inverted index) feeds THREE branches (both self-join
+    * sides and the per-doc sizes), so it is cached after its single
+    * shuffle on `s`; the cache preserves that partitioning, so the
+    * self-join reads co-partitioned input with no further exchange,
+    * and the shingle/md5 pass runs exactly once.
+    */
+  private[graft] def ngramJaccardPlan(spark: SparkSession, dir: String,
+                                      dfCap: Int): (DataFrame, DataFrame) = {
     graft.plans.GraftExtensions.register(spark)
     val sh = nearDupCorpus(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("shd"))
@@ -338,13 +347,13 @@ object Dedup {
     // 8-byte longs instead of 3-gram strings (oracle hashes identically)
     val ex = sh.select(col("doc_id"),
       explode(Portable.hash60Array(col("shd"))).as("s"))
-    // df-cap as a window count: one shuffle on s, which the self-join
-    // below reuses (same key, same partitioning — no second exchange)
+    // df-cap as a window count over the join key: one shuffle on s
     val kept = ex
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .where(col("df") <= dfCap)
       .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-doc sizes AFTER the cap (Jaccard over the kept universe)
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
@@ -354,12 +363,22 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
 
-    inter
+    val pairs = inter
       .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= 0.5)
+    (pairs, kept)
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    val (pairs, kept) = ngramJaccardPlan(spark, dir, dfCap)
+    // materialize, then drop the cached index (scoped, not leaked)
+    val out = java.nio.file.Files.createTempDirectory("graft_d04_").toString + "/out"
+    pairs.write.parquet(out)
+    kept.unpersist()
+    spark.read.parquet(out)
   }
 
   val d04_ngram_jaccard: Q = (spark, dir) => ngramJaccard(spark, dir, DfCap)

@@ -54,4 +54,52 @@ class PlanSpec extends SparkSpecBase {
     val plan = Relational.a05_top_brands(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected top-k plan:\n$plan")
   }
+
+  test("n03: centroid side broadcasts; argmax aggregates partially map-side") {
+    val plan = graft.operators.Similarity.n03_cell_assign(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid scoring must broadcast the bounded side:\n$plan")
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate(keys=[vec_id"),
+      s"per-vector argmax must partially aggregate before the shuffle:\n$plan")
+  }
+
+  /** Flatten an executed plan into nodes, resolving AQE wrappers and
+    * treating cache scans as leaves (their build plan is separate).
+    */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      flatten(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: flatten(q.plan)
+    case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      Seq(s)
+    case o => o +: o.children.flatMap(flatten)
+  }
+
+  private def shingleExchanges(ps: Seq[org.apache.spark.sql.execution.SparkPlan]): Int =
+    ps.count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString.contains("s#")
+      case _ => false
+    }
+
+  test("d04: all three index consumers read the cache; one shuffle on the shingle key") {
+    val (pairs, kept) = graft.operators.Dedup.ngramJaccardPlan(
+      spark, sf, graft.operators.Dedup.DfCap)
+    try {
+      pairs.collect()
+      val nodes = flatten(pairs.queryExecution.executedPlan)
+      val scans = nodes.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s }
+      assert(scans.size >= 3,
+        s"expected self-join sides + size branch to read the cached index, got ${scans.size}")
+      assert(shingleExchanges(nodes) === 0,
+        "cache preserves s-partitioning; consumers must not re-shuffle the shingle key")
+      val builds = scans.map(_.relation.cachedPlan).distinct
+      assert(builds.size === 1 && shingleExchanges(flatten(builds.head)) === 1,
+        "the index must be built by exactly one shuffle on the shingle key")
+    } finally kept.unpersist()
+  }
 }
