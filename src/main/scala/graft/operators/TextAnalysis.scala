@@ -175,6 +175,57 @@ object TextAnalysis {
         when(score >= TrigramThreshold, "en").otherwise("unk").as("lang_pred"))
   }
 
+  /** Scrub patterns — conservative syntax (literal character classes,
+    * bounded quantifiers) so Java (Spark) and RE2 (DuckDB) agree
+    * exactly.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlPat = "https?://[^ ]+"
+  private val NumPat = "[0-9]{5,}"
+
+  /** t07 — PII/URL scrubbing: detect and mask emails, URLs and long
+    * digit runs (the redaction pass every LLM ingest pipeline runs
+    * before training). Counts are over the raw text; masking applies
+    * email → URL → number in that order. The synthetic corpus has no
+    * natural PII, so every 7th doc gets a deterministic planted
+    * email + URL + number suffix (both engines construct it
+    * identically) — the differential check exercises real matches.
+    * Pure per-row projection, shuffle-free, codegen'd.
+    */
+  val t07_scrub: Q = (spark, dir) => {
+    val planted = concat(col("text"),
+      lit(" contact u"), col("doc_id").cast("string"),
+      lit("@example.com via https://ex.com/d"), col("doc_id").cast("string"),
+      lit(" id 1234567890"))
+    val t = when(col("doc_id") % 7 === 0, planted).otherwise(col("text"))
+    documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailPat), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(UrlPat), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(col("t"), lit(NumPat), lit(0))).cast("long").as("n_nums"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+            UrlPat, "<URL>"),
+          NumPat, "<NUM>").as("clean_text"))
+  }
+
+  /** t08 — corpus vocabulary build: token → term frequency + document
+    * frequency, the global statistic behind tokenizer training, stop
+    * word lists and the d04 df-cap. The canonical one-shuffle
+    * word count: explode map-side, partial counts combine before the
+    * exchange (count-distinct expands to Spark's standard two-phase
+    * distinct aggregation keyed by the token — no skew beyond natural
+    * token skew, which AQE splits).
+    */
+  val t08_vocab: Q = (spark, dir) =>
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -182,6 +233,8 @@ object TextAnalysis {
     "t04_fingerprint" -> t04_fingerprint,
     "t05_token_count" -> t05_token_count,
     "t06_lang_ngram" -> t06_lang_ngram,
+    "t07_scrub" -> t07_scrub,
+    "t08_vocab" -> t08_vocab,
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +300,29 @@ object TextAnalysis {
                       THEN 'en' ELSE 'unk' END AS lang_pred
           FROM g"""
     },
+    "t07_scrub" ->
+      s"""WITH c AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                             || '@example.com via https://ex.com/d'
+                             || CAST(doc_id AS VARCHAR) || ' id 1234567890'
+                        ELSE text END AS t
+            FROM documents)
+          SELECT doc_id,
+                 len(regexp_extract_all(t, '$EmailPat')) AS n_emails,
+                 len(regexp_extract_all(t, '$UrlPat')) AS n_urls,
+                 len(regexp_extract_all(t, '$NumPat')) AS n_nums,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   t, '$EmailPat', '<EMAIL>', 'g'),
+                   '$UrlPat', '<URL>', 'g'),
+                   '$NumPat', '<NUM>', 'g') AS clean_text
+          FROM c""",
+    "t08_vocab" ->
+      """SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY token""",
     "t04_fingerprint" -> {
       val winExpr = (0 until FpWindow).map(o => s"toks[i+${o + 1}]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

@@ -191,6 +191,25 @@ object StreamQueries {
       .where(col("order_id") >= 0)
   }
 
+  /** K3/D-family streaming — exact dedup at ingest: duplicate events
+    * (the at-least-once delivery case) collapse to one row by event id
+    * via `dropDuplicatesWithinWatermark`, whose state evicts once the
+    * watermark passes the event's time + delay — the streaming twin of
+    * d01's content-hash dedup, with bounded state. The replay unions
+    * the event stream with a filtered copy of itself (every 100th
+    * event), so the dedup provably removes real duplicates: the result
+    * must equal the plain events relation.
+    */
+  val st11_stream_dedup: Q = (spark, dir) => {
+    val e1 = Replay.eventsStream(spark, dir)
+    val e2 = Replay.eventsStream(spark, dir).where(col("event_id") % 100 === 0)
+    val deduped = e1.unionAll(e2)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    Replay.runAppend(spark, deduped).where(col("event_id") >= 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st02_stream_wide_join" -> st02_stream_wide_join,
@@ -202,6 +221,7 @@ object StreamQueries {
     "st08_session_window" -> st08_session_window,
     "st09_stream_allocation" -> st09_stream_allocation,
     "st10_full_outer_join" -> st10_full_outer_join,
+    "st11_stream_dedup" -> st11_stream_dedup,
   )
 
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
@@ -279,6 +299,8 @@ object StreamQueries {
           FULL JOIN lineitem
             ON l_orderkey = o_orderkey
             AND l_shipdate BETWEEN o_orderdate - $range AND o_orderdate + $range""",
+    "st11_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events""",
     "st09_stream_allocation" ->
       """WITH j AS (
            SELECT l_orderkey AS order_id, l_linenumber AS line_id,

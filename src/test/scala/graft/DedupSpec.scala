@@ -81,6 +81,21 @@ class DedupSpec extends SparkSpecBase {
     assert(uncapped.contains((1L, 2L)), "fixture must pair without the cap")
   }
 
+  test("t07: scrubber masks planted email, url and number") {
+    val dir = tmpDir("t07_fixture_")
+    // doc_id 7 gets the planted PII suffix (7 % 7 == 0)
+    val t = "hello world"
+    Seq((7L, t, "en", "web", t.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.t07_scrub(spark, dir).collect().head
+    assert(r.getAs[Long]("n_emails") === 1L)
+    assert(r.getAs[Long]("n_urls") === 1L)
+    assert(r.getAs[Long]("n_nums") === 1L)
+    assert(r.getAs[String]("clean_text") ===
+      "hello world contact <EMAIL> via <URL> id <NUM>")
+  }
+
   test("t02: token stats on a known text") {
     val dir = tmpDir("t02_fixture_")
     Seq((1L, "a bb ccc", "en", "web", 8L))
