@@ -158,13 +158,17 @@ object TextAnalysis {
     * heuristic t01 approximates with stop words). Trigrams are taken
     * over the raw lowercased text including spaces — word-boundary
     * trigrams ("he ", " th") carry most of the signal. Pure per-row
-    * projection; the profile is a literal IN-list (codegen'd switch).
+    * projection; the profile scan is the codegen'd `trigram_hits`
+    * expression ([[graft.functions.TrigramHits]] — one pass, no
+    * trigram-array allocation; the builtin transform/filter chain it
+    * replaces is interpreted per trigram, parity-locked by
+    * `TrigramHitsSpec`).
     */
   val t06_lang_ngram: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
     val txt = lower(col("text"))
     val nTg = length(txt) - 2
-    val tgs = transform(sequence(lit(1), nTg), i => txt.substr(i, lit(3)))
-    val hits = size(filter(tgs, t => t.isin(EnTrigrams: _*)))
+    val hits = call_function("trigram_hits", txt, lit(EnTrigrams.mkString("")))
     val score = hits.cast("double") / nTg.cast("double")
     documents(spark, dir)
       .where(length(col("text")) >= 3)

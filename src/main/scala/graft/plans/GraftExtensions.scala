@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Hash60Array, Simhash48}
+import graft.functions.{CosineSimilarity, Hash60Array, Simhash48, TrigramHits}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.hash60Arr)
     ext.injectFunction(GraftExtensions.simhash48)
+    ext.injectFunction(GraftExtensions.trigramHits)
   }
 }
 
@@ -50,11 +51,19 @@ object GraftExtensions {
       Simhash48(args.head)
     })
 
+  val trigramHits: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("trigram_hits"),
+    new ExpressionInfo(classOf[TrigramHits].getName, "trigram_hits"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"trigram_hits expects 2 arguments, got ${args.length}")
+      TrigramHits(args.head, args(1))
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSim, hash60Arr, simhash48).foreach { case (id, info, builder) =>
+    Seq(cosineSim, hash60Arr, simhash48, trigramHits).foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
