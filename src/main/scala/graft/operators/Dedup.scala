@@ -149,26 +149,28 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text")).as("shd"))
       .where(size(col("shd")) > 0)
 
-    // One md5 per shingle, materialized in its own projection (higher-
-    // order functions are interpreted — an inline `transform` would be
-    // re-evaluated by every downstream reference), then 12 cheap
-    // xor-mixed minima instead of 12 md5 passes. The hashed table is
-    // used by THREE plan branches (signatures + both verify sides);
-    // without persist each branch would recompute the md5 pass, so it
-    // is cached (spills to disk, LRU-evicted under pressure) — the
-    // standard shape for a multi-use dedup intermediate.
+    // One md5 per shingle (codegen'd hash60_arr), then ALL 12 xor-mixed
+    // minima in one codegen'd pass (minhash_mins — the builtin form ran
+    // 12 interpreted transform/array_min passes per row). The hashed
+    // table is used by THREE plan branches (signatures + both verify
+    // sides); without persist each branch would recompute the md5 pass,
+    // so it is cached (spills to disk, LRU-evicted under pressure) —
+    // the standard shape for a multi-use dedup intermediate.
     val hs = sh.select(col("doc_id"), Portable.hash60Array(col("shd")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = hs.select(
-      col("doc_id") +: (0 until NumHashes).map(i =>
-        array_min(transform(col("hs"), h => Portable.xorMix(i, h))).as(s"mh$i")): _*)
+    val seedsCsv = Portable.xorSeeds.take(NumHashes).mkString(",")
+    val mh = hs.select(col("doc_id"),
+      call_function("minhash_mins", col("hs"), lit(seedsCsv)).as("mh"))
 
     val bands = mh.select(
       col("doc_id"),
       explode(array((0 until Bands).map { b =>
         struct(
           lit(b).as("band"),
-          concat_ws("_", col(s"mh${3 * b}"), col(s"mh${3 * b + 1}"), col(s"mh${3 * b + 2}")).as("bkey"))
+          concat_ws("_",
+            element_at(col("mh"), 3 * b + 1),
+            element_at(col("mh"), 3 * b + 2),
+            element_at(col("mh"), 3 * b + 3)).as("bkey"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 

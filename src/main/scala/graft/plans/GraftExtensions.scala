@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Hash60Array, Simhash48, TrigramHits}
+import graft.functions.{CosineSimilarity, Hash60Array, MinHashMins, Simhash48, TrigramHits}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hash60Arr)
     ext.injectFunction(GraftExtensions.simhash48)
     ext.injectFunction(GraftExtensions.trigramHits)
+    ext.injectFunction(GraftExtensions.minhashMins)
   }
 }
 
@@ -59,11 +60,20 @@ object GraftExtensions {
       TrigramHits(args.head, args(1))
     })
 
+  val minhashMins: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_mins"),
+    new ExpressionInfo(classOf[MinHashMins].getName, "minhash_mins"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"minhash_mins expects 2 arguments, got ${args.length}")
+      MinHashMins(args.head, args(1))
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSim, hash60Arr, simhash48, trigramHits).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
