@@ -68,8 +68,18 @@ object Dedup {
          FROM documents WHERE doc_id % 10 = 0
        )"""
 
-  /** Distinct 3-gram word shingles of `text`. */
-  private def shingles(text: Column): Column = {
+  /** Distinct 3-gram word shingles of `text` — the codegen'd
+    * `word_shingles3` expression ([[graft.functions.WordShingles3]];
+    * parity-locked against [[shinglesBuiltin]] by `WordShingles3Spec`).
+    * Requires [[graft.plans.GraftExtensions]] registration.
+    */
+  private def shingles(text: Column): Column =
+    call_function("word_shingles3", text)
+
+  /** The builtin interpreted formulation [[shingles]] replaced (kept
+    * for the parity lock).
+    */
+  private[graft] def shinglesBuiltin(text: Column): Column = {
     val toks = split(text, " ")
     array_distinct(
       when(size(toks) >= 3,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Hash60Array, MinHashMins, Simhash48, TrigramHits}
+import graft.functions.{CosineSimilarity, Hash60Array, MinHashMins, Simhash48, TrigramHits, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhash48)
     ext.injectFunction(GraftExtensions.trigramHits)
     ext.injectFunction(GraftExtensions.minhashMins)
+    ext.injectFunction(GraftExtensions.wordShingles3)
   }
 }
 
@@ -68,11 +69,20 @@ object GraftExtensions {
       MinHashMins(args.head, args(1))
     })
 
+  val wordShingles3: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("word_shingles3"),
+    new ExpressionInfo(classOf[WordShingles3].getName, "word_shingles3"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"word_shingles3 expects 1 argument, got ${args.length}")
+      WordShingles3(args.head)
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins).foreach {
+    Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
+        wordShingles3).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
