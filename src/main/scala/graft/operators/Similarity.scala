@@ -97,13 +97,26 @@ object Similarity {
     * n02's cell-probed search usable on arbitrary embeddings (the
     * `label` column there is a pre-baked stand-in for this output).
     */
-  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    scoredAssign(vectors, centroids, carryVec = false)
+
+  /** [[assignCells]], optionally carrying the vector itself through
+    * the argmax aggregation (`first` is deterministic here — every row
+    * of a vec_id group holds the identical vector), so consumers that
+    * need (cell, v) pairs avoid a join-back and a second scan of the
+    * embeddings.
+    */
+  private def scoredAssign(vectors: DataFrame, centroids: DataFrame,
+                           carryVec: Boolean): DataFrame = {
+    val sc = struct(cos6(col("v"), col("cv")).as("s"), (-col("cid")).as("ncid")).as("sc")
+    val carryIn = if (carryVec) Seq(col("v")) else Nil
     val scored = vectors.join(broadcast(centroids), lit(true), "inner")
-      .select(col("vec_id"),
-        struct(cos6(col("v"), col("cv")).as("s"), (-col("cid")).as("ncid")).as("sc"))
+      .select(col("vec_id") +: sc +: carryIn: _*)
+    val carryAgg = if (carryVec) Seq(first(col("v")).as("v")) else Nil
     scored.groupBy(col("vec_id"))
-      .agg(max(col("sc")).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell_id"), col("m.s").as("cos6"))
+      .agg(max(col("sc")).as("m"), carryAgg: _*)
+      .select(col("vec_id") +: (-col("m.ncid")).as("cell_id") +:
+        col("m.s").as("cos6") +: carryIn: _*)
   }
 
   private def centroidSeeds(e: DataFrame): DataFrame =
@@ -124,16 +137,16 @@ object Similarity {
     * Cross-engine exactness: elements are scaled to integer
     * thousandths and summed as longs (order-independent, unlike a
     * float sum), then divided once — both engines compute the same
-    * double. Shuffle shape: assignment (one shuffle on vec_id for the
-    * join-back) → posexplode → one shuffle on (cell, dim) with
+    * double. Shuffle shape: the assignment carries the vector through
+    * its argmax aggregation (no join-back, one scan of the
+    * embeddings) → posexplode → one shuffle on (cell, dim) with
     * map-side partial sums. No driver-side state; centroids update as
-    * a relation, ready to feed the next [[assignCells] round.
+    * a relation, ready to feed the next [[assignCells]] round.
     */
   val n04_kmeans_step: Q = (spark, dir) => {
     GraftExtensions.register(spark)
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-    val assign = assignCells(e, centroidSeeds(e)).select(col("vec_id"), col("cell_id"))
-    assign.join(e, "vec_id")
+    scoredAssign(e, centroidSeeds(e), carryVec = true)
       .select(col("cell_id"), posexplode(col("v")))
       .select(col("cell_id"), col("pos").cast("long").as("dim"),
         round(col("col").cast("double") * 1000).cast("long").as("xi"))
