@@ -228,6 +228,38 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("orderWideInner: join state survives a checkpointed restart") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val msO = MemoryStream[OrderIn]
+    val msL = MemoryStream[LineIn]
+    val cp = tmpDir("cp_restart_join_")
+    val out = tmpDir("out_restart_join_")
+    // memory sinks don't support recovery; a file sink does
+    def start() = Pipelines.orderWideInner(msO.toDF(), msL.toDF(), Pipelines.ReplayJoinRange)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    // run 1: an order arrives with no partner, lands in join state
+    val q1 = start()
+    try {
+      msO.addData(OrderIn(1, 100, 50.0, t("2024-01-01 00:00:00")))
+      drain(q1)
+      assert(spark.read.parquet(out).count() === 0)
+    } finally q1.stop()
+    // run 2 (same checkpoint): the partner arrives AFTER the restart —
+    // the match must emit from recovered state, not re-read sources
+    val q2 = start()
+    try {
+      msL.addData(LineIn(1, 1, 25.0, t("2024-01-01 00:30:00")))
+      drain(q2)
+      val got = spark.read.parquet(out)
+        .collect().map(r => (r.getAs[Long]("order_id"), r.getAs[Double]("sku_total")))
+      assert(got.toSeq === Seq((1L, 25.0)))
+    } finally q2.stop()
+  }
+
   test("orderWideInner: cross-batch matches land (unlike a per-batch RDD join)") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
