@@ -322,6 +322,43 @@ object Relational {
         when(col("rn") === 1, "1").otherwise("0").as("if_first_order"))
   }
 
+  /** J8 — AS-OF join: for every event, the user's most recent order at
+    * or before the event time (the temporal-enrichment operator ANN/
+    * feature pipelines use for point-in-time-correct lookups; Spark has
+    * no native ASOF JOIN — DuckDB's is the oracle).
+    *
+    * Spark-first shape: the naive formulation (equi-join on user +
+    * range filter + argmax) explodes to |events per user| ×
+    * |orders per user| join rows; instead both relations union into
+    * one stream tagged by kind, and a running `last(order, ignoreNulls)`
+    * window fills each event row with the latest preceding order — ONE
+    * shuffle on the user key, one sort, output linear in the input.
+    * Orders are pre-deduped to one per (user, date) with a max-key
+    * tiebreak so both engines resolve equal-date ties identically; at
+    * an equal timestamp the order sorts before the event (`is_event`
+    * ascending), matching ASOF's `>=` inclusivity.
+    */
+  val j08_asof_join: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("ord_key"))
+      .select(col("o_custkey").as("uid"),
+        col("o_orderdate").cast("timestamp").as("t"),
+        lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+        col("ord_key"))
+    val e = events(spark, dir)
+      .select(col("user_id").as("uid"), col("ts").as("t"),
+        lit(1).as("is_event"), col("event_id"),
+        lit(null).cast("long").as("ord_key"))
+    val w = Window.partitionBy(col("uid"))
+      .orderBy(col("t"), col("is_event"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.unionAll(e)
+      .withColumn("last_order_key", last(col("ord_key"), ignoreNulls = true).over(w))
+      .where(col("is_event") === 1)
+      .select(col("event_id"), col("uid").as("user_id"), col("last_order_key"))
+  }
+
   // --------------------------------------------------------------------
   // A — aggregations
   // --------------------------------------------------------------------
@@ -524,6 +561,7 @@ object Relational {
     "j05_join_dedup" -> j05_join_dedup,
     "j06_outer_join" -> j06_outer_join,
     "j07_first_order_flag" -> j07_first_order_flag,
+    "j08_asof_join" -> j08_asof_join,
     "a01_brand_revenue" -> a01_brand_revenue,
     "a02_type_revenue" -> a02_type_revenue,
     "a03_dau" -> a03_dau,
@@ -637,6 +675,17 @@ object Relational {
                 CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
                      THEN '1' ELSE '0' END AS if_first_order
          FROM orders""",
+    "j08_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS t,
+                  MAX(o_orderkey) AS ord_key
+           FROM orders GROUP BY 1, 2),
+         e AS (
+           SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts
+           FROM events)
+         SELECT e.event_id, e.user_id, o.ord_key AS last_order_key
+         FROM e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.t""",
     "a01_brand_revenue" ->
       """SELECT p_brand,
                 SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,

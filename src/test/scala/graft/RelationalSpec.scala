@@ -53,6 +53,27 @@ class RelationalSpec extends SparkSpecBase {
     assert(hit.getAs[String]("sku_name") === "n")
   }
 
+  test("j08: as-of semantics — latest at-or-before order, ties inclusive, null before first") {
+    val dir = tmpDir("j08_fixture_")
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // user 1: orders at day 1 (keys 10 and 11 — same date, max wins) and day 5
+    Seq((10L, 1L, ts("2024-01-01 00:00:00")),
+        (11L, 1L, ts("2024-01-01 00:00:00")),
+        (20L, 1L, ts("2024-01-05 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.parquet(s"$dir/orders.parquet")
+    Seq((100L, ts("2023-12-31 00:00:00"), 1L), // before any order -> null
+        (101L, ts("2024-01-01 00:00:00"), 1L), // equal ts -> inclusive, max key 11
+        (102L, ts("2024-01-03 00:00:00"), 1L), // between -> day-1 order
+        (103L, ts("2024-06-01 00:00:00"), 1L)) // after all -> day-5 order
+      .toDF("event_id", "ts", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Relational.j08_asof_join(spark, dir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got === Map(100L -> -1L, 101L -> 11L, 102L -> 11L, 103L -> 20L))
+  }
+
   test("j06: completion defaults — no NULL metrics on unmatched sides") {
     val j = Relational.j06_outer_join(spark, sf)
     assert(j.where(col("n_returned").isNull || col("returned_amt").isNull).count() === 0)
