@@ -230,6 +230,22 @@ object TextAnalysis {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
 
+  private val TrainPct = 90
+
+  /** t09 — deterministic stratified train/val split: every document is
+    * assigned by a salted content-independent hash of its id, so the
+    * split is reproducible across runs, engines and cluster sizes
+    * (Spark's `sampleBy` is seeded-random per partition — not
+    * verifiable cross-engine). Shuffle-free projection; the driver
+    * check proves both engines assign every document identically.
+    */
+  val t09_split: Q = (spark, dir) => {
+    val h = Portable.hash60(concat(lit("split:"), col("doc_id").cast("string")))
+    documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      when(h % 100 < TrainPct, "train").otherwise("val").as("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -239,6 +255,7 @@ object TextAnalysis {
     "t06_lang_ngram" -> t06_lang_ngram,
     "t07_scrub" -> t07_scrub,
     "t08_vocab" -> t08_vocab,
+    "t09_split" -> t09_split,
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,6 +344,12 @@ object TextAnalysis {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                FROM documents)
          GROUP BY token""",
+    "t09_split" -> {
+      val h = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
+      s"""SELECT doc_id, source,
+                 CASE WHEN ($h) % 100 < $TrainPct THEN 'train' ELSE 'val' END AS split
+          FROM documents"""
+    },
     "t04_fingerprint" -> {
       val winExpr = (0 until FpWindow).map(o => s"toks[i+${o + 1}]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
