@@ -157,6 +157,29 @@ object Similarity {
         col("n_members"))
   }
 
+  /** n05 — IVF probe end-to-end: the quantizer ([[assignCells]]) cells
+    * BOTH the corpus and the queries, then each query probes only its
+    * own computed cell — the fully-real IVF flow (n02's `label` column
+    * is the pre-baked stand-in; here index build and probe both run on
+    * arbitrary embeddings). Candidate generation stays an equi-join on
+    * the computed cell id; ranking flows through the bounded TopK
+    * Aggregator. Recall vs n01 is the standard single-probe IVF trade.
+    */
+  val n05_ivf_probe: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val assigned = scoredAssign(e, centroidSeeds(e), carryVec = true)
+      .select(col("vec_id"), col("cell_id"), col("v"))
+    val q = assigned.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("cell_id").as("qcell"), col("v").as("qv"))
+    val scored = assigned.join(broadcast(q),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+    explodeTopK(
+      scored.groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+  }
+
   private val NearDupThreshold = 0.8
 
   /** d05 — embedding-cosine near-dup pairs: candidates are generated
@@ -189,6 +212,7 @@ object Similarity {
     "n02_ivf_topk" -> n02_ivf_topk,
     "n03_cell_assign" -> n03_cell_assign,
     "n04_kmeans_step" -> n04_kmeans_step,
+    "n05_ivf_probe" -> n05_ivf_probe,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -251,6 +275,27 @@ object Similarity {
                  CAST(SUM(xi) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000.0) AS cval,
                  COUNT(*) AS n_members
           FROM x GROUP BY cell_id, dim""",
+    "n05_ivf_probe" ->
+      s"""WITH $duckVecs,
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+                WHERE vec_id % $CentroidStride = 0),
+          p AS (SELECT n.vec_id, cid,
+                       round(list_sum(list_transform(list_zip(cv, v), t -> t[1] * t[2]))
+                             / (cn * nrm) * 1000000) / 1000000 AS cos6
+                FROM n, c),
+          a AS (SELECT vec_id, cid AS cell_id
+                FROM p QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) = 1),
+          av AS (SELECT a.vec_id, a.cell_id, n.v, n.nrm FROM a JOIN n USING (vec_id)),
+          q AS (SELECT vec_id AS query_id, cell_id AS qcell, v AS qv, nrm AS qn
+                FROM av WHERE vec_id < $NumQueries),
+          s AS (SELECT query_id, av.vec_id,
+                       round(list_sum(list_transform(list_zip(qv, av.v), t -> t[1] * t[2]))
+                             / (qn * av.nrm) * 1000000) / 1000000 AS cos6
+                FROM q JOIN av ON av.cell_id = qcell AND av.vec_id <> query_id)
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
+                 vec_id AS neighbor_id, cos6
+          FROM s QUALIFY rnk <= $K""",
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
