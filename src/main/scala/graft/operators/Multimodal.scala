@@ -157,10 +157,77 @@ object Multimodal {
           .as("frame_digest"))
   }
 
+  /** A valid 44-byte PCM WAV header (RIFF + fmt + data chunks) for the
+    * given audio shape — the WAV twin of [[bmpHeader]].
+    */
+  def wavHeader(channels: Column, sampleRate: Column, bitsPerSample: Column,
+                dataLen: Column): Column = {
+    val blockAlign = channels * (bitsPerSample / 8).cast("long")
+    concat(
+      lit("RIFF").cast("binary"),            // 0-3   RIFF magic
+      leBytes(dataLen + 36, 4),              // 4-7   riff chunk size
+      lit("WAVE").cast("binary"),            // 8-11  WAVE magic
+      lit("fmt ").cast("binary"),            // 12-15 fmt chunk id
+      leBytes(lit(16L), 4),                  // 16-19 fmt chunk size
+      leBytes(lit(1L), 2),                   // 20-21 PCM
+      leBytes(channels, 2),                  // 22-23 channels
+      leBytes(sampleRate, 4),                // 24-27 sample rate
+      leBytes(sampleRate * blockAlign, 4),   // 28-31 byte rate
+      leBytes(blockAlign, 2),                // 32-33 block align
+      leBytes(bitsPerSample, 2),             // 34-35 bits per sample
+      lit("data").cast("binary"),            // 36-39 data chunk id
+      leBytes(dataLen, 4))                   // 40-43 data length
+  }
+
+  /** REAL WAV header decode: channels/sample-rate/bits/sample-count
+    * parsed from the RIFF byte layout; null for payloads that don't
+    * sniff as RIFF/WAVE. Codegen'd byte arithmetic like [[decodeBmp]].
+    */
+  def decodeWav(payload: Column): Column = {
+    val isWav = substring(payload, 1, 4) === lit("RIFF").cast("binary") &&
+      substring(payload, 9, 4) === lit("WAVE").cast("binary")
+    val channels = leUInt(payload, 23, 2)
+    val bits = leUInt(payload, 35, 2)
+    val dataLen = leUInt(payload, 41, 4)
+    struct(
+      when(isWav, channels).as("channels"),
+      when(isWav, leUInt(payload, 25, 4)).as("sample_rate"),
+      when(isWav, bits).as("bits"),
+      when(isWav, floor(dataLen / (channels * (bits / 8)))).as("n_samples"))
+  }
+
+  /** mm04 — audio metadata: the corpus payload carries a valid PCM WAV
+    * header (shape hash-derived — no real media in testdata) over the
+    * text bytes as samples; the operator parses it back out of the
+    * byte layout. Differential oracle mirrors the construction, so a
+    * match proves construct∘parse = identity. Shuffle-free.
+    */
+  val mm04_wav_meta: Q = (spark, dir) => {
+    val digest = sha2(col("text"), 256)
+    val h = Portable.hash60(digest)
+    val body = encode(col("text"), "utf-8")
+    val sampleRate = element_at(
+      array(lit(8000L), lit(16000L), lit(44100L)), (h % 3 + 1).cast("int"))
+    val payload = concat(
+      wavHeader(h % 2 + 1, sampleRate, lit(16L), octet_length(body).cast("long")),
+      body)
+    val dims = col("dims")
+    documents(spark, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"), decodeWav(col("payload")).as("dims"))
+      .select(
+        col("doc_id"),
+        dims.getField("channels").as("channels"),
+        dims.getField("sample_rate").as("sample_rate"),
+        dims.getField("bits").as("bits"),
+        dims.getField("n_samples").as("n_samples"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm02_feature_stub" -> mm02_feature_stub,
     "mm03_frame_sample" -> mm03_frame_sample,
+    "mm04_wav_meta" -> mm04_wav_meta,
   )
 
   val oracles: Map[String, String] = Map(
@@ -186,6 +253,18 @@ object Multimodal {
           FROM (SELECT doc_id, text,
                        unnest(range(0, len(string_split(text, ' ')), $FrameStep)) AS f
                 FROM documents)"""
+    },
+    "mm04_wav_meta" -> {
+      // mirrors the CONSTRUCTION; Spark parses the bytes (see mm01)
+      val h = Portable.duckHash60("sha256(text)")
+      s"""SELECT doc_id,
+                 ($h) % 2 + 1 AS channels,
+                 CASE ($h) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      ELSE 44100 END AS sample_rate,
+                 16 AS bits,
+                 CAST(floor(octet_length(encode(text))
+                            / ((($h) % 2 + 1) * 2.0)) AS BIGINT) AS n_samples
+          FROM documents"""
     },
     "mm02_feature_stub" -> {
       val feats = (0 until NumFeatures).map { i =>

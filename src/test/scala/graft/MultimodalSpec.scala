@@ -58,6 +58,36 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("decodeWav reads planted audio shape from a hand-built RIFF header") {
+    import spark.implicits._
+    val body = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    val buf = java.nio.ByteBuffer.allocate(44 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + body.length).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1)
+    buf.putShort(2)          // channels
+    buf.putInt(44100)        // sample rate
+    buf.putInt(44100 * 4)    // byte rate
+    buf.putShort(4)          // block align
+    buf.putShort(16)         // bits
+    buf.put("data".getBytes).putInt(body.length).put(body)
+    val r = Seq(Tuple1(buf.array())).toDF("payload")
+      .select(Multimodal.decodeWav(col("payload")).as("d"))
+      .select(col("d.channels"), col("d.sample_rate"), col("d.bits"), col("d.n_samples"))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 44100L, 16L, 2L)))
+  }
+
+  test("decodeWav yields nulls for non-RIFF payloads") {
+    import spark.implicits._
+    val r = Seq(Tuple1("RIFFnot-a-wave".getBytes("UTF-8"))).toDF("payload")
+      .select(Multimodal.decodeWav(col("payload")).as("d"))
+      .select(col("d.channels"), col("d.sample_rate"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("mm01 round-trip: synthesized header parses back to the derived dims") {
     val rows = Multimodal.mm01_binary_meta(spark, sf)
       .select(col("width"), col("height"), col("channels"), col("magic"))
