@@ -26,6 +26,19 @@ class RelationalSpec extends SparkSpecBase {
     assert(dau.where(col("dau") <= 0).count() === 0)
   }
 
+  test("a07: HLL sketch stays within 10% of the exact per-day DAU") {
+    val exact = Relational.a03_dau(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.a07_dau_approx(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (dt, a) =>
+      val e = exact(dt)
+      assert(math.abs(a - e).toDouble / e <= 0.10,
+        s"$dt: approx $a vs exact $e exceeds 10%")
+    }
+  }
+
   test("j05: one survivor per (orderkey, partkey), and it is the min line number") {
     val d = Relational.j05_join_dedup(spark, sf)
     assert(d.groupBy("l_orderkey", "l_partkey").count().where(col("count") > 1).count() === 0)
