@@ -52,4 +52,21 @@ object Tables {
 
   /** Exact (order-independent) sum of a money column; see [[cents]]. */
   def moneySum(c: Column): Column = sum(cents(c)) / 100
+
+  /** A scratch temp directory that is recursively deleted at JVM exit
+    * — queries that materialize intermediates (d02/d04) use this so
+    * repeated Bench/Verify runs don't accumulate result copies in
+    * /tmp.
+    */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      try rm(p.toFile) catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
 }

@@ -205,7 +205,7 @@ object Dedup {
 
     // materialize, then drop the cached intermediate — the persist is
     // scoped to this query, not leaked into the session's LRU store
-    val out = java.nio.file.Files.createTempDirectory("graft_d02_").toString + "/out"
+    val out = graft.Tables.scratchDir("graft_d02_") + "/out"
     pairs.write.parquet(out)
     hs.unpersist()
     spark.read.parquet(out)
@@ -387,7 +387,7 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     val (pairs, kept) = ngramJaccardPlan(spark, dir, dfCap)
     // materialize, then drop the cached index (scoped, not leaked)
-    val out = java.nio.file.Files.createTempDirectory("graft_d04_").toString + "/out"
+    val out = graft.Tables.scratchDir("graft_d04_") + "/out"
     pairs.write.parquet(out)
     kept.unpersist()
     spark.read.parquet(out)

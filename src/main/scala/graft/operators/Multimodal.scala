@@ -189,11 +189,13 @@ object Multimodal {
     val channels = leUInt(payload, 23, 2)
     val bits = leUInt(payload, 35, 2)
     val dataLen = leUInt(payload, 41, 4)
+    val blockAlign = channels * (bits / 8)
     struct(
       when(isWav, channels).as("channels"),
       when(isWav, leUInt(payload, 25, 4)).as("sample_rate"),
       when(isWav, bits).as("bits"),
-      when(isWav, floor(dataLen / (channels * (bits / 8)))).as("n_samples"))
+      // zeroed fmt fields must yield null, not a divide-by-zero NaN
+      when(isWav && blockAlign > 0, floor(dataLen / blockAlign)).as("n_samples"))
   }
 
   /** mm04 — audio metadata: the corpus payload carries a valid PCM WAV

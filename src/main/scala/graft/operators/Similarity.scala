@@ -168,9 +168,13 @@ object Similarity {
   val n05_ivf_probe: Q = (spark, dir) => {
     GraftExtensions.register(spark)
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-    val assigned = scoredAssign(e, centroidSeeds(e), carryVec = true)
+    val cents = centroidSeeds(e)
+    val assigned = scoredAssign(e, cents, carryVec = true)
       .select(col("vec_id"), col("cell_id"), col("v"))
-    val q = assigned.where(col("vec_id") < NumQueries)
+    // assign the (bounded) query set in its own pass — reusing
+    // `assigned` under broadcast() would recompute the full n×k
+    // quantizer just to extract these rows
+    val q = scoredAssign(e.where(col("vec_id") < NumQueries), cents, carryVec = true)
       .select(col("vec_id").as("query_id"), col("cell_id").as("qcell"), col("v").as("qv"))
     val scored = assigned.join(broadcast(q),
         col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
