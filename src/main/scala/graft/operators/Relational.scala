@@ -359,6 +359,30 @@ object Relational {
       .select(col("event_id"), col("uid").as("user_id"), col("last_order_key"))
   }
 
+  private val JoinSalts = 8
+
+  /** J9 — salted skew join: the shuffle-join analog of a06's salted
+    * aggregation. A hot join key (one user with millions of events)
+    * lands an entire partition on one task; salting splits it: the
+    * probe side gets a deterministic salt from its row id, the build
+    * side replicates once per salt (explode over a sequence — build
+    * side is the smaller per-key aggregate, so the ×S replication is
+    * bounded), and the join runs on (key, salt) — S tasks share the
+    * hot key. The result is provably identical to the unsalted join
+    * (the oracle IS the plain join); AQE skew splitting is the
+    * automatic alternative, salting is the portable/manual one.
+    */
+  val j09_salted_join: Q = (spark, dir) => {
+    val e = events(spark, dir).select(col("event_id"), col("user_id"),
+      pmod(col("event_id"), lit(JoinSalts)).as("salt"))
+    val o = orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("n_orders"),
+        explode(sequence(lit(0), lit(JoinSalts - 1))).as("salt"))
+    e.join(o, col("user_id") === col("o_custkey") && e("salt") === o("salt"))
+      .select(col("event_id"), col("user_id"), col("n_orders"))
+  }
+
   // --------------------------------------------------------------------
   // A — aggregations
   // --------------------------------------------------------------------
@@ -562,6 +586,7 @@ object Relational {
     "j06_outer_join" -> j06_outer_join,
     "j07_first_order_flag" -> j07_first_order_flag,
     "j08_asof_join" -> j08_asof_join,
+    "j09_salted_join" -> j09_salted_join,
     "a01_brand_revenue" -> a01_brand_revenue,
     "a02_type_revenue" -> a02_type_revenue,
     "a03_dau" -> a03_dau,
@@ -686,6 +711,11 @@ object Relational {
          SELECT e.event_id, e.user_id, o.ord_key AS last_order_key
          FROM e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.t""",
+    "j09_salted_join" ->
+      """SELECT event_id, user_id, n_orders
+         FROM events JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                           FROM orders GROUP BY o_custkey)
+           ON user_id = o_custkey""",
     "a01_brand_revenue" ->
       """SELECT p_brand,
                 SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,

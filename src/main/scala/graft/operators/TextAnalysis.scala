@@ -99,27 +99,22 @@ object TextAnalysis {
   /** t04 — document fingerprint: rolling 8-token window hashes,
     * fingerprint = min window hash (the winnowing selection rule with a
     * single global window). Robust to local edits away from the
-    * minimizing window; one 8-byte value per document.
+    * minimizing window; one 8-byte value per document. The whole fold
+    * is the codegen'd `winnow_min` expression
+    * ([[graft.functions.WinnowMin]] — the builtin formulation
+    * materialized every window string through interpreted HOFs;
+    * parity-locked by `WinnowMinSpec`).
     */
   val t04_fingerprint: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
-    // `toks` is materialized in its own projection: higher-order array
-    // functions are interpreted (no CSE), so an inline split() would be
-    // re-evaluated by each of the 8 element_at calls per window; the
-    // window strings then hash in one codegen'd hash60_arr pass.
     val toks = col("toks")
-    val nWin = size(toks) - (FpWindow - 1)
-    val winHashes = Portable.hash60Array(
-      transform(sequence(lit(0), nWin - 1), i =>
-        concat_ws(" ",
-          (0 until FpWindow).map(o => element_at(toks, i + o + 1)): _*)))
     documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(toks) >= FpWindow)
       .select(
         col("doc_id"),
-        nWin.cast("long").as("n_windows"),
-        array_min(winHashes).as("fingerprint"))
+        (size(toks) - (FpWindow - 1)).cast("long").as("n_windows"),
+        call_function("winnow_min", toks, lit(FpWindow)).as("fingerprint"))
   }
 
   /** Subword-ish tokenizer classes: letter runs, digit runs, single

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Hash60Array, MinHashMins, Simhash48, TrigramHits, WordShingles3}
+import graft.functions.{CosineSimilarity, Hash60Array, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.trigramHits)
     ext.injectFunction(GraftExtensions.minhashMins)
     ext.injectFunction(GraftExtensions.wordShingles3)
+    ext.injectFunction(GraftExtensions.winnowMin)
   }
 }
 
@@ -77,12 +78,20 @@ object GraftExtensions {
       WordShingles3(args.head)
     })
 
+  val winnowMin: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("winnow_min"),
+    new ExpressionInfo(classOf[WinnowMin].getName, "winnow_min"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"winnow_min expects 2 arguments, got ${args.length}")
+      WinnowMin(args.head, args(1))
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
-        wordShingles3).foreach {
+        wordShingles3, winnowMin).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
