@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{HashUtil, MinHashUtil, ShingleUtil, SimhashUtil, TrigramUtil, WinnowUtil}
+
+/** Property-based checks of the codegen'd expression kernels against
+  * independent first-principles models (pure Scala, no Spark session —
+  * the Spark-side parity specs cover eval/codegen integration; these
+  * cover the input space).
+  */
+object ExpressionProps extends Properties("graft.expressions") {
+
+  private def arr(xs: Seq[Any]): GenericArrayData =
+    new GenericArrayData(xs.toArray)
+
+  private val longs = Gen.listOf(Gen.long)
+  private val token = Gen.oneOf("a", "b", "ab", "zz", "", "tok")
+  private val tokens = Gen.listOf(token)
+
+  property("simhash48 = per-bit strict majority") =
+    forAll(Gen.nonEmptyListOf(Gen.long)) { hs =>
+      val got = SimhashUtil.simhash48(arr(hs))
+      (0 until 48).forall { k =>
+        val cnt = hs.count(h => ((h >>> k) & 1L) == 1L)
+        val want = 2 * cnt > hs.size
+        (((got >>> k) & 1L) == 1L) == want
+      }
+    }
+
+  property("minhash_mins(j) = min over (h xor seed_j)") =
+    forAll(Gen.nonEmptyListOf(Gen.long)) { hs =>
+      val seeds = graft.functions.Portable.xorSeeds.take(12).toArray
+      val got = MinHashUtil.mins(arr(hs), seeds)
+      (0 until 12).forall { j =>
+        got.getLong(j) == hs.map(_ ^ seeds(j)).min
+      }
+    }
+
+  property("word_shingles3 = distinct sliding-3 windows, first-occurrence order") =
+    forAll(tokens) { ts =>
+      val text = ts.mkString(" ")
+      val got = {
+        val a = ShingleUtil.shingles3(UTF8String.fromString(text))
+        (0 until a.numElements()).map(a.getUTF8String(_).toString)
+      }
+      // model: java split round-trips the join exactly
+      val toks = text.split(" ", -1).toSeq
+      val want =
+        if (toks.size < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    }
+
+  property("winnow_min = min hash60 over windows; sentinel below width") =
+    forAll(tokens, Gen.choose(1, 5)) { (ts, w) =>
+      val got = WinnowUtil.winnowMin(
+        arr(ts.map(UTF8String.fromString)), w)
+      if (ts.size < w) got == Long.MinValue
+      else {
+        val want = ts.sliding(w).map(win =>
+          HashUtil.hash60(UTF8String.fromString(win.mkString(" ")))).min
+        got == want
+      }
+    }
+
+  property("hash60 = first 15 md5 hex chars as a long") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      HashUtil.hash60(UTF8String.fromString(s)) ==
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+
+  property("trigram_hits = count of sliding-3 windows in the profile") = {
+    val profile = Seq("abc", "bca", "aab")
+    val set = new java.util.HashSet[UTF8String]()
+    profile.foreach(t => set.add(UTF8String.fromString(t)))
+    forAll(Gen.listOf(Gen.oneOf('a', 'b', 'c'))) { cs =>
+      val s = cs.mkString
+      val want =
+        if (s.length < 3) 0
+        else s.sliding(3).count(profile.contains)
+      TrigramUtil.count(UTF8String.fromString(s), set) == want
+    }
+  }
+}
