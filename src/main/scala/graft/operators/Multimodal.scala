@@ -9,18 +9,18 @@ import graft.functions.Portable
   * media payloads as opaque `binary` columns with typed metadata, and
   * run decode / feature-extraction as columnar transforms.
   *
-  * Header-level decode is REAL: mm01 parses width/height/channels out
-  * of the payload's BMP byte layout ([[Multimodal.decodeBmp]] — magic
-  * sniff + little-endian field reads, all codegen'd built-ins). The
-  * container ships no compressed-image/audio codecs, so the *pixel/
-  * sample-level* steps stay deterministic stubs (hash-derived features
-  * and frame digests — clearly marked below); everything around them
-  * is real and tested: the binary column materialization, byte-level
-  * metadata extraction, the feature-vector schema, and the fully
-  * distributed, shuffle-free execution shape. A production deployment
-  * swaps the stubs for a vectorized decoder (a codegen'd Catalyst
-  * Expression over BinaryType, or an Arrow-batched UDF) — the
-  * surrounding plan is unchanged.
+  * Decode is REAL at both levels the payload permits: mm01/mm04 parse
+  * width/height/channels (BMP) and channels/rate/bits (WAV) out of the
+  * byte layout ([[Multimodal.decodeBmp]]/[[Multimodal.decodeWav]] —
+  * magic sniff + little-endian field reads, all codegen'd built-ins),
+  * and because the BMP pixel region is uncompressed, mm02's features
+  * and mm03's frame digests are computed from the actual payload
+  * bytes (one-pass [[graft.functions.ByteStats]] kernel; md5 of the
+  * frame's byte slice) — no codec required. What a production
+  * deployment adds for compressed formats (JPEG/H.264/FLAC) is a
+  * vectorized decoder in front of the same kernels (a codegen'd
+  * Catalyst Expression over BinaryType, or an Arrow-batched UDF) —
+  * the surrounding plan is unchanged.
   */
 object Multimodal {
 
@@ -85,6 +85,7 @@ object Multimodal {
     val body = encode(col("text"), "utf-8")
     documents(spark, dir).select(
       col("doc_id"),
+      col("text"),
       digest.as("digest"),
       concat(bmpHeader(h % 640, h % 480, h % 3 + 1, octet_length(body).cast("long")),
         body).as("payload"))
@@ -112,49 +113,69 @@ object Multimodal {
         dims.getField("channels").as("channels"))
   }
 
-  private val NumFeatures = 8
+  private val NumFeatures = graft.functions.ByteStatsUtil.NumFeatures
 
-  /** mm02 — feature extraction over the payload: a fixed-width
-    * Array-of-double feature vector per document plus a frame-sampling
-    * count. The features are a STUB (hash-derived in [0,1) — a real
-    * pipeline computes embeddings/MFCCs here); the schema, determinism
-    * and distributed shape are the real deliverable. Emitted as scalar
-    * columns f0..f7 (stable schema for the differential check; the
-    * array form is `array(f0..f7)` away).
+  /** mm02 — pixel feature extraction over the payload: a fixed-width
+    * feature vector per document computed FROM THE PAYLOAD BYTES. The
+    * BMP payload's pixel region is uncompressed (bytes after the
+    * 54-byte header), so real per-stride byte statistics need no codec:
+    * `byte_stats` ([[graft.functions.ByteStats]], one codegen'd pass)
+    * emits 4 stride means, min, max, global mean and a distinct-byte
+    * entropy class, each normalized to [0, 1]. The DuckDB oracle
+    * mirrors the same integer-sum-then-one-division byte math, so a
+    * hash match proves the features really are functions of the pixel
+    * bytes. Emitted as scalar columns f0..f7 (stable schema for the
+    * differential check). Pure projection; no shuffle.
     */
-  val mm02_feature_stub: Q = (spark, dir) => {
-    val digest = sha2(col("text"), 256)
-    val feats = (0 until NumFeatures).map { i =>
-      (Portable.hash60(concat(digest, lit(s"_$i"))) % 1000000).cast("double")
-        .divide(lit(1000000.0)).as(s"f$i")
-    }
+  val mm02_pixel_features: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
     val toks = split(col("text"), " ")
-    documents(spark, dir).select(
-      (col("doc_id") +:
-        floor(size(toks) / 4).cast("long").as("n_frames") +:
-        feats): _*)
+    // pixel region = payload minus the 54-byte header; materialized in
+    // its own projection so byte_stats runs once per row (no re-inline)
+    withPayload(spark, dir)
+      .select(
+        col("doc_id"),
+        floor(size(toks) / 4).cast("long").as("n_frames"),
+        col("payload").substr(lit(55), octet_length(col("payload")) - 54).as("pixels"))
+      .select(col("doc_id"), col("n_frames"),
+        when(octet_length(col("pixels")) >= 4,
+          call_function("byte_stats", col("pixels"))).as("fs"))
+      .select(
+        (col("doc_id") +: col("n_frames") +:
+          (0 until NumFeatures).map(i => col("fs").getItem(i).as(s"f$i"))): _*)
   }
 
   private val FrameStep = 4
+  /** Bytes per frame for mm03: one "frame" is a 16-byte block of the
+    * pixel region (a stand-in for a row-stride; real decoders would use
+    * width × channels).
+    */
+  private val FrameBytes = 16
 
-  /** mm03 — frame sampling: one row per sampled frame (every 4th),
-    * the explode shape a video pipeline uses to fan a clip out into
-    * per-frame work items that then partition freely across executors.
-    * Frame count and digests are STUBS (token count stands in for the
-    * frame count; a real decoder emits actual frames); the
-    * explode/partition plumbing is the deliverable.
+  /** mm03 — frame sampling: one row per sampled frame (every 4th
+    * 16-byte block of the payload's pixel region), the explode shape a
+    * video pipeline uses to fan a clip out into per-frame work items
+    * that then partition freely across executors. The frame digest is
+    * REAL content hashing: the md5-based [[Portable.hash60]] of the
+    * frame's actual byte slice (lower-hex of pixel bytes
+    * `[frame_id·16, frame_id·16+16)`), which the oracle recomputes from
+    * the same bytes. The hex string is materialized in its own
+    * projection stage before the explode so it is computed once per
+    * document, not once per frame.
     */
   val mm03_frame_sample: Q = (spark, dir) => {
+    val body = encode(col("text"), "utf-8") // == pixel region of the payload
     documents(spark, dir)
-      .select(col("doc_id"), sha2(col("text"), 256).as("digest"),
-        size(split(col("text"), " ")).as("n_frames"))
-      .select(col("doc_id"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(FrameStep))).as("frame_id"),
-        col("digest"))
-      .select(col("doc_id"), col("frame_id").cast("long").as("frame_id"),
-        // ---- STUB: per-frame content digest (no codecs in container) ----
-        Portable.hash60(concat(col("digest"), lit("_f"), col("frame_id").cast("string")))
-          .as("frame_digest"))
+      .select(col("doc_id"), lower(hex(body)).as("hx"),
+        floor(octet_length(body) / FrameBytes).cast("long").as("n_blocks"))
+      .where(col("n_blocks") > 0)
+      .select(col("doc_id"), col("hx"),
+        explode(sequence(lit(0L), col("n_blocks") - 1, lit(FrameStep.toLong)))
+          .as("frame_id"))
+      .select(col("doc_id"), col("frame_id"),
+        Portable.hash60(
+          col("hx").substr((col("frame_id") * (2 * FrameBytes) + 1).cast("int"),
+            lit(2 * FrameBytes))).as("frame_digest"))
   }
 
   /** A valid 44-byte PCM WAV header (RIFF + fmt + data chunks) for the
@@ -227,7 +248,7 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
-    "mm02_feature_stub" -> mm02_feature_stub,
+    "mm02_pixel_features" -> mm02_pixel_features,
     "mm03_frame_sample" -> mm03_frame_sample,
     "mm04_wav_meta" -> mm04_wav_meta,
   )
@@ -250,10 +271,13 @@ object Multimodal {
           FROM documents"""
     },
     "mm03_frame_sample" -> {
-      val h = Portable.duckHash60("concat(sha256(text), '_f', CAST(f AS VARCHAR))")
+      // recomputes the digest from the SAME byte slice the operator
+      // hashes (lower-hex of pixel bytes [f·16, f·16+16))
+      val h = Portable.duckHash60(s"substr(hx, f * ${2 * FrameBytes} + 1, ${2 * FrameBytes})")
       s"""SELECT doc_id, f AS frame_id, ($h) AS frame_digest
-          FROM (SELECT doc_id, text,
-                       unnest(range(0, len(string_split(text, ' ')), $FrameStep)) AS f
+          FROM (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                       unnest(range(0, octet_length(encode(text)) // $FrameBytes,
+                                    $FrameStep)) AS f
                 FROM documents)"""
     },
     "mm04_wav_meta" -> {
@@ -268,15 +292,34 @@ object Multimodal {
                             / ((($h) % 2 + 1) * 2.0)) AS BIGINT) AS n_samples
           FROM documents"""
     },
-    "mm02_feature_stub" -> {
-      val feats = (0 until NumFeatures).map { i =>
-        val h = Portable.duckHash60(s"concat(sha256(text), '_$i')")
-        s"CAST(($h) % 1000000 AS DOUBLE) / 1000000.0 AS f$i"
-      }.mkString(", ")
-      s"""SELECT doc_id,
-                 CAST(floor(len(string_split(text, ' ')) / 4) AS BIGINT) AS n_frames,
-                 $feats
-          FROM documents"""
+    "mm02_pixel_features" -> {
+      // same byte math as ByteStatsUtil: unsigned byte values of the
+      // pixel region (== the text's UTF-8 bytes by construction),
+      // exact integer sums, one IEEE double division per feature
+      s"""WITH b AS (
+            SELECT doc_id, text,
+                   list_transform(range(0, octet_length(encode(text))),
+                     i -> ('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT)
+                     AS bytes
+            FROM documents),
+          s AS (
+            SELECT doc_id,
+                   CAST(floor(len(string_split(text, ' ')) / 4) AS BIGINT) AS n_frames,
+                   bytes, len(bytes) AS n,
+                   len(bytes) // 4 AS b1,
+                   (2 * len(bytes)) // 4 AS b2,
+                   (3 * len(bytes)) // 4 AS b3
+            FROM b)
+          SELECT doc_id, n_frames,
+                 CAST(list_aggregate(bytes[1:b1], 'sum') AS DOUBLE) / (b1 * 255.0) AS f0,
+                 CAST(list_aggregate(bytes[b1+1:b2], 'sum') AS DOUBLE) / ((b2 - b1) * 255.0) AS f1,
+                 CAST(list_aggregate(bytes[b2+1:b3], 'sum') AS DOUBLE) / ((b3 - b2) * 255.0) AS f2,
+                 CAST(list_aggregate(bytes[b3+1:n], 'sum') AS DOUBLE) / ((n - b3) * 255.0) AS f3,
+                 list_aggregate(bytes, 'min') / 255.0 AS f4,
+                 list_aggregate(bytes, 'max') / 255.0 AS f5,
+                 CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / (n * 255.0) AS f6,
+                 len(list_distinct(bytes)) / 256.0 AS f7
+          FROM s"""
     },
   )
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, Hash60Array, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{ByteStats, CosineSimilarity, Hash60Array, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashMins)
     ext.injectFunction(GraftExtensions.wordShingles3)
     ext.injectFunction(GraftExtensions.winnowMin)
+    ext.injectFunction(GraftExtensions.byteStats)
   }
 }
 
@@ -86,12 +87,20 @@ object GraftExtensions {
       WinnowMin(args.head, args(1))
     })
 
+  val byteStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("byte_stats"),
+    new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"byte_stats expects 1 argument, got ${args.length}")
+      ByteStats(args.head)
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
-        wordShingles3, winnowMin).foreach {
+        wordShingles3, winnowMin, byteStats).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
