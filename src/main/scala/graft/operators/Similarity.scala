@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.functions.TopK
+import graft.functions.{Portable, TopK}
 import graft.plans.GraftExtensions
 
 /** Similarity search over the `embeddings` table (`Array[Float]`
@@ -186,9 +186,47 @@ object Similarity {
 
   private val NearDupThreshold = 0.8
 
+  /** Max members a cell may hold before its candidate self-join is
+    * split into hash sub-buckets. A cell of c members emits c² pairs
+    * from the within-cell join — one pathological cell is a guaranteed
+    * hot-partition explosion at scale (the same failure mode d04's
+    * df-cap closes for stop-shingles). Sub-bucketing bounds the per-key
+    * fan-out at ~cap² while keeping ~1/nsub of the in-cell pairs (the
+    * standard recall trade; production re-probes or re-clusters
+    * oversized cells).
+    */
+  val CellCap = 200
+
+  /** [[d05_embedding_neardup]]'s candidate/verify plan over an
+    * arbitrary (vec_id, label, v) corpus, exposed for the oversized-
+    * cell spec. Per-cell counts flow through a `groupBy` (map-side
+    * partial counts — only (label, n) pairs shuffle) and broadcast back
+    * (one row per cell; cell count is an index parameter like the
+    * centroid set, not data-scale), so the full-width rows are shuffled
+    * exactly once, on the (label, sub) join key — oversized cells
+    * spread across sub-buckets instead of landing on one partition.
+    */
+  private[graft] def nearDupPairs(corpus: DataFrame, cellCap: Int): DataFrame = {
+    val counts = corpus.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val sub = corpus.join(broadcast(counts), "label")
+      .select(col("vec_id"), col("label"), col("v"),
+        (Portable.hash60(col("vec_id").cast("string")) %
+          floor((col("cnt") + lit(cellCap - 1)) / lit(cellCap))).as("sub"))
+    val a = sub.select(col("vec_id").as("vec_a"), col("label"), col("sub"), col("v").as("va"))
+    val b = sub.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+      col("sub").as("subb"), col("v").as("vb"))
+    a.join(b, col("label") === col("lb") && col("sub") === col("subb") &&
+        col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("label"),
+        cos6(col("va"), col("vb")).as("cos6"))
+      .where(col("cos6") >= NearDupThreshold)
+  }
+
   /** d05 — embedding-cosine near-dup pairs: candidates are generated
     * *within a bucket* (the `label` cell — at scale an LSH/IVF bucket
-    * id), never all-pairs; pairs with cosine ≥ 0.8 are emitted. The
+    * id), never all-pairs, and cells above [[CellCap]] members are
+    * hash-split into sub-buckets so no single cell can emit c² pairs
+    * (see [[nearDupPairs]]). Pairs with cosine ≥ 0.8 are emitted. The
     * natural corpus has no near-dups (max natural cosine ≈ 0.51), so
     * the corpus adds perturbed copies of every 10th vector (first 8
     * dims zeroed → cosine ≈ 0.94 against the original) to make the
@@ -201,14 +239,7 @@ object Similarity {
     val pert = e.where(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("label"),
         concat(array_repeat(lit(0.0f), 8), slice(col("v"), 9, 56)).as("v"))
-    val corpus = e.unionAll(pert)
-
-    val a = corpus.select(col("vec_id").as("vec_a"), col("label"), col("v").as("va"))
-    val b = corpus.select(col("vec_id").as("vec_b"), col("label").as("lb"), col("v").as("vb"))
-    a.join(b, col("label") === col("lb") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("label"),
-        cos6(col("va"), col("vb")).as("cos6"))
-      .where(col("cos6") >= NearDupThreshold)
+    nearDupPairs(e.unionAll(pert), CellCap)
   }
 
   val queries: Map[String, Q] = Map(
@@ -310,13 +341,19 @@ object Similarity {
             SELECT vec_id + 1000000, label,
                    list_concat([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], v[9:])
             FROM e WHERE vec_id % 10 = 0),
-          n AS (SELECT vec_id, label, v,
+          counts AS (SELECT label, COUNT(*) AS cnt FROM corpus GROUP BY label),
+          sb AS (SELECT vec_id, corpus.label, v,
+                   ${Portable.duckHash60("CAST(vec_id AS VARCHAR)")} %
+                     ((cnt + ${CellCap - 1}) // $CellCap) AS sub
+                 FROM corpus JOIN counts USING (label)),
+          n AS (SELECT vec_id, label, sub, v,
                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-                FROM corpus),
+                FROM sb),
           p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
                   round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
                         / (a.nrm * b.nrm) * 1000000) / 1000000 AS cos6
-                FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+                FROM n a JOIN n b ON a.label = b.label AND a.sub = b.sub
+                                 AND a.vec_id < b.vec_id)
           SELECT vec_a, vec_b, label, cos6 FROM p WHERE cos6 >= $NearDupThreshold""",
   )
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.plans.GraftExtensions
+
+/** d05's cell-cap behavior: an oversized cell must be hash-split into
+  * sub-buckets (bounded candidate fan-out), while cells at or under the
+  * cap keep the full within-cell pair set.
+  */
+class SimilaritySpec extends SparkSpecBase {
+
+  /** n identical unit-ish vectors in one `label` cell — every generated
+    * candidate pair has cosine 1.0, so the operator's output count IS
+    * the candidate count.
+    */
+  private def oneCellCorpus(n: Int) = {
+    import spark.implicits._
+    val v = Array.tabulate(16)(i => (i + 1).toFloat)
+    (0 until n).map(i => (i.toLong, 1L, v)).toDF("vec_id", "label", "v")
+  }
+
+  test("an oversized cell is sub-bucketed: fan-out stays far below c²") {
+    GraftExtensions.register(spark)
+    val n = 300
+    val cap = 50
+    val pairs = Similarity.nearDupPairs(oneCellCorpus(n), cap).count()
+    val allPairs = n.toLong * (n - 1) / 2 // 44850 — the uncapped explosion
+    assert(pairs > 0, "sub-bucketed cells must still emit within-bucket pairs")
+    // nsub = 6; a perfectly even split gives 6·C(50,2) = 7350; hash
+    // imbalance can push above that but must stay well under c²
+    assert(pairs < allPairs / 3, s"fan-out $pairs not bounded (all-pairs $allPairs)")
+  }
+
+  test("a cell at the cap keeps the complete pair set (nsub = 1)") {
+    GraftExtensions.register(spark)
+    val n = 40
+    val pairs = Similarity.nearDupPairs(oneCellCorpus(n), cellCap = 50).count()
+    assert(pairs === n.toLong * (n - 1) / 2)
+  }
+}
