@@ -12,17 +12,25 @@ import java.nio.file.{Files, Paths}
   * Methodology (fixes the round-1 verdict findings):
   *  - a warmup pass at sf0.001 first, so JVM/JIT/codegen warmup is not
   *    billed to whichever query happens to run first;
+  *  - TWO timed passes per query, reporting the per-query MIN — a
+  *    single pass conflates the operator's cost with transient host
+  *    load (the round-3 numbers showed 3-14× driver-side noise on
+  *    queries whose plans had not changed); the min of two runs is the
+  *    standard low-variance point estimate for a deterministic plan;
   *  - results are materialized with a `noop`-format write, not
   *    `count()` — a count lets Catalyst prune every projection
   *    expression, under-measuring pure-projection queries; noop
   *    executes the full plan and discards rows executor-side;
   *  - failures are recorded per query (`"failed":[...]`) and excluded
   *    from the total instead of being silently reported as fast runs.
+  *
+  * Optional args: query names to bench only those (local iteration).
   */
 object Bench {
   private val WarmupDir = "/root/testdata/sf0.001"
 
   def main(args: Array[String]): Unit = {
+    val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -48,14 +56,25 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    val queries = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+
     // warmup at the smallest SF: same plans (only the scan path differs),
     // so codegen + JIT are hot before anything is timed.
     if (Files.exists(Paths.get(WarmupDir)))
-      SparkEntry.queries.foreach { case (name, fn) => exec(name, fn, WarmupDir) }
+      queries.foreach { case (name, fn) => exec(name, fn, WarmupDir) }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (sec, ok) = exec(name, fn, sfDir)
-      (name, sec, ok)
+    // two timed passes, min per query (see methodology above)
+    val passes = (1 to 2).map { _ =>
+      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val (sec, ok) = exec(name, fn, sfDir)
+        (name, sec, ok)
+      }
+    }
+    val results = passes.head.zip(passes.last).map {
+      case ((name, s1, ok1), (_, s2, ok2)) =>
+        val times = Seq(s1 -> ok1, s2 -> ok2).filter(_._2).map(_._1)
+        (name, if (times.nonEmpty) times.min else math.min(s1, s2), ok1 || ok2)
     }
     val good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)

@@ -32,6 +32,21 @@ import java.nio.file.attribute.FileTime
   */
 object Replay {
 
+  /** State-store provider for replay-driven stateful queries: RocksDB
+    * instead of the default HDFS-backed in-memory map. The replay
+    * ranges hold the full corpus in join/agg state until the sentinel
+    * flushes it, and at production scale (the 100 s range, but 100× the
+    * per-window rows) keyed state outgrows executor heap — RocksDB
+    * keeps it off-heap with spill-to-disk, which is the provider a
+    * 1000-executor deployment runs. Set per-session before a streaming
+    * query starts (the conf is read at query start).
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private[streaming] def useRocksDb(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+
   /** Temp dir holding `a_data.parquet` (symlink to `src`) + the
     * sentinel as `z_sentinel.parquet`, with increasing mtimes so the
     * file source's oldest-first ordering sees the data first.
@@ -64,6 +79,7 @@ object Replay {
     * replay is independent and repeatable.
     */
   def runAppend(spark: SparkSession, out: DataFrame): DataFrame = {
+    useRocksDb(spark)
     val outDir = Files.createTempDirectory("graft_sink_").toString
     val cpDir = Files.createTempDirectory("graft_cp_").toString
     val q = out.writeStream
@@ -83,6 +99,7 @@ object Replay {
     */
   def runForeachBatch(spark: SparkSession, out: DataFrame)(
       f: (DataFrame, Long) => Unit): Unit = {
+    useRocksDb(spark)
     val cpDir = Files.createTempDirectory("graft_cp_").toString
     val q = out.writeStream
       .foreachBatch(f)
