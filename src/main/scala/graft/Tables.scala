@@ -53,20 +53,31 @@ object Tables {
   /** Exact (order-independent) sum of a money column; see [[cents]]. */
   def moneySum(c: Column): Column = sum(cents(c)) / 100
 
-  /** A scratch temp directory that is recursively deleted at JVM exit
-    * — queries that materialize intermediates (d02/d04) use this so
-    * repeated Bench/Verify runs don't accumulate result copies in
-    * /tmp.
+  /** Paths queued for deletion by the single static shutdown hook —
+    * one hook over a list, not one hook per directory (a Verify/Bench
+    * run creates dozens of scratch dirs; per-call hooks would pile up
+    * a thread per dir in the JVM's shutdown registry).
     */
-  def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val scratchPaths = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+
+  private lazy val scratchHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
-      try rm(p.toFile) catch { case _: Throwable => () }
+      scratchPaths.forEach(p => try rm(p.toFile) catch { case _: Throwable => () })
     }))
+  }
+
+  /** A scratch temp directory that is recursively deleted at JVM exit
+    * — every replay/sink/checkpoint temp dir routes through this so
+    * repeated Bench/Verify runs don't accumulate copies in /tmp.
+    */
+  def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchPaths.add(p)
     p.toString
   }
 }

@@ -197,18 +197,17 @@ object Dedup {
     // the comparison stays engine-exact)
     val x = hs.select(col("doc_id").as("doc_a"), col("hs").as("sha"))
     val y = hs.select(col("doc_id").as("doc_b"), col("hs").as("shb"))
-    val pairs = cand.join(x, "doc_a").join(y, "doc_b")
+    // LAZY result: the hashed intermediate stays persist()-marked in
+    // the plan (populated by the caller's first action; block-level
+    // locks make concurrent branch reads compute each partition once),
+    // and unpersist is the CALLER's job — Verify/Bench clear the cache
+    // after materializing each query, keeping the `(spark, dir) =>
+    // DataFrame` contract pure (no eager job at construction time).
+    cand.join(x, "doc_a").join(y, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
       .where(col("jaccard") >= 0.5)
-
-    // materialize, then drop the cached intermediate — the persist is
-    // scoped to this query, not leaked into the session's LRU store
-    val out = graft.Tables.scratchDir("graft_d02_") + "/out"
-    pairs.write.parquet(out)
-    hs.unpersist()
-    spark.read.parquet(out)
   }
 
   private def duckMinhashSql: String = {
@@ -384,14 +383,11 @@ object Dedup {
     (pairs, kept)
   }
 
-  def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
-    val (pairs, kept) = ngramJaccardPlan(spark, dir, dfCap)
-    // materialize, then drop the cached index (scoped, not leaked)
-    val out = graft.Tables.scratchDir("graft_d04_") + "/out"
-    pairs.write.parquet(out)
-    kept.unpersist()
-    spark.read.parquet(out)
-  }
+  /** LAZY d04 result (see the d02 note: the caller materializes and
+    * clears the persisted index — no eager write at construction).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame =
+    ngramJaccardPlan(spark, dir, dfCap)._1
 
   val d04_ngram_jaccard: Q = (spark, dir) => ngramJaccard(spark, dir, DfCap)
 

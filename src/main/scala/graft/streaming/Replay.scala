@@ -32,29 +32,40 @@ import java.nio.file.attribute.FileTime
   */
 object Replay {
 
-  /** State-store provider for replay-driven stateful queries: RocksDB
-    * instead of the default HDFS-backed in-memory map. The replay
-    * ranges hold the full corpus in join/agg state until the sentinel
-    * flushes it, and at production scale (the 100 s range, but 100× the
-    * per-window rows) keyed state outgrows executor heap — RocksDB
-    * keeps it off-heap with spill-to-disk, which is the provider a
-    * 1000-executor deployment runs. Set per-session before a streaming
+  /** State-store provider for BIG-state replay queries: RocksDB
+    * instead of the default HDFS-backed in-memory map. The stream-
+    * stream joins and the buffered-allocation replay hold the full
+    * corpus in keyed state until the sentinel flushes it, and at
+    * production scale (the 100 s range, but 100× the per-window rows)
+    * that state outgrows executor heap — RocksDB keeps it off-heap
+    * with spill-to-disk, which is the provider a 1000-executor
+    * deployment runs for such queries. Measured (round 4→5): RocksDB
+    * cut st09 18.0→5.8 s and st10 26.9→17.9 s, but its per-batch
+    * commit/snapshot overhead cost the SMALL-state replays 1.3-1.9×
+    * (st01/st03/st08/st11 hold a few thousand tiny entries) — so the
+    * provider is chosen PER QUERY via `bigState`, not blanket: the
+    * default in-memory provider for small keyed state, RocksDB where
+    * state scales with the corpus. Set per-session before a streaming
     * query starts (the conf is read at query start).
     */
   val RocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
-  private[streaming] def useRocksDb(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+  val DefaultProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
+  private[streaming] def stateProvider(spark: SparkSession, bigState: Boolean): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      if (bigState) RocksDbProvider else DefaultProvider)
 
   /** Temp dir holding `a_data.parquet` (symlink to `src`) + the
     * sentinel as `z_sentinel.parquet`, with increasing mtimes so the
     * file source's oldest-first ordering sees the data first.
     */
   def streamDir(src: String, sentinel: DataFrame): Path = {
-    val dir = Files.createTempDirectory("graft_stream_")
+    val dir = Paths.get(graft.Tables.scratchDir("graft_stream_"))
     Files.createSymbolicLink(dir.resolve("a_data.parquet"), Paths.get(src))
-    val tmp = Files.createTempDirectory("graft_sentinel_")
+    val tmp = Paths.get(graft.Tables.scratchDir("graft_sentinel_"))
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
     Files.copy(part, dir.resolve("z_sentinel.parquet"), StandardCopyOption.REPLACE_EXISTING)
@@ -75,13 +86,16 @@ object Replay {
 
   /** Run an append-mode streaming DataFrame to completion
     * (AvailableNow) through a parquet sink, then return a batch scan of
-    * the result. Checkpoint + output live in fresh temp dirs, so every
-    * replay is independent and repeatable.
+    * the result. Checkpoint + output live in fresh scratch dirs (GC'd
+    * at JVM exit), so every replay is independent and repeatable.
+    * `bigState = true` selects RocksDB for queries whose keyed state
+    * scales with the corpus (see [[RocksDbProvider]]).
     */
-  def runAppend(spark: SparkSession, out: DataFrame): DataFrame = {
-    useRocksDb(spark)
-    val outDir = Files.createTempDirectory("graft_sink_").toString
-    val cpDir = Files.createTempDirectory("graft_cp_").toString
+  def runAppend(spark: SparkSession, out: DataFrame,
+                bigState: Boolean = false): DataFrame = {
+    stateProvider(spark, bigState)
+    val outDir = graft.Tables.scratchDir("graft_sink_")
+    val cpDir = graft.Tables.scratchDir("graft_cp_")
     val q = out.writeStream
       .format("parquet")
       .option("path", outDir)
@@ -97,10 +111,11 @@ object Replay {
     * (the reference's per-batch sink shape — SURVEY §2 K2/K5); the
     * caller's function receives every micro-batch.
     */
-  def runForeachBatch(spark: SparkSession, out: DataFrame)(
+  def runForeachBatch(spark: SparkSession, out: DataFrame,
+                      bigState: Boolean = false)(
       f: (DataFrame, Long) => Unit): Unit = {
-    useRocksDb(spark)
-    val cpDir = Files.createTempDirectory("graft_cp_").toString
+    stateProvider(spark, bigState)
+    val cpDir = graft.Tables.scratchDir("graft_cp_")
     val q = out.writeStream
       .foreachBatch(f)
       .option("checkpointLocation", cpDir)

@@ -32,7 +32,8 @@ object StreamQueries {
     val out = Replay.runAppend(spark,
       Pipelines.orderWideInner(
         Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir),
-        Pipelines.ReplayJoinRange))
+        Pipelines.ReplayJoinRange),
+      bigState = true)
     out.where(col("order_id") >= 0)
   }
 
@@ -59,7 +60,7 @@ object StreamQueries {
     * from the source.
     */
   val st04_cdc_route: Q = (spark, dir) => {
-    val base = Files.createTempDirectory("graft_routes_").toString
+    val base = graft.Tables.scratchDir("graft_routes_")
     val routes = Seq("purchase", "signup", "click")
     val routed = Pipelines.cdcRoute(Replay.eventsStream(spark, dir))
     Replay.runForeachBatch(spark, routed) { (batch, _) =>
@@ -85,7 +86,8 @@ object StreamQueries {
     val out = Replay.runAppend(spark,
       Pipelines.orderWideOuter(
         Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir),
-        Pipelines.ReplayJoinRange))
+        Pipelines.ReplayJoinRange),
+      bigState = true)
     out.where(col("order_id") >= 0)
   }
 
@@ -103,7 +105,8 @@ object StreamQueries {
       .where(col("o_orderkey") % 97 =!= 0)
     val out = Replay.runAppend(spark,
       Pipelines.orderWideFull(
-        orders, Replay.lineitemStream(spark, dir), Pipelines.ReplayJoinRange))
+        orders, Replay.lineitemStream(spark, dir), Pipelines.ReplayJoinRange),
+      bigState = true)
     out.where(col("order_id") >= 0)
   }
 
@@ -139,9 +142,10 @@ object StreamQueries {
         Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
     val table = new graft.sinks.KeyedUpsertTable(
-      spark, Files.createTempDirectory("graft_upsert_").toString,
+      spark, graft.Tables.scratchDir("graft_upsert_"),
       Seq("p_brand"), "n_lines")
-    val cp = Files.createTempDirectory("graft_cp_").toString
+    val cp = graft.Tables.scratchDir("graft_cp_")
+    Replay.stateProvider(spark, bigState = false) // small agg state (25 brands)
     val q = agg.writeStream
       .outputMode("update")
       .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
@@ -187,7 +191,8 @@ object StreamQueries {
         col("l_shipdate").as("event_time"))
       .withWatermark("event_time", "1 hour")
       .as[AllocLine]
-    Replay.runAppend(spark, Pipelines.paymentAllocation(lines).toDF())
+    Replay.runAppend(spark, Pipelines.paymentAllocation(lines).toDF(),
+        bigState = true)
       .where(col("order_id") >= 0)
   }
 
