@@ -184,6 +184,74 @@ object Similarity {
         .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
   }
 
+  /** Probe depths measured by [[n06_ivf_recall]]. */
+  private val RecallProbes = Seq(1, 3)
+
+  /** n06 — multi-probe IVF with MEASURED recall: the quantizer ranks
+    * every centroid per query and the search probes the top-P cells
+    * (P = 1 and 3), then recall@10 is computed against the exact
+    * brute-force answer (n01) — the number a user actually tunes
+    * `nprobe` against. Emits one row per (probes, query): recall@10 of
+    * the probed search, so the standard IVF trade
+    * (recall(P=1) ≤ recall(P=3) ≤ 1) is visible in the result itself.
+    *
+    * Scale shape: the corpus-side quantizer is the same broadcast
+    * n·k scoring as n03/n05 (one pass, argmax map-side); the probe
+    * list is |queries|·P rows (bounded, broadcast); candidates are an
+    * equi-join on the cell id — a corpus vector's single cell matches
+    * at most one probed cell per query, so no dedup is needed. The
+    * assignment and the exact baseline feed both probe depths, so both
+    * are persist()-marked; the caller (Verify/Bench) clears the cache
+    * after materializing (same lazy-plan contract as d02/d04).
+    */
+  val n06_ivf_recall: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    import org.apache.spark.storage.StorageLevel
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cents = centroidSeeds(e)
+    val assigned = scoredAssign(e, cents, carryVec = true)
+      .select(col("vec_id"), col("cell_id"), col("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qvec = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // exact top-k baseline (n01's answer) — the recall denominator
+    val exact = explodeTopK(
+      e.join(broadcast(qvec), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // rank ALL centroids once per query (|queries| × k rows, bounded);
+    // each probe depth then keeps ranks ≤ P
+    val qCells = qvec.join(broadcast(cents), lit(true), "inner")
+      .select(col("query_id"), col("cid"), cos6(col("qv"), col("cv")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(RecallProbes.max)(col("c6"), col("cid")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), (col("pos") + 1).as("cell_rank"),
+        col("col.id").as("qcell"))
+    val perP = RecallProbes.map { p =>
+      val probed = qCells.where(col("cell_rank") <= p)
+        .join(qvec, "query_id")
+        .select(col("query_id"), col("qcell"), col("qv"))
+      val ivf = explodeTopK(
+        assigned.join(broadcast(probed),
+            col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+          .groupBy("query_id")
+          .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+        .select(col("query_id"), col("neighbor_id"))
+      val matched = ivf.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("matched"))
+      qvec.select(col("query_id"))
+        .join(matched, Seq("query_id"), "left")
+        .select(lit(p.toLong).as("probes"), col("query_id"),
+          (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+    }
+    perP.reduce(_ unionAll _)
+  }
+
   private val NearDupThreshold = 0.8
 
   /** Max members a cell may hold before its candidate self-join is
@@ -248,6 +316,7 @@ object Similarity {
     "n03_cell_assign" -> n03_cell_assign,
     "n04_kmeans_step" -> n04_kmeans_step,
     "n05_ivf_probe" -> n05_ivf_probe,
+    "n06_ivf_recall" -> n06_ivf_recall,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -331,6 +400,46 @@ object Similarity {
                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id AS neighbor_id, cos6
           FROM s QUALIFY rnk <= $K""",
+    "n06_ivf_recall" ->
+      s"""WITH $duckVecs,
+          c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+                WHERE vec_id % $CentroidStride = 0),
+          p AS (SELECT n.vec_id, cid,
+                       round(list_sum(list_transform(list_zip(cv, v), t -> t[1] * t[2]))
+                             / (cn * nrm) * 1000000) / 1000000 AS cos6
+                FROM n, c),
+          a AS (SELECT vec_id, cid AS cell_id FROM p
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) = 1),
+          av AS (SELECT a.vec_id, a.cell_id, n.v, n.nrm FROM a JOIN n USING (vec_id)),
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                WHERE vec_id < $NumQueries),
+          exact AS (SELECT query_id, vec_id
+                    FROM (SELECT query_id, n.vec_id, $duckCos AS cos6
+                          FROM q JOIN n ON n.vec_id <> query_id)
+                    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) <= $K),
+          qc AS (SELECT query_id, cid AS qcell,
+                        row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, cid) AS cell_rank
+                 FROM (SELECT query_id, cid,
+                              round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+                                    / (qn * cn) * 1000000) / 1000000 AS cos6
+                       FROM q, c)),
+          pr AS (SELECT unnest([${RecallProbes.mkString(", ")}]) AS probes),
+          cand AS (SELECT pr.probes, qc.query_id, av.vec_id,
+                          round(list_sum(list_transform(list_zip(q.qv, av.v), t -> t[1] * t[2]))
+                                / (q.qn * av.nrm) * 1000000) / 1000000 AS cos6
+                   FROM pr
+                   JOIN qc ON qc.cell_rank <= pr.probes
+                   JOIN av ON av.cell_id = qc.qcell
+                   JOIN q ON q.query_id = qc.query_id
+                   WHERE av.vec_id <> qc.query_id),
+          ivf AS (SELECT probes, query_id, vec_id FROM cand
+                  QUALIFY row_number() OVER (PARTITION BY probes, query_id ORDER BY cos6 DESC, vec_id) <= $K),
+          m AS (SELECT probes, query_id, COUNT(*) AS matched
+                FROM ivf JOIN exact USING (query_id, vec_id) GROUP BY 1, 2)
+          SELECT CAST(pr.probes AS BIGINT) AS probes, q.query_id,
+                 COALESCE(m.matched, 0) / 10.0 AS recall10
+          FROM pr CROSS JOIN q
+          LEFT JOIN m ON m.probes = pr.probes AND m.query_id = q.query_id""",
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

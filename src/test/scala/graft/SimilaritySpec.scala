@@ -38,4 +38,20 @@ class SimilaritySpec extends SparkSpecBase {
     val pairs = Similarity.nearDupPairs(oneCellCorpus(n), cellCap = 50).count()
     assert(pairs === n.toLong * (n - 1) / 2)
   }
+
+  test("n06: recall@10 is in [0,1] and never drops when probing more cells") {
+    val rows = Similarity.n06_ivf_recall(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("probes"), r.getAs[Long]("query_id"),
+        r.getAs[Double]("recall10")))
+    try {
+      assert(rows.length === 10, "2 probe depths × 5 queries")
+      assert(rows.forall { case (_, _, rc) => rc >= 0.0 && rc <= 1.0 })
+      val byQuery = rows.groupBy(_._2).view.mapValues(_.sortBy(_._1).map(_._3))
+      byQuery.foreach { case (q, rc) =>
+        assert(rc.length === 2 && rc(1) >= rc(0),
+          s"query $q: recall(P=3)=${rc(1)} < recall(P=1)=${rc(0)}")
+      }
+    } finally spark.catalog.clearCache()
+  }
 }
