@@ -107,6 +107,17 @@ class KeyedUpsertTable(spark: SparkSession, path: String,
     spark.read.parquet(root.resolve(s"v=${ids.last}").toString)
   }
 
+  /** Newest committed state with a batch id STRICTLY below `batchId`
+    * (None before the first commit) — the version batch `batchId` must
+    * read to stay deterministic under at-least-once replay: a crashed-
+    * and-replayed batch sees the same pre-batch state whether or not
+    * its own upsert already committed (the same reason `upsert` merges
+    * against it).
+    */
+  def readBefore(batchId: Long): Option[DataFrame] =
+    committedBatches.filter(_ < batchId).lastOption.map(b =>
+      spark.read.parquet(root.resolve(s"v=$b").toString))
+
   /** The idempotent `foreachBatch` function. */
   def upsert(batch: DataFrame, batchId: Long): Unit = {
     if (committedBatches.contains(batchId)) return // replay of a committed batch

@@ -167,7 +167,15 @@ object Pipelines {
       joinType)
   }
 
-  /** J7/W2 streaming — stateful first-order flag
+  /** Hot-tier TTL for [[firstOrderFlag]] keyed state: a customer seen
+    * within this window is answered from executor-local state; older
+    * keys are evicted (state does NOT grow with lifetime customer
+    * cardinality) and must be answered by the compacted state table
+    * ([[firstOrderFlagBatch]] — the cold tier).
+    */
+  val FirstOrderTtlMs: Long = 30L * 24 * 3600 * 1000
+
+  /** J7/W2 streaming — stateful first-order flag, HOT TIER
     * (ref dwd/Ods_to_DWD_order_info.scala:83-127: per batch, look the
     * user up in Phoenix, sort the batch's orders by create_time, flag
     * the earliest if the user is new, then write the user back).
@@ -176,23 +184,77 @@ object Pipelines {
     * cross-batch race. Within a batch the group's rows sort by
     * (o_orderdate, o_orderkey) — the reference's in-batch sort with a
     * deterministic tiebreak.
+    *
+    * State is BOUNDED (SURVEY §7.4 item 2): each key carries an
+    * event-time timeout at its newest order + `ttlMs` and is evicted
+    * once the watermark passes it, so state holds ~one TTL window of
+    * active customers, not every customer ever seen. The contract at
+    * 100 TB is two-tier: this operator answers recent customers from
+    * local state, and the caller pairs it with the compacted
+    * known-customers table + per-batch anti-join
+    * ([[firstOrderFlagBatch]], the st03 wiring) so a customer
+    * returning after eviction is still flagged correctly. Requires a
+    * watermark on `o_orderdate` (EventTimeTimeout).
     */
-  def firstOrderFlag(orders: Dataset[OrderEvent]): Dataset[OrderFlag] = {
+  def firstOrderFlag(orders: Dataset[OrderEvent],
+                     ttlMs: Long = FirstOrderTtlMs): Dataset[OrderFlag] = {
     import orders.sparkSession.implicits._
     orders
       .groupByKey(_.o_custkey)
       .flatMapGroupsWithState[Boolean, OrderFlag](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, rows: Iterator[OrderEvent], state: GroupState[Boolean]) =>
-          val sorted = rows.toSeq.sortBy(r => (r.o_orderdate.getTime, r.o_orderkey))
-          val seen = state.getOption.getOrElse(false)
-          val out = sorted.zipWithIndex.map { case (r, i) =>
-            OrderFlag(r.o_orderkey, r.o_custkey,
-              if (!seen && i == 0) "1" else "0")
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.o_orderdate.getTime, r.o_orderkey))
+            val seen = state.getOption.getOrElse(false)
+            val out = sorted.zipWithIndex.map { case (r, i) =>
+              OrderFlag(r.o_orderkey, r.o_custkey,
+                if (!seen && i == 0) "1" else "0")
+            }
+            if (sorted.nonEmpty) {
+              state.update(true)
+              val newest = sorted.map(_.o_orderdate.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(newest + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
-          if (sorted.nonEmpty) state.update(true)
-          out.iterator
       }
+  }
+
+  /** J7 COLD TIER — the SURVEY §7.4.2 compacted-state-table design:
+    * flag one micro-batch of orders against the known-customers table
+    * as of the PREVIOUS batch. Within the batch the earliest order per
+    * customer (deterministic (o_orderdate, o_orderkey) order) takes
+    * the flag, unless the customer is already in the table. The left
+    * join is a plain shuffle join on the customer key (the table grows
+    * with customer cardinality — never broadcast), co-partitioned with
+    * the in-batch window on the same key; memory per executor is
+    * O(batch partition), not O(customers), which is what makes this
+    * the 100 TB shape: state lives compacted ON STORAGE and is joined
+    * per batch, the reference's Phoenix-lookup pattern without the
+    * row-at-a-time round trips.
+    */
+  def firstOrderFlagBatch(batch: DataFrame,
+                          knownCustomers: Option[DataFrame]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val ranked = batch.withColumn("__rn", row_number().over(w))
+    val withKnown = knownCustomers match {
+      case None => ranked.withColumn("__known", lit(false))
+      case Some(k) =>
+        ranked.join(
+          k.select(col("o_custkey")).withColumn("__known", lit(true)),
+          Seq("o_custkey"), "left")
+    }
+    withKnown.select(
+      col("o_orderkey"), col("o_custkey"),
+      when(col("__rn") === 1 && !coalesce(col("__known"), lit(false)), "1")
+        .otherwise("0").as("if_first_order"))
   }
 
   /** How long an order's lines are awaited after its newest event time

@@ -37,19 +37,33 @@ object StreamQueries {
     out.where(col("order_id") >= 0)
   }
 
-  /** J7/W2 streaming — flatMapGroupsWithState first-order flag (batch
-    * twin j07). The replay delivers all real orders in one micro-batch,
-    * so the in-batch (o_orderdate, o_orderkey) sort makes the flag
-    * deterministic; cross-batch state carry-over is exercised by the
-    * MemoryStream spec.
+  /** J7/W2 streaming — first-order flag via the SURVEY §7.4.2
+    * compacted-state-table design (batch twin j07): each micro-batch
+    * is flagged against the known-customers table as of the previous
+    * batch ([[Pipelines.firstOrderFlagBatch]] — per-batch anti-lookup,
+    * deterministic in-batch order), then the batch's customers are
+    * upserted into the table (a [[graft.sinks.KeyedUpsertTable]]:
+    * compacted, versioned, idempotent under replay — `readBefore`
+    * keeps a replayed batch deterministic even if its own upsert
+    * already committed). No keyed executor state at all, so memory is
+    * bounded regardless of lifetime customer cardinality; the hot-tier
+    * fMGWS variant ([[Pipelines.firstOrderFlag]], TTL-evicted) is the
+    * low-latency alternative a deployment layers in front of this
+    * table, exercised by `StreamingSpec`.
     */
   val st03_first_order_flag: Q = (spark, dir) => {
-    import spark.implicits._
     val orders = Replay.ordersStream(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-      .as[OrderEvent]
-    val flagged = Pipelines.firstOrderFlag(orders).toDF()
-    Replay.runAppend(spark, flagged).where(col("o_custkey") >= 0)
+    val known = new graft.sinks.KeyedUpsertTable(
+      spark, graft.Tables.scratchDir("graft_known_"), Seq("o_custkey"), "o_custkey")
+    val sink = new graft.sinks.IdempotentBatchAppend(
+      spark, graft.Tables.scratchDir("graft_flags_"))
+    Replay.runForeachBatch(spark, orders) { (batch, id) =>
+      val b = batch.where(col("o_custkey") >= 0) // drop the sentinel row
+      sink.append(Pipelines.firstOrderFlagBatch(b, known.readBefore(id)), id)
+      known.upsert(b.select(col("o_custkey")).distinct(), id)
+    }
+    sink.read().select(col("o_orderkey"), col("o_custkey"), col("if_first_order"))
   }
 
   /** P2/K-layer streaming — CDC routing fan-out through `foreachBatch`:

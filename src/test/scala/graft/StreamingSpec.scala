@@ -51,7 +51,9 @@ class StreamingSpec extends SparkSpecBase {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
     val ms = MemoryStream[OrderEvent]
-    val q = Pipelines.firstOrderFlag(ms.toDS()).toDF()
+    // wide watermark delay: this test exercises carry-over, not eviction
+    val q = Pipelines.firstOrderFlag(
+        ms.toDS().withWatermark("o_orderdate", "365 days")).toDF()
       .writeStream.format("memory").queryName("fof_ms")
       .option("checkpointLocation", tmpDir("cp_fof_"))
       .outputMode("append").start()
@@ -71,6 +73,78 @@ class StreamingSpec extends SparkSpecBase {
         .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
       assert(got === Map(10L -> "0", 11L -> "1", 5L -> "0", 20L -> "1"))
     } finally q.stop()
+  }
+
+  test("firstOrderFlag: hot-tier state is TTL-evicted; the compacted table catches the return") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[OrderEvent]
+    val q = Pipelines.firstOrderFlag(
+        ms.toDS().withWatermark("o_orderdate", "1 hour"),
+        ttlMs = 60 * 1000L).toDF() // 1-minute TTL
+      .writeStream.format("memory").queryName("fof_ttl")
+      .option("checkpointLocation", tmpDir("cp_fof_ttl_"))
+      .outputMode("append").start()
+    try {
+      ms.addData(OrderEvent(1, 7, t("2024-01-01 00:00:00"))); drain(q)
+      def stateRows: Long = spark.streams.active
+        .flatMap(_.recentProgress).filter(_.stateOperators.nonEmpty)
+        .flatMap(_.stateOperators.filter(
+          _.operatorName.contains("flatMapGroupsWithState")))
+        .last.numRowsTotal
+      assert(stateRows === 1L)
+      // advance the watermark a day past user 7's TTL -> state evicted
+      ms.addData(OrderEvent(2, 8, t("2024-01-02 00:00:00"))); drain(q)
+      ms.addData(OrderEvent(3, 9, t("2024-01-03 00:00:00"))); drain(q)
+      assert(stateRows < 3L, "TTL-expired keys must leave the store")
+      // user 7 returns after eviction: the HOT tier no longer knows
+      // them (re-flags "1" — the documented miss)...
+      ms.addData(OrderEvent(4, 7, t("2024-01-03 00:30:00"))); drain(q)
+      val got = spark.table("fof_ttl")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(got(1L) === "1" && got(4L) === "1")
+      // ...which is exactly what the COLD tier exists for: the same
+      // returning order flagged against the compacted known-customers
+      // table comes out "0" (the st03 wiring).
+      val returning = Seq((4L, 7L, t("2024-01-03 00:30:00")))
+        .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      val cold = Pipelines.firstOrderFlagBatch(
+        returning, Some(Seq(7L).toDF("o_custkey")))
+      assert(cold.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+        === Map(4L -> "0"))
+    } finally q.stop()
+  }
+
+  test("firstOrderFlagBatch + KeyedUpsertTable: per-batch anti-lookup, compaction, replay determinism") {
+    import spark.implicits._
+    val tbl = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("known_"), Seq("o_custkey"), "o_custkey")
+    // batch 0: no table yet; user 1's earliest order wins, user 2 new
+    val b0 = Seq(
+      (10L, 1L, t("2024-02-01 00:00:00")),
+      (11L, 1L, t("2024-01-01 00:00:00")),
+      (20L, 2L, t("2024-01-15 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val f0 = Pipelines.firstOrderFlagBatch(b0, tbl.readBefore(0))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(f0 === Map(10L -> "0", 11L -> "1", 20L -> "1"))
+    tbl.upsert(b0.select(col("o_custkey")).distinct(), 0)
+    // batch 1: user 1 returns (known -> "0"), user 3 is new
+    val b1 = Seq(
+      (30L, 1L, t("2024-03-01 00:00:00")),
+      (40L, 3L, t("2024-03-02 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val f1 = Pipelines.firstOrderFlagBatch(b1, tbl.readBefore(1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(f1 === Map(30L -> "0", 40L -> "1"))
+    tbl.upsert(b1.select(col("o_custkey")).distinct(), 1)
+    // compaction: one row per customer, however many batches saw them
+    assert(tbl.read().collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    // replay determinism: batch 1 re-run AFTER its upsert committed
+    // still reads the pre-batch version -> identical flags
+    val f1replay = Pipelines.firstOrderFlagBatch(b1, tbl.readBefore(1))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(f1replay === f1)
   }
 
   test("dau: data later than the watermark is dropped, not double-counted") {
