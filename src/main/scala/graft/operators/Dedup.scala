@@ -242,8 +242,8 @@ object Dedup {
   // ------------------------------------------------------------------
 
   private val SimBits = 48
-  private val SimBands = 6 // 8 bits each; hamming ≤ 5 ⇒ ≥1 band equal (pigeonhole)
-  private val MaxHamming = 5
+  private[graft] val SimBands = 6 // 8 bits each; hamming ≤ 5 ⇒ ≥1 band equal (pigeonhole)
+  private[graft] val MaxHamming = 5
 
   /** 48-bit SimHash fingerprints for a (doc_id, text) corpus: per bit
     * position, strict majority vote of the token hashes (term frequency
@@ -258,11 +258,27 @@ object Dedup {
     * accumulator per token; the expression replaces it bit-identically
     * (parity-locked by `Simhash48Spec`).
     */
-  private def simhashFp(corpus: DataFrame): DataFrame =
+  private[graft] def simhashFp(corpus: DataFrame): DataFrame =
     corpus
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        call_function("simhash48", Portable.hash60Array(col("toks"))).as("fp"))
+      .withColumn("fp",
+        call_function("simhash48",
+          Portable.hash60Array(split(col("text"), " "))))
+      .drop("text")
+
+  /** Explode a relation carrying a SimHash `fp` column into its
+    * (band, bkey) rows — 6 bands × 8 bits, the d03 banding, shared
+    * with the streaming ingest-dedup twin (st12). All other columns
+    * are carried through.
+    */
+  private[graft] def simhashBands(fps: DataFrame): DataFrame =
+    fps
+      .withColumn("bb", explode(array((0 until SimBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+      }: _*)))
+      .withColumn("band", col("bb.band"))
+      .withColumn("bkey", col("bb.bkey"))
+      .drop("bb")
 
   /** SimHash near-dup pairs: fingerprint → 6 bands of 8 bits → bucket
     * join on (band, byte) → hamming ≤ 5 filter. The banding is exact
@@ -273,15 +289,7 @@ object Dedup {
     */
   val d03_simhash: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
-    val fp = simhashFp(nearDupCorpus(spark, dir))
-
-    val bands = fp.select(
-      col("doc_id"), col("fp"),
-      explode(array((0 until SimBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bands = simhashBands(simhashFp(nearDupCorpus(spark, dir)))
 
     val a = bands.alias("a")
     val b = bands.alias("b")
@@ -294,24 +302,33 @@ object Dedup {
       .where(col("hamming") <= MaxHamming)
   }
 
-  private def duckSimhashSql: String = {
+  /** DuckDB CTE chain `tok, fp, bands` computing the SimHash banding
+    * over a `corpus(doc_id, text)` CTE — shared by d03's oracle and
+    * the streaming twin's (st12).
+    */
+  private[graft] def duckSimhashBandsSql: String = {
     val bitSum = (0 until SimBits).map { k =>
       s"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> $k) & 1) = 1)) > len(th) THEN 1 ELSE 0 END)::BIGINT * (${1L << k}::BIGINT)"
     }.mkString(" + ")
-    s"""WITH $duckNearCorpus,
-        tok AS (SELECT doc_id,
+    s"""tok AS (SELECT doc_id,
                        list_transform(string_split(text, ' '), t -> ${Portable.duckHash60("t")}) AS th
                 FROM corpus),
         fp AS (SELECT doc_id, ($bitSum) AS fp FROM tok),
         bands AS (SELECT doc_id, fp, t.band, (fp >> (8 * t.band)) & 255 AS bkey
-                  FROM fp, (SELECT unnest([${(0 until SimBands).mkString(",")}]) AS band) t),
+                  FROM fp, (SELECT unnest([${(0 until SimBands).mkString(",")}]) AS band) t)"""
+  }
+
+  /** DuckDB twin of the d02-d04 near-dup corpus (exposed for st12). */
+  private[graft] def duckNearCorpusSql: String = duckNearCorpus
+
+  private def duckSimhashSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql,
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $MaxHamming"""
-  }
 
   // ------------------------------------------------------------------
   // d04 — exact n-gram Jaccard via inverted index

@@ -241,6 +241,51 @@ object TextAnalysis {
       when(h % 100 < TrainPct, "train").otherwise("val").as("split"))
   }
 
+  /** t10 — tokenizer-training merge step (one real BPE iteration over
+    * t08's corpus statistics): build the tf-weighted adjacent
+    * symbol-pair counts over the vocabulary (symbols start as single
+    * characters — the BPE init state), pick the corpus-wide most
+    * frequent pair (ties broken lexicographically, so the winner is
+    * deterministic cross-engine), and emit every vocabulary word with
+    * that pair merged greedily left-to-right (the standard BPE merge:
+    * the word as a space-joined symbol sequence, `"a b"` → `"ab"`).
+    * Training loops this step; one iteration is the oracle-checkable
+    * unit (each further round is the same plan over the previous
+    * round's `merged` column).
+    *
+    * Scale shape: two shuffles (token tf, pair counts — both with
+    * map-side partial sums); the argmax collapses to ONE row via
+    * `min(struct(-count, pair))` (no global sort) and is broadcast
+    * back; the merge itself is a pure codegen'd projection. Pair
+    * counting is over the VOCABULARY weighted by tf, not the raw
+    * corpus — |vocab| rows, the standard BPE-trainer optimization.
+    */
+  val t10_bpe_merge: Q = (spark, dir) => {
+    val tok = col("token")
+    val words = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(tok) > 0)
+      .groupBy(tok).agg(count(lit(1)).as("tf"))
+    // adjacent char pairs "a b" (space-separated, as BPE symbol pairs);
+    // guarded: sequence(1, 0) would generate a DESCENDING range
+    val pairs = when(length(tok) >= 2,
+      transform(sequence(lit(1), length(tok) - 1),
+        i => concat(tok.substr(i, lit(1)), lit(" "), tok.substr(i + 1, lit(1)))))
+      .otherwise(array().cast("array<string>"))
+    val pairCounts = words
+      .select(col("tf"), explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("tf")).as("pair_count"))
+    val best = pairCounts
+      .agg(min(struct((-col("pair_count")).as("nc"), col("pair").as("p"))).as("m"))
+      .select(col("m.p").as("best_pair"), (-col("m.nc")).as("best_count"))
+    val symsJoined = array_join(
+      transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1))), " ")
+    words.join(broadcast(best), lit(true), "inner")
+      .select(tok, col("tf"), col("best_pair"), col("best_count"),
+        replace(symsJoined, col("best_pair"),
+          replace(col("best_pair"), lit(" "), lit(""))).as("merged"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -251,6 +296,7 @@ object TextAnalysis {
     "t07_scrub" -> t07_scrub,
     "t08_vocab" -> t08_vocab,
     "t09_split" -> t09_split,
+    "t10_bpe_merge" -> t10_bpe_merge,
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,6 +391,21 @@ object TextAnalysis {
                  CASE WHEN ($h) % 100 < $TrainPct THEN 'train' ELSE 'val' END AS split
           FROM documents"""
     },
+    "t10_bpe_merge" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         w AS (SELECT token, COUNT(*) AS tf FROM tk
+               WHERE len(token) > 0 GROUP BY token),
+         p AS (SELECT tf, substr(token, i, 1) || ' ' || substr(token, i + 1, 1) AS pair
+               FROM (SELECT token, tf, unnest(range(1, len(token))) AS i FROM w)),
+         pc AS (SELECT pair, CAST(SUM(tf) AS BIGINT) AS pair_count
+                FROM p GROUP BY pair),
+         best AS (SELECT pair AS best_pair, pair_count AS best_count
+                  FROM pc ORDER BY pair_count DESC, pair LIMIT 1)
+         SELECT w.token, w.tf, best.best_pair, best.best_count,
+                replace(array_to_string(list_transform(range(1, len(w.token) + 1),
+                          i -> substr(w.token, i, 1)), ' '),
+                        best.best_pair, replace(best.best_pair, ' ', '')) AS merged
+         FROM w CROSS JOIN best""",
     "t04_fingerprint" -> {
       val winExpr = (0 until FpWindow).map(o => s"toks[i+${o + 1}]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

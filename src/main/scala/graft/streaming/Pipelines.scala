@@ -20,6 +20,18 @@ case class AllocLine(order_id: Long, line_id: Int, line_cents: Double,
 case class AllocOut(order_id: Long, line_id: Int, sku_total: Double,
                     final_detail_amount: Double)
 
+/** One SimHash band row entering the streaming near-dup operator:
+  * the full 48-bit fingerprint rides along for the hamming verify.
+  */
+case class BandRow(doc_id: Long, band: Int, bkey: Long, fp: Long,
+                   event_time: java.sql.Timestamp)
+
+/** Band-claim verdict: `ok` iff the document owns this (band, bkey)
+  * bucket or is NOT a near-dup (hamming > threshold) of the bucket's
+  * owner within the dedup window.
+  */
+case class BandClaim(doc_id: Long, band: Int, ok: Boolean)
+
 /** Source-agnostic Structured Streaming pipelines — each takes
   * streaming DataFrame(s) and returns the transformed streaming
   * DataFrame, so the same operator runs over the [[Replay]] file source
@@ -340,6 +352,65 @@ object Pipelines {
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** Default dedup window for [[simhashBandClaims]]: how long a band
+    * bucket's owner is remembered (the ingest-dedup analog of the
+    * known-customers TTL).
+    */
+  val BandClaimTtlMs: Long = 7L * 24 * 3600 * 1000
+
+  /** D-family streaming — SimHash near-dup claims at ingest (the
+    * streaming twin of batch d03): state per (band, bkey) bucket is
+    * its OWNER — the smallest doc id that has presented it within the
+    * dedup window — plus the owner's fingerprint. A band row is `ok`
+    * iff the document IS the owner, or its fingerprint is farther than
+    * `maxHamming` from the owner's (a band collision alone is not a
+    * near-dup: 8-bit buckets birthday-collide once documents outnumber
+    * 256·6, so the verify against the owner's fp is what keeps the
+    * false-drop rate flat at scale). A document is a KEEPER iff all 6
+    * of its band claims are ok; the caller rolls the 6 rows up (st12).
+    * Greedy by design — docs are compared to the bucket owner, not
+    * pairwise (that exact sweep is batch d03); earlier docs win, later
+    * near-dups are dropped, the ingest rule an LLM pipeline runs.
+    *
+    * Scale shape: state is two longs per distinct live bucket, keyed
+    * by the shuffle key (band, bkey), partition-local, and evicted by
+    * event-time timeout once the watermark passes the bucket's newest
+    * presentation + `ttlMs` — bounded by the dedup window, not stream
+    * length. Requires a watermark on `event_time`.
+    */
+  def simhashBandClaims(bands: Dataset[BandRow],
+                        maxHamming: Int = 5,
+                        ttlMs: Long = BandClaimTtlMs): Dataset[BandClaim] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState[(Long, Long), BandClaim](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.doc_id)
+            // bucket owner = min doc id across prior window + this batch
+            val owner = state.getOption match {
+              case Some(o) if o._1 < sorted.head.doc_id => o
+              case _ => (sorted.head.doc_id, sorted.head.fp)
+            }
+            val out = sorted.map { r =>
+              BandClaim(r.doc_id, r.band,
+                r.doc_id == owner._1 ||
+                  java.lang.Long.bitCount(r.fp ^ owner._2) > maxHamming)
+            }
+            state.update(owner)
+            val newest = sorted.map(_.event_time.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(newest + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 
   /** P2 streaming — CDC routing (ref ods/KafkaToODS_M.scala:45-74:
     * filter the allow-listed tables, route each row to its `ods_*`

@@ -148,6 +148,11 @@ object Replay {
       lit("2100-01-01").cast("timestamp_ntz").as("o_orderdate"),
       lit("X").as("o_orderpriority"))
 
+  def documentsSentinel(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      lit(-1L).as("doc_id"), lit("x").as("text"), lit("x").as("lang"),
+      lit("x").as("source"), lit(1L).as("n_chars"))
+
   def lineitemSentinel(spark: SparkSession): DataFrame =
     spark.range(1).select(
       lit(-1L).as("l_orderkey"), lit(-1L).as("l_partkey"), lit(-1L).as("l_suppkey"),

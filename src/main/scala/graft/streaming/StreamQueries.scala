@@ -229,6 +229,53 @@ object StreamQueries {
     Replay.runAppend(spark, deduped).where(col("event_id") >= 0)
   }
 
+  /** Synthetic per-document event time for the st12 replay: documents
+    * carry no timestamp, so ingest order is doc_id seconds after a
+    * fixed base — originals first, the +1e6-id near-copies later, the
+    * arrival shape an ingest dedup actually sees. Sentinel (doc_id<0)
+    * maps far-future to drive the watermark.
+    */
+  private def docEventTime = when(col("doc_id") < 0,
+      lit("2100-01-01 00:00:00").cast("timestamp"))
+    .otherwise(timestamp_micros(lit(1700000000000000L) + col("doc_id") * 1000000L))
+
+  /** D-family streaming — near-dup dedup AT INGEST (streaming twin of
+    * d03): the document stream (originals ∪ head-truncated near-copies,
+    * the d02-d04 corpus) is fingerprinted (codegen'd simhash48), band-
+    * exploded (the shared d03 banding) and run through
+    * [[Pipelines.simhashBandClaims]] — keyed (band, bkey) state holds
+    * each bucket's owner (+ fingerprint) with a TTL dedup window. A
+    * document survives iff no band puts it within hamming ≤ 5 of a
+    * smaller-id bucket owner; the DuckDB oracle is the same greedy
+    * rule in batch form (owner = MIN doc_id per bucket, keep docs that
+    * own or hamming-clear every band). The 6-row-per-doc rollup
+    * happens on the materialized claims (a batch groupBy after the
+    * replay).
+    */
+  val st12_stream_neardup: Q = (spark, dir) => {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val d1 = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .select(col("doc_id"), col("text"))
+    val d2 = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text"))
+    val corpus = d1.unionAll(d2)
+      .withColumn("event_time", docEventTime)
+      .withWatermark("event_time", "1 hour")
+    val bands = graft.operators.Dedup.simhashBands(
+        graft.operators.Dedup.simhashFp(corpus.where(col("doc_id") >= 0)))
+      .select(col("doc_id"), col("band"), col("bkey"), col("fp"), col("event_time"))
+      .as[BandRow]
+    val claims = Replay.runAppend(spark,
+      Pipelines.simhashBandClaims(bands, graft.operators.Dedup.MaxHamming).toDF())
+    claims.groupBy(col("doc_id"))
+      .agg(min(when(col("ok"), lit(1)).otherwise(lit(0))).as("allok"))
+      .where(col("allok") === 1)
+      .select(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st02_stream_wide_join" -> st02_stream_wide_join,
@@ -241,6 +288,7 @@ object StreamQueries {
     "st09_stream_allocation" -> st09_stream_allocation,
     "st10_full_outer_join" -> st10_full_outer_join,
     "st11_stream_dedup" -> st11_stream_dedup,
+    "st12_stream_neardup" -> st12_stream_neardup,
   )
 
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
@@ -320,6 +368,16 @@ object StreamQueries {
             AND l_shipdate BETWEEN o_orderdate - $range AND o_orderdate + $range""",
     "st11_stream_dedup" ->
       """SELECT event_id, user_id, event_type FROM events""",
+    "st12_stream_neardup" ->
+      s"""WITH ${graft.operators.Dedup.duckNearCorpusSql},
+          ${graft.operators.Dedup.duckSimhashBandsSql},
+          o AS (SELECT doc_id, fp,
+                       MIN(doc_id) OVER (PARTITION BY band, bkey) AS owner,
+                       FIRST_VALUE(fp) OVER (PARTITION BY band, bkey ORDER BY doc_id) AS owner_fp
+                FROM bands)
+          SELECT doc_id FROM o GROUP BY doc_id
+          HAVING bool_and(owner = doc_id
+                          OR bit_count(xor(fp, owner_fp)) > ${graft.operators.Dedup.MaxHamming})""",
     "st09_stream_allocation" ->
       """WITH j AS (
            SELECT l_orderkey AS order_id, l_linenumber AS line_id,

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.streaming.{AllocLine, OrderEvent, Pipelines}
+import graft.streaming.{AllocLine, BandRow, OrderEvent, Pipelines}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String)
 case class OrderIn(o_orderkey: Long, o_custkey: Long, o_totalprice: Double, o_orderdate: Timestamp)
@@ -112,6 +112,41 @@ class StreamingSpec extends SparkSpecBase {
         returning, Some(Seq(7L).toDF("o_custkey")))
       assert(cold.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
         === Map(4L -> "0"))
+    } finally q.stop()
+  }
+
+  test("simhashBandClaims: owner wins, near fp drops, far fp survives, TTL evicts the bucket") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[BandRow]
+    val q = Pipelines.simhashBandClaims(
+        ms.toDS().withWatermark("event_time", "1 hour"),
+        maxHamming = 5, ttlMs = 60 * 1000L).toDF() // 1-minute dedup window
+      .writeStream.format("memory").queryName("bands_ms")
+      .option("checkpointLocation", tmpDir("cp_bands_"))
+      .outputMode("append").start()
+    try {
+      val fpA = 0xABCDL
+      val near = fpA ^ 0x3L    // hamming 2 from the owner
+      val far = fpA ^ 0xFF00L  // hamming 8 — band collision, NOT a near-dup
+      ms.addData(BandRow(5, 0, 7, fpA, t("2024-01-01 00:00:00"))); drain(q)
+      ms.addData(
+        BandRow(9, 0, 7, near, t("2024-01-01 00:00:10")),
+        BandRow(10, 0, 7, far, t("2024-01-01 00:00:10")))
+      drain(q)
+      // advance the watermark days past the bucket's TTL -> evicted
+      ms.addData(BandRow(99, 1, 0, 0L, t("2024-01-03 00:00:00"))); drain(q)
+      ms.addData(BandRow(100, 1, 0, 0L, t("2024-01-04 00:00:00"))); drain(q)
+      // the SAME near fingerprint now claims ok: the window has passed
+      ms.addData(BandRow(11, 0, 7, near, t("2024-01-04 00:00:00"))); drain(q)
+      val got = spark.table("bands_ms")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(got === Map(
+        5L -> true,   // bucket owner
+        9L -> false,  // near-dup of the owner -> dropped
+        10L -> true,  // mere band collision (hamming 8) -> kept
+        99L -> true, 100L -> false, // second bucket: exact dup caught
+        11L -> true)) // owner evicted by TTL -> fresh claim
     } finally q.stop()
   }
 
