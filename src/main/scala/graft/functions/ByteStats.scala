@@ -22,11 +22,16 @@ import org.apache.spark.sql.types._
   * Every feature is one exact-integer accumulation followed by exactly
   * one IEEE double division, so any engine computing the same integer
   * sums produces bit-identical doubles — the property the DuckDB
-  * differential oracle relies on. Callers guard `n >= 4`; smaller
-  * inputs yield NaN in the empty-stride features (0.0 / 0.0).
+  * differential oracle relies on. The EXPRESSION returns null for
+  * inputs shorter than [[ByteStatsUtil.MinBytes]] (an empty stride
+  * would otherwise divide 0.0/0.0 to NaN), so SQL-registry callers
+  * need no guard of their own; this util assumes `n >= MinBytes`.
   */
 object ByteStatsUtil {
   final val NumFeatures = 8
+
+  /** Shortest input with all four strides non-empty. */
+  final val MinBytes = 4
 
   def byteStats(buf: Array[Byte]): ArrayData = {
     val n = buf.length
@@ -68,12 +73,15 @@ object ByteStatsUtil {
   * pixel/sample feature kernel for the multimodal operators (the region
   * the caller passes is the payload's pixel data, so the features are
   * computed from the actual media bytes, not a digest). Null input
-  * propagates (`nullIntolerant`).
+  * propagates (`nullIntolerant`); inputs shorter than
+  * [[ByteStatsUtil.MinBytes]] yield null (never NaN), so the defined
+  * contract holds for any caller, including SQL-registry ones.
   */
 case class ByteStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // short inputs yield null
   override def prettyName: String = "byte_stats"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -82,12 +90,19 @@ case class ByteStats(child: Expression) extends UnaryExpression {
       s"$prettyName requires binary, got ${t.simpleString}")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    ByteStatsUtil.byteStats(input.asInstanceOf[Array[Byte]])
+  override protected def nullSafeEval(input: Any): Any = {
+    val buf = input.asInstanceOf[Array[Byte]]
+    if (buf.length < ByteStatsUtil.MinBytes) null
+    else ByteStatsUtil.byteStats(buf)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.ByteStatsUtil.byteStats($a);")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if ($a.length < graft.functions.ByteStatsUtil.MinBytes()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.ByteStatsUtil.byteStats($a);
+      }""")
 
   override protected def withNewChildInternal(newChild: Expression): ByteStats =
     copy(child = newChild)

@@ -13,7 +13,11 @@ import org.apache.spark.sql.types._
   * d03 operator previously used — that chain is interpreted
   * (higher-order functions are CodegenFallback) and allocates a
   * 48-element accumulator array per element; this is one primitive
-  * loop, no allocation.
+  * loop, no allocation. The bit-identity claim holds for arrays
+  * WITHOUT null elements (what every caller passes — `hash60_arr`
+  * over `split` output, which has `containsNull = false`); on a null
+  * element the builtin chain null-propagates the whole fingerprint,
+  * whereas this fold counts it as a no-bits vote (still in `n`).
   */
 object SimhashUtil {
   final val Bits = 48

@@ -27,9 +27,19 @@ object TrigramUtil {
   }
 }
 
+object TrigramHits {
+  /** Separator joining profile trigrams into the foldable literal the
+    * expression receives — U+0001, a byte no document trigram contains
+    * (named once here; an invisible raw byte embedded in string
+    * literals across call sites is unreviewable).
+    */
+  val ProfileSep = "\u0001"
+}
+
 /** `trigram_hits(text, profile) -> int`: occurrences of any profile
-  * trigram in `text`, where `profile` is a foldable -joined
-  * string literal (the n-gram language-ID profile). Null-intolerant.
+  * trigram in `text`, where `profile` is a foldable string literal of
+  * trigrams joined by [[TrigramHits.ProfileSep]] (the n-gram
+  * language-ID profile). Null-intolerant.
   */
 case class TrigramHits(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,7 +60,7 @@ case class TrigramHits(left: Expression, right: Expression)
   @transient private lazy val profile: java.util.HashSet[UTF8String] = {
     val set = new java.util.HashSet[UTF8String]()
     right.eval(null).asInstanceOf[UTF8String].toString
-      .split('').foreach(t => set.add(UTF8String.fromString(t)))
+      .split(TrigramHits.ProfileSep.charAt(0)).foreach(t => set.add(UTF8String.fromString(t)))
     set
   }
 

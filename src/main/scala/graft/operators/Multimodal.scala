@@ -295,7 +295,10 @@ object Multimodal {
     "mm02_pixel_features" -> {
       // same byte math as ByteStatsUtil: unsigned byte values of the
       // pixel region (== the text's UTF-8 bytes by construction),
-      // exact integer sums, one IEEE double division per feature
+      // exact integer sums, one IEEE double division per feature; the
+      // n >= 4 guard mirrors byte_stats' null-for-short-inputs
+      // contract so both engines agree BY CONSTRUCTION on sub-stride
+      // texts, not just on the current corpus
       s"""WITH b AS (
             SELECT doc_id, text,
                    list_transform(range(0, octet_length(encode(text))),
@@ -311,14 +314,14 @@ object Multimodal {
                    (3 * len(bytes)) // 4 AS b3
             FROM b)
           SELECT doc_id, n_frames,
-                 CAST(list_aggregate(bytes[1:b1], 'sum') AS DOUBLE) / (b1 * 255.0) AS f0,
-                 CAST(list_aggregate(bytes[b1+1:b2], 'sum') AS DOUBLE) / ((b2 - b1) * 255.0) AS f1,
-                 CAST(list_aggregate(bytes[b2+1:b3], 'sum') AS DOUBLE) / ((b3 - b2) * 255.0) AS f2,
-                 CAST(list_aggregate(bytes[b3+1:n], 'sum') AS DOUBLE) / ((n - b3) * 255.0) AS f3,
-                 list_aggregate(bytes, 'min') / 255.0 AS f4,
-                 list_aggregate(bytes, 'max') / 255.0 AS f5,
-                 CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / (n * 255.0) AS f6,
-                 len(list_distinct(bytes)) / 256.0 AS f7
+                 CASE WHEN n >= 4 THEN CAST(list_aggregate(bytes[1:b1], 'sum') AS DOUBLE) / (b1 * 255.0) END AS f0,
+                 CASE WHEN n >= 4 THEN CAST(list_aggregate(bytes[b1+1:b2], 'sum') AS DOUBLE) / ((b2 - b1) * 255.0) END AS f1,
+                 CASE WHEN n >= 4 THEN CAST(list_aggregate(bytes[b2+1:b3], 'sum') AS DOUBLE) / ((b3 - b2) * 255.0) END AS f2,
+                 CASE WHEN n >= 4 THEN CAST(list_aggregate(bytes[b3+1:n], 'sum') AS DOUBLE) / ((n - b3) * 255.0) END AS f3,
+                 CASE WHEN n >= 4 THEN list_aggregate(bytes, 'min') / 255.0 END AS f4,
+                 CASE WHEN n >= 4 THEN list_aggregate(bytes, 'max') / 255.0 END AS f5,
+                 CASE WHEN n >= 4 THEN CAST(list_aggregate(bytes, 'sum') AS DOUBLE) / (n * 255.0) END AS f6,
+                 CASE WHEN n >= 4 THEN len(list_distinct(bytes)) / 256.0 END AS f7
           FROM s"""
     },
   )

@@ -298,7 +298,11 @@ object Similarity {
     * natural corpus has no near-dups (max natural cosine ≈ 0.51), so
     * the corpus adds perturbed copies of every 10th vector (first 8
     * dims zeroed → cosine ≈ 0.94 against the original) to make the
-    * check non-vacuous.
+    * check non-vacuous. Note the recall trade applies to planted pairs
+    * too: once a cell exceeds the cap, a copy lands in its original's
+    * sub-bucket only with probability ~1/nsub (the sub split hashes
+    * vec_id, so pair co-location is not preserved) — at sf0.01 every
+    * cell is under the cap and all planted pairs surface.
     */
   val d05_embedding_neardup: Q = (spark, dir) => {
     GraftExtensions.register(spark)

@@ -163,7 +163,7 @@ object TextAnalysis {
     graft.plans.GraftExtensions.register(spark)
     val txt = lower(col("text"))
     val nTg = length(txt) - 2
-    val hits = call_function("trigram_hits", txt, lit(EnTrigrams.mkString("")))
+    val hits = call_function("trigram_hits", txt, lit(EnTrigrams.mkString(graft.functions.TrigramHits.ProfileSep)))
     val score = hits.cast("double") / nTg.cast("double")
     documents(spark, dir)
       .where(length(col("text")) >= 3)

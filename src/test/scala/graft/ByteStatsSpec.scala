@@ -39,6 +39,17 @@ class ByteStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("byte_stats returns null (not NaN) below the 4-byte stride minimum") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val got = Seq(Tuple1(Array[Byte](1, 2, 3)), Tuple1(Array[Byte]()),
+        Tuple1(Array[Byte](1, 2, 3, 4)))
+      .toDF("b").select(call_function("byte_stats", col("b")).as("fs"))
+      .collect().map(r => Option(r.getSeq[Double](0)))
+    assert(got(0).isEmpty && got(1).isEmpty, "short inputs must yield null")
+    assert(got(2).nonEmpty, "4 bytes is the shortest defined input")
+  }
+
   test("byte_stats hand-computed: 8 bytes, exact stride means") {
     GraftExtensions.register(spark)
     import spark.implicits._

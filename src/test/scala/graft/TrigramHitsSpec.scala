@@ -21,7 +21,7 @@ class TrigramHitsSpec extends SparkSpecBase {
     val diff = spark.read.parquet(s"$sf/documents.parquet")
       .where(length(col("text")) >= 3)
       .select(
-        call_function("trigram_hits", txt, lit(Profile.mkString(""))).as("x"),
+        call_function("trigram_hits", txt, lit(Profile.mkString(graft.functions.TrigramHits.ProfileSep))).as("x"),
         fold.as("f"))
       .where(col("x") =!= col("f"))
       .count()
@@ -32,7 +32,7 @@ class TrigramHitsSpec extends SparkSpecBase {
     GraftExtensions.register(spark)
     import spark.implicits._
     val got = Seq("the thing", "xx", "aaa").toDF("t")
-      .select(call_function("trigram_hits", col("t"), lit(Profile.mkString(""))))
+      .select(call_function("trigram_hits", col("t"), lit(Profile.mkString(graft.functions.TrigramHits.ProfileSep))))
       .collect().map(_.getInt(0)).toSeq
     // "the thing": the, he , e t,  th, thi, hin, ing -> the, "he ", " th", ing = 4
     assert(got === Seq(4, 0, 0))
