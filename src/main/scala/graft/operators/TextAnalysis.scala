@@ -262,10 +262,15 @@ object TextAnalysis {
     */
   val t10_bpe_merge: Q = (spark, dir) => {
     val tok = col("token")
+    // the vocabulary feeds TWO consumers (pair counting and the final
+    // merged emission); persist so the corpus-wide token aggregation —
+    // the dominant cost at scale — runs once (caller clears the cache,
+    // the d02/d04 lazy-plan contract)
     val words = documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .where(length(tok) > 0)
       .groupBy(tok).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // adjacent char pairs "a b" (space-separated, as BPE symbol pairs);
     // guarded: sequence(1, 0) would generate a DESCENDING range
     val pairs = when(length(tok) >= 2,
