@@ -428,6 +428,104 @@ object Dedup {
         WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5"""
 
   // ------------------------------------------------------------------
+  // d07 — near-dup clusters (connected components over the pair graph)
+  // ------------------------------------------------------------------
+
+  /** Label-propagation rounds for [[d07_dedup_clusters]]. After k
+    * rounds every document carries the min doc id within graph
+    * distance k, so k ≥ the component diameter yields exact connected
+    * components; `DedupSpec` proves round k+1 changes nothing on the
+    * fixture corpus. Both engines run EXACTLY this many rounds, so
+    * oracle parity holds by construction whatever the diameter.
+    */
+  val ClusterIters = 8
+
+  /** Near-dup CLUSTERS: the transitive closure of d03's pair relation
+    * — pairs say "these two are dups", but a dedup pipeline keeps one
+    * survivor per connected component (A~B, B~C must collapse to one
+    * keeper even though A~C was never emitted). Components are
+    * computed by iterative min-label propagation: every document
+    * starts as its own label, and each round takes the min of its own
+    * and its neighbors' labels — the standard big-data connected-
+    * components loop (no driver-side graph, no recursion in state;
+    * just K rounds of equi-join + min-aggregate, each a shuffle keyed
+    * on the doc id). Emits (doc_id, cluster_id, is_keeper): keeper =
+    * the component's min doc id.
+    *
+    * Scale shape: the edge list (d03's banded candidate join, both
+    * directions) is persisted once and re-read by every round; each
+    * round shuffles |V|+|E| rows on the doc key with map-side partial
+    * mins. K is a fixed constant — production iterates to fixpoint
+    * with a convergence count per round (one action per round, a
+    * driver loop); the fixed-K form keeps the lazy `(spark, dir) =>
+    * DataFrame` contract and the differential oracle exact (the
+    * DuckDB twin unrolls the same K rounds).
+    */
+  val d07_dedup_clusters: Q = (spark, dir) =>
+    clusterLabels(spark, dir, ClusterIters)
+      .select(col("doc_id"), col("lbl").as("cluster_id"),
+        (col("doc_id") === col("lbl")).as("is_keeper"))
+
+  /** [[d07_dedup_clusters]]'s label table after `iters` propagation
+    * rounds — split out so `DedupSpec` can prove convergence (round
+    * K+1 must change nothing).
+    */
+  private[graft] def clusterLabels(spark: SparkSession, dir: String,
+                                   iters: Int): DataFrame = {
+    val prs = d03_simhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = prs
+      .unionAll(prs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lbl = nearDupCorpus(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val nbrMin = edges
+        .join(lbl.select(col("doc_id").as("nb"), col("lbl").as("nlbl")),
+          col("doc_b") === col("nb"))
+        .groupBy(col("doc_a")).agg(min(col("nlbl")).as("nlbl"))
+      // each round consumes the previous one TWICE (join side + its
+      // neighbor scan): without truncation the LOGICAL plan doubles
+      // per round, and Catalyst's tree walks (canonicalization, rule
+      // application) cost 2^K base-tree traversals even when execution
+      // hits a cache. The lazy local checkpoint cuts the lineage to a
+      // LogicalRDD per round — analysis stays linear in K, each round
+      // computes once, execution stays deferred (the query contract).
+      // On a cluster the equivalent fixpoint loop materializes each
+      // round to a reliable store and unpersists its predecessor.
+      lbl = lbl
+        .join(nbrMin.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(false)
+    }
+    lbl
+  }
+
+  private def duckClusterSql: String = {
+    val rounds = (1 to ClusterIters).map { i =>
+      s"""l$i AS (
+            SELECT v.doc_id, LEAST(v.lbl, COALESCE(m.nlbl, v.lbl)) AS lbl
+            FROM l${i - 1} v LEFT JOIN (
+              SELECT e.doc_a AS doc_id, MIN(p.lbl) AS nlbl
+              FROM edges e JOIN l${i - 1} p ON p.doc_id = e.doc_b
+              GROUP BY e.doc_a) m USING (doc_id))"""
+    }.mkString(",\n")
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql,
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        prs AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= $MaxHamming),
+        edges AS (SELECT doc_a, doc_b FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs),
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+        $rounds
+        SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_keeper
+        FROM l$ClusterIters"""
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -437,6 +535,7 @@ object Dedup {
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d06_dedup_materialize" -> d06_dedup_materialize,
+    "d07_dedup_clusters" -> d07_dedup_clusters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -452,5 +551,6 @@ object Dedup {
     "d02_minhash_lsh" -> duckMinhashSql,
     "d03_simhash" -> duckSimhashSql,
     "d04_ngram_jaccard" -> duckNgramSql,
+    "d07_dedup_clusters" -> duckClusterSql,
   )
 }

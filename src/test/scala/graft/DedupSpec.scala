@@ -81,6 +81,24 @@ class DedupSpec extends SparkSpecBase {
     assert(uncapped.contains((1L, 2L)), "fixture must pair without the cap")
   }
 
+  test("d07: propagation converged at K rounds; every d03 pair co-clusters; keeper is the min id") {
+    val k = Dedup.ClusterIters
+    val atK = Dedup.clusterLabels(spark, sf, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val atK1 = Dedup.clusterLabels(spark, sf, k + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atK === atK1, "one more round must change nothing (converged)")
+    val pairs = Dedup.d03_simhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(atK(a) === atK(b), s"pair ($a,$b) split across clusters")
+    }
+    atK.groupBy(_._2).foreach { case (lblId, members) =>
+      assert(lblId === members.keys.min, s"cluster $lblId keeper not the min id")
+    }
+  }
+
   test("t07: scrubber masks planted email, url and number") {
     val dir = tmpDir("t07_fixture_")
     // doc_id 7 gets the planted PII suffix (7 % 7 == 0)
