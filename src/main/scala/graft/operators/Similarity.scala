@@ -252,6 +252,80 @@ object Similarity {
     perP.reduce(_ unionAll _)
   }
 
+  /** PQ shape: 8 subquantizers × 8 dims over the 64-dim embeddings. */
+  private val PqSubs = 8
+  private val SubDim = 8
+
+  /** Squared-L2 between two float-array slices in integer micro-units
+    * (exact long arithmetic downstream — a double SUM over a group is
+    * order-dependent and engines disagree in the last ulp; long sums
+    * are associative).
+    */
+  private def l2micro(a: Column, b: Column): Column =
+    round(call_function("l2_sq", a, b) * 1000000).cast("long")
+
+  private def sub(v: Column, m: Int): Column = slice(v, m * SubDim + 1, SubDim)
+
+  /** n07 — product quantization + ADC top-k: each vector is encoded as
+    * [[PqSubs]] codebook ids (argmin squared-L2 per subvector against
+    * the sampled sub-codebooks), compressing 64 floats (256 B) to 8
+    * small codes — the memory/scan-bandwidth path a 100 TB vector
+    * corpus actually takes. Search is asymmetric distance computation:
+    * the query precomputes a (subquantizer, code) → distance lookup
+    * table (|Q|·M·k rows, bounded, broadcast), and scanning the corpus
+    * is M table lookups + an exact integer sum per vector — no float
+    * loop over the original vectors at query time. Ranking flows
+    * through the bounded TopK Aggregator on negated distance.
+    *
+    * Scale shape: encoding is one broadcast n·k join with ALL M
+    * subquantizer argmins collapsing in a single map-side partial
+    * aggregation (one shuffle of one row per vector); the ADC scan is
+    * an equi-join of the code table against the broadcast LUT followed
+    * by one aggregation keyed (query, vector). The codes table is what
+    * an index build persists; distances are micro-unit longs end to
+    * end so both engines rank identically.
+    */
+  val n07_pq_topk: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cents = centroidSeeds(e)
+    // encode: all M argmins in ONE pass over the n·k broadcast join
+    val aggs = (0 until PqSubs).map { m =>
+      min(struct(l2micro(sub(col("v"), m), sub(col("cv"), m)).as("d"),
+        col("cid").as("c"))).as(s"m$m")
+    }
+    val enc = e.join(broadcast(cents), lit(true), "inner")
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), explode(array((0 until PqSubs).map { m =>
+        struct(lit(m).as("m"), col(s"m$m").getField("c").as("code"))
+      }: _*)).as("mc"))
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // ADC lookup table: distance from each query subvector to every
+    // sub-centroid (bounded: |queries| × M × k rows)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val lut = q.join(broadcast(cents), lit(true), "inner")
+      .select(col("query_id"), explode(array((0 until PqSubs).map { m =>
+        struct(lit(m).as("m"), col("cid").as("code"),
+          l2micro(sub(col("qv"), m), sub(col("cv"), m)).as("d"))
+      }: _*)).as("x"))
+      .select(col("query_id"), col("x.m").as("m"), col("x.code").as("code"),
+        col("x.d").as("d"))
+    val adc = enc.join(broadcast(lut), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("amicro"))
+    adc.select(col("query_id"), col("vec_id"),
+        (-col("amicro").cast("double")).as("s"))
+      .groupBy("query_id")
+      .agg(TopK.topK(K)(col("s"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score") / 1000000.0).as("adist6"))
+  }
+
   private val NearDupThreshold = 0.8
 
   /** Max members a cell may hold before its candidate self-join is
@@ -321,6 +395,7 @@ object Similarity {
     "n04_kmeans_step" -> n04_kmeans_step,
     "n05_ivf_probe" -> n05_ivf_probe,
     "n06_ivf_recall" -> n06_ivf_recall,
+    "n07_pq_topk" -> n07_pq_topk,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -444,6 +519,39 @@ object Similarity {
                  COALESCE(m.matched, 0) / 10.0 AS recall10
           FROM pr CROSS JOIN q
           LEFT JOIN m ON m.probes = pr.probes AND m.query_id = q.query_id""",
+    "n07_pq_topk" -> {
+      def l2m(a: String, b: String) =
+        s"CAST(round(list_sum(list_transform(list_zip($a, $b), t -> (t[1]-t[2])*(t[1]-t[2]))) * 1000000) AS BIGINT)"
+      def sl(v: String) = s"$v[m.m*$SubDim+1 : m.m*$SubDim+$SubDim]"
+      s"""WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+          c AS (SELECT vec_id AS cid, v AS cv FROM e
+                WHERE vec_id % $CentroidStride = 0),
+          m AS (SELECT unnest(range(0, $PqSubs)) AS m),
+          enc AS (
+            SELECT vec_id, m, cid AS code FROM (
+              SELECT e.vec_id, m.m, c.cid,
+                     row_number() OVER (PARTITION BY e.vec_id, m.m
+                       ORDER BY ${l2m(sl("e.v"), sl("c.cv"))}, c.cid) AS rn
+              FROM e, m, c)
+            WHERE rn = 1),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id < $NumQueries),
+          lut AS (SELECT query_id, m.m AS m, c.cid AS code,
+                         ${l2m(sl("q.qv"), sl("c.cv"))} AS dmicro
+                  FROM q, m, c),
+          adc AS (SELECT query_id, vec_id,
+                         CAST(SUM(dmicro) AS BIGINT) AS amicro
+                  FROM enc JOIN lut USING (m, code)
+                  WHERE vec_id <> query_id
+                  GROUP BY 1, 2)
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY amicro, vec_id) AS BIGINT) AS rnk,
+                 vec_id AS neighbor_id,
+                 CAST(amicro AS DOUBLE) / 1000000.0 AS adist6
+          FROM adc QUALIFY rnk <= $K"""
+    },
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

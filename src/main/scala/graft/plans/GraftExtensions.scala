@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ByteStats, CosineSimilarity, Hash60Array, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{ByteStats, CosineSimilarity, Hash60Array, L2Sq, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wordShingles3)
     ext.injectFunction(GraftExtensions.winnowMin)
     ext.injectFunction(GraftExtensions.byteStats)
+    ext.injectFunction(GraftExtensions.l2Sq)
   }
 }
 
@@ -95,12 +96,20 @@ object GraftExtensions {
       ByteStats(args.head)
     })
 
+  val l2Sq: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("l2_sq"),
+    new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"l2_sq expects 2 arguments, got ${args.length}")
+      L2Sq(args.head, args(1))
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
-        wordShingles3, winnowMin, byteStats).foreach {
+        wordShingles3, winnowMin, byteStats, l2Sq).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
