@@ -256,6 +256,19 @@ object Similarity {
   private val PqSubs = 8
   private val SubDim = 8
 
+  /** PQ codebooks sample denser than the IVF coarse quantizer (every
+    * 20th vector → 25 sub-centroids per codebook at sf0.01): each
+    * subquantizer only spans 8 dims, so code variety — not cell
+    * breadth — is what recall hinges on (production trains 256 per
+    * codebook with k-means; the sampled stand-in keeps the operator
+    * deterministic and oracle-checkable).
+    */
+  private val PqCentroidStride = 20
+
+  private def pqCentroidSeeds(e: DataFrame): DataFrame =
+    e.where(col("vec_id") % PqCentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
   /** Squared-L2 between two float-array slices in integer micro-units
     * (exact long arithmetic downstream — a double SUM over a group is
     * order-dependent and engines disagree in the last ulp; long sums
@@ -265,6 +278,36 @@ object Similarity {
     round(call_function("l2_sq", a, b) * 1000000).cast("long")
 
   private def sub(v: Column, m: Int): Column = slice(v, m * SubDim + 1, SubDim)
+
+  /** n08 — PQ recall@10: n07's compressed-domain answer measured
+    * against the exact baseline, per query — the accuracy number a
+    * user weighs against PQ's 32× memory compression (the same
+    * methodology as n06's nprobe recall; together they quantify both
+    * ANN trade axes: probe breadth and code coarseness). The synthetic
+    * near-uniform embeddings are PQ's adversarial case (no cluster
+    * structure to quantize onto, so reconstruction error dominates);
+    * the measured ~0.2 here is the honest floor, not the operator's
+    * ceiling on real embedding spaces.
+    */
+  val n08_pq_recall: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val qvec = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = explodeTopK(
+      e.join(broadcast(qvec), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = n07_pq_topk(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val matched = pq.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("matched"))
+    qvec.select(col("query_id"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+  }
 
   /** n07 — product quantization + ADC top-k: each vector is encoded as
     * [[PqSubs]] codebook ids (argmin squared-L2 per subvector against
@@ -288,7 +331,7 @@ object Similarity {
   val n07_pq_topk: Q = (spark, dir) => {
     GraftExtensions.register(spark)
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-    val cents = centroidSeeds(e)
+    val cents = pqCentroidSeeds(e)
     // encode: all M argmins in ONE pass over the n·k broadcast join
     val aggs = (0 until PqSubs).map { m =>
       min(struct(l2micro(sub(col("v"), m), sub(col("cv"), m)).as("d"),
@@ -396,6 +439,7 @@ object Similarity {
     "n05_ivf_probe" -> n05_ivf_probe,
     "n06_ivf_recall" -> n06_ivf_recall,
     "n07_pq_topk" -> n07_pq_topk,
+    "n08_pq_recall" -> n08_pq_recall,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -409,6 +453,37 @@ object Similarity {
 
   private val duckCos =
     "round(list_sum(list_transform(list_zip(qv, v), t -> t[1] * t[2])) / (qn * nrm) * 1000000) / 1000000"
+
+  /** CTE chain `c, m, enc, pqq, lut, adc` implementing n07's PQ encode
+    * + ADC scan over `$duckVecs`'s `e` — shared by the n07 and n08
+    * oracles. Distances are micro-unit BIGINTs, mirroring the Spark
+    * side exactly (see [[n07_pq_topk]]).
+    */
+  private val duckPqCtes: String = {
+    def l2m(a: String, b: String) =
+      s"CAST(round(list_sum(list_transform(list_zip($a, $b), t -> (t[1]-t[2])*(t[1]-t[2]))) * 1000000) AS BIGINT)"
+    def sl(v: String) = s"$v[m.m*$SubDim+1 : m.m*$SubDim+$SubDim]"
+    s"""c AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % $PqCentroidStride = 0),
+        m AS (SELECT unnest(range(0, $PqSubs)) AS m),
+        enc AS (
+          SELECT vec_id, m, cid AS code FROM (
+            SELECT e.vec_id, m.m, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id, m.m
+                     ORDER BY ${l2m(sl("e.v"), sl("c.cv"))}, c.cid) AS rn
+            FROM e, m, c)
+          WHERE rn = 1),
+        pqq AS (SELECT vec_id AS query_id, v AS qv FROM e
+                WHERE vec_id < $NumQueries),
+        lut AS (SELECT query_id, m.m AS m, c.cid AS code,
+                       ${l2m(sl("pqq.qv"), sl("c.cv"))} AS dmicro
+                FROM pqq, m, c),
+        adc AS (SELECT query_id, vec_id,
+                       CAST(SUM(dmicro) AS BIGINT) AS amicro
+                FROM enc JOIN lut USING (m, code)
+                WHERE vec_id <> query_id
+                GROUP BY 1, 2)"""
+  }
 
   val oracles: Map[String, String] = Map(
     "n01_cosine_topk" ->
@@ -519,39 +594,27 @@ object Similarity {
                  COALESCE(m.matched, 0) / 10.0 AS recall10
           FROM pr CROSS JOIN q
           LEFT JOIN m ON m.probes = pr.probes AND m.query_id = q.query_id""",
-    "n07_pq_topk" -> {
-      def l2m(a: String, b: String) =
-        s"CAST(round(list_sum(list_transform(list_zip($a, $b), t -> (t[1]-t[2])*(t[1]-t[2]))) * 1000000) AS BIGINT)"
-      def sl(v: String) = s"$v[m.m*$SubDim+1 : m.m*$SubDim+$SubDim]"
-      s"""WITH e AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-          c AS (SELECT vec_id AS cid, v AS cv FROM e
-                WHERE vec_id % $CentroidStride = 0),
-          m AS (SELECT unnest(range(0, $PqSubs)) AS m),
-          enc AS (
-            SELECT vec_id, m, cid AS code FROM (
-              SELECT e.vec_id, m.m, c.cid,
-                     row_number() OVER (PARTITION BY e.vec_id, m.m
-                       ORDER BY ${l2m(sl("e.v"), sl("c.cv"))}, c.cid) AS rn
-              FROM e, m, c)
-            WHERE rn = 1),
-          q AS (SELECT vec_id AS query_id, v AS qv FROM e
-                WHERE vec_id < $NumQueries),
-          lut AS (SELECT query_id, m.m AS m, c.cid AS code,
-                         ${l2m(sl("q.qv"), sl("c.cv"))} AS dmicro
-                  FROM q, m, c),
-          adc AS (SELECT query_id, vec_id,
-                         CAST(SUM(dmicro) AS BIGINT) AS amicro
-                  FROM enc JOIN lut USING (m, code)
-                  WHERE vec_id <> query_id
-                  GROUP BY 1, 2)
+    "n07_pq_topk" ->
+      s"""WITH $duckVecs, $duckPqCtes
           SELECT query_id,
                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY amicro, vec_id) AS BIGINT) AS rnk,
                  vec_id AS neighbor_id,
                  CAST(amicro AS DOUBLE) / 1000000.0 AS adist6
-          FROM adc QUALIFY rnk <= $K"""
-    },
+          FROM adc QUALIFY rnk <= $K""",
+    "n08_pq_recall" ->
+      s"""WITH $duckVecs, $duckPqCtes,
+          qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                 WHERE vec_id < $NumQueries),
+          exact AS (SELECT query_id, vec_id
+                    FROM (SELECT query_id, n.vec_id, $duckCos AS cos6
+                          FROM qx JOIN n ON n.vec_id <> query_id)
+                    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) <= $K),
+          pqt AS (SELECT query_id, vec_id FROM adc
+                  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY amicro, vec_id) <= $K),
+          mx AS (SELECT query_id, COUNT(*) AS matched
+                 FROM pqt JOIN exact USING (query_id, vec_id) GROUP BY 1)
+          SELECT qx.query_id, COALESCE(mx.matched, 0) / 10.0 AS recall10
+          FROM qx LEFT JOIN mx USING (query_id)""",
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
