@@ -452,6 +452,27 @@ object Relational {
       .limit(10)
   }
 
+  /** §2.7 — GROUPED top-k: the top 3 brands per part type. The
+    * complement of a05's global top-k: with one (or few) result
+    * groups, `TakeOrderedAndProject`/the bounded TopK Aggregator is
+    * the scalable shape; with MANY groups the per-group window rank is
+    * — the sort is partition-local after one shuffle on the group key,
+    * and no group's data ever concentrates beyond its natural share.
+    * Deterministic tiebreak on the brand.
+    */
+  val a08_top_brands_per_type: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val rev = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_type"), col("p_brand"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_type"))
+      .orderBy(col("revenue").desc, col("p_brand"))
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+  }
+
   /** A6 — salt-and-merge two-phase aggregation: the standard
     * skewed-key mitigation at scale (a hot brand would overload one
     * reducer; salting spreads it over 8 partial groups, the second
@@ -592,6 +613,7 @@ object Relational {
     "a03_dau" -> a03_dau,
     "a04_running_sum" -> a04_running_sum,
     "a05_top_brands" -> a05_top_brands,
+    "a08_top_brands_per_type" -> a08_top_brands_per_type,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
     "w03_payment_allocation" -> w03_payment_allocation,
@@ -751,6 +773,15 @@ object Relational {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand
          ORDER BY revenue DESC, p_brand LIMIT 10""",
+    "a08_top_brands_per_type" ->
+      """WITH r AS (
+           SELECT p_type, p_brand,
+                  SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2)
+         SELECT p_type, p_brand, revenue,
+                CAST(row_number() OVER (PARTITION BY p_type ORDER BY revenue DESC, p_brand) AS BIGINT) AS rnk
+         FROM r QUALIFY rnk <= 3""",
     "w03_payment_allocation" ->
       """WITH j AS (
            SELECT l_orderkey AS order_id, l_linenumber AS line_id,
