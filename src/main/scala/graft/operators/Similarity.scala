@@ -328,37 +328,38 @@ object Similarity {
     * an index build persists; distances are micro-unit longs end to
     * end so both engines rank identically.
     */
-  val n07_pq_topk: Q = (spark, dir) => {
-    GraftExtensions.register(spark)
-    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-    val cents = pqCentroidSeeds(e)
-    // encode: all M argmins in ONE pass over the n·k broadcast join
+  /** PQ encoder: (vec_id, m, code) rows — all M subquantizer argmins
+    * collapse in ONE map-side aggregation over a single broadcast n·k
+    * join (this table is what a PQ index build persists).
+    */
+  private def pqEncode(e: DataFrame, books: DataFrame): DataFrame = {
     val aggs = (0 until PqSubs).map { m =>
       min(struct(l2micro(sub(col("v"), m), sub(col("cv"), m)).as("d"),
         col("cid").as("c"))).as(s"m$m")
     }
-    val enc = e.join(broadcast(cents), lit(true), "inner")
+    e.join(broadcast(books), lit(true), "inner")
       .groupBy(col("vec_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id"), explode(array((0 until PqSubs).map { m =>
         struct(lit(m).as("m"), col(s"m$m").getField("c").as("code"))
       }: _*)).as("mc"))
       .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
-    // ADC lookup table: distance from each query subvector to every
-    // sub-centroid (bounded: |queries| × M × k rows)
-    val q = e.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val lut = q.join(broadcast(cents), lit(true), "inner")
+  }
+
+  /** ADC lookup table: distance from each query subvector to every
+    * sub-centroid — (query_id, m, code, d) rows, bounded |Q|·M·k.
+    */
+  private def pqLut(q: DataFrame, books: DataFrame): DataFrame =
+    q.join(broadcast(books), lit(true), "inner")
       .select(col("query_id"), explode(array((0 until PqSubs).map { m =>
         struct(lit(m).as("m"), col("cid").as("code"),
           l2micro(sub(col("qv"), m), sub(col("cv"), m)).as("d"))
       }: _*)).as("x"))
       .select(col("query_id"), col("x.m").as("m"), col("x.code").as("code"),
         col("x.d").as("d"))
-    val adc = enc.join(broadcast(lut), Seq("m", "code"))
-      .where(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("d")).as("amicro"))
+
+  /** Rank ADC candidate distances into the per-query top-k list. */
+  private def adcTopK(adc: DataFrame): DataFrame =
     adc.select(col("query_id"), col("vec_id"),
         (-col("amicro").cast("double")).as("s"))
       .groupBy("query_id")
@@ -367,6 +368,51 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("neighbor_id"),
         (-col("col.score") / 1000000.0).as("adist6"))
+
+  val n07_pq_topk: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cents = pqCentroidSeeds(e)
+    val enc = pqEncode(e, cents)
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val lut = pqLut(q, cents)
+    val adc = enc.join(broadcast(lut), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("amicro"))
+    adcTopK(adc)
+  }
+
+  /** n09 — IVFADC, the production vector-index shape (coarse cell
+    * probe for candidate generation + compressed-domain ADC ranking):
+    * the corpus carries BOTH its IVF cell assignment and its PQ codes;
+    * a query probes its own cell and ranks only that cell's members,
+    * by table lookups over the codes — so query-time work is
+    * O(cell size × M) lookups, never a float loop over raw vectors,
+    * and the scanned bytes are the 8-code rows, not the 256-byte
+    * embeddings. Composes [[assignCells]] (n03) with [[pqEncode]]/
+    * [[pqLut]] (n07); candidates are an equi-join on the cell id.
+    */
+  val n09_ivfadc_topk: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val coarse = centroidSeeds(e)
+    val books = pqCentroidSeeds(e)
+    val cellOf = assignCells(e, coarse).select(col("vec_id"), col("cell_id"))
+    val enc = pqEncode(e, books)
+    val qcells = assignCells(e.where(col("vec_id") < NumQueries), coarse)
+      .select(col("vec_id").as("query_id"), col("cell_id").as("qcell"))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val lut = pqLut(q, books)
+    val cand = enc.join(cellOf, "vec_id")
+      .join(broadcast(qcells),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+    val adc = cand.join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("amicro"))
+    adcTopK(adc)
   }
 
   private val NearDupThreshold = 0.8
@@ -440,6 +486,7 @@ object Similarity {
     "n06_ivf_recall" -> n06_ivf_recall,
     "n07_pq_topk" -> n07_pq_topk,
     "n08_pq_recall" -> n08_pq_recall,
+    "n09_ivfadc_topk" -> n09_ivfadc_topk,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -454,10 +501,11 @@ object Similarity {
   private val duckCos =
     "round(list_sum(list_transform(list_zip(qv, v), t -> t[1] * t[2])) / (qn * nrm) * 1000000) / 1000000"
 
-  /** CTE chain `c, m, enc, pqq, lut, adc` implementing n07's PQ encode
-    * + ADC scan over `$duckVecs`'s `e` — shared by the n07 and n08
-    * oracles. Distances are micro-unit BIGINTs, mirroring the Spark
-    * side exactly (see [[n07_pq_topk]]).
+  /** CTE chain `c, m, enc, pqq, lut` implementing the PQ encode + ADC
+    * lookup table over `$duckVecs`'s `e` — shared by the n07/n08/n09
+    * oracles (each defines its own `adc`: unrestricted full scan for
+    * n07/n08, cell-filtered for IVFADC n09). Distances are micro-unit
+    * BIGINTs, mirroring the Spark side exactly (see [[n07_pq_topk]]).
     */
   private val duckPqCtes: String = {
     def l2m(a: String, b: String) =
@@ -477,13 +525,24 @@ object Similarity {
                 WHERE vec_id < $NumQueries),
         lut AS (SELECT query_id, m.m AS m, c.cid AS code,
                        ${l2m(sl("pqq.qv"), sl("c.cv"))} AS dmicro
-                FROM pqq, m, c),
-        adc AS (SELECT query_id, vec_id,
-                       CAST(SUM(dmicro) AS BIGINT) AS amicro
-                FROM enc JOIN lut USING (m, code)
-                WHERE vec_id <> query_id
-                GROUP BY 1, 2)"""
+                FROM pqq, m, c)"""
   }
+
+  /** n07/n08's unrestricted ADC scan (every encoded vector). */
+  private val duckAdcFull: String =
+    """adc AS (SELECT query_id, vec_id,
+                      CAST(SUM(dmicro) AS BIGINT) AS amicro
+               FROM enc JOIN lut USING (m, code)
+               WHERE vec_id <> query_id
+               GROUP BY 1, 2)"""
+
+  /** The shared `SELECT` tail ranking `adc` into per-query top-k. */
+  private val duckAdcRank: String =
+    s"""SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id ORDER BY amicro, vec_id) AS BIGINT) AS rnk,
+               vec_id AS neighbor_id,
+               CAST(amicro AS DOUBLE) / 1000000.0 AS adist6
+        FROM adc QUALIFY rnk <= $K"""
 
   val oracles: Map[String, String] = Map(
     "n01_cosine_topk" ->
@@ -595,14 +654,32 @@ object Similarity {
           FROM pr CROSS JOIN q
           LEFT JOIN m ON m.probes = pr.probes AND m.query_id = q.query_id""",
     "n07_pq_topk" ->
-      s"""WITH $duckVecs, $duckPqCtes
-          SELECT query_id,
-                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY amicro, vec_id) AS BIGINT) AS rnk,
-                 vec_id AS neighbor_id,
-                 CAST(amicro AS DOUBLE) / 1000000.0 AS adist6
-          FROM adc QUALIFY rnk <= $K""",
-    "n08_pq_recall" ->
+      s"""WITH $duckVecs, $duckPqCtes, $duckAdcFull
+          $duckAdcRank""",
+    "n09_ivfadc_topk" ->
       s"""WITH $duckVecs, $duckPqCtes,
+          cc AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
+                 WHERE vec_id % $CentroidStride = 0),
+          pp AS (SELECT n.vec_id, cid,
+                        round(list_sum(list_transform(list_zip(cv, v), t -> t[1] * t[2]))
+                              / (cn * nrm) * 1000000) / 1000000 AS cos6
+                 FROM n, cc),
+          a AS (SELECT vec_id, cid AS cell_id FROM pp
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) = 1),
+          qa AS (SELECT pqq.query_id, a.cell_id AS qcell
+                 FROM pqq JOIN a ON a.vec_id = pqq.query_id),
+          adc AS (SELECT l.query_id, enc.vec_id,
+                         CAST(SUM(l.dmicro) AS BIGINT) AS amicro
+                  FROM enc
+                  JOIN a ON a.vec_id = enc.vec_id
+                  JOIN qa ON qa.qcell = a.cell_id
+                  JOIN lut l ON l.query_id = qa.query_id
+                            AND l.m = enc.m AND l.code = enc.code
+                  WHERE enc.vec_id <> qa.query_id
+                  GROUP BY 1, 2)
+          $duckAdcRank""",
+    "n08_pq_recall" ->
+      s"""WITH $duckVecs, $duckPqCtes, $duckAdcFull,
           qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
                  WHERE vec_id < $NumQueries),
           exact AS (SELECT query_id, vec_id
