@@ -146,7 +146,11 @@ object StreamQueries {
     * marker playing the result+offset transaction). The final table
     * state must equal the batch a01 aggregation exactly.
     */
-  val st07_agg_upsert: Q = (spark, dir) => {
+  /** st07/st13's shared pipeline: run the stream-static enrich +
+    * update-mode aggregation to completion through the keyed upsert
+    * sink, returning the maintained table.
+    */
+  private def runAggUpsert(spark: SparkSession, dir: String): DataFrame = {
     import graft.Tables
     val li = Replay.lineitemStream(spark, dir) // sentinel joins nothing (l_partkey = -1)
     val p = Tables.part(spark, dir)
@@ -169,6 +173,21 @@ object StreamQueries {
     q.awaitTermination()
     table.read()
   }
+
+  val st07_agg_upsert: Q = (spark, dir) => runAggUpsert(spark, dir)
+
+  /** A5/§2.7 streaming — the reference's ads-serving pattern end to
+    * end (ads/TradeMarkAmountApp: stream → aggregated amounts table →
+    * ranked consumer): the leaderboard is SERVED from the streaming-
+    * maintained upsert table, not recomputed from raw data — reading
+    * the top 10 costs a scan of 25 table rows however large the
+    * stream history. Must equal the batch ranking (a05's oracle)
+    * exactly.
+    */
+  val st13_leaderboard: Q = (spark, dir) =>
+    runAggUpsert(spark, dir)
+      .orderBy(col("revenue").desc, col("p_brand"))
+      .limit(10)
 
   /** §2.9 north-star — session windows (30-minute inactivity gap) per
     * user. The DuckDB oracle is the classic gaps-and-islands
@@ -289,6 +308,7 @@ object StreamQueries {
     "st10_full_outer_join" -> st10_full_outer_join,
     "st11_stream_dedup" -> st11_stream_dedup,
     "st12_stream_neardup" -> st12_stream_neardup,
+    "st13_leaderboard" -> st13_leaderboard,
   )
 
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
@@ -335,6 +355,13 @@ object StreamQueries {
                 COUNT(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
+    "st13_leaderboard" ->
+      """SELECT p_brand,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand
+         ORDER BY revenue DESC, p_brand LIMIT 10""",
     "st08_session_window" ->
       """WITH e AS (
            SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
