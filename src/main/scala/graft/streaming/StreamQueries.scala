@@ -269,7 +269,12 @@ object StreamQueries {
     * rule in batch form (owner = MIN doc_id per bucket, keep docs that
     * own or hamming-clear every band). The 6-row-per-doc rollup
     * happens on the materialized claims (a batch groupBy after the
-    * replay).
+    * replay). Determinism contract: each replay source is ONE data
+    * file, so all real documents arrive in a single AvailableNow
+    * micro-batch and in-batch groups sort by doc id — the exact
+    * single-delivery the batch oracle models (across batches the
+    * greedy owner rule is arrival-order-dependent, as any ingest
+    * dedup is).
     */
   val st12_stream_neardup: Q = (spark, dir) => {
     import spark.implicits._

@@ -64,6 +64,15 @@ class PlanSpec extends SparkSpecBase {
       s"per-vector argmax must partially aggregate before the shuffle:\n$plan")
   }
 
+  test("n07: PQ encode broadcasts the codebooks; all subquantizer argmins aggregate partially map-side") {
+    val plan = graft.operators.Similarity.n07_pq_topk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"codebook scoring must broadcast the bounded side:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"the M argmins must partially aggregate before the shuffle:\n$plan")
+  }
+
   /** Flatten an executed plan into nodes, resolving AQE wrappers and
     * treating cache scans as leaves (their build plan is separate).
     */
