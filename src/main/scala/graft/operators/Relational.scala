@@ -383,6 +383,39 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("n_orders"))
   }
 
+  private val Campaigns = 10
+
+  /** J10 — range/interval join at scale: assign each event to every
+    * campaign whose [start, end) period contains it. A pure range
+    * predicate gives Spark NO equi-key, so the plan degenerates to
+    * BroadcastNestedLoopJoin (O(n·m) comparisons — catastrophic once
+    * the interval side grows). The scale-safe decomposition: explode
+    * each interval into its covered DAY BUCKETS (bounded: length/1d
+    * rows per interval), equi-join events on their day bucket, and
+    * keep the exact range predicate as a residual filter — a plain
+    * shuffle hash join on the day key, linear in events, correct for
+    * arbitrary (non-aligned, overlapping) intervals. The oracle is
+    * the naive theta join, proving the decomposition computes the
+    * identical relation. (The campaign table is generated
+    * deterministically on both engines — 10 overlapping 7-day periods
+    * covering the events' month.)
+    */
+  val j10_range_join: Q = (spark, dir) => {
+    val base = lit("2024-01-01").cast("date")
+    val camps = spark.range(Campaigns).select(
+      col("id").as("campaign_id"),
+      date_add(base, (col("id") * 3).cast("int")).cast("timestamp").as("cstart"),
+      date_add(base, (col("id") * 3 + 7).cast("int")).cast("timestamp").as("cend"))
+    val buckets = camps.select(col("campaign_id"), col("cstart"), col("cend"),
+      explode(sequence(col("cstart").cast("date"),
+        date_sub(col("cend").cast("date"), 1))).as("day"))
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("ts"), to_date(col("ts")).as("day"))
+    ev.join(buckets, Seq("day"))
+      .where(col("ts") >= col("cstart") && col("ts") < col("cend"))
+      .select(col("event_id"), col("campaign_id"))
+  }
+
   // --------------------------------------------------------------------
   // A — aggregations
   // --------------------------------------------------------------------
@@ -608,6 +641,7 @@ object Relational {
     "j07_first_order_flag" -> j07_first_order_flag,
     "j08_asof_join" -> j08_asof_join,
     "j09_salted_join" -> j09_salted_join,
+    "j10_range_join" -> j10_range_join,
     "a01_brand_revenue" -> a01_brand_revenue,
     "a02_type_revenue" -> a02_type_revenue,
     "a03_dau" -> a03_dau,
@@ -738,6 +772,14 @@ object Relational {
          FROM events JOIN (SELECT o_custkey, COUNT(*) AS n_orders
                            FROM orders GROUP BY o_custkey)
            ON user_id = o_custkey""",
+    "j10_range_join" ->
+      s"""WITH c AS (SELECT CAST(i AS BIGINT) AS campaign_id,
+                            CAST(DATE '2024-01-01' + INTERVAL 1 DAY * (3 * i) AS TIMESTAMP) AS cstart,
+                            CAST(DATE '2024-01-01' + INTERVAL 1 DAY * (3 * i + 7) AS TIMESTAMP) AS cend
+                     FROM (SELECT unnest(range(0, $Campaigns)) AS i)),
+          e2 AS (SELECT event_id, make_timestamp(epoch_us(ts)) AS ts FROM events)
+          SELECT e2.event_id, c.campaign_id
+          FROM e2 JOIN c ON e2.ts >= c.cstart AND e2.ts < c.cend""",
     "a01_brand_revenue" ->
       """SELECT p_brand,
                 SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,

@@ -64,6 +64,15 @@ class PlanSpec extends SparkSpecBase {
       s"per-vector argmax must partially aggregate before the shuffle:\n$plan")
   }
 
+  test("j10: the range join executes as an equi-join on the day bucket, never a nested loop") {
+    val plan = Relational.j10_range_join(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval decomposition must give Spark an equi-key:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/sort-merge join on the bucket:\n$plan")
+  }
+
   test("n07: PQ encode broadcasts the codebooks; all subquantizer argmins aggregate partially map-side") {
     val plan = graft.operators.Similarity.n07_pq_topk(spark, sf)
       .queryExecution.executedPlan.toString
