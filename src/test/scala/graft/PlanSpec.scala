@@ -73,13 +73,21 @@ class PlanSpec extends SparkSpecBase {
       s"expected a hash/sort-merge join on the bucket:\n$plan")
   }
 
-  test("n07: PQ encode broadcasts the codebooks; all subquantizer argmins aggregate partially map-side") {
-    val plan = graft.operators.Similarity.n07_pq_topk(spark, sf)
+  test("pq encode: codebooks broadcast; per-(vector, m) argmin aggregates partially map-side") {
+    // n07 itself now reads the prebuilt index (the shared-build
+    // contract), so the scale lock targets the encode pipeline the
+    // build runs.
+    graft.plans.GraftExtensions.register(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").as("v"))
+    val plan = graft.operators.Similarity
+      .pqEncodeL(e, graft.operators.Similarity.pqSeedBooks(e), carryVec = false)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"codebook scoring must broadcast the bounded side:\n$plan")
     assert(plan.contains("partial_min"),
-      s"the M argmins must partially aggregate before the shuffle:\n$plan")
+      s"the per-(vector, m) argmins must partially aggregate before the shuffle:\n$plan")
   }
 
   /** Flatten an executed plan into nodes, resolving AQE wrappers and
