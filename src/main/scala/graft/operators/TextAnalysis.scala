@@ -291,6 +291,78 @@ object TextAnalysis {
           replace(col("best_pair"), lit(" "), lit(""))).as("merged"))
   }
 
+  /** Merge rounds run by [[t11_bpe_train]] — both engines unroll
+    * EXACTLY this many (the d07/n10 fixed-K oracle pattern).
+    */
+  private[graft] val BpeIters = 8
+
+  /** t11 — BPE TRAINING LOOP: [[BpeIters]] greedy merge rounds over an
+    * EVOLVING symbol table (t10 is one round from the char-init state;
+    * this is the actual trainer). Each round counts tf-weighted
+    * adjacent SYMBOL pairs over the vocabulary — symbols are multi-char
+    * after earlier merges — picks the corpus-wide most frequent pair
+    * (ties lexicographic, deterministic cross-engine), rewrites every
+    * word, and emits the winner. The output is the ordered merge list
+    * (merge_rank, best_pair, best_count) — the artifact a BPE tokenizer
+    * IS (apply the merges in rank order to encode new text).
+    *
+    * Merge semantics: the symbol sequence is stored space-joined and
+    * the pair is replaced space-WRAPPED (" a b " → " ab "), so a pair
+    * never matches inside a multi-char symbol ("th e" must not match
+    * pair "h e" — the naive unwrapped replace of t10's single-round
+    * char state would). The replace runs twice because consecutive
+    * occurrences share a boundary space ("a b a b": the first pass
+    * consumes the shared space and merges alternate occurrences, the
+    * second catches the stranded ones) — two passes reproduce the
+    * canonical merge-every-occurrence BPE rewrite, with identical
+    * left-to-right non-overlapping replace semantics in Java and
+    * DuckDB.
+    *
+    * Scale shape: per round, one (pair → tf-sum) shuffle over |vocab|
+    * rows with map-side partial sums, an argmax collapsed to ONE row
+    * via `min(struct)` (no global sort) and broadcast back, and a pure
+    * codegen'd projection rewriting the words. The vocabulary is
+    * `localCheckpoint(false)`'d per round (plans stay linear in K —
+    * the d07 lesson); the corpus-wide token aggregation runs once, at
+    * round 0. If the vocabulary ever fully merges, remaining rounds
+    * emit nothing (the left join keeps words unchanged) — rank
+    * contiguity up to exhaustion, never a crash.
+    */
+  val t11_bpe_train: Q = (spark, dir) => {
+    val tok = col("token")
+    val symsInit = array_join(
+      transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1))), " ")
+    var words = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(tok) > 0)
+      .groupBy(tok).agg(count(lit(1)).as("tf"))
+      .select(tok, col("tf"), symsInit.as("syms"))
+      .localCheckpoint(false)
+    val merges = (1 to BpeIters).map { r =>
+      val arr = split(col("syms"), " ")
+      val pairs = when(size(arr) >= 2,
+        transform(sequence(lit(1), size(arr) - 1),
+          i => concat(element_at(arr, i), lit(" "), element_at(arr, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val best = words
+        .select(col("tf"), explode(pairs).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("tf")).as("pair_count"))
+        .agg(min(struct((-col("pair_count")).as("nc"), col("pair").as("p"))).as("m"))
+        .select(col("m.p").as("best_pair"), (-col("m.nc")).as("best_count"))
+      val pat = concat(lit(" "), col("best_pair"), lit(" "))
+      val rep = concat(lit(" "), replace(col("best_pair"), lit(" "), lit("")), lit(" "))
+      val merged = trim(replace(replace(
+        concat(lit(" "), col("syms"), lit(" ")), pat, rep), pat, rep))
+      words = words.join(broadcast(best), lit(true), "left")
+        .select(col("token"), col("tf"),
+          when(col("best_pair").isNotNull, merged).otherwise(col("syms")).as("syms"))
+        .localCheckpoint(false)
+      best.where(col("best_pair").isNotNull)
+        .select(lit(r.toLong).as("merge_rank"), col("best_pair"), col("best_count"))
+    }
+    merges.reduce(_ unionAll _)
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -302,7 +374,51 @@ object TextAnalysis {
     "t08_vocab" -> t08_vocab,
     "t09_split" -> t09_split,
     "t10_bpe_merge" -> t10_bpe_merge,
+    "t11_bpe_train" -> t11_bpe_train,
   )
+
+  /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
+    * pairs `bpI`, counts `pcI`, winner `bestI` (LIMIT 1 — 0 rows when
+    * the vocabulary is fully merged, mirroring the Spark side's
+    * null-filtered aggregate), rewrite `wI` (LEFT JOIN ON TRUE keeps
+    * words unchanged on exhaustion).
+    */
+  private def duckBpeRound(i: Int): String = {
+    val rewrite =
+      """trim(replace(replace(' ' || w.syms || ' ',
+        |       ' ' || b.best_pair || ' ',
+        |       ' ' || replace(b.best_pair, ' ', '') || ' '),
+        |       ' ' || b.best_pair || ' ',
+        |       ' ' || replace(b.best_pair, ' ', '') || ' '))""".stripMargin
+    s"""bp$i AS (SELECT tf, arr[j] || ' ' || arr[j + 1] AS pair
+                 FROM (SELECT tf, string_split(syms, ' ') AS arr,
+                              unnest(range(1, len(string_split(syms, ' ')))) AS j
+                       FROM w${i - 1})),
+        pc$i AS (SELECT pair, CAST(SUM(tf) AS BIGINT) AS pair_count
+                 FROM bp$i GROUP BY pair),
+        best$i AS (SELECT pair AS best_pair, pair_count AS best_count
+                   FROM pc$i ORDER BY pair_count DESC, pair LIMIT 1),
+        w$i AS (SELECT token, tf,
+                       CASE WHEN b.best_pair IS NULL THEN w.syms
+                            ELSE $rewrite END AS syms
+                FROM w${i - 1} w LEFT JOIN best$i b ON TRUE)"""
+  }
+
+  private def duckBpeTrainSql: String = {
+    val rounds = (1 to BpeIters).map(duckBpeRound).mkString(",\n")
+    val union = (1 to BpeIters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, best_pair, best_count FROM best$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+          SELECT token, tf,
+                 array_to_string(list_transform(range(1, len(token) + 1),
+                   i -> substr(token, i, 1)), ' ') AS syms
+          FROM (SELECT token, COUNT(*) AS tf
+                FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+                WHERE len(token) > 0 GROUP BY token)),
+        $rounds
+        $union"""
+  }
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" ->
@@ -411,6 +527,7 @@ object TextAnalysis {
                           i -> substr(w.token, i, 1)), ' '),
                         best.best_pair, replace(best.best_pair, ' ', '')) AS merged
          FROM w CROSS JOIN best""",
+    "t11_bpe_train" -> duckBpeTrainSql,
     "t04_fingerprint" -> {
       val winExpr = (0 until FpWindow).map(o => s"toks[i+${o + 1}]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
