@@ -274,7 +274,11 @@ object StreamQueries {
     * micro-batch and in-batch groups sort by doc id — the exact
     * single-delivery the batch oracle models (across batches the
     * greedy owner rule is arrival-order-dependent, as any ingest
-    * dedup is).
+    * dedup is). The cross-batch semantics themselves are load-tested,
+    * not assumed: `StreamingSpec."st12 delivery contract"` replays a
+    * corpus split across six files/batches and proves the documented
+    * behavior (within-window later-batch near-dup drops; a near-dup of
+    * a TTL-evicted owner survives).
     */
   val st12_stream_neardup: Q = (spark, dir) => {
     import spark.implicits._

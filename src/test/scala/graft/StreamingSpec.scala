@@ -150,6 +150,76 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("st12 delivery contract: corpus split across files — in-window cross-batch near-dup drops; post-eviction near-dup survives") {
+    // The st12 ORACLE models single-batch delivery (the one-file replay
+    // guarantee, StreamQueries st12 docstring). This spec load-tests
+    // the documented CROSS-batch semantics by replaying a corpus split
+    // across six files, one micro-batch each (maxFilesPerTrigger=1),
+    // through the full st12 pipeline shape (simhashFp → simhashBands →
+    // simhashBandClaims): a near-dup arriving in a LATER batch inside
+    // the dedup window still drops (owner state carries across
+    // batches), and the same text arriving after the owner's TTL
+    // eviction survives as a fresh claim — exactly what the ingest rule
+    // does in production where delivery is never single-batch.
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val dir = java.nio.file.Paths.get(tmpDir("docs_multi_"))
+    val ta = "alpha beta gamma delta epsilon zeta eta theta"
+    val tb = "one two three four five six seven eight nine ten"
+    val tc = "red orange yellow green blue indigo violet umber"
+    def file(name: String, mtime: Long, rows: Seq[(Long, String, Timestamp)]): Unit = {
+      val tmp = java.nio.file.Paths.get(tmpDir("docpart_"))
+      rows.toDF("doc_id", "text", "event_time")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp)
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      java.nio.file.Files.copy(part, dir.resolve(name))
+      java.nio.file.Files.setLastModifiedTime(dir.resolve(name),
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    // batch 1: bucket owner + an in-batch duplicate (sorted-by-id rule)
+    file("a.parquet", 1000000L, Seq(
+      (1L, ta, t("2024-01-01 00:00:00")), (2L, ta, t("2024-01-01 00:00:01"))))
+    // batch 2: same text 30 s later — inside the 60 s window -> drops
+    file("b.parquet", 1100000L, Seq((3L, ta, t("2024-01-01 00:00:30"))))
+    // batches 3-4: unrelated docs march the watermark past the TTL
+    // (eviction fires in batch 4: the watermark set by batch 3 exceeds
+    // the owner bucket's newest-presentation + TTL)
+    file("c.parquet", 1200000L, Seq((50L, tb, t("2024-01-01 00:05:00"))))
+    file("d.parquet", 1300000L, Seq((51L, tc, t("2024-01-01 00:10:00"))))
+    // batch 5: the SAME text after the owner's eviction -> fresh claim
+    file("e.parquet", 1400000L, Seq((4L, ta, t("2024-01-01 00:11:40"))))
+    file("z.parquet", 1500000L, Seq((-1L, "x", sentinel)))
+    val schema = spark.read.parquet(dir.resolve("a.parquet").toString).schema
+    val corpus = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withWatermark("event_time", "10 seconds")
+    val bands = graft.operators.Dedup.simhashBands(
+        graft.operators.Dedup.simhashFp(corpus.where(col("doc_id") >= 0)))
+      .select(col("doc_id"), col("band"), col("bkey"), col("fp"), col("event_time"))
+      .as[BandRow]
+    val q = Pipelines.simhashBandClaims(bands, maxHamming = 5, ttlMs = 60 * 1000L)
+      .toDF()
+      .writeStream.format("memory").queryName("st12_multi")
+      .option("checkpointLocation", tmpDir("cp_st12multi_"))
+      .outputMode("append").start()
+    try {
+      drain(q)
+      val keepers = spark.table("st12_multi")
+        .groupBy(col("doc_id"))
+        .agg(min(when(col("ok"), lit(1)).otherwise(lit(0))).as("allok"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+      assert(keepers === Map(
+        1L -> true,   // bucket owner
+        2L -> false,  // in-batch duplicate of the owner
+        3L -> false,  // LATER-batch near-dup inside the window — state
+                      // carried across batches, the documented drop
+        50L -> true, 51L -> true, // unrelated docs pass through
+        4L -> true))  // owner TTL-evicted before arrival — the
+                      // documented cross-batch survival
+    } finally q.stop()
+  }
+
   test("firstOrderFlagBatch + KeyedUpsertTable: per-batch anti-lookup, compaction, replay determinism") {
     import spark.implicits._
     val tbl = new graft.sinks.KeyedUpsertTable(
