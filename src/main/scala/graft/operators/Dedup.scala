@@ -455,11 +455,12 @@ object Dedup {
     * Scale shape: the edge list (d03's banded candidate join, both
     * directions) is persisted once and re-read by every round; each
     * round shuffles |V|+|E| rows on the doc key with map-side partial
-    * mins. K is a fixed constant — production iterates to fixpoint
-    * with a convergence count per round (one action per round, a
-    * driver loop); the fixed-K form keeps the lazy `(spark, dir) =>
-    * DataFrame` contract and the differential oracle exact (the
-    * DuckDB twin unrolls the same K rounds).
+    * mins. K is a fixed constant — the production fixpoint loop with
+    * its per-round convergence count EXISTS as
+    * [[clusterLabelsFixpoint]], spec-proven to emit identical clusters;
+    * the fixed-K form keeps the lazy `(spark, dir) => DataFrame`
+    * contract and the differential oracle exact (the DuckDB twin
+    * unrolls the same K rounds).
     */
   val d07_dedup_clusters: Q = (spark, dir) =>
     clusterLabels(spark, dir, ClusterIters)
@@ -499,6 +500,53 @@ object Dedup {
         .localCheckpoint(false)
     }
     lbl
+  }
+
+  /** Fixpoint variant of [[clusterLabels]] — the production driver
+    * loop the fixed-K query's docstring describes: iterate propagation
+    * rounds until a round changes NOTHING, observing convergence with
+    * ONE count action per round (the action also materializes that
+    * round's lazy local checkpoint, so nothing is computed twice).
+    * Eager by construction (it must read the per-round change count on
+    * the driver), so it lives BESIDE the lazy oracle-checked d07 query
+    * rather than replacing it; `DedupSpec` proves both emit identical
+    * clusters on the fixture corpus. Runs one confirming round past
+    * the fixpoint (the count that returns 0), like any
+    * change-detection loop. Returns (labels, roundsRun).
+    *
+    * Scale shape per round: identical to [[clusterLabels]] (equi-join
+    * + min-agg on the doc key over the persisted edge list) plus the
+    * O(|V|) change count — on a cluster the count is the cheap action
+    * that gates the next round's job submission; labels for round r
+    * land in executor-local checkpoint storage either way.
+    */
+  private[graft] def clusterLabelsFixpoint(spark: SparkSession, dir: String,
+                                           maxIters: Int = 64): (DataFrame, Int) = {
+    val prs = d03_simhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = prs
+      .unionAll(prs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lbl = nearDupCorpus(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(false)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxIters) {
+      val nbrMin = edges
+        .join(lbl.select(col("doc_id").as("nb"), col("lbl").as("nlbl")),
+          col("doc_b") === col("nb"))
+        .groupBy(col("doc_a")).agg(min(col("nlbl")).as("nlbl"))
+      val next = lbl
+        .join(nbrMin.withColumnRenamed("doc_a", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(false)
+      changed = next.where(!(col("prev") <=> col("lbl"))).count()
+      lbl = next.drop("prev")
+      rounds += 1
+    }
+    edges.unpersist()
+    (lbl, rounds)
   }
 
   private def duckClusterSql: String = {

@@ -99,6 +99,19 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("d07 fixpoint driver loop: converges, matches the fixed-K clusters, bounded rounds") {
+    val (fixDf, rounds) = Dedup.clusterLabelsFixpoint(spark, sf)
+    val fix = fixDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixedK = Dedup.clusterLabels(spark, sf, Dedup.ClusterIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fix === fixedK,
+      "fixpoint labels must equal the oracle-checked fixed-K labels")
+    // converged strictly before the safety bound, and within the
+    // fixed-K budget + the one confirming round
+    assert(rounds >= 1 && rounds <= Dedup.ClusterIters + 1,
+      s"unexpected round count $rounds")
+  }
+
   test("t07: scrubber masks planted email, url and number") {
     val dir = tmpDir("t07_fixture_")
     // doc_id 7 gets the planted PII suffix (7 % 7 == 0)
