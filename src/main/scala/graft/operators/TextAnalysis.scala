@@ -57,20 +57,21 @@ object TextAnalysis {
       (sumLen.cast("double") / nTok.cast("double")).as("avg_token_len"))
   }
 
-  /** t03 — quality scoring: length window + lexical diversity +
-    * repetition cap, combined into a 0-3 score and class. The
-    * max-token-frequency probe is a longest-equal-run fold over the
-    * SORTED token array — O(|doc| log |doc|) per row (the naive
-    * per-distinct-token `filter` scan is O(|doc|²), pathological on
-    * book-length documents). Pure map-side work, no shuffle.
-    */
-  val t03_quality_score: Q = (spark, dir) => {
+  /** Type-token ratio over the whitespace tokens of `text`. */
+  private def ttrCol: Column = {
     val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val ttr = size(array_distinct(toks)).cast("double") / nTok.cast("double")
-    // max token frequency = longest run in the sorted array. The ""
-    // sentinel init is safe: with run=0, a leading "" token still
-    // yields run 0+1 = 1, same as the not-equal branch.
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+
+  /** Max-token-frequency ratio: longest equal run over the SORTED
+    * token array — O(|doc| log |doc|) per row (the naive
+    * per-distinct-token `filter` scan is O(|doc|²), pathological on
+    * book-length documents). The "" sentinel init is safe: with run=0,
+    * a leading "" token still yields run 0+1 = 1, same as the
+    * not-equal branch.
+    */
+  private def maxTokRatioCol: Column = {
+    val toks = split(col("text"), " ")
     val maxFreq = aggregate(
       array_sort(toks),
       struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
@@ -81,11 +82,24 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    val maxRatio = maxFreq.cast("double") / nTok.cast("double")
-    val lenOk = col("n_chars").between(100, 2000).cast("long")
-    val divOk = (ttr >= 0.35).cast("long")
-    val repOk = (maxRatio <= 0.15).cast("long")
-    val score = lenOk + divOk + repOk
+    maxFreq.cast("double") / size(toks).cast("double")
+  }
+
+  /** t03's 0-3 quality score from precomputed ttr/max-ratio columns. */
+  private def qualityScoreCol(ttr: Column, maxRatio: Column): Column =
+    col("n_chars").between(100, 2000).cast("long") +
+      (ttr >= 0.35).cast("long") + (maxRatio <= 0.15).cast("long")
+
+  /** t03 — quality scoring: length window + lexical diversity +
+    * repetition cap, combined into a 0-3 score and class (see
+    * [[maxTokRatioCol]] for the per-row cost bound). Pure map-side
+    * work, no shuffle. [[t13_corpus_prep]] reuses the same expressions
+    * as its quality gate.
+    */
+  val t03_quality_score: Q = (spark, dir) => {
+    val ttr = ttrCol
+    val maxRatio = maxTokRatioCol
+    val score = qualityScoreCol(ttr, maxRatio)
     documents(spark, dir).select(
       col("doc_id"), col("n_chars"),
       ttr.as("ttr"),
@@ -328,7 +342,14 @@ object TextAnalysis {
     * emit nothing (the left join keeps words unchanged) — rank
     * contiguity up to exhaustion, never a crash.
     */
-  val t11_bpe_train: Q = (spark, dir) => {
+  val t11_bpe_train: Q = (spark, dir) => bpeTrain(spark, dir)._2
+
+  /** The [[BpeIters]]-round training loop shared by t11 (emits the
+    * merge list) and t12 (emits the trained vocabulary): returns
+    * (vocabulary with final space-joined symbol sequences, ordered
+    * merge list). See [[t11_bpe_train]] for semantics and scale notes.
+    */
+  private def bpeTrain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val tok = col("token")
     val symsInit = array_join(
       transform(sequence(lit(1), length(tok)), i => tok.substr(i, lit(1))), " ")
@@ -360,7 +381,73 @@ object TextAnalysis {
       best.where(col("best_pair").isNotNull)
         .select(lit(r.toLong).as("merge_rank"), col("best_pair"), col("best_count"))
     }
-    merges.reduce(_ unionAll _)
+    (words, merges.reduce(_ unionAll _))
+  }
+
+  /** t12 — BPE ENCODE: apply the trained tokenizer (t11's merge list,
+    * equivalently the trained vocabulary's final symbol sequences) to
+    * the corpus and emit per-document subword statistics — the number
+    * every ingest pipeline budgets by (context-window packing, cost
+    * estimates, fertility monitoring). Since every corpus word is IN
+    * the training vocabulary here, encoding a document is a vocabulary
+    * LOOKUP (word → its trained symbol count), not a re-derivation:
+    * explode words, equi-join the vocabulary, one (doc_id) aggregation
+    * — two shuffles total, both with map-side partials. (Encoding
+    * UNSEEN text would replay the merge list per word — same loop,
+    * applied at lookup-miss time; the corpus-encode path is the one a
+    * training-data pipeline runs at scale.)
+    */
+  val t12_bpe_encode: Q = (spark, dir) => {
+    val vocab = bpeTrain(spark, dir)._1
+      .select(col("token"), size(split(col("syms"), " ")).cast("long").as("n_sub"))
+    documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double")).as("fertility"))
+  }
+
+  /** t13 — the COMPOSED training-data prep pipeline, the flow every
+    * LLM corpus actually runs before tokenization: exact-dedup
+    * survivors (min-id keeper per content hash) ∩ quality gate (t03
+    * score ≥ 2) ∩ language gate (t06 trigram profile says English) →
+    * deterministic train/val split (t09's salted hash). Emits the
+    * surviving manifest (doc_id, quality_score, split) — what a
+    * downstream tokenize-and-pack stage consumes.
+    *
+    * Scale shape: all three gates are PER-ROW expressions composed on
+    * ONE scan (no self-joins of projections — the naive composition of
+    * the t03/t06/t09 queries would shuffle the corpus once per gate);
+    * the only shuffles are the content-hash aggregation (map-side
+    * partial min) and the keeper equi-join back on doc_id. Gate order
+    * is free (all per-row); the dedup join runs on the already
+    * quality+lang-filtered minority, shrinking the join's probe side.
+    */
+  val t13_corpus_prep: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = documents(spark, dir)
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val txt = lower(col("text"))
+    val enScore = call_function("trigram_hits", txt,
+        lit(EnTrigrams.mkString(graft.functions.TrigramHits.ProfileSep)))
+        .cast("double") / (length(txt) - 2).cast("double")
+    val enOk = length(col("text")) >= 3 && enScore >= TrigramThreshold
+    val split9 = when(
+      Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct,
+      "train").otherwise("val")
+    val score = qualityScoreCol(ttrCol, maxTokRatioCol)
+    docs
+      .select(col("doc_id"), score.as("quality_score"), enOk.as("en_ok"),
+        split9.as("split"))
+      .where(col("quality_score") >= 2 && col("en_ok"))
+      .join(keepers, "doc_id")
+      .select(col("doc_id"), col("quality_score"), col("split"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -375,6 +462,8 @@ object TextAnalysis {
     "t09_split" -> t09_split,
     "t10_bpe_merge" -> t10_bpe_merge,
     "t11_bpe_train" -> t11_bpe_train,
+    "t12_bpe_encode" -> t12_bpe_encode,
+    "t13_corpus_prep" -> t13_corpus_prep,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -404,21 +493,39 @@ object TextAnalysis {
                 FROM w${i - 1} w LEFT JOIN best$i b ON TRUE)"""
   }
 
-  private def duckBpeTrainSql: String = {
+  private def duckBpeCtes: String = {
     val rounds = (1 to BpeIters).map(duckBpeRound).mkString(",\n")
-    val union = (1 to BpeIters).map { i =>
-      s"SELECT CAST($i AS BIGINT) AS merge_rank, best_pair, best_count FROM best$i"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS (
           SELECT token, tf,
                  array_to_string(list_transform(range(1, len(token) + 1),
                    i -> substr(token, i, 1)), ' ') AS syms
           FROM (SELECT token, COUNT(*) AS tf
                 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
                 WHERE len(token) > 0 GROUP BY token)),
-        $rounds
+        $rounds"""
+  }
+
+  private def duckBpeTrainSql: String = {
+    val union = (1 to BpeIters).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, best_pair, best_count FROM best$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $duckBpeCtes
         $union"""
   }
+
+  private def duckBpeEncodeSql: String =
+    s"""WITH $duckBpeCtes,
+        dw AS (SELECT doc_id, token
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents)
+               WHERE len(token) > 0),
+        vs AS (SELECT token, len(string_split(syms, ' ')) AS n_sub
+               FROM w$BpeIters)
+        SELECT doc_id, COUNT(*) AS n_words,
+               CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+               CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
+        FROM dw JOIN vs USING (token)
+        GROUP BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     "t01_lang_id" ->
@@ -528,6 +635,36 @@ object TextAnalysis {
                         best.best_pair, replace(best.best_pair, ' ', '')) AS merged
          FROM w CROSS JOIN best""",
     "t11_bpe_train" -> duckBpeTrainSql,
+    "t12_bpe_encode" -> duckBpeEncodeSql,
+    "t13_corpus_prep" -> {
+      val inList = EnTrigrams.map(t => s"'$t'").mkString(", ")
+      val h = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
+      s"""WITH keepers AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+          m AS (
+            SELECT doc_id, n_chars, text, lower(text) AS txt,
+                   string_split(text, ' ') AS toks
+            FROM documents),
+          s AS (
+            SELECT doc_id,
+                   (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)::BIGINT
+                   + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) >= 0.35 THEN 1 ELSE 0 END)::BIGINT
+                   + (CASE WHEN CAST(list_max(list_transform(list_distinct(toks),
+                               d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE) <= 0.15 THEN 1 ELSE 0 END)::BIGINT
+                     AS quality_score,
+                   len(text) >= 3 AND
+                     CAST(len(list_filter(
+                       list_transform(range(1, len(txt) - 1), i -> substr(txt, i, 3)),
+                       x -> x IN ($inList))) AS DOUBLE)
+                     / CAST(len(txt) - 2 AS DOUBLE) >= $TrigramThreshold AS en_ok,
+                   CASE WHEN ($h) % 100 < $TrainPct THEN 'train' ELSE 'val' END AS split
+            FROM m)
+          SELECT doc_id, quality_score, split
+          FROM s JOIN keepers USING (doc_id)
+          WHERE quality_score >= 2 AND en_ok"""
+    },
     "t04_fingerprint" -> {
       val winExpr = (0 until FpWindow).map(o => s"toks[i+${o + 1}]").mkString("concat_ws(' ', ", ", ", ")")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
