@@ -42,7 +42,7 @@ object Similarity {
   private val NumQueries = 5 // vec_id < 5 form the query set
 
   /** cosine (codegen'd) rounded to 6 dp — stable across engines. */
-  private def cos6(a: Column, b: Column): Column =
+  private[graft] def cos6(a: Column, b: Column): Column =
     round(call_function("cosine_sim", a, b) * 1000000) / 1000000
 
   private def explodeTopK(tk: DataFrame): DataFrame =
@@ -266,7 +266,7 @@ object Similarity {
       p
     })
 
-  private def idx(spark: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def idx(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"${indexPath(spark, dir)}/$name")
 
   /** Probe depths measured by [[n06_ivf_recall]] / [[n11_multiprobe_ivfadc]]. */
@@ -366,13 +366,13 @@ object Similarity {
     * order-dependent and engines disagree in the last ulp; long sums
     * are associative).
     */
-  private def l2micro(a: Column, b: Column): Column =
+  private[graft] def l2micro(a: Column, b: Column): Column =
     round(call_function("l2_sq", a, b) * 1000000).cast("long")
 
   private def sub(v: Column, m: Int): Column = slice(v, m * SubDim + 1, SubDim)
 
   /** The m-th subvector, for a column-valued m. */
-  private def subM(v: Column): Column =
+  private[graft] def subM(v: Column): Column =
     slice(v, col("m") * SubDim + lit(1), lit(SubDim))
 
   /** Long-form PQ codebook seeds: (m, cid, bv array<float> of
@@ -811,7 +811,7 @@ object Similarity {
   // DuckDB oracle SQL
   // ------------------------------------------------------------------
 
-  private val duckVecs =
+  private[graft] val duckVecs =
     """e AS (SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
              FROM embeddings),
@@ -850,7 +850,7 @@ object Similarity {
     * [[TrainIters]] Lloyd rounds, ending in `ct` = the trained coarse
     * centroids (cid, cv, cn).
     */
-  private def duckTrainedCoarse: String =
+  private[graft] def duckTrainedCoarse: String =
     s"""c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
                WHERE vec_id % $CentroidStride = 0),
         ${(1 to TrainIters).map(duckCoarseRound).mkString(",\n")},
@@ -860,7 +860,7 @@ object Similarity {
     * (vec_id, cell_id), `av` additionally carries the vector + norm —
     * the oracle twin of the index's `cells` table.
     */
-  private def duckCtAssign: String =
+  private[graft] def duckCtAssign: String =
     s"""ctp AS (SELECT n.vec_id, cid,
                 round(list_sum(list_transform(list_zip(cv, v), t -> t[1] * t[2]))
                       / (cn * nrm) * 1000000) / 1000000 AS cos6
@@ -904,7 +904,7 @@ object Similarity {
     * oracles. Distances are micro-unit BIGINTs, mirroring the Spark
     * side exactly (see [[n07_pq_topk]]).
     */
-  private def duckPqTrain: String =
+  private[graft] def duckPqTrain: String =
     s"""ps AS (SELECT vec_id AS cid, v FROM e WHERE vec_id % $PqCentroidStride = 0),
         m AS (SELECT unnest(range(0, $PqSubs)) AS m),
         b0 AS (SELECT m.m, cid, v[m.m*$SubDim+1 : m.m*$SubDim+$SubDim] AS bv FROM ps, m),

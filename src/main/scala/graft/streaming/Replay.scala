@@ -148,6 +148,12 @@ object Replay {
       lit("2100-01-01").cast("timestamp_ntz").as("o_orderdate"),
       lit("X").as("o_orderpriority"))
 
+  def embeddingsSentinel(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      lit(-1L).as("vec_id"),
+      array_repeat(lit(0.5f), 64).as("embedding"),
+      lit(-1).as("label"))
+
   def documentsSentinel(spark: SparkSession): DataFrame =
     spark.range(1).select(
       lit(-1L).as("doc_id"), lit("x").as("text"), lit("x").as("lang"),

@@ -304,8 +304,73 @@ object StreamQueries {
       .select(col("doc_id"))
   }
 
+  /** N-family streaming — the INDEX BUILD AS INGEST: production
+    * vector corpora are indexed as vectors arrive, not by re-scanning;
+    * this is the streaming path that produces the artifacts the batch
+    * searches (n06–n12) read. Each arriving vector is coarse-assigned
+    * (argmax cosine against the broadcast TRAINED centroids) and
+    * PQ-encoded (argmin squared-L2 per subspace against the broadcast
+    * trained codebooks) — two stream-static broadcast joins whose
+    * per-vector argmin/argmax collapse in windowed aggregations
+    * (watermark-bounded state, flushed by the sentinel; each vector
+    * lives in exactly one window so exactly one row emerges per key).
+    * Emits the long-form index rows (vec_id, m, code, cell_id); the
+    * DuckDB oracle re-derives the same rows from the unrolled training
+    * CTEs, so the streamed index must equal the batch-built one
+    * bit-for-bit.
+    *
+    * Scale shape: both joins broadcast ONLY bounded index parameters
+    * (k centroids, M·k codebook entries); state per vector is one
+    * argmin struct per (window, vec_id[, m]) until the watermark
+    * closes the window — ingest-rate bounded, not corpus bounded. The
+    * two streaming passes share nothing at runtime (independent
+    * checkpoints), exactly how assign and encode deploy as separate
+    * consumers of the same ingest topic.
+    *
+    * Sentinel handling (load-bearing): the sentinel row must NOT be
+    * filtered out between `withWatermark` and the aggregation — a
+    * `vec_id >= 0` predicate there is legally pushed below the
+    * watermark node into the parquet scan, where the sentinel file's
+    * single row group (min=max=-1) is stat-skipped, so the watermark
+    * never reaches 2100 and append mode emits NOTHING. Instead the
+    * sentinel flows into the aggregation like any row ([[Pipelines
+    * .dau]] sets the pattern): its far-future window never closes, so
+    * it never appears in append output; the batch-side filter after
+    * the replay is defense only.
+    */
+  val st14_stream_index: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val S = graft.operators.Similarity
+    val books = S.idx(spark, dir, "books")
+    val coarse = S.idx(spark, dir, "coarse")
+    def stream() = Replay
+      .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
+      .withColumn("event_time", when(col("vec_id") < 0,
+          lit("2100-01-01 00:00:00").cast("timestamp"))
+        .otherwise(timestamp_micros(lit(1700000000000000L) + col("vec_id") * 1000000L)))
+      .withWatermark("event_time", "1 hour")
+      .select(col("vec_id"), col("embedding").as("v"), col("event_time"))
+    val enc = stream().join(broadcast(books), lit(true), "inner")
+      .select(col("vec_id"), col("event_time"), col("m"),
+        struct(S.l2micro(S.subM(col("v")), col("bv")).as("d"), col("cid").as("c")).as("dc"))
+      .groupBy(window(col("event_time"), "1 hour"), col("vec_id"), col("m"))
+      .agg(min(col("dc")).as("mn"))
+      .select(col("vec_id"), col("m"), col("mn.c").as("code"))
+    val cells = stream().join(broadcast(coarse), lit(true), "inner")
+      .select(col("vec_id"), col("event_time"),
+        struct(S.cos6(col("v"), col("cv")).as("s"), (-col("cid")).as("ncid")).as("sc"))
+      .groupBy(window(col("event_time"), "1 hour"), col("vec_id"))
+      .agg(max(col("sc")).as("mx"))
+      .select(col("vec_id"), (-col("mx.ncid")).as("cell_id"))
+    Replay.runAppend(spark, enc)
+      .join(Replay.runAppend(spark, cells), "vec_id")
+      .where(col("vec_id") >= 0)
+      .select(col("vec_id"), col("m"), col("code"), col("cell_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
+    "st14_stream_index" -> st14_stream_index,
     "st02_stream_wide_join" -> st02_stream_wide_join,
     "st03_first_order_flag" -> st03_first_order_flag,
     "st04_cdc_route" -> st04_cdc_route,
@@ -323,6 +388,15 @@ object StreamQueries {
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
 
   val oracles: Map[String, String] = Map(
+    "st14_stream_index" -> {
+      val S = graft.operators.Similarity
+      s"""WITH ${S.duckVecs},
+          ${S.duckTrainedCoarse},
+          ${S.duckCtAssign},
+          ${S.duckPqTrain}
+          SELECT enc.vec_id, enc.m, enc.code, a.cell_id
+          FROM enc JOIN a USING (vec_id)"""
+    },
     "st01_stream_dau" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, COUNT(DISTINCT user_id) AS dau
          FROM events GROUP BY 1""",
