@@ -574,6 +574,100 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // d08 — benchmark decontamination
+  // ------------------------------------------------------------------
+
+  /** Shared rare shingles flagging a (train, eval) pair as
+    * contamination; 5 co-occurring low-df 3-grams ≈ a 7+-token verbatim
+    * overlap — the n-gram-collision rule decontamination pipelines use.
+    */
+  private[graft] val MinContamHits = 5
+
+  /** Eval-set twin of [[nearDupCorpus]]: every 50th document,
+    * head-truncated — a benchmark whose items leaked into the training
+    * corpus (the situation decontamination exists to catch).
+    */
+  private def evalSet(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).where(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text"))
+
+  private val duckEvalCorpus =
+    """ev AS (
+         SELECT doc_id + 2000000 AS doc_id,
+                array_to_string(string_split(text, ' ')[6:], ' ') AS text
+         FROM documents WHERE doc_id % 50 = 0
+       )"""
+
+  /** d08 — TRAIN-vs-EVAL decontamination by rare-n-gram collision: the
+    * training corpus (all documents) is flagged wherever it shares ≥
+    * [[MinContamHits]] distinct low-df 3-gram shingles with a single
+    * eval item ([[evalSet]] — planted leaked benchmark items). Emits
+    * one row per contaminated train doc: how many eval items hit it
+    * and the largest single-item overlap — the report a curation
+    * pipeline acts on (drop or audit). The df-cap is computed over the
+    * COMBINED shingle universe, so boilerplate n-grams that appear
+    * everywhere (in either set) carry no contamination signal — the
+    * same rationale as d04's cap.
+    *
+    * Scale shape (mirrors d04, the proven one): both sides explode to
+    * HASHED shingles; ONE shuffle on the shingle key serves the
+    * df-count window, the cap filter, and the train×eval equi-join
+    * (co-partitioned via the persisted index — plan shape asserted for
+    * d04, same construction here). Join fan-out per shingle is capped
+    * at dfCap²; the eval side is the small one (benchmarks are KBs,
+    * corpora are TBs), so at production scale the eval index also
+    * qualifies for a broadcast — Catalyst/AQE picks that when sizes
+    * warrant; nothing in the plan prevents it. No cross product
+    * anywhere.
+    */
+  val d08_decontam: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val tr = documents(spark, dir).select(col("doc_id"), col("text"), lit("t").as("role"))
+    val ev = evalSet(spark, dir).select(col("doc_id"), col("text"), lit("e").as("role"))
+    val sh = tr.unionAll(ev)
+      .select(col("doc_id"), col("role"), shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("doc_id"), col("role"),
+        explode(Portable.hash60Array(col("shd"))).as("s"))
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .where(col("df") <= DfCap)
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = kept.where(col("role") === "t").alias("a")
+      .join(kept.where(col("role") === "e").alias("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= MinContamHits)
+    pairs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("inter")).as("max_overlap"))
+  }
+
+  private def duckDecontamSql: String =
+    s"""WITH $duckEvalCorpus,
+        corpus AS (
+          SELECT doc_id, text, 't' AS role FROM documents
+          UNION ALL SELECT doc_id, text, 'e' AS role FROM ev),
+        $duckShingles,
+        shr AS (SELECT c.doc_id, c.role, sh.shd
+                FROM sh JOIN corpus c USING (doc_id) WHERE len(shd) > 0),
+        ex0 AS (SELECT doc_id, role,
+                       unnest(list_transform(shd, s -> ${Portable.duckHash60("s")})) AS s
+                FROM shr),
+        ex AS (SELECT doc_id, role, s FROM (
+                 SELECT doc_id, role, s, COUNT(*) OVER (PARTITION BY s) AS df
+                 FROM ex0)
+               WHERE df <= $DfCap),
+        prs AS (SELECT a.doc_id AS doc_id, b.doc_id AS eval_id, COUNT(*) AS inter
+                FROM ex a JOIN ex b ON a.s = b.s
+                WHERE a.role = 't' AND b.role = 'e'
+                GROUP BY 1, 2 HAVING COUNT(*) >= $MinContamHits)
+        SELECT doc_id, COUNT(*) AS n_eval_hits, MAX(inter) AS max_overlap
+        FROM prs GROUP BY doc_id"""
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -584,6 +678,7 @@ object Dedup {
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d06_dedup_materialize" -> d06_dedup_materialize,
     "d07_dedup_clusters" -> d07_dedup_clusters,
+    "d08_decontam" -> d08_decontam,
   )
 
   val oracles: Map[String, String] = Map(
@@ -600,5 +695,6 @@ object Dedup {
     "d03_simhash" -> duckSimhashSql,
     "d04_ngram_jaccard" -> duckNgramSql,
     "d07_dedup_clusters" -> duckClusterSql,
+    "d08_decontam" -> duckDecontamSql,
   )
 }

@@ -450,6 +450,76 @@ object TextAnalysis {
       .select(col("doc_id"), col("quality_score"), col("split"))
   }
 
+  /** Token budget per packed training sequence and shard fan-out for
+    * [[t14_pack]]. 32 shards mirrors the local parallelism; a cluster
+    * run sets shards ≈ the target output-file count — the parameter is
+    * write parallelism, nothing else.
+    */
+  private val PackBudget = 4096
+  private val PackShards = 32
+
+  /** t14 — SEQUENCE PACKING for pretraining: concatenate documents (in
+    * deterministic doc_id order within a shard) and chunk the token
+    * stream into fixed [[PackBudget]]-token sequences. Each document is
+    * assigned the sequence where it STARTS plus its offset in it — the
+    * concat-then-chunk packing pretraining dataloaders use (documents
+    * straddle chunk boundaries rather than padding; sequence
+    * boundaries cut documents, by design). Emits (doc_id, shard,
+    * n_tok, seq_id, start_off).
+    *
+    * Scale shape: ONE shuffle (hash on shard), then a per-shard
+    * running sum — a sort within each partition, no global ordering
+    * anywhere. Shards are independent, so 100 TB packs with shard
+    * count = write parallelism; the running sum is the only sequential
+    * dependency and it lives entirely inside a partition (Spark's
+    * window with unbounded-preceding frame computes it in one pass
+    * over the sorted partition).
+    */
+  val t14_pack: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / lit(PackBudget.toDouble)).as("seq_id"),
+        ((col("cum") - col("n_tok")) % PackBudget).as("start_off"))
+  }
+
+  /** Per-language keep rates for [[t15_stratified_sample]]: the corpus
+    * is ~44% English (218/500 at sf0.01); down-sampling en to 35%
+    * rebalances toward a uniform language mixture — the domain/language
+    * reweighting step of corpus curation. Unlisted languages keep
+    * everything.
+    */
+  private val SampleRates: Seq[(String, Double)] = Seq("en" -> 0.35)
+
+  /** t15 — DETERMINISTIC STRATIFIED SAMPLING: keep a document iff a
+    * portable 60-bit hash of its id, reduced mod 10000, falls under its
+    * language's rate — reproducible across runs/engines (no RNG), the
+    * property a curation pipeline needs for auditable mixtures. Emits
+    * the surviving (doc_id, lang, u) with the hash bucket kept for
+    * audit.
+    *
+    * Scale shape: shuffle-free — a per-row hash + filter that fuses
+    * into the scan's codegen stage; column pruning reads only
+    * (doc_id, lang). The filter is hash-uniform within each stratum,
+    * so output size ≈ Σ rate·|stratum| with no skew introduced.
+    */
+  val t15_stratified_sample: Q = (spark, dir) => {
+    val u = pmod(Portable.hash60(concat(lit("sample:"), col("doc_id").cast("string"))),
+      lit(10000L))
+    val rate = SampleRates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), u.as("u"))
+      .where(col("u") < (rate * 10000).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -464,6 +534,8 @@ object TextAnalysis {
     "t11_bpe_train" -> t11_bpe_train,
     "t12_bpe_encode" -> t12_bpe_encode,
     "t13_corpus_prep" -> t13_corpus_prep,
+    "t14_pack" -> t14_pack,
+    "t15_stratified_sample" -> t15_stratified_sample,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -528,6 +600,29 @@ object TextAnalysis {
         GROUP BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "t14_pack" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                     FROM documents),
+          c AS (SELECT doc_id, shard, n_tok,
+                       CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM t)
+          SELECT doc_id, shard, n_tok,
+                 CAST(floor((cum - n_tok) / $PackBudget.0) AS BIGINT) AS seq_id,
+                 (cum - n_tok) % $PackBudget AS start_off
+          FROM c""",
+    "t15_stratified_sample" -> {
+      val caseRate = SampleRates.foldRight("1.0") { case ((l, r), acc) =>
+        s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+      }
+      s"""SELECT doc_id, lang, u FROM (
+            SELECT doc_id, lang,
+                   ${Portable.duckHash60("concat('sample:', CAST(doc_id AS VARCHAR))")}
+                     % 10000 AS u
+            FROM documents)
+          WHERE u < CAST(($caseRate) * 10000 AS BIGINT)"""
+    },
     "t01_lang_id" ->
       s"""SELECT doc_id, lang,
                  len(string_split(text, ' ')) AS n_tokens,

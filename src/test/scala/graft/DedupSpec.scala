@@ -112,6 +112,53 @@ class DedupSpec extends SparkSpecBase {
       s"unexpected round count $rounds")
   }
 
+  test("d08: leaked eval item contaminates exactly its source doc") {
+    // fixture doc 0 is the only id % 50 == 0 → one planted eval item
+    // (head-truncated copy, id 2000000) sharing 23 rare shingles with
+    // doc 0; docs 1-3 share nothing with it.
+    val rows = Dedup.d08_decontam(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq((0L, 1L, 23L)),
+      s"expected only doc 0 contaminated once with overlap 23, got ${rows.toSeq}")
+  }
+
+  test("t14: packing is contiguous per shard — seq/offset from the running token sum") {
+    val dir = tmpDir("t14_fixture_")
+    // four docs in the SAME shard (ids ≡ 0 mod 32), token counts
+    // 3000/2000/1000/5000 → starts 0, 3000, 5000, 6000 under budget 4096
+    def txt(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    Seq((0L, txt(3000)), (32L, txt(2000)), (64L, txt(1000)), (96L, txt(5000)))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.t14_pack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (0L, 0L, 3000L, 0L, 0L),
+      (32L, 0L, 2000L, 0L, 3000L),
+      (64L, 0L, 1000L, 1L, 904L),
+      (96L, 0L, 5000L, 1L, 1904L)), s"got ${got.toSeq}")
+  }
+
+  test("t15: stratified sample keeps every non-en doc, downsamples en, deterministically") {
+    val dir = tmpDir("t15_fixture_")
+    val docs = (0 until 200).map(i => (i.toLong, s"en text $i", "en", "web", 10L)) ++
+      (200 until 250).map(i => (i.toLong, s"fr texte $i", "fr", "web", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val a = TextAnalysis.t15_stratified_sample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val b = TextAnalysis.t15_stratified_sample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "sampling must be deterministic across runs")
+    assert(a.count(_._2 == "fr") === 50, "rate-1.0 stratum must survive intact")
+    val en = a.filter(_._2 == "en")
+    assert(en.forall(_._3 < 3500L), "kept en docs must sit under the rate threshold")
+    // hash-uniform: 200 en docs at 35% → ~70 kept; allow wide slack
+    assert(en.length > 40 && en.length < 100, s"en kept ${en.length}, expected ≈70")
+  }
+
   test("t07: scrubber masks planted email, url and number") {
     val dir = tmpDir("t07_fixture_")
     // doc_id 7 gets the planted PII suffix (7 % 7 == 0)
