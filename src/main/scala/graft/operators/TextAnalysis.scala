@@ -426,6 +426,23 @@ object TextAnalysis {
     * is free (all per-row); the dedup join runs on the already
     * quality+lang-filtered minority, shrinking the join's probe side.
     */
+  /** The 0-3 quality gate column shared by t13 (batch) and
+    * st15 (ingest twin) — text/n_chars-derived only, so it commutes
+    * with dedup and arrival order.
+    */
+  private[graft] def prepQualityCol: Column = qualityScoreCol(ttrCol, maxTokRatioCol)
+
+  /** The trigram English gate shared by t13 and st15 (requires
+    * [[graft.plans.GraftExtensions]] registration for `trigram_hits`).
+    */
+  private[graft] def prepEnOkCol: Column = {
+    val txt = lower(col("text"))
+    val enScore = call_function("trigram_hits", txt,
+        lit(EnTrigrams.mkString(graft.functions.TrigramHits.ProfileSep)))
+        .cast("double") / (length(txt) - 2).cast("double")
+    length(col("text")) >= 3 && enScore >= TrigramThreshold
+  }
+
   val t13_corpus_prep: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
     val docs = documents(spark, dir)
@@ -433,21 +450,39 @@ object TextAnalysis {
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val txt = lower(col("text"))
-    val enScore = call_function("trigram_hits", txt,
-        lit(EnTrigrams.mkString(graft.functions.TrigramHits.ProfileSep)))
-        .cast("double") / (length(txt) - 2).cast("double")
-    val enOk = length(col("text")) >= 3 && enScore >= TrigramThreshold
     val split9 = when(
       Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct,
       "train").otherwise("val")
-    val score = qualityScoreCol(ttrCol, maxTokRatioCol)
     docs
-      .select(col("doc_id"), score.as("quality_score"), enOk.as("en_ok"),
-        split9.as("split"))
+      .select(col("doc_id"), prepQualityCol.as("quality_score"),
+        prepEnOkCol.as("en_ok"), split9.as("split"))
       .where(col("quality_score") >= 2 && col("en_ok"))
       .join(keepers, "doc_id")
       .select(col("doc_id"), col("quality_score"), col("split"))
+  }
+
+  /** DuckDB twin of the prep gates over relation `rel`(doc_id, text,
+    * n_chars): CTEs `pm` (parsed) + `ps` (rows + quality_score/en_ok).
+    */
+  private[graft] def duckPrepGates(rel: String): String = {
+    val inList = EnTrigrams.map(t => s"'$t'").mkString(", ")
+    s"""pm AS (SELECT doc_id, n_chars, text, lower(text) AS txt,
+                      string_split(text, ' ') AS toks
+               FROM $rel),
+        ps AS (SELECT doc_id, text,
+                 (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)::BIGINT
+                 + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) >= 0.35 THEN 1 ELSE 0 END)::BIGINT
+                 + (CASE WHEN CAST(list_max(list_transform(list_distinct(toks),
+                             d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) <= 0.15 THEN 1 ELSE 0 END)::BIGINT
+                   AS quality_score,
+                 len(text) >= 3 AND
+                   CAST(len(list_filter(
+                     list_transform(range(1, len(txt) - 1), i -> substr(txt, i, 3)),
+                     x -> x IN ($inList))) AS DOUBLE)
+                   / CAST(len(txt) - 2 AS DOUBLE) >= $TrigramThreshold AS en_ok
+               FROM pm)"""
   }
 
   /** Token budget per packed training sequence and shard fan-out for
@@ -732,32 +767,13 @@ object TextAnalysis {
     "t11_bpe_train" -> duckBpeTrainSql,
     "t12_bpe_encode" -> duckBpeEncodeSql,
     "t13_corpus_prep" -> {
-      val inList = EnTrigrams.map(t => s"'$t'").mkString(", ")
       val h = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
       s"""WITH keepers AS (
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-          m AS (
-            SELECT doc_id, n_chars, text, lower(text) AS txt,
-                   string_split(text, ' ') AS toks
-            FROM documents),
-          s AS (
-            SELECT doc_id,
-                   (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)::BIGINT
-                   + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
-                             / CAST(len(toks) AS DOUBLE) >= 0.35 THEN 1 ELSE 0 END)::BIGINT
-                   + (CASE WHEN CAST(list_max(list_transform(list_distinct(toks),
-                               d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
-                             / CAST(len(toks) AS DOUBLE) <= 0.15 THEN 1 ELSE 0 END)::BIGINT
-                     AS quality_score,
-                   len(text) >= 3 AND
-                     CAST(len(list_filter(
-                       list_transform(range(1, len(txt) - 1), i -> substr(txt, i, 3)),
-                       x -> x IN ($inList))) AS DOUBLE)
-                     / CAST(len(txt) - 2 AS DOUBLE) >= $TrigramThreshold AS en_ok,
-                   CASE WHEN ($h) % 100 < $TrainPct THEN 'train' ELSE 'val' END AS split
-            FROM m)
-          SELECT doc_id, quality_score, split
-          FROM s JOIN keepers USING (doc_id)
+          ${duckPrepGates("documents")}
+          SELECT doc_id, quality_score,
+                 CASE WHEN ($h) % 100 < $TrainPct THEN 'train' ELSE 'val' END AS split
+          FROM ps JOIN keepers USING (doc_id)
           WHERE quality_score >= 2 AND en_ok"""
     },
     "t04_fingerprint" -> {

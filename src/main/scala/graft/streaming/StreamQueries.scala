@@ -368,9 +368,54 @@ object StreamQueries {
       .select(col("vec_id"), col("m"), col("code"), col("cell_id"))
   }
 
+  /** T-family streaming — CORPUS PREP AT INGEST (streaming twin of
+    * t13): documents (∪ planted exact copies of every 10th doc — the
+    * at-least-once delivery case) flow through the shared prep gates
+    * (quality ≥ 2 + trigram English, [[graft.operators.TextAnalysis
+    * .prepQualityCol]]/`prepEnOkCol` — the SAME columns t13 evaluates
+    * in batch), a deterministic 80% content-hash sample, and
+    * content-hash exact dedup via `dropDuplicatesWithinWatermark`.
+    * Every emitted column is text-derived (hash, score, sample
+    * bucket), so arrival order cannot leak into the result — original
+    * and copy produce identical rows, and the batch oracle is a plain
+    * DISTINCT. Output depends only on first-arrival emission (st11's
+    * contract), not on watermark closure, so gate placement before the
+    * state op is safe (contrast [[st14_stream_index]]'s sentinel
+    * note); the sentinel row fails every gate by construction.
+    *
+    * Scale shape: gates and sample are stateless map-side filters that
+    * shrink the stream BEFORE the only stateful op; dedup state is one
+    * entry per surviving content hash with watermark TTL eviction —
+    * the ingest-side corpus filter a 100 TB/day pipeline runs, where
+    * dropping low-quality/duplicate docs before they reach storage is
+    * the whole point.
+    */
+  val st15_stream_corpus_prep: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val T = graft.operators.TextAnalysis
+    def docs() = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    val d2 = docs().where(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val gated = docs().select(cols: _*).unionAll(d2)
+      .withColumn("event_time", docEventTime)
+      .withWatermark("event_time", "1 hour")
+      .withColumn("quality_score", T.prepQualityCol)
+      .where(col("quality_score") >= 2 && T.prepEnOkCol)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("u", pmod(graft.functions.Portable.hash60(
+        concat(lit("prep:"), col("content_hash"))), lit(100L)))
+      .where(col("u") < 80)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("content_hash"), col("quality_score"), col("u"))
+    Replay.runAppend(spark, gated)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st14_stream_index" -> st14_stream_index,
+    "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
     "st02_stream_wide_join" -> st02_stream_wide_join,
     "st03_first_order_flag" -> st03_first_order_flag,
     "st04_cdc_route" -> st04_cdc_route,
@@ -388,6 +433,21 @@ object StreamQueries {
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
 
   val oracles: Map[String, String] = Map(
+    "st15_stream_corpus_prep" -> {
+      val T = graft.operators.TextAnalysis
+      val u = graft.functions.Portable.duckHash60("concat('prep:', md5(text))")
+      s"""WITH corpus AS (
+            SELECT doc_id, text, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text, n_chars
+            FROM documents WHERE doc_id % 10 = 0),
+          ${T.duckPrepGates("corpus")}
+          SELECT DISTINCT content_hash, quality_score, u FROM (
+            SELECT md5(text) AS content_hash, quality_score, en_ok,
+                   ($u) % 100 AS u
+            FROM ps)
+          WHERE quality_score >= 2 AND en_ok AND u < 80"""
+    },
     "st14_stream_index" -> {
       val S = graft.operators.Similarity
       s"""WITH ${S.duckVecs},
