@@ -111,6 +111,31 @@ class PlanSpec extends SparkSpecBase {
       case _ => false
     }
 
+  test("t14: packing plans as ONE exchange on the shard key + a pruned scan") {
+    val df = graft.operators.TextAnalysis.t14_pack(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"packing must shuffle exactly once (on shard):\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to doc_id+text:\n$plan")
+  }
+
+  test("t15: sampling is shuffle-free") {
+    val plan = graft.operators.TextAnalysis.t15_stratified_sample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-row hash sampling must not shuffle:\n$plan")
+  }
+
+  test("d08: decontamination never plans a cartesian/nested-loop join") {
+    val df = graft.operators.Dedup.d08_decontam(spark, sf)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"train x eval pairing must stay an equi-join on the shingle key:\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("d04: all three index consumers read the cache; one shuffle on the shingle key") {
     val (pairs, kept) = graft.operators.Dedup.ngramJaccardPlan(
       spark, sf, graft.operators.Dedup.DfCap)
