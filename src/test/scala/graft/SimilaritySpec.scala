@@ -54,4 +54,32 @@ class SimilaritySpec extends SparkSpecBase {
       }
     } finally spark.catalog.clearCache()
   }
+
+  test("n13: filtered recall is in [0,1], per-query monotone in probes, mean below unfiltered") {
+    val filtered = Similarity.n13_filtered_ivf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probes"), r.getAs[Long]("query_id"),
+        r.getAs[Double]("recall10")))
+    spark.catalog.clearCache()
+    val unfiltered = Similarity.n06_ivf_recall(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probes"), r.getAs[Double]("recall10")))
+    try {
+      assert(filtered.length === 10, "2 probe depths × 5 queries")
+      assert(filtered.forall { case (_, _, rc) => rc >= 0.0 && rc <= 1.0 })
+      filtered.groupBy(_._2).foreach { case (q, rs) =>
+        val rc = rs.sortBy(_._1).map(_._3)
+        assert(rc(1) >= rc(0),
+          s"query $q: filtered recall(P=3)=${rc(1)} < recall(P=1)=${rc(0)}")
+      }
+      // the label predicate thins each probed cell's candidate set, so
+      // MEAN filtered recall must not exceed unfiltered at the same P
+      // (per-query inversions are possible; the mean is the stable
+      // statistic on this fixed corpus)
+      for (p <- Seq(1L, 3L)) {
+        val mf = filtered.collect { case (`p`, _, rc) => rc }
+        val mu = unfiltered.collect { case (`p`, rc) => rc }
+        assert(mf.sum / mf.length <= mu.sum / mu.length + 1e-9,
+          s"P=$p: mean filtered recall above unfiltered")
+      }
+    } finally spark.catalog.clearCache()
+  }
 }
