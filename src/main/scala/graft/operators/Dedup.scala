@@ -73,7 +73,7 @@ object Dedup {
     * parity-locked against [[shinglesBuiltin]] by `WordShingles3Spec`).
     * Requires [[graft.plans.GraftExtensions]] registration.
     */
-  private def shingles(text: Column): Column =
+  private[graft] def shingles(text: Column): Column =
     call_function("word_shingles3", text)
 
   /** The builtin interpreted formulation [[shingles]] replaced (kept
@@ -89,15 +89,20 @@ object Dedup {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** DuckDB twin of [[shingles]] as a bare expression over a `text`
+    * column (shared with the streaming decontamination oracle).
+    */
+  private[graft] val duckShingleExpr =
+    """list_distinct(list_transform(
+         range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
+         i -> concat_ws(' ', string_split(text, ' ')[i+1],
+                        string_split(text, ' ')[i+2],
+                        string_split(text, ' ')[i+3])))"""
+
   /** DuckDB twin of [[shingles]]: distinct 3-gram shingle list. */
   private val duckShingles =
-    """sh AS (
-         SELECT doc_id,
-                list_distinct(list_transform(
-                  range(0, greatest(len(string_split(text, ' ')) - 2, 0)),
-                  i -> concat_ws(' ', string_split(text, ' ')[i+1],
-                                 string_split(text, ' ')[i+2],
-                                 string_split(text, ' ')[i+3]))) AS shd
+    s"""sh AS (
+         SELECT doc_id, $duckShingleExpr AS shd
          FROM corpus
        )"""
 
@@ -587,12 +592,12 @@ object Dedup {
     * head-truncated — a benchmark whose items leaked into the training
     * corpus (the situation decontamination exists to catch).
     */
-  private def evalSet(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def evalSet(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).where(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text"))
 
-  private val duckEvalCorpus =
+  private[graft] val duckEvalCorpus =
     """ev AS (
          SELECT doc_id + 2000000 AS doc_id,
                 array_to_string(string_split(text, ' ')[6:], ' ') AS text

@@ -412,10 +412,72 @@ object StreamQueries {
     Replay.runAppend(spark, gated)
   }
 
+  /** D-family streaming — DECONTAMINATION AT INGEST (streaming
+    * counterpart of d08): the training corpus streams through a
+    * BROADCAST index of the eval set's rare shingles — the production
+    * shape, since the benchmark set is small and fixed while the
+    * corpus is unbounded. Each arriving doc explodes to hashed
+    * shingles, equi-joins the eval index, and a windowed count per
+    * (doc, eval item) yields the overlap; the post-replay rollup
+    * reports contaminated docs like d08.
+    *
+    * The rare-shingle rule differs from d08 BY NECESSITY: d08 caps on
+    * combined train+eval document frequency, which an ingest pipeline
+    * cannot know (the stream's df is unbounded and future); the
+    * knowable quantity is EVAL-side df, so the index drops shingles
+    * frequent within the eval set and the oracle mirrors that rule.
+    * Same [[graft.operators.Dedup.MinContamHits]] threshold.
+    *
+    * Watermark note: the sentinel survives to the aggregation because
+    * explode of its (empty) shingle set happens AFTER the watermark
+    * node — zero derived rows downstream still advance the watermark,
+    * unlike a pushed-down key filter (st14's note). Each doc has one
+    * event time, so all its shingle hits land in one window, making
+    * the windowed count exactly |shared shingles|.
+    *
+    * Scale shape: the broadcast is |eval shingles| (KBs against a TB
+    * corpus); per-doc state is one count per (window, doc, eval item)
+    * with watermark eviction — ingest-rate bounded. No shuffle of the
+    * corpus at all: shingle hits aggregate map-side before the
+    * windowed state op's keyed exchange on (doc, eval) pairs, which
+    * only carries actual collisions.
+    */
+  val st16_stream_decontam: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val D = graft.operators.Dedup
+    val evk = {
+      val evsh = D.evalSet(spark, dir)
+        .select(col("doc_id").as("eval_id"), D.shingles(col("text")).as("shd"))
+        .where(size(col("shd")) > 0)
+        .select(col("eval_id"),
+          explode(graft.functions.Portable.hash60Array(col("shd"))).as("s"))
+      evsh.withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+        .where(col("df") <= D.DfCap)
+        .select(col("eval_id"), col("s"))
+    }
+    val hits = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .withColumn("event_time", docEventTime)
+      .withWatermark("event_time", "1 hour")
+      .select(col("doc_id"), col("event_time"), D.shingles(col("text")).as("shd"))
+      .select(col("doc_id"), col("event_time"),
+        explode(graft.functions.Portable.hash60Array(col("shd"))).as("s"))
+      .join(broadcast(evk), "s")
+      .groupBy(window(col("event_time"), "1 hour"), col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("doc_id"), col("eval_id"), col("inter"))
+    Replay.runAppend(spark, hits)
+      .where(col("inter") >= D.MinContamHits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("inter")).as("max_overlap"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
+    "st16_stream_decontam" -> st16_stream_decontam,
     "st02_stream_wide_join" -> st02_stream_wide_join,
     "st03_first_order_flag" -> st03_first_order_flag,
     "st04_cdc_route" -> st04_cdc_route,
@@ -433,6 +495,26 @@ object StreamQueries {
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
 
   val oracles: Map[String, String] = Map(
+    "st16_stream_decontam" -> {
+      val D = graft.operators.Dedup
+      val h = graft.functions.Portable.duckHash60("s")
+      s"""WITH ${D.duckEvalCorpus},
+          evsh AS (SELECT doc_id AS eval_id,
+                          unnest(list_transform(${D.duckShingleExpr}, s -> $h)) AS s
+                   FROM ev),
+          evk AS (SELECT eval_id, s FROM (
+                    SELECT eval_id, s, COUNT(*) OVER (PARTITION BY s) AS df
+                    FROM evsh)
+                  WHERE df <= ${D.DfCap}),
+          tr AS (SELECT doc_id,
+                        unnest(list_transform(${D.duckShingleExpr}, s -> $h)) AS s
+                 FROM documents),
+          prs AS (SELECT tr.doc_id, evk.eval_id, COUNT(*) AS inter
+                  FROM tr JOIN evk USING (s)
+                  GROUP BY 1, 2 HAVING COUNT(*) >= ${D.MinContamHits})
+          SELECT doc_id, COUNT(*) AS n_eval_hits, MAX(inter) AS max_overlap
+          FROM prs GROUP BY doc_id"""
+    },
     "st15_stream_corpus_prep" -> {
       val T = graft.operators.TextAnalysis
       val u = graft.functions.Portable.duckHash60("concat('prep:', md5(text))")
