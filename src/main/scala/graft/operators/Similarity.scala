@@ -418,6 +418,32 @@ object Similarity {
     perP.reduce(_ unionAll _)
   }
 
+  /** n14 — INDEX HEALTH: per-cell member count and mean member-to-
+    * centroid cosine over the trained IVF index — the balance/cohesion
+    * diagnostics that tell an operator when to retrain or re-shard
+    * (skewed cells concentrate probe cost; low cohesion predicts
+    * recall loss). Cosines are summed in integer micro-units so the
+    * mean is order-independent and engine-portable. One equi-join of
+    * the cell-ordered index rows with the broadcast centroid list +
+    * one agg keyed by cell — at 100 TB this reduces to k rows.
+    */
+  val n14_cell_stats: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val cells = idx(spark, dir, "cells")
+    val cents = idx(spark, dir, "coarse").select(col("cid"), col("cv"))
+    cells.join(broadcast(cents), col("cell_id") === col("cid"))
+      .select(col("cell_id"),
+        // micro-units straight off the kernel: re-scaling the 6dp
+        // double (cos6 * 1e6) can land an ulp under the integer and
+        // truncate on cast
+        round(call_function("cosine_sim", col("v"), col("cv")) * 1000000)
+          .cast("long").as("cmicro"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cmicro")).cast("double") /
+          (count(lit(1)).cast("double") * 1000000.0)).as("mean_cos6"))
+  }
+
   // ------------------------------------------------------------------
   // product quantization: trained codebooks, codes, ADC search
   // ------------------------------------------------------------------
@@ -883,6 +909,7 @@ object Similarity {
     "n11_multiprobe_ivfadc" -> n11_multiprobe_ivfadc,
     "n12_pq_rerank" -> n12_pq_rerank,
     "n13_filtered_ivf" -> n13_filtered_ivf,
+    "n14_cell_stats" -> n14_cell_stats,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -1118,6 +1145,17 @@ object Similarity {
                  COALESCE(mtc.matched, 0) / 10.0 AS recall10
           FROM pr CROSS JOIN q
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
+    "n14_cell_stats" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          cm AS (SELECT a.cell_id,
+                        CAST(round(list_sum(list_transform(list_zip(av.v, ct.cv), t -> t[1] * t[2]))
+                                   / (av.nrm * ct.cn) * 1000000) AS BIGINT) AS cmicro
+                 FROM av JOIN a USING (vec_id) JOIN ct ON ct.cid = a.cell_id)
+          SELECT cell_id, COUNT(*) AS n_members,
+                 CAST(SUM(cmicro) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS mean_cos6
+          FROM cm GROUP BY 1""",
     "n13_filtered_ivf" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

@@ -555,6 +555,28 @@ object TextAnalysis {
       .where(col("u") < (rate * 10000).cast("long"))
   }
 
+  /** t16 — CORPUS ACCOUNTING: the per-(lang, source) rollup every
+    * curation pipeline reports before/after its gates — document and
+    * token counts, character volume, English-gate hit count and the
+    * mean quality score (integer-sum semantics: the score is a small
+    * int, so the double mean is exact and engine-portable). One
+    * shuffle on the (lang, source) key with full map-side partial
+    * aggregation; 100 TB reduces to |langs|·|sources| rows.
+    */
+  val t16_corpus_stats: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        prepQualityCol.as("q"), prepEnOkCol.cast("long").as("en"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("en")).as("n_en_ok"),
+        (sum(col("q")).cast("double") / count(lit(1)).cast("double")).as("mean_quality"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -571,6 +593,7 @@ object TextAnalysis {
     "t13_corpus_prep" -> t13_corpus_prep,
     "t14_pack" -> t14_pack,
     "t15_stratified_sample" -> t15_stratified_sample,
+    "t16_corpus_stats" -> t16_corpus_stats,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -635,6 +658,19 @@ object TextAnalysis {
         GROUP BY doc_id"""
 
   val oracles: Map[String, String] = Map(
+    "t16_corpus_stats" ->
+      s"""WITH ${duckPrepGates("documents")},
+          j AS (SELECT d.lang, d.source, d.n_chars,
+                       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                       ps.quality_score AS q,
+                       CASE WHEN ps.en_ok THEN 1 ELSE 0 END AS en
+                FROM documents d JOIN ps ON ps.doc_id = d.doc_id)
+          SELECT lang, source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                 CAST(SUM(en) AS BIGINT) AS n_en_ok,
+                 CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_quality
+          FROM j GROUP BY 1, 2""",
     "t14_pack" ->
       s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,
                             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
