@@ -58,18 +58,36 @@ object Replay {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       if (bigState) RocksDbProvider else DefaultProvider)
 
-  /** Temp dir holding `a_data.parquet` (symlink to `src`) + the
+  /** Temp dir holding the data as `a_data_NNNN.parquet` symlinks + the
     * sentinel as `z_sentinel.parquet`, with increasing mtimes so the
     * file source's oldest-first ordering sees the data first.
+    *
+    * `src` may be a single parquet FILE (the driver testdata shape) or
+    * a Spark-written DIRECTORY (spec fixtures): the file streaming
+    * source does not recurse into plain subdirectories, so a directory
+    * target must be flattened to per-part-file symlinks — a symlink to
+    * the directory itself is silently ignored and the replay would
+    * deliver only the sentinel.
     */
   def streamDir(src: String, sentinel: DataFrame): Path = {
     val dir = Paths.get(graft.Tables.scratchDir("graft_stream_"))
-    Files.createSymbolicLink(dir.resolve("a_data.parquet"), Paths.get(src))
+    val srcPath = Paths.get(src)
+    val parts: Seq[Path] =
+      if (Files.isDirectory(srcPath)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(srcPath).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+      } else Seq(srcPath)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val ln = dir.resolve(f"a_data_$i%04d.parquet")
+      Files.createSymbolicLink(ln, p)
+      Files.setLastModifiedTime(ln, FileTime.fromMillis(1000000L + i))
+    }
     val tmp = Paths.get(graft.Tables.scratchDir("graft_sentinel_"))
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
     Files.copy(part, dir.resolve("z_sentinel.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(dir.resolve("a_data.parquet"), FileTime.fromMillis(1000000L))
     Files.setLastModifiedTime(dir.resolve("z_sentinel.parquet"), FileTime.fromMillis(2000000L))
     dir
   }

@@ -122,6 +122,20 @@ class DedupSpec extends SparkSpecBase {
       s"expected only doc 0 contaminated once with overlap 23, got ${rows.toSeq}")
   }
 
+  test("st16: streaming decontamination agrees with d08 on the planted fixture") {
+    // caps are non-binding on 4 docs, so the eval-df rule and d08's
+    // combined-df rule coincide: the replayed ingest must find exactly
+    // the batch answer.
+    val streamed = graft.streaming.StreamQueries.st16_stream_decontam(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val batch = Dedup.d08_decontam(spark, fixtureDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    spark.catalog.clearCache()
+    assert(streamed.toSeq === Seq((0L, 1L, 23L)))
+    assert(streamed.toSeq === batch.toSeq,
+      s"ingest-time and batch decontamination disagree: ${streamed.toSeq} vs ${batch.toSeq}")
+  }
+
   test("t14: packing is contiguous per shard — seq/offset from the running token sum") {
     val dir = tmpDir("t14_fixture_")
     // four docs in the SAME shard (ids ≡ 0 mod 32), token counts
