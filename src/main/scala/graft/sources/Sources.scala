@@ -98,6 +98,30 @@ object Sources {
       "upperBound" -> upperBound.toString,
       "numPartitions" -> numPartitions.toString))
 
+  /** S8 — Elasticsearch search/get as a distributed scan (ref
+    * utils/MyESUtil.scala:89-114 Jest query-by-index search, :62-66
+    * get; both driver-side, row-at-a-time). Spark-native form: the
+    * elasticsearch-hadoop connector's `es` format reads an index as a
+    * DataFrame, splitting the scan per shard and pushing the query to
+    * the cluster — `es.query` carries the same query-DSL JSON the
+    * reference builds with SearchSourceBuilder. A point `get` is the
+    * degenerate query `{"query":{"ids":{"values":[id]}}}` — composed
+    * here rather than a separate code path. Config-only like
+    * Kafka/JDBC (connector jar is a deploy-time dependency; no ES in
+    * this container).
+    */
+  def esSearch(nodes: String, index: String,
+               queryJson: Option[String] = None): EsSourceConfig =
+    EsSourceConfig(Map(
+      "es.nodes" -> nodes,
+      "es.resource" -> index) ++
+      queryJson.map("es.query" -> _))
+
+  /** S8 — ES get-by-id via [[esSearch]]'s query pushdown. */
+  def esGet(nodes: String, index: String, id: String): EsSourceConfig =
+    esSearch(nodes, index,
+      Some(s"""{"query":{"ids":{"values":["$id"]}}}"""))
+
   /** S9 — properties/config loading (ref
     * utils/PropertiesReaderUtils.scala:15-20, classpath
     * `config.properties`). Returned as a plain map to feed
@@ -126,4 +150,13 @@ case class KafkaSourceConfig(options: Map[String, String]) {
 case class JdbcSourceConfig(options: Map[String, String]) {
   def load(spark: SparkSession): DataFrame =
     spark.read.format("jdbc").options(options).load()
+}
+
+/** A fully-specified ES index scan; `options` is the unit-testable
+  * contract (requires the elasticsearch-hadoop connector jar at
+  * deploy time).
+  */
+case class EsSourceConfig(options: Map[String, String]) {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.format("es").options(options).load()
 }

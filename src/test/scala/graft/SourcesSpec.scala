@@ -35,6 +35,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(o("lowerBound") === "0" && o("upperBound") === "1000000")
   }
 
+  test("S8: ES search pushes the query DSL; get-by-id composes onto it") {
+    val s = Sources.esSearch("es1:9200,es2:9200", "gmall_order",
+      Some("""{"query":{"match":{"name":"w"}}}""")).options
+    assert(s("es.nodes") === "es1:9200,es2:9200")
+    assert(s("es.resource") === "gmall_order")
+    assert(s("es.query") === """{"query":{"match":{"name":"w"}}}""")
+    assert(!Sources.esSearch("es1:9200", "idx").options.contains("es.query"),
+      "no query → full index scan, option absent")
+    val g = Sources.esGet("es1:9200", "idx", "42").options
+    assert(g("es.query") === """{"query":{"ids":{"values":["42"]}}}""")
+  }
+
   test("S9: properties loading") {
     val props = "kafka.broker.list=b:9092\nredis.host=r1\n"
     val m = Sources.loadProperties(
