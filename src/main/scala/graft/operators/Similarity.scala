@@ -269,6 +269,15 @@ object Similarity {
   private[graft] def idx(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"${indexPath(spark, dir)}/$name")
 
+  /** The long-form index rows (vec_id, m, code, cell_id) of the batch
+    * build — the shape the streaming build (st14) must reproduce
+    * bit-for-bit (pinned by `StreamingSpec`).
+    */
+  private[graft] def indexRows(spark: SparkSession, dir: String): DataFrame =
+    idx(spark, dir, "codes")
+      .join(idx(spark, dir, "cells").select(col("vec_id"), col("cell_id")), "vec_id")
+      .select(col("vec_id"), col("m"), col("code"), col("cell_id"))
+
   /** Probe depths measured by [[n06_ivf_recall]] / [[n11_multiprobe_ivfadc]]. */
   private val RecallProbes = Seq(1, 3)
 

@@ -21,6 +21,16 @@ class StreamingSpec extends SparkSpecBase {
 
   private def drain(q: StreamingQuery): Unit = q.processAllAvailable()
 
+  test("st14: the streamed index equals the batch-built artifacts bit-for-bit") {
+    val streamed = graft.streaming.StreamQueries.st14_stream_index(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Similarity.indexRows(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty, "streamed index must not be empty")
+    assert(streamed.toSeq === batch.toSeq,
+      "ingest-built index diverges from the batch build")
+  }
+
   test("dau: dedups within and across batches, accepts out-of-order rows, finalizes per watermark") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
