@@ -46,6 +46,19 @@ object Dedup {
          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
        )"""
 
+  /** `text` with its first 5 whitespace tokens dropped — the planted
+    * near-copy derivation shared by [[nearDupCorpus]]/[[evalSet]] and
+    * the streaming twin (st12). The slice bound is length-derived
+    * (`size(arr)` — a length past the end is legal and truncates), so
+    * it matches the DuckDB twins' unbounded `[6:]` slice for ANY
+    * document length (a fixed big-literal bound would diverge on a
+    * pathological >bound-token doc).
+    */
+  private[graft] def dropHead5(text: Column): Column = {
+    val arr = split(text, " ")
+    array_join(slice(arr, lit(6), size(arr)), " ")
+  }
+
   /** documents ∪ near-copies (first 5 tokens dropped) of every 10th doc:
     * head-truncation keeps ~90% of 3-gram shingles → Jaccard ≈ 0.9
     * against the original, well above the 0.5 detection threshold.
@@ -56,7 +69,7 @@ object Dedup {
       d.where(col("doc_id") % 10 === 0)
         .select(
           (col("doc_id") + 1000000L).as("doc_id"),
-          array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text")))
+          dropHead5(col("text")).as("text")))
   }
 
   private val duckNearCorpus =
@@ -595,7 +608,7 @@ object Dedup {
   private[graft] def evalSet(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir).where(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
-        array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text"))
+        dropHead5(col("text")).as("text"))
 
   private[graft] val duckEvalCorpus =
     """ev AS (

@@ -364,7 +364,12 @@ object Similarity {
     *
     * Recall is matched/|filtered-exact| (not /10): a selective filter
     * can leave a query fewer than K true neighbors, and dividing by
-    * the achievable set keeps recall in [0,1] by construction.
+    * the achievable set keeps recall in [0,1] by construction. A query
+    * whose filtered exact baseline is EMPTY (no other vector shares
+    * its label) is dropped from the output entirely — recall over an
+    * empty achievable set is undefined, and the inner join on the
+    * baseline-size relation encodes exactly that; the DuckDB oracle
+    * joins the same way, so both engines drop identically.
     *
     * Scale shape: identical to n06 (bounded broadcast probe list,
     * candidates equi-join on cell_id) with the label predicate applied

@@ -117,10 +117,24 @@ object Sources {
       "es.resource" -> index) ++
       queryJson.map("es.query" -> _))
 
-  /** S8 — ES get-by-id via [[esSearch]]'s query pushdown. */
+  /** JSON string-literal escape for values interpolated into query-DSL
+    * JSON: backslash, quote, and all control chars — an id containing
+    * `"` or `\` must not produce malformed (or injected) `es.query`
+    * JSON.
+    */
+  private[sources] def jsonEscape(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
+  /** S8 — ES get-by-id via [[esSearch]]'s query pushdown; the id is
+    * JSON-escaped before interpolation (see [[jsonEscape]]).
+    */
   def esGet(nodes: String, index: String, id: String): EsSourceConfig =
     esSearch(nodes, index,
-      Some(s"""{"query":{"ids":{"values":["$id"]}}}"""))
+      Some(s"""{"query":{"ids":{"values":["${jsonEscape(id)}"]}}}"""))
 
   /** S9 — properties/config loading (ref
     * utils/PropertiesReaderUtils.scala:15-20, classpath

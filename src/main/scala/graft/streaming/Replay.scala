@@ -69,13 +69,24 @@ object Replay {
     * the directory itself is silently ignored and the replay would
     * deliver only the sentinel.
     */
+  /** Eager directory listing that CLOSES the underlying
+    * DirectoryStream (a bare `Files.list` leaks one directory fd per
+    * call, and one JVM runs dozens of replays).
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.toList
+    } finally s.close()
+  }
+
   def streamDir(src: String, sentinel: DataFrame): Path = {
     val dir = Paths.get(graft.Tables.scratchDir("graft_stream_"))
     val srcPath = Paths.get(src)
     val parts: Seq[Path] =
       if (Files.isDirectory(srcPath)) {
-        import scala.jdk.CollectionConverters._
-        Files.list(srcPath).iterator().asScala.toSeq
+        listDir(srcPath)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .sortBy(_.getFileName.toString)
       } else Seq(srcPath)
@@ -86,7 +97,7 @@ object Replay {
     }
     val tmp = Paths.get(graft.Tables.scratchDir("graft_sentinel_"))
     sentinel.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(_.toString.endsWith(".parquet")).findFirst.get
+    val part = listDir(tmp).find(_.toString.endsWith(".parquet")).get
     Files.copy(part, dir.resolve("z_sentinel.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(dir.resolve("z_sentinel.parquet"), FileTime.fromMillis(2000000L))
     dir

@@ -288,7 +288,7 @@ object StreamQueries {
     val d2 = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
       .where(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
-        array_join(slice(split(col("text"), " "), 6, 1000000), " ").as("text"))
+        graft.operators.Dedup.dropHead5(col("text")).as("text"))
     val corpus = d1.unionAll(d2)
       .withColumn("event_time", docEventTime)
       .withWatermark("event_time", "1 hour")
@@ -389,7 +389,30 @@ object StreamQueries {
     * the ingest-side corpus filter a 100 TB/day pipeline runs, where
     * dropping low-quality/duplicate docs before they reach storage is
     * the whole point.
+    *
+    * Delivery contract (the plain-DISTINCT oracle's premise): a planted
+    * copy must arrive while its original's dedup state is still within
+    * the 1h watermark TTL. Two defenses: (a) copies carry event times
+    * 0.5 s after their originals ([[prepCopyEventTime]] — NOT the
+    * shared [[docEventTime]], whose +1e6-id offset would place copies
+    * ~11.6 days later, past the TTL under any multi-batch delivery),
+    * so eviction of the original before its copy arrives would need
+    * the two deliveries >1h of event time apart; and (b) the replay
+    * delivers each source as ONE file → one AvailableNow micro-batch
+    * (st12's documented contract), under which no eviction can
+    * intervene at all. A TTL-expired re-emission under exotic delivery
+    * is the documented at-least-once behavior of ANY windowed ingest
+    * dedup, not a defect.
     */
+  /** st15's event time: copies (doc_id ≥ 1e6) sit 0.5 s after their
+    * originals; sentinel far-future. See the delivery-contract note.
+    */
+  private def prepCopyEventTime = when(col("doc_id") < 0,
+      lit("2100-01-01 00:00:00").cast("timestamp"))
+    .otherwise(timestamp_micros(
+      lit(1700000000000000L) + pmod(col("doc_id"), lit(1000000L)) * 1000000L +
+        when(col("doc_id") >= 1000000L, lit(500000L)).otherwise(lit(0L))))
+
   val st15_stream_corpus_prep: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
     val T = graft.operators.TextAnalysis
@@ -399,7 +422,7 @@ object StreamQueries {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"))
     val gated = docs().select(cols: _*).unionAll(d2)
-      .withColumn("event_time", docEventTime)
+      .withColumn("event_time", prepCopyEventTime)
       .withWatermark("event_time", "1 hour")
       .withColumn("quality_score", T.prepQualityCol)
       .where(col("quality_score") >= 2 && T.prepEnOkCol)
