@@ -39,7 +39,7 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   private val K = 10
-  private val NumQueries = 5 // vec_id < 5 form the query set
+  private[graft] val NumQueries = 5 // vec_id < 5 form the query set
 
   /** cosine (codegen'd) rounded to 6 dp — stable across engines. */
   private[graft] def cos6(a: Column, b: Column): Column =
@@ -571,8 +571,10 @@ object Similarity {
       .select(col("query_id"), col("m"), col("cid").as("code"),
         l2micro(subM(col("qv")), col("bv")).as("d"))
 
-  /** Rank ADC candidate distances into the per-query top-k list. */
-  private def adcTopK(adc: DataFrame): DataFrame =
+  /** Rank ADC candidate distances into the per-query top-k list
+    * (exposed for the streaming serving twin, st17).
+    */
+  private[graft] def adcTopK(adc: DataFrame): DataFrame =
     adc.select(col("query_id"), col("vec_id"),
         (-col("amicro").cast("double")).as("s"))
       .groupBy("query_id")

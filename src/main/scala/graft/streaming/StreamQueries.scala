@@ -496,8 +496,85 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_eval_hits"), max(col("inter")).as("max_overlap"))
   }
 
+  /** N-family streaming — ANN QUERY SERVING: the other half of st14's
+    * deployment (st14 builds the index at ingest; this SERVES it). A
+    * stream of query vectors runs n09's IVFADC plan as stream-static
+    * joins against the trained index artifacts: coarse-assign the
+    * query (argmax cosine over the broadcast centroid list — folded
+    * per-row with a higher-order `aggregate` over a collected centroid
+    * array, so assignment is STATELESS; a windowed-argmax aggregation
+    * would chain two stateful operators for no gain on a bounded
+    * centroid set), expand the broadcast ADC lookup table (|Q|·M·k
+    * rows — stateless generate), equi-join the cell-ordered index rows
+    * on (m, code, cell), and collapse per-(query, vector) ADC
+    * distances in ONE windowed aggregation (watermark-bounded state,
+    * sentinel-flushed). The per-query top-k ranking runs on the
+    * materialized distances after the replay (the st12/st16 rollup
+    * pattern) — ranking is a bounded |Q|·cell-size sort, not stream
+    * state. The result must equal n09's batch answer exactly (the
+    * oracle IS n09's), proving a query served mid-ingest returns the
+    * same neighbors the batch index returns.
+    *
+    * Scale shape: broadcasts carry only bounded index parameters (k
+    * centroids as one collected array — index metadata, not data; the
+    * M·k codebook LUT); the corpus-side index rows are a static scan
+    * equi-joined per arriving query (at scale: the cell-pruned index
+    * read a vector store does per probe); streaming state is one sum
+    * per (window, query, candidate) within the probed cell —
+    * query-rate bounded, never corpus bounded. The interpreted HOF
+    * argmax touches |queries|·k rows total (bounded), never the
+    * corpus.
+    *
+    * Sentinel: the `vec_id < NumQueries` predicate ADMITS the sentinel
+    * (-1 < 5), so pushdown below the watermark cannot stat-skip it
+    * (the st14 note); its far-future window never closes, and the
+    * post-replay filter is defense only.
+    */
+  val st17_stream_ann_serve: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val S = graft.operators.Similarity
+    val centsArr = S.idx(spark, dir, "coarse")
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    val books = S.idx(spark, dir, "books")
+    val index = S.indexRows(spark, dir)
+    val q = Replay
+      .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
+      .where(col("vec_id") < S.NumQueries)
+      .withColumn("event_time", when(col("vec_id") < 0,
+          lit("2100-01-01 00:00:00").cast("timestamp"))
+        .otherwise(timestamp_micros(lit(1700000000000000L) + col("vec_id") * 1000000L)))
+      .withWatermark("event_time", "1 hour")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("event_time"))
+    // stateless coarse assignment: fold max(struct(cos6, -cid)) over the
+    // broadcast centroid array — identical tiebreak to Similarity
+    // .assignCells (higher cos6 wins; ties take the smaller cid)
+    val qcell = aggregate(col("cents"),
+      struct(lit(-2.0).as("s"), lit(Long.MinValue).as("ncid")),
+      (acc, c) => {
+        val s = S.cos6(col("qv"), c.getField("cv"))
+        val nc = -c.getField("cid")
+        when(s > acc.getField("s") ||
+            (s === acc.getField("s") && nc > acc.getField("ncid")),
+          struct(s.as("s"), nc.as("ncid"))).otherwise(acc)
+      })
+    val withCell = q.join(broadcast(centsArr), lit(true), "inner")
+      .select(col("query_id"), col("qv"), col("event_time"),
+        (-qcell.getField("ncid")).as("qcell"))
+    val lut = withCell.join(broadcast(books), lit(true), "inner")
+      .select(col("query_id"), col("qcell"), col("event_time"), col("m"),
+        col("cid").as("code"), S.l2micro(S.subM(col("qv")), col("bv")).as("d"))
+    val adc = lut.alias("l").join(index.alias("i"),
+        col("l.m") === col("i.m") && col("l.code") === col("i.code") &&
+          col("i.cell_id") === col("l.qcell") && col("i.vec_id") =!= col("l.query_id"))
+      .groupBy(window(col("event_time"), "1 hour"), col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("amicro"))
+      .select(col("query_id"), col("vec_id"), col("amicro"))
+    S.adcTopK(Replay.runAppend(spark, adc).where(col("query_id") >= 0))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
+    "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
     "st16_stream_decontam" -> st16_stream_decontam,
@@ -518,6 +595,8 @@ object StreamQueries {
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
 
   val oracles: Map[String, String] = Map(
+    // st17 must return EXACTLY n09's batch answer — the oracle is n09's
+    "st17_stream_ann_serve" -> graft.operators.Similarity.oracles("n09_ivfadc_topk"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup
       val h = graft.functions.Portable.duckHash60("s")
