@@ -459,6 +459,68 @@ object Similarity {
   }
 
   // ------------------------------------------------------------------
+  // index lifecycle: build (indexPath) → monitor (n14) → retrain (n10)
+  // ------------------------------------------------------------------
+
+  /** Driver-side summary of n14's per-cell stats — the numbers the
+    * retrain gate reads. `skew` = max/mean member count (1.0 is
+    * perfectly balanced; a skewed quantizer concentrates probe cost on
+    * hot cells); `minCohesion` = the worst cell's mean member-to-
+    * centroid cosine (low cohesion predicts recall loss at fixed
+    * nprobe).
+    */
+  final case class IndexHealth(nCells: Long, maxMembers: Long,
+                               meanMembers: Double, minCohesion: Double) {
+    def skew: Double = maxMembers / meanMembers
+  }
+
+  /** Collapse a (cell_id, n_members, mean_cos6) stats relation (n14's
+    * shape) to its driver-side [[IndexHealth]]. Eager BY DESIGN — the
+    * retrain decision lives on the driver (it gates job submission,
+    * exactly like [[Dedup.clusterLabelsFixpoint]]'s convergence
+    * count), and the read is ONE row off a k-row aggregate, bounded by
+    * the cell count however large the corpus.
+    */
+  private[graft] def indexHealth(cellStats: DataFrame): IndexHealth = {
+    val r = cellStats.agg(
+      count(lit(1)).as("k"),
+      max(col("n_members")).as("mx"),
+      avg(col("n_members")).as("mean"),
+      min(col("mean_cos6")).as("minc")).head()
+    IndexHealth(r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** The retrain gate: re-cluster when member skew exceeds `maxSkew`
+    * OR any cell's cohesion falls below `minCohesion`. Pure —
+    * spec-proven against deliberately skewed / low-cohesion fixtures.
+    */
+  private[graft] def retrainNeeded(h: IndexHealth, maxSkew: Double,
+                                   minCohesion: Double): Boolean =
+    h.skew > maxSkew || h.minCohesion < minCohesion
+
+  /** The index-lifecycle driver loop: read the built index's health
+    * (n14 over [[indexPath]]'s artifacts), decide via
+    * [[retrainNeeded]], and if triggered run ONE more Lloyd round from
+    * the current trained centroids ([[trainCentroids]] — on a cluster
+    * the new round would be written back to the index store and the
+    * cells re-assigned, i.e. [[indexPath]]'s build re-run from warmer
+    * seeds). Returns (health, retrained?, centroid relation to serve
+    * from). Eager like the fixpoint driver loop, so it lives BESIDE
+    * the lazy oracle-checked queries rather than among them.
+    */
+  private[graft] def maintainIndex(spark: SparkSession, dir: String,
+                                   maxSkew: Double = 4.0,
+                                   minCohesion: Double = 0.0): (IndexHealth, Boolean, DataFrame) = {
+    GraftExtensions.register(spark)
+    val h = indexHealth(n14_cell_stats(spark, dir))
+    val current = idx(spark, dir, "coarse")
+    if (retrainNeeded(h, maxSkew, minCohesion)) {
+      val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+      (h, true, trainCentroids(e, current, 1))
+    } else (h, false, current)
+  }
+
+  // ------------------------------------------------------------------
   // product quantization: trained codebooks, codes, ADC search
   // ------------------------------------------------------------------
 

@@ -82,4 +82,39 @@ class SimilaritySpec extends SparkSpecBase {
       }
     } finally spark.catalog.clearCache()
   }
+
+  test("retrain gate: skewed or low-cohesion stats trigger, balanced do not") {
+    import spark.implicits._
+    val skewed = Seq((0L, 100L, 0.9), (1L, 5L, 0.9), (2L, 5L, 0.9))
+      .toDF("cell_id", "n_members", "mean_cos6")
+    val hSkew = Similarity.indexHealth(skewed)
+    assert(hSkew.nCells === 3 && hSkew.maxMembers === 100L)
+    assert(hSkew.skew > 2.0)
+    assert(Similarity.retrainNeeded(hSkew, maxSkew = 2.0, minCohesion = 0.5))
+    val balanced = Seq((0L, 10L, 0.9), (1L, 11L, 0.92), (2L, 9L, 0.88))
+      .toDF("cell_id", "n_members", "mean_cos6")
+    assert(!Similarity.retrainNeeded(
+      Similarity.indexHealth(balanced), maxSkew = 2.0, minCohesion = 0.5))
+    val lowCohesion = Seq((0L, 10L, 0.9), (1L, 10L, 0.1))
+      .toDF("cell_id", "n_members", "mean_cos6")
+    assert(Similarity.retrainNeeded(
+      Similarity.indexHealth(lowCohesion), maxSkew = 2.0, minCohesion = 0.5))
+  }
+
+  test("maintainIndex wires build → monitor → retrain on the real corpus") {
+    // thresholds that force a retrain on any real stats: one more Lloyd
+    // round must come back as a non-empty centroid relation
+    val (h, retrained, cents) =
+      Similarity.maintainIndex(spark, sf, maxSkew = 1.0 - 1e-9, minCohesion = 1.0)
+    assert(retrained && h.nCells > 0 && h.meanMembers > 0)
+    assert(cents.count() > 0)
+    spark.catalog.clearCache()
+    // thresholds no real index can breach: serve the existing centroids
+    val (h2, retrained2, current) =
+      Similarity.maintainIndex(spark, sf, maxSkew = 1e9, minCohesion = -1.0)
+    assert(!retrained2 && h2.nCells > 0)
+    // the coarse list can only carry cells at-or-above those with members
+    assert(current.count() >= h2.nCells)
+    spark.catalog.clearCache()
+  }
 }

@@ -54,6 +54,14 @@ class SourcesSpec extends AnyFunSuite {
     assert(m === Map("kafka.broker.list" -> "b:9092", "redis.host" -> "r1"))
   }
 
+  test("S8: esGet JSON-escapes hostile ids (no query-DSL injection)") {
+    val g = Sources.esGet("es1:9200", "idx", """a"b\c""").options
+    assert(g("es.query") === """{"query":{"ids":{"values":["a\"b\\c"]}}}""")
+    val ctl = Sources.esGet("es1:9200", "idx", "x\ny").options
+    assert(ctl("es.query") ===
+      "{\"query\":{\"ids\":{\"values\":[\"x\\u000ay\"]}}}")
+  }
+
   test("K1/K4: sink option maps") {
     assert(Sinks.kafkaSink("b:9092", "dwd_wide") ===
       Map("kafka.bootstrap.servers" -> "b:9092", "topic" -> "dwd_wide"))
