@@ -27,6 +27,20 @@ import java.nio.file.{Files, Paths}
   *    successful pass's time in `"queries"` — flagged, not hidden, so
   *    a load-dependent operator bug is visible in the artifact.
   *
+  * Variance note (round-7 measurement, closing the round-6 verdict's
+  * watch item): the SMALL-STATE streaming replays (st01/st06/st07/
+  * st08/st09) carry 1.1-1.3× run-to-run drift that does NOT reproduce
+  * as a plan change — an isolated min-of-two re-run of exactly those
+  * five measured SLOWER than either full-suite round (e.g. st01
+  * 5.4 s isolated vs 3.6 s in-suite r6 vs 3.1 s r5), with their code
+  * and plans unchanged (git-verified in the r6 verdict). Their cost is
+  * dominated by per-query streaming fixtures (checkpoint dir, state
+  * store init, AvailableNow start/stop), which scales with ambient
+  * host load, not with operator work — so sub-second deltas on these
+  * queries are measurement noise, and cross-round comparisons should
+  * weight the batch queries and the big-state replays (RocksDB-backed,
+  * state-dominated) instead.
+  *
   * Optional args: query names to bench only those (local iteration).
   */
 object Bench {
