@@ -136,6 +136,15 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("c01: the composed curation pipeline never plans a cartesian/nested-loop join") {
+    val df = graft.operators.Curation.c01_curation_pipeline(spark, sf)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"every capstone stage must stay keyed (equi-join / window / agg):\n$plan")
+    } finally spark.catalog.clearCache()
+  }
+
   test("d04: all three index consumers read the cache; one shuffle on the shingle key") {
     val (pairs, kept) = graft.operators.Dedup.ngramJaccardPlan(
       spark, sf, graft.operators.Dedup.DfCap)
