@@ -696,6 +696,121 @@ object TextAnalysis {
         (sum(col("q")).cast("double") / count(lit(1)).cast("double")).as("mean_quality"))
   }
 
+  /** Micro-unit scale for LM log-probabilities: scores are quantized to
+    * integer micro-nats (`floor(ln p · 1e6)`) so per-doc sums are exact
+    * integer arithmetic — engine-portable regardless of aggregation
+    * order (the n14 micro-unit pattern). Verified at sf0.1: the nearest
+    * quantization boundary is 5.4e-5 away from any `ln((c2+1)/(c1+V))`
+    * value, ~5 orders above cross-engine ulp noise in `ln`.
+    */
+  private[graft] val LmMicro = 1000000L
+
+  /** Keep gate for [[t18_bigram_lm]]: mean log-prob ≥ −3.45 nats/bigram
+    * (perplexity ≲ 31.5) — keeps ~90% of the sf0.01 corpus, cutting the
+    * high-perplexity tail a CCNet-style filter drops.
+    */
+  private[graft] val PplGateMicro = -3450000L
+
+  /** `text`'s nonempty whitespace tokens, in document order. */
+  private def lmToks: Column = filter(split(col("text"), " "), t => length(t) > 0)
+
+  /** Adjacent-token bigrams of `toks` as "w1 w2" strings (tokens carry
+    * no spaces, so the join key is unambiguous). The `size >= 2` guard
+    * keeps `sequence(1, 0)` from generating a descending range.
+    */
+  private def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** t18 — BIGRAM LANGUAGE-MODEL SCORING (the perplexity gate of
+    * CCNet-style corpus curation): train an add-one-smoothed bigram LM
+    * on the t09 train split — `p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)`
+    * with `c(w1·)` the left-context total and `V` the training
+    * vocabulary size — then score EVERY document by its mean bigram
+    * log-probability. Emits per doc: bigram count, unseen-bigram count,
+    * exact integer micro-nat sum ([[LmMicro]]), the mean, and the
+    * [[PplGateMicro]] keep flag. Documents with fewer than two tokens
+    * have no bigrams and are dropped (none exist in the corpus — every
+    * doc is ≥ 40 tokens).
+    *
+    * Scale shape: counts are two shuffles with map-side partials (pair
+    * counts over the train corpus; left-context totals folded from the
+    * PAIR TYPE table, not the corpus — |bigram types| rows). `V`
+    * reduces to one broadcast row. Scoring joins the corpus bigram
+    * stream against the count tables on their natural keys (shuffle
+    * hash joins — at 100 TB the model tables are shuffle-sized, not
+    * broadcast-sized) and re-aggregates per doc: exact integer sums,
+    * order-free. The model feeds two consumers (c1 fold + scoring
+    * join), so it is persist()-marked; caller clears the cache.
+    */
+  val t18_bigram_lm: Q = (spark, dir) => {
+    val docs = documents(spark, dir)
+    val train = docs.where(
+      Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct)
+    val trainBg = train.select(lmToks.as("toks"))
+      .select(explode(bigramsOf(col("toks"))).as("pair"))
+    val c2 = trainBg.groupBy(col("pair")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(substring_index(col("pair"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val v = train.select(lmToks.as("toks"))
+      .select(explode(col("toks")).as("t"))
+      .agg(count_distinct(col("t")).as("v"))
+    val docBg = docs.select(col("doc_id"), lmToks.as("toks"))
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("pair"))
+    docBg
+      .join(c2, Seq("pair"), "left")
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .join(broadcast(v), lit(true), "inner")
+      .select(col("doc_id"),
+        col("c2").isNull.cast("long").as("oov"),
+        floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * LmMicro)
+          .cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("lp")).as("sum_lp_micro"),
+        (sum(col("lp")).cast("double") / count(lit(1)).cast("double")).as("avg_lp_micro"))
+      .withColumn("ppl_keep", col("avg_lp_micro") >= PplGateMicro.toDouble)
+  }
+
+  /** t19 — DOMAIN-MIXTURE REWEIGHTING: per-(lang, source) sampling
+    * weights ∝ tokens^0.5 (temperature-based rebalancing — the
+    * multinomial mixture exponent of GPT-3/mT5-style training-data
+    * recipes: α < 1 up-weights small domains relative to their natural
+    * share). Emits each domain's document/token counts, its normalized
+    * sampling weight, and the boost factor vs its natural
+    * (proportional) share. √tokens is quantized to integer micro-units
+    * before normalizing, so the denominator is an exact integer sum —
+    * engine-portable (sqrt/mul/floor are all correctly-rounded IEEE ops
+    * on both engines, so even the quantization is bit-identical).
+    *
+    * Scale shape: ONE shuffle — the (lang, source) rollup with map-side
+    * partials reducing 100 TB to |domains| rows; the totals collapse to
+    * one broadcast row. Everything after the rollup is arithmetic on a
+    * domain-count-sized table.
+    */
+  val t19_domain_mixture: Q = (spark, dir) => {
+    val dom = documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("s_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * LmMicro).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = dom.agg(sum(col("s_micro")).as("tot_s"), sum(col("n_tokens")).as("tot_tok"))
+    dom.join(broadcast(tot), lit(true), "inner")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("s_micro").cast("double") / col("tot_s").cast("double")).as("weight"),
+        ((col("s_micro").cast("double") / col("tot_s").cast("double")) /
+          (col("n_tokens").cast("double") / col("tot_tok").cast("double"))).as("boost"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -714,6 +829,8 @@ object TextAnalysis {
     "t15_stratified_sample" -> t15_stratified_sample,
     "t16_corpus_stats" -> t16_corpus_stats,
     "t17_bpe_unseen" -> t17_bpe_unseen,
+    "t18_bigram_lm" -> t18_bigram_lm,
+    "t19_domain_mixture" -> t19_domain_mixture,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -830,7 +947,60 @@ object TextAnalysis {
         FROM dw JOIN vs USING (token)
         GROUP BY doc_id"""
 
+  private def duckBigramLmSql: String = {
+    val splitH = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
+    s"""WITH tr AS (SELECT doc_id, text FROM documents
+                    WHERE ($splitH) % 100 < $TrainPct),
+        tt AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+               FROM tr),
+        tb AS (SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS pair
+               FROM tt),
+        c2 AS (SELECT pair, COUNT(*) AS c2 FROM tb GROUP BY pair),
+        c1 AS (SELECT split_part(pair, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+               FROM c2 GROUP BY 1),
+        vv AS (SELECT COUNT(DISTINCT t) AS v
+               FROM (SELECT unnest(toks) AS t FROM tt)),
+        at AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+               FROM documents),
+        db AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS pair
+               FROM at),
+        sc AS (SELECT d.doc_id,
+                      CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov,
+                      CAST(floor(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+                                    / CAST(COALESCE(c1.c1, 0) + vv.v AS DOUBLE))
+                                 * $LmMicro) AS BIGINT) AS lp
+               FROM db d LEFT JOIN c2 ON c2.pair = d.pair
+               LEFT JOIN c1 ON c1.w1 = split_part(d.pair, ' ', 1), vv)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               CAST(SUM(lp) AS BIGINT) AS sum_lp_micro,
+               CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp_micro,
+               CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 >= CAST($PplGateMicro AS DOUBLE) AS ppl_keep
+        FROM sc GROUP BY doc_id"""
+  }
+
+  private def duckDomainMixtureSql: String =
+    s"""WITH dom AS (SELECT lang, source, COUNT(*) AS n_docs,
+                            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                     FROM documents GROUP BY 1, 2),
+        d2 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * $LmMicro) AS BIGINT)
+                           AS s_micro
+               FROM dom),
+        tot AS (SELECT CAST(SUM(s_micro) AS BIGINT) AS tot_s,
+                       CAST(SUM(n_tokens) AS BIGINT) AS tot_tok
+                FROM d2)
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(s_micro AS DOUBLE) / CAST(tot_s AS DOUBLE) AS weight,
+               (CAST(s_micro AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                 / (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE)) AS boost
+        FROM d2, tot"""
+
   val oracles: Map[String, String] = Map(
+    "t18_bigram_lm" -> duckBigramLmSql,
+    "t19_domain_mixture" -> duckDomainMixtureSql,
     "t16_corpus_stats" ->
       s"""WITH ${duckPrepGates("documents")},
           j AS (SELECT d.lang, d.source, d.n_chars,
