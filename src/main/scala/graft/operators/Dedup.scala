@@ -686,6 +686,151 @@ object Dedup {
         FROM prs GROUP BY doc_id"""
 
   // ------------------------------------------------------------------
+  // d09 — LSH banding parameter sweep
+  // ------------------------------------------------------------------
+
+  /** The (bands, rows) configurations [[d09_lsh_tuning]] sweeps — every
+    * factorization of the [[NumHashes]]-long signature, from the
+    * strictest single band of 12 (candidate iff ALL minima agree) to 12
+    * bands of 1 (candidate iff ANY minimum agrees). Per the LSH s-curve
+    * `P(cand | J) = 1 − (1 − J^rows)^bands`, recall rises and precision
+    * falls monotonically along this list.
+    */
+  private[graft] val LshSweep: Seq[(Int, Int)] =
+    Seq((1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+
+  /** d09 — LSH PARAMETER SWEEP: measure every [[LshSweep]] banding of
+    * the 12-way MinHash signature against the exact ground truth, in
+    * one query. Ground truth = d04's df-capped exact-Jaccard pairs
+    * (J ≥ 0.5) — the exactness anchor the banded configs approximate.
+    * Emits one row per config: candidate-pair count, true positives,
+    * the truth size, precision and recall — the table an engineer reads
+    * to pick the banding before a 100 TB dedup run (d02's fixed 4×3 is
+    * one row of it).
+    *
+    * Scale shape: ONE hashed-shingle pass (persisted, shared by the
+    * signature build and the ground-truth index); all configs' band
+    * rows are generated by a single explode (Σ bands = 28 rows/doc) and
+    * joined in ONE equi-join on (cfg, band, bkey) — the sweep costs one
+    * candidate join, not |configs| of them. The truth side is d04's
+    * proven one-exchange shape; per-config rollups are map-side-partial
+    * counts. The b12r1 endpoint has the d02 skew caveat (single-hash
+    * buckets are the most collision-prone); the df-capped truth join
+    * bounds the exact side regardless.
+    */
+  val d09_lsh_tuning: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val W = org.apache.spark.sql.expressions.Window
+    val sh = nearDupCorpus(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+    val hs = sh.select(col("doc_id"), Portable.hash60Array(col("shd")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val seedsCsv = Portable.xorSeeds.take(NumHashes).mkString(",")
+    val mh = hs.select(col("doc_id"),
+      call_function("minhash_mins", col("hs"), lit(seedsCsv)).as("mh"))
+    val bandStructs = LshSweep.flatMap { case (nb, nr) =>
+      (0 until nb).map { b =>
+        struct(
+          lit(s"b${nb}r$nr").as("cfg"), lit(nb).as("n_bands"), lit(nr).as("n_rows"),
+          lit(b).as("band"),
+          concat_ws("_", (1 to nr).map(r => element_at(col("mh"), nr * b + r)): _*).as("bkey"))
+      }
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.cfg").as("cfg"), col("bb.n_bands").as("n_bands"),
+        col("bb.n_rows").as("n_rows"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.cfg") === col("b.cfg") && col("a.band") === col("b.band") &&
+          col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.cfg").as("cfg"), col("a.n_bands").as("n_bands"),
+        col("a.n_rows").as("n_rows"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    // ground truth: d04's plan over the SAME hashed-shingle relation
+    val ex = hs.select(col("doc_id"), explode(col("hs")).as("s"))
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(W.partitionBy(col("s"))))
+      .where(col("df") <= DfCap)
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.alias("a")
+      .join(kept.alias("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val truth = inter
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .where((col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double")) >= 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("cfg"), col("n_bands"), col("n_rows"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_tp"))
+      .join(broadcast(nTrue), lit(true), "inner")
+      .select(col("cfg"), col("n_bands"), col("n_rows"), col("n_cand"), col("n_tp"),
+        col("n_true"),
+        when(col("n_cand") === 0, lit(null).cast("double"))
+          .otherwise(col("n_tp").cast("double") / col("n_cand").cast("double")).as("prec"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(col("n_tp").cast("double") / col("n_true").cast("double")).as("recall"))
+  }
+
+  private def duckLshSweepSql: String = {
+    val mhs = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(hs, h -> ${Portable.duckXorMix(i, "h")}))").mkString("[", ", ", "]")
+    val bandSelects = LshSweep.flatMap { case (nb, nr) =>
+      (0 until nb).map { b =>
+        val key = (1 to nr).map(r => s"mhs[${nr * b + r}]").mkString("concat_ws('_', ", ", ", ")")
+        s"SELECT doc_id, 'b${nb}r$nr' AS cfg, $nb AS n_bands, $nr AS n_rows, $b AS band, $key AS bkey FROM mh"
+      }
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $duckNearCorpus, $duckShingles,
+        shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+        hsx AS (SELECT doc_id,
+                       list_transform(shd, s -> ${Portable.duckHash60("s")}) AS hs
+                FROM shn),
+        mh AS (SELECT doc_id, $mhs AS mhs FROM hsx),
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT DISTINCT a.cfg, a.n_bands, a.n_rows,
+                 a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.cfg = b.cfg AND a.band = b.band AND a.bkey = b.bkey
+               AND a.doc_id < b.doc_id),
+        ex0 AS (SELECT doc_id, unnest(hs) AS s FROM hsx),
+        ex AS (SELECT doc_id, s FROM (
+                 SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex0)
+               WHERE df <= $DfCap),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        truth AS (SELECT doc_a, doc_b
+                  FROM i JOIN n x ON x.doc_id = doc_a JOIN n y ON y.doc_id = doc_b
+                  WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5),
+        nt AS (SELECT COUNT(*) AS n_true FROM truth),
+        per AS (SELECT c.cfg, c.n_bands, c.n_rows, COUNT(*) AS n_cand,
+                       CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+                FROM cand c LEFT JOIN truth t
+                  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+                GROUP BY 1, 2, 3)
+        SELECT cfg, n_bands, n_rows, n_cand, n_tp,
+               CAST(nt.n_true AS BIGINT) AS n_true,
+               CASE WHEN n_cand = 0 THEN NULL
+                    ELSE CAST(n_tp AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec,
+               CASE WHEN nt.n_true = 0 THEN NULL
+                    ELSE CAST(n_tp AS DOUBLE) / CAST(nt.n_true AS DOUBLE) END AS recall
+        FROM per, nt"""
+  }
+
+  // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
@@ -697,6 +842,7 @@ object Dedup {
     "d06_dedup_materialize" -> d06_dedup_materialize,
     "d07_dedup_clusters" -> d07_dedup_clusters,
     "d08_decontam" -> d08_decontam,
+    "d09_lsh_tuning" -> d09_lsh_tuning,
   )
 
   val oracles: Map[String, String] = Map(
@@ -714,5 +860,6 @@ object Dedup {
     "d04_ngram_jaccard" -> duckNgramSql,
     "d07_dedup_clusters" -> duckClusterSql,
     "d08_decontam" -> duckDecontamSql,
+    "d09_lsh_tuning" -> duckLshSweepSql,
   )
 }
