@@ -246,14 +246,119 @@ object Multimodal {
         dims.getField("n_samples").as("n_samples"))
   }
 
+  /** Near-dup Jaccard threshold for [[mm05_media_dedup]]. */
+  private val MediaDupJaccard = 0.5
+
+  /** `text` minus its last 5 whitespace tokens — the tail-crop
+    * perturbation for the planted media near-copies (media framing is
+    * byte-ALIGNED, so a head crop would shift every frame boundary and
+    * zero the digest overlap; the tail crop models "same image, padding
+    * trimmed", which byte-level framing genuinely detects).
+    */
+  private def dropTail5(text: Column): Column = {
+    val toks = split(text, " ")
+    array_join(slice(toks, lit(1), greatest(size(toks) - 5, lit(0))), " ")
+  }
+
+  /** mm05 — BINARY MEDIA DEDUP: near-dup pairs over the BMP payloads by
+    * frame-digest Jaccard. The corpus plants an exact binary copy of
+    * every 10th document (+1M ids) and a tail-cropped near copy of every
+    * doc_id % 10 == 5 (+2M ids). Each payload's pixel region (the real
+    * bytes after the 54-byte header — parsed from the payload, not the
+    * text) is framed into 16-byte blocks; each block's content digest
+    * ([[Portable.hash60]] of the byte slice, mm03's digest) forms the
+    * document's distinct frame-digest set. Candidates = same MINIMUM
+    * frame digest (the winnowing bucket — one integer key per doc, an
+    * equi-join, never all-pairs); verification = exact Jaccard over the
+    * digest sets ≥ 0.5. Emits (doc_a, doc_b, jaccard, is_exact); exact
+    * binary copies surface with jaccard 1.0 and the flag set.
+    *
+    * Everything is integer arithmetic (byte slices, 60-bit digests, set
+    * sizes) — no float tolerance anywhere; the final ratio is one exact
+    * int/int division. Scale shape: one projection computes digests per
+    * doc (codegen'd hex/substr — no shuffle), ONE shuffle on the bucket
+    * key for the candidate equi-join; digest arrays (~n_bytes/16 longs)
+    * ride the shuffle instead of payload bytes (16× smaller). A
+    * degenerate shared min-digest (e.g. an all-zero block) is the d04
+    * hot-bucket failure mode; the same df-cap escape hatch applies.
+    * Byte framing is alignment-sensitive by design — codec-aware
+    * perceptual hashing is the production upgrade for shift-invariant
+    * matching, slotting into the same bucket-join plan.
+    */
+  val mm05_media_dedup: Q = (spark, dir) => {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionAll(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(base.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          dropTail5(col("text")).as("text")))
+    val digest = sha2(col("text"), 256)
+    val h = Portable.hash60(digest)
+    val body = encode(col("text"), "utf-8")
+    val payload = concat(
+      bmpHeader(h % 640, h % 480, h % 3 + 1, octet_length(body).cast("long")), body)
+    val fd = corpus
+      .select(col("doc_id"), md5(col("text")).as("content_hash"), payload.as("payload"))
+      .select(col("doc_id"), col("content_hash"),
+        lower(hex(col("payload").substr(lit(55), octet_length(col("payload")) - 54)))
+          .as("hx"))
+      .withColumn("n_blocks", (length(col("hx")) / (2 * FrameBytes)).cast("long"))
+      .where(col("n_blocks") > 0)
+      .select(col("doc_id"), col("content_hash"),
+        array_distinct(transform(sequence(lit(0L), col("n_blocks") - 1), f =>
+          Portable.hash60(
+            col("hx").substr((f * (2 * FrameBytes) + 1).cast("int"),
+              lit(2 * FrameBytes))))).as("fd"))
+      .withColumn("bucket", array_min(col("fd")))
+    fd.alias("a").join(fd.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.fd"), col("b.fd"))).cast("double") /
+          size(array_union(col("a.fd"), col("b.fd"))).cast("double")).as("jaccard"),
+        (col("a.content_hash") === col("b.content_hash")).as("is_exact"))
+      .where(col("jaccard") >= MediaDupJaccard)
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
+    "mm05_media_dedup" -> mm05_media_dedup,
     "mm02_pixel_features" -> mm02_pixel_features,
     "mm03_frame_sample" -> mm03_frame_sample,
     "mm04_wav_meta" -> mm04_wav_meta,
   )
 
+  private def duckMediaDedupSql: String = {
+    val fh = Portable.duckHash60(s"substr(hx, f * ${2 * FrameBytes} + 1, ${2 * FrameBytes})")
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 2000000,
+                 array_to_string(string_split(text, ' ')
+                   [:greatest(len(string_split(text, ' ')) - 5, 0)], ' ')
+          FROM documents WHERE doc_id % 10 = 5),
+        hxx AS (SELECT doc_id, md5(text) AS content_hash,
+                       lower(hex(encode(text))) AS hx,
+                       octet_length(encode(text)) // $FrameBytes AS n_blocks
+                FROM corpus),
+        fd AS (SELECT doc_id, content_hash,
+                      list_distinct(list_transform(range(0, n_blocks), f -> $fh)) AS fd
+               FROM hxx WHERE n_blocks > 0),
+        fb AS (SELECT doc_id, content_hash, fd, list_min(fd) AS bucket FROM fd)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.fd, b.fd)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.fd, b.fd))) AS DOUBLE) AS jaccard,
+               a.content_hash = b.content_hash AS is_exact
+        FROM fb a JOIN fb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.fd, b.fd)) AS DOUBLE)
+                / CAST(len(list_distinct(list_concat(a.fd, b.fd))) AS DOUBLE)
+              >= $MediaDupJaccard"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "mm05_media_dedup" -> duckMediaDedupSql,
     "mm01_binary_meta" -> {
       // the oracle mirrors the CONSTRUCTION (hash-derived dims + LE
       // byte layout); the Spark side genuinely parses the bytes, so a
