@@ -572,8 +572,97 @@ object StreamQueries {
     S.adcTopK(Replay.runAppend(spark, adc).where(col("query_id") >= 0))
   }
 
+  /** C-family streaming — THE CURATION PIPELINE AT INGEST (streaming
+    * twin of c01's gate stages): documents (∪ planted copies of every
+    * 10th doc — at-least-once delivery) flow through quality +
+    * language gates, DECONTAMINATION against the eval set, the
+    * deterministic content-hash sample and split, per-doc BPE token
+    * counts from the TRAINED tokenizer artifact, and content-hash
+    * exact dedup. What c01 runs as a nightly batch, this runs as the
+    * stream the corpus arrives on — the "cure before storage" shape.
+    *
+    * The composition is deliberately ONE stateful operator: every
+    * stage except dedup is a STATELESS per-row expression against a
+    * broadcast artifact — the eval set's rare-shingle arrays collapsed
+    * to one row (contamination = max per-item intersection via a HOF
+    * fold, st16's eval-side-df rule; benchmarks are KBs, so the
+    * broadcast is index metadata), and the trained BPE vocabulary as a
+    * broadcast map (a tokenizer IS a broadcast dictionary in every
+    * production pipeline; OOV tokens count 0, t12's vocabulary-lookup
+    * semantics). Packing is deliberately absent: a per-shard running
+    * offset over an unbounded stream is unbounded state — streaming
+    * cures, the batch compactor (c01/t14) packs; that division is the
+    * production architecture, not a gap.
+    *
+    * Every output column is text-derived (st15's order-independence
+    * argument), so original and copy produce identical rows and the
+    * batch oracle composes the same CTE fragments with a plain
+    * DISTINCT. Same delivery contract and sentinel reasoning as st15
+    * (gates sit after the watermark node; the sentinel fails them by
+    * construction). Scale shape: stateless gates shrink the stream
+    * before the one keyed state op; dedup state is one entry per
+    * surviving content hash, TTL-evicted.
+    */
+  val st18_stream_curation: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val T = graft.operators.TextAnalysis
+    val D = graft.operators.Dedup
+    val P = graft.functions.Portable
+    val W = org.apache.spark.sql.expressions.Window
+
+    // broadcast artifact 1: the eval set's rare-shingle arrays (one per
+    // eval item), collapsed to a single row
+    val evalSets = {
+      val evsh = D.evalSet(spark, dir)
+        .select(col("doc_id").as("eval_id"), D.shingles(col("text")).as("shd"))
+        .where(size(col("shd")) > 0)
+        .select(col("eval_id"), explode(P.hash60Array(col("shd"))).as("s"))
+      evsh.withColumn("df", count(lit(1)).over(W.partitionBy(col("s"))))
+        .where(col("df") <= D.DfCap)
+        .groupBy(col("eval_id")).agg(collect_list(col("s")).as("es"))
+        .agg(collect_list(col("es")).as("eval_sets"))
+    }
+    // broadcast artifact 2: the trained tokenizer vocabulary as a map
+    val vocabMap = T.bpeIdx(spark, dir, "vocab")
+      .select(col("token"), size(split(col("syms"), " ")).cast("long").as("n_sub"))
+      .agg(map_from_entries(collect_list(struct(col("token"), col("n_sub")))).as("vm"))
+
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    def docs() = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+    val d2 = docs().where(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val toksNE = filter(split(col("text"), " "), t => length(t) > 0)
+    val contamHits = aggregate(col("eval_sets"), lit(0),
+      (acc, es) => greatest(acc, size(array_intersect(es, col("ds")))))
+    val bpeCount = aggregate(toksNE, lit(0L),
+      (acc, t) => acc + coalesce(element_at(col("vm"), t), lit(0L)))
+
+    val gated = docs().select(cols: _*).unionAll(d2)
+      .withColumn("event_time", prepCopyEventTime)
+      .withWatermark("event_time", "1 hour")
+      .join(broadcast(evalSets), lit(true), "inner")
+      .join(broadcast(vocabMap), lit(true), "inner")
+      .withColumn("quality_score", T.prepQualityCol)
+      .where(col("quality_score") >= 2 && T.prepEnOkCol)
+      .withColumn("ds", P.hash60Array(D.shingles(col("text"))))
+      .where(contamHits < D.MinContamHits)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("u", pmod(P.hash60(concat(lit("prep:"), col("content_hash"))), lit(100L)))
+      .where(col("u") < 80)
+      .withColumn("split",
+        when(P.hash60(concat(lit("split:"), col("content_hash"))) % 100 < T.TrainPct,
+          "train").otherwise("val"))
+      .withColumn("n_bpe_tokens", bpeCount)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
+        col("n_bpe_tokens"))
+    Replay.runAppend(spark, gated)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
+    "st18_stream_curation" -> st18_stream_curation,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -616,6 +705,53 @@ object StreamQueries {
                   GROUP BY 1, 2 HAVING COUNT(*) >= ${D.MinContamHits})
           SELECT doc_id, COUNT(*) AS n_eval_hits, MAX(inter) AS max_overlap
           FROM prs GROUP BY doc_id"""
+    },
+    "st18_stream_curation" -> {
+      val T = graft.operators.TextAnalysis
+      val D = graft.operators.Dedup
+      val P = graft.functions.Portable
+      val u = P.duckHash60("concat('prep:', md5(text))")
+      val sp = P.duckHash60("concat('split:', md5(text))")
+      val h = P.duckHash60("s")
+      s"""WITH corpus AS (
+            SELECT doc_id, text, n_chars FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text, n_chars
+            FROM documents WHERE doc_id % 10 = 0),
+          ${T.duckPrepGates("corpus")},
+          ${D.duckEvalCorpus},
+          evsh AS (SELECT doc_id AS eval_id,
+                          unnest(list_transform(${D.duckShingleExpr}, s -> $h)) AS s
+                   FROM ev),
+          evk AS (SELECT eval_id, s FROM (
+                    SELECT eval_id, s, COUNT(*) OVER (PARTITION BY s) AS df
+                    FROM evsh)
+                  WHERE df <= ${D.DfCap}),
+          tsh AS (SELECT doc_id,
+                         unnest(list_transform(${D.duckShingleExpr}, s -> $h)) AS s
+                  FROM corpus),
+          cpr AS (SELECT t.doc_id, e.eval_id
+                  FROM tsh t JOIN evk e USING (s)
+                  GROUP BY 1, 2 HAVING COUNT(*) >= ${D.MinContamHits}),
+          contam AS (SELECT DISTINCT doc_id FROM cpr),
+          ${T.duckBpeCtes("documents")},
+          ${T.duckBpeVocabCounts},
+          btok AS (SELECT doc_id, token
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                         FROM corpus)
+                   WHERE len(token) > 0),
+          bcnt AS (SELECT doc_id, CAST(SUM(COALESCE(vs.n_sub, 0)) AS BIGINT) AS n_bpe_tokens
+                   FROM btok LEFT JOIN vs USING (token) GROUP BY 1)
+          SELECT DISTINCT md5(text) AS content_hash, quality_score,
+                 ($u) % 100 AS u,
+                 CASE WHEN ($sp) % 100 < ${T.TrainPct} THEN 'train' ELSE 'val' END AS split,
+                 n_bpe_tokens
+          FROM (SELECT ps.text, ps.quality_score, b.n_bpe_tokens
+                FROM ps
+                JOIN bcnt b ON b.doc_id = ps.doc_id
+                LEFT JOIN contam ct ON ct.doc_id = ps.doc_id
+                WHERE ps.quality_score >= 2 AND ps.en_ok AND ct.doc_id IS NULL
+                  AND ($u) % 100 < 80)"""
     },
     "st15_stream_corpus_prep" -> {
       val T = graft.operators.TextAnalysis
