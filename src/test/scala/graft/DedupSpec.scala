@@ -199,4 +199,36 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getAs[Double]("ttr") === 1.0)
     assert(r.getAs[Double]("avg_token_len") === 2.0)
   }
+
+  test("d09: candidates and recall are monotone along nested band chains") {
+    // bands of r' nest inside bands of r along 12→6→4→2→1 and 6→3→2
+    // (every r-block contains a full aligned r'-band), so the stricter
+    // config's candidate set is a SUBSET of the looser one's — counts
+    // and true positives must be nondecreasing along the chain.
+    val rows = try Dedup.d09_lsh_tuning(spark, sf).collect()
+      finally spark.catalog.clearCache()
+    val byRows = rows.map(r =>
+      r.getAs[Int]("n_rows") -> (r.getAs[Long]("n_cand"), r.getAs[Long]("n_tp"))).toMap
+    assert(byRows.keySet === Set(12, 6, 4, 3, 2, 1))
+    for (chain <- Seq(Seq(12, 6, 4, 2, 1), Seq(6, 3, 2)); Seq(a, b) <- chain.sliding(2)) {
+      assert(byRows(a)._1 <= byRows(b)._1,
+        s"candidates must not shrink from r=$a to r=$b: ${byRows(a)._1} > ${byRows(b)._1}")
+      assert(byRows(a)._2 <= byRows(b)._2,
+        s"true positives must not shrink from r=$a to r=$b")
+    }
+    val nTrue = rows.head.getAs[Long]("n_true")
+    assert(rows.forall(_.getAs[Long]("n_true") === nTrue),
+      "the exact ground truth is config-independent")
+  }
+
+  test("t18: training-split documents have zero unseen bigrams") {
+    // every bigram of a train-split doc is, by construction, in the
+    // model's count table; OOV can only come from the val split
+    val lm = TextAnalysis.t18_bigram_lm(spark, sf)
+    val splits = TextAnalysis.t09_split(spark, sf).select(col("doc_id"), col("split"))
+    val trainOov = try lm.join(splits, "doc_id")
+        .where(col("split") === "train" && col("n_oov") > 0).count()
+      finally spark.catalog.clearCache()
+    assert(trainOov === 0L, s"$trainOov train docs report unseen bigrams")
+  }
 }

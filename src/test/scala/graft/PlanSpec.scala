@@ -145,6 +145,24 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("d09/mm05/t18: candidate and scoring joins stay keyed; 1-row broadcasts are the only nested loops") {
+    // the sweep's candidate join, mm05's bucket join and t18's count
+    // joins must all be equi-joins; BroadcastNestedLoopJoin may appear
+    // ONLY for the intended single-row broadcasts (d09's n_true, t18's
+    // vocabulary size) — never for a scaling relation
+    def audit(name: String, df: DataFrame, maxNested: Int): Unit = try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      val nested = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(nested <= maxNested,
+        s"$name: $nested nested-loop joins (allowed $maxNested — 1-row broadcasts only):\n$plan")
+    } finally spark.catalog.clearCache()
+    audit("d09", graft.operators.Dedup.d09_lsh_tuning(spark, sf), 1)
+    audit("mm05", graft.operators.Multimodal.mm05_media_dedup(spark, sf), 0)
+    audit("t18", graft.operators.TextAnalysis.t18_bigram_lm(spark, sf), 1)
+    audit("t19", graft.operators.TextAnalysis.t19_domain_mixture(spark, sf), 1)
+  }
+
   test("d04: all three index consumers read the cache; one shuffle on the shingle key") {
     val (pairs, kept) = graft.operators.Dedup.ngramJaccardPlan(
       spark, sf, graft.operators.Dedup.DfCap)
