@@ -712,13 +712,13 @@ object TextAnalysis {
   private[graft] val PplGateMicro = -3450000L
 
   /** `text`'s nonempty whitespace tokens, in document order. */
-  private def lmToks: Column = filter(split(col("text"), " "), t => length(t) > 0)
+  private[graft] def lmToks: Column = filter(split(col("text"), " "), t => length(t) > 0)
 
   /** Adjacent-token bigrams of `toks` as "w1 w2" strings (tokens carry
     * no spaces, so the join key is unambiguous). The `size >= 2` guard
     * keeps `sequence(1, 0)` from generating a descending range.
     */
-  private def bigramsOf(toks: Column): Column =
+  private[graft] def bigramsOf(toks: Column): Column =
     when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
@@ -745,9 +745,15 @@ object TextAnalysis {
     * order-free. The model feeds two consumers (c1 fold + scoring
     * join), so it is persist()-marked; caller clears the cache.
     */
-  val t18_bigram_lm: Q = (spark, dir) => {
-    val docs = documents(spark, dir)
-    val train = docs.where(
+  /** The trained bigram model's three relations — pair counts `c2`
+    * (persisted: it feeds the `c1` fold and the scoring join),
+    * left-context totals `c1`, and the 1-row vocabulary size `v`.
+    * Shared by [[t18_bigram_lm]] (shuffle-join scoring) and the
+    * streaming gate's broadcast-map serving twin (st19).
+    */
+  private[graft] def bigramModelParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val train = documents(spark, dir).where(
       Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct)
     val trainBg = train.select(lmToks.as("toks"))
       .select(explode(bigramsOf(col("toks"))).as("pair"))
@@ -758,6 +764,12 @@ object TextAnalysis {
     val v = train.select(lmToks.as("toks"))
       .select(explode(col("toks")).as("t"))
       .agg(count_distinct(col("t")).as("v"))
+    (c2, c1, v)
+  }
+
+  val t18_bigram_lm: Q = (spark, dir) => {
+    val docs = documents(spark, dir)
+    val (c2, c1, v) = bigramModelParts(spark, dir)
     val docBg = docs.select(col("doc_id"), lmToks.as("toks"))
       .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("pair"))
     docBg

@@ -660,9 +660,58 @@ object StreamQueries {
     Replay.runAppend(spark, gated)
   }
 
+  /** T-family streaming — THE LM PERPLEXITY GATE AT INGEST (serving
+    * twin of t18): arriving documents are scored against the TRAINED
+    * bigram model carried as broadcast maps — pair counts, left-context
+    * totals and the vocabulary size collapsed to one row — with the
+    * whole score computed as a STATELESS per-row fold over the doc's
+    * bigram array (micro-nat floor-quantized, t18's arithmetic exactly,
+    * so a doc scored mid-ingest gets the identical score the batch
+    * scorer assigns: the oracle IS t18's). No stateful operator at all
+    * — the gate is a pure map over the stream, the cheapest possible
+    * ingest-filter shape; the sentinel's null text folds to a null/zero
+    * bigram set and is dropped by the `n_bigrams > 0` guard.
+    *
+    * Scale shape: the broadcast carries |bigram types| map entries —
+    * the LM-as-dictionary serving shape (fine for a pruned or
+    * small-vocabulary model; an unpruned 100 TB-corpus model outgrows
+    * broadcast, and t18's shuffle-join formulation IS that path — the
+    * two queries are the two sides of the standard size tradeoff). The
+    * HOF fold is interpreted per row, cost linear in doc length with
+    * O(1) map lookups.
+    */
+  val st19_stream_lm_gate: Q = (spark, dir) => {
+    val T = graft.operators.TextAnalysis
+    val (c2, c1, v) = T.bigramModelParts(spark, dir)
+    val model = c2
+      .agg(map_from_entries(collect_list(struct(col("pair"), col("c2")))).as("m2"))
+      .join(c1.agg(map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("m1")),
+        lit(true), "inner")
+      .join(v, lit(true), "inner")
+    val bg = T.bigramsOf(T.lmToks)
+    val lp = (p: org.apache.spark.sql.Column) =>
+      floor(log((coalesce(element_at(col("m2"), p), lit(0L)) + 1).cast("double") /
+        (coalesce(element_at(col("m1"), substring_index(p, " ", 1)), lit(0L)) + col("v"))
+          .cast("double")) * T.LmMicro).cast("long")
+    val scored = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .select(col("doc_id"), bg.as("bg"))
+      .join(broadcast(model), lit(true), "inner")
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(filter(col("bg"), p => element_at(col("m2"), p).isNull)).cast("long").as("n_oov"),
+        aggregate(col("bg"), lit(0L), (acc, p) => acc + lp(p)).as("sum_lp_micro"))
+      .where(col("n_bigrams") > 0)
+      .withColumn("avg_lp_micro",
+        col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("ppl_keep", col("avg_lp_micro") >= T.PplGateMicro.toDouble)
+    Replay.runAppend(spark, scored).where(col("doc_id") >= 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
+    "st19_stream_lm_gate" -> st19_stream_lm_gate,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -686,6 +735,8 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     // st17 must return EXACTLY n09's batch answer — the oracle is n09's
     "st17_stream_ann_serve" -> graft.operators.Similarity.oracles("n09_ivfadc_topk"),
+    // st19 must assign EXACTLY t18's scores — the oracle is t18's
+    "st19_stream_lm_gate" -> graft.operators.TextAnalysis.oracles("t18_bigram_lm"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup
       val h = graft.functions.Portable.duckHash60("s")
