@@ -823,6 +823,68 @@ object TextAnalysis {
           (col("n_tokens").cast("double") / col("tot_tok").cast("double"))).as("boost"))
   }
 
+  /** t20 — TRAINED QUALITY CLASSIFIER (multinomial Naive Bayes with
+    * add-one smoothing): the model-based quality filter of GPT-3/CCNet-
+    * style pipelines (there: a fasttext classifier over a curated seed
+    * set), trained IN-ENGINE on the t09 train split with pseudo-labels
+    * from t03's heuristic gate (quality_score ≥ 2 → hq). Per-token
+    * class-conditional log-likelihood ratios and the class-prior
+    * log-odds are floor-quantized to integer micro-nats ([[LmMicro]],
+    * t18's portability construction — each of the two class logs is
+    * floored separately so both engines subtract identical integers);
+    * a document's score is the exact integer sum over its token
+    * multiset plus the prior. Emits (doc_id, n_tokens, log_odds_micro,
+    * pred_hq, heur_hq) — the heuristic label rides along so
+    * classifier-vs-heuristic agreement is one aggregation away.
+    *
+    * Scale shape: training is ONE shuffle (per-token conditional
+    * counts, map-side partials); totals/priors collapse to broadcast
+    * rows. Scoring joins the corpus token stream against the weight
+    * table on the token key (shuffle hash join — the model outgrows
+    * broadcast at corpus scale; st19's map-serving is the broadcast
+    * variant of exactly this tradeoff) and re-aggregates per doc with
+    * exact integer sums. OOV tokens take the smoothed zero-count
+    * weight (a broadcast scalar), so every token contributes — the
+    * standard NB treatment, engine-portable because it is the same
+    * floored arithmetic on both sides.
+    */
+  val t20_nb_quality: Q = (spark, dir) => {
+    val docs = documents(spark, dir)
+    val train = docs
+      .where(Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct)
+      .select(col("doc_id"), (prepQualityCol >= 2).as("hq"), lmToks.as("toks"))
+    val cw = train.select(col("hq"), explode(col("toks")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(col("hq").cast("long")).as("c_hq"),
+        sum((!col("hq")).cast("long")).as("c_lq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cw.agg(sum(col("c_hq")).as("t_hq"), sum(col("c_lq")).as("t_lq"),
+      count(lit(1)).as("v"))
+    def lpm(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * LmMicro).cast("long")
+    val weights = cw.join(broadcast(tot), lit(true), "inner")
+      .select(col("w"),
+        (lpm(col("c_hq") + 1, col("t_hq") + col("v")) -
+          lpm(col("c_lq") + 1, col("t_lq") + col("v"))).as("wm"))
+    val tot2 = tot.select(
+      (lpm(lit(1L), col("t_hq") + col("v")) - lpm(lit(1L), col("t_lq") + col("v"))).as("w0"))
+    val pm = train.agg(sum(col("hq").cast("long")).as("n_hq"),
+        sum((!col("hq")).cast("long")).as("n_lq"))
+      .select((lpm(col("n_hq"), col("n_hq") + col("n_lq")) -
+        lpm(col("n_lq"), col("n_hq") + col("n_lq"))).as("prior_m"))
+    docs.select(col("doc_id"), explode(lmToks).as("w"))
+      .join(weights, Seq("w"), "left")
+      .join(broadcast(tot2), lit(true), "inner")
+      .select(col("doc_id"), coalesce(col("wm"), col("w0")).as("wm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wm")).as("sum_w"))
+      .join(broadcast(pm), lit(true), "inner")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_w") + col("prior_m")).as("log_odds_micro"))
+      .withColumn("pred_hq", col("log_odds_micro") >= 0)
+      .join(docs.select(col("doc_id"), (prepQualityCol >= 2).as("heur_hq")), "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -843,6 +905,7 @@ object TextAnalysis {
     "t17_bpe_unseen" -> t17_bpe_unseen,
     "t18_bigram_lm" -> t18_bigram_lm,
     "t19_domain_mixture" -> t19_domain_mixture,
+    "t20_nb_quality" -> t20_nb_quality,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -1010,7 +1073,48 @@ object TextAnalysis {
                  / (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE)) AS boost
         FROM d2, tot"""
 
+  private def duckNbQualitySql: String = {
+    val splitH = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
+    def lpm(num: String, den: String) =
+      s"CAST(floor(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * $LmMicro) AS BIGINT)"
+    s"""WITH ${duckPrepGates("documents")},
+        tr AS (SELECT doc_id, quality_score >= 2 AS hq, text
+               FROM ps WHERE ($splitH) % 100 < $TrainPct),
+        ttok AS (SELECT hq,
+                        unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+                 FROM tr),
+        cw AS (SELECT w,
+                      CAST(SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS c_hq,
+                      CAST(SUM(CASE WHEN hq THEN 0 ELSE 1 END) AS BIGINT) AS c_lq
+               FROM ttok GROUP BY w),
+        tot AS (SELECT CAST(SUM(c_hq) AS BIGINT) AS t_hq,
+                       CAST(SUM(c_lq) AS BIGINT) AS t_lq,
+                       COUNT(*) AS v
+                FROM cw),
+        wts AS (SELECT w, ${lpm("c_hq + 1", "t_hq + v")} - ${lpm("c_lq + 1", "t_lq + v")} AS wm
+                FROM cw, tot),
+        w0 AS (SELECT ${lpm("1", "t_hq + v")} - ${lpm("1", "t_lq + v")} AS w0 FROM tot),
+        pri AS (SELECT CAST(SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS n_hq,
+                       CAST(SUM(CASE WHEN hq THEN 0 ELSE 1 END) AS BIGINT) AS n_lq
+                FROM tr),
+        prm AS (SELECT ${lpm("n_hq", "n_hq + n_lq")} - ${lpm("n_lq", "n_hq + n_lq")} AS prior_m
+               FROM pri),
+        atok AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+                 FROM documents),
+        sc AS (SELECT a.doc_id, COALESCE(wts.wm, w0.w0) AS wm
+               FROM atok a LEFT JOIN wts USING (w) CROSS JOIN w0),
+        agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(wm) AS BIGINT) AS sum_w
+                FROM sc GROUP BY 1)
+        SELECT agg.doc_id, n_tokens, sum_w + prm.prior_m AS log_odds_micro,
+               (sum_w + prm.prior_m) >= 0 AS pred_hq,
+               ps.quality_score >= 2 AS heur_hq
+        FROM agg CROSS JOIN prm JOIN ps ON ps.doc_id = agg.doc_id"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t20_nb_quality" -> duckNbQualitySql,
     "t18_bigram_lm" -> duckBigramLmSql,
     "t19_domain_mixture" -> duckDomainMixtureSql,
     "t16_corpus_stats" ->
