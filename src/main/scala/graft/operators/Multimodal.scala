@@ -286,6 +286,7 @@ object Multimodal {
     * matching, slotting into the same bucket-join plan.
     */
   val mm05_media_dedup: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
     val base = documents(spark, dir).select(col("doc_id"), col("text"))
     val corpus = base
       .unionAll(base.where(col("doc_id") % 10 === 0)
@@ -305,12 +306,17 @@ object Multimodal {
           .as("hx"))
       .withColumn("n_blocks", (length(col("hx")) / (2 * FrameBytes)).cast("long"))
       .where(col("n_blocks") > 0)
+      // frames as hex-slice strings, then ONE codegen'd hash60_arr pass
+      // (the per-frame interpreted md5/conv fold was ~4× slower); fd
+      // feeds BOTH self-join sides, so it is persisted (caller clears —
+      // the d02/d04 lazy contract)
       .select(col("doc_id"), col("content_hash"),
-        array_distinct(transform(sequence(lit(0L), col("n_blocks") - 1), f =>
-          Portable.hash60(
+        array_distinct(Portable.hash60Array(
+          transform(sequence(lit(0L), col("n_blocks") - 1), f =>
             col("hx").substr((f * (2 * FrameBytes) + 1).cast("int"),
               lit(2 * FrameBytes))))).as("fd"))
       .withColumn("bucket", array_min(col("fd")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fd.alias("a").join(fd.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

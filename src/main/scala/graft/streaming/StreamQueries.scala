@@ -662,50 +662,55 @@ object StreamQueries {
 
   /** T-family streaming — THE LM PERPLEXITY GATE AT INGEST (serving
     * twin of t18): arriving documents are scored against the TRAINED
-    * bigram model carried as broadcast maps — pair counts, left-context
-    * totals and the vocabulary size collapsed to one row — with the
-    * whole score computed as a STATELESS per-row fold over the doc's
-    * bigram array (micro-nat floor-quantized, t18's arithmetic exactly,
-    * so a doc scored mid-ingest gets the identical score the batch
-    * scorer assigns: the oracle IS t18's). No stateful operator at all
-    * — the gate is a pure map over the stream, the cheapest possible
-    * ingest-filter shape; the sentinel's null text folds to a null/zero
-    * bigram set and is dropped by the `n_bigrams > 0` guard.
+    * bigram model as STREAM-STATIC equi-joins — each doc explodes to
+    * its bigrams, left-joins the static pair-count and left-context
+    * tables on their natural keys (Catalyst broadcasts the small model
+    * side automatically; at 100 TB-corpus model size the same plan
+    * shuffle-joins — the size tradeoff is the optimizer's, not baked
+    * in), computes the micro-nat term per bigram in codegen, and one
+    * windowed aggregation per doc sums the exact integers. t18's
+    * arithmetic term-for-term, so a doc scored mid-ingest gets the
+    * IDENTICAL score the batch scorer assigns: the oracle is t18's.
+    * (A broadcast-map `element_at` fold was the first cut — Spark's
+    * map lookup is a per-access linear scan, so the interpreted fold
+    * cost |doc|·|model| per row; the join formulation is the
+    * Spark-native dictionary lookup.)
     *
-    * Scale shape: the broadcast carries |bigram types| map entries —
-    * the LM-as-dictionary serving shape (fine for a pruned or
-    * small-vocabulary model; an unpruned 100 TB-corpus model outgrows
-    * broadcast, and t18's shuffle-join formulation IS that path — the
-    * two queries are the two sides of the standard size tradeoff). The
-    * HOF fold is interpreted per row, cost linear in doc length with
-    * O(1) map lookups.
+    * Sentinel: its null text derives NO bigram rows, but the explode
+    * sits after the watermark node, so the 2100 event time still
+    * advances the watermark and flushes every open window (st16's
+    * note). Docs with < 2 tokens never reach the aggregation — t18's
+    * inner-agg drop semantics. State: one (count, oov, sum) triple per
+    * (window, doc) — ingest-rate bounded, TTL-evicted.
     */
   val st19_stream_lm_gate: Q = (spark, dir) => {
     val T = graft.operators.TextAnalysis
     val (c2, c1, v) = T.bigramModelParts(spark, dir)
-    val model = c2
-      .agg(map_from_entries(collect_list(struct(col("pair"), col("c2")))).as("m2"))
-      .join(c1.agg(map_from_entries(collect_list(struct(col("w1"), col("c1")))).as("m1")),
-        lit(true), "inner")
-      .join(v, lit(true), "inner")
-    val bg = T.bigramsOf(T.lmToks)
-    val lp = (p: org.apache.spark.sql.Column) =>
-      floor(log((coalesce(element_at(col("m2"), p), lit(0L)) + 1).cast("double") /
-        (coalesce(element_at(col("m1"), substring_index(p, " ", 1)), lit(0L)) + col("v"))
-          .cast("double")) * T.LmMicro).cast("long")
     val scored = Replay
       .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
-      .select(col("doc_id"), bg.as("bg"))
-      .join(broadcast(model), lit(true), "inner")
-      .select(col("doc_id"),
-        size(col("bg")).cast("long").as("n_bigrams"),
-        size(filter(col("bg"), p => element_at(col("m2"), p).isNull)).cast("long").as("n_oov"),
-        aggregate(col("bg"), lit(0L), (acc, p) => acc + lp(p)).as("sum_lp_micro"))
-      .where(col("n_bigrams") > 0)
+      .withColumn("event_time", docEventTime)
+      .withWatermark("event_time", "1 hour")
+      .select(col("doc_id"), col("event_time"),
+        explode(T.bigramsOf(T.lmToks)).as("pair"))
+      .join(c2, Seq("pair"), "left")
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .join(broadcast(v), lit(true), "inner")
+      .select(col("doc_id"), col("event_time"),
+        col("c2").isNull.cast("long").as("oov"),
+        floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * T.LmMicro)
+          .cast("long").as("lp"))
+      .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("oov")).as("n_oov"),
+        sum(col("lp")).as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("sum_lp_micro"))
+    Replay.runAppend(spark, scored)
+      .where(col("doc_id") >= 0)
       .withColumn("avg_lp_micro",
         col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
       .withColumn("ppl_keep", col("avg_lp_micro") >= T.PplGateMicro.toDouble)
-    Replay.runAppend(spark, scored).where(col("doc_id") >= 0)
   }
 
   val queries: Map[String, Q] = Map(
