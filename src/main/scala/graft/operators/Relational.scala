@@ -506,6 +506,88 @@ object Relational {
       .where(col("rnk") <= 3)
   }
 
+  /** a09 — ORDERED FUNNEL over the event stream (signup → click →
+    * purchase): a user advances a stage only with a strictly LATER
+    * event of the next type — min-timestamp per stage, each computed
+    * against the previous stage's anchor (the standard ordered-funnel
+    * semantics; an unordered "did all three ever" count overstates
+    * conversion). Emits one row per stage with the surviving user
+    * count.
+    *
+    * Scale shape: three aggregations and two joins, ALL keyed on
+    * user_id — one logical hash partitioning reused across every
+    * stage (co-partitioned joins, no re-shuffle); each stage's input
+    * is pre-filtered to one event type at the scan (pushed predicate).
+    * The final counts collapse to 3 rows.
+    */
+  val a09_funnel: Q = (spark, dir) => {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+      .unionAll(s2.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_signup_click").as("stage"), col("n_users")))
+      .unionAll(s3.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_signup_click_purchase").as("stage"), col("n_users")))
+  }
+
+  /** a10 — RETENTION COHORT TRIANGLE: users are cohorted by their
+    * first-seen calendar date; each (cohort_date, day_offset) cell
+    * counts the distinct users of that cohort active that many days
+    * later — the table every growth dashboard draws. Day 0 is the
+    * cohort itself, so its count is the cohort size.
+    *
+    * Scale shape: first-seen is one aggregation on user_id; the join
+    * back to the event stream reuses the same key partitioning; the
+    * final rollup shuffles (date, offset) pairs — |days|² cells out.
+    * At 100 TB the distinct-count is the heavy op; map-side partials
+    * reduce each (cohort, offset, user) to one row before the count.
+    */
+  val a10_retention: Q = (spark, dir) => {
+    val ev = events(spark, dir).select(col("user_id"), to_date(col("ts")).as("dt"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("dt")).as("cohort_date"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("dt"), col("cohort_date")).cast("long").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+  }
+
+  /** j11 — SCD TYPE-2 HISTORY from the event stream: per user, collapse
+    * consecutive same-type events into versions and emit each version's
+    * validity interval — the slowly-changing-dimension build the
+    * reference's CDC-fed DWD layer implies (every `maxwell` op-type
+    * row updates a dim row; SCD2 is how a warehouse keeps the history
+    * instead of overwriting). A version opens where the attribute
+    * CHANGES (lag differs), closes when the next version opens
+    * (lead), and the open version is flagged current. Deterministic
+    * order: (ts, event_id) — exact-tie events cannot reorder versions.
+    *
+    * Scale shape: both window passes partition on user_id — ONE
+    * shuffle, sorts are partition-local, and the change-point filter
+    * runs between them without re-exchanging (same key). Emits one row
+    * per version, not per event.
+    */
+  val j11_scd2_history: Q = (spark, dir) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val byUserChanges = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("version_n", row_number().over(byUserChanges).cast("long"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUserChanges))
+      .select(col("user_id"), col("event_type"), col("version_n"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** A6 — salt-and-merge two-phase aggregation: the standard
     * skewed-key mitigation at scale (a hot brand would overload one
     * reducer; salting spreads it over 8 partial groups, the second
@@ -648,6 +730,9 @@ object Relational {
     "a04_running_sum" -> a04_running_sum,
     "a05_top_brands" -> a05_top_brands,
     "a08_top_brands_per_type" -> a08_top_brands_per_type,
+    "a09_funnel" -> a09_funnel,
+    "a10_retention" -> a10_retention,
+    "j11_scd2_history" -> j11_scd2_history,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
     "w03_payment_allocation" -> w03_payment_allocation,
@@ -800,6 +885,39 @@ object Relational {
                   (PARTITION BY l_orderkey ORDER BY l_linenumber
                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_amount
          FROM lineitem""",
+    "a09_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+          s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+                 WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+          s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+                 WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+          SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+          UNION ALL SELECT '2_signup_click', COUNT(*) FROM s2
+          UNION ALL SELECT '3_signup_click_purchase', COUNT(*) FROM s3""",
+    "a10_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events),
+          f AS (SELECT user_id, MIN(dt) AS cohort_date FROM ev GROUP BY 1)
+          SELECT cohort_date,
+                 CAST(date_diff('day', cohort_date, dt) AS BIGINT) AS day_offset,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+          FROM ev JOIN f USING (user_id)
+          GROUP BY 1, 2""",
+    "j11_scd2_history" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+                           lag(event_type) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                    FROM events),
+          ch AS (SELECT user_id, event_type, ts, event_id FROM c
+                 WHERE prev_type IS NULL OR prev_type <> event_type)
+          SELECT user_id, event_type,
+                 CAST(row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version_n,
+                 ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   AS is_current
+          FROM ch""",
     // a07_dau_approx: no oracle — HLL sketches differ across engines;
     // the driver records a rows-only check and a03 anchors exactness.
     "a06_salted_agg" ->
