@@ -93,4 +93,57 @@ class RelationalSpec extends SparkSpecBase {
     // unmatched orders carry zero metrics and the order_only state
     assert(j.where(col("join_state") === "order_only" && col("n_returned") =!= 0).count() === 0)
   }
+
+  test("a09: the funnel is ORDERED — out-of-sequence events do not convert") {
+    // the sf corpus is dense (every user eventually converts), so the
+    // ordering constraint only bites on a crafted fixture:
+    //   user 1: signup < click < purchase  -> all three stages
+    //   user 2: purchase < click < signup  -> stage 1 only
+    //   user 3: click BEFORE signup        -> stage 1 only
+    import spark.implicits._
+    val dir = tmpDir("a09_fixture_")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "purchase", 0.0, "{}"),
+      (5L, ts("2024-01-01 11:00:00"), 2L, "click", 0.0, "{}"),
+      (6L, ts("2024-01-01 12:00:00"), 2L, "signup", 0.0, "{}"),
+      (7L, ts("2024-01-01 09:00:00"), 3L, "click", 0.0, "{}"),
+      (8L, ts("2024-01-01 10:00:00"), 3L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Relational.a09_funnel(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("1_signup" -> 3L, "2_signup_click" -> 1L,
+      "3_signup_click_purchase" -> 1L), s"got $got")
+  }
+
+  test("j11: consecutive same-type events collapse into one version; intervals chain") {
+    import spark.implicits._
+    val dir = tmpDir("j11_fixture_")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: A A B A -> versions A(1) B(2) A(3); user 2: single event
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "click", 0.0, "{}"),
+      (4L, ts("2024-01-01 13:00:00"), 1L, "view", 0.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = Relational.j11_scd2_history(spark, dir)
+      .orderBy(col("user_id"), col("version_n")).collect()
+    val u1 = rows.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(2), r.getString(1), r.getBoolean(5)))
+    assert(u1.toSeq === Seq((1L, "view", false), (2L, "click", false), (3L, "view", true)))
+    // every closed version's valid_to equals the next version's valid_from
+    val chain = rows.filter(_.getLong(0) == 1L)
+    for (Array(a, b) <- chain.sliding(2))
+      assert(a.getTimestamp(4) === b.getTimestamp(3),
+        s"interval gap between versions ${a.getLong(2)} and ${b.getLong(2)}")
+    assert(rows.count(_.getLong(0) == 2L) === 1 &&
+      rows.find(_.getLong(0) == 2L).get.getBoolean(5))
+  }
 }
