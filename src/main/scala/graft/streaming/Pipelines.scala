@@ -32,6 +32,20 @@ case class BandRow(doc_id: Long, band: Int, bkey: Long, fp: Long,
   */
 case class BandClaim(doc_id: Long, band: Int, ok: Boolean)
 
+/** One event entering the streaming funnel: `tsu` is the event time in
+  * exact MICROseconds (`java.sql.Timestamp.getTime` is millis — the
+  * stage comparisons are strict, so sub-millisecond ordering matters);
+  * `event_time` is the watermark column.
+  */
+case class FunnelEvent(user_id: Long, event_type: String, tsu: Long,
+                       event_id: Long, event_time: java.sql.Timestamp)
+
+/** Per-user funnel anchors in micros; -1 = stage not reached. */
+case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** A user's final funnel depth (1-3), emitted on state timeout. */
+case class FunnelUser(user_id: Long, stage: Long)
+
 /** Source-agnostic Structured Streaming pipelines — each takes
   * streaming DataFrame(s) and returns the transformed streaming
   * DataFrame, so the same operator runs over the [[Replay]] file source
@@ -315,6 +329,64 @@ object Pipelines {
             val newest = buf.map(_.event_time.getTime).max
             state.setTimeoutTimestamp(
               math.max(newest + AllocTimeoutMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** How long a user's funnel state is held open past their newest
+    * event before the final stage is emitted (same TTL rationale as
+    * [[AllocTimeoutMs]]).
+    */
+  val FunnelTimeoutMs: Long = 100 * 1000L
+
+  /** a09's ORDERED FUNNEL as keyed streaming state — the realtime
+    * conversion dashboard the reference's domain implies. Per user,
+    * the state machine folds events in (ts, event_id) order: the first
+    * signup anchors stage 1; the first click STRICTLY after it, stage
+    * 2; the first purchase strictly after that, stage 3. The user's
+    * final depth is emitted when the event-time timeout fires — when
+    * the watermark proves no further events can arrive.
+    *
+    * State is three longs per in-flight user, TTL-evicted. Within one
+    * delivery the fold equals a09's min-timestamp semantics exactly
+    * (the first signup in time order IS the min; the first qualifying
+    * click after it IS the min qualifying click). Across batches the
+    * machine is MONOTONE: a late-arriving earlier signup cannot
+    * retroactively re-qualify a click that was rejected in an earlier
+    * batch — the documented at-ingest approximation (st15's delivery
+    * contract; the replay delivers one batch, under which the result
+    * is exact, and a09 is the exact retrospective answer).
+    */
+  def funnel(events: Dataset[FunnelEvent]): Dataset[FunnelUser] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUser](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            val stage = if (s.t3 >= 0) 3L else if (s.t2 >= 0) 2L else if (s.t1 >= 0) 1L else 0L
+            state.remove()
+            if (stage > 0) Iterator.single(FunnelUser(uid, stage)) else Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            val sorted = rows.toSeq.sortBy(r => (r.tsu, r.event_id))
+            sorted.foreach { e =>
+              e.event_type match {
+                case "signup" if s.t1 < 0 => s = s.copy(t1 = e.tsu)
+                case "click" if s.t1 >= 0 && s.t2 < 0 && e.tsu > s.t1 =>
+                  s = s.copy(t2 = e.tsu)
+                case "purchase" if s.t2 >= 0 && s.t3 < 0 && e.tsu > s.t2 =>
+                  s = s.copy(t3 = e.tsu)
+                case _ =>
+              }
+            }
+            state.update(s)
+            val newest = sorted.map(_.tsu / 1000L).max
+            state.setTimeoutTimestamp(
+              math.max(newest + FunnelTimeoutMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

@@ -713,10 +713,48 @@ object StreamQueries {
       .withColumn("ppl_keep", col("avg_lp_micro") >= T.PplGateMicro.toDouble)
   }
 
+  /** A-family streaming — REALTIME ORDERED FUNNEL (streaming twin of
+    * a09): the event stream feeds [[Pipelines.funnel]]'s per-user state
+    * machine (three longs per in-flight user, event-time-timeout
+    * eviction); each user's final depth is emitted when the watermark
+    * proves their funnel closed, and the post-replay rollup unpivots
+    * the cumulative stage counts into a09's exact 3-row table — the
+    * oracle IS a09's. Non-funnel event types flow through the machine
+    * untouched (no pre-filter: an `event_type IN (...)` predicate
+    * before the watermark node would be pushed into the scan and
+    * stat-skip the sentinel file — st14's trap); the sentinel's group
+    * reaches stage 0 and emits nothing.
+    *
+    * Scale shape: ONE keyed exchange on user_id into fMGWS state; the
+    * rollup reduces to 3 rows. Stage anchors compare in exact
+    * microseconds (`unix_micros` — Timestamp.getTime is millis and the
+    * comparisons are strict).
+    */
+  val st20_stream_funnel: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Replay.eventsStream(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("ts").as("event_time"))
+      .withWatermark("event_time", "1 hour")
+      .as[graft.streaming.FunnelEvent]
+    val users = Replay.runAppend(spark, Pipelines.funnel(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+    users.agg(
+        coalesce(sum((col("stage") >= 1).cast("long")), lit(0L)).as("n1"),
+        coalesce(sum((col("stage") >= 2).cast("long")), lit(0L)).as("n2"),
+        coalesce(sum((col("stage") >= 3).cast("long")), lit(0L)).as("n3"))
+      .select(explode(array(
+        struct(lit("1_signup").as("stage"), col("n1").as("n_users")),
+        struct(lit("2_signup_click").as("stage"), col("n2").as("n_users")),
+        struct(lit("3_signup_click_purchase").as("stage"), col("n3").as("n_users")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
     "st19_stream_lm_gate" -> st19_stream_lm_gate,
+    "st20_stream_funnel" -> st20_stream_funnel,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -742,6 +780,8 @@ object StreamQueries {
     "st17_stream_ann_serve" -> graft.operators.Similarity.oracles("n09_ivfadc_topk"),
     // st19 must assign EXACTLY t18's scores — the oracle is t18's
     "st19_stream_lm_gate" -> graft.operators.TextAnalysis.oracles("t18_bigram_lm"),
+    // st20 must reproduce EXACTLY a09's funnel — the oracle is a09's
+    "st20_stream_funnel" -> graft.operators.Relational.oracles("a09_funnel"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup
       val h = graft.functions.Portable.duckHash60("s")

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.streaming.{AllocLine, BandRow, OrderEvent, Pipelines}
+import graft.streaming.{AllocLine, BandRow, FunnelEvent, OrderEvent, Pipelines}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String)
 case class OrderIn(o_orderkey: Long, o_custkey: Long, o_totalprice: Double, o_orderdate: Timestamp)
@@ -314,6 +314,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(got === Map(
         (1L, 1) -> 10.0, (1L, 2) -> 20.0, (1L, 3) -> 20.0,
         (2L, 1) -> 9.0))
+    } finally q.stop()
+  }
+
+  test("funnel: stages chain across batches; a late earlier signup does not retro-qualify") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[FunnelEvent]
+    val ev = ms.toDS().withWatermark("event_time", "1 hour")
+    val q = Pipelines.funnel(ev).toDF()
+      .writeStream.format("memory").queryName("funnel_ms")
+      .option("checkpointLocation", tmpDir("cp_funnel_"))
+      .outputMode("append").start()
+    try {
+      def fe(uid: Long, typ: String, s: String, id: Long) = {
+        val tt = t(s); FunnelEvent(uid, typ, tt.getTime * 1000L, id, tt)
+      }
+      // batch 1: user 1 signs up; user 2's click arrives with NO signup
+      ms.addData(
+        fe(1, "signup", "2024-01-01 00:00:00", 1),
+        fe(2, "click", "2024-01-01 00:00:05", 2))
+      drain(q)
+      // batch 2: user 1 advances in order (click, then purchase);
+      // user 2's signup arrives LATE with an EARLIER event time — the
+      // monotone machine must not retro-qualify the rejected click
+      ms.addData(
+        fe(1, "click", "2024-01-01 00:00:10", 3),
+        fe(1, "purchase", "2024-01-01 00:00:20", 4),
+        fe(2, "signup", "2024-01-01 00:00:01", 5))
+      drain(q)
+      ms.addData(fe(-1, "x", "2100-01-01 00:00:00", 6)); drain(q)
+      ms.addData(fe(-1, "x", "2100-06-01 00:00:00", 7)); drain(q)
+      val got = spark.table("funnel_ms").where(col("user_id") >= 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 3L, 2L -> 1L), s"got $got")
     } finally q.stop()
   }
 
