@@ -506,6 +506,48 @@ object Relational {
       .where(col("rnk") <= 3)
   }
 
+  /** a11 — MULTI-LEVEL ROLLUP: revenue by region, drillable to nation,
+    * with subtotals and the grand total in one pass — the warehouse
+    * cube query the reference's ADS layer reports from. `grouping_id`
+    * disambiguates subtotal rows from real NULL keys (none exist here,
+    * but the column is part of the rollup contract). Integer-cents
+    * money arithmetic for engine parity.
+    *
+    * Scale shape: Spark expands the rollup into grouping sets over ONE
+    * shuffle with map-side partials per set; the dims
+    * (customer→nation→region) broadcast as in a01 (bounded side). Output
+    * is |nations| + |regions| + 1 rows.
+    */
+  val a11_revenue_rollup: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+  }
+
+  /** a12 — PIVOT: the per-day event-type activity matrix (days down,
+    * event types across) every ops dashboard renders. The pivot column
+    * set is FIXED (the five known event types) — an unpinned pivot
+    * requires a distinct-scan planning pass and produces an
+    * SF-dependent schema, both wrong at scale; pinning makes the pivot
+    * a single groupBy with five conditional counts under one shuffle.
+    */
+  val a12_event_pivot: Q = (spark, dir) => {
+    events(spark, dir)
+      .select(to_date(col("ts")).as("dt"), col("event_type"))
+      .groupBy(col("dt"))
+      .pivot(col("event_type"), Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L) // pivot leaves absent (day, type) cells null; dashboards want 0
+  }
+
   /** a09 — ORDERED FUNNEL over the event stream (signup → click →
     * purchase): a user advances a stage only with a strictly LATER
     * event of the next type — min-timestamp per stage, each computed
@@ -732,6 +774,8 @@ object Relational {
     "a08_top_brands_per_type" -> a08_top_brands_per_type,
     "a09_funnel" -> a09_funnel,
     "a10_retention" -> a10_retention,
+    "a11_revenue_rollup" -> a11_revenue_rollup,
+    "a12_event_pivot" -> a12_event_pivot,
     "j11_scd2_history" -> j11_scd2_history,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
@@ -885,6 +929,24 @@ object Relational {
                   (PARTITION BY l_orderkey ORDER BY l_linenumber
                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_amount
          FROM lineitem""",
+    "a11_revenue_rollup" ->
+      """SELECT r_name, n_name,
+                SUM(ROUND(o_totalprice * 100)) / 100 AS revenue,
+                COUNT(*) AS n_orders,
+                CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "a12_event_pivot" ->
+      """SELECT CAST(ts AS DATE) AS dt,
+                CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+                CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+                CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+                CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+                CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+         FROM events GROUP BY 1""",
     "a09_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY 1),
