@@ -46,6 +46,16 @@ case class FunnelState(t1: Long, t2: Long, t3: Long)
 /** A user's final funnel depth (1-3), emitted on state timeout. */
 case class FunnelUser(user_id: Long, stage: Long)
 
+/** One event entering the streaming retention operator: `day` is the
+  * epoch-day of the event (cohorting is date-granular).
+  */
+case class RetEvent(user_id: Long, day: Int, event_time: java.sql.Timestamp)
+
+/** A user's (cohort day, active day) pair, emitted once per distinct
+  * active day when the user's state times out.
+  */
+case class RetHit(user_id: Long, cohort_day: Int, day: Int)
+
 /** Source-agnostic Structured Streaming pipelines — each takes
   * streaming DataFrame(s) and returns the transformed streaming
   * DataFrame, so the same operator runs over the [[Replay]] file source
@@ -387,6 +397,43 @@ object Pipelines {
             val newest = sorted.map(_.tsu / 1000L).max
             state.setTimeoutTimestamp(
               math.max(newest + FunnelTimeoutMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** a10's RETENTION COHORTING as keyed streaming state: per user,
+    * buffer the set of DISTINCT ACTIVE DAYS (date-granular — bounded
+    * by the retention horizon, ~30 entries here; a production deploy
+    * caps it at the dashboard's window) and emit every (cohort day,
+    * active day) pair once when the event-time timeout proves the
+    * user's activity closed. Buffering until timeout makes the cohort
+    * assignment exact over everything delivered: the min day IS the
+    * cohort even if the user's earliest event arrives last (contrast
+    * [[funnel]]'s monotone fold, which must order-fold because its
+    * stages chain). Late-beyond-watermark events are dropped by the
+    * upstream watermark — the standard tradeoff.
+    */
+  def retention(events: Dataset[RetEvent],
+                ttlMs: Long = FunnelTimeoutMs): Dataset[RetHit] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Int], RetHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[RetEvent], state: GroupState[Seq[Int]]) =>
+          if (state.hasTimedOut) {
+            val days = state.get
+            val cohort = days.min
+            state.remove()
+            days.sorted.iterator.map(d => RetHit(uid, cohort, d))
+          } else {
+            val buf = rows.map(_.day).toSeq
+            val days = (state.getOption.getOrElse(Seq.empty) ++ buf).distinct
+            state.update(days)
+            val newestMs = days.max.toLong * 86400000L
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

@@ -750,11 +750,36 @@ object StreamQueries {
       .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"))
   }
 
+  /** A-family streaming — REALTIME RETENTION COHORTS (streaming twin
+    * of a10): the event stream feeds [[Pipelines.retention]]'s
+    * per-user day-set state; each user's (cohort, active-day) pairs
+    * emit when the watermark closes their activity, and the rollup
+    * counts each cell — one row per emitted pair per user, so a plain
+    * COUNT equals a10's COUNT DISTINCT. The oracle IS a10's. Sentinel:
+    * user −1's single pair is filtered after read-back; its far-future
+    * event time drives every timeout first.
+    */
+  val st21_stream_retention: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("day"),
+        col("ts").as("event_time"))
+      .as[graft.streaming.RetEvent]
+    val hits = Replay.runAppend(spark, Pipelines.retention(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+    hits.groupBy(
+        date_from_unix_date(col("cohort_day")).as("cohort_date"),
+        (col("day") - col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
     "st19_stream_lm_gate" -> st19_stream_lm_gate,
     "st20_stream_funnel" -> st20_stream_funnel,
+    "st21_stream_retention" -> st21_stream_retention,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -782,6 +807,8 @@ object StreamQueries {
     "st19_stream_lm_gate" -> graft.operators.TextAnalysis.oracles("t18_bigram_lm"),
     // st20 must reproduce EXACTLY a09's funnel — the oracle is a09's
     "st20_stream_funnel" -> graft.operators.Relational.oracles("a09_funnel"),
+    // st21 must reproduce EXACTLY a10's triangle — the oracle is a10's
+    "st21_stream_retention" -> graft.operators.Relational.oracles("a10_retention"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup
       val h = graft.functions.Portable.duckHash60("s")
