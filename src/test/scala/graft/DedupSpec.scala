@@ -200,6 +200,40 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getAs[Double]("avg_token_len") === 2.0)
   }
 
+  test("st18: the composed ingest pipeline gates, dedups and decontaminates a crafted corpus") {
+    // English texts that pass every gate (quality 3, trigram ratio >
+    // 4%, sample bucket < 80 — verified constants):
+    //   doc 10 (%10==0) gets a planted exact copy  -> ONE output row
+    //   docs 11/12 share identical text            -> ONE output row
+    //   doc 0 (%50==0) seeds the eval item: 5 junk tokens + doc 13's
+    //   text, so its head-truncated eval twin IS doc 13's text — both
+    //   doc 0 and doc 13 share 32 rare shingles with it -> both drop
+    val t10 = "the quick brown fox jumped over one lazy dog and then ran into a bright " +
+      "green field of tall grass while many small birds sang sweet songs during the " +
+      "warm morning hours near an old wooden barn"
+    val t11 = "a gentle river flowed past the quiet village and carried small boats " +
+      "toward the distant sea while children played along its grassy banks under the " +
+      "shade of ancient willow trees every summer afternoon"
+    val t13 = "an old lighthouse stood on the rocky shore and guided weary sailors " +
+      "through the stormy night while huge waves crashed against its strong stone " +
+      "walls during the long cold winter season of that year"
+    val t0 = "j1 j2 j3 j4 j5 " + t13
+    val dir = tmpDir("st18_fixture_")
+    Seq((0L, t0), (10L, t10), (11L, t11), (12L, t11), (13L, t13))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = try graft.streaming.StreamQueries.st18_stream_curation(spark, dir).collect()
+      finally spark.catalog.clearCache()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.map(_.getAs[String]("content_hash")).toSet ===
+      Set(md5hex(t10), md5hex(t11)), s"got ${rows.mkString("; ")}")
+    assert(rows.length === 2, "planted copy and natural dup must each collapse to one row")
+    assert(rows.forall(r => r.getAs[Long]("quality_score") === 3L &&
+      r.getAs[Long]("n_bpe_tokens") > 0L))
+  }
+
   test("d09: candidates and recall are monotone along nested band chains") {
     // bands of r' nest inside bands of r along 12→6→4→2→1 and 6→3→2
     // (every r-block contains a full aligned r'-band), so the stricter
