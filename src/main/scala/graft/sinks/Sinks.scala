@@ -39,6 +39,41 @@ object Sinks {
   def console(df: DataFrame, numRows: Int = 20) =
     df.writeStream.format("console").option("numRows", numRows)
 
+  /** TABLE LAYOUT writer — the 100 TB read-side contract: data lands
+    * hive-partitioned on the pruning columns (a reader's partition
+    * predicate eliminates whole directories before any file is opened)
+    * and compacted (`maxRecordsPerFile` bounds file count from above
+    * via row bound; the `repartition` on the partition columns bounds
+    * it from below — without it every task writes a sliver into every
+    * partition, the classic small-file explosion that makes a 100 TB
+    * table unlistable). Sorting within partitions by `sortCols`
+    * tightens per-file min/max stats so row-group skipping works on
+    * the sort key even within a partition.
+    *
+    * `PlanSpec` proves the contract on read-back: a partition
+    * predicate shows up as `PartitionFilters` with only matching
+    * directories scanned, and file counts equal the partition count
+    * (one compacted file each) for the fixture volume.
+    */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String],
+                         sortCols: Seq[String] = Nil,
+                         maxRecordsPerFile: Long = 1000000L): Unit = {
+    val pcols = partitionCols.map(org.apache.spark.sql.functions.col)
+    val arranged = {
+      val re = df.repartition(pcols: _*)
+      if (sortCols.nonEmpty)
+        re.sortWithinPartitions((partitionCols ++ sortCols)
+          .map(org.apache.spark.sql.functions.col): _*)
+      else re
+    }
+    arranged.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
   /** K4 — JDBC append sink options (ref dws/OrderWiderApp.scala:215-216
     * ClickHouse append, batchsize 100 / 4 partitions). Used inside
     * `foreachBatch { (b, _) => b.write.format("jdbc").options(...)

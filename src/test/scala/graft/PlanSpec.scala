@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.functions.{col, date_format, input_file_name}
 import graft.operators.Relational
 
 /** Physical/logical plan assertions — the scale-safety contract from
@@ -161,6 +162,27 @@ class PlanSpec extends SparkSpecBase {
     audit("mm05", graft.operators.Multimodal.mm05_media_dedup(spark, sf), 0)
     audit("t18", graft.operators.TextAnalysis.t18_bigram_lm(spark, sf), 1)
     audit("t19", graft.operators.TextAnalysis.t19_domain_mixture(spark, sf), 1)
+  }
+
+  test("partitionedParquet: partition pruning eliminates directories; files are compacted") {
+    val dir = java.nio.file.Files.createTempDirectory("layout_").toString
+    val li = Tables.lineitem(spark, sf)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+    graft.sinks.Sinks.partitionedParquet(
+      li, dir, Seq("ship_month"), sortCols = Seq("l_orderkey"))
+    val months = li.select(col("ship_month")).distinct().count()
+    // one compacted file per partition at fixture volume — no sliver explosion
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(files === months, s"expected $months compacted files, found $files")
+    // a partition predicate prunes to ONE directory before any file opens
+    val probe = li.select(col("ship_month")).first().getString(0)
+    val q = spark.read.parquet(dir).where(col("ship_month") === probe)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(probe),
+      s"partition filter not applied:\n$plan")
+    val scanned = q.select(input_file_name()).distinct().count()
+    assert(scanned === 1, s"pruning must scan exactly the matching partition, scanned $scanned")
   }
 
   test("d04: all three index consumers read the cache; one shuffle on the shingle key") {
