@@ -278,6 +278,71 @@ object Similarity {
       .join(idx(spark, dir, "cells").select(col("vec_id"), col("cell_id")), "vec_id")
       .select(col("vec_id"), col("m"), col("code"), col("cell_id"))
 
+  /** Every [[UpsertMod]]-th vector is "updated" (embedding reversed —
+    * an engine-portable modification) by [[n15_index_upsert]].
+    */
+  private val UpsertMod = 7L
+
+  /** n15 — INCREMENTAL INDEX UPSERT: re-encode ONLY the updated
+    * vectors against the FROZEN trained artifacts (coarse centroids +
+    * PQ codebooks) and splice them over the stored index rows — the
+    * write path of the index lifecycle (build = `indexPath`, monitor =
+    * n14/`indexHealth`, retrain = `maintainIndex`, upsert = this).
+    * Every UpsertMod-th vector's embedding is reversed (the portable
+    * stand-in for a re-embedded document); the merged output must
+    * equal a FULL re-encode of the updated corpus, which is exactly
+    * what the DuckDB twin computes — proving delta maintenance loses
+    * nothing vs a rebuild while touching |delta| vectors instead of
+    * the corpus.
+    *
+    * Scale shape: the delta is |corpus|/UpsertMod rows; assignment and
+    * encoding are the standard bounded broadcast-scoring passes
+    * (centroids and codebooks are index metadata), so upsert cost is
+    * O(|delta|·k) independent of corpus size; unchanged rows are an
+    * artifact scan with a pushed anti-filter on the id. Codes change
+    * only where vectors changed — a real deployment writes just the
+    * delta partition.
+    */
+  val n15_index_upsert: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val coarse = idx(spark, dir, "coarse")
+    val books = idx(spark, dir, "books")
+    val delta = embeddings(spark, dir)
+      .where(col("vec_id") % UpsertMod === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("v"))
+    val dCells = scoredAssign(delta, coarse, carryVec = false)
+      .select(col("vec_id"), col("cell_id"))
+    val dRows = pqEncodeL(delta, books, carryVec = false)
+      .join(dCells, "vec_id")
+      .select(col("vec_id"), col("m"), col("code"), col("cell_id"))
+    indexRows(spark, dir).where(col("vec_id") % UpsertMod =!= 0)
+      .unionAll(dRows)
+  }
+
+  private[graft] def duckIndexUpsertSql: String =
+    s"""WITH $duckVecs,
+        $duckTrainedCoarse,
+        $duckPqTrain,
+        ue AS (SELECT vec_id,
+                      CASE WHEN vec_id % $UpsertMod = 0 THEN list_reverse(v) ELSE v END AS v
+               FROM e),
+        un AS (SELECT vec_id, v,
+                      sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+               FROM ue),
+        uctp AS (SELECT un.vec_id, cid,
+                        round(list_sum(list_transform(list_zip(cv, v), t -> t[1] * t[2]))
+                              / (cn * nrm) * 1000000) / 1000000 AS cos6
+                 FROM un, ct),
+        ua AS (SELECT vec_id, cid AS cell_id FROM uctp
+               QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) = 1),
+        uenc AS (SELECT vec_id, m, cid AS code FROM (
+                   SELECT ue.vec_id, b.m, b.cid,
+                          row_number() OVER (PARTITION BY ue.vec_id, b.m
+                            ORDER BY ${l2mD(duckSubB("ue.v"), "b.bv")}, b.cid) AS rn
+                   FROM ue, bt b) WHERE rn = 1)
+        SELECT uenc.vec_id, uenc.m, uenc.code, ua.cell_id
+        FROM uenc JOIN ua USING (vec_id)"""
+
   /** Probe depths measured by [[n06_ivf_recall]] / [[n11_multiprobe_ivfadc]]. */
   private val RecallProbes = Seq(1, 3)
 
@@ -988,6 +1053,7 @@ object Similarity {
     "n12_pq_rerank" -> n12_pq_rerank,
     "n13_filtered_ivf" -> n13_filtered_ivf,
     "n14_cell_stats" -> n14_cell_stats,
+    "n15_index_upsert" -> n15_index_upsert,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -1223,6 +1289,7 @@ object Similarity {
                  COALESCE(mtc.matched, 0) / 10.0 AS recall10
           FROM pr CROSS JOIN q
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
+    "n15_index_upsert" -> duckIndexUpsertSql,
     "n14_cell_stats" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,
