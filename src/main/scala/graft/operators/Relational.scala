@@ -187,6 +187,46 @@ object Relational {
         col("parsed.missing_field").as("missing_field"))
   }
 
+  /** p12 — DATA-QUALITY QUARANTINE: malformed and schema-violating
+    * envelopes are routed OUT of the pipeline with a machine-readable
+    * reason instead of silently nulling through (the reference
+    * try/catches fastjson and drops the record on the floor —
+    * quarantining is what a production DQ gate does so bad producers
+    * are debuggable). The corpus plants both failure classes: a
+    * truncated payload (invalid JSON) and a valid-JSON envelope
+    * missing the required field. Parse failures are detected with the
+    * PERMISSIVE corrupt-record column — a real parse verdict from the
+    * JSON parser, not a construction mirror; the DuckDB twin reaches
+    * the same verdicts through `json_valid`/`json_extract`.
+    *
+    * Shuffle-free: parse, classify and filter are one codegen'd
+    * projection over the scan — the quarantine writer in a real deploy
+    * is just `.where` twice over this plan (matched → main, reason →
+    * dead-letter), both map-side.
+    */
+  val p12_quarantine: Q = (spark, dir) => {
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("_corrupt_record", StringType)))
+    val ev = events(spark, dir).select(col("event_id"), col("props"))
+    val truncated = ev.where(col("event_id") % 20 === 0)
+      .select((col("event_id") + 1000000000L).as("event_id"),
+        col("props").substr(lit(1), length(col("props")) - 2).as("props"))
+    val wrongKey = ev.where(col("event_id") % 20 === 10)
+      .select((col("event_id") + 2000000000L).as("event_id"),
+        replace(col("props"), lit("\"k\""), lit("\"x\"")).as("props"))
+    ev.unionAll(truncated).unionAll(wrongKey)
+      .withColumn("parsed", from_json(col("props"), propsSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("reason",
+        when(col("parsed").isNull || col("parsed._corrupt_record").isNotNull,
+          "malformed_json")
+          .when(col("parsed.k").isNull, "missing_field"))
+      .where(col("reason").isNotNull)
+      .select(col("event_id"), col("props"), col("reason"))
+  }
+
   // --------------------------------------------------------------------
   // J — joins
   // --------------------------------------------------------------------
@@ -777,6 +817,7 @@ object Relational {
     "a11_revenue_rollup" -> a11_revenue_rollup,
     "a12_event_pivot" -> a12_event_pivot,
     "j11_scd2_history" -> j11_scd2_history,
+    "p12_quarantine" -> p12_quarantine,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
     "w03_payment_allocation" -> w03_payment_allocation,
@@ -929,6 +970,21 @@ object Relational {
                   (PARTITION BY l_orderkey ORDER BY l_linenumber
                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100 AS running_amount
          FROM lineitem""",
+    "p12_quarantine" ->
+      """WITH corpus AS (
+            SELECT event_id, props FROM events
+            UNION ALL
+            SELECT event_id + 1000000000, substr(props, 1, len(props) - 2)
+            FROM events WHERE event_id % 20 = 0
+            UNION ALL
+            SELECT event_id + 2000000000, replace(props, '"k"', '"x"')
+            FROM events WHERE event_id % 20 = 10)
+          SELECT event_id, props,
+                 CASE WHEN NOT json_valid(props) THEN 'malformed_json'
+                      WHEN json_extract(props, '$.k') IS NULL THEN 'missing_field'
+                 END AS reason
+          FROM corpus
+          WHERE NOT json_valid(props) OR json_extract(props, '$.k') IS NULL""",
     "a11_revenue_rollup" ->
       """SELECT r_name, n_name,
                 SUM(ROUND(o_totalprice * 100)) / 100 AS revenue,
