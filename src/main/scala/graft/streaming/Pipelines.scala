@@ -56,6 +56,21 @@ case class RetEvent(user_id: Long, day: Int, event_time: java.sql.Timestamp)
   */
 case class RetHit(user_id: Long, cohort_day: Int, day: Int)
 
+/** One CDC-style event entering the streaming SCD2 operator (`tsu` =
+  * exact micros; `event_time` = watermark column).
+  */
+case class ScdEvent(user_id: Long, event_type: String, tsu: Long,
+                    event_id: Long, event_time: java.sql.Timestamp)
+
+/** One buffered event in SCD2 state. */
+case class ScdBuf(tsu: Long, event_id: Long, event_type: String)
+
+/** One emitted SCD2 version; `vf`/`vt` are micros, `vt` = -1 for the
+  * open (current) version.
+  */
+case class ScdVersion(user_id: Long, event_type: String, version_n: Long,
+                      vf: Long, vt: Long)
+
 /** Source-agnostic Structured Streaming pipelines — each takes
   * streaming DataFrame(s) and returns the transformed streaming
   * DataFrame, so the same operator runs over the [[Replay]] file source
@@ -432,6 +447,49 @@ object Pipelines {
             val days = (state.getOption.getOrElse(Seq.empty) ++ buf).distinct
             state.update(days)
             val newestMs = days.max.toLong * 86400000L
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** j11's SCD TYPE-2 HISTORY as keyed streaming state — the CDC-fed
+    * warehouse-history build that is the reference's core domain
+    * (every maxwell op-type row updates a dim; SCD2 keeps the history
+    * instead of overwriting). Per user, events buffer until the
+    * event-time timeout proves the history closed, then consecutive
+    * same-type runs collapse into versions with chained validity
+    * intervals — identical to the batch window-pass semantics, because
+    * the collapse runs over the COMPLETE delivered history (st21's
+    * buffer-until-flush exactness argument; a per-batch eager collapse
+    * could not merge a run that straddles batches). State is the
+    * user's event list, bounded by the activity horizon; the emitted
+    * rows are one per VERSION, not per event.
+    */
+  def scd2(events: Dataset[ScdEvent],
+           ttlMs: Long = FunnelTimeoutMs): Dataset[ScdVersion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[ScdBuf], ScdVersion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[ScdEvent], state: GroupState[Seq[ScdBuf]]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get.sortBy(b => (b.tsu, b.event_id))
+            state.remove()
+            val changes = hist.zipWithIndex.filter { case (b, i) =>
+              i == 0 || hist(i - 1).event_type != b.event_type
+            }.map(_._1)
+            changes.zipWithIndex.iterator.map { case (b, i) =>
+              val vt = if (i + 1 < changes.size) changes(i + 1).tsu else -1L
+              ScdVersion(uid, b.event_type, i + 1L, b.tsu, vt)
+            }
+          } else {
+            val buf = state.getOption.getOrElse(Seq.empty) ++
+              rows.map(e => ScdBuf(e.tsu, e.event_id, e.event_type))
+            state.update(buf)
+            val newestMs = buf.map(_.tsu / 1000L).max
             state.setTimeoutTimestamp(
               math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

@@ -774,12 +774,35 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** J-family streaming — SCD2 HISTORY AT INGEST (streaming twin of
+    * j11): the event stream feeds [[Pipelines.scd2]]'s per-user
+    * buffered state; versions emit when the watermark closes each
+    * user's history, and the batch side converts the exact-micros
+    * bounds back to timestamps. The oracle IS j11's — the streamed
+    * history must equal the batch window-pass build row for row.
+    */
+  val st22_stream_scd2: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"), col("ts").as("event_time"))
+      .as[graft.streaming.ScdEvent]
+    Replay.runAppend(spark, Pipelines.scd2(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("event_type"), col("version_n"),
+        timestamp_micros(col("vf")).as("valid_from"),
+        when(col("vt") >= 0, timestamp_micros(col("vt"))).as("valid_to"),
+        (col("vt") < 0).as("is_current"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
     "st19_stream_lm_gate" -> st19_stream_lm_gate,
     "st20_stream_funnel" -> st20_stream_funnel,
     "st21_stream_retention" -> st21_stream_retention,
+    "st22_stream_scd2" -> st22_stream_scd2,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -809,6 +832,8 @@ object StreamQueries {
     "st20_stream_funnel" -> graft.operators.Relational.oracles("a09_funnel"),
     // st21 must reproduce EXACTLY a10's triangle — the oracle is a10's
     "st21_stream_retention" -> graft.operators.Relational.oracles("a10_retention"),
+    // st22 must rebuild EXACTLY j11's history — the oracle is j11's
+    "st22_stream_scd2" -> graft.operators.Relational.oracles("j11_scd2_history"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup
       val h = graft.functions.Portable.duckHash60("s")
