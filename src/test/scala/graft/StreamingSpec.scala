@@ -351,6 +351,68 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("scd2: a same-type run straddling batches collapses to ONE version; late earliest event reorders correctly") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[graft.streaming.ScdEvent]
+    val ev = ms.toDS().withWatermark("event_time", "1 hour")
+    val q = Pipelines.scd2(ev).toDF()
+      .writeStream.format("memory").queryName("scd2_ms")
+      .option("checkpointLocation", tmpDir("cp_scd2_"))
+      .outputMode("append").start()
+    try {
+      def se(uid: Long, typ: String, s: String, id: Long) = {
+        val tt = t(s); graft.streaming.ScdEvent(uid, typ, tt.getTime * 1000L, id, tt)
+      }
+      // user 1's "view" run straddles the batch boundary; user 2's
+      // chronologically FIRST event arrives in the second batch
+      // (within the 1h watermark of batch 1's max — later than that is
+      // the documented late-data drop, not reordering)
+      ms.addData(se(1, "view", "2024-01-01 09:30:00", 1)); drain(q)
+      ms.addData(
+        se(1, "view", "2024-01-01 11:00:00", 2),
+        se(1, "click", "2024-01-01 12:00:00", 3),
+        se(2, "click", "2024-01-01 11:00:00", 5),
+        se(2, "signup", "2024-01-01 09:00:00", 4)); drain(q)
+      ms.addData(se(-1, "x", "2100-01-01 00:00:00", 6)); drain(q)
+      ms.addData(se(-1, "x", "2100-06-01 00:00:00", 7)); drain(q)
+      val got = spark.table("scd2_ms").where(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getString(1)).toMap
+      // user 1: view(1) click(2) — the straddling run is ONE version
+      // user 2: signup(1) click(2) — buffered state reorders by event time
+      assert(got === Map((1L, 1L) -> "view", (1L, 2L) -> "click",
+        (2L, 1L) -> "signup", (2L, 2L) -> "click"), s"got $got")
+    } finally q.stop()
+  }
+
+  test("retention: the cohort is the MIN day even when the earliest event arrives last") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[graft.streaming.RetEvent]
+    val ev = ms.toDS().withWatermark("event_time", "1 hour")
+    val q = Pipelines.retention(ev).toDF()
+      .writeStream.format("memory").queryName("ret_ms")
+      .option("checkpointLocation", tmpDir("cp_ret_"))
+      .outputMode("append").start()
+    try {
+      def re(uid: Long, day: Int, s: String) =
+        graft.streaming.RetEvent(uid, day, t(s))
+      // days are EPOCH days (the timeout anchors on day·86400000 ms —
+      // a toy day number would park the timeout in 1970 and flush the
+      // state between batches): 2024-01-19/21/22 = 19741/19743/19744
+      ms.addData(re(1, 19743, "2024-01-21 00:00:00")); drain(q)
+      // the user's EARLIEST day arrives in a later batch (a backfill
+      // record carrying an old date, delivered within the watermark)
+      ms.addData(re(1, 19741, "2024-01-20 23:30:00"), re(1, 19744, "2024-01-22 00:00:00")); drain(q)
+      ms.addData(re(-1, 47663, "2100-01-01 00:00:00")); drain(q)
+      ms.addData(re(-1, 47814, "2100-06-01 00:00:00")); drain(q)
+      val got = spark.table("ret_ms").where(col("user_id") >= 0)
+        .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+      assert(got === Set((19741, 19741), (19741, 19743), (19741, 19744)),
+        s"cohort must be day 19741 for every emitted pair, got $got")
+    } finally q.stop()
+  }
+
   test("orderWideInner: state evicts at the range bound — a partner past it does NOT match") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
