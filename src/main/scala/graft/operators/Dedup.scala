@@ -156,11 +156,61 @@ object Dedup {
   // ------------------------------------------------------------------
 
   private val NumHashes = 12
-  private val Bands = 4 // × 3 rows; P(miss | J=0.9) = (1-0.9³)⁴ ≈ 0.5%
+
+  /** Recall target the dedup lifecycle tunes for: the banding must
+    * capture ≥ this fraction of the exact-Jaccard (J ≥ 0.5) pairs.
+    */
+  private[graft] val TargetRecall = 0.95
+
+  /** The banding [[d02_minhash_lsh]] (and the production dedup run)
+    * executes under — [[pickBanding]]'s choice on the d09 sweep
+    * (4 bands × 3 rows: P(miss | J=0.9) = (1-0.9³)⁴ ≈ 0.5%).
+    * `DedupSpec` asserts the pick: the decision helper applied to the
+    * fixture sweep returns exactly this pair, closing the
+    * monitor (d09) → decide (pickBanding) → act (d02) loop the same
+    * way the ANN index lifecycle closes
+    * indexHealth → retrainNeeded → maintainIndex.
+    */
+  private[graft] val PickedBanding: (Int, Int) = (4, 3)
+
+  /** DEDUP-TUNING DECISION: from [[d09_lsh_tuning]]'s sweep table,
+    * pick the banding meeting `targetRecall` with the best precision
+    * (ties → the stricter config, i.e. more rows per band — fewer
+    * candidate pairs at equal measured quality). Driver-side over a
+    * |configs|-row table — the documented bounded eager contract
+    * (the d07 convergence-count / indexHealth pattern). Falls back to
+    * the highest-recall config if nothing meets the target (a sweep on
+    * a pathological corpus must still return a runnable config).
+    */
+  def pickBanding(sweep: DataFrame, targetRecall: Double = TargetRecall): (Int, Int) = {
+    val rows = sweep
+      .select(col("n_bands"), col("n_rows"), col("prec"), col("recall"))
+      .collect()
+      .filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    require(rows.nonEmpty, "sweep has no config with measurable precision+recall")
+    val viable = rows.filter(_._4 >= targetRecall)
+    val best =
+      if (viable.nonEmpty) viable.maxBy(r => (r._3, r._2))
+      else rows.maxBy(r => (r._4, r._3, r._2))
+    (best._1, best._2)
+  }
+
+  /** The (band, band-key) struct array of an `mh` signature column
+    * under an (nBands × nRows) banding — shared by d02 (the picked
+    * config) and d09 (every config at once).
+    */
+  private def minhashBandStructs(nBands: Int, nRows: Int) =
+    (0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("_",
+          (1 to nRows).map(r => element_at(col("mh"), nRows * b + r)): _*).as("bkey"))
+    }
 
   /** MinHash+LSH near-dup pairs: shingle → 12-way minhash signature →
-    * 4 bands of 3 → bucket-join on (band, band-key) → exact Jaccard
-    * verify ≥ 0.5 on the surviving candidates.
+    * [[PickedBanding]] bands/rows → bucket-join on (band, band-key) →
+    * exact Jaccard verify ≥ 0.5 on the surviving candidates.
     *
     * Scale shape: candidate generation is an equi-join on the band key
     * (O(n·bands) rows shuffled, never all-pairs); the exact verify then
@@ -190,16 +240,10 @@ object Dedup {
     val mh = hs.select(col("doc_id"),
       call_function("minhash_mins", col("hs"), lit(seedsCsv)).as("mh"))
 
+    val (nb, nr) = PickedBanding
     val bands = mh.select(
       col("doc_id"),
-      explode(array((0 until Bands).map { b =>
-        struct(
-          lit(b).as("band"),
-          concat_ws("_",
-            element_at(col("mh"), 3 * b + 1),
-            element_at(col("mh"), 3 * b + 2),
-            element_at(col("mh"), 3 * b + 3)).as("bkey"))
-      }: _*)).as("bb"))
+      explode(array(minhashBandStructs(nb, nr): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
     val a = bands.alias("a")
@@ -229,10 +273,12 @@ object Dedup {
   }
 
   private def duckMinhashSql: String = {
+    val (nBands, nRows) = PickedBanding
     val mhs = (0 until NumHashes).map(i =>
       s"list_min(list_transform(hs, h -> ${Portable.duckXorMix(i, "h")}))").mkString("[", ", ", "]")
-    val bandKeys = (0 until Bands).map(b =>
-      s"concat_ws('_', mhs[${3 * b + 1}], mhs[${3 * b + 2}], mhs[${3 * b + 3}])")
+    val bandKeys = (0 until nBands).map(b =>
+      (1 to nRows).map(r => s"mhs[${nRows * b + r}]")
+        .mkString("concat_ws('_', ", ", ", ")"))
     s"""WITH $duckNearCorpus, $duckShingles,
         shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
         hsx AS (SELECT doc_id,
@@ -242,7 +288,7 @@ object Dedup {
         bands AS (
           SELECT doc_id, t.band,
                  CASE ${bandKeys.zipWithIndex.map { case (k, b) => s"WHEN t.band = $b THEN $k" }.mkString(" ")} END AS bkey
-          FROM mh, (SELECT unnest([${(0 until Bands).mkString(",")}]) AS band) t),
+          FROM mh, (SELECT unnest([${(0 until nBands).mkString(",")}]) AS band) t),
         cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM bands a JOIN bands b
@@ -769,14 +815,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
 
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
-    cand.join(truth, Seq("doc_a", "doc_b"), "left")
+    val per = cand.join(truth, Seq("doc_a", "doc_b"), "left")
       .groupBy(col("cfg"), col("n_bands"), col("n_rows"))
       .agg(count(lit(1)).as("n_cand"),
         sum(coalesce(col("is_true"), lit(0L))).as("n_tp"))
+    // every swept config emits a row even with ZERO candidate pairs
+    // (the rollup groups over cand, so an empty config would otherwise
+    // vanish from the table instead of reporting n_cand=0 — the
+    // round-7 advisor item); the config list is a literal relation.
+    import spark.implicits._
+    val cfgs = LshSweep
+      .map { case (b, r) => (s"b${b}r$r", b, r) }
+      .toDF("cfg", "n_bands", "n_rows")
+    cfgs.join(per, Seq("cfg", "n_bands", "n_rows"), "left")
       .join(broadcast(nTrue), lit(true), "inner")
-      .select(col("cfg"), col("n_bands"), col("n_rows"), col("n_cand"), col("n_tp"),
+      .select(col("cfg"), col("n_bands"), col("n_rows"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"),
         col("n_true"),
-        when(col("n_cand") === 0, lit(null).cast("double"))
+        when(coalesce(col("n_cand"), lit(0L)) === 0, lit(null).cast("double"))
           .otherwise(col("n_tp").cast("double") / col("n_cand").cast("double")).as("prec"),
         when(col("n_true") === 0, lit(null).cast("double"))
           .otherwise(col("n_tp").cast("double") / col("n_true").cast("double")).as("recall"))
@@ -820,14 +877,21 @@ object Dedup {
                        CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
                 FROM cand c LEFT JOIN truth t
                   ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
-                GROUP BY 1, 2, 3)
-        SELECT cfg, n_bands, n_rows, n_cand, n_tp,
+                GROUP BY 1, 2, 3),
+        cfgs AS (SELECT * FROM (VALUES ${LshSweep.map { case (b, r) =>
+      s"('b${b}r$r', $b, $r)" }.mkString(", ")}) t(cfg, n_bands, n_rows))
+        SELECT c.cfg, c.n_bands, c.n_rows,
+               CAST(COALESCE(per.n_cand, 0) AS BIGINT) AS n_cand,
+               CAST(COALESCE(per.n_tp, 0) AS BIGINT) AS n_tp,
                CAST(nt.n_true AS BIGINT) AS n_true,
-               CASE WHEN n_cand = 0 THEN NULL
-                    ELSE CAST(n_tp AS DOUBLE) / CAST(n_cand AS DOUBLE) END AS prec,
+               CASE WHEN COALESCE(per.n_cand, 0) = 0 THEN NULL
+                    ELSE CAST(per.n_tp AS DOUBLE) / CAST(per.n_cand AS DOUBLE) END AS prec,
                CASE WHEN nt.n_true = 0 THEN NULL
-                    ELSE CAST(n_tp AS DOUBLE) / CAST(nt.n_true AS DOUBLE) END AS recall
-        FROM per, nt"""
+                    ELSE CAST(COALESCE(per.n_tp, 0) AS DOUBLE)
+                         / CAST(nt.n_true AS DOUBLE) END AS recall
+        FROM cfgs c LEFT JOIN per
+          ON per.cfg = c.cfg AND per.n_bands = c.n_bands AND per.n_rows = c.n_rows,
+        nt"""
   }
 
   // ------------------------------------------------------------------

@@ -767,12 +767,18 @@ object TextAnalysis {
     (c2, c1, v)
   }
 
-  val t18_bigram_lm: Q = (spark, dir) => {
-    val docs = documents(spark, dir)
+  /** Per-doc LM scoring of `rel`(doc_id, text, …) against the trained
+    * bigram model → (doc_id, n_bigrams, n_oov, sum_lp_micro,
+    * avg_lp_micro). Shared by [[t18_bigram_lm]] (full corpus) and the
+    * curation capstone's perplexity gate (gated subset) — one scorer,
+    * one arithmetic. Docs with < 2 tokens derive no bigrams and drop
+    * at the inner aggregation (the documented t18 semantics: no
+    * bigrams, no score — gates treat a missing score as a reject).
+    */
+  private[graft] def lmScore(spark: SparkSession, dir: String, rel: DataFrame): DataFrame = {
     val (c2, c1, v) = bigramModelParts(spark, dir)
-    val docBg = docs.select(col("doc_id"), lmToks.as("toks"))
+    rel.select(col("doc_id"), lmToks.as("toks"))
       .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("pair"))
-    docBg
       .join(c2, Seq("pair"), "left")
       .withColumn("w1", substring_index(col("pair"), " ", 1))
       .join(c1, Seq("w1"), "left")
@@ -787,8 +793,11 @@ object TextAnalysis {
         sum(col("oov")).as("n_oov"),
         sum(col("lp")).as("sum_lp_micro"),
         (sum(col("lp")).cast("double") / count(lit(1)).cast("double")).as("avg_lp_micro"))
-      .withColumn("ppl_keep", col("avg_lp_micro") >= PplGateMicro.toDouble)
   }
+
+  val t18_bigram_lm: Q = (spark, dir) =>
+    lmScore(spark, dir, documents(spark, dir))
+      .withColumn("ppl_keep", col("avg_lp_micro") >= PplGateMicro.toDouble)
 
   /** t19 — DOMAIN-MIXTURE REWEIGHTING: per-(lang, source) sampling
     * weights ∝ tokens^0.5 (temperature-based rebalancing — the
@@ -848,9 +857,19 @@ object TextAnalysis {
     * standard NB treatment, engine-portable because it is the same
     * floored arithmetic on both sides.
     */
-  val t20_nb_quality: Q = (spark, dir) => {
-    val docs = documents(spark, dir)
-    val train = docs
+  /** The trained NB quality model's three relations — per-token
+    * log-odds weights `(w, wm)` (persisted: the token table is the
+    * model), the 1-row OOV weight `w0`, and the 1-row class-prior
+    * log-odds `prior_m` — all exact integer micro-nats. The prior is
+    * add-one smoothed like the conditionals, so a degenerate
+    * single-class train split yields a finite (large) prior instead of
+    * engine-divergent `ln(0)` handling (Spark NULL vs DuckDB -inf).
+    * Shared by [[t20_nb_quality]] and the curation capstone's
+    * classifier gate (c02).
+    */
+  private[graft] def nbModelParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val train = documents(spark, dir)
       .where(Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct)
       .select(col("doc_id"), (prepQualityCol >= 2).as("hq"), lmToks.as("toks"))
     val cw = train.select(col("hq"), explode(col("toks")).as("w"))
@@ -860,8 +879,6 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = cw.agg(sum(col("c_hq")).as("t_hq"), sum(col("c_lq")).as("t_lq"),
       count(lit(1)).as("v"))
-    def lpm(num: Column, den: Column): Column =
-      floor(log(num.cast("double") / den.cast("double")) * LmMicro).cast("long")
     val weights = cw.join(broadcast(tot), lit(true), "inner")
       .select(col("w"),
         (lpm(col("c_hq") + 1, col("t_hq") + col("v")) -
@@ -870,9 +887,25 @@ object TextAnalysis {
       (lpm(lit(1L), col("t_hq") + col("v")) - lpm(lit(1L), col("t_lq") + col("v"))).as("w0"))
     val pm = train.agg(sum(col("hq").cast("long")).as("n_hq"),
         sum((!col("hq")).cast("long")).as("n_lq"))
-      .select((lpm(col("n_hq"), col("n_hq") + col("n_lq")) -
-        lpm(col("n_lq"), col("n_hq") + col("n_lq"))).as("prior_m"))
-    docs.select(col("doc_id"), explode(lmToks).as("w"))
+      .select((lpm(col("n_hq") + 1, col("n_hq") + col("n_lq") + 2) -
+        lpm(col("n_lq") + 1, col("n_hq") + col("n_lq") + 2)).as("prior_m"))
+    (weights, tot2, pm)
+  }
+
+  /** `floor(ln(num/den) · 1e6)` as an exact long — the [[LmMicro]]
+    * quantization both trained models score in.
+    */
+  private def lpm(num: Column, den: Column): Column =
+    floor(log(num.cast("double") / den.cast("double")) * LmMicro).cast("long")
+
+  /** Per-doc NB scoring of `rel`(doc_id, text, …) against the trained
+    * quality classifier → (doc_id, n_tokens, log_odds_micro). Shared
+    * by [[t20_nb_quality]] (full corpus) and the curation capstone's
+    * classifier gate (gated subset).
+    */
+  private[graft] def nbScore(spark: SparkSession, dir: String, rel: DataFrame): DataFrame = {
+    val (weights, tot2, pm) = nbModelParts(spark, dir)
+    rel.select(col("doc_id"), explode(lmToks).as("w"))
       .join(weights, Seq("w"), "left")
       .join(broadcast(tot2), lit(true), "inner")
       .select(col("doc_id"), coalesce(col("wm"), col("w0")).as("wm"))
@@ -881,6 +914,11 @@ object TextAnalysis {
       .join(broadcast(pm), lit(true), "inner")
       .select(col("doc_id"), col("n_tokens"),
         (col("sum_w") + col("prior_m")).as("log_odds_micro"))
+  }
+
+  val t20_nb_quality: Q = (spark, dir) => {
+    val docs = documents(spark, dir)
+    nbScore(spark, dir, docs)
       .withColumn("pred_hq", col("log_odds_micro") >= 0)
       .join(docs.select(col("doc_id"), (prepQualityCol >= 2).as("heur_hq")), "doc_id")
   }
@@ -1022,40 +1060,58 @@ object TextAnalysis {
         FROM dw JOIN vs USING (token)
         GROUP BY doc_id"""
 
-  private def duckBigramLmSql: String = {
+  /** CTE chain of the TRAINED bigram LM (model only, no scoring):
+    * `lmtr`/`lmtt` (train split + token arrays) → pair counts `lmc2`,
+    * left-context totals `lmc1`, vocabulary size `lmvv` — the DuckDB
+    * twin of [[bigramModelParts]]. Names are lm-prefixed so the chain
+    * composes with the prep/BPE/decontam CTEs inside the capstone
+    * oracle without collisions.
+    */
+  private[graft] def duckLmModelCtes: String = {
     val splitH = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
-    s"""WITH tr AS (SELECT doc_id, text FROM documents
-                    WHERE ($splitH) % 100 < $TrainPct),
-        tt AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-               FROM tr),
-        tb AS (SELECT unnest(list_transform(range(1, len(toks)),
-                       i -> toks[i] || ' ' || toks[i+1])) AS pair
-               FROM tt),
-        c2 AS (SELECT pair, COUNT(*) AS c2 FROM tb GROUP BY pair),
-        c1 AS (SELECT split_part(pair, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
-               FROM c2 GROUP BY 1),
-        vv AS (SELECT COUNT(DISTINCT t) AS v
-               FROM (SELECT unnest(toks) AS t FROM tt)),
-        at AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-               FROM documents),
-        db AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                       i -> toks[i] || ' ' || toks[i+1])) AS pair
-               FROM at),
-        sc AS (SELECT d.doc_id,
-                      CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS oov,
-                      CAST(floor(ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
-                                    / CAST(COALESCE(c1.c1, 0) + vv.v AS DOUBLE))
-                                 * $LmMicro) AS BIGINT) AS lp
-               FROM db d LEFT JOIN c2 ON c2.pair = d.pair
-               LEFT JOIN c1 ON c1.w1 = split_part(d.pair, ' ', 1), vv)
-        SELECT doc_id, COUNT(*) AS n_bigrams,
-               CAST(SUM(oov) AS BIGINT) AS n_oov,
-               CAST(SUM(lp) AS BIGINT) AS sum_lp_micro,
-               CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp_micro,
-               CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                 >= CAST($PplGateMicro AS DOUBLE) AS ppl_keep
-        FROM sc GROUP BY doc_id"""
+    s"""lmtr AS (SELECT doc_id, text FROM documents
+                 WHERE ($splitH) % 100 < $TrainPct),
+        lmtt AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+                 FROM lmtr),
+        lmtb AS (SELECT unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS pair
+                 FROM lmtt),
+        lmc2 AS (SELECT pair, COUNT(*) AS c2 FROM lmtb GROUP BY pair),
+        lmc1 AS (SELECT split_part(pair, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+                 FROM lmc2 GROUP BY 1),
+        lmvv AS (SELECT COUNT(DISTINCT t) AS v
+                 FROM (SELECT unnest(toks) AS t FROM lmtt))"""
   }
+
+  /** Per-doc LM scoring of relation `rel`(doc_id, text) against the
+    * [[duckLmModelCtes]] model → CTE `lmsc`(doc_id, n_bigrams, n_oov,
+    * sum_lp_micro, avg_lp_micro). t18's arithmetic term for term.
+    */
+  private[graft] def duckLmScoreCtes(rel: String): String =
+    s"""lmat AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+                 FROM $rel),
+        lmdb AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])) AS pair
+                 FROM lmat),
+        lmterm AS (SELECT d.doc_id,
+                          CASE WHEN lmc2.c2 IS NULL THEN 1 ELSE 0 END AS oov,
+                          CAST(floor(ln(CAST(COALESCE(lmc2.c2, 0) + 1 AS DOUBLE)
+                                        / CAST(COALESCE(lmc1.c1, 0) + lmvv.v AS DOUBLE))
+                                     * $LmMicro) AS BIGINT) AS lp
+                   FROM lmdb d LEFT JOIN lmc2 ON lmc2.pair = d.pair
+                   LEFT JOIN lmc1 ON lmc1.w1 = split_part(d.pair, ' ', 1), lmvv),
+        lmsc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                        CAST(SUM(oov) AS BIGINT) AS n_oov,
+                        CAST(SUM(lp) AS BIGINT) AS sum_lp_micro,
+                        CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp_micro
+                 FROM lmterm GROUP BY doc_id)"""
+
+  private def duckBigramLmSql: String =
+    s"""WITH $duckLmModelCtes,
+        ${duckLmScoreCtes("documents")}
+        SELECT doc_id, n_bigrams, n_oov, sum_lp_micro, avg_lp_micro,
+               avg_lp_micro >= CAST($PplGateMicro AS DOUBLE) AS ppl_keep
+        FROM lmsc"""
 
   private def duckDomainMixtureSql: String =
     s"""WITH dom AS (SELECT lang, source, COUNT(*) AS n_docs,
@@ -1073,45 +1129,63 @@ object TextAnalysis {
                  / (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE)) AS boost
         FROM d2, tot"""
 
-  private def duckNbQualitySql: String = {
+  private def duckLpm(num: String, den: String): String =
+    s"CAST(floor(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * $LmMicro) AS BIGINT)"
+
+  /** CTE chain of the TRAINED NB quality model (model only): per-token
+    * weights `nbwts`, the OOV weight `nbw0` and the add-one-smoothed
+    * class prior `nbprm` — the DuckDB twin of [[nbModelParts]].
+    * Requires `ps` from [[duckPrepGates]] in scope (pseudo-labels);
+    * nb-prefixed for capstone composition.
+    */
+  private[graft] def duckNbModelCtes: String = {
     val splitH = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
-    def lpm(num: String, den: String) =
-      s"CAST(floor(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * $LmMicro) AS BIGINT)"
-    s"""WITH ${duckPrepGates("documents")},
-        tr AS (SELECT doc_id, quality_score >= 2 AS hq, text
-               FROM ps WHERE ($splitH) % 100 < $TrainPct),
-        ttok AS (SELECT hq,
-                        unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
-                 FROM tr),
-        cw AS (SELECT w,
-                      CAST(SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS c_hq,
-                      CAST(SUM(CASE WHEN hq THEN 0 ELSE 1 END) AS BIGINT) AS c_lq
-               FROM ttok GROUP BY w),
-        tot AS (SELECT CAST(SUM(c_hq) AS BIGINT) AS t_hq,
-                       CAST(SUM(c_lq) AS BIGINT) AS t_lq,
-                       COUNT(*) AS v
-                FROM cw),
-        wts AS (SELECT w, ${lpm("c_hq + 1", "t_hq + v")} - ${lpm("c_lq + 1", "t_lq + v")} AS wm
-                FROM cw, tot),
-        w0 AS (SELECT ${lpm("1", "t_hq + v")} - ${lpm("1", "t_lq + v")} AS w0 FROM tot),
-        pri AS (SELECT CAST(SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS n_hq,
-                       CAST(SUM(CASE WHEN hq THEN 0 ELSE 1 END) AS BIGINT) AS n_lq
-                FROM tr),
-        prm AS (SELECT ${lpm("n_hq", "n_hq + n_lq")} - ${lpm("n_lq", "n_hq + n_lq")} AS prior_m
-               FROM pri),
-        atok AS (SELECT doc_id,
-                        unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
-                 FROM documents),
-        sc AS (SELECT a.doc_id, COALESCE(wts.wm, w0.w0) AS wm
-               FROM atok a LEFT JOIN wts USING (w) CROSS JOIN w0),
-        agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
-                       CAST(SUM(wm) AS BIGINT) AS sum_w
-                FROM sc GROUP BY 1)
-        SELECT agg.doc_id, n_tokens, sum_w + prm.prior_m AS log_odds_micro,
-               (sum_w + prm.prior_m) >= 0 AS pred_hq,
-               ps.quality_score >= 2 AS heur_hq
-        FROM agg CROSS JOIN prm JOIN ps ON ps.doc_id = agg.doc_id"""
+    s"""nbtr AS (SELECT doc_id, quality_score >= 2 AS hq, text
+                 FROM ps WHERE ($splitH) % 100 < $TrainPct),
+        nbtok AS (SELECT hq,
+                         unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+                  FROM nbtr),
+        nbcw AS (SELECT w,
+                        CAST(SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS c_hq,
+                        CAST(SUM(CASE WHEN hq THEN 0 ELSE 1 END) AS BIGINT) AS c_lq
+                 FROM nbtok GROUP BY w),
+        nbtot AS (SELECT CAST(SUM(c_hq) AS BIGINT) AS t_hq,
+                         CAST(SUM(c_lq) AS BIGINT) AS t_lq,
+                         COUNT(*) AS v
+                  FROM nbcw),
+        nbwts AS (SELECT w, ${duckLpm("c_hq + 1", "t_hq + v")} - ${duckLpm("c_lq + 1", "t_lq + v")} AS wm
+                  FROM nbcw, nbtot),
+        nbw0 AS (SELECT ${duckLpm("1", "t_hq + v")} - ${duckLpm("1", "t_lq + v")} AS w0 FROM nbtot),
+        nbpri AS (SELECT CAST(SUM(CASE WHEN hq THEN 1 ELSE 0 END) AS BIGINT) AS n_hq,
+                         CAST(SUM(CASE WHEN hq THEN 0 ELSE 1 END) AS BIGINT) AS n_lq
+                  FROM nbtr),
+        nbprm AS (SELECT ${duckLpm("n_hq + 1", "n_hq + n_lq + 2")}
+                           - ${duckLpm("n_lq + 1", "n_hq + n_lq + 2")} AS prior_m
+                  FROM nbpri)"""
   }
+
+  /** Per-doc NB scoring of relation `rel`(doc_id, text) against the
+    * [[duckNbModelCtes]] model → CTE `nbsc`(doc_id, n_tokens,
+    * log_odds_micro). t20's arithmetic term for term.
+    */
+  private[graft] def duckNbScoreCtes(rel: String): String =
+    s"""nbat AS (SELECT doc_id,
+                        unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
+                 FROM $rel),
+        nbterm AS (SELECT a.doc_id, COALESCE(nbwts.wm, nbw0.w0) AS wm
+                   FROM nbat a LEFT JOIN nbwts USING (w) CROSS JOIN nbw0),
+        nbsc AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                        CAST(SUM(wm) AS BIGINT) + (SELECT prior_m FROM nbprm) AS log_odds_micro
+                 FROM nbterm GROUP BY doc_id)"""
+
+  private def duckNbQualitySql: String =
+    s"""WITH ${duckPrepGates("documents")},
+        $duckNbModelCtes,
+        ${duckNbScoreCtes("documents")}
+        SELECT nbsc.doc_id, n_tokens, log_odds_micro,
+               log_odds_micro >= 0 AS pred_hq,
+               ps.quality_score >= 2 AS heur_hq
+        FROM nbsc JOIN ps ON ps.doc_id = nbsc.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "t20_nb_quality" -> duckNbQualitySql,

@@ -51,6 +51,14 @@ case class FunnelUser(user_id: Long, stage: Long)
   */
 case class RetEvent(user_id: Long, day: Int, event_time: java.sql.Timestamp)
 
+/** [[Pipelines.retention]] state: the user's distinct active days
+  * (bounded — capped at `maxDays`, smallest kept) plus the newest
+  * event-time millis seen, the TTL anchor (anchoring on the DAY number
+  * alone would pre-expire the timeout for events arriving later than
+  * ttl past midnight — the round-7 advisor item).
+  */
+case class RetState(days: Seq[Int], newestMs: Long)
+
 /** A user's (cohort day, active day) pair, emitted once per distinct
   * active day when the user's state times out.
   */
@@ -381,7 +389,11 @@ object Pipelines {
     * retroactively re-qualify a click that was rejected in an earlier
     * batch — the documented at-ingest approximation (st15's delivery
     * contract; the replay delivers one batch, under which the result
-    * is exact, and a09 is the exact retrospective answer).
+    * is exact, and a09 is the exact retrospective answer). Events
+    * arriving after a user's timeout fired re-create state and emit a
+    * SECOND depth row for that user — the per-user-uniqueness of the
+    * output, like retention's and scd2's invariants, is scoped to the
+    * single-replay-batch contract.
     */
   def funnel(events: Dataset[FunnelEvent]): Dataset[FunnelUser] = {
     import events.sparkSession.implicits._
@@ -417,36 +429,66 @@ object Pipelines {
       }
   }
 
+  /** Per-user day-set cap for [[retention]] — one year of daily
+    * activity. A bot/service account active for years truncates at the
+    * horizon instead of growing the buffered day set without bound;
+    * the corpus maxes at 30 distinct days, so the cap never fires
+    * outside the heavy-user fixture spec.
+    */
+  val MaxRetDays: Int = 366
+
+  /** Per-user event-buffer cap for [[scd2]] — same rationale; corpus
+    * maxes at 99 events per user.
+    */
+  val MaxScdEvents: Int = 1000
+
   /** a10's RETENTION COHORTING as keyed streaming state: per user,
-    * buffer the set of DISTINCT ACTIVE DAYS (date-granular — bounded
-    * by the retention horizon, ~30 entries here; a production deploy
-    * caps it at the dashboard's window) and emit every (cohort day,
-    * active day) pair once when the event-time timeout proves the
-    * user's activity closed. Buffering until timeout makes the cohort
+    * buffer the set of DISTINCT ACTIVE DAYS (date-granular — capped at
+    * `maxDays` = [[MaxRetDays]]) and emit every (cohort day, active
+    * day) pair once when the event-time timeout proves the user's
+    * activity closed. Buffering until timeout makes the cohort
     * assignment exact over everything delivered: the min day IS the
     * cohort even if the user's earliest event arrives last (contrast
     * [[funnel]]'s monotone fold, which must order-fold because its
     * stages chain). Late-beyond-watermark events are dropped by the
     * upstream watermark — the standard tradeoff.
+    *
+    * OVERFLOW POLICY (the bounded-state contract, spec-proven on a
+    * 10k-event user): beyond `maxDays` distinct days the SMALLEST days
+    * are kept — deterministic under complete delivery regardless of
+    * arrival order, the cohort (min day) is always retained, and the
+    * dropped tail is exactly what a dashboard with a bounded window
+    * never renders. The TTL anchors on the newest EVENT-TIME millis
+    * (carried in [[RetState]]), not the day number.
+    *
+    * Post-timeout re-delivery: if a user's events arrive AFTER their
+    * timeout flushed (only possible under multi-batch delivery with a
+    * watermark that outran them), state is re-created and a second
+    * (cohort, day) set emits — so the downstream "plain COUNT equals
+    * a10's COUNT DISTINCT" identity is scoped to the single-replay-
+    * batch delivery contract (st15's), as is scd2's one-is_current-row
+    * invariant.
     */
   def retention(events: Dataset[RetEvent],
-                ttlMs: Long = FunnelTimeoutMs): Dataset[RetHit] = {
+                ttlMs: Long = FunnelTimeoutMs,
+                maxDays: Int = MaxRetDays): Dataset[RetHit] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[Int], RetHit](
+      .flatMapGroupsWithState[RetState, RetHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[RetEvent], state: GroupState[Seq[Int]]) =>
+        (uid: Long, rows: Iterator[RetEvent], state: GroupState[RetState]) =>
           if (state.hasTimedOut) {
-            val days = state.get
+            val days = state.get.days
             val cohort = days.min
             state.remove()
             days.sorted.iterator.map(d => RetHit(uid, cohort, d))
           } else {
-            val buf = rows.map(_.day).toSeq
-            val days = (state.getOption.getOrElse(Seq.empty) ++ buf).distinct
-            state.update(days)
-            val newestMs = days.max.toLong * 86400000L
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(RetState(Seq.empty, Long.MinValue))
+            val days = (prev.days ++ evs.map(_.day)).distinct.sorted.take(maxDays)
+            val newestMs = math.max(prev.newestMs, evs.map(_.event_time.getTime).max)
+            state.update(RetState(days, newestMs))
             state.setTimeoutTimestamp(
               math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
@@ -464,11 +506,24 @@ object Pipelines {
     * the collapse runs over the COMPLETE delivered history (st21's
     * buffer-until-flush exactness argument; a per-batch eager collapse
     * could not merge a run that straddles batches). State is the
-    * user's event list, bounded by the activity horizon; the emitted
-    * rows are one per VERSION, not per event.
+    * user's event list, CAPPED at `maxEvents` = [[MaxScdEvents]]; the
+    * emitted rows are one per VERSION, not per event.
+    *
+    * OVERFLOW POLICY (spec-proven on a 10k-event user): beyond
+    * `maxEvents` the buffer keeps the FIRST `maxEvents` events by
+    * (tsu, event_id) — the history's deterministic prefix; versions
+    * collapse over that prefix and the final kept version stays open
+    * (valid_to = −1). Deterministic under complete delivery regardless
+    * of arrival order or batch split. The TTL anchors on the newest
+    * event SEEN this batch (dropped or kept), so truncation never
+    * pre-fires the flush while the user is still active. Post-timeout
+    * re-delivery re-creates state (version_n restarts) — the
+    * one-is_current-per-user claim is scoped to the single-replay-
+    * batch delivery contract (see [[retention]]).
     */
   def scd2(events: Dataset[ScdEvent],
-           ttlMs: Long = FunnelTimeoutMs): Dataset[ScdVersion] = {
+           ttlMs: Long = FunnelTimeoutMs,
+           maxEvents: Int = MaxScdEvents): Dataset[ScdVersion] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -486,10 +541,13 @@ object Pipelines {
               ScdVersion(uid, b.event_type, i + 1L, b.tsu, vt)
             }
           } else {
-            val buf = state.getOption.getOrElse(Seq.empty) ++
+            val buf0 = state.getOption.getOrElse(Seq.empty) ++
               rows.map(e => ScdBuf(e.tsu, e.event_id, e.event_type))
+            val buf = if (buf0.size > maxEvents)
+              buf0.sortBy(b => (b.tsu, b.event_id)).take(maxEvents)
+            else buf0
             state.update(buf)
-            val newestMs = buf.map(_.tsu / 1000L).max
+            val newestMs = buf0.map(_.tsu / 1000L).max
             state.setTimeoutTimestamp(
               math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

@@ -255,6 +255,34 @@ class DedupSpec extends SparkSpecBase {
       "the exact ground truth is config-independent")
   }
 
+  test("pickBanding: decision rule — meets target recall, max precision, ties to stricter") {
+    val sweep = Seq(
+      ("b1r12", 1, 12, 10L, 10L, 100L, Some(1.0), Some(0.10)),
+      ("b3r4", 3, 4, 90L, 88L, 100L, Some(0.977), Some(0.88)),
+      ("b4r3", 4, 3, 100L, 96L, 100L, Some(0.96), Some(0.96)),
+      ("b6r2", 6, 2, 110L, 96L, 100L, Some(0.96), Some(0.96)),
+      ("b12r1", 12, 1, 900L, 99L, 100L, Some(0.11), Some(0.99)))
+      .toDF("cfg", "n_bands", "n_rows", "n_cand", "n_tp", "n_true", "prec", "recall")
+    // b4r3 and b6r2 tie on precision among viable configs → stricter wins
+    assert(Dedup.pickBanding(sweep, 0.95) === (4, 3))
+    // unreachable target → fall back to the highest-recall config
+    assert(Dedup.pickBanding(sweep, 0.999) === (12, 1))
+    // a zero-candidate config (null prec) is never picked
+    val degenerate = Seq(
+      ("b1r12", 1, 12, 0L, 0L, 100L, None: Option[Double], Some(0.0)),
+      ("b12r1", 12, 1, 900L, 50L, 100L, Some(0.056), Some(0.50)))
+      .toDF("cfg", "n_bands", "n_rows", "n_cand", "n_tp", "n_true", "prec", "recall")
+    assert(Dedup.pickBanding(degenerate, 0.95) === (12, 1))
+  }
+
+  test("pickBanding on the fixture sweep returns PickedBanding — the config d02 runs under") {
+    val sweep = try Dedup.d09_lsh_tuning(spark, sf)
+      finally {}
+    try assert(Dedup.pickBanding(sweep, Dedup.TargetRecall) === Dedup.PickedBanding,
+      "the monitor→decide→act loop must be closed: d02's banding IS the sweep's pick")
+    finally spark.catalog.clearCache()
+  }
+
   test("t18: training-split documents have zero unseen bigrams") {
     // every bigram of a train-split doc is, by construction, in the
     // model's count table; OOV can only come from the val split
