@@ -343,7 +343,7 @@ object Curation {
         base2 AS (SELECT b.doc_id, b.quality_score, b.text, b.split, l.avg_lp_micro
                   FROM base b JOIN lmsc l USING (doc_id)
                   WHERE l.avg_lp_micro >= CAST(${T.PplGateMicro} AS DOUBLE)),
-        ${T.duckNbModelCtes},
+        ${T.duckNbModelCtes()},
         ${T.duckNbScoreCtes("base2")},
         base3 AS (SELECT b.doc_id, b.quality_score, b.text, b.split,
                          b.avg_lp_micro, n.log_odds_micro
@@ -365,7 +365,7 @@ object Curation {
         pplpass AS (SELECT doc_id FROM lmsc
                     WHERE avg_lp_micro >= CAST(${T.PplGateMicro} AS DOUBLE)),
         base2 AS (SELECT b.doc_id, b.text FROM base b JOIN pplpass USING (doc_id)),
-        ${T.duckNbModelCtes},
+        ${T.duckNbModelCtes()},
         ${T.duckNbScoreCtes("base2")}
         SELECT f.doc_id,
                CASE WHEN NOT f.heur_ok THEN '1_heuristic'

@@ -192,12 +192,17 @@ object Relational {
     * reason instead of silently nulling through (the reference
     * try/catches fastjson and drops the record on the floor —
     * quarantining is what a production DQ gate does so bad producers
-    * are debuggable). The corpus plants both failure classes: a
-    * truncated payload (invalid JSON) and a valid-JSON envelope
-    * missing the required field. Parse failures are detected with the
-    * PERMISSIVE corrupt-record column — a real parse verdict from the
-    * JSON parser, not a construction mirror; the DuckDB twin reaches
-    * the same verdicts through `json_valid`/`json_extract`.
+    * are debuggable). The corpus plants all three failure classes: a
+    * truncated payload (invalid JSON), a valid-JSON envelope missing
+    * the required field, and a valid-JSON envelope whose field carries
+    * the WRONG TYPE. Parse failures are detected with the PERMISSIVE
+    * corrupt-record column — a real parse verdict from the JSON
+    * parser, not a construction mirror. The required field is parsed
+    * as STRING in both engines and its type verdict is an explicit
+    * integer-shape regex — NOT an engine cast, whose non-integral
+    * coercion rules diverge (Spark CAST('1.5' AS BIGINT) truncates,
+    * DuckDB TRY_CAST nulls — the round-7 advisor item); with a shared
+    * regex the taxonomy is engine-portable by construction.
     *
     * Shuffle-free: parse, classify and filter are one codegen'd
     * projection over the scan — the quarantine writer in a real deploy
@@ -207,7 +212,7 @@ object Relational {
   val p12_quarantine: Q = (spark, dir) => {
     import org.apache.spark.sql.types._
     val propsSchema = StructType(Seq(
-      StructField("k", LongType),
+      StructField("k", StringType),
       StructField("_corrupt_record", StringType)))
     val ev = events(spark, dir).select(col("event_id"), col("props"))
     val truncated = ev.where(col("event_id") % 20 === 0)
@@ -216,13 +221,17 @@ object Relational {
     val wrongKey = ev.where(col("event_id") % 20 === 10)
       .select((col("event_id") + 2000000000L).as("event_id"),
         replace(col("props"), lit("\"k\""), lit("\"x\"")).as("props"))
-    ev.unionAll(truncated).unionAll(wrongKey)
+    val wrongType = ev.where(col("event_id") % 20 === 5)
+      .select((col("event_id") + 3000000000L).as("event_id"),
+        regexp_replace(col("props"), lit("[0-9]+"), lit("\"x\"")).as("props"))
+    ev.unionAll(truncated).unionAll(wrongKey).unionAll(wrongType)
       .withColumn("parsed", from_json(col("props"), propsSchema,
         Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
       .withColumn("reason",
         when(col("parsed").isNull || col("parsed._corrupt_record").isNotNull,
           "malformed_json")
-          .when(col("parsed.k").isNull, "missing_field"))
+          .when(col("parsed.k").isNull, "missing_field")
+          .when(!col("parsed.k").rlike("^-?[0-9]+$"), "type_mismatch"))
       .where(col("reason").isNotNull)
       .select(col("event_id"), col("props"), col("reason"))
   }
@@ -978,13 +987,19 @@ object Relational {
             FROM events WHERE event_id % 20 = 0
             UNION ALL
             SELECT event_id + 2000000000, replace(props, '"k"', '"x"')
-            FROM events WHERE event_id % 20 = 10)
-          SELECT event_id, props,
-                 CASE WHEN NOT json_valid(props) THEN 'malformed_json'
-                      WHEN json_extract(props, '$.k') IS NULL THEN 'missing_field'
-                 END AS reason
-          FROM corpus
-          WHERE NOT json_valid(props) OR json_extract(props, '$.k') IS NULL""",
+            FROM events WHERE event_id % 20 = 10
+            UNION ALL
+            SELECT event_id + 3000000000, regexp_replace(props, '[0-9]+', '"x"', 'g')
+            FROM events WHERE event_id % 20 = 5),
+          verdicts AS (
+            SELECT event_id, props,
+                   CASE WHEN NOT json_valid(props) THEN 'malformed_json'
+                        WHEN json_extract_string(props, '$.k') IS NULL THEN 'missing_field'
+                        WHEN NOT regexp_matches(json_extract_string(props, '$.k'),
+                                                '^-?[0-9]+$') THEN 'type_mismatch'
+                   END AS reason
+            FROM corpus)
+          SELECT event_id, props, reason FROM verdicts WHERE reason IS NOT NULL""",
     "a11_revenue_rollup" ->
       """SELECT r_name, n_name,
                 SUM(ROUND(o_totalprice * 100)) / 100 AS revenue,

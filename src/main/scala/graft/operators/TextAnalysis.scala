@@ -1135,13 +1135,14 @@ object TextAnalysis {
   /** CTE chain of the TRAINED NB quality model (model only): per-token
     * weights `nbwts`, the OOV weight `nbw0` and the add-one-smoothed
     * class prior `nbprm` — the DuckDB twin of [[nbModelParts]].
-    * Requires `ps` from [[duckPrepGates]] in scope (pseudo-labels);
-    * nb-prefixed for capstone composition.
+    * `psRel` must expose [[duckPrepGates]]'s `ps` shape over the
+    * ORIGINAL documents (pseudo-labels + text); nb-prefixed for
+    * capstone composition.
     */
-  private[graft] def duckNbModelCtes: String = {
+  private[graft] def duckNbModelCtes(psRel: String = "ps"): String = {
     val splitH = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
     s"""nbtr AS (SELECT doc_id, quality_score >= 2 AS hq, text
-                 FROM ps WHERE ($splitH) % 100 < $TrainPct),
+                 FROM $psRel WHERE ($splitH) % 100 < $TrainPct),
         nbtok AS (SELECT hq,
                          unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS w
                   FROM nbtr),
@@ -1180,7 +1181,7 @@ object TextAnalysis {
 
   private def duckNbQualitySql: String =
     s"""WITH ${duckPrepGates("documents")},
-        $duckNbModelCtes,
+        ${duckNbModelCtes()},
         ${duckNbScoreCtes("documents")}
         SELECT nbsc.doc_id, n_tokens, log_odds_micro,
                log_odds_micro >= 0 AS pred_hq,

@@ -573,35 +573,48 @@ object StreamQueries {
   }
 
   /** C-family streaming — THE CURATION PIPELINE AT INGEST (streaming
-    * twin of c01's gate stages): documents (∪ planted copies of every
+    * twin of c02's gate stages): documents (∪ planted copies of every
     * 10th doc — at-least-once delivery) flow through quality +
     * language gates, DECONTAMINATION against the eval set, the
     * deterministic content-hash sample and split, per-doc BPE token
-    * counts from the TRAINED tokenizer artifact, and content-hash
-    * exact dedup. What c01 runs as a nightly batch, this runs as the
-    * stream the corpus arrives on — the "cure before storage" shape.
+    * counts from the TRAINED tokenizer artifact, content-hash exact
+    * dedup, and then the TWO TRAINED MODEL GATES — t18's bigram-LM
+    * perplexity gate and t20's NB classifier — served against the
+    * static model artifacts. What c02 runs as a nightly batch, this
+    * runs as the stream the corpus arrives on — the "cure before
+    * storage" shape, model gates included.
     *
-    * The composition is deliberately ONE stateful operator: every
-    * stage except dedup is a STATELESS per-row expression against a
-    * broadcast artifact — the eval set's rare-shingle arrays collapsed
-    * to one row (contamination = max per-item intersection via a HOF
-    * fold, st16's eval-side-df rule; benchmarks are KBs, so the
-    * broadcast is index metadata), and the trained BPE vocabulary as a
-    * broadcast map (a tokenizer IS a broadcast dictionary in every
-    * production pipeline; OOV tokens count 0, t12's vocabulary-lookup
-    * semantics). Packing is deliberately absent: a per-shard running
-    * offset over an unbounded stream is unbounded state — streaming
-    * cures, the batch compactor (c01/t14) packs; that division is the
-    * production architecture, not a gap.
+    * Operator shape: every heuristic stage is a STATELESS per-row
+    * expression against a broadcast artifact — the eval set's
+    * rare-shingle arrays collapsed to one row (contamination = max
+    * per-item intersection via a HOF fold, st16's eval-side-df rule),
+    * and the trained BPE vocabulary as a broadcast map (a tokenizer IS
+    * a broadcast dictionary; OOV counts 0, t12's semantics). The model
+    * gates are st19's adjudicated serving shape: explode each
+    * surviving doc ONCE into (token, bigram) rows, stream-static
+    * equi-join the LM pair/left-context tables and the NB weight table
+    * on their natural keys (Catalyst broadcasts small models; at
+    * 100 TB model size the same plan shuffle-joins), sum the exact
+    * integer micro-nat terms per doc in ONE windowed aggregation, and
+    * gate on the sums as stateless post-filters. The NB prior rides
+    * the aggregation key (a 1-row broadcast constant), so no
+    * stream-after-aggregation join is needed. Packing is deliberately
+    * absent: a per-shard running offset over an unbounded stream is
+    * unbounded state — streaming cures, the batch compactor (c02/t14)
+    * packs; that division is the production architecture, not a gap.
     *
-    * Every output column is text-derived (st15's order-independence
-    * argument), so original and copy produce identical rows and the
-    * batch oracle composes the same CTE fragments with a plain
-    * DISTINCT. Same delivery contract and sentinel reasoning as st15
-    * (gates sit after the watermark node; the sentinel fails them by
-    * construction). Scale shape: stateless gates shrink the stream
-    * before the one keyed state op; dedup state is one entry per
-    * surviving content hash, TTL-evicted.
+    * TWO chained stateful operators (dedup → windowed agg), the
+    * supported event-time-ordered combination: dedup state is one
+    * entry per surviving content hash, the scoring state one
+    * (n, Σlp, Σw) triple per (window, hash) — both ingest-rate
+    * bounded, TTL/watermark-evicted. Every output column is
+    * text-derived (st15's order-independence argument), so original
+    * and copy produce identical rows whichever arrives first, and the
+    * batch oracle composes the same CTE fragments (incl. the shared
+    * trained-model CTEs) with a plain DISTINCT. Same delivery contract
+    * and sentinel reasoning as st15 (gates sit after the watermark
+    * node; the sentinel fails them by construction, but still advances
+    * the watermark that flushes the scoring windows).
     */
   val st18_stream_curation: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
@@ -626,6 +639,9 @@ object StreamQueries {
     val vocabMap = T.bpeIdx(spark, dir, "vocab")
       .select(col("token"), size(split(col("syms"), " ")).cast("long").as("n_sub"))
       .agg(map_from_entries(collect_list(struct(col("token"), col("n_sub")))).as("vm"))
+    // trained model artifacts (t18's LM; t20's NB weights + prior)
+    val (c2, c1, v) = T.bigramModelParts(spark, dir)
+    val (nbW, nbW0, nbPm) = T.nbModelParts(spark, dir)
 
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
     def docs() = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
@@ -637,27 +653,79 @@ object StreamQueries {
       (acc, es) => greatest(acc, size(array_intersect(es, col("ds")))))
     val bpeCount = aggregate(toksNE, lit(0L),
       (acc, t) => acc + coalesce(element_at(col("vm"), t), lit(0L)))
+    // one explode per doc: (token, adjacent-bigram-or-null) items
+    val items = when(size(col("tk")) >= 1,
+      transform(sequence(lit(1), size(col("tk"))), i =>
+        struct(
+          element_at(col("tk"), i).as("w"),
+          when(i < size(col("tk")),
+            concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1)))
+            .otherwise(lit(null).cast("string")).as("pair"))))
+      .otherwise(array().cast("array<struct<w:string,pair:string>>"))
 
+    // The gates must ADMIT the sentinel (doc_id < 0): Catalyst pushes
+    // deterministic non-event-time predicates BELOW the watermark node,
+    // so a gate that drops the sentinel starves the watermark
+    // accumulator of its 2100 event time and the scoring windows never
+    // close (st14's trap, the filter variant — bisected this round:
+    // the gate-free chain flushed, the gated one emitted zero rows).
+    // The sentinel's own rows never surface: its far-future window
+    // never closes, so it lives in agg state and is discarded with it.
+    val isSentinel = col("doc_id") < 0
     val gated = docs().select(cols: _*).unionAll(d2)
       .withColumn("event_time", prepCopyEventTime)
       .withWatermark("event_time", "1 hour")
       .join(broadcast(evalSets), lit(true), "inner")
       .join(broadcast(vocabMap), lit(true), "inner")
       .withColumn("quality_score", T.prepQualityCol)
-      .where(col("quality_score") >= 2 && T.prepEnOkCol)
+      .where(isSentinel || (col("quality_score") >= 2 && T.prepEnOkCol))
       .withColumn("ds", P.hash60Array(D.shingles(col("text"))))
-      .where(contamHits < D.MinContamHits)
+      .where(isSentinel || contamHits < D.MinContamHits)
       .withColumn("content_hash", md5(col("text")))
       .withColumn("u", pmod(P.hash60(concat(lit("prep:"), col("content_hash"))), lit(100L)))
-      .where(col("u") < 80)
+      .where(isSentinel || col("u") < 80)
       .withColumn("split",
         when(P.hash60(concat(lit("split:"), col("content_hash"))) % 100 < T.TrainPct,
           "train").otherwise("val"))
       .withColumn("n_bpe_tokens", bpeCount)
       .dropDuplicatesWithinWatermark("content_hash")
+    val scored = gated
+      .withColumn("tk", toksNE)
       .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
-        col("n_bpe_tokens"))
-    Replay.runAppend(spark, gated)
+        col("n_bpe_tokens"), col("event_time"), explode(items).as("it"))
+      .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
+        col("n_bpe_tokens"), col("event_time"),
+        col("it.w").as("w"), col("it.pair").as("pair"))
+      .join(c2, Seq("pair"), "left")
+      .withColumn("w1", substring_index(col("pair"), " ", 1))
+      .join(c1, Seq("w1"), "left")
+      .join(broadcast(v), lit(true), "inner")
+      .join(nbW, Seq("w"), "left")
+      .join(broadcast(nbW0), lit(true), "inner")
+      .join(broadcast(nbPm), lit(true), "inner")
+      .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
+        col("n_bpe_tokens"), col("event_time"), col("prior_m"),
+        when(col("pair").isNotNull,
+          floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * T.LmMicro)
+            .cast("long")).as("lp"),
+        coalesce(col("wm"), col("w0")).as("wm"))
+      .groupBy(window(col("event_time"), "1 hour"), col("content_hash"),
+        col("quality_score"), col("u"), col("split"), col("n_bpe_tokens"),
+        col("prior_m"))
+      .agg(count(col("lp")).as("n_bigrams"),
+        sum(col("lp")).as("sum_lp_micro"),
+        sum(col("wm")).as("sum_w"))
+      .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
+        col("n_bpe_tokens"), col("n_bigrams"), col("sum_lp_micro"),
+        (col("sum_w") + col("prior_m")).as("log_odds_micro"))
+    Replay.runAppend(spark, scored)
+      .withColumn("avg_lp_micro",
+        col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
+      .where(col("avg_lp_micro") >= T.PplGateMicro.toDouble &&
+        col("log_odds_micro") >= 0)
+      .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
+        col("n_bpe_tokens"), col("avg_lp_micro"), col("log_odds_micro"))
   }
 
   /** T-family streaming — THE LM PERPLEXITY GATE AT INGEST (serving
@@ -711,6 +779,90 @@ object StreamQueries {
       .withColumn("avg_lp_micro",
         col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
       .withColumn("ppl_keep", col("avg_lp_micro") >= T.PplGateMicro.toDouble)
+  }
+
+  /** A-family streaming — THE REVENUE CUBE AT INGEST (streaming twin
+    * of a11): the order stream joins the static dims and maintains the
+    * FINEST cube grain — one (region, nation) row — in the keyed
+    * upsert table via an update-mode aggregation (st07's
+    * exactly-once writer); the rollup's subtotal and grand-total rows
+    * are derived ON READ by a batch `rollup` over the bounded
+    * 25-row table. That division is the production serving shape: the
+    * stream maintains base cells (state = |nations| rows, never
+    * corpus-sized), the serving layer computes aggregates over them
+    * (st13's served-leaderboard precedent) — a streaming ROLLUP would
+    * keep redundant subtotal state Spark's streaming aggregation
+    * doesn't support anyway. Money stays exact: the read-side rollup
+    * re-derives integer cents from the stored per-cell sums
+    * (`moneySum` over already-rounded values), so Σ(cell cents) =
+    * Σ(order cents) and the oracle is a11's, unchanged. Sentinel:
+    * o_custkey −1 joins no customer — the inner dim join drops it (no
+    * watermark to advance: update-mode agg emits every batch).
+    */
+  val st23_stream_rollup_serve: Q = (spark, dir) => {
+    import graft.Tables
+    val o = Replay.ordersStream(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    val base = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Tables.moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, graft.Tables.scratchDir("graft_rollup_"),
+      Seq("r_name", "n_name"), "n_orders")
+    val cp = graft.Tables.scratchDir("graft_cp_")
+    Replay.stateProvider(spark, bigState = false) // 25 cube cells
+    val q = base.writeStream
+      .outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read()
+      .rollup(col("r_name"), col("n_name"))
+      .agg(Tables.moneySum(col("revenue")).as("revenue"),
+        sum(col("n_orders")).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+  }
+
+  /** A-family streaming — THE ACTIVITY PIVOT AT INGEST (streaming twin
+    * of a12): per-day event-type counts as PINNED conditional
+    * aggregates (a12's adjudicated pivot shape — an unpinned streaming
+    * pivot would need a distinct-scan planning pass) maintained in the
+    * keyed upsert table in update mode, one row per day. The total
+    * count is the upsert's monotonic order column and is dropped on
+    * read; the sentinel's far-future day is filtered after read-back.
+    * Oracle is a12's, unchanged. State: |days| rows — time-bounded,
+    * never event-bounded.
+    */
+  val st24_stream_pivot_serve: Q = (spark, dir) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val ev = Replay.eventsStream(spark, dir)
+      .select(to_date(col("ts")).as("dt"), col("event_type"))
+    val counts = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(t))
+    val base = ev.groupBy(col("dt"))
+      .agg(counts.head, (counts.tail :+ count(lit(1)).as("n_total")): _*)
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, graft.Tables.scratchDir("graft_pivot_"),
+      Seq("dt"), "n_total")
+    val cp = graft.Tables.scratchDir("graft_cp_")
+    Replay.stateProvider(spark, bigState = false) // one row per day
+    val q = base.writeStream
+      .outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read()
+      .where(col("dt") < lit("2100-01-01").cast("date"))
+      .select((col("dt") +: types.map(col)): _*)
   }
 
   /** A-family streaming — REALTIME ORDERED FUNNEL (streaming twin of
@@ -803,6 +955,8 @@ object StreamQueries {
     "st20_stream_funnel" -> st20_stream_funnel,
     "st21_stream_retention" -> st21_stream_retention,
     "st22_stream_scd2" -> st22_stream_scd2,
+    "st23_stream_rollup_serve" -> st23_stream_rollup_serve,
+    "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -834,6 +988,8 @@ object StreamQueries {
     "st21_stream_retention" -> graft.operators.Relational.oracles("a10_retention"),
     // st22 must rebuild EXACTLY j11's history — the oracle is j11's
     "st22_stream_scd2" -> graft.operators.Relational.oracles("j11_scd2_history"),
+    "st23_stream_rollup_serve" -> graft.operators.Relational.oracles("a11_revenue_rollup"),
+    "st24_stream_pivot_serve" -> graft.operators.Relational.oracles("a12_event_pivot"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup
       val h = graft.functions.Portable.duckHash60("s")
@@ -889,17 +1045,31 @@ object StreamQueries {
                          FROM corpus)
                    WHERE len(token) > 0),
           bcnt AS (SELECT doc_id, CAST(SUM(COALESCE(vs.n_sub, 0)) AS BIGINT) AS n_bpe_tokens
-                   FROM btok LEFT JOIN vs USING (token) GROUP BY 1)
-          SELECT DISTINCT md5(text) AS content_hash, quality_score,
-                 ($u) % 100 AS u,
-                 CASE WHEN ($sp) % 100 < ${T.TrainPct} THEN 'train' ELSE 'val' END AS split,
-                 n_bpe_tokens
-          FROM (SELECT ps.text, ps.quality_score, b.n_bpe_tokens
-                FROM ps
-                JOIN bcnt b ON b.doc_id = ps.doc_id
-                LEFT JOIN contam ct ON ct.doc_id = ps.doc_id
-                WHERE ps.quality_score >= 2 AND ps.en_ok AND ct.doc_id IS NULL
-                  AND ($u) % 100 < 80)"""
+                   FROM btok LEFT JOIN vs USING (token) GROUP BY 1),
+          stbase AS (
+            SELECT DISTINCT md5(text) AS content_hash, text, quality_score,
+                   ($u) % 100 AS u,
+                   CASE WHEN ($sp) % 100 < ${T.TrainPct} THEN 'train' ELSE 'val' END AS split,
+                   n_bpe_tokens
+            FROM (SELECT ps.text, ps.quality_score, b.n_bpe_tokens
+                  FROM ps
+                  JOIN bcnt b ON b.doc_id = ps.doc_id
+                  LEFT JOIN contam ct ON ct.doc_id = ps.doc_id
+                  WHERE ps.quality_score >= 2 AND ps.en_ok AND ct.doc_id IS NULL
+                    AND ($u) % 100 < 80)),
+          stdoc AS (SELECT content_hash AS doc_id, text FROM stbase),
+          ${T.duckLmModelCtes},
+          ${T.duckLmScoreCtes("stdoc")},
+          psdoc AS (SELECT * FROM ps WHERE doc_id < 1000000),
+          ${T.duckNbModelCtes("psdoc")},
+          ${T.duckNbScoreCtes("stdoc")}
+          SELECT b.content_hash, b.quality_score, b.u, b.split, b.n_bpe_tokens,
+                 l.avg_lp_micro, n.log_odds_micro
+          FROM stbase b
+          JOIN lmsc l ON l.doc_id = b.content_hash
+          JOIN nbsc n ON n.doc_id = b.content_hash
+          WHERE l.avg_lp_micro >= CAST(${T.PplGateMicro} AS DOUBLE)
+            AND n.log_odds_micro >= 0"""
     },
     "st15_stream_corpus_prep" -> {
       val T = graft.operators.TextAnalysis

@@ -200,11 +200,17 @@ class DedupSpec extends SparkSpecBase {
     assert(r.getAs[Double]("avg_token_len") === 2.0)
   }
 
-  test("st18: the composed ingest pipeline gates, dedups and decontaminates a crafted corpus") {
-    // English texts that pass every gate (quality 3, trigram ratio >
-    // 4%, sample bucket < 80 — verified constants):
-    //   doc 10 (%10==0) gets a planted exact copy  -> ONE output row
-    //   docs 11/12 share identical text            -> ONE output row
+  test("st18: the composed ingest pipeline gates, dedups, decontaminates and model-gates a crafted corpus") {
+    // English texts that pass every heuristic gate (quality 3, trigram
+    // ratio > 4%, sample bucket < 80 — verified constants):
+    //   doc 10 (%10==0) gets a planted exact copy  -> dedups to one,
+    //   then the TRAINED perplexity gate rejects it: doc 10 lands in
+    //   the 5-doc fixture's VAL split, so every bigram is unseen by
+    //   the LM and its mean log-prob sits far under the gate — the
+    //   round-8 composition (st18 = c02's gate chain) working as
+    //   specified on a tiny corpus
+    //   docs 11/12 share identical text -> ONE output row (train-split
+    //   text: in-model bigrams, passes both trained gates)
     //   doc 0 (%50==0) seeds the eval item: 5 junk tokens + doc 13's
     //   text, so its head-truncated eval twin IS doc 13's text — both
     //   doc 0 and doc 13 share 32 rare shingles with it -> both drop
@@ -227,11 +233,14 @@ class DedupSpec extends SparkSpecBase {
       finally spark.catalog.clearCache()
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(rows.map(_.getAs[String]("content_hash")).toSet ===
-      Set(md5hex(t10), md5hex(t11)), s"got ${rows.mkString("; ")}")
-    assert(rows.length === 2, "planted copy and natural dup must each collapse to one row")
+    assert(rows.map(_.getAs[String]("content_hash")).toSet === Set(md5hex(t11)),
+      s"got ${rows.mkString("; ")}")
+    assert(rows.length === 1,
+      "the natural dup must collapse to one row; doc 10 falls to the OOV perplexity gate")
     assert(rows.forall(r => r.getAs[Long]("quality_score") === 3L &&
-      r.getAs[Long]("n_bpe_tokens") > 0L))
+      r.getAs[Long]("n_bpe_tokens") > 0L &&
+      r.getAs[Double]("avg_lp_micro") >= TextAnalysis.PplGateMicro.toDouble &&
+      r.getAs[Long]("log_odds_micro") >= 0L))
   }
 
   test("d09: candidates and recall are monotone along nested band chains") {
