@@ -49,6 +49,16 @@ import graft.functions.Portable
   * a boilerplate-heavy corpus the two reject different contamination
   * sets — each twin's oracle mirrors its own rule.
   *
+  * EXTENSION POINT: t21's Gopher repetition battery
+  * ([[TextAnalysis.t21_repetition]]) slots between the heuristic and
+  * trained gates for repetition-heavy corpora. It is deliberately NOT
+  * composed into c02: its top-n-gram signals need a per-(doc, gram)
+  * aggregation, which at ingest would be a third chained stateful
+  * operator (gram-level then doc-level) — st18 stays a
+  * two-stateful-op pipeline, and a deploy that wants the gate runs
+  * t21 as its own signal table (the standalone query) joined into the
+  * manifest batch-side.
+  *
   * Scale shape: gates, sample bucket, and split are per-row
   * expressions on ONE corpus scan; the stateful stages are each a
   * single keyed shuffle — content-hash aggregation (map-side partial

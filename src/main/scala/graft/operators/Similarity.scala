@@ -414,6 +414,136 @@ object Similarity {
     perP.reduce(_ unionAll _)
   }
 
+  /** Probe depths [[n16_probe_sweep]] measures — every serving depth
+    * from the query's own cell to [[SweepProbes]].max ranked cells.
+    */
+  private[graft] val SweepProbes: Seq[Int] = 1 to 5
+
+  /** Mean-recall@10 target the ANN serving depth is tuned for (the
+    * sweep measures 0.44→1.0 across depths 1..5 at the fixture and
+    * 0.60→1.0 at sf0.01; 0.80 is the knee where extra probes start
+    * buying little recall per candidate — both SFs pick depth 3).
+    */
+  private[graft] val NprobeTargetRecall = 0.80
+
+  /** The probe depth [[n17_tuned_ivf]] serves at — [[pickNprobe]]'s
+    * choice on the n16 sweep, spec-asserted on the fixture
+    * (`SimilaritySpec`): the similarity-lifecycle twin of the dedup
+    * loop's `PickedBanding`, closing monitor (n16) → decide
+    * (pickNprobe) → act (n17) the same way d09 → pickBanding → d02
+    * closes.
+    */
+  private[graft] val PickedNprobe = 3
+
+  /** ANN SERVING-DEPTH DECISION: the smallest probe depth whose MEAN
+    * recall@10 over the query set meets `targetRecall` — deeper probes
+    * only cost more (candidates scale with probed cells, recall is
+    * monotone in depth), so the cheapest passing depth is the right
+    * one. Falls back to the deepest (highest-recall) sweep point if
+    * nothing meets the target. Driver-side over a |depths|-row rollup
+    * of the sweep — the bounded eager decision contract
+    * (pickBanding / retrainNeeded).
+    */
+  def pickNprobe(sweep: DataFrame, targetRecall: Double = NprobeTargetRecall): Int = {
+    val means = sweep.groupBy(col("probes"))
+      .agg(avg(col("recall10")).as("r"))
+      .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).sortBy(_._1)
+    require(means.nonEmpty, "sweep has no measured depths")
+    means.find(_._2 >= targetRecall).map(_._1).getOrElse(means.maxBy(_._2)._1)
+  }
+
+  /** n16 — THE SERVING-DEPTH SWEEP (d09's similarity-lifecycle twin):
+    * recall@10 of the trained IVF index at EVERY probe depth 1..5, in
+    * one query — the table an operator reads before pinning a serving
+    * configuration, generalizing n06's two-point measurement. Emits
+    * one row per (probes, query): 25 rows.
+    *
+    * Scale shape: ONE candidate equi-join for the whole sweep (the
+    * d09 trick): each query's centroid ranking is computed once
+    * (bounded |queries|·k rows, broadcast), the probed-cell candidates
+    * join once carrying their cell_rank, and each candidate explodes
+    * to the depths it participates in (P ≥ its rank, ≤ 5 rows) before
+    * one bounded top-K aggregation per (depth, query). A per-depth
+    * loop would pay the candidate join |depths| times (n06 pays it
+    * twice); the sweep pays it once. Corpus assignments and the exact
+    * baseline are shared reads (persist()-marked, caller clears — the
+    * d02/d04 contract).
+    */
+  val n16_probe_sweep: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cents = idx(spark, dir, "coarse")
+    val assigned = idx(spark, dir, "cells").persist(StorageLevel.MEMORY_AND_DISK)
+    val qvec = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = explodeTopK(
+      e.join(broadcast(qvec), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pmax = SweepProbes.max
+    val qCells = qvec.join(broadcast(cents), lit(true), "inner")
+      .select(col("query_id"), col("cid"), cos6(col("qv"), col("cv")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(pmax)(col("c6"), col("cid")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), (col("pos") + 1).as("cell_rank"),
+        col("col.id").as("qcell"))
+    val probed = qCells.join(qvec, "query_id")
+    val cand = assigned.join(broadcast(probed),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell_rank"),
+        cos6(col("qv"), col("v")).as("c6"))
+    val perDepth = cand
+      .select(col("query_id"), col("vec_id"), col("c6"),
+        explode(sequence(col("cell_rank").cast("int"), lit(pmax))).as("p"))
+      .withColumn("probes", col("p").cast("long"))
+      .groupBy(col("probes"), col("query_id"))
+      .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk"))
+      .select(col("probes"), col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("probes"), col("query_id"), col("it.id").as("neighbor_id"))
+    val matched = perDepth.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("probes"), col("query_id")).agg(count(lit(1)).as("matched"))
+    SweepProbes.map(_.toLong).toDF("probes")
+      .join(qvec.select(col("query_id")), lit(true), "inner")
+      .join(matched, Seq("probes", "query_id"), "left")
+      .select(col("probes"), col("query_id"),
+        (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+  }
+
+  /** n17 — THE TUNED IVF SEARCH: top-K over the trained index probing
+    * exactly [[PickedNprobe]] ranked cells — the production search
+    * running the configuration the sweep chose (the `act` step of the
+    * serving-depth loop). Same bounded shapes as n06's probed branch:
+    * |queries|·P broadcast probe rows, one candidate equi-join on the
+    * cell id, one bounded top-K aggregation.
+    */
+  val n17_tuned_ivf: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cents = idx(spark, dir, "coarse")
+    val assigned = idx(spark, dir, "cells")
+    val qvec = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qCells = qvec.join(broadcast(cents), lit(true), "inner")
+      .select(col("query_id"), col("cid"), cos6(col("qv"), col("cv")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(PickedNprobe)(col("c6"), col("cid")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("qcell"))
+    val probed = qCells.join(qvec, "query_id")
+    explodeTopK(
+      assigned.join(broadcast(probed),
+          col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+  }
+
   /** n13 — FILTERED ANN over the trained IVF index: the production
     * "metadata filter + vector search" composition (search only
     * vectors whose label matches the query's — a tenant, category or
@@ -1054,6 +1184,8 @@ object Similarity {
     "n13_filtered_ivf" -> n13_filtered_ivf,
     "n14_cell_stats" -> n14_cell_stats,
     "n15_index_upsert" -> n15_index_upsert,
+    "n16_probe_sweep" -> n16_probe_sweep,
+    "n17_tuned_ivf" -> n17_tuned_ivf,
     "d05_embedding_neardup" -> d05_embedding_neardup,
   )
 
@@ -1290,6 +1422,62 @@ object Similarity {
           FROM pr CROSS JOIN q
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
     "n15_index_upsert" -> duckIndexUpsertSql,
+    "n16_probe_sweep" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                WHERE vec_id < $NumQueries),
+          exact AS (SELECT query_id, vec_id
+                    FROM (SELECT query_id, n.vec_id, $duckCos AS cos6
+                          FROM q JOIN n ON n.vec_id <> query_id)
+                    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) <= $K),
+          qc AS (SELECT query_id, cid AS qcell,
+                        row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, cid) AS cell_rank
+                 FROM (SELECT query_id, cid,
+                              round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+                                    / (qn * cn) * 1000000) / 1000000 AS cos6
+                       FROM q, ct)),
+          pr AS (SELECT unnest([${SweepProbes.mkString(", ")}]) AS probes),
+          cand AS (SELECT pr.probes, qc.query_id, av.vec_id,
+                          round(list_sum(list_transform(list_zip(q.qv, av.v), t -> t[1] * t[2]))
+                                / (q.qn * av.nrm) * 1000000) / 1000000 AS cos6
+                   FROM pr
+                   JOIN qc ON qc.cell_rank <= pr.probes
+                   JOIN av ON av.cell_id = qc.qcell
+                   JOIN q ON q.query_id = qc.query_id
+                   WHERE av.vec_id <> qc.query_id),
+          ivf AS (SELECT probes, query_id, vec_id FROM cand
+                  QUALIFY row_number() OVER (PARTITION BY probes, query_id ORDER BY cos6 DESC, vec_id) <= $K),
+          mtc AS (SELECT probes, query_id, COUNT(*) AS matched
+                  FROM ivf JOIN exact USING (query_id, vec_id) GROUP BY 1, 2)
+          SELECT CAST(pr.probes AS BIGINT) AS probes, q.query_id,
+                 COALESCE(mtc.matched, 0) / 10.0 AS recall10
+          FROM pr CROSS JOIN q
+          LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
+    "n17_tuned_ivf" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                WHERE vec_id < $NumQueries),
+          qc AS (SELECT query_id, cid AS qcell,
+                        row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, cid) AS cell_rank
+                 FROM (SELECT query_id, cid,
+                              round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+                                    / (qn * cn) * 1000000) / 1000000 AS cos6
+                       FROM q, ct)),
+          s AS (SELECT qc.query_id, av.vec_id,
+                       round(list_sum(list_transform(list_zip(q.qv, av.v), t -> t[1] * t[2]))
+                             / (q.qn * av.nrm) * 1000000) / 1000000 AS cos6
+                FROM qc
+                JOIN av ON av.cell_id = qc.qcell
+                JOIN q ON q.query_id = qc.query_id
+                WHERE qc.cell_rank <= $PickedNprobe AND av.vec_id <> qc.query_id)
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
+                 vec_id AS neighbor_id, cos6
+          FROM s QUALIFY rnk <= $K""",
     "n14_cell_stats" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

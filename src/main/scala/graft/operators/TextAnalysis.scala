@@ -923,6 +923,72 @@ object TextAnalysis {
       .join(docs.select(col("doc_id"), (prepQualityCol >= 2).as("heur_hq")), "doc_id")
   }
 
+  /** Token n-grams of `toks` as space-joined strings (generalizes
+    * [[bigramsOf]]; empty when the doc has fewer than `n` tokens).
+    */
+  private def ngramsOf(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** [[t21_repetition]]'s keep thresholds — the Gopher repetition-
+    * filter family (Rae et al. 2021, "Scaling Language Models", table
+    * A1): a document is repetition-gated when the most frequent 2-gram
+    * exceeds 20% of bigram positions, the most frequent 3-gram exceeds
+    * 18%, or duplicated 5-grams cover more than 15% of 5-gram
+    * positions. Token-position fractions stand in for Gopher's
+    * character fractions (the corpus is single-space tokenized, so the
+    * two are monotonically aligned).
+    */
+  private[graft] val RepTop2Max = 0.20
+  private[graft] val RepTop3Max = 0.18
+  private[graft] val RepDup5Max = 0.15
+
+  /** t21 — REPETITION SIGNALS (the Gopher repetition-filter battery,
+    * the heuristic family CCNet/Gopher pipelines run alongside the
+    * quality gates): per document, the most-frequent-2-gram and
+    * most-frequent-3-gram position fractions and the duplicated-5-gram
+    * coverage fraction, plus the composite keep flag. Slots between
+    * the heuristic and trained gates of the curation capstone (c02's
+    * documented extension point); kept standalone so the signal table
+    * is audit-queryable.
+    *
+    * Scale shape: ONE explode emits every (doc, n, gram) position for
+    * n ∈ {2,3,5} (≤ 3 rows per token); the per-gram counts and the
+    * per-doc rollup are two aggregations on doc_id-prefixed keys with
+    * full map-side partials — gram strings never leave their
+    * (doc, n) group, so the shuffle carries counts, not text, at the
+    * reduce side. Fractions divide exact integer counts, so both
+    * engines produce bit-identical doubles.
+    */
+  val t21_repetition: Q = (spark, dir) => {
+    val tagged = concat(Seq(2, 3, 5).map(n =>
+      transform(ngramsOf(col("toks"), n),
+        g => struct(lit(n).as("n"), g.as("g")))): _*)
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), lmToks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        explode(tagged).as("t"))
+      .select(col("doc_id"), col("n_tokens"), col("t.n").as("n"), col("t.g").as("g"))
+    val per = grams
+      .groupBy(col("doc_id"), col("n_tokens"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n"))
+      .agg(sum(col("c")).as("n_pos"), max(col("c")).as("top_cnt"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_pos"))
+    def frac(num: Column, den: Column): Column =
+      num.cast("double") / den.cast("double")
+    per.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        max(when(col("n") === 2, frac(col("top_cnt"), col("n_pos")))).as("top2_frac"),
+        max(when(col("n") === 3, frac(col("top_cnt"), col("n_pos")))).as("top3_frac"),
+        max(when(col("n") === 5, frac(col("dup_pos"), col("n_pos")))).as("dup5_frac"))
+      .withColumn("rep_keep",
+        col("top2_frac") <= RepTop2Max && col("top3_frac") <= RepTop3Max &&
+          col("dup5_frac") <= RepDup5Max)
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -944,6 +1010,7 @@ object TextAnalysis {
     "t18_bigram_lm" -> t18_bigram_lm,
     "t19_domain_mixture" -> t19_domain_mixture,
     "t20_nb_quality" -> t20_nb_quality,
+    "t21_repetition" -> t21_repetition,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -1188,7 +1255,37 @@ object TextAnalysis {
                ps.quality_score >= 2 AS heur_hq
         FROM nbsc JOIN ps ON ps.doc_id = nbsc.doc_id"""
 
+  private def duckRepetitionSql: String = {
+    def gramExpr(n: Int): String = {
+      val parts = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
+      s"unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $parts))"
+    }
+    val branches = Seq(2, 3, 5).map(n =>
+      s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, $n AS n,
+                 ${gramExpr(n)} AS g FROM rtt""").mkString("\nUNION ALL\n")
+    s"""WITH rtt AS (SELECT doc_id,
+                            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+                     FROM documents),
+        gr AS ($branches),
+        pc AS (SELECT doc_id, n_tokens, n, g, COUNT(*) AS c FROM gr GROUP BY 1, 2, 3, 4),
+        per AS (SELECT doc_id, n_tokens, n,
+                       CAST(SUM(c) AS BIGINT) AS n_pos,
+                       CAST(MAX(c) AS BIGINT) AS top_cnt,
+                       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_pos
+                FROM pc GROUP BY 1, 2, 3),
+        fr AS (SELECT doc_id, n_tokens,
+                      MAX(CASE WHEN n = 2 THEN CAST(top_cnt AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS top2_frac,
+                      MAX(CASE WHEN n = 3 THEN CAST(top_cnt AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS top3_frac,
+                      MAX(CASE WHEN n = 5 THEN CAST(dup_pos AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS dup5_frac
+               FROM per GROUP BY 1, 2)
+        SELECT doc_id, n_tokens, top2_frac, top3_frac, dup5_frac,
+               top2_frac <= $RepTop2Max AND top3_frac <= $RepTop3Max
+                 AND dup5_frac <= $RepDup5Max AS rep_keep
+        FROM fr"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t21_repetition" -> duckRepetitionSql,
     "t20_nb_quality" -> duckNbQualitySql,
     "t18_bigram_lm" -> duckBigramLmSql,
     "t19_domain_mixture" -> duckDomainMixtureSql,

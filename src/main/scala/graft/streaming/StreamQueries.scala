@@ -781,6 +781,47 @@ object StreamQueries {
       .withColumn("ppl_keep", col("avg_lp_micro") >= T.PplGateMicro.toDouble)
   }
 
+  /** P12 streaming — DQ QUARANTINE AT INGEST (streaming twin of p12):
+    * malformed / schema-violating / type-violating envelopes route to
+    * the dead-letter stream WITH their machine-readable reason as the
+    * events arrive — the deploy shape of p12's gate (the reference
+    * try/catches fastjson per record inside its DStream loop; here the
+    * verdict battery is one stateless codegen'd projection, so the
+    * quarantine costs no shuffle and no state at any scale). Same
+    * three planted failure classes and the same STRING-parse +
+    * integer-regex taxonomy as p12 (engine-portable by construction);
+    * oracle is p12's. The sentinel's empty props quarantines as
+    * missing_field by construction and is dropped on read-back by its
+    * negative id.
+    */
+  val st25_stream_quarantine: Q = (spark, dir) => {
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(
+      StructField("k", StringType),
+      StructField("_corrupt_record", StringType)))
+    def ev() = Replay.eventsStream(spark, dir).select(col("event_id"), col("props"))
+    val truncated = ev().where(col("event_id") % 20 === 0)
+      .select((col("event_id") + 1000000000L).as("event_id"),
+        col("props").substr(lit(1), length(col("props")) - 2).as("props"))
+    val wrongKey = ev().where(col("event_id") % 20 === 10)
+      .select((col("event_id") + 2000000000L).as("event_id"),
+        replace(col("props"), lit("\"k\""), lit("\"x\"")).as("props"))
+    val wrongType = ev().where(col("event_id") % 20 === 5)
+      .select((col("event_id") + 3000000000L).as("event_id"),
+        regexp_replace(col("props"), lit("[0-9]+"), lit("\"x\"")).as("props"))
+    val quarantined = ev().unionAll(truncated).unionAll(wrongKey).unionAll(wrongType)
+      .withColumn("parsed", from_json(col("props"), propsSchema,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("reason",
+        when(col("parsed").isNull || col("parsed._corrupt_record").isNotNull,
+          "malformed_json")
+          .when(col("parsed.k").isNull, "missing_field")
+          .when(!col("parsed.k").rlike("^-?[0-9]+$"), "type_mismatch"))
+      .where(col("reason").isNotNull)
+      .select(col("event_id"), col("props"), col("reason"))
+    Replay.runAppend(spark, quarantined).where(col("event_id") >= 0)
+  }
+
   /** A-family streaming — THE REVENUE CUBE AT INGEST (streaming twin
     * of a11): the order stream joins the static dims and maintains the
     * FINEST cube grain — one (region, nation) row — in the keyed
@@ -956,6 +997,7 @@ object StreamQueries {
     "st21_stream_retention" -> st21_stream_retention,
     "st22_stream_scd2" -> st22_stream_scd2,
     "st23_stream_rollup_serve" -> st23_stream_rollup_serve,
+    "st25_stream_quarantine" -> st25_stream_quarantine,
     "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
@@ -989,6 +1031,7 @@ object StreamQueries {
     // st22 must rebuild EXACTLY j11's history — the oracle is j11's
     "st22_stream_scd2" -> graft.operators.Relational.oracles("j11_scd2_history"),
     "st23_stream_rollup_serve" -> graft.operators.Relational.oracles("a11_revenue_rollup"),
+    "st25_stream_quarantine" -> graft.operators.Relational.oracles("p12_quarantine"),
     "st24_stream_pivot_serve" -> graft.operators.Relational.oracles("a12_event_pivot"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup

@@ -117,4 +117,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(current.count() >= h2.nCells)
     spark.catalog.clearCache()
   }
+
+  test("pickNprobe: cheapest depth meeting the target; deepest as fallback") {
+    import spark.implicits._
+    val sweep = Seq(
+      (1L, 0L, 0.4), (1L, 1L, 0.6), // mean 0.5
+      (2L, 0L, 0.7), (2L, 1L, 0.9), // mean 0.8
+      (3L, 0L, 0.9), (3L, 1L, 0.9)) // mean 0.9
+      .toDF("probes", "query_id", "recall10")
+    assert(Similarity.pickNprobe(sweep, 0.75) === 2)
+    assert(Similarity.pickNprobe(sweep, 0.85) === 3)
+    assert(Similarity.pickNprobe(sweep, 0.99) === 3, "unreachable target -> deepest")
+  }
+
+  test("pickNprobe on the fixture sweep returns PickedNprobe — the depth n17 serves at") {
+    val sweep = Similarity.n16_probe_sweep(spark, sf)
+    try assert(Similarity.pickNprobe(sweep, Similarity.NprobeTargetRecall) ===
+      Similarity.PickedNprobe,
+      "the serving-depth loop must be closed: n17's depth IS the sweep's pick")
+    finally spark.catalog.clearCache()
+  }
 }
