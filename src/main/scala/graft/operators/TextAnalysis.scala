@@ -956,11 +956,13 @@ object TextAnalysis {
     *
     * Scale shape: ONE explode emits every (doc, n, gram) position for
     * n ∈ {2,3,5} (≤ 3 rows per token); the per-gram counts and the
-    * per-doc rollup are two aggregations on doc_id-prefixed keys with
-    * full map-side partials — gram strings never leave their
-    * (doc, n) group, so the shuffle carries counts, not text, at the
-    * reduce side. Fractions divide exact integer counts, so both
-    * engines produce bit-identical doubles.
+    * per-doc rollup are two aggregations on doc_id-prefixed keys.
+    * Map-side partials collapse repeated grams before the exchange, so
+    * the shuffle carries one row per DISTINCT (doc, n, gram) — still
+    * string-keyed; at extreme scale the grams can be pre-hashed to
+    * longs on both engines (the d02 trick) at the cost of a documented
+    * in-doc collision approximation. Fractions divide exact integer
+    * counts, so both engines produce bit-identical doubles.
     */
   val t21_repetition: Q = (spark, dir) => {
     val tagged = concat(Seq(2, 3, 5).map(n =>

@@ -906,6 +906,51 @@ object StreamQueries {
       .select((col("dt") +: types.map(col)): _*)
   }
 
+  /** T-family streaming — THE DOMAIN-MIXTURE DASHBOARD AT INGEST
+    * (streaming twin of t19): per-(lang, source) document/token counts
+    * maintained in the keyed upsert table by an update-mode
+    * aggregation; the temperature weights (α=0.5 sampling shares,
+    * boost vs natural share) are derived ON READ over the bounded
+    * |domains| table with t19's exact integer-quantized arithmetic —
+    * the st23 division of labor (stream maintains base cells, serving
+    * derives global-normalized aggregates). No watermark is needed
+    * (update-mode agg), so the sentinel is simply pre-filtered by id —
+    * the scan-pushdown trap only bites pipelines whose emission NEEDS
+    * the sentinel's watermark. Oracle is t19's, unchanged. State:
+    * |domains| rows — never corpus-sized.
+    */
+  val st26_stream_mixture_serve: Q = (spark, dir) => {
+    val T = graft.operators.TextAnalysis
+    val base = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, graft.Tables.scratchDir("graft_mixture_"),
+      Seq("lang", "source"), "n_docs")
+    val cp = graft.Tables.scratchDir("graft_cp_")
+    Replay.stateProvider(spark, bigState = false) // |domains| rows
+    val q = base.writeStream
+      .outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dom = table.read()
+      .withColumn("s_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * T.LmMicro).cast("long"))
+    val tot = dom.agg(sum(col("s_micro")).as("tot_s"), sum(col("n_tokens")).as("tot_tok"))
+    dom.join(broadcast(tot), lit(true), "inner")
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("s_micro").cast("double") / col("tot_s").cast("double")).as("weight"),
+        ((col("s_micro").cast("double") / col("tot_s").cast("double")) /
+          (col("n_tokens").cast("double") / col("tot_tok").cast("double"))).as("boost"))
+  }
+
   /** A-family streaming — REALTIME ORDERED FUNNEL (streaming twin of
     * a09): the event stream feeds [[Pipelines.funnel]]'s per-user state
     * machine (three longs per in-flight user, event-time-timeout
@@ -998,6 +1043,7 @@ object StreamQueries {
     "st22_stream_scd2" -> st22_stream_scd2,
     "st23_stream_rollup_serve" -> st23_stream_rollup_serve,
     "st25_stream_quarantine" -> st25_stream_quarantine,
+    "st26_stream_mixture_serve" -> st26_stream_mixture_serve,
     "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
@@ -1032,6 +1078,7 @@ object StreamQueries {
     "st22_stream_scd2" -> graft.operators.Relational.oracles("j11_scd2_history"),
     "st23_stream_rollup_serve" -> graft.operators.Relational.oracles("a11_revenue_rollup"),
     "st25_stream_quarantine" -> graft.operators.Relational.oracles("p12_quarantine"),
+    "st26_stream_mixture_serve" -> graft.operators.TextAnalysis.oracles("t19_domain_mixture"),
     "st24_stream_pivot_serve" -> graft.operators.Relational.oracles("a12_event_pivot"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup

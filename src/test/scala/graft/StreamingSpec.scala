@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming.{AllocLine, BandRow, FunnelEvent, OrderEvent, Pipelines}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String)
+case class CKV(k: String, event_time: Timestamp)
 case class OrderIn(o_orderkey: Long, o_custkey: Long, o_totalprice: Double, o_orderdate: Timestamp)
 case class LineIn(l_orderkey: Long, l_linenumber: Int, l_extendedprice: Double, l_shipdate: Timestamp)
 
@@ -568,5 +569,49 @@ class StreamingSpec extends SparkSpecBase {
         .collect().map(r => r.getAs[Long]("order_id")).sorted
       assert(got.toSeq === Seq(1L, 2L))
     } finally q.stop()
+  }
+
+  test("chained dedup -> windowed agg: both operators' state survives a checkpointed restart") {
+    // st18's two-stateful-op shape (dropDuplicatesWithinWatermark feeding a
+    // windowed aggregation), restarted mid-stream: the post-restart duplicate
+    // must be dropped by RECOVERED dedup state, and the final counts must
+    // come from RECOVERED aggregation state — both stores checkpointed.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[CKV]
+    val cp = tmpDir("cp_chain_restart_")
+    val out = tmpDir("out_chain_restart_")
+    def start() = ms.toDS()
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+      .groupBy(window(col("event_time"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("n"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      ms.addData(CKV("a", t("2024-01-01 00:00:00")), CKV("a", t("2024-01-01 00:00:01")),
+        CKV("b", t("2024-01-01 00:00:02")))
+      drain(q1)
+      assert(spark.read.parquet(out).count() === 0, "windows must still be open")
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // a's THIRD copy arrives after the restart: only recovered dedup
+      // state can drop it (a count of 2 below means it leaked through)
+      ms.addData(CKV("a", t("2024-01-01 00:00:03")))
+      drain(q2)
+      ms.addData(CKV("zz", t("2100-01-01 00:00:00"))); drain(q2)
+      ms.addData(CKV("zz2", t("2100-06-01 00:00:00"))); drain(q2)
+      val got = spark.read.parquet(out)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // (the first sentinel's own window closes when the second advances
+      // the watermark past it — its row is expected and ignored here)
+      assert(got.get("a").contains(1L) && got.get("b").contains(1L),
+        s"recovered dedup state must drop a's post-restart copy; got $got")
+    } finally q2.stop()
   }
 }
