@@ -597,6 +597,39 @@ object Relational {
       .na.fill(0L) // pivot leaves absent (day, type) cells null; dashboards want 0
   }
 
+  /** a13 — EXACT VALUE QUANTILES per event type (p50/p90/p99 of the
+    * event value — the latency/size-distribution dashboard every ops
+    * layer reports): order statistics picked by explicit rank
+    * (`rn = ceil(q·n)` over a deterministic (value, event_id) order),
+    * NOT an engine quantile builtin — continuous-interpolation and
+    * index-rounding rules differ across engines, while a picked order
+    * statistic is the same row everywhere by construction (the p12
+    * regex-verdict portability argument applied to quantiles).
+    *
+    * Scale shape: ONE exchange on event_type; both window functions
+    * (rank + group size) share the partition spec, so they evaluate in
+    * one partition-local sorted pass, and the final groupBy reuses the
+    * same hash distribution (no second shuffle). Exact quantiles
+    * require the per-group sort, so a LOW-cardinality group column
+    * concentrates data (5 types here — at 100 TB each partition sorts
+    * ~20 TB); the production variant for that regime is a mergeable
+    * quantile sketch (t-digest/KLL — the a07 HLL precedent), which
+    * trades the oracle-checkable exactness this query keeps.
+    */
+  val a13_value_quantiles: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type"))
+    val ranked = events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    def pick(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("value")))
+    ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+  }
+
   /** a09 — ORDERED FUNNEL over the event stream (signup → click →
     * purchase): a user advances a stage only with a strictly LATER
     * event of the next type — min-timestamp per stage, each computed
@@ -825,6 +858,7 @@ object Relational {
     "a10_retention" -> a10_retention,
     "a11_revenue_rollup" -> a11_revenue_rollup,
     "a12_event_pivot" -> a12_event_pivot,
+    "a13_value_quantiles" -> a13_value_quantiles,
     "j11_scd2_history" -> j11_scd2_history,
     "p12_quarantine" -> p12_quarantine,
     "a06_salted_agg" -> a06_salted_agg,
@@ -1018,6 +1052,17 @@ object Relational {
                 CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
                 CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
          FROM events GROUP BY 1""",
+    "a13_value_quantiles" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY value, event_id) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS n
+                    FROM events)
+         SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+                MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+                MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+                MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+         FROM r GROUP BY event_type""",
     "a09_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY 1),

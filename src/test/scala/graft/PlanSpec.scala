@@ -164,6 +164,15 @@ class PlanSpec extends SparkSpecBase {
     audit("t19", graft.operators.TextAnalysis.t19_domain_mixture(spark, sf), 1)
   }
 
+  test("a13: ONE exchange — rank, group size and the rollup share the event_type distribution") {
+    val df = Relational.a13_value_quantiles(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles === 1,
+      s"both window passes and the final groupBy must reuse one hash distribution, saw $shuffles exchanges")
+  }
+
   test("partitionedParquet: partition pruning eliminates directories; files are compacted") {
     val dir = java.nio.file.Files.createTempDirectory("layout_").toString
     val li = Tables.lineitem(spark, sf)
