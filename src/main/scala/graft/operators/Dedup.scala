@@ -183,9 +183,12 @@ object Dedup {
     * a pathological corpus must still return a runnable config).
     */
   def pickBanding(sweep: DataFrame, targetRecall: Double = TargetRecall): (Int, Int) = {
+    // bounded driver read: the sweep has one row per banding config
+    // (≤ |LshSweep| = 6; 64 is a safety margin) — the indexHealth
+    // 1-row-head contract, not a data collect
     val rows = sweep
       .select(col("n_bands"), col("n_rows"), col("prec"), col("recall"))
-      .collect()
+      .head(64)
       .filter(r => !r.isNullAt(2) && !r.isNullAt(3))
       .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
     require(rows.nonEmpty, "sweep has no config with measurable precision+recall")

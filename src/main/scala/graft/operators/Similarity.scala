@@ -445,9 +445,11 @@ object Similarity {
     * (pickBanding / retrainNeeded).
     */
   def pickNprobe(sweep: DataFrame, targetRecall: Double = NprobeTargetRecall): Int = {
+    // bounded driver read: one row per swept depth (≤ |SweepProbes| = 5;
+    // 64 is a safety margin) — the indexHealth 1-row-head contract
     val means = sweep.groupBy(col("probes"))
       .agg(avg(col("recall10")).as("r"))
-      .collect().map(r => (r.getLong(0).toInt, r.getDouble(1))).sortBy(_._1)
+      .head(64).map(r => (r.getLong(0).toInt, r.getDouble(1))).sortBy(_._1)
     require(means.nonEmpty, "sweep has no measured depths")
     means.find(_._2 >= targetRecall).map(_._1).getOrElse(means.maxBy(_._2)._1)
   }
