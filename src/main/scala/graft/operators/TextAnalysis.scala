@@ -745,13 +745,13 @@ object TextAnalysis {
     * order-free. The model feeds two consumers (c1 fold + scoring
     * join), so it is persist()-marked; caller clears the cache.
     */
-  /** The trained bigram model's three relations — pair counts `c2`
-    * (persisted: it feeds the `c1` fold and the scoring join),
-    * left-context totals `c1`, and the 1-row vocabulary size `v`.
-    * Shared by [[t18_bigram_lm]] (shuffle-join scoring) and the
-    * streaming gate's broadcast-map serving twin (st19).
+  /** Train the bigram model's three relations — pair counts `c2`
+    * (persisted during the build: it feeds the `c1` fold), left-context
+    * totals `c1`, and the 1-row vocabulary size `v`. Called once per
+    * corpus dir by [[modelPath]]; consumers read the materialized
+    * artifact via [[bigramModelParts]].
     */
-  private[graft] def bigramModelParts(spark: SparkSession, dir: String)
+  private def trainBigramModel(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val train = documents(spark, dir).where(
       Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct)
@@ -765,6 +765,46 @@ object TextAnalysis {
       .select(explode(col("toks")).as("t"))
       .agg(count_distinct(col("t")).as("v"))
     (c2, c1, v)
+  }
+
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** TRAINED-MODEL ARTIFACT STORE: the bigram LM's three relations and
+    * the NB quality classifier's three, materialized ONCE per corpus
+    * dir to scratch parquet — the bpeIdx/indexPath amortization applied
+    * to the trained gates (t18/t20/st18/st19/c02/c03 all consume these
+    * models; before this, each consumer re-ran the training shuffles).
+    * The first consumer in a session pays the two training passes;
+    * every micro-batch of the streaming twins then reads a small
+    * parquet table instead of re-deriving cached lineage. Every column
+    * is a string or exact integer micro-nat (the lpm quantization), so
+    * the parquet round-trip is value-identical to retraining.
+    */
+  private def modelPath(spark: SparkSession, dir: String): String =
+    modelCache.computeIfAbsent(dir, _ => {
+      val p = graft.Tables.scratchDir("graft_models_")
+      val (c2, c1, v) = trainBigramModel(spark, dir)
+      c2.write.parquet(s"$p/lm_c2")
+      c1.write.parquet(s"$p/lm_c1")
+      v.write.parquet(s"$p/lm_v")
+      c2.unpersist() // spent once the artifact is on disk
+      trainNbModel(spark, dir, p)
+      p
+    })
+
+  /** The trained bigram model's three relations, read from the shared
+    * artifact ([[modelPath]]): pair counts `c2`, left-context totals
+    * `c1`, and the 1-row vocabulary size `v`. Consumed by
+    * [[t18_bigram_lm]], the curation capstones' perplexity gate and
+    * the streaming gates (st18/st19).
+    */
+  private[graft] def bigramModelParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val p = modelPath(spark, dir)
+    (spark.read.parquet(s"$p/lm_c2"),
+      spark.read.parquet(s"$p/lm_c1"),
+      spark.read.parquet(s"$p/lm_v"))
   }
 
   /** Per-doc LM scoring of `rel`(doc_id, text, …) against the trained
@@ -857,18 +897,28 @@ object TextAnalysis {
     * standard NB treatment, engine-portable because it is the same
     * floored arithmetic on both sides.
     */
-  /** The trained NB quality model's three relations — per-token
-    * log-odds weights `(w, wm)` (persisted: the token table is the
-    * model), the 1-row OOV weight `w0`, and the 1-row class-prior
-    * log-odds `prior_m` — all exact integer micro-nats. The prior is
-    * add-one smoothed like the conditionals, so a degenerate
-    * single-class train split yields a finite (large) prior instead of
-    * engine-divergent `ln(0)` handling (Spark NULL vs DuckDB -inf).
-    * Shared by [[t20_nb_quality]] and the curation capstone's
-    * classifier gate (c02).
+  /** The trained NB quality model's three relations, read from the
+    * shared artifact ([[modelPath]]): per-token log-odds weights
+    * `(w, wm)`, the 1-row OOV weight `w0`, and the 1-row class-prior
+    * log-odds `prior_m`. Consumed by [[t20_nb_quality]], the curation
+    * capstones' classifier gate and st18.
     */
   private[graft] def nbModelParts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    val p = modelPath(spark, dir)
+    (spark.read.parquet(s"$p/nb_w"),
+      spark.read.parquet(s"$p/nb_w0"),
+      spark.read.parquet(s"$p/nb_prior"))
+  }
+
+  /** Train the NB quality model — per-token log-odds weights (the
+    * token table IS the model; persisted during the build), the OOV
+    * weight and the add-one-smoothed class prior, all exact integer
+    * micro-nats (a degenerate single-class train split yields a finite
+    * large prior instead of engine-divergent `ln(0)` handling — Spark
+    * NULL vs DuckDB -inf). Called once per corpus dir by [[modelPath]].
+    */
+  private def trainNbModel(spark: SparkSession, dir: String, p: String): Unit = {
     val train = documents(spark, dir)
       .where(Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct)
       .select(col("doc_id"), (prepQualityCol >= 2).as("hq"), lmToks.as("toks"))
@@ -889,7 +939,10 @@ object TextAnalysis {
         sum((!col("hq")).cast("long")).as("n_lq"))
       .select((lpm(col("n_hq") + 1, col("n_hq") + col("n_lq") + 2) -
         lpm(col("n_lq") + 1, col("n_hq") + col("n_lq") + 2)).as("prior_m"))
-    (weights, tot2, pm)
+    weights.write.parquet(s"$p/nb_w")
+    tot2.write.parquet(s"$p/nb_w0")
+    pm.write.parquet(s"$p/nb_prior")
+    cw.unpersist() // spent once the artifact is on disk
   }
 
   /** `floor(ln(num/den) · 1e6)` as an exact long — the [[LmMicro]]
