@@ -1321,6 +1321,35 @@ object Similarity {
                CAST(amicro AS DOUBLE) / 1000000.0 AS adist6
         FROM adc QUALIFY rnk <= $K"""
 
+  /** DuckDB twin of the TUNED-DEPTH ADC serving (st27): n09's ADC
+    * aggregation with the probe set widened to the top-[[PickedNprobe]]
+    * ranked cells — n11's arithmetic at the picked depth, ranked by
+    * [[duckAdcRank]]'s shared tail.
+    */
+  private[graft] def duckTunedAdcSql: String =
+    s"""WITH $duckVecs,
+        $duckTrainedCoarse,
+        $duckCtAssign,
+        $duckPqTrain,
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+              WHERE vec_id < $NumQueries),
+        qc AS (SELECT query_id, cid AS qcell,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, cid) AS cell_rank
+               FROM (SELECT query_id, cid,
+                            round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+                                  / (qn * cn) * 1000000) / 1000000 AS cos6
+                     FROM q, ct)),
+        adc AS (SELECT l.query_id, enc.vec_id,
+                       CAST(SUM(l.dmicro) AS BIGINT) AS amicro
+                FROM enc
+                JOIN a ON a.vec_id = enc.vec_id
+                JOIN qc ON qc.qcell = a.cell_id AND qc.cell_rank <= $PickedNprobe
+                JOIN lut l ON l.query_id = qc.query_id
+                          AND l.m = enc.m AND l.code = enc.code
+                WHERE enc.vec_id <> qc.query_id
+                GROUP BY 1, 2)
+        $duckAdcRank"""
+
   val oracles: Map[String, String] = Map(
     "n01_cosine_topk" ->
       s"""WITH $duckVecs,

@@ -572,6 +572,62 @@ object StreamQueries {
     S.adcTopK(Replay.runAppend(spark, adc).where(col("query_id") >= 0))
   }
 
+  /** N-family streaming — ANN SERVING AT THE TUNED DEPTH (st17's
+    * single-cell serving upgraded to [[graft.operators.Similarity
+    * .PickedNprobe]] probed cells — the serving path running the
+    * configuration the n16 sweep chose, closing the tuning loop at
+    * ingest the way n17 closes it in batch). The per-query cell
+    * ranking is a STATELESS expression: the broadcast centroid array
+    * is scored, sorted by (cos6 desc, cid) via a struct `array_sort`
+    * (identical tiebreak to the batch quantizer), and sliced to the
+    * picked depth; each query explodes to its probed cells, the
+    * per-cell LUT rows join the static index on (m, code, cell), and
+    * ONE windowed aggregation sums the exact ADC terms per
+    * (query, candidate). A candidate's single cell matches at most one
+    * probe, so each (query, candidate, m) joins exactly one LUT row —
+    * no dedup, the sum is the full M-subspace ADC distance. Oracle is
+    * n09's shape with the ranked probe set (n11's P=[[graft.operators
+    * .Similarity.PickedNprobe]] slice). State stays query-rate
+    * bounded: one sum per (window, query, candidate) within the
+    * probed cells. Sentinel admitted by the `vec_id < NumQueries`
+    * scan predicate (st17's note); its far-future window never closes.
+    */
+  val st27_tuned_ann_serve: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val S = graft.operators.Similarity
+    val centsArr = S.idx(spark, dir, "coarse")
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    val books = S.idx(spark, dir, "books")
+    val index = S.indexRows(spark, dir)
+    val q = Replay
+      .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
+      .where(col("vec_id") < S.NumQueries)
+      .withColumn("event_time", when(col("vec_id") < 0,
+          lit("2100-01-01 00:00:00").cast("timestamp"))
+        .otherwise(timestamp_micros(lit(1700000000000000L) + col("vec_id") * 1000000L)))
+      .withWatermark("event_time", "1 hour")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("event_time"))
+    val rankedCells = slice(
+      array_sort(transform(col("cents"), c =>
+        struct((-S.cos6(col("qv"), c.getField("cv"))).as("ns"),
+          c.getField("cid").as("cid")))),
+      1, S.PickedNprobe)
+    val withCells = q.join(broadcast(centsArr), lit(true), "inner")
+      .select(col("query_id"), col("qv"), col("event_time"),
+        explode(rankedCells).as("rc"))
+      .select(col("query_id"), col("qv"), col("event_time"), col("rc.cid").as("qcell"))
+    val lut = withCells.join(broadcast(books), lit(true), "inner")
+      .select(col("query_id"), col("qcell"), col("event_time"), col("m"),
+        col("cid").as("code"), S.l2micro(S.subM(col("qv")), col("bv")).as("d"))
+    val adc = lut.alias("l").join(index.alias("i"),
+        col("l.m") === col("i.m") && col("l.code") === col("i.code") &&
+          col("i.cell_id") === col("l.qcell") && col("i.vec_id") =!= col("l.query_id"))
+      .groupBy(window(col("event_time"), "1 hour"), col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("amicro"))
+      .select(col("query_id"), col("vec_id"), col("amicro"))
+    S.adcTopK(Replay.runAppend(spark, adc).where(col("query_id") >= 0))
+  }
+
   /** C-family streaming — THE CURATION PIPELINE AT INGEST (streaming
     * twin of c02's gate stages): documents (∪ planted copies of every
     * 10th doc — at-least-once delivery) flow through quality +
@@ -1044,6 +1100,7 @@ object StreamQueries {
     "st23_stream_rollup_serve" -> st23_stream_rollup_serve,
     "st25_stream_quarantine" -> st25_stream_quarantine,
     "st26_stream_mixture_serve" -> st26_stream_mixture_serve,
+    "st27_tuned_ann_serve" -> st27_tuned_ann_serve,
     "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
@@ -1079,6 +1136,7 @@ object StreamQueries {
     "st23_stream_rollup_serve" -> graft.operators.Relational.oracles("a11_revenue_rollup"),
     "st25_stream_quarantine" -> graft.operators.Relational.oracles("p12_quarantine"),
     "st26_stream_mixture_serve" -> graft.operators.TextAnalysis.oracles("t19_domain_mixture"),
+    "st27_tuned_ann_serve" -> graft.operators.Similarity.duckTunedAdcSql,
     "st24_stream_pivot_serve" -> graft.operators.Relational.oracles("a12_event_pivot"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup
