@@ -976,6 +976,33 @@ object TextAnalysis {
       .join(docs.select(col("doc_id"), (prepQualityCol >= 2).as("heur_hq")), "doc_id")
   }
 
+  /** t22 — CLASSIFIER-vs-HEURISTIC AGREEMENT: the 2×2 confusion matrix
+    * of t20's trained NB prediction against the heuristic pseudo-label
+    * it was trained on, split by train/val membership — the table that
+    * tells an operator whether the model generalizes beyond its
+    * labeling rule before it gates a corpus (round-7 verdict: "one
+    * aggregation away"; this is that aggregation, oracle-checked).
+    * Emits one row per (split, heur_hq, pred_hq) cell with count and
+    * corpus share.
+    *
+    * Scale shape: t20's scoring plan (artifact-read model + token-key
+    * join) followed by ONE rollup to ≤ 8 cells; the share divides
+    * exact integer counts.
+    */
+  val t22_nb_agreement: Q = (spark, dir) => {
+    val split9 = when(
+      Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < TrainPct,
+      "train").otherwise("val")
+    val scored = t20_nb_quality(spark, dir)
+      .select(col("doc_id"), col("pred_hq"), col("heur_hq"), split9.as("split"))
+    val tot = scored.groupBy(col("split")).agg(count(lit(1)).as("n_split"))
+    scored.groupBy(col("split"), col("heur_hq"), col("pred_hq"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(tot, "split")
+      .select(col("split"), col("heur_hq"), col("pred_hq"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_split").cast("double")).as("share"))
+  }
+
   /** Token n-grams of `toks` as space-joined strings (generalizes
     * [[bigramsOf]]; empty when the doc has fewer than `n` tokens).
     */
@@ -1066,6 +1093,7 @@ object TextAnalysis {
     "t19_domain_mixture" -> t19_domain_mixture,
     "t20_nb_quality" -> t20_nb_quality,
     "t21_repetition" -> t21_repetition,
+    "t22_nb_agreement" -> t22_nb_agreement,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -1339,7 +1367,26 @@ object TextAnalysis {
         FROM fr"""
   }
 
+  private def duckNbAgreementSql: String = {
+    val splitH = Portable.duckHash60("concat('split:', CAST(ps.doc_id AS VARCHAR))")
+    s"""WITH ${duckPrepGates("documents")},
+        ${duckNbModelCtes()},
+        ${duckNbScoreCtes("documents")},
+        scored AS (SELECT nbsc.doc_id, log_odds_micro >= 0 AS pred_hq,
+                          ps.quality_score >= 2 AS heur_hq,
+                          CASE WHEN ($splitH) % 100 < $TrainPct
+                               THEN 'train' ELSE 'val' END AS split
+                   FROM nbsc JOIN ps ON ps.doc_id = nbsc.doc_id),
+        tot AS (SELECT split, COUNT(*) AS n_split FROM scored GROUP BY 1),
+        cells AS (SELECT split, heur_hq, pred_hq, COUNT(*) AS n_docs
+                  FROM scored GROUP BY 1, 2, 3)
+        SELECT c.split, heur_hq, pred_hq, n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(t.n_split AS DOUBLE) AS share
+        FROM cells c JOIN tot t ON t.split = c.split"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t22_nb_agreement" -> duckNbAgreementSql,
     "t21_repetition" -> duckRepetitionSql,
     "t20_nb_quality" -> duckNbQualitySql,
     "t18_bigram_lm" -> duckBigramLmSql,
