@@ -150,6 +150,28 @@ object StreamQueries {
     * update-mode aggregation to completion through the keyed upsert
     * sink, returning the maintained table.
     */
+  /** Run an update-mode aggregation to completion through a
+    * [[graft.sinks.KeyedUpsertTable]] and return the maintained table —
+    * the ads-serving sink shape shared by st07/st13/st23/st24/st26.
+    * State is the aggregation's key cardinality (bounded by design in
+    * every caller), so the default in-memory provider applies.
+    */
+  private def upsertServe(spark: SparkSession, base: DataFrame,
+                          keyCols: Seq[String], orderCol: String): DataFrame = {
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, graft.Tables.scratchDir("graft_upsert_"), keyCols, orderCol)
+    val cp = graft.Tables.scratchDir("graft_cp_")
+    Replay.stateProvider(spark, bigState = false)
+    val q = base.writeStream
+      .outputMode("update")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read()
+  }
+
   private def runAggUpsert(spark: SparkSession, dir: String): DataFrame = {
     import graft.Tables
     val li = Replay.lineitemStream(spark, dir) // sentinel joins nothing (l_partkey = -1)
@@ -159,19 +181,7 @@ object StreamQueries {
       .agg(
         Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
-    val table = new graft.sinks.KeyedUpsertTable(
-      spark, graft.Tables.scratchDir("graft_upsert_"),
-      Seq("p_brand"), "n_lines")
-    val cp = graft.Tables.scratchDir("graft_cp_")
-    Replay.stateProvider(spark, bigState = false) // small agg state (25 brands)
-    val q = agg.writeStream
-      .outputMode("update")
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    table.read()
+    upsertServe(spark, agg, Seq("p_brand"), "n_lines") // 25 brands
   }
 
   val st07_agg_upsert: Q = (spark, dir) => runAggUpsert(spark, dir)
@@ -908,19 +918,7 @@ object StreamQueries {
       .groupBy(col("r_name"), col("n_name"))
       .agg(Tables.moneySum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
-    val table = new graft.sinks.KeyedUpsertTable(
-      spark, graft.Tables.scratchDir("graft_rollup_"),
-      Seq("r_name", "n_name"), "n_orders")
-    val cp = graft.Tables.scratchDir("graft_cp_")
-    Replay.stateProvider(spark, bigState = false) // 25 cube cells
-    val q = base.writeStream
-      .outputMode("update")
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    table.read()
+    upsertServe(spark, base, Seq("r_name", "n_name"), "n_orders") // 25 cube cells
       .rollup(col("r_name"), col("n_name"))
       .agg(Tables.moneySum(col("revenue")).as("revenue"),
         sum(col("n_orders")).as("n_orders"),
@@ -945,19 +943,7 @@ object StreamQueries {
       count(when(col("event_type") === t, 1)).as(t))
     val base = ev.groupBy(col("dt"))
       .agg(counts.head, (counts.tail :+ count(lit(1)).as("n_total")): _*)
-    val table = new graft.sinks.KeyedUpsertTable(
-      spark, graft.Tables.scratchDir("graft_pivot_"),
-      Seq("dt"), "n_total")
-    val cp = graft.Tables.scratchDir("graft_cp_")
-    Replay.stateProvider(spark, bigState = false) // one row per day
-    val q = base.writeStream
-      .outputMode("update")
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    table.read()
+    upsertServe(spark, base, Seq("dt"), "n_total") // one row per day
       .where(col("dt") < lit("2100-01-01").cast("date"))
       .select((col("dt") +: types.map(col)): _*)
   }
@@ -984,19 +970,7 @@ object StreamQueries {
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-    val table = new graft.sinks.KeyedUpsertTable(
-      spark, graft.Tables.scratchDir("graft_mixture_"),
-      Seq("lang", "source"), "n_docs")
-    val cp = graft.Tables.scratchDir("graft_cp_")
-    Replay.stateProvider(spark, bigState = false) // |domains| rows
-    val q = base.writeStream
-      .outputMode("update")
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => table.upsert(b, id))
-      .option("checkpointLocation", cp)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val dom = table.read()
+    val dom = upsertServe(spark, base, Seq("lang", "source"), "n_docs") // |domains| rows
       .withColumn("s_micro",
         floor(sqrt(col("n_tokens").cast("double")) * T.LmMicro).cast("long"))
     val tot = dom.agg(sum(col("s_micro")).as("tot_s"), sum(col("n_tokens")).as("tot_tok"))
