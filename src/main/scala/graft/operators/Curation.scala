@@ -20,20 +20,24 @@ import graft.functions.Portable
   *   3. MINUS decontamination hits (d08's rare-shingle train×eval
   *      collisions);
   *   4. deterministic stratified sampling (t15's salted-hash rule);
-  *   5. (c02+) the TRAINED perplexity gate — t18's bigram LM scores
+  *   5. (c02+) the REPETITION gate — t21's Gopher battery joined as a
+  *      per-document signal table; a tripped composite (or a missing
+  *      signal) rejects BEFORE any model scoring (cheap gates first);
+  *   6. (c02+) the TRAINED perplexity gate — t18's bigram LM scores
   *      the surviving docs, mean log-prob under [[TextAnalysis
   *      .PplGateMicro]] rejects (the CCNet-style model gate that runs
   *      AFTER the heuristics);
-  *   6. (c02+) the TRAINED quality classifier — t20's NB log-odds,
+  *   7. (c02+) the TRAINED quality classifier — t20's NB log-odds,
   *      negative rejects (the GPT-3-style classifier gate);
-  *   7. REAL tokenizer counts: per-doc BPE token totals from the
+  *   8. REAL tokenizer counts: per-doc BPE token totals from the
   *      trained shared artifact ([[TextAnalysis.bpeIdx]]);
-  *   8. sequence packing (t14's concat-then-chunk rule), partitioned
+  *   9. sequence packing (t14's concat-then-chunk rule), partitioned
   *      by (split, shard); t09's salted split labels the packed rows.
   *
-  * [[c01_curation_pipeline]] runs stages 1-4 + 7-8 (the heuristic-only
+  * [[c01_curation_pipeline]] runs stages 1-4 + 8-9 (the heuristic-only
   * manifest, kept for round-over-round continuity);
-  * [[c02_curated_manifest]] adds the two trained gates;
+  * [[c02_curated_manifest]] adds the repetition gate and the two
+  * trained gates;
   * [[c03_curation_audit]] emits EVERY document's verdict — the first
   * gate that rejected it, in stage order (the p12 quarantine pattern:
   * rejects leave with a machine-readable reason, so each gate's reject
@@ -49,15 +53,14 @@ import graft.functions.Portable
   * a boilerplate-heavy corpus the two reject different contamination
   * sets — each twin's oracle mirrors its own rule.
   *
-  * EXTENSION POINT: t21's Gopher repetition battery
-  * ([[TextAnalysis.t21_repetition]]) slots between the heuristic and
-  * trained gates for repetition-heavy corpora. It is deliberately NOT
-  * composed into c02: its top-n-gram signals need a per-(doc, gram)
-  * aggregation, which at ingest would be a third chained stateful
-  * operator (gram-level then doc-level) — st18 stays a
-  * two-stateful-op pipeline, and a deploy that wants the gate runs
-  * t21 as its own signal table (the standalone query) joined into the
-  * manifest batch-side.
+  * t21's Gopher repetition battery ([[TextAnalysis.t21_repetition]])
+  * is composed batch-side as stage 5 (the round-8 extension point,
+  * landed): the signal table is computed once over the corpus and
+  * joined on doc_id — its per-(doc, gram) aggregations stay OUTSIDE
+  * the manifest's own shuffle chain. At ingest the same gate is a
+  * third chained stateful operator (gram-level then doc-level agg
+  * before the dedup/scoring stages) — st28's shape; st18 remains the
+  * two-stateful-op composition for round-over-round continuity.
   *
   * Scale shape: gates, sample bucket, and split are per-row
   * expressions on ONE corpus scan; the stateful stages are each a
@@ -157,43 +160,82 @@ object Curation {
     packManifest(spark, dir, gated, Nil)
   }
 
-  /** c02 — the curated manifest with the TRAINED gates composed in: the
-    * stage-1-4 survivors additionally pass t18's perplexity gate and
-    * t20's NB classifier (in that order), then take BPE counts and
-    * packing. Both gate scores ride into the manifest, so the
-    * differential check pins the model arithmetic inside the
-    * composition, not just the surviving id set. Models are trained on
-    * the FULL corpus's train split (t18/t20's artifacts, unchanged) —
-    * the gates consume shared trained artifacts, they don't retrain per
-    * pipeline.
+  /** The per-document repetition signal table ([[TextAnalysis
+    * .repSignals]], t21's battery) that c02 gates on and c03
+    * attributes with — computed over the STAGE-1-4 SURVIVORS only
+    * (documents already rejected by a cheaper gate never reach the
+    * repetition stage, so scoring them would be wasted n-gram work;
+    * the cost order IS the composition order) and joined on doc_id
+    * (the signal-table composition the round-8 extension point
+    * documented; the ingest twin is st28's chained stateful form).
     */
-  val c02_curated_manifest: Q = (spark, dir) => {
+  private def repSignals(spark: SparkSession, gated: DataFrame): DataFrame =
+    TextAnalysis.repSignals(spark, gated)
+      .select(col("doc_id"), col("top2_frac"), col("top3_frac"),
+        col("dup5_frac"), col("rep_keep"))
+
+  /** c02 — the curated manifest with the repetition gate and the
+    * TRAINED gates composed in: the stage-1-4 survivors additionally
+    * pass t21's Gopher repetition battery, t18's perplexity gate and
+    * t20's NB classifier (in that order — cheap signal before trained
+    * models), then take BPE counts and packing. The repetition
+    * fractions AND both model scores ride into the manifest, so the
+    * differential check pins the gate arithmetic inside the
+    * composition, not just the surviving id set — on a corpus with no
+    * repetition-pathological documents the gate rejects nobody, but
+    * the three fractions still hash-bind every kept row (the reject
+    * path is spec-proven on a constructed repetitive corpus,
+    * `CurationSpec`). A document whose signal is missing or null (too
+    * few tokens to derive all three n-gram families) rejects at the
+    * repetition stage — t18's drop semantics applied uniformly.
+    * Models are trained on the FULL corpus's train split (t18/t20's
+    * artifacts, unchanged) — the gates consume shared trained
+    * artifacts, they don't retrain per pipeline.
+    */
+  /** c02's plan plus the handles of the DataFrames THIS run persisted
+    * (the gate-flag table and the post-gate survivor set), so a
+    * composing caller (c04) can unpersist exactly what it caused
+    * instead of clearing the whole session cache — a concurrent
+    * caller's persisted artifacts stay cached.
+    */
+  private def c02Run(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     val T = TextAnalysis
-    val gated = gatedDocs(spark, dir)
-    val ppl = T.lmScore(spark, dir, gated)
+    val flags = gateFlags(spark, dir)
+    val gated = flags
+      .where(col("heur_ok") && col("is_keeper") && !col("is_contam") && col("sample_ok"))
+      .select(col("doc_id"), col("text"), col("quality_score"), col("split"))
+    val rep = repSignals(spark, gated).where(col("rep_keep")).drop("rep_keep")
+    val g1 = gated.join(rep, "doc_id")
+    val ppl = T.lmScore(spark, dir, g1)
       .where(col("avg_lp_micro") >= T.PplGateMicro.toDouble)
       .select(col("doc_id"), col("avg_lp_micro"))
-    val g2 = gated.join(ppl, "doc_id")
+    val g2 = g1.join(ppl, "doc_id")
     val nb = T.nbScore(spark, dir, g2)
       .where(col("log_odds_micro") >= 0)
       .select(col("doc_id"), col("log_odds_micro"))
     val g3 = g2.join(nb, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    packManifest(spark, dir, g3, Seq("avg_lp_micro", "log_odds_micro"))
+    val manifest = packManifest(spark, dir, g3, Seq("top2_frac", "top3_frac",
+      "dup5_frac", "avg_lp_micro", "log_odds_micro"))
+    (manifest, Seq(flags, g3))
   }
+
+  val c02_curated_manifest: Q = (spark, dir) => c02Run(spark, dir)._1
 
   /** c03 — the CURATION AUDIT: every document's verdict, i.e. the first
     * gate that rejected it in stage order (heuristic → duplicate →
-    * contaminated → sampled-out → perplexity → classifier), or 'kept'.
-    * The p12 quarantine pattern applied to the capstone: each gate's
-    * reject set is `WHERE stage = …`, and the kept set equals c02's
-    * manifest ids by construction (spec-locked in `CurationSpec`).
+    * contaminated → sampled-out → repetition → perplexity →
+    * classifier), or 'kept'. The p12 quarantine pattern applied to the
+    * capstone: each gate's reject set is `WHERE stage = …`, and the
+    * kept set equals c02's manifest ids by construction (spec-locked
+    * in `CurationSpec`).
     *
     * The trained-model scores are computed ONLY for documents that
     * survive the cheap stages (the composition order is also the cost
-    * order); a missing LM score (a < 2-token doc derives no bigrams)
-    * rejects at the perplexity stage — t18's drop semantics made
-    * explicit.
+    * order — the repetition signal gates BEFORE any model scoring); a
+    * missing signal rejects at its own stage (a null repetition
+    * composite at 5, a missing LM score at 6) — t18's drop semantics
+    * made explicit, uniformly.
     */
   val c03_curation_audit: Q = (spark, dir) => {
     val T = TextAnalysis
@@ -201,12 +243,16 @@ object Curation {
     val gated = flags
       .where(col("heur_ok") && col("is_keeper") && !col("is_contam") && col("sample_ok"))
       .select(col("doc_id"), col("text"))
-    val lm = T.lmScore(spark, dir, gated).select(col("doc_id"), col("avg_lp_micro"))
+    val rep = repSignals(spark, gated).select(col("doc_id"), col("rep_keep"))
+    val gatedRep = gated
+      .join(rep.where(col("rep_keep")).select(col("doc_id")), "doc_id")
+    val lm = T.lmScore(spark, dir, gatedRep).select(col("doc_id"), col("avg_lp_micro"))
     val pplPass = lm.where(col("avg_lp_micro") >= T.PplGateMicro.toDouble)
       .select(col("doc_id"))
-    val nb = T.nbScore(spark, dir, gated.join(pplPass, "doc_id"))
+    val nb = T.nbScore(spark, dir, gatedRep.join(pplPass, "doc_id"))
       .select(col("doc_id"), col("log_odds_micro"))
     flags
+      .join(rep, Seq("doc_id"), "left")
       .join(lm, Seq("doc_id"), "left")
       .join(nb, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -214,9 +260,10 @@ object Curation {
           .when(!col("is_keeper"), "2_duplicate")
           .when(col("is_contam"), "3_contaminated")
           .when(!col("sample_ok"), "4_sampled_out")
+          .when(col("rep_keep").isNull || !col("rep_keep"), "5_repetition")
           .when(col("avg_lp_micro").isNull ||
-            col("avg_lp_micro") < T.PplGateMicro.toDouble, "5_perplexity")
-          .when(col("log_odds_micro") < 0, "6_classifier")
+            col("avg_lp_micro") < T.PplGateMicro.toDouble, "6_perplexity")
+          .when(col("log_odds_micro") < 0, "7_classifier")
           .otherwise("kept").as("stage"))
   }
 
@@ -242,16 +289,18 @@ object Curation {
   val c04_manifest_table: Q = (spark, dir) => {
     val p = manifestCache.computeIfAbsent(dir, _ => {
       val out = graft.Tables.scratchDir("graft_manifest_")
+      val (manifest, persisted) = c02Run(spark, dir)
       graft.sinks.Sinks.partitionedParquet(
-        c02_curated_manifest(spark, dir), out,
+        manifest, out,
         partitionCols = Seq("split", "shard"), sortCols = Seq("doc_id"))
-      spark.catalog.clearCache() // the inner c02 run's persists are spent
+      persisted.foreach(_.unpersist()) // exactly the inner run's persists — spent
       out
     })
     spark.read.parquet(p)
       .where(col("split") === "train" && col("shard") < 8)
       .select(col("doc_id"), col("split"), col("shard").cast("long").as("shard"),
-        col("quality_score"), col("avg_lp_micro"), col("log_odds_micro"),
+        col("quality_score"), col("top2_frac"), col("top3_frac"), col("dup5_frac"),
+        col("avg_lp_micro"), col("log_odds_micro"),
         col("n_bpe_tokens"), col("seq_id"), col("start_off"))
   }
 
@@ -343,38 +392,50 @@ object Curation {
     s"""WITH $duckFlagsCtes,
         ${duckPackSql("base", Nil)}"""
 
-  /** c02's twin: the flag chain, then the SAME trained-model CTEs the
-    * t18/t20 oracles use, scored over the gated set only.
+  /** c02's twin: the flag chain, t21's repetition CTEs gating in stage
+    * order, then the SAME trained-model CTEs the t18/t20 oracles use,
+    * scored over the repetition survivors only.
     */
   private def duckC02Sql: String = {
     val T = TextAnalysis
     s"""WITH $duckFlagsCtes,
-        $duckLmGateCtes,
-        base2 AS (SELECT b.doc_id, b.quality_score, b.text, b.split, l.avg_lp_micro
-                  FROM base b JOIN lmsc l USING (doc_id)
+        ${T.duckRepCtes("base")},
+        base1 AS (SELECT b.doc_id, b.quality_score, b.text, b.split,
+                         r.top2_frac, r.top3_frac, r.dup5_frac
+                  FROM base b JOIN rep r USING (doc_id)
+                  WHERE r.rep_keep),
+        ${duckLmGateCtes("base1")},
+        base2 AS (SELECT b.doc_id, b.quality_score, b.text, b.split,
+                         b.top2_frac, b.top3_frac, b.dup5_frac, l.avg_lp_micro
+                  FROM base1 b JOIN lmsc l USING (doc_id)
                   WHERE l.avg_lp_micro >= CAST(${T.PplGateMicro} AS DOUBLE)),
         ${T.duckNbModelCtes()},
         ${T.duckNbScoreCtes("base2")},
         base3 AS (SELECT b.doc_id, b.quality_score, b.text, b.split,
+                         b.top2_frac, b.top3_frac, b.dup5_frac,
                          b.avg_lp_micro, n.log_odds_micro
                   FROM base2 b JOIN nbsc n USING (doc_id)
                   WHERE n.log_odds_micro >= 0),
-        ${duckPackSql("base3", Seq("avg_lp_micro", "log_odds_micro"))}"""
+        ${duckPackSql("base3", Seq("top2_frac", "top3_frac", "dup5_frac",
+          "avg_lp_micro", "log_odds_micro"))}"""
   }
 
-  private def duckLmGateCtes: String = {
+  private def duckLmGateCtes(rel: String): String = {
     val T = TextAnalysis
     s"""${T.duckLmModelCtes},
-        ${T.duckLmScoreCtes("base")}"""
+        ${T.duckLmScoreCtes(rel)}"""
   }
 
   private def duckC03Sql: String = {
     val T = TextAnalysis
     s"""WITH $duckFlagsCtes,
-        $duckLmGateCtes,
+        ${T.duckRepCtes("base")},
+        base1 AS (SELECT b.doc_id, b.text FROM base b
+                  JOIN rep r USING (doc_id) WHERE r.rep_keep),
+        ${duckLmGateCtes("base1")},
         pplpass AS (SELECT doc_id FROM lmsc
                     WHERE avg_lp_micro >= CAST(${T.PplGateMicro} AS DOUBLE)),
-        base2 AS (SELECT b.doc_id, b.text FROM base b JOIN pplpass USING (doc_id)),
+        base2 AS (SELECT b.doc_id, b.text FROM base1 b JOIN pplpass USING (doc_id)),
         ${T.duckNbModelCtes()},
         ${T.duckNbScoreCtes("base2")}
         SELECT f.doc_id,
@@ -382,12 +443,15 @@ object Curation {
                     WHEN NOT f.is_keeper THEN '2_duplicate'
                     WHEN f.is_contam THEN '3_contaminated'
                     WHEN NOT f.sample_ok THEN '4_sampled_out'
+                    WHEN r.rep_keep IS NULL OR NOT r.rep_keep
+                      THEN '5_repetition'
                     WHEN l.avg_lp_micro IS NULL
                          OR l.avg_lp_micro < CAST(${T.PplGateMicro} AS DOUBLE)
-                      THEN '5_perplexity'
-                    WHEN n.log_odds_micro < 0 THEN '6_classifier'
+                      THEN '6_perplexity'
+                    WHEN n.log_odds_micro < 0 THEN '7_classifier'
                     ELSE 'kept' END AS stage
         FROM flags f
+        LEFT JOIN rep r ON r.doc_id = f.doc_id
         LEFT JOIN lmsc l ON l.doc_id = f.doc_id
         LEFT JOIN nbsc n ON n.doc_id = f.doc_id"""
   }

@@ -1003,14 +1003,27 @@ object TextAnalysis {
         (col("n_docs").cast("double") / col("n_split").cast("double")).as("share"))
   }
 
-  /** Token n-grams of `toks` as space-joined strings (generalizes
-    * [[bigramsOf]]; empty when the doc has fewer than `n` tokens).
+  /** Tagged 60-bit n-gram keys off the pre-hashed token array — the
+    * codegen'd [[graft.functions.GramKeys]] expression (requires
+    * [[graft.plans.GraftExtensions]] registration).
     */
-  private def ngramsOf(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
+  private def gramKeys(th: Column, n: Int): Column =
+    call_function("gram_keys", th, lit(n))
+
+  private def duckRot7(x: String): String =
+    s"(((($x) % ${1L << 53}) << 7) | (($x) >> 53))"
+
+  /** DuckDB twin of ONE [[graft.functions.GramKeys]] key (the fold
+    * over `th[i .. i+n-1]` with the n-family tag OR'd into bits 60+)
+    * — keep in lockstep with `GramKeys.fold`; the capstone oracles
+    * depend on bit equality.
+    */
+  private def duckGramKey(n: Int): String = {
+    val fold = (1 until n).foldLeft("th[i]") { (acc, o) =>
+      s"xor(${duckRot7(acc)}, th[i + $o])"
+    }
+    s"(($fold) | ${n.toLong << 60})"
+  }
 
   /** [[t21_repetition]]'s keep thresholds — the Gopher repetition-
     * filter family (Rae et al. 2021, "Scaling Language Models", table
@@ -1029,34 +1042,40 @@ object TextAnalysis {
     * the heuristic family CCNet/Gopher pipelines run alongside the
     * quality gates): per document, the most-frequent-2-gram and
     * most-frequent-3-gram position fractions and the duplicated-5-gram
-    * coverage fraction, plus the composite keep flag. Slots between
-    * the heuristic and trained gates of the curation capstone (c02's
-    * documented extension point); kept standalone so the signal table
-    * is audit-queryable.
+    * coverage fraction, plus the composite keep flag. Composed into
+    * the curation capstone between the heuristic and trained gates
+    * (c02/c03's stage 5); kept standalone so the signal table is
+    * audit-queryable.
     *
-    * Scale shape: ONE explode emits every (doc, n, gram) position for
-    * n ∈ {2,3,5} (≤ 3 rows per token); the per-gram counts and the
-    * per-doc rollup are two aggregations on doc_id-prefixed keys.
-    * Map-side partials collapse repeated grams before the exchange, so
-    * the shuffle carries one row per DISTINCT (doc, n, gram) — still
-    * string-keyed; at extreme scale the grams can be pre-hashed to
-    * longs on both engines (the d02 trick) at the cost of a documented
-    * in-doc collision approximation. Fractions divide exact integer
-    * counts, so both engines produce bit-identical doubles.
+    * Scale shape: ONE explode emits every (doc, gram-key) position
+    * for n ∈ {2,3,5} (≤ 3 rows per token). Each TOKEN is hashed once
+    * ([[Portable.hash60Array]], one codegen'd md5 pass shared by all
+    * three n-families) and the n-gram keys are folded from the token
+    * hashes by the codegen'd [[graft.functions.GramKeys]] expression
+    * (rotate-xor chain, n-family tag packed into the key's high
+    * bits) — pure long arithmetic, no gram string and no tag struct
+    * is ever materialized, on either engine (the d02 shuffle-key
+    * lesson taken one step further). The per-gram counts and the
+    * per-doc rollup are two aggregations on doc_id-prefixed LONG
+    * keys (n recovered as `g >> 60`); map-side partials collapse
+    * repeated grams before the exchange. The approximation: two
+    * distinct grams colliding WITHIN one document would merge their
+    * counts — P ≲ L²/2⁶¹ per doc (L = token count) for the
+    * md5-seeded fold, zero in any real corpus, and the oracle folds
+    * identically so the differential check still binds. Fractions
+    * divide exact integer counts, so both engines produce
+    * bit-identical doubles.
     */
-  val t21_repetition: Q = (spark, dir) => {
-    val tagged = concat(Seq(2, 3, 5).map(n =>
-      transform(ngramsOf(col("toks"), n),
-        g => struct(lit(n).as("n"), g.as("g")))): _*)
-    val grams = documents(spark, dir)
-      .select(col("doc_id"), lmToks.as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-        explode(tagged).as("t"))
-      .select(col("doc_id"), col("n_tokens"), col("t.n").as("n"), col("t.g").as("g"))
+  private[graft] def repSignals(spark: SparkSession, rel: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val grams = rel
+      .select(col("doc_id"), Portable.hash60Array(lmToks).as("th"))
+      .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
+        explode(concat(Seq(2, 3, 5).map(n => gramKeys(col("th"), n)): _*)).as("g"))
     val per = grams
-      .groupBy(col("doc_id"), col("n_tokens"), col("n"), col("g"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("g"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_tokens"), col("n"))
+      .groupBy(col("doc_id"), col("n_tokens"), shiftright(col("g"), 60).as("n"))
       .agg(sum(col("c")).as("n_pos"), max(col("c")).as("top_cnt"),
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_pos"))
     def frac(num: Column, den: Column): Column =
@@ -1070,6 +1089,9 @@ object TextAnalysis {
         col("top2_frac") <= RepTop2Max && col("top3_frac") <= RepTop3Max &&
           col("dup5_frac") <= RepDup5Max)
   }
+
+  val t21_repetition: Q = (spark, dir) =>
+    repSignals(spark, documents(spark, dir))
 
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
@@ -1338,34 +1360,47 @@ object TextAnalysis {
                ps.quality_score >= 2 AS heur_hq
         FROM nbsc JOIN ps ON ps.doc_id = nbsc.doc_id"""
 
-  private def duckRepetitionSql: String = {
-    def gramExpr(n: Int): String = {
-      val parts = (0 until n).map(o => s"toks[i + $o]").mkString(" || ' ' || ")
-      s"unnest(list_transform(range(1, len(toks) - ${n - 2}), i -> $parts))"
-    }
+  /** [[t21_repetition]]'s DuckDB twin as chainable CTEs over relation
+    * `rel`(doc_id, text) → CTE `rep`(doc_id, n_tokens, top2_frac,
+    * top3_frac, dup5_frac, rep_keep). Tokens are hashed once with
+    * [[Portable.duckHash60]] and the gram keys folded with the same
+    * rotate-xor chain as the Spark side ([[duckGramKey]]), so the
+    * long shuffle keys match bit-for-bit. Shared by the t21 oracle
+    * and the c02/c03/c04 capstone oracles (the repetition gate
+    * chained in stage order).
+    */
+  private[graft] def duckRepCtes(rel: String): String = {
+    def gramExpr(n: Int): String =
+      s"unnest(list_transform(range(1, len(th) - ${n - 2}), i -> ${duckGramKey(n)}))"
     val branches = Seq(2, 3, 5).map(n =>
-      s"""SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, $n AS n,
+      s"""SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
                  ${gramExpr(n)} AS g FROM rtt""").mkString("\nUNION ALL\n")
-    s"""WITH rtt AS (SELECT doc_id,
-                            list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-                     FROM documents),
+    s"""rtt AS (SELECT doc_id,
+                       list_transform(
+                         list_filter(string_split(text, ' '), t -> len(t) > 0),
+                         t -> ${Portable.duckHash60("t")}) AS th
+                FROM $rel),
         gr AS ($branches),
-        pc AS (SELECT doc_id, n_tokens, n, g, COUNT(*) AS c FROM gr GROUP BY 1, 2, 3, 4),
-        per AS (SELECT doc_id, n_tokens, n,
+        pc AS (SELECT doc_id, n_tokens, g, COUNT(*) AS c FROM gr GROUP BY 1, 2, 3),
+        per AS (SELECT doc_id, n_tokens, g >> 60 AS n,
                        CAST(SUM(c) AS BIGINT) AS n_pos,
                        CAST(MAX(c) AS BIGINT) AS top_cnt,
                        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_pos
                 FROM pc GROUP BY 1, 2, 3),
-        fr AS (SELECT doc_id, n_tokens,
-                      MAX(CASE WHEN n = 2 THEN CAST(top_cnt AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS top2_frac,
-                      MAX(CASE WHEN n = 3 THEN CAST(top_cnt AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS top3_frac,
-                      MAX(CASE WHEN n = 5 THEN CAST(dup_pos AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS dup5_frac
-               FROM per GROUP BY 1, 2)
-        SELECT doc_id, n_tokens, top2_frac, top3_frac, dup5_frac,
-               top2_frac <= $RepTop2Max AND top3_frac <= $RepTop3Max
-                 AND dup5_frac <= $RepDup5Max AS rep_keep
-        FROM fr"""
+        rep AS (SELECT doc_id, n_tokens, top2_frac, top3_frac, dup5_frac,
+                       top2_frac <= $RepTop2Max AND top3_frac <= $RepTop3Max
+                         AND dup5_frac <= $RepDup5Max AS rep_keep
+                FROM (SELECT doc_id, n_tokens,
+                             MAX(CASE WHEN n = 2 THEN CAST(top_cnt AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS top2_frac,
+                             MAX(CASE WHEN n = 3 THEN CAST(top_cnt AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS top3_frac,
+                             MAX(CASE WHEN n = 5 THEN CAST(dup_pos AS DOUBLE) / CAST(n_pos AS DOUBLE) END) AS dup5_frac
+                      FROM per GROUP BY 1, 2))"""
   }
+
+  private def duckRepetitionSql: String =
+    s"""WITH ${duckRepCtes("documents")}
+        SELECT doc_id, n_tokens, top2_frac, top3_frac, dup5_frac, rep_keep
+        FROM rep"""
 
   private def duckNbAgreementSql: String = {
     val splitH = Portable.duckHash60("concat('split:', CAST(ps.doc_id AS VARCHAR))")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ByteStats, CosineSimilarity, Hash60Array, L2Sq, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowMin)
     ext.injectFunction(GraftExtensions.byteStats)
     ext.injectFunction(GraftExtensions.l2Sq)
+    ext.injectFunction(GraftExtensions.gramKeys)
   }
 }
 
@@ -104,12 +105,20 @@ object GraftExtensions {
       L2Sq(args.head, args(1))
     })
 
+  val gramKeys: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("gram_keys"),
+    new ExpressionInfo(classOf[GramKeys].getName, "gram_keys"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"gram_keys expects 2 arguments, got ${args.length}")
+      GramKeys(args.head, args(1))
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
-        wordShingles3, winnowMin, byteStats, l2Sq).foreach {
+        wordShingles3, winnowMin, byteStats, l2Sq, gramKeys).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -28,9 +28,65 @@ class CurationSpec extends SparkSpecBase {
       val stages = Curation.c03_curation_audit(spark, sf)
         .select(col("stage")).distinct().collect().map(_.getString(0)).toSet
       val legal = Set("1_heuristic", "2_duplicate", "3_contaminated",
-        "4_sampled_out", "5_perplexity", "6_classifier", "kept")
+        "4_sampled_out", "5_repetition", "6_perplexity", "7_classifier", "kept")
       assert(stages.subsetOf(legal), s"unknown stage labels: ${stages -- legal}")
       assert(stages.contains("kept"), "fixture must keep at least one document")
+    } finally spark.catalog.clearCache()
+  }
+
+  /** The sf corpus never trips the Gopher thresholds (max top2 0.167,
+    * dup5 all zero), so the repetition gate's REJECT path is proven
+    * here on a constructed corpus: one document passes every heuristic
+    * but repeats a 12-token sentence verbatim (duplicated-5-gram
+    * coverage 16/56 ≈ 0.29 > 0.15) — it must land at 5_repetition in
+    * the audit and be absent from c02's manifest, while the normal
+    * documents flow through to later stages or 'kept'.
+    */
+  test("repetition gate rejects a constructed repetitive doc at stage 5") {
+    val dir = Tables.scratchDir("graft_repcorpus_")
+    val connectors = Vector("the", "and", "of", "to", "in", "a")
+    val content = Vector("fast", "key", "order", "sort", "table", "scan",
+      "merge", "part", "group", "join", "filter", "window", "row", "stream",
+      "customer", "data", "query", "spark", "index", "plan", "hash", "batch",
+      "node", "shard", "range", "value", "count", "store", "cache", "disk")
+    def soup(seed: Int, n: Int): String = {
+      val rnd = new scala.util.Random(seed)
+      (0 until n).map(i =>
+        if (i % 3 == 0) connectors(rnd.nextInt(connectors.size))
+        else content(rnd.nextInt(content.size))).mkString(" ")
+    }
+    val sentence = "the quick brown fox jumps over a lazy dog in green fields"
+    val repId = 7L
+    val repText = s"${soup(100, 18)} $sentence ${soup(200, 18)} $sentence"
+    val rows = (1 to 24).map { i =>
+      val text = if (i.toLong == repId) repText else soup(i, 60)
+      (i.toLong, text, "xx", s"src${i % 3}", text.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      plans.GraftExtensions.register(spark)
+      // Precondition: the repetitive doc passes the heuristic+language
+      // gates, so only the repetition stage can reject it this early.
+      val pre = Tables.documents(spark, dir).where(col("doc_id") === repId)
+        .select((operators.TextAnalysis.prepQualityCol >= 2 &&
+          operators.TextAnalysis.prepEnOkCol).as("heur_ok"))
+        .collect()
+      assert(pre.length == 1 && pre(0).getBoolean(0),
+        "fixture drift: the repetitive doc no longer passes the heuristics")
+      val audit = Curation.c03_curation_audit(spark, dir).cache()
+      val repStage = audit.where(col("doc_id") === repId)
+        .select(col("stage")).collect().map(_.getString(0))
+      assert(repStage.sameElements(Array("5_repetition")),
+        s"repetitive doc verdict was ${repStage.mkString(",")}")
+      val manifestIds = Curation.c02_curated_manifest(spark, dir)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(!manifestIds.contains(repId), "repetitive doc leaked into the manifest")
+      assert(manifestIds.nonEmpty, "fixture must keep at least one normal document")
+      val kept = audit.where(col("stage") === "kept")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == manifestIds, "audit kept set must equal c02 ids on this corpus too")
     } finally spark.catalog.clearCache()
   }
 
