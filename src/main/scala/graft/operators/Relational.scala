@@ -612,9 +612,9 @@ object Relational {
     * same hash distribution (no second shuffle). Exact quantiles
     * require the per-group sort, so a LOW-cardinality group column
     * concentrates data (5 types here — at 100 TB each partition sorts
-    * ~20 TB); the production variant for that regime is a mergeable
-    * quantile sketch (t-digest/KLL — the a07 HLL precedent), which
-    * trades the oracle-checkable exactness this query keeps.
+    * ~20 TB); [[a14_quantile_sketch]] is the mergeable-sketch variant
+    * for that regime, spec-bounded against this query's exact answers
+    * (it trades the oracle-checkable exactness this query keeps).
     */
   val a13_value_quantiles: Q = (spark, dir) => {
     val W = org.apache.spark.sql.expressions.Window
@@ -628,6 +628,34 @@ object Relational {
     ranked.groupBy(col("event_type"))
       .agg(max(col("n")).as("n_events"),
         pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+  }
+
+  /** a14 — the MERGEABLE QUANTILE SKETCH twin of a13: p50/p90/p99 per
+    * event type via [[graft.functions.QuantileSketchAgg]] (the
+    * deterministic MRL/KLL-family compactor), k = 2048. This is the
+    * 100 TB regime a13's docstring defers to: a13's exact picked
+    * order statistics need a partition-local sort of each group
+    * (5 groups × ~20 TB at 100 TB); the sketch reduces every
+    * partition map-side to an O(k·log(n/k)) summary, the exchange
+    * carries sketches instead of values, and NO full sort happens
+    * anywhere. Worst-case rank error ≤ 2nH/k (H ≈ log₂(n/k)) —
+    * ~0.9 % of rank at n = 10⁶ — with typical error far below (the
+    * alternating-parity cancellation; see the Aggregator's docstring).
+    *
+    * Follows the a07 HLL precedent: the result depends on the merge
+    * tree (partitioning), so there is no cross-engine oracle — the
+    * driver records the rows-only check, and `QuantileSketchSpec`
+    * bounds it against a13's exact answers plus the merge laws.
+    */
+  val a14_quantile_sketch: Q = (spark, dir) => {
+    val sk = graft.functions.QuantileSketch.quantileSketch(2048)(col("value"))
+    events(spark, dir)
+      .select(col("event_type"), col("value"))
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sk.as("s"))
+      .select(col("event_type"), col("s.n_events").as("n_events"),
+        col("s.p50").as("p50"), col("s.p90").as("p90"), col("s.p99").as("p99"))
   }
 
   /** a09 — ORDERED FUNNEL over the event stream (signup → click →
@@ -859,6 +887,7 @@ object Relational {
     "a11_revenue_rollup" -> a11_revenue_rollup,
     "a12_event_pivot" -> a12_event_pivot,
     "a13_value_quantiles" -> a13_value_quantiles,
+    "a14_quantile_sketch" -> a14_quantile_sketch,
     "j11_scd2_history" -> j11_scd2_history,
     "p12_quarantine" -> p12_quarantine,
     "a06_salted_agg" -> a06_salted_agg,
@@ -1098,6 +1127,9 @@ object Relational {
           FROM ch""",
     // a07_dau_approx: no oracle — HLL sketches differ across engines;
     // the driver records a rows-only check and a03 anchors exactness.
+    // a14_quantile_sketch: no oracle — the sketch depends on the merge
+    // tree (partitioning); QuantileSketchSpec bounds it against the
+    // exact twin a13 (rank-error envelope) and asserts the merge laws.
     "a06_salted_agg" ->
       """SELECT p_brand,
                 SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,
