@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -638,6 +638,93 @@ object StreamQueries {
     S.adcTopK(Replay.runAppend(spark, adc).where(col("query_id") >= 0))
   }
 
+  /** st28 — THE REPETITION GATE AT INGEST (streaming twin of the
+    * capstone's stage 5, t21's Gopher battery): the document stream
+    * (originals ∪ planted copies — st18's at-least-once corpus) is
+    * content-hash deduplicated, exploded to tagged 60-bit gram keys
+    * (the codegen'd `gram_keys` fold over once-hashed tokens — t21's
+    * exact arithmetic), and rolled up per document by repetition
+    * family, emitting the three fractions and the composite keep flag
+    * as each document's scoring window closes.
+    *
+    * THREE CHAINED STATEFUL OPERATORS — the frontier the round-8
+    * extension point documented (`Curation.scala`), one past st18's
+    * two: (1) `dropDuplicatesWithinWatermark` on content hash,
+    * (2) the gram-level windowed count (state: one row per open
+    * (window, doc, gram-key) — the map-side-collapsed distinct gram
+    * set, ingest-rate bounded), (3) the doc-level windowed rollup
+    * (state: one row per open (window, doc) — the n ∈ {2,3,5}
+    * families collapse into conditional aggregates keyed by the tag
+    * bits, so no per-family operator is needed). Each downstream agg
+    * groups on the upstream's window (the supported window-of-window
+    * chaining); the engine's no-data batches cascade the flush when
+    * the sentinel advances the watermark.
+    *
+    * Sentinel discipline (the round-8 trap note): the watermark node
+    * sits directly after the union, BEFORE every gate — the
+    * sentinel's 1-token text derives zero gram rows, so it feeds no
+    * state, but its 2100 event time still advances the watermark
+    * that closes every real window across all three stores. Every
+    * output column is text-derived (st15's order-independence
+    * argument), so whichever copy survives dedup produces identical
+    * rows, and the oracle is t21's battery over the text-distinct
+    * corpus keyed by content hash.
+    */
+  /** st28's three-op stateful chain over an already-watermarked doc
+    * stream with (text, event_time) — factored so `StreamingSpec` can
+    * drive it through a checkpointed kill/restart on a MemoryStream.
+    */
+  private[graft] def repGateChain(docs: DataFrame): DataFrame = {
+    val P = graft.functions.Portable
+    val toksNE = filter(split(col("text"), " "), t => length(t) > 0)
+    val deduped = docs
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_hash")
+    val grams = deduped
+      .withColumn("th", P.hash60Array(toksNE))
+      .select(col("content_hash"), col("event_time"),
+        size(col("th")).cast("long").as("n_tokens"),
+        explode(concat(Seq(2, 3, 5).map(n =>
+          call_function("gram_keys", col("th"), lit(n))): _*)).as("g"))
+    val perGram = grams
+      .groupBy(window(col("event_time"), "1 hour"), col("content_hash"),
+        col("n_tokens"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    def fam(n: Int) = shiftright(col("g"), 60) === n
+    def frac(num: Column, den: Column): Column =
+      num.cast("double") / den.cast("double")
+    perGram
+      .groupBy(window(col("window"), "1 hour"), col("content_hash"), col("n_tokens"))
+      .agg(
+        max(when(fam(2), col("c"))).as("top2_cnt"),
+        sum(when(fam(2), col("c"))).as("n2_pos"),
+        max(when(fam(3), col("c"))).as("top3_cnt"),
+        sum(when(fam(3), col("c"))).as("n3_pos"),
+        sum(when(fam(5), when(col("c") > 1, col("c")).otherwise(lit(0L)))).as("dup5_pos"),
+        sum(when(fam(5), col("c"))).as("n5_pos"))
+      .select(col("content_hash"), col("n_tokens"),
+        frac(col("top2_cnt"), col("n2_pos")).as("top2_frac"),
+        frac(col("top3_cnt"), col("n3_pos")).as("top3_frac"),
+        frac(col("dup5_pos"), col("n5_pos")).as("dup5_frac"))
+      .withColumn("rep_keep",
+        col("top2_frac") <= graft.operators.TextAnalysis.RepTop2Max &&
+          col("top3_frac") <= graft.operators.TextAnalysis.RepTop3Max &&
+          col("dup5_frac") <= graft.operators.TextAnalysis.RepDup5Max)
+  }
+
+  val st28_stream_repetition: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars").map(col)
+    def docs() = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+    val d2 = docs().where(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val stream = docs().select(cols: _*).unionAll(d2)
+      .withColumn("event_time", prepCopyEventTime)
+      .withWatermark("event_time", "1 hour")
+    Replay.runAppend(spark, repGateChain(stream))
+  }
+
   /** C-family streaming — THE CURATION PIPELINE AT INGEST (streaming
     * twin of c02's gate stages): documents (∪ planted copies of every
     * 10th doc — at-least-once delivery) flow through quality +
@@ -673,7 +760,15 @@ object StreamQueries {
     * supported event-time-ordered combination: dedup state is one
     * entry per surviving content hash, the scoring state one
     * (n, Σlp, Σw) triple per (window, hash) — both ingest-rate
-    * bounded, TTL/watermark-evicted. Every output column is
+    * bounded, TTL/watermark-evicted. The capstone's REPETITION gate
+    * (batch stage 5) is deliberately NOT inlined here: its gram-level
+    * + doc-level aggregations would push this pipeline to four
+    * chained stateful ops whose flush cascades multiply replay
+    * batches; [[st28_stream_repetition]] runs the same gate as its
+    * own three-op chain (dedup → gram agg → doc rollup) over the
+    * same deduped corpus — at deploy, the two pipelines' verdicts
+    * join on content_hash (the batch-side signal-table composition,
+    * streamed). Every output column is
     * text-derived (st15's order-independence argument), so original
     * and copy produce identical rows whichever arrives first, and the
     * batch oracle composes the same CTE fragments (incl. the shared
@@ -1075,6 +1170,7 @@ object StreamQueries {
     "st25_stream_quarantine" -> st25_stream_quarantine,
     "st26_stream_mixture_serve" -> st26_stream_mixture_serve,
     "st27_tuned_ann_serve" -> st27_tuned_ann_serve,
+    "st28_stream_repetition" -> st28_stream_repetition,
     "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
@@ -1111,6 +1207,21 @@ object StreamQueries {
     "st25_stream_quarantine" -> graft.operators.Relational.oracles("p12_quarantine"),
     "st26_stream_mixture_serve" -> graft.operators.TextAnalysis.oracles("t19_domain_mixture"),
     "st27_tuned_ann_serve" -> graft.operators.Similarity.duckTunedAdcSql,
+    // st28 must assign EXACTLY t21's signals to the text-distinct
+    // corpus — the oracle composes t21's CTEs over the deduped stream
+    "st28_stream_repetition" -> {
+      val T = graft.operators.TextAnalysis
+      s"""WITH corpus AS (
+            SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash, text
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+            GROUP BY md5(text), text),
+          ${T.duckRepCtes("corpus")}
+          SELECT c.content_hash, r.n_tokens, r.top2_frac, r.top3_frac,
+                 r.dup5_frac, r.rep_keep
+          FROM rep r JOIN corpus c USING (doc_id)"""
+    },
     "st24_stream_pivot_serve" -> graft.operators.Relational.oracles("a12_event_pivot"),
     "st16_stream_decontam" -> {
       val D = graft.operators.Dedup

@@ -8,6 +8,7 @@ import graft.streaming.{AllocLine, BandRow, FunnelEvent, OrderEvent, Pipelines}
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String)
 case class CKV(k: String, event_time: Timestamp)
+case class DocIn(text: String, event_time: Timestamp)
 case class OrderIn(o_orderkey: Long, o_custkey: Long, o_totalprice: Double, o_orderdate: Timestamp)
 case class LineIn(l_orderkey: Long, l_linenumber: Int, l_extendedprice: Double, l_shipdate: Timestamp)
 
@@ -569,6 +570,65 @@ class StreamingSpec extends SparkSpecBase {
         .collect().map(r => r.getAs[Long]("order_id")).sorted
       assert(got.toSeq === Seq(1L, 2L))
     } finally q.stop()
+  }
+
+  test("st28's three chained stateful ops survive a checkpointed restart") {
+    // dedup -> gram-level windowed count -> doc-level windowed rollup
+    // (repGateChain), killed mid-stream: the post-restart duplicate must
+    // be dropped by RECOVERED dedup state, and the final per-doc signals
+    // must be assembled from RECOVERED state in BOTH aggregation stores
+    // — and equal the batch t21 arithmetic exactly.
+    graft.plans.GraftExtensions.register(spark)
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[DocIn]
+    val cp = tmpDir("cp_rep_restart_")
+    val out = tmpDir("out_rep_restart_")
+    // textA trips the dup-5-gram gate (a 12-token sentence repeated);
+    // textB is clean. Both >= 5 tokens so every family derives.
+    val sentence = "the quick brown fox jumps over a lazy dog in green fields"
+    val textA = s"alpha beta gamma delta epsilon $sentence zeta eta theta iota kappa $sentence"
+    val textB = "one two three four five six seven eight nine ten eleven twelve"
+    def start() = graft.streaming.StreamQueries.repGateChain(
+        ms.toDF().withWatermark("event_time", "1 hour"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      ms.addData(DocIn(textA, t("2024-01-01 00:00:00")))
+      ms.addData(DocIn(textA, t("2024-01-01 00:00:01"))) // dup, same run
+      drain(q1)
+      assert(spark.read.parquet(out).count() === 0, "windows must still be open")
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // a's THIRD copy arrives after the restart: only recovered dedup
+      // state can drop it; B joins the same open window
+      ms.addData(DocIn(textA, t("2024-01-01 00:00:02")))
+      ms.addData(DocIn(textB, t("2024-01-01 00:00:03")))
+      drain(q2)
+      // sentinel advances the watermark; extra drains let the no-data
+      // batches cascade the flush through all three stateful operators
+      ms.addData(DocIn("x", sentinel))
+      drain(q2); drain(q2); drain(q2)
+      val got = spark.read.parquet(out)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+      val expected = graft.operators.TextAnalysis.repSignals(spark,
+          Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Double]("top2_frac"), r.getAs[Double]("top3_frac"),
+            r.getAs[Double]("dup5_frac"), r.getAs[Boolean]("rep_keep"))).toMap
+      def md5of(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      assert(got.size === 2, s"exactly one row per distinct doc; got $got")
+      assert(got(md5of(textA)) === expected(1L), "textA signals must match batch t21")
+      assert(got(md5of(textB)) === expected(2L), "textB signals must match batch t21")
+      assert(!got(md5of(textA))._4 && got(md5of(textB))._4,
+        "the repetitive doc must be gated, the clean one kept")
+    } finally q2.stop()
   }
 
   test("chained dedup -> windowed agg: both operators' state survives a checkpointed restart") {
