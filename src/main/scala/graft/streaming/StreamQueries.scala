@@ -160,7 +160,17 @@ object StreamQueries {
                           keyCols: Seq[String], orderCol: String): DataFrame = {
     val table = new graft.sinks.KeyedUpsertTable(
       spark, graft.Tables.scratchDir("graft_upsert_"), keyCols, orderCol)
-    val cp = graft.Tables.scratchDir("graft_cp_")
+    upsertServeWith(spark, base, table, graft.Tables.scratchDir("graft_cp_"))
+  }
+
+  /** One AvailableNow pass of the upsert-serving writer against an
+    * EXPLICIT table + checkpoint — exposed so `StateCapSpec` can kill
+    * and resume the exact production path (same trigger, provider,
+    * and idempotent upsert) across two passes over one checkpoint.
+    */
+  private[graft] def upsertServeWith(spark: SparkSession, base: DataFrame,
+                                     table: graft.sinks.KeyedUpsertTable,
+                                     cp: String): DataFrame = {
     Replay.stateProvider(spark, bigState = false)
     val q = base.writeStream
       .outputMode("update")
@@ -1013,12 +1023,19 @@ object StreamQueries {
       .groupBy(col("r_name"), col("n_name"))
       .agg(Tables.moneySum(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("n_orders"))
-    upsertServe(spark, base, Seq("r_name", "n_name"), "n_orders") // 25 cube cells
-      .rollup(col("r_name"), col("n_name"))
-      .agg(Tables.moneySum(col("revenue")).as("revenue"),
+    rollupOnRead(upsertServe(spark, base, Seq("r_name", "n_name"), "n_orders"))
+  }
+
+  /** st23's read-side: derive the rollup's subtotal and grand-total
+    * rows from the served finest-grain cells (shared with the restart
+    * spec so the kill/resume proof exercises the production read
+    * path).
+    */
+  private[graft] def rollupOnRead(served: DataFrame): DataFrame =
+    served.rollup(col("r_name"), col("n_name"))
+      .agg(graft.Tables.moneySum(col("revenue")).as("revenue"),
         sum(col("n_orders")).as("n_orders"),
         grouping_id().cast("long").as("gid"))
-  }
 
   /** A-family streaming — THE ACTIVITY PIVOT AT INGEST (streaming twin
     * of a12): per-day event-type counts as PINNED conditional

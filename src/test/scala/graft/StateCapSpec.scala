@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.streaming.{Pipelines, RetEvent, ScdEvent}
 
+case class CubeOrder(r_name: String, n_name: String, o_totalprice: Double)
+
 /** The heavy-user bounded-state contract: a single user delivering 10k
   * events must leave retention/scd2 state CAPPED (the round-7 judge
   * task 4) with the documented deterministic truncation — smallest
@@ -81,5 +83,48 @@ class StateCapSpec extends SparkSpecBase {
       assert(got.last.getAs[Long]("vt") === -1L,
         "the final kept version stays open")
     } finally q.stop()
+  }
+
+  test("st23's upsert-serving path: cube survives a kill/resume; served rollup equals batch") {
+    // The round-8 verdict's task 6: kill the serving writer mid-stream
+    // and resume it over the SAME checkpoint + table — the update-mode
+    // aggregation state must recover (post-restart totals include
+    // pre-restart orders), the idempotent upsert must not double-apply,
+    // and the read-side rollup over the served cells must equal the
+    // batch rollup over ALL delivered orders (a11's arithmetic).
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[CubeOrder]
+    val cp = tmpDir("cp_st23_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st23_restart_"), Seq("r_name", "n_name"), "n_orders")
+    def base = ms.toDF()
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Tables.moneySum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val run1 = Seq(
+      CubeOrder("EUROPE", "FRANCE", 10.01), CubeOrder("EUROPE", "FRANCE", 20.02),
+      CubeOrder("EUROPE", "GERMANY", 5.50), CubeOrder("ASIA", "JAPAN", 7.77))
+    val run2 = Seq(
+      CubeOrder("EUROPE", "FRANCE", 1.99), // updates a recovered cell
+      CubeOrder("ASIA", "CHINA", 3.33)) // opens a new cell after restart
+    ms.addData(run1: _*)
+    SQ.upsertServeWith(spark, base, table, cp) // pass 1, then the writer dies
+    ms.addData(run2: _*)
+    val served = SQ.upsertServeWith(spark, base, table, cp) // resumed pass 2
+    val got = SQ.rollupOnRead(served)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    val expected = SQ.rollupOnRead((run1 ++ run2).toDF("r_name", "n_name", "o_totalprice")
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(Tables.moneySum(col("o_totalprice")).as("revenue"),
+          count(lit(1)).as("n_orders")))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected,
+      s"served rollup after kill/resume must equal the batch cube;\n got $got\n exp $expected")
+    assert(got((Some("EUROPE"), Some("FRANCE")))._2 === 3L,
+      "the updated cell must carry pre- AND post-restart orders exactly once")
   }
 }
