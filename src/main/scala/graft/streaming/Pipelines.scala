@@ -73,6 +73,13 @@ case class ScdEvent(user_id: Long, event_type: String, tsu: Long,
 /** One buffered event in SCD2 state. */
 case class ScdBuf(tsu: Long, event_id: Long, event_type: String)
 
+/** SCD2 keyed state: the capped event buffer plus the newest
+  * event-time EVER seen for the key (micros→millis), carried
+  * monotonically so the TTL anchor survives truncation across
+  * batches — the [[RetState]] pattern.
+  */
+case class ScdState(buf: Seq[ScdBuf], newestMs: Long)
+
 /** One emitted SCD2 version; `vf`/`vt` are micros, `vt` = -1 for the
   * open (current) version.
   */
@@ -515,8 +522,10 @@ object Pipelines {
     * collapse over that prefix and the final kept version stays open
     * (valid_to = −1). Deterministic under complete delivery regardless
     * of arrival order or batch split. The TTL anchors on the newest
-    * event SEEN this batch (dropped or kept), so truncation never
-    * pre-fires the flush while the user is still active. Post-timeout
+    * event EVER seen (carried monotonically in [[ScdState]], dropped
+    * or kept — the [[RetState]] pattern), so truncation never
+    * pre-fires the flush while the user is still active, even when a
+    * later batch delivers only older events. Post-timeout
     * re-delivery re-creates state (version_n restarts) — the
     * one-is_current-per-user claim is scoped to the single-replay-
     * batch delivery contract (see [[retention]]).
@@ -527,11 +536,11 @@ object Pipelines {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[ScdBuf], ScdVersion](
+      .flatMapGroupsWithState[ScdState, ScdVersion](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[ScdEvent], state: GroupState[Seq[ScdBuf]]) =>
+        (uid: Long, rows: Iterator[ScdEvent], state: GroupState[ScdState]) =>
           if (state.hasTimedOut) {
-            val hist = state.get.sortBy(b => (b.tsu, b.event_id))
+            val hist = state.get.buf.sortBy(b => (b.tsu, b.event_id))
             state.remove()
             val changes = hist.zipWithIndex.filter { case (b, i) =>
               i == 0 || hist(i - 1).event_type != b.event_type
@@ -541,13 +550,15 @@ object Pipelines {
               ScdVersion(uid, b.event_type, i + 1L, b.tsu, vt)
             }
           } else {
-            val buf0 = state.getOption.getOrElse(Seq.empty) ++
+            val prev = state.getOption.getOrElse(ScdState(Seq.empty, Long.MinValue))
+            val buf0 = prev.buf ++
               rows.map(e => ScdBuf(e.tsu, e.event_id, e.event_type))
             val buf = if (buf0.size > maxEvents)
               buf0.sortBy(b => (b.tsu, b.event_id)).take(maxEvents)
             else buf0
-            state.update(buf)
-            val newestMs = buf0.map(_.tsu / 1000L).max
+            val newestMs =
+              math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
+            state.update(ScdState(buf, newestMs))
             state.setTimeoutTimestamp(
               math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

@@ -85,6 +85,55 @@ class StateCapSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("scd2: truncation never pre-fires the flush under multi-batch delivery") {
+    // The round-8 advisor's anchor hazard: batch 1 overflows the cap so
+    // the NEWEST events are dropped from the kept prefix; batch 2 then
+    // delivers only an OLDER event. If the TTL anchor were recomputed
+    // from kept-prefix + current rows (the pre-ScdState arithmetic) it
+    // would regress to kept-max + ttl and the flush would pre-fire once
+    // the watermark passes it. ScdState.newestMs carries the true max
+    // monotonically, so the mid sentinels here must NOT flush user 7.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[ScdEvent]
+    val ev = ms.toDS().withWatermark("event_time", "1 hour")
+    val q = Pipelines.scd2(ev, ttlMs = 3600000L, maxEvents = 5).toDF()
+      .writeStream.format("memory").queryName("scd2_prefire_ms")
+      .option("checkpointLocation", tmpDir("cp_scdpre_"))
+      .outputMode("append").start()
+    try {
+      def se(typ: String, s: String, id: Long) = {
+        val tt = t(s); ScdEvent(7L, typ, tt.getTime * 1000L, id, tt)
+      }
+      def sentinel(s: String, id: Long) = {
+        val tt = t(s); ScdEvent(-1L, "x", tt.getTime * 1000L, id, tt)
+      }
+      // 10 events one minute apart; cap 5 keeps 10:00-10:04 ("a" run),
+      // drops 10:05-10:09 ("b" run). True newest = 10:09 → anchor 11:09.
+      // A kept-prefix recomputation would anchor at 10:04 → 11:04.
+      ms.addData((0 until 10).reverseIterator.map { i =>
+        se(if (i < 5) "a" else "b", f"2024-01-01 10:0$i%02d:00", i.toLong)
+      }.toSeq: _*)
+      drain(q)
+      // batch 2: one OLDER event only — must not regress the anchor
+      ms.addData(se("a", "2024-01-01 10:00:30", 10L)); drain(q)
+      // watermark to 11:06 then 11:07 — past the buggy anchor (11:04),
+      // before the true one (11:09); the second batch evaluates timeouts
+      ms.addData(sentinel("2024-01-01 12:06:00", 11L)); drain(q)
+      ms.addData(sentinel("2024-01-01 12:07:00", 12L)); drain(q)
+      assert(spark.table("scd2_prefire_ms").where(col("user_id") >= 0).isEmpty,
+        "flush fired between the kept-prefix anchor and the true anchor — pre-fire")
+      // past the true anchor: the flush fires over the re-truncated
+      // buffer (smallest 5 incl. the late 10:00:30 row — all "a")
+      ms.addData(sentinel("2100-01-01 00:00:00", 13L)); drain(q)
+      ms.addData(sentinel("2100-06-01 00:00:00", 14L)); drain(q)
+      val got = spark.table("scd2_prefire_ms").where(col("user_id") >= 0)
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+      assert(got.toSeq === Seq(("a", 1L, -1L)),
+        s"the capped history is one open 'a' version; got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("st23's upsert-serving path: cube survives a kill/resume; served rollup equals batch") {
     // The round-8 verdict's task 6: kill the serving writer mid-stream
     // and resume it over the SAME checkpoint + table — the update-mode
