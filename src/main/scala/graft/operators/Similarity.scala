@@ -409,7 +409,7 @@ object Similarity {
       qvec.select(col("query_id"))
         .join(matched, Seq("query_id"), "left")
         .select(lit(p.toLong).as("probes"), col("query_id"),
-          (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+          (coalesce(col("matched"), lit(0L)).cast("double") / lit(K.toDouble)).as("recall10"))
     }
     perP.reduce(_ unionAll _)
   }
@@ -514,7 +514,7 @@ object Similarity {
       .join(qvec.select(col("query_id")), lit(true), "inner")
       .join(matched, Seq("probes", "query_id"), "left")
       .select(col("probes"), col("query_id"),
-        (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+        (coalesce(col("matched"), lit(0L)).cast("double") / lit(K.toDouble)).as("recall10"))
   }
 
   /** n17 — THE TUNED IVF SEARCH: top-K over the trained index probing
@@ -906,7 +906,7 @@ object Similarity {
     qvec.select(col("query_id"))
       .join(matched, Seq("query_id"), "left")
       .select(col("query_id"),
-        (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+        (coalesce(col("matched"), lit(0L)).cast("double") / lit(K.toDouble)).as("recall10"))
   }
 
   /** n09 — IVFADC, the production vector-index shape (coarse cell
@@ -1006,7 +1006,7 @@ object Similarity {
       qvec.select(col("query_id"))
         .join(matched, Seq("query_id"), "left")
         .select(lit(p.toLong).as("probes"), col("query_id"),
-          (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+          (coalesce(col("matched"), lit(0L)).cast("double") / lit(K.toDouble)).as("recall10"))
     }
     perP.reduce(_ unionAll _)
   }
@@ -1076,7 +1076,7 @@ object Similarity {
       qvec.select(col("query_id"))
         .join(matched, Seq("query_id"), "left")
         .select(lit(stage).as("stage"), col("query_id"),
-          (coalesce(col("matched"), lit(0L)).cast("double") / lit(10.0)).as("recall10"))
+          (coalesce(col("matched"), lit(0L)).cast("double") / lit(K.toDouble)).as("recall10"))
     }
     recallOf("adc", adcTop) unionAll recallOf("rerank", reranked)
   }
@@ -1449,7 +1449,7 @@ object Similarity {
           mtc AS (SELECT probes, query_id, COUNT(*) AS matched
                   FROM ivf JOIN exact USING (query_id, vec_id) GROUP BY 1, 2)
           SELECT CAST(pr.probes AS BIGINT) AS probes, q.query_id,
-                 COALESCE(mtc.matched, 0) / 10.0 AS recall10
+                 COALESCE(mtc.matched, 0) / ${K}.0 AS recall10
           FROM pr CROSS JOIN q
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
     "n15_index_upsert" -> duckIndexUpsertSql,
@@ -1483,7 +1483,7 @@ object Similarity {
           mtc AS (SELECT probes, query_id, COUNT(*) AS matched
                   FROM ivf JOIN exact USING (query_id, vec_id) GROUP BY 1, 2)
           SELECT CAST(pr.probes AS BIGINT) AS probes, q.query_id,
-                 COALESCE(mtc.matched, 0) / 10.0 AS recall10
+                 COALESCE(mtc.matched, 0) / ${K}.0 AS recall10
           FROM pr CROSS JOIN q
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
     "n17_tuned_ivf" ->
@@ -1572,7 +1572,7 @@ object Similarity {
                   QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY amicro, vec_id) <= $K),
           mx AS (SELECT query_id, COUNT(*) AS matched
                  FROM pqt JOIN exact USING (query_id, vec_id) GROUP BY 1)
-          SELECT qx.query_id, COALESCE(mx.matched, 0) / 10.0 AS recall10
+          SELECT qx.query_id, COALESCE(mx.matched, 0) / ${K}.0 AS recall10
           FROM qx LEFT JOIN mx USING (query_id)""",
     "n12_pq_rerank" ->
       s"""WITH $duckVecs, $duckPqTrain, $duckAdcFull,
@@ -1597,11 +1597,11 @@ object Similarity {
           mr AS (SELECT query_id, COUNT(*) AS matched
                  FROM rr JOIN exact USING (query_id, vec_id) GROUP BY 1)
           SELECT 'adc' AS stage, qx.query_id,
-                 COALESCE(ma.matched, 0) / 10.0 AS recall10
+                 COALESCE(ma.matched, 0) / ${K}.0 AS recall10
           FROM qx LEFT JOIN ma USING (query_id)
           UNION ALL
           SELECT 'rerank' AS stage, qx.query_id,
-                 COALESCE(mr.matched, 0) / 10.0 AS recall10
+                 COALESCE(mr.matched, 0) / ${K}.0 AS recall10
           FROM qx LEFT JOIN mr USING (query_id)""",
     "n09_ivfadc_topk" ->
       s"""WITH $duckVecs,
@@ -1662,7 +1662,7 @@ object Similarity {
           mtc AS (SELECT probes, query_id, COUNT(*) AS matched
                   FROM ranked JOIN exact USING (query_id, vec_id) GROUP BY 1, 2)
           SELECT CAST(pr.probes AS BIGINT) AS probes, q.query_id,
-                 COALESCE(mtc.matched, 0) / 10.0 AS recall10
+                 COALESCE(mtc.matched, 0) / ${K}.0 AS recall10
           FROM pr CROSS JOIN q
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
     "d05_embedding_neardup" ->
