@@ -1093,6 +1093,40 @@ object StreamQueries {
           (col("n_tokens").cast("double") / col("tot_tok").cast("double"))).as("boost"))
   }
 
+  /** A-family streaming — THE QUANTILE SKETCH AT INGEST (streaming
+    * twin of a14, closing the a13→a14→st29 chain): per-event-type
+    * p50/p90/p99 maintained incrementally by
+    * [[graft.functions.QuantileSketchAgg]] inside an update-mode
+    * streaming aggregation and SERVED from the keyed upsert table.
+    * This is the latency-percentile dashboard shape: each micro-batch
+    * folds its values into the per-key sketch buffer held in state
+    * (map-side partials reduce a partition to one O(k·log(n/k))
+    * sketch before the exchange, exactly a14's batch shape), and
+    * reading current percentiles costs a |event_types|-row table
+    * scan, never a re-aggregation of history.
+    *
+    * State: ONE ~100 KB sketch buffer per event type — key-bounded,
+    * never event-bounded; n_events (exact count, the sketch's carried
+    * counter) is the upsert's monotonic order column. No watermark is
+    * needed (update-mode agg, st26's rule), so the sentinel is
+    * pre-filtered by id. Correctness follows the a07/a14 precedent:
+    * the result depends on the merge tree, so there is no cross-engine
+    * oracle — the driver records the rows-only check, and
+    * `QuantileSketchSpec` bounds the SERVED quantiles against exact
+    * order statistics across a kill/resume of this exact path
+    * (upsertServeWith), proving the sketch state recovers from the
+    * checkpoint and n_events stays exact.
+    */
+  val st29_stream_quantile_serve: Q = (spark, dir) => {
+    val base = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0 && col("value").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch.quantileSketch(2048)(col("value")).as("s"))
+      .select(col("event_type"), col("s.n_events").as("n_events"),
+        col("s.p50").as("p50"), col("s.p90").as("p90"), col("s.p99").as("p99"))
+    upsertServe(spark, base, Seq("event_type"), "n_events")
+  }
+
   /** A-family streaming — REALTIME ORDERED FUNNEL (streaming twin of
     * a09): the event stream feeds [[Pipelines.funnel]]'s per-user state
     * machine (three longs per in-flight user, event-time-timeout
@@ -1189,6 +1223,7 @@ object StreamQueries {
     "st27_tuned_ann_serve" -> st27_tuned_ann_serve,
     "st28_stream_repetition" -> st28_stream_repetition,
     "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
+    "st29_stream_quantile_serve" -> st29_stream_quantile_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,

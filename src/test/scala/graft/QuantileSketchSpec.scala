@@ -97,6 +97,53 @@ class QuantileSketchSpec extends SparkSpecBase {
     }
   }
 
+  test("st29's served sketch survives a kill/resume; quantiles stay in the envelope") {
+    // The serving twin's restart contract (the st23 kill/resume
+    // pattern): pass 1 folds one value block into the keyed sketch
+    // state and dies; pass 2 resumes over the SAME checkpoint + table
+    // with a second block. The recovered sketch must carry the exact
+    // total count and the served percentiles must sit inside the
+    // worst-case envelope over ALL delivered values — state recovery
+    // that lost or double-counted a block would blow the count check,
+    // and a buffer mangled in the checkpoint round-trip the envelope.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[(String, Double)]
+    val cp = tmpDir("cp_st29_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st29_restart_"), Seq("event_type"), "n_events")
+    def base = ms.toDF().toDF("event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch.quantileSketch(K)(col("value")).as("s"))
+      .select(col("event_type"), col("s.n_events").as("n_events"),
+        col("s.p50").as("p50"), col("s.p90").as("p90"), col("s.p99").as("p99"))
+    val xs1 = data(20000, 3)
+    val xs2 = data(10000, 4)
+    ms.addData(xs1.map(("lat", _)): _*)
+    SQ.upsertServeWith(spark, base, table, cp) // pass 1, then the writer dies
+    ms.addData(xs2.map(("lat", _)): _*)
+    val served = SQ.upsertServeWith(spark, base, table, cp) // resumed pass 2
+    val row = served.where(col("event_type") === "lat").collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one served row, got ${other.length}")
+    }
+    val all = xs1 ++ xs2
+    assert(row.getAs[Long]("n_events") === all.size.toLong,
+      "the recovered sketch must count every delivered value exactly once")
+    val sorted = all.sorted
+    val eps = bound(all.size, K)
+    for ((q, got) <- Qs.zip(Seq(row.getAs[Double]("p50"),
+        row.getAs[Double]("p90"), row.getAs[Double]("p99")))) {
+      val target = math.ceil(q * all.size).toLong
+      val lo = lowRankOf(sorted, got)
+      val hi = rankOf(sorted, got)
+      val err = if (target < lo) lo - target else if (target > hi) target - hi else 0L
+      assert(err <= eps, s"q=$q: served rank error $err > bound $eps (value $got)")
+    }
+  }
+
   test("a14 agrees with the exact a13 within the envelope on the sf corpus") {
     val exact = Relational.a13_value_quantiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
