@@ -304,11 +304,44 @@ object Curation {
         col("n_bpe_tokens"), col("seq_id"), col("start_off"))
   }
 
+  /** c05 — the CURATION PROFILE: the report card a curation run prints,
+    * one row per audit verdict (c03's stage taxonomy) with the doc
+    * count, total whitespace tokens, and EXACT token-count p50/p90/p99
+    * (a13's picked-order-statistic shape — rank by (n_tok, doc_id)
+    * within stage, pick ⌈q·n⌉). This is the composition that makes the
+    * audit actionable: "the repetition gate rejected 312 docs whose
+    * median length is 3× the kept median" is read straight off it.
+    *
+    * Scale shape: the audit itself is c03's chain (each gate one
+    * single-keyed shuffle); the profile adds ONE window pass + rollup
+    * hash-distributed by stage — ≤8 groups, so the window's per-group
+    * sort is the a13 regime (fine at sf, partition-local sort of
+    * n/|stages| at 100 TB; the sketched alternative is a14/st29's
+    * documented trade). Fully oracle-checkable: exact integer ranks
+    * over exact integer token counts, c03's CTEs reused verbatim.
+    */
+  val c05_curation_profile: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val byStage = W.partitionBy(col("stage"))
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val ranked = c03_curation_audit(spark, dir)
+      .join(toks, "doc_id")
+      .withColumn("rn", row_number().over(byStage.orderBy(col("n_tok"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byStage))
+    def pick(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("n_tok")))
+    ranked.groupBy(col("stage"))
+      .agg(max(col("n")).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        pick(0.5).as("p50_tok"), pick(0.9).as("p90_tok"), pick(0.99).as("p99_tok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_curated_manifest" -> c02_curated_manifest,
     "c03_curation_audit" -> c03_curation_audit,
     "c04_manifest_table" -> c04_manifest_table,
+    "c05_curation_profile" -> c05_curation_profile,
   )
 
   // --------------------------------------------------------------------
@@ -463,5 +496,20 @@ object Curation {
     "c04_manifest_table" ->
       s"""SELECT * FROM ($duckC02Sql)
           WHERE split = 'train' AND shard < 8""",
+    "c05_curation_profile" ->
+      s"""WITH audit AS ($duckC03Sql),
+          tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+          r AS (SELECT a.stage, t.n_tok,
+                       row_number() OVER (PARTITION BY a.stage
+                                          ORDER BY t.n_tok, a.doc_id) AS rn,
+                       count(*) OVER (PARTITION BY a.stage) AS n
+                FROM audit a JOIN tk t ON t.doc_id = a.doc_id)
+          SELECT stage, max(n) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+                 max(CASE WHEN rn = ceil(0.5 * n) THEN n_tok END) AS p50_tok,
+                 max(CASE WHEN rn = ceil(0.9 * n) THEN n_tok END) AS p90_tok,
+                 max(CASE WHEN rn = ceil(0.99 * n) THEN n_tok END) AS p99_tok
+          FROM r GROUP BY stage""",
   )
 }

@@ -90,6 +90,29 @@ class CurationSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("c05 profile partitions the corpus and its picks are exact order statistics") {
+    try {
+      val prof = Curation.c05_curation_profile(spark, sf).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val nDocs = Tables.documents(spark, sf).count()
+      assert(prof.values.map(_.getAs[Long]("n_docs")).sum === nDocs,
+        "stage doc counts must partition the corpus")
+      // re-derive the kept stage's picks from raw token counts
+      val keptIds = Curation.c03_curation_audit(spark, sf)
+        .where(col("stage") === "kept").collect().map(_.getLong(0)).toSet
+      val toks = Tables.documents(spark, sf)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .collect().filter(r => keptIds(r.getLong(0)))
+        .sortBy(r => (r.getLong(1), r.getLong(0))).map(_.getLong(1)).toVector
+      val kept = prof("kept")
+      assert(kept.getAs[Long]("n_docs") === toks.size.toLong)
+      assert(kept.getAs[Long]("total_tokens") === toks.sum)
+      for ((q, c) <- Seq(0.5 -> "p50_tok", 0.9 -> "p90_tok", 0.99 -> "p99_tok"))
+        assert(kept.getAs[Long](c) === toks(math.ceil(q * toks.size).toInt - 1),
+          s"$c must be the exact picked order statistic")
+    } finally spark.catalog.clearCache()
+  }
+
   test("c04 real-manifest read-back prunes on (split, shard) at the directory level") {
     try {
       val q = Curation.c04_manifest_table(spark, sf)
