@@ -658,6 +658,37 @@ object Relational {
         col("s.p50").as("p50"), col("s.p90").as("p90"), col("s.p99").as("p99"))
   }
 
+  /** a15 — MERGEABLE HEAVY HITTERS (the third of the sketch trio —
+    * distinct counts a07, quantiles a14, frequent items this): the
+    * Misra-Gries summary of [[graft.functions.HeavyHittersAgg]] over
+    * the brand frequency of lineitem (k = 16 counters against 25
+    * brands, so capacity genuinely binds and the decrement path runs).
+    * Emits ≤ k rows (brand, est_cnt) plus the exact total, ranked by
+    * estimated count.
+    *
+    * Scale shape: the dim join broadcasts (25 parts rows per brand);
+    * the aggregation reduces each partition map-side to ≤ k counters,
+    * so the exchange carries k longs per partition — at 100 TB this
+    * replaces a full groupBy of a high-cardinality key with an O(k)
+    * exchange, the regime where the exact a01/a05 shape stops being
+    * the first tool. Guarantee (spec-asserted): est never overcounts,
+    * undercounts ≤ ⌊n/(k+1)⌋, and every item with true frequency
+    * > n/(k+1) is present. Merge-tree-dependent like every counter
+    * summary → no DuckDB oracle (the a07/a14 precedent); the driver
+    * records the rows-only check and `HeavyHittersSpec` bounds it
+    * against exact counts.
+    */
+  val a15_heavy_hitters: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .select(col("p_brand"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(16)(col("p_brand")).as("s"))
+      .select(col("s.n_items").as("n_items"), explode(col("s.hits")).as("h"))
+      .select(col("n_items"), col("h.item").as("p_brand"),
+        col("h.est_cnt").as("est_cnt"))
+  }
+
   /** a09 — ORDERED FUNNEL over the event stream (signup → click →
     * purchase): a user advances a stage only with a strictly LATER
     * event of the next type — min-timestamp per stage, each computed
@@ -888,6 +919,7 @@ object Relational {
     "a12_event_pivot" -> a12_event_pivot,
     "a13_value_quantiles" -> a13_value_quantiles,
     "a14_quantile_sketch" -> a14_quantile_sketch,
+    "a15_heavy_hitters" -> a15_heavy_hitters,
     "j11_scd2_history" -> j11_scd2_history,
     "p12_quarantine" -> p12_quarantine,
     "a06_salted_agg" -> a06_salted_agg,
