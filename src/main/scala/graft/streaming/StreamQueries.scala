@@ -1127,6 +1127,43 @@ object StreamQueries {
     upsertServe(spark, base, Seq("event_type"), "n_events")
   }
 
+  /** A-family streaming — HEAVY HITTERS AT INGEST (streaming twin of
+    * a15, the trio's last serving leg — st29 serves quantiles, this
+    * serves frequent items): the per-event-type Misra-Gries summary of
+    * the user_id frequency maintained incrementally in an update-mode
+    * streaming aggregation and served from the keyed upsert table; the
+    * ≤ k counters ride the served row as an array column and explode
+    * ON READ into (event_type, item, est_cnt) rows — the st23/st26
+    * division (stream maintains the O(k) summary, serving derives the
+    * row shape). State: one ≤ k-counter buffer per event type —
+    * key-bounded, never user-bounded; n_items (the summary's exact
+    * carried count) is the upsert's monotonic order column. No
+    * watermark (update-mode agg, st26's rule) so the sentinel is
+    * pre-filtered by id. Merge-tree-dependent like a15 → no oracle;
+    * `HeavyHittersSpec` kills and resumes this exact path
+    * (upsertServeWith) and asserts exact counts plus the three-clause
+    * guarantee against all delivered items.
+    */
+  val st30_stream_hitters_serve: Q = (spark, dir) => {
+    val base = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(16)(col("uid")).as("s"))
+      .select(col("event_type"), col("s.n_items").as("n_items"),
+        col("s.hits").as("hits"))
+    hittersOnRead(upsertServe(spark, base, Seq("event_type"), "n_items"))
+  }
+
+  /** st30's read-side: explode the served counter arrays into ranked
+    * (event_type, item, est_cnt) rows (shared with the restart spec).
+    */
+  private[graft] def hittersOnRead(served: DataFrame): DataFrame =
+    served.select(col("event_type"), col("n_items"),
+        explode(col("hits")).as("h"))
+      .select(col("event_type"), col("n_items"),
+        col("h.item").as("item"), col("h.est_cnt").as("est_cnt"))
+
   /** A-family streaming — REALTIME ORDERED FUNNEL (streaming twin of
     * a09): the event stream feeds [[Pipelines.funnel]]'s per-user state
     * machine (three longs per in-flight user, event-time-timeout
@@ -1224,6 +1261,7 @@ object StreamQueries {
     "st28_stream_repetition" -> st28_stream_repetition,
     "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
     "st29_stream_quantile_serve" -> st29_stream_quantile_serve,
+    "st30_stream_hitters_serve" -> st30_stream_hitters_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,

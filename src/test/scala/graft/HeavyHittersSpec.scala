@@ -79,6 +79,42 @@ class HeavyHittersSpec extends SparkSpecBase {
     }
   }
 
+  test("st30's served summary survives a kill/resume and stays bounded") {
+    // The st29 restart pattern on the hitters path: pass 1 folds one
+    // item block into the per-key MG state and dies; pass 2 resumes
+    // over the SAME checkpoint + table. The recovered summary must
+    // carry the exact total and honor the three-clause guarantee over
+    // ALL delivered items.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[(String, String)]
+    val cp = tmpDir("cp_st30_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st30_restart_"), Seq("event_type"), "n_items")
+    def base = ms.toDF().toDF("event_type", "uid")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(K)(col("uid")).as("s"))
+      .select(col("event_type"), col("s.n_items").as("n_items"),
+        col("s.hits").as("hits"))
+    val xs1 = data(20000, 200, 5)
+    val xs2 = data(10000, 200, 6)
+    ms.addData(xs1.map(("click", _)): _*)
+    SQ.upsertServeWith(spark, base, table, cp) // pass 1, then the writer dies
+    ms.addData(xs2.map(("click", _)): _*)
+    val served = SQ.hittersOnRead(
+      SQ.upsertServeWith(spark, base, table, cp)) // resumed pass 2
+      .where(col("event_type") === "click").collect()
+    val all = xs1 ++ xs2
+    assert(served.nonEmpty && served.length <= K)
+    assert(served.forall(_.getAs[Long]("n_items") === all.size.toLong),
+      "the recovered summary must count every delivered item exactly once")
+    checkGuarantee(all,
+      served.map(r => r.getAs[String]("item") -> r.getAs[Long]("est_cnt")).toMap,
+      K, "st30 restart")
+  }
+
   test("a15 stays bounded against the exact brand counts on the sf corpus") {
     val exact = Relational.a01_brand_revenue(spark, sf)
       .select(col("p_brand"), col("n_lines")).collect()
