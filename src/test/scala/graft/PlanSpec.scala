@@ -173,6 +173,23 @@ class PlanSpec extends SparkSpecBase {
       s"both window passes and the final groupBy must reuse one hash distribution, saw $shuffles exchanges")
   }
 
+  test("c05: the stage-keyed window pass and the profile rollup share ONE exchange") {
+    // c03's chain owns its per-gate shuffles; the profile layer on top
+    // must add exactly one stage-keyed distribution reused by both the
+    // rank window and the final groupBy (a13's one-exchange property).
+    val df = graft.operators.Curation.c05_curation_profile(spark, sf)
+    try {
+      df.collect()
+      val stageShuffles = flatten(df.queryExecution.executedPlan).count {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          s.outputPartitioning.toString.contains("stage")
+        case _ => false
+      }
+      assert(stageShuffles === 1,
+        s"the window and rollup must reuse one stage-hash distribution, saw $stageShuffles")
+    } finally spark.catalog.clearCache()
+  }
+
   test("partitionedParquet: partition pruning eliminates directories; files are compacted") {
     val dir = java.nio.file.Files.createTempDirectory("layout_").toString
     val li = Tables.lineitem(spark, sf)
