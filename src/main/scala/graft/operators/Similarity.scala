@@ -1170,6 +1170,57 @@ object Similarity {
     nearDupPairs(e.unionAll(pert), CellCap)
   }
 
+  /** d10 — SEMANTIC DECONTAMINATION: the embedding-space twin of d08's
+    * shingle decontamination (paraphrased eval leakage carries no
+    * shingle overlap — the reason modern pipelines run BOTH): flag
+    * every train vector whose cosine to ANY eval-set vector reaches
+    * [[NearDupThreshold]], with the hit count and the worst offender's
+    * similarity. Eval set = vec_id % 20 = 7 (deterministic, ~5%);
+    * train = the rest ∪ perturbed copies of every fourth eval vector
+    * (d05's 8-dims-zeroed plant, cosine ≈ 0.94 to the original —
+    * the natural corpus's max cross-cosine ≈ 0.51, so the check would
+    * be vacuous unplanted).
+    *
+    * Scale shape: d05's candidate plan verbatim — candidates generated
+    * within a (label, sub) cell (at scale the LSH/IVF bucket id),
+    * never all-pairs; cells above [[CellCap]] split into sub-buckets
+    * so no cell emits c² pairs; per-cell counts shuffle as (label, n)
+    * pairs and broadcast back. The same recall trade as d05 applies to
+    * planted pairs once a cell exceeds the cap (sub-splitting hashes
+    * vec_id, not pair identity); at sf every cell is under it. The
+    * train⋈eval join replaces d05's a<b self-join — the asymmetric
+    * roles mean no dedup-by-ordering is needed and the eval side is
+    * the small one (broadcast at production eval-set sizes).
+    */
+  val d10_semantic_decontam: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val ev = e.where(col("vec_id") % 20 === 7)
+    val planted = ev.where(col("vec_id") % 80 === 7)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+        concat(array_repeat(lit(0.0f), 8), slice(col("v"), 9, 56)).as("v"))
+    val corpus = e.where(col("vec_id") % 20 =!= 7).unionAll(planted)
+      .select(col("vec_id"), col("label"), col("v"), lit("t").as("role"))
+      .unionAll(ev.select(col("vec_id"), col("label"), col("v"),
+        lit("e").as("role")))
+    val counts = corpus.groupBy(col("label")).agg(count(lit(1)).as("cnt"))
+    val sub = corpus.join(broadcast(counts), "label")
+      .select(col("vec_id"), col("label"), col("role"), col("v"),
+        (Portable.hash60(col("vec_id").cast("string")) %
+          floor((col("cnt") + lit(CellCap - 1)) / lit(CellCap))).as("sub"))
+    val t = sub.where(col("role") === "t")
+      .select(col("vec_id"), col("label"), col("sub"), col("v").as("vt"))
+    val q = sub.where(col("role") === "e")
+      .select(col("vec_id").as("eval_id"), col("label").as("lb"),
+        col("sub").as("subb"), col("v").as("ve"))
+    t.join(q, col("label") === col("lb") && col("sub") === col("subb"))
+      .select(col("vec_id"), col("label"), cos6(col("vt"), col("ve")).as("c6"))
+      .where(col("c6") >= NearDupThreshold)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("c6")).as("max_cos6"))
+  }
+
   val queries: Map[String, Q] = Map(
     "n01_cosine_topk" -> n01_cosine_topk,
     "n02_ivf_topk" -> n02_ivf_topk,
@@ -1189,6 +1240,7 @@ object Similarity {
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
     "d05_embedding_neardup" -> d05_embedding_neardup,
+    "d10_semantic_decontam" -> d10_semantic_decontam,
   )
 
   // ------------------------------------------------------------------
@@ -1689,5 +1741,34 @@ object Similarity {
                 FROM n a JOIN n b ON a.label = b.label AND a.sub = b.sub
                                  AND a.vec_id < b.vec_id)
           SELECT vec_a, vec_b, label, cos6 FROM p WHERE cos6 >= $NearDupThreshold""",
+    "d10_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          ev AS (SELECT vec_id, label, v FROM e WHERE vec_id % 20 = 7),
+          corpus AS (
+            SELECT vec_id, label, v, 't' AS role FROM e WHERE vec_id % 20 <> 7
+            UNION ALL
+            SELECT vec_id + 2000000, label,
+                   list_concat([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], v[9:]),
+                   't' AS role
+            FROM ev WHERE vec_id % 80 = 7
+            UNION ALL
+            SELECT vec_id, label, v, 'e' AS role FROM ev),
+          counts AS (SELECT label, COUNT(*) AS cnt FROM corpus GROUP BY label),
+          sb AS (SELECT vec_id, corpus.label, role, v,
+                   ${Portable.duckHash60("CAST(vec_id AS VARCHAR)")} %
+                     ((cnt + ${CellCap - 1}) // $CellCap) AS sub
+                 FROM corpus JOIN counts USING (label)),
+          n AS (SELECT vec_id, label, role, sub, v,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM sb),
+          p AS (SELECT a.vec_id, a.label,
+                  round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+                        / (a.nrm * b.nrm) * 1000000) / 1000000 AS c6
+                FROM n a JOIN n b ON a.label = b.label AND a.sub = b.sub
+                WHERE a.role = 't' AND b.role = 'e')
+          SELECT vec_id, label, COUNT(*) AS n_eval_hits, max(c6) AS max_cos6
+          FROM p WHERE c6 >= $NearDupThreshold GROUP BY vec_id, label""",
   )
 }

@@ -39,6 +39,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(pairs === n.toLong * (n - 1) / 2)
   }
 
+  test("d10: exactly the planted contaminants flag; no natural train vector does") {
+    // Precision AND recall of the semantic gate on the sf corpus: the
+    // flagged set must be exactly the planted perturbed eval copies
+    // (ids + 2000000 — cosine ≈ 0.94 to their originals), because the
+    // natural corpus's max train-eval cosine sits far below the 0.8
+    // threshold; each plant must name its original among its hits via
+    // a max_cos6 in the perturbation's range.
+    val got = Similarity.d10_semantic_decontam(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_eval_hits"), r.getAs[Double]("max_cos6"))).toMap
+    val planted = Tables.embeddings(spark, sf)
+      .where(col("vec_id") % 80 === 7)
+      .collect().map(_.getAs[Long]("vec_id") + 2000000L).toSet
+    assert(planted.nonEmpty, "fixture must plant at least one contaminant")
+    assert(got.keySet === planted,
+      s"flagged set must be exactly the plants; got ${got.keySet}, want $planted")
+    for ((id, (hits, mc)) <- got) {
+      assert(hits >= 1L, s"$id must hit at least its own original")
+      assert(mc >= 0.85 && mc <= 1.0, s"$id max_cos6 $mc outside the plant range")
+    }
+  }
+
   test("n06: recall@10 is in [0,1] and never drops when probing more cells") {
     val rows = Similarity.n06_ivf_recall(spark, sf)
       .collect()
