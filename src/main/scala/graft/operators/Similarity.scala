@@ -1108,7 +1108,7 @@ object Similarity {
         .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
   }
 
-  private val NearDupThreshold = 0.8
+  private[graft] val NearDupThreshold = 0.8
 
   /** Max members a cell may hold before its candidate self-join is
     * split into hash sub-buckets. A cell of c members emits c² pairs

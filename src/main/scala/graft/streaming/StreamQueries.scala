@@ -1127,6 +1127,55 @@ object StreamQueries {
     upsertServe(spark, base, Seq("event_type"), "n_events")
   }
 
+  /** D-family streaming — SEMANTIC DECONTAMINATION AT INGEST
+    * (streaming twin of d10, exactly as st16 serves d08's shingle
+    * gate): the arriving embedding corpus (train side ∪ the planted
+    * perturbed eval copies) scores against the EVAL SET AS A BROADCAST
+    * TABLE — the eval side is bounded by construction (an eval suite,
+    * not a corpus), so the gate is a stateless stream-static equi-join
+    * on the label bucket + a codegen'd cosine per candidate, no
+    * sub-bucket cap needed (d10 caps because its batch side is
+    * corpus×corpus; here per-row fan-out is |eval ∩ label|). One
+    * windowed aggregation collapses a vector's eval hits to
+    * (n_eval_hits, max_cos6) — state one triple per in-flight
+    * (window, vector), watermark-evicted. The sentinel passes the
+    * watermark node before the join drops it (st16's adjudicated
+    * shape), so the final windows flush. Oracle: the same-label
+    * train×eval pairs at the threshold — d10's arithmetic WITHOUT the
+    * sub split (at sf every cell is under the cap, so the two gates
+    * flag identical sets; the spec locks that agreement).
+    */
+  val st31_stream_semantic_decontam: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val S = graft.operators.Similarity
+    val ev = graft.Tables.embeddings(spark, dir)
+      .where(col("vec_id") % 20 === 7)
+      .select(col("label").as("lb"), col("embedding").as("ve"))
+    // one watermark node AFTER the union (st28's adjudicated shape —
+    // per-branch watermarks leave two nodes whose min gates the flush)
+    def raw() = Replay
+      .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
+    val natural = raw().where(col("vec_id") % 20 =!= 7)
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val planted = raw().where(col("vec_id") >= 0 && col("vec_id") % 80 === 7)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("label"),
+        concat(array_repeat(lit(0.0f), 8), slice(col("embedding"), 9, 56)).as("v"))
+    val hits = natural.unionAll(planted)
+      .withColumn("event_time", when(col("vec_id") < 0,
+          lit("2100-01-01 00:00:00").cast("timestamp"))
+        .otherwise(timestamp_micros(lit(1700000000000000L) +
+          (col("vec_id") % 2000000L) * 1000000L)))
+      .withWatermark("event_time", "1 hour")
+      .join(broadcast(ev), col("label") === col("lb"))
+      .select(col("vec_id"), col("label"), col("event_time"),
+        S.cos6(col("v"), col("ve")).as("c6"))
+      .where(col("c6") >= S.NearDupThreshold)
+      .groupBy(window(col("event_time"), "1 hour"), col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("c6")).as("max_cos6"))
+      .select(col("vec_id"), col("label"), col("n_eval_hits"), col("max_cos6"))
+    Replay.runAppend(spark, hits).where(col("vec_id") >= 0)
+  }
+
   /** A-family streaming — HEAVY HITTERS AT INGEST (streaming twin of
     * a15, the trio's last serving leg — st29 serves quantiles, this
     * serves frequent items): the per-event-type Misra-Gries summary of
@@ -1262,6 +1311,7 @@ object StreamQueries {
     "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
     "st29_stream_quantile_serve" -> st29_stream_quantile_serve,
     "st30_stream_hitters_serve" -> st30_stream_hitters_serve,
+    "st31_stream_semantic_decontam" -> st31_stream_semantic_decontam,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1297,6 +1347,30 @@ object StreamQueries {
     "st25_stream_quarantine" -> graft.operators.Relational.oracles("p12_quarantine"),
     "st26_stream_mixture_serve" -> graft.operators.TextAnalysis.oracles("t19_domain_mixture"),
     "st27_tuned_ann_serve" -> graft.operators.Similarity.duckTunedAdcSql,
+    // st31 flags the same-label train×eval pairs at the threshold —
+    // d10's arithmetic without the sub split (the eval side is
+    // broadcast-bounded at ingest, so no cell cap applies)
+    "st31_stream_semantic_decontam" ->
+      s"""WITH e AS (SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          ev AS (SELECT vec_id, label, v FROM e WHERE vec_id % 20 = 7),
+          tr AS (SELECT vec_id, label, v FROM e WHERE vec_id % 20 <> 7
+                 UNION ALL
+                 SELECT vec_id + 2000000, label,
+                        list_concat([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], v[9:])
+                 FROM ev WHERE vec_id % 80 = 7),
+          na AS (SELECT vec_id, label, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM tr),
+          ne AS (SELECT label, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ev),
+          p AS (SELECT a.vec_id, a.label,
+                  round(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2]))
+                        / (a.nrm * b.nrm) * 1000000) / 1000000 AS c6
+                FROM na a JOIN ne b ON a.label = b.label)
+          SELECT vec_id, label, COUNT(*) AS n_eval_hits, max(c6) AS max_cos6
+          FROM p WHERE c6 >= ${graft.operators.Similarity.NearDupThreshold}
+          GROUP BY vec_id, label""",
     // st28 must assign EXACTLY t21's signals to the text-distinct
     // corpus — the oracle composes t21's CTEs over the deduped stream
     "st28_stream_repetition" -> {

@@ -61,6 +61,22 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("st31 at ingest flags exactly the set batch d10 flags, scores equal") {
+    // The two gates share the threshold and arithmetic; at spec scale
+    // every cell is under d10's cap, so the batch sub-bucketing drops
+    // nothing and the ingest gate (broadcast eval, no cap) must agree
+    // bit-for-bit on ids, hit counts, and worst cosines.
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_eval_hits"), r.getAs[Double]("max_cos6"))).toMap
+    val batch = toMap(Similarity.d10_semantic_decontam(spark, sf).collect())
+    val ingest = toMap(graft.streaming.StreamQueries
+      .queries("st31_stream_semantic_decontam")(spark, sf).collect())
+    assert(batch.nonEmpty, "fixture must flag at least one contaminant")
+    assert(ingest === batch,
+      s"ingest and batch gates must agree; ingest $ingest vs batch $batch")
+  }
+
   test("n06: recall@10 is in [0,1] and never drops when probing more cells") {
     val rows = Similarity.n06_ivf_recall(spark, sf)
       .collect()
