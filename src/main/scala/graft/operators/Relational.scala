@@ -771,6 +771,45 @@ object Relational {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** j12 — AS-OF JOIN (last-touch attribution): each purchase joined
+    * to the SAME user's latest click at-or-before it — the operator
+    * classic warehouses need (latest rate/dim-version/touchpoint at
+    * event time) and Spark has no native form for. Null click columns
+    * when no prior click exists (left semantics).
+    *
+    * Scale shape — the one-shuffle union+window formulation: tag both
+    * sides, union, and carry the last click forward per user with
+    * `last(..., ignoreNulls)` over (tsu, tag, event_id) rows-frames;
+    * clicks sort before purchases at equal timestamps (at-or-before)
+    * and ties break on event_id, so the pick is total-order
+    * deterministic. ONE exchange on user_id + one sort — the naive
+    * inequality join (`c.tsu <= p.tsu` + per-purchase max) plans as a
+    * broadcast-nested-loop cross of the two sides, O(|C|·|P|) per
+    * user; this is O((|C|+|P|) log) and survives 100 TB. The DuckDB
+    * twin deliberately runs a DIFFERENT algorithm (correlated
+    * latest-≤ top-1 per purchase) so the differential checks the
+    * semantics, not the plan.
+    */
+  val j12_attribution_asof: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    def side(t: String, tag: Int) = ev.where(col("event_type") === t)
+      .select(col("user_id"), col("tsu"), lit(tag).as("tag"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    side("click", 0).unionAll(side("purchase", 1))
+      .withColumn("click_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_tsu",
+        last(when(col("tag") === 0, col("tsu")), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        col("click_id"), col("click_tsu"),
+        (col("tsu") - col("click_tsu")).as("gap_us"))
+  }
+
   /** A6 — salt-and-merge two-phase aggregation: the standard
     * skewed-key mitigation at scale (a hot brand would overload one
     * reducer; salting spreads it over 8 partial groups, the second
@@ -921,6 +960,7 @@ object Relational {
     "a14_quantile_sketch" -> a14_quantile_sketch,
     "a15_heavy_hitters" -> a15_heavy_hitters,
     "j11_scd2_history" -> j11_scd2_history,
+    "j12_attribution_asof" -> j12_attribution_asof,
     "p12_quarantine" -> p12_quarantine,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
@@ -1142,6 +1182,19 @@ object Relational {
                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
           FROM ev JOIN f USING (user_id)
           GROUP BY 1, 2""",
+    "j12_attribution_asof" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+                    WHERE event_type = 'click'),
+          p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+                WHERE event_type = 'purchase'),
+          att AS (SELECT p.event_id, p.user_id, p.tsu,
+                    (SELECT c.event_id FROM c
+                     WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
+                     ORDER BY c.tsu DESC, c.event_id DESC LIMIT 1) AS click_id
+                  FROM p)
+          SELECT a.event_id, a.user_id, a.tsu, a.click_id,
+                 c.tsu AS click_tsu, a.tsu - c.tsu AS gap_us
+          FROM att a LEFT JOIN c ON c.event_id = a.click_id""",
     "j11_scd2_history" ->
       """WITH c AS (SELECT user_id, event_type, ts, event_id,
                            lag(event_type) OVER

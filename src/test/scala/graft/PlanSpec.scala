@@ -173,6 +173,22 @@ class PlanSpec extends SparkSpecBase {
       s"both window passes and the final groupBy must reuse one hash distribution, saw $shuffles exchanges")
   }
 
+  test("j12: the as-of join plans as ONE exchange + window, never a nested loop") {
+    // The union+window formulation's whole point: the naive
+    // inequality join would plan a broadcast-nested-loop cross.
+    val df = Relational.j12_attribution_asof(spark, sf)
+    df.collect()
+    val plans = flatten(df.queryExecution.executedPlan)
+    val shuffles = plans.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles === 1,
+      s"both sides and the window must share one user_id distribution, saw $shuffles")
+    assert(!plans.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the as-of must never fall back to a nested-loop/cartesian plan")
+  }
+
   test("c05: the stage-keyed window pass and the profile rollup share ONE exchange") {
     // c03's chain owns its per-gate shuffles; the profile layer on top
     // must add exactly one stage-keyed distribution reused by both the
