@@ -80,6 +80,23 @@ case class ScdBuf(tsu: Long, event_id: Long, event_type: String)
   */
 case class ScdState(buf: Seq[ScdBuf], newestMs: Long)
 
+/** One buffered touchpoint/conversion in attribution state. */
+case class AttrEvent(user_id: Long, tsu: Long, event_id: Long,
+                     is_click: Boolean, event_time: java.sql.Timestamp)
+case class AttrBuf(tsu: Long, event_id: Long, is_click: Boolean)
+
+/** Attribution keyed state: capped buffer + the monotone TTL anchor
+  * (the [[ScdState]] shape).
+  */
+case class AttrState(buf: Seq[AttrBuf], newestMs: Long)
+
+/** One attributed conversion; click fields None when the user had no
+  * at-or-before touchpoint.
+  */
+case class AttrOut(event_id: Long, user_id: Long, tsu: Long,
+                   click_id: Option[Long], click_tsu: Option[Long],
+                   gap_us: Option[Long])
+
 /** One emitted SCD2 version; `vf`/`vt` are micros, `vt` = -1 for the
   * open (current) version.
   */
@@ -559,6 +576,61 @@ object Pipelines {
             val newestMs =
               math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
             state.update(ScdState(buf, newestMs))
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** j12's AS-OF ATTRIBUTION as keyed streaming state — realtime
+    * last-touch attribution: per user, touchpoints and conversions
+    * buffer until the event-time timeout proves the history closed,
+    * then one sorted sweep assigns each purchase the latest
+    * at-or-before click — identical to the batch window-pass
+    * semantics because the sweep runs over the COMPLETE delivered
+    * history (st21/scd2's buffer-until-flush exactness argument: an
+    * eager per-batch assignment could not attribute a purchase to a
+    * click that arrives later but timestamps earlier). Clicks sort
+    * before purchases at equal timestamps (at-or-before) with
+    * event_id tie-breaks — j12's total order exactly.
+    *
+    * State is the user's event list, CAPPED at `maxEvents` with
+    * scd2's deterministic first-N-by-(tsu, event_id) prefix and the
+    * [[AttrState]] monotone TTL anchor (truncation never pre-fires
+    * the flush). Emitted rows are one per CONVERSION, not per event.
+    */
+  def attribution(events: Dataset[AttrEvent],
+                  ttlMs: Long = FunnelTimeoutMs,
+                  maxEvents: Int = MaxScdEvents): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttrState, AttrOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrState]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get.buf.sortBy(b => (b.tsu, !b.is_click, b.event_id))
+            state.remove()
+            var lastClick: Option[AttrBuf] = None
+            val out = Vector.newBuilder[AttrOut]
+            hist.foreach { b =>
+              if (b.is_click) lastClick = Some(b)
+              else out += AttrOut(b.event_id, uid, b.tsu,
+                lastClick.map(_.event_id), lastClick.map(_.tsu),
+                lastClick.map(c => b.tsu - c.tsu))
+            }
+            out.result().iterator
+          } else {
+            val prev = state.getOption.getOrElse(AttrState(Seq.empty, Long.MinValue))
+            val buf0 = prev.buf ++
+              rows.map(e => AttrBuf(e.tsu, e.event_id, e.is_click))
+            val buf = if (buf0.size > maxEvents)
+              buf0.sortBy(b => (b.tsu, b.event_id)).take(maxEvents)
+            else buf0
+            val newestMs =
+              math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
+            state.update(AttrState(buf, newestMs))
             state.setTimeoutTimestamp(
               math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

@@ -1127,6 +1127,30 @@ object StreamQueries {
     upsertServe(spark, base, Seq("event_type"), "n_events")
   }
 
+  /** J-family streaming — REALTIME ATTRIBUTION (streaming twin of
+    * j12): the event stream feeds [[Pipelines.attribution]]'s per-user
+    * buffered state; each conversion's last-touch click is assigned
+    * when the watermark proves the user's history closed, over the
+    * complete delivered history — so out-of-order arrival (a click
+    * delivered after the purchase it precedes) attributes correctly,
+    * which no eager per-batch join can do. State: capped per-user
+    * event list (scd2's prefix truncation + monotone TTL anchor),
+    * RocksDB-backed. The sentinel rides the `user_id < 0` branch to
+    * keep driving the watermark and is dropped after read-back.
+    * Oracle is j12's — the batch as-of must be reproduced EXACTLY.
+    */
+  val st32_stream_attribution: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .where(col("event_type").isin("click", "purchase") || col("user_id") < 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+        (col("event_type") === "click").as("is_click"), col("ts").as("event_time"))
+      .as[graft.streaming.AttrEvent]
+    Replay.runAppend(spark, Pipelines.attribution(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+  }
+
   /** D-family streaming — SEMANTIC DECONTAMINATION AT INGEST
     * (streaming twin of d10, exactly as st16 serves d08's shingle
     * gate): the arriving embedding corpus (train side ∪ the planted
@@ -1312,6 +1336,7 @@ object StreamQueries {
     "st29_stream_quantile_serve" -> st29_stream_quantile_serve,
     "st30_stream_hitters_serve" -> st30_stream_hitters_serve,
     "st31_stream_semantic_decontam" -> st31_stream_semantic_decontam,
+    "st32_stream_attribution" -> st32_stream_attribution,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1344,6 +1369,8 @@ object StreamQueries {
     // st22 must rebuild EXACTLY j11's history — the oracle is j11's
     "st22_stream_scd2" -> graft.operators.Relational.oracles("j11_scd2_history"),
     "st23_stream_rollup_serve" -> graft.operators.Relational.oracles("a11_revenue_rollup"),
+    // st32 must reproduce EXACTLY j12's as-of assignment — the oracle is j12's
+    "st32_stream_attribution" -> graft.operators.Relational.oracles("j12_attribution_asof"),
     "st25_stream_quarantine" -> graft.operators.Relational.oracles("p12_quarantine"),
     "st26_stream_mixture_serve" -> graft.operators.TextAnalysis.oracles("t19_domain_mixture"),
     "st27_tuned_ann_serve" -> graft.operators.Similarity.duckTunedAdcSql,

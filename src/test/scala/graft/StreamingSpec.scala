@@ -387,6 +387,60 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("attribution: a late-arriving earlier click attributes; equal-ts click is at-or-before; no-click purchase emits nulls") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[graft.streaming.AttrEvent]
+    val ev = ms.toDS().withWatermark("event_time", "1 hour")
+    val q = Pipelines.attribution(ev).toDF()
+      .writeStream.format("memory").queryName("attr_ms")
+      .option("checkpointLocation", tmpDir("cp_attr_"))
+      .outputMode("append").start()
+    try {
+      def ae(uid: Long, click: Boolean, s: String, id: Long) = {
+        val tt = t(s)
+        graft.streaming.AttrEvent(uid, tt.getTime * 1000L, id, click, tt)
+      }
+      // batch 1: user 1's purchase arrives FIRST; user 2's purchase has
+      // no click at all
+      ms.addData(
+        ae(1, click = false, "2024-01-01 00:00:10", 2),
+        ae(2, click = false, "2024-01-01 00:00:30", 5))
+      drain(q)
+      // batch 2: user 1's click arrives LATE with an EARLIER event time
+      // (within the watermark) — the buffered sweep must attribute the
+      // batch-1 purchase to it, which no eager per-batch join could;
+      // plus an equal-timestamp click/purchase pair (at-or-before)
+      ms.addData(
+        ae(1, click = true, "2024-01-01 00:00:05", 1),
+        ae(1, click = true, "2024-01-01 00:00:20", 3),
+        ae(1, click = false, "2024-01-01 00:00:20", 4))
+      drain(q)
+      ms.addData(ae(-1, click = false, "2100-01-01 00:00:00", 6)); drain(q)
+      ms.addData(ae(-1, click = false, "2100-06-01 00:00:00", 7)); drain(q)
+      val got = spark.table("attr_ms").where(col("user_id") >= 0)
+        .collect().map { r =>
+          r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))
+        }.toMap
+      assert(got === Map(
+        2L -> Some(1L), // late-arriving earlier click wins
+        4L -> Some(3L), // equal-ts click is at-or-before
+        5L -> None),    // no prior click → null columns
+        s"got $got")
+    } finally q.stop()
+  }
+
+  test("st32: the streamed as-of attribution equals batch j12 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st32_stream_attribution")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Relational.j12_attribution_asof(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty, "streamed attribution must not be empty")
+    assert(streamed.toSeq === batch.toSeq,
+      "ingest attribution diverges from the batch as-of join")
+  }
+
   test("retention: the cohort is the MIN day even when the earliest event arrives last") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
