@@ -449,15 +449,23 @@ object Relational {
     * deterministically on both engines — 10 overlapping 7-day periods
     * covering the events' month.)
     */
-  val j10_range_join: Q = (spark, dir) => {
+  /** The deterministic campaign table's day-bucket decomposition
+    * (j10's interval→equi-key trick), shared with the ingest twin
+    * st33 so both engines and both modes join the identical relation.
+    */
+  private[graft] def campaignBuckets(spark: SparkSession): DataFrame = {
     val base = lit("2024-01-01").cast("date")
     val camps = spark.range(Campaigns).select(
       col("id").as("campaign_id"),
       date_add(base, (col("id") * 3).cast("int")).cast("timestamp").as("cstart"),
       date_add(base, (col("id") * 3 + 7).cast("int")).cast("timestamp").as("cend"))
-    val buckets = camps.select(col("campaign_id"), col("cstart"), col("cend"),
+    camps.select(col("campaign_id"), col("cstart"), col("cend"),
       explode(sequence(col("cstart").cast("date"),
         date_sub(col("cend").cast("date"), 1))).as("day"))
+  }
+
+  val j10_range_join: Q = (spark, dir) => {
+    val buckets = campaignBuckets(spark)
     val ev = events(spark, dir)
       .select(col("event_id"), col("ts"), to_date(col("ts")).as("day"))
     ev.join(buckets, Seq("day"))

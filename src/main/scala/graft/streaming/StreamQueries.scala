@@ -1151,6 +1151,30 @@ object StreamQueries {
       .where(col("user_id") >= 0)
   }
 
+  /** J-family streaming — RANGE JOIN AT INGEST (streaming twin of
+    * j10): each arriving event is assigned to every campaign whose
+    * [start, end) period contains it, via the SAME interval→day-bucket
+    * decomposition ([[graft.operators.Relational.campaignBuckets]] —
+    * one shared relation, both engines, both modes). The join is
+    * STATELESS: stream-static equi-join on the day bucket (the small
+    * bucket side broadcasts) + the exact range residual — no
+    * watermark, no state store, every micro-batch joins and emits.
+    * That statelessness is the point: the scale-safe batch
+    * decomposition carries to ingest unchanged, where the naive theta
+    * join would be a per-batch nested loop. The sentinel's year-2100
+    * rows match no bucket and drop in the join itself. Oracle is
+    * j10's — the assignment must be identical to the batch relation.
+    */
+  val st33_stream_range_join: Q = (spark, dir) => {
+    val buckets = graft.operators.Relational.campaignBuckets(spark)
+    val ev = Replay.eventsStream(spark, dir)
+      .select(col("event_id"), col("ts"), to_date(col("ts")).as("day"))
+    val out = ev.join(broadcast(buckets), Seq("day"))
+      .where(col("ts") >= col("cstart") && col("ts") < col("cend"))
+      .select(col("event_id"), col("campaign_id"))
+    Replay.runAppend(spark, out)
+  }
+
   /** D-family streaming — SEMANTIC DECONTAMINATION AT INGEST
     * (streaming twin of d10, exactly as st16 serves d08's shingle
     * gate): the arriving embedding corpus (train side ∪ the planted
@@ -1337,6 +1361,7 @@ object StreamQueries {
     "st30_stream_hitters_serve" -> st30_stream_hitters_serve,
     "st31_stream_semantic_decontam" -> st31_stream_semantic_decontam,
     "st32_stream_attribution" -> st32_stream_attribution,
+    "st33_stream_range_join" -> st33_stream_range_join,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1371,6 +1396,8 @@ object StreamQueries {
     "st23_stream_rollup_serve" -> graft.operators.Relational.oracles("a11_revenue_rollup"),
     // st32 must reproduce EXACTLY j12's as-of assignment — the oracle is j12's
     "st32_stream_attribution" -> graft.operators.Relational.oracles("j12_attribution_asof"),
+    // st33 must assign EXACTLY j10's campaign relation — the oracle is j10's
+    "st33_stream_range_join" -> graft.operators.Relational.oracles("j10_range_join"),
     "st25_stream_quarantine" -> graft.operators.Relational.oracles("p12_quarantine"),
     "st26_stream_mixture_serve" -> graft.operators.TextAnalysis.oracles("t19_domain_mixture"),
     "st27_tuned_ann_serve" -> graft.operators.Similarity.duckTunedAdcSql,

@@ -441,6 +441,17 @@ class StreamingSpec extends SparkSpecBase {
       "ingest attribution diverges from the batch as-of join")
   }
 
+  test("st33: the streamed range-join assignment equals batch j10 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st33_stream_range_join")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Relational.j10_range_join(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty, "streamed range join must not be empty")
+    assert(streamed.toSeq === batch.toSeq,
+      "ingest campaign assignment diverges from the batch range join")
+  }
+
   test("retention: the cohort is the MIN day even when the earliest event arrives last") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
