@@ -818,6 +818,47 @@ object Relational {
         (col("tsu") - col("click_tsu")).as("gap_us"))
   }
 
+  /** J13 — BLOOM-PRUNED JOIN: revenue per urgent order, with the
+    * fact-side shuffle cut by a broadcast Bloom summary of the
+    * dimension subset (the explicit form of Spark's own injected
+    * runtime bloom filter, `InjectRuntimeFilter`). The premise this
+    * models: at 100 TB the qualifying order-key SET (~20 % of orders)
+    * is far past any broadcast threshold, yet its m-bit Bloom
+    * ([[graft.functions.BloomAgg]] — 2²⁰ bits = 128 KB regardless of
+    * n) broadcasts trivially; every lineitem scan task probes the
+    * filter ([[graft.functions.BloomMightContain]], codegen'd) BEFORE
+    * the exchange, so the orderkey shuffle carries ~20 % of the fact
+    * table instead of all of it. The filter only PRUNES — false
+    * positives are re-verified by the exact equi-join it guards
+    * (hinted shuffle-hash, pinning the at-scale strategy the premise
+    * implies; locally Spark would broadcast the small subset, which
+    * is exactly the cheat that cannot exist at 100 TB), so the result
+    * is exact and the oracle is the plain join. The groupBy(orderkey)
+    * reuses the join's hash partitioning — ONE exchange on the fact
+    * side, post-prune. No driver action: the single summary row rides
+    * a bounded 1-row broadcast nested-loop join (the n03 contract),
+    * never a collect.
+    */
+  val j13_bloom_prune_join: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val hot = orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = hot.agg(
+      graft.functions.BloomFilters.bloom(1 << 20)(col("o_orderkey")).as("bf"))
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val pruned = li
+      .join(broadcast(bf),
+        graft.functions.BloomFilters.mightContain(col("bf.bits"), col("l_orderkey")))
+      .select(li.columns.map(col): _*)
+    pruned.join(hot.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** A6 — salt-and-merge two-phase aggregation: the standard
     * skewed-key mitigation at scale (a hot brand would overload one
     * reducer; salting spreads it over 8 partial groups, the second
@@ -969,6 +1010,7 @@ object Relational {
     "a15_heavy_hitters" -> a15_heavy_hitters,
     "j11_scd2_history" -> j11_scd2_history,
     "j12_attribution_asof" -> j12_attribution_asof,
+    "j13_bloom_prune_join" -> j13_bloom_prune_join,
     "p12_quarantine" -> p12_quarantine,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
@@ -1203,6 +1245,13 @@ object Relational {
           SELECT a.event_id, a.user_id, a.tsu, a.click_id,
                  c.tsu AS click_tsu, a.tsu - c.tsu AS gap_us
           FROM att a LEFT JOIN c ON c.event_id = a.click_id""",
+    "j13_bloom_prune_join" ->
+      """SELECT l_orderkey,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100 AS revenue,
+                COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_orderkey""",
     "j11_scd2_history" ->
       """WITH c AS (SELECT user_id, event_type, ts, event_id,
                            lag(event_type) OVER

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{BloomMightContain, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.byteStats)
     ext.injectFunction(GraftExtensions.l2Sq)
     ext.injectFunction(GraftExtensions.gramKeys)
+    ext.injectFunction(GraftExtensions.bloomContains)
   }
 }
 
@@ -113,12 +114,21 @@ object GraftExtensions {
       GramKeys(args.head, args(1))
     })
 
+  val bloomContains: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_contains"),
+    new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_contains"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"bloom_contains expects 2 arguments, got ${args.length}")
+      BloomMightContain(args.head, args(1))
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
-        wordShingles3, winnowMin, byteStats, l2Sq, gramKeys).foreach {
+        wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
+        bloomContains).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -1175,6 +1175,42 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** J-family streaming — BLOOM-PRUNED INGEST (streaming twin of
+    * j13): the arriving lineitem firehose probes the broadcast m-bit
+    * Bloom summary of the urgent-order keys BEFORE anything else —
+    * the front-door prune that, at 100 TB ingest rates, drops ~80 %
+    * of the stream at the scan task before any shuffle, state store
+    * or sink sees it. Fully STATELESS: the single summary row rides
+    * the bounded 1-row stream-static nested-loop join (j13's exact
+    * shape, lifted to a micro-batch), survivors re-verify on the
+    * exact stream-static equi-join (false positives cost a joined
+    * probe, never a wrong row), and each batch appends its per-line
+    * net revenue — no watermark, no state. The sentinel's
+    * l_orderkey = −1 matches no urgent order and drops in the exact
+    * join. Oracle is the row-level exact-join relation, proving the
+    * prune is invisible in the result.
+    */
+  val st34_stream_bloom_prune: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val hot = graft.Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = hot.agg(
+      graft.functions.BloomFilters.bloom(1 << 20)(col("o_orderkey")).as("bf"))
+    val li = Replay.lineitemStream(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    val pruned = li
+      .join(broadcast(bf),
+        graft.functions.BloomFilters.mightContain(col("bf.bits"), col("l_orderkey")))
+      .select(li.columns.map(col): _*)
+    val out = pruned
+      .join(hot, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100) / 100).as("net"))
+    Replay.runAppend(spark, out)
+  }
+
   /** D-family streaming — SEMANTIC DECONTAMINATION AT INGEST
     * (streaming twin of d10, exactly as st16 serves d08's shingle
     * gate): the arriving embedding corpus (train side ∪ the planted
@@ -1362,6 +1398,7 @@ object StreamQueries {
     "st31_stream_semantic_decontam" -> st31_stream_semantic_decontam,
     "st32_stream_attribution" -> st32_stream_attribution,
     "st33_stream_range_join" -> st33_stream_range_join,
+    "st34_stream_bloom_prune" -> st34_stream_bloom_prune,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1398,6 +1435,12 @@ object StreamQueries {
     "st32_stream_attribution" -> graft.operators.Relational.oracles("j12_attribution_asof"),
     // st33 must assign EXACTLY j10's campaign relation — the oracle is j10's
     "st33_stream_range_join" -> graft.operators.Relational.oracles("j10_range_join"),
+    // st34's prune must be invisible: the oracle is the exact row-level join
+    "st34_stream_bloom_prune" ->
+      """SELECT l_orderkey, l_linenumber,
+                ROUND(l_extendedprice * (1 - l_discount) * 100) / 100 AS net
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'""",
     "st25_stream_quarantine" -> graft.operators.Relational.oracles("p12_quarantine"),
     "st26_stream_mixture_serve" -> graft.operators.TextAnalysis.oracles("t19_domain_mixture"),
     "st27_tuned_ann_serve" -> graft.operators.Similarity.duckTunedAdcSql,

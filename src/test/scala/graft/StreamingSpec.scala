@@ -452,6 +452,24 @@ class StreamingSpec extends SparkSpecBase {
       "ingest campaign assignment diverges from the batch range join")
   }
 
+  test("st34: the bloom-pruned ingest equals the exact join, sentinel dropped") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamQueries
+      .queries("st34_stream_bloom_prune")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = {
+      val hot = graft.Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+      graft.Tables.lineitem(spark, sf)
+        .join(hot, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100) / 100).as("net"))
+    }.collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty, "pruned ingest must not be empty")
+    assert(streamed.toSeq === batch.toSeq,
+      "the ingest prune changed the joined relation")
+  }
+
   test("retention: the cohort is the MIN day even when the earliest event arrives last") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
