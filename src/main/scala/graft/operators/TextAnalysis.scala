@@ -1093,6 +1093,81 @@ object TextAnalysis {
   val t21_repetition: Q = (spark, dir) =>
     repSignals(spark, documents(spark, dir))
 
+  /** [[t23_bm25]] constants. k1/b are the Robertson defaults; the
+    * query is the 8 highest-df tokens of ≥5 chars (deterministic per
+    * corpus: ties break lexicographically), so the operator needs no
+    * external query input at any SF.
+    */
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
+  // k1+1 and 1−b PRE-WRITTEN as decimal literals, never computed:
+  // both engines parse the same decimal to the same double, whereas
+  // Scala-side 1.2+1.0 could round to a different ulp than SQL "2.2"
+  private[graft] val Bm25K1p1 = 2.2
+  private[graft] val Bm25OneMinusB = 0.25
+  private[graft] val Bm25Terms = 8
+  private[graft] val Bm25TopK = 50
+
+  /** t23 — BM25 LEXICAL RETRIEVAL: the keyword-search twin of the
+    * n-family's semantic ANN — score every document against a query
+    * term set with Okapi BM25 (Robertson-Spärck Jones; the Lucene
+    * `ln(1 + (N−df+0.5)/(df+0.5))` idf) and return the top-k. A
+    * training-data engine runs this for targeted corpus slicing and
+    * as the lexical leg of hybrid retrieval.
+    *
+    * CROSS-ENGINE DETERMINISM: the only transcendental (ln) is
+    * floor-quantized to integer micro-nats per TERM (the [[LmMicro]]
+    * contract — 8 values, ~5 orders above ulp noise); everything
+    * after is IEEE-754 +,*,/ over exactly-representable integers with
+    * IDENTICAL parenthesization in both engines — exact-rounded ops
+    * on identical bits give identical bits, so the final per-(doc,
+    * term) `floor(score·1e6)` longs agree exactly and per-doc sums
+    * are exact integer arithmetic.
+    *
+    * Scale shape: ONE explode feeds one (doc, token) aggregation
+    * (persisted — it fans out to tf / dl / df consumers, each a
+    * strictly smaller re-aggregation); the 8-term query and the
+    * 1-row corpus stats broadcast; scoring is an 8-row broadcast
+    * equi-join on token; the top-k executes as TakeOrderedAndProject
+    * (the a05 contract — no global sort). The only full-width
+    * shuffle is the one tf exchange.
+    */
+  val t23_bm25: Q = (spark, dir) => {
+    val tf = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .where(length(col("token")) >= 5)
+      .orderBy(col("df").desc, col("token")).limit(Bm25Terms)
+      .join(broadcast(stats), lit(true), "inner")
+      .select(col("token"), col("df"),
+        floor(log(lit(1.0) +
+          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * LmMicro)
+          .cast("long").as("idf_micro"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(qterms), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"),
+        floor(
+          (col("idf_micro").cast("double") * col("tf").cast("double") * lit(Bm25K1p1)) /
+            (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(Bm25OneMinusB) + lit(Bm25B) *
+                (col("dl").cast("double") / col("avgdl"))))
+        ).cast("long").as("s_micro"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
+    // tf stays persist()-marked in the returned lazy plan; unpersist
+    // is the CALLER's job (the Dedup d02 contract — Verify/Bench
+    // clear the cache between queries)
+    scored.orderBy(col("score_micro").desc, col("doc_id")).limit(Bm25TopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -1116,6 +1191,7 @@ object TextAnalysis {
     "t20_nb_quality" -> t20_nb_quality,
     "t21_repetition" -> t21_repetition,
     "t22_nb_agreement" -> t22_nb_agreement,
+    "t23_bm25" -> t23_bm25,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -1423,6 +1499,35 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "t22_nb_agreement" -> duckNbAgreementSql,
     "t21_repetition" -> duckRepetitionSql,
+    // t23: arithmetic term for term with the Spark side — the one ln is
+    // micro-quantized per TERM; every later op is exact-rounded IEEE
+    // +,*,/ with identical parenthesization, so the floors agree exactly
+    "t23_bm25" ->
+      s"""WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                            FROM documents)
+                      GROUP BY doc_id, token),
+          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+          stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+          dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+          qterms AS (SELECT token, df,
+                            CAST(floor(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                                                  / (CAST(df AS DOUBLE) + 0.5)) * $LmMicro)
+                                 AS BIGINT) AS idf_micro,
+                            CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                     FROM dft, stats
+                     WHERE length(token) >= 5
+                     ORDER BY df DESC, token LIMIT $Bm25Terms),
+          sc AS (SELECT doc_id,
+                        CAST(floor((CAST(idf_micro AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2)
+                             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                                  * (CAST(dl AS DOUBLE) / avgdl)))) AS BIGINT) AS s_micro
+                 FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id)),
+          agg AS (SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro,
+                         COUNT(*) AS n_terms
+                  FROM sc GROUP BY doc_id)
+          SELECT doc_id, score_micro, n_terms FROM agg
+          ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""",
     "t20_nb_quality" -> duckNbQualitySql,
     "t18_bigram_lm" -> duckBigramLmSql,
     "t19_domain_mixture" -> duckDomainMixtureSql,

@@ -164,6 +164,22 @@ class PlanSpec extends SparkSpecBase {
     audit("t19", graft.operators.TextAnalysis.t19_domain_mixture(spark, sf), 1)
   }
 
+  test("t23: top-k as TakeOrderedAndProject; the 1-row stats broadcast is the only nested loop") {
+    val df = graft.operators.TextAnalysis.t23_bm25(spark, sf)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"the top-k must never globally sort:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"t23 plans a cartesian:\n$plan")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+        s"only the 1-row corpus-stats broadcast may nest:\n$plan")
+      val rows = df.collect()
+      assert(rows.nonEmpty && rows.forall { r =>
+        r.getLong(1) > 0L && r.getLong(2) >= 1L && r.getLong(2) <= 8L
+      }, "BM25 scores must be positive over 1..8 matched query terms")
+    } finally spark.catalog.clearCache()
+  }
+
   test("a13: ONE exchange — rank, group size and the rollup share the event_type distribution") {
     val df = Relational.a13_value_quantiles(spark, sf)
     df.collect()
