@@ -546,6 +546,107 @@ object Similarity {
         .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
   }
 
+  /** [[n18_hybrid_rrf]] constants: per-leg retrieval depth, the RRF
+    * dampening constant (Cormack-Clarke-Buettcher 2009's k = 60), the
+    * fused depth, and the per-query-doc term budget.
+    */
+  private val HybridLegK = 50
+  private val HybridTopK = 10
+  private val RrfC = 60.0
+  private val HybridTerms = 8
+
+  /** n18 — HYBRID RETRIEVAL (lexical ∪ semantic, reciprocal-rank
+    * fused): for each query document, (a) the SEMANTIC leg ranks the
+    * corpus by exact cosine over the embedding column (n01's
+    * arithmetic at depth [[HybridLegK]]); (b) the LEXICAL leg runs a
+    * more-like-this BM25 — the query doc's [[HybridTerms]] strongest
+    * ≥5-char terms (by in-doc tf, ties lexicographic) scored with
+    * t23's exact micro-unit BM25 over the shared
+    * [[TextAnalysis.bm25Tf]] corpus statistics; (c) the legs fuse by
+    * reciprocal-rank: floor(10⁶/(60+rank)) per leg, summed over the
+    * union (a doc missing from one leg contributes 0 there), top
+    * [[HybridTopK]] per query by (fused desc, doc_id). This is the
+    * retrieval stack of a RAG/curation pipeline — dense recall where
+    * wording diverges, lexical precision where exact terms matter —
+    * with every stage exact and oracle-checked (RRF is integer
+    * arithmetic over ranks; both legs' ranks are deterministic by
+    * construction, so the fusion is too).
+    *
+    * Scale shape: the semantic leg is n01's bounded
+    * broadcast-queries × corpus scoring + the bounded top-K
+    * aggregation (the documented brute-force baseline — the IVF legs
+    * swap in transparently); the lexical leg adds ONE bounded
+    * 40-row-broadcast equi-join over the one persisted (doc, token)
+    * aggregation; the fusion joins two ≤|Q|·50-row rank tables —
+    * trivially bounded. No global sorts: both legs rank through the
+    * bounded TopK Aggregator, per-query-doc term extraction windows
+    * over ≤|Q| doc groups.
+    */
+  val n18_hybrid_rrf: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+
+    // ---- semantic leg: n01's exact arithmetic at depth HybridLegK
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val qv = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val semTop = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(HybridLegK)(col("c6"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+
+    // ---- lexical leg: more-like-this BM25 over the shared corpus stats
+    val tf = TextAnalysis.bm25Tf(spark, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("token"))
+    val qterms = tf
+      .where(col("doc_id") < NumQueries && length(col("token")) >= 5)
+      .withColumn("trnk", row_number().over(w))
+      .where(col("trnk") <= HybridTerms)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val qscored = dft.join(broadcast(qterms), Seq("token"))
+      .join(broadcast(stats), lit(true), "inner")
+      .select(col("query_id"), col("token"),
+        TextAnalysis.bm25IdfMicro(col("n_docs"), col("df")).as("idf_micro"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+    val lexTop = tf
+      .join(broadcast(qscored), Seq("token"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        TextAnalysis.bm25SMicro(col("tf"), col("dl"),
+          col("idf_micro"), col("avgdl")).as("s_micro"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_micro")).as("lex_micro"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(HybridLegK)(col("lex_micro").cast("double"), col("doc_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+
+    // ---- reciprocal-rank fusion over the union of the legs
+    def rrf(rnk: Column): Column =
+      floor(lit(1000000.0) / (lit(RrfC) + rnk.cast("double"))).cast("long")
+    val lex = lexTop.select(col("query_id"), col("doc_id"), rrf(col("rnk")).as("lex_rrf"))
+    val sem = semTop.select(col("query_id"), col("doc_id"), rrf(col("rnk")).as("sem_rrf"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("lex_rrf"), lit(0L)) + coalesce(col("sem_rrf"), lit(0L))).as("rrf_micro"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(HybridTopK)(col("rrf_micro").cast("double"), col("doc_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"),
+        col("col.score").cast("long").as("rrf_micro"))
+  }
+
   /** n13 — FILTERED ANN over the trained IVF index: the production
     * "metadata filter + vector search" composition (search only
     * vectors whose label matches the query's — a tenant, category or
@@ -1239,6 +1340,7 @@ object Similarity {
     "n15_index_upsert" -> n15_index_upsert,
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
+    "n18_hybrid_rrf" -> n18_hybrid_rrf,
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "d10_semantic_decontam" -> d10_semantic_decontam,
   )
@@ -1561,6 +1663,47 @@ object Similarity {
                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id AS neighbor_id, cos6
           FROM s QUALIFY rnk <= $K""",
+    // n18: both legs' ranks re-derived with the legs' own exact
+    // arithmetic (n01's cosine; t23's micro-unit BM25), fused by the
+    // same integer floor(1e6/(60+rank)) — deterministic end to end
+    "n18_hybrid_rrf" ->
+      s"""WITH $duckVecs,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                WHERE vec_id < $NumQueries),
+          sp AS (SELECT query_id, vec_id, $duckCos AS cos6
+                 FROM q JOIN n ON vec_id <> query_id),
+          semtop AS (SELECT query_id, vec_id AS doc_id,
+                            CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk
+                     FROM sp QUALIFY rnk <= $HybridLegK),
+          ${TextAnalysis.duckBm25Corpus},
+          qt AS (SELECT doc_id AS query_id, token
+                 FROM tf WHERE doc_id < $NumQueries AND length(token) >= 5
+                 QUALIFY row_number() OVER (PARTITION BY doc_id
+                          ORDER BY tf DESC, token) <= $HybridTerms),
+          qsc AS (SELECT query_id, token, ${TextAnalysis.duckBm25Idf} AS idf_micro,
+                         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                  FROM dft JOIN qt USING (token), stats),
+          ls AS (SELECT query_id, doc_id, ${TextAnalysis.duckBm25SMicro} AS s_micro
+                 FROM tf JOIN qsc USING (token) JOIN dl USING (doc_id)
+                 WHERE doc_id <> query_id),
+          la AS (SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS lex_micro
+                 FROM ls GROUP BY 1, 2),
+          lextop AS (SELECT query_id, doc_id,
+                            CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY lex_micro DESC, doc_id) AS BIGINT) AS rnk
+                     FROM la QUALIFY rnk <= $HybridLegK),
+          fused AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+                           COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                           COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(l.rnk AS DOUBLE))) AS BIGINT), 0)
+                         + COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(s.rnk AS DOUBLE))) AS BIGINT), 0) AS rrf_micro
+                    FROM lextop l FULL OUTER JOIN semtop s
+                      ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk,
+                 doc_id, rrf_micro
+          FROM fused QUALIFY rnk <= $HybridTopK""",
     "n14_cell_stats" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

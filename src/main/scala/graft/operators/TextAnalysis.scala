@@ -1132,12 +1132,65 @@ object TextAnalysis {
     * (the a05 contract — no global sort). The only full-width
     * shuffle is the one tf exchange.
     */
-  val t23_bm25: Q = (spark, dir) => {
-    val tf = documents(spark, dir)
+  /** The one corpus-wide (doc, token) aggregation every BM25 consumer
+    * (t23, n18's lexical leg) re-derives its statistics from —
+    * persist()-marked because it fans out to tf / dl / df consumers;
+    * unpersist is the CALLER's job (the Dedup d02 contract —
+    * Verify/Bench clear the cache between queries).
+    */
+  private[graft] def bm25Tf(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist()
+
+  /** Lucene-form BM25 idf, floor-quantized to micro-nats (the
+    * [[LmMicro]] cross-engine contract).
+    */
+  private[graft] def bm25IdfMicro(nDocs: Column, df: Column): Column =
+    floor(log(lit(1.0) +
+      ((nDocs - df).cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5))) * LmMicro).cast("long")
+
+  /** Per-(doc, term) BM25 contribution in exact micro units: IEEE
+    * +,*,/ over exactly-representable inputs with parenthesization
+    * IDENTICAL to the DuckDB twin ([[duckBm25SMicro]]), so the floor
+    * lands on identical bits in both engines.
+    */
+  private[graft] def bm25SMicro(tf: Column, dl: Column,
+      idfMicro: Column, avgdl: Column): Column =
+    floor(
+      (idfMicro.cast("double") * tf.cast("double") * lit(Bm25K1p1)) /
+        (tf.cast("double") + lit(Bm25K1) *
+          (lit(Bm25OneMinusB) + lit(Bm25B) * (dl.cast("double") / avgdl)))
+    ).cast("long")
+
+  /** DuckDB twins of the BM25 pieces — chainable CTE text ([[bm25Tf]]
+    * + dl/stats/dft) and the scoring expressions, arithmetic term for
+    * term with the Spark side.
+    */
+  private[graft] val duckBm25Corpus =
+    """tf AS (SELECT doc_id, token, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+              GROUP BY doc_id, token),
+       dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+       dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token)"""
+
+  private[graft] val duckBm25Idf =
+    s"""CAST(floor(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
+                           / (CAST(df AS DOUBLE) + 0.5)) * $LmMicro)
+            AS BIGINT)"""
+
+  private[graft] val duckBm25SMicro =
+    """CAST(floor((CAST(idf_micro AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                 * (CAST(dl AS DOUBLE) / avgdl)))) AS BIGINT)"""
+
+  val t23_bm25: Q = (spark, dir) => {
+    val tf = bm25Tf(spark, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qterms = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -1145,26 +1198,15 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("token")).limit(Bm25Terms)
       .join(broadcast(stats), lit(true), "inner")
       .select(col("token"), col("df"),
-        floor(log(lit(1.0) +
-          ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))) * LmMicro)
-          .cast("long").as("idf_micro"),
+        bm25IdfMicro(col("n_docs"), col("df")).as("idf_micro"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
     val scored = tf
       .join(broadcast(qterms), Seq("token"))
       .join(dl, Seq("doc_id"))
       .select(col("doc_id"),
-        floor(
-          (col("idf_micro").cast("double") * col("tf").cast("double") * lit(Bm25K1p1)) /
-            (col("tf").cast("double") + lit(Bm25K1) *
-              (lit(Bm25OneMinusB) + lit(Bm25B) *
-                (col("dl").cast("double") / col("avgdl"))))
-        ).cast("long").as("s_micro"))
+        bm25SMicro(col("tf"), col("dl"), col("idf_micro"), col("avgdl")).as("s_micro"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s_micro")).as("score_micro"), count(lit(1)).as("n_terms"))
-    // tf stays persist()-marked in the returned lazy plan; unpersist
-    // is the CALLER's job (the Dedup d02 contract — Verify/Bench
-    // clear the cache between queries)
     scored.orderBy(col("score_micro").desc, col("doc_id")).limit(Bm25TopK)
   }
 
@@ -1503,25 +1545,13 @@ object TextAnalysis {
     // micro-quantized per TERM; every later op is exact-rounded IEEE
     // +,*,/ with identical parenthesization, so the floors agree exactly
     "t23_bm25" ->
-      s"""WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
-                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                            FROM documents)
-                      GROUP BY doc_id, token),
-          dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-          stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
-          dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-          qterms AS (SELECT token, df,
-                            CAST(floor(ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)
-                                                  / (CAST(df AS DOUBLE) + 0.5)) * $LmMicro)
-                                 AS BIGINT) AS idf_micro,
+      s"""WITH $duckBm25Corpus,
+          qterms AS (SELECT token, df, $duckBm25Idf AS idf_micro,
                             CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
                      FROM dft, stats
                      WHERE length(token) >= 5
                      ORDER BY df DESC, token LIMIT $Bm25Terms),
-          sc AS (SELECT doc_id,
-                        CAST(floor((CAST(idf_micro AS DOUBLE) * CAST(tf AS DOUBLE) * 2.2)
-                             / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-                                  * (CAST(dl AS DOUBLE) / avgdl)))) AS BIGINT) AS s_micro
+          sc AS (SELECT doc_id, $duckBm25SMicro AS s_micro
                  FROM tf JOIN qterms USING (token) JOIN dl USING (doc_id)),
           agg AS (SELECT doc_id, CAST(SUM(s_micro) AS BIGINT) AS score_micro,
                          COUNT(*) AS n_terms

@@ -180,6 +180,24 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("n18: bounded broadcasts only; every query fuses to exactly the top-10") {
+    val df = graft.operators.Similarity.n18_hybrid_rrf(spark, sf)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"n18 plans a cartesian:\n$plan")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+        s"only the 5-query scoring and 1-row stats broadcasts may nest:\n$plan")
+      val rows = df.collect()
+      val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      assert(perQuery.keySet === (0L until 5L).toSet, s"expected 5 queries: $perQuery")
+      assert(perQuery.values.forall(_ === 10), s"expected top-10 per query: $perQuery")
+      val maxRrf = 2 * (1000000 / 61)
+      assert(rows.forall { r =>
+        r.getLong(3) > 0L && r.getLong(3) <= maxRrf
+      }, "fused scores must lie in (0, 2*floor(1e6/61)]")
+    } finally spark.catalog.clearCache()
+  }
+
   test("a13: ONE exchange — rank, group size and the rollup share the event_type distribution") {
     val df = Relational.a13_value_quantiles(spark, sf)
     df.collect()
