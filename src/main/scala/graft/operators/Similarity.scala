@@ -550,10 +550,10 @@ object Similarity {
     * dampening constant (Cormack-Clarke-Buettcher 2009's k = 60), the
     * fused depth, and the per-query-doc term budget.
     */
-  private val HybridLegK = 50
-  private val HybridTopK = 10
-  private val RrfC = 60.0
-  private val HybridTerms = 8
+  private[graft] val HybridLegK = 50
+  private[graft] val HybridTopK = 10
+  private[graft] val RrfC = 60.0
+  private[graft] val HybridTerms = 8
 
   /** n18 — HYBRID RETRIEVAL (lexical ∪ semantic, reciprocal-rank
     * fused): for each query document, (a) the SEMANTIC leg ranks the
@@ -582,24 +582,15 @@ object Similarity {
     * bounded TopK Aggregator, per-query-doc term extraction windows
     * over ≤|Q| doc groups.
     */
-  val n18_hybrid_rrf: Q = (spark, dir) => {
-    GraftExtensions.register(spark)
+  /** The per-query lexical model shared by [[n18_hybrid_rrf]] and the
+    * ingest twin st35: each query doc's [[HybridTerms]] strongest
+    * ≥5-char terms with their micro-quantized idf and the corpus
+    * avgdl — (query_id, token, idf_micro, avgdl), ≤ |Q|·8 rows.
+    */
+  private[graft] def hybridQueryModel(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-
-    // ---- semantic leg: n01's exact arithmetic at depth HybridLegK
-    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-    val qv = e.where(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val semTop = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
-      .groupBy("query_id")
-      .agg(TopK.topK(HybridLegK)(col("c6"), col("vec_id")).as("tk"))
-      .select(col("query_id"), posexplode(col("tk.items")))
-      .select(col("query_id"), col("col.id").as("doc_id"),
-        (col("pos") + 1).cast("long").as("rnk"))
-
-    // ---- lexical leg: more-like-this BM25 over the shared corpus stats
-    val tf = TextAnalysis.bm25Tf(spark, dir)
+    val T = TextAnalysis
+    val tf = T.bm25Tf(spark, dir)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -610,27 +601,18 @@ object Similarity {
       .withColumn("trnk", row_number().over(w))
       .where(col("trnk") <= HybridTerms)
       .select(col("doc_id").as("query_id"), col("token"))
-    val qscored = dft.join(broadcast(qterms), Seq("token"))
+    dft.join(broadcast(qterms), Seq("token"))
       .join(broadcast(stats), lit(true), "inner")
       .select(col("query_id"), col("token"),
-        TextAnalysis.bm25IdfMicro(col("n_docs"), col("df")).as("idf_micro"),
+        T.bm25IdfMicro(col("n_docs"), col("df")).as("idf_micro"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double")).as("avgdl"))
-    val lexTop = tf
-      .join(broadcast(qscored), Seq("token"))
-      .where(col("doc_id") =!= col("query_id"))
-      .join(dl, Seq("doc_id"))
-      .select(col("query_id"), col("doc_id"),
-        TextAnalysis.bm25SMicro(col("tf"), col("dl"),
-          col("idf_micro"), col("avgdl")).as("s_micro"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("s_micro")).as("lex_micro"))
-      .groupBy(col("query_id"))
-      .agg(TopK.topK(HybridLegK)(col("lex_micro").cast("double"), col("doc_id")).as("tk"))
-      .select(col("query_id"), posexplode(col("tk.items")))
-      .select(col("query_id"), col("col.id").as("doc_id"),
-        (col("pos") + 1).cast("long").as("rnk"))
+  }
 
-    // ---- reciprocal-rank fusion over the union of the legs
+  /** The RRF tail shared by [[n18_hybrid_rrf]] and st35: fuse two
+    * (query_id, doc_id, rnk) leg rankings by floor(10⁶/(60+rank))
+    * summed over the union, top-[[HybridTopK]] per query.
+    */
+  private[graft] def fuseLegs(lexTop: DataFrame, semTop: DataFrame): DataFrame = {
     def rrf(rnk: Column): Column =
       floor(lit(1000000.0) / (lit(RrfC) + rnk.cast("double"))).cast("long")
     val lex = lexTop.select(col("query_id"), col("doc_id"), rrf(col("rnk")).as("lex_rrf"))
@@ -645,6 +627,43 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("doc_id"),
         col("col.score").cast("long").as("rrf_micro"))
+  }
+
+  val n18_hybrid_rrf: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+
+    // ---- semantic leg: n01's exact arithmetic at depth HybridLegK
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val qv = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val semTop = e.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(HybridLegK)(col("c6"), col("vec_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+
+    // ---- lexical leg: more-like-this BM25 over the shared corpus stats
+    val T = TextAnalysis
+    val tf = T.bm25Tf(spark, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val lexTop = tf
+      .join(broadcast(hybridQueryModel(spark, dir)), Seq("token"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        T.bm25SMicro(col("tf"), col("dl"),
+          col("idf_micro"), col("avgdl")).as("s_micro"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_micro")).as("lex_micro"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(HybridLegK)(col("lex_micro").cast("double"), col("doc_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+
+    fuseLegs(lexTop, semTop)
   }
 
   /** n13 — FILTERED ANN over the trained IVF index: the production

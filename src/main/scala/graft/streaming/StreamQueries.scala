@@ -1297,6 +1297,110 @@ object StreamQueries {
       .select(col("event_type"), col("n_items"),
         col("h.item").as("item"), col("h.est_cnt").as("est_cnt"))
 
+  /** N/T-family streaming — HYBRID RETRIEVAL SERVED AT INGEST
+    * (streaming twin of n18): every arriving document is scored for
+    * BOTH retrieval legs the moment it lands — the lexical BM25
+    * against the materialized per-query term model (idf/avgdl trained
+    * batch-side, the st18 artifact discipline) and the exact cosine
+    * against the broadcast query vectors — and a single update-mode
+    * aggregation maintains the per-(query, leg) top-[[
+    * graft.operators.Similarity.HybridLegK]] in the keyed upsert
+    * table (2·|Q| rows of state, ingest-rate-independent). The RRF
+    * fusion derives ON READ over the ≤2·|Q|·50 served rows
+    * (st23/st30's subtotals-on-read rule), so the served result IS
+    * n18's — the oracle is n18's verbatim.
+    *
+    * Per-row scoring is fully STATELESS: the ≤|Q|·8-entry term model
+    * and the |Q| query vectors ride two bounded 1-row broadcast
+    * joins; the per-doc term frequencies come from HOF folds over
+    * the doc's own token array (a term absent from the doc
+    * contributes floor(0/denom) = 0, so the per-query sum equals the
+    * batch side's matched-terms-only sum exactly); the embedding
+    * arrives by stream-static equi-join on the id. No watermark: the
+    * running aggregation's state is 2·|Q| bounded buffers, and the
+    * sentinel (doc_id −1, text "x") matches no term and no embedding
+    * row, so it feeds neither leg. The incremental TopK equals the
+    * batch TopK because take-k of a totally (score desc, id asc)
+    * ordered multiset is merge-order-free — the same argument as
+    * st29/st30's sketches, here with NO tree-dependence caveat at
+    * all, which is why this twin keeps the full DuckDB oracle.
+    */
+  val st35_stream_hybrid_serve: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val S = graft.operators.Similarity
+    val T = graft.operators.TextAnalysis
+
+    // the lexical query model, materialized once (stream-static
+    // frames re-evaluate per micro-batch; the corpus-wide tf pass
+    // must not) — tf stays persist()-marked under the caller-clears
+    // contract
+    val qmDir = graft.Tables.scratchDir("graft_qlex_")
+    S.hybridQueryModel(spark, dir).write.mode("overwrite").parquet(qmDir)
+    val qarr = spark.read.parquet(qmDir)
+      .agg(collect_list(struct(col("query_id"), col("token"),
+        col("idf_micro"), col("avgdl"))).as("qarr"))
+
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val qvArr = e.where(col("vec_id") < S.NumQueries)
+      .agg(collect_list(struct(col("vec_id").as("query_id"),
+        col("v").as("qv"))).as("qvarr"))
+
+    val docs = Replay.tableStream(spark, dir, "documents",
+      Replay.documentsSentinel(spark)).select(col("doc_id"), col("text"))
+
+    val toks = split(col("text"), " ")
+    val dlC = size(toks).cast("long")
+    // per query term: the doc's tf by an HOF fold over its own tokens
+    val perTerm = transform(col("qarr"), e2 =>
+      struct(e2.getField("query_id").as("query_id"),
+        size(filter(toks, t => t === e2.getField("token"))).cast("long").as("tf"),
+        e2.getField("idf_micro").as("idf_micro"),
+        e2.getField("avgdl").as("avgdl")))
+    // per query: exact micro-unit BM25 total + matched-term count
+    val lexPerQ = transform(
+      sequence(lit(0L), lit((S.NumQueries - 1).toLong)), q =>
+        struct(q.as("query_id"),
+          aggregate(filter(col("pt"), p => p.getField("query_id") === q),
+            lit(0L), (acc, p) => acc + T.bm25SMicro(p.getField("tf"), dlC,
+              p.getField("idf_micro"), p.getField("avgdl"))).as("lex_micro"),
+          aggregate(filter(col("pt"), p => p.getField("query_id") === q),
+            lit(0L), (acc, p) =>
+              acc + when(p.getField("tf") >= 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_match")))
+
+    val lex = docs
+      .join(broadcast(qarr), lit(true), "inner")
+      .withColumn("pt", perTerm)
+      .select(col("doc_id"), explode(lexPerQ).as("lq"))
+      .where(col("lq.n_match") >= 1 && col("doc_id") =!= col("lq.query_id"))
+      .select(col("lq.query_id").as("query_id"), col("doc_id"),
+        col("lq.lex_micro").cast("double").as("score"), lit("lex").as("leg"))
+    val sem = docs
+      .join(e, col("doc_id") === col("vec_id"))
+      .join(broadcast(qvArr), lit(true), "inner")
+      .select(col("doc_id"), col("v"), explode(col("qvarr")).as("qe"))
+      .where(col("doc_id") =!= col("qe.query_id"))
+      .select(col("qe.query_id").as("query_id"), col("doc_id"),
+        S.cos6(col("qe.qv"), col("v")).as("score"), lit("sem").as("leg"))
+
+    val base = lex.unionAll(sem)
+      .groupBy(col("query_id"), col("leg"))
+      .agg(graft.functions.TopK.topK(S.HybridLegK)(col("score"), col("doc_id")).as("tk"),
+        count(lit(1)).as("n_scored"))
+      .select(col("query_id"), col("leg"), col("tk.items").as("items"),
+        col("n_scored"))
+
+    val served = upsertServe(spark, base, Seq("query_id", "leg"), "n_scored")
+    val ranked = served
+      .select(col("query_id"), col("leg"), posexplode(col("items")))
+      .select(col("query_id"), col("leg"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    S.fuseLegs(
+      ranked.where(col("leg") === "lex").drop("leg"),
+      ranked.where(col("leg") === "sem").drop("leg"))
+  }
+
   /** A-family streaming — REALTIME ORDERED FUNNEL (streaming twin of
     * a09): the event stream feeds [[Pipelines.funnel]]'s per-user state
     * machine (three longs per in-flight user, event-time-timeout
@@ -1399,6 +1503,7 @@ object StreamQueries {
     "st32_stream_attribution" -> st32_stream_attribution,
     "st33_stream_range_join" -> st33_stream_range_join,
     "st34_stream_bloom_prune" -> st34_stream_bloom_prune,
+    "st35_stream_hybrid_serve" -> st35_stream_hybrid_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1435,6 +1540,9 @@ object StreamQueries {
     "st32_stream_attribution" -> graft.operators.Relational.oracles("j12_attribution_asof"),
     // st33 must assign EXACTLY j10's campaign relation — the oracle is j10's
     "st33_stream_range_join" -> graft.operators.Relational.oracles("j10_range_join"),
+    // st35 serves EXACTLY n18's fused ranking — the oracle is n18's
+    "st35_stream_hybrid_serve" ->
+      graft.operators.Similarity.oracles("n18_hybrid_rrf"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

@@ -470,6 +470,18 @@ class StreamingSpec extends SparkSpecBase {
       "the ingest prune changed the joined relation")
   }
 
+  test("st35: the ingest-served hybrid ranking equals batch n18 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st35_stream_hybrid_serve")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Similarity.n18_hybrid_rrf(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    spark.catalog.clearCache()
+    assert(streamed.nonEmpty, "served hybrid ranking must not be empty")
+    assert(streamed.toSeq === batch.toSeq,
+      "ingest-served fusion diverges from the batch hybrid ranking")
+  }
+
   test("retention: the cohort is the MIN day even when the earliest event arrives last") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
