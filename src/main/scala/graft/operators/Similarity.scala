@@ -629,6 +629,29 @@ object Similarity {
         col("col.score").cast("long").as("rrf_micro"))
   }
 
+  /** The ranked lexical leg shared by [[n18_hybrid_rrf]] and
+    * [[n19_hybrid_ivf]]: more-like-this BM25 over the shared corpus
+    * stats, top-[[HybridLegK]] per query as (query_id, doc_id, rnk).
+    */
+  private def hybridLexTop(spark: SparkSession, dir: String): DataFrame = {
+    val T = TextAnalysis
+    val tf = T.bm25Tf(spark, dir)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(broadcast(hybridQueryModel(spark, dir)), Seq("token"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        T.bm25SMicro(col("tf"), col("dl"),
+          col("idf_micro"), col("avgdl")).as("s_micro"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_micro")).as("lex_micro"))
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(HybridLegK)(col("lex_micro").cast("double"), col("doc_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   val n18_hybrid_rrf: Q = (spark, dir) => {
     GraftExtensions.register(spark)
 
@@ -644,26 +667,46 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("doc_id"),
         (col("pos") + 1).cast("long").as("rnk"))
 
-    // ---- lexical leg: more-like-this BM25 over the shared corpus stats
-    val T = TextAnalysis
-    val tf = T.bm25Tf(spark, dir)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val lexTop = tf
-      .join(broadcast(hybridQueryModel(spark, dir)), Seq("token"))
-      .where(col("doc_id") =!= col("query_id"))
-      .join(dl, Seq("doc_id"))
-      .select(col("query_id"), col("doc_id"),
-        T.bm25SMicro(col("tf"), col("dl"),
-          col("idf_micro"), col("avgdl")).as("s_micro"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("s_micro")).as("lex_micro"))
-      .groupBy(col("query_id"))
-      .agg(TopK.topK(HybridLegK)(col("lex_micro").cast("double"), col("doc_id")).as("tk"))
+    fuseLegs(hybridLexTop(spark, dir), semTop)
+  }
+
+  /** n19 — HYBRID RETRIEVAL ON THE TRAINED INDEX: n18 with its
+    * semantic leg swapped from the brute-force baseline to the tuned
+    * IVF search (n17's plan — [[PickedNprobe]] ranked cells per
+    * query, candidates by equi-join on the cell id) at depth
+    * [[HybridLegK]]. This is the swap the n18 docstring promises and
+    * the one a 100 TB deployment actually runs: the lexical leg and
+    * the fusion are IDENTICAL (the factored [[hybridLexTop]] /
+    * [[fuseLegs]]), so the only moving part is the semantic
+    * candidate set — probed-cell members instead of the full corpus,
+    * which may surface fewer than 50 neighbors per query (the IVF
+    * recall trade n06/n16 measure; the fusion handles short legs by
+    * construction). Oracle: n17's CTE chain at the hybrid depth
+    * composed with t23's lexical CTEs and the RRF tail.
+    */
+  val n19_hybrid_ivf: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cents = idx(spark, dir, "coarse")
+    val assigned = idx(spark, dir, "cells")
+    val qvec = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val qCells = qvec.join(broadcast(cents), lit(true), "inner")
+      .select(col("query_id"), col("cid"), cos6(col("qv"), col("cv")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(PickedNprobe)(col("c6"), col("cid")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("qcell"))
+    val probed = qCells.join(qvec, "query_id")
+    val semTop = assigned.join(broadcast(probed),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(HybridLegK)(col("c6"), col("vec_id")).as("tk"))
       .select(col("query_id"), posexplode(col("tk.items")))
       .select(col("query_id"), col("col.id").as("doc_id"),
         (col("pos") + 1).cast("long").as("rnk"))
-
-    fuseLegs(lexTop, semTop)
+    fuseLegs(hybridLexTop(spark, dir), semTop)
   }
 
   /** n13 — FILTERED ANN over the trained IVF index: the production
@@ -1360,6 +1403,7 @@ object Similarity {
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
     "n18_hybrid_rrf" -> n18_hybrid_rrf,
+    "n19_hybrid_ivf" -> n19_hybrid_ivf,
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "d10_semantic_decontam" -> d10_semantic_decontam,
   )
@@ -1378,6 +1422,43 @@ object Similarity {
 
   private val duckCos =
     "round(list_sum(list_transform(list_zip(qv, v), t -> t[1] * t[2])) / (qn * nrm) * 1000000) / 1000000"
+
+  /** The lexical-leg CTE chain shared by the n18/n19 oracles
+    * ([[hybridLexTop]]'s DuckDB twin — ends with `lextop`, expects a
+    * preceding `semtop` name to be fused by [[duckHybridFusionTail]]).
+    */
+  private def duckHybridLexCtes: String =
+    s"""${TextAnalysis.duckBm25Corpus},
+        qt AS (SELECT doc_id AS query_id, token
+               FROM tf WHERE doc_id < $NumQueries AND length(token) >= 5
+               QUALIFY row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tf DESC, token) <= $HybridTerms),
+        qsc AS (SELECT query_id, token, ${TextAnalysis.duckBm25Idf} AS idf_micro,
+                       CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
+                FROM dft JOIN qt USING (token), stats),
+        ls AS (SELECT query_id, doc_id, ${TextAnalysis.duckBm25SMicro} AS s_micro
+               FROM tf JOIN qsc USING (token) JOIN dl USING (doc_id)
+               WHERE doc_id <> query_id),
+        la AS (SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS lex_micro
+               FROM ls GROUP BY 1, 2),
+        lextop AS (SELECT query_id, doc_id,
+                          CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY lex_micro DESC, doc_id) AS BIGINT) AS rnk
+                   FROM la QUALIFY rnk <= $HybridLegK)"""
+
+  /** [[fuseLegs]]' DuckDB twin over the `lextop`/`semtop` CTE names. */
+  private def duckHybridFusionTail: String =
+    s""", fused AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+                          COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                          COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(l.rnk AS DOUBLE))) AS BIGINT), 0)
+                        + COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(s.rnk AS DOUBLE))) AS BIGINT), 0) AS rrf_micro
+                   FROM lextop l FULL OUTER JOIN semtop s
+                     ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk,
+               doc_id, rrf_micro
+        FROM fused QUALIFY rnk <= $HybridTopK"""
 
   /** One unrolled coarse Lloyd round: score `cpI`, assign `caI`,
     * accumulate integer-thousandth sums `cxI`/`cuI`, rebuild the
@@ -1682,9 +1763,9 @@ object Similarity {
                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id AS neighbor_id, cos6
           FROM s QUALIFY rnk <= $K""",
-    // n18: both legs' ranks re-derived with the legs' own exact
-    // arithmetic (n01's cosine; t23's micro-unit BM25), fused by the
-    // same integer floor(1e6/(60+rank)) — deterministic end to end
+    // n18/n19: both legs' ranks re-derived with the legs' own exact
+    // arithmetic (n01's/n17's cosine; t23's micro-unit BM25), fused by
+    // the same integer floor(1e6/(60+rank)) — deterministic end to end
     "n18_hybrid_rrf" ->
       s"""WITH $duckVecs,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
@@ -1695,34 +1776,33 @@ object Similarity {
                             CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk
                      FROM sp QUALIFY rnk <= $HybridLegK),
-          ${TextAnalysis.duckBm25Corpus},
-          qt AS (SELECT doc_id AS query_id, token
-                 FROM tf WHERE doc_id < $NumQueries AND length(token) >= 5
-                 QUALIFY row_number() OVER (PARTITION BY doc_id
-                          ORDER BY tf DESC, token) <= $HybridTerms),
-          qsc AS (SELECT query_id, token, ${TextAnalysis.duckBm25Idf} AS idf_micro,
-                         CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl
-                  FROM dft JOIN qt USING (token), stats),
-          ls AS (SELECT query_id, doc_id, ${TextAnalysis.duckBm25SMicro} AS s_micro
-                 FROM tf JOIN qsc USING (token) JOIN dl USING (doc_id)
-                 WHERE doc_id <> query_id),
-          la AS (SELECT query_id, doc_id, CAST(SUM(s_micro) AS BIGINT) AS lex_micro
-                 FROM ls GROUP BY 1, 2),
-          lextop AS (SELECT query_id, doc_id,
+          $duckHybridLexCtes
+          $duckHybridFusionTail""",
+    "n19_hybrid_ivf" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                WHERE vec_id < $NumQueries),
+          qc AS (SELECT query_id, cid AS qcell,
+                        row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, cid) AS cell_rank
+                 FROM (SELECT query_id, cid,
+                              round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+                                    / (qn * cn) * 1000000) / 1000000 AS cos6
+                       FROM q, ct)),
+          sp AS (SELECT qc.query_id, av.vec_id,
+                        round(list_sum(list_transform(list_zip(q.qv, av.v), t -> t[1] * t[2]))
+                              / (q.qn * av.nrm) * 1000000) / 1000000 AS cos6
+                 FROM qc
+                 JOIN av ON av.cell_id = qc.qcell
+                 JOIN q ON q.query_id = qc.query_id
+                 WHERE qc.cell_rank <= $PickedNprobe AND av.vec_id <> qc.query_id),
+          semtop AS (SELECT query_id, vec_id AS doc_id,
                             CAST(row_number() OVER (PARTITION BY query_id
-                                   ORDER BY lex_micro DESC, doc_id) AS BIGINT) AS rnk
-                     FROM la QUALIFY rnk <= $HybridLegK),
-          fused AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
-                           COALESCE(l.doc_id, s.doc_id) AS doc_id,
-                           COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(l.rnk AS DOUBLE))) AS BIGINT), 0)
-                         + COALESCE(CAST(floor(1000000.0 / (60.0 + CAST(s.rnk AS DOUBLE))) AS BIGINT), 0) AS rrf_micro
-                    FROM lextop l FULL OUTER JOIN semtop s
-                      ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
-          SELECT query_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk,
-                 doc_id, rrf_micro
-          FROM fused QUALIFY rnk <= $HybridTopK""",
+                                   ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk
+                     FROM sp QUALIFY rnk <= $HybridLegK),
+          $duckHybridLexCtes
+          $duckHybridFusionTail""",
     "n14_cell_stats" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

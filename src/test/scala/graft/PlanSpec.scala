@@ -198,6 +198,20 @@ class PlanSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("n19: IVF-leg hybrid — candidates by cell equi-join, bounded broadcasts only") {
+    val df = graft.operators.Similarity.n19_hybrid_ivf(spark, sf)
+    try {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"n19 plans a cartesian:\n$plan")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+        s"only the centroid fold and 1-row stats may nest:\n$plan")
+      val rows = df.collect()
+      val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+      assert(perQuery.keySet === (0L until 5L).toSet && perQuery.values.forall(_ === 10),
+        s"expected top-10 per query: $perQuery")
+    } finally spark.catalog.clearCache()
+  }
+
   test("a13: ONE exchange — rank, group size and the rollup share the event_type distribution") {
     val df = Relational.a13_value_quantiles(spark, sf)
     df.collect()
