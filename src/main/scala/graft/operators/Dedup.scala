@@ -897,6 +897,39 @@ object Dedup {
         nt"""
   }
 
+  /** d11 — INCREMENTAL DEDUP: deduplicate an arriving DELTA batch
+    * against the STANDING corpus — the production nightly (a new
+    * crawl lands; only rows never seen before may enter). Two
+    * planted overlap classes exercise both drop paths
+    * deterministically on both engines: copies of standing-corpus
+    * docs (must fall to the anti-join) and within-delta copies (must
+    * collapse to the min-id keeper, d01's rule).
+    *
+    * Scale shape: ONE shuffle on the content hash — the anti-join
+    * and the keeper aggregation share the hash distribution, so
+    * Catalyst reuses the exchange; the standing side ships only its
+    * distinct-hash projection, never its payloads. At 100 TB the
+    * j13 composition applies verbatim: broadcast the standing set's
+    * Bloom summary to pre-prune the delta before the exact
+    * anti-join shuffles (false positives re-verified by the
+    * anti-join itself).
+    */
+  val d11_incremental_dedup: Q = (spark, dir) => {
+    val docs = documents(spark, dir).select(col("doc_id"), col("text"))
+    val existing = docs.where(col("doc_id") % 10 =!= 0)
+    val delta0 = docs.where(col("doc_id") % 10 === 0)
+    val replant = delta0.where(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val stale = existing.where(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val eh = existing.select(md5(col("text")).as("content_hash")).distinct()
+    delta0.unionAll(replant).unionAll(stale)
+      .withColumn("content_hash", md5(col("text")))
+      .join(eh, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -910,6 +943,7 @@ object Dedup {
     "d07_dedup_clusters" -> d07_dedup_clusters,
     "d08_decontam" -> d08_decontam,
     "d09_lsh_tuning" -> d09_lsh_tuning,
+    "d11_incremental_dedup" -> d11_incremental_dedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -928,5 +962,20 @@ object Dedup {
     "d07_dedup_clusters" -> duckClusterSql,
     "d08_decontam" -> duckDecontamSql,
     "d09_lsh_tuning" -> duckLshSweepSql,
+    "d11_incremental_dedup" ->
+      """WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+          delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                    WHERE doc_id % 10 = 0 AND doc_id % 40 = 0
+                    UNION ALL
+                    SELECT doc_id + 2000000 AS doc_id, text FROM existing
+                    WHERE doc_id % 7 = 1),
+          eh AS (SELECT DISTINCT md5(text) AS content_hash FROM existing)
+          SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
+                 COUNT(*) AS n_copies
+          FROM delta
+          WHERE md5(text) NOT IN (SELECT content_hash FROM eh)
+          GROUP BY 1""",
   )
 }

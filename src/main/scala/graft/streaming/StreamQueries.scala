@@ -1211,6 +1211,49 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** J/K-family streaming — THE BLOOM SUMMARY BUILT AT INGEST
+    * (completing the j13/st34 trio): the m-bit filter over the
+    * urgent-order keys is MAINTAINED INCREMENTALLY as orders arrive —
+    * a single running update-mode aggregation whose state is the one
+    * 128 KB OR-mergeable buffer (ingest-rate-independent), upserted
+    * to the serving table each batch (st14's bit-identical-artifact
+    * discipline: because the Bloom merge is order-free, the streamed
+    * bits equal the batch-built bits EXACTLY, which `BloomSpec`
+    * asserts structurally and the composition proves end-to-end).
+    * The served summary then drives j13's pruned join — build the
+    * filter on the stream, prune the batch scan with it — and the
+    * oracle is j13's, proving a summary built incrementally at
+    * ingest is indistinguishable from the nightly batch build. The
+    * sentinel's priority "X" fails the stateless pre-filter (no
+    * watermark in this pipeline, so no sentinel-starvation trap).
+    */
+  val st36_stream_bloom_build: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val hotStream = Replay.ordersStream(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val build = hotStream
+      .groupBy(lit(1L).as("k"))
+      .agg(graft.functions.BloomFilters.bloom(1 << 20)(col("o_orderkey")).as("bf"))
+      .select(col("k"), col("bf.bits").as("bits"), col("bf.n_keys").as("n_keys"))
+    val served = upsertServe(spark, build, Seq("k"), "n_keys")
+
+    val hot = graft.Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val pruned = li
+      .join(broadcast(served.select(col("bits"))),
+        graft.functions.BloomFilters.mightContain(col("bits"), col("l_orderkey")))
+      .select(li.columns.map(col): _*)
+    pruned.join(hot.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        graft.Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** D-family streaming — SEMANTIC DECONTAMINATION AT INGEST
     * (streaming twin of d10, exactly as st16 serves d08's shingle
     * gate): the arriving embedding corpus (train side ∪ the planted
@@ -1504,6 +1547,7 @@ object StreamQueries {
     "st33_stream_range_join" -> st33_stream_range_join,
     "st34_stream_bloom_prune" -> st34_stream_bloom_prune,
     "st35_stream_hybrid_serve" -> st35_stream_hybrid_serve,
+    "st36_stream_bloom_build" -> st36_stream_bloom_build,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1543,6 +1587,9 @@ object StreamQueries {
     // st35 serves EXACTLY n18's fused ranking — the oracle is n18's
     "st35_stream_hybrid_serve" ->
       graft.operators.Similarity.oracles("n18_hybrid_rrf"),
+    // st36's stream-built summary must prune exactly as j13's batch build
+    "st36_stream_bloom_build" ->
+      graft.operators.Relational.oracles("j13_bloom_prune_join"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

@@ -71,6 +71,16 @@ class BloomSpec extends SparkSpecBase {
     }
   }
 
+  test("st36: the stream-built summary prunes exactly as the batch build (= j13)") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st36_stream_bloom_build")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Relational.j13_bloom_prune_join(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq,
+      "the incrementally built filter diverges from the batch build")
+  }
+
   test("j13: probe below the fact exchange; result equals the un-pruned join") {
     val df = graft.operators.Relational.j13_bloom_prune_join(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -292,6 +292,21 @@ class DedupSpec extends SparkSpecBase {
     finally spark.catalog.clearCache()
   }
 
+  test("d11: standing-corpus copies drop at the anti-join; replants lose to their originals") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.d11_incremental_dedup(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "the delta must contribute new keepers")
+    // a replanted copy (+1000000) can never beat its lower-id original
+    assert(rows.forall(_.getLong(1) < 1000000L), "a planted copy became keeper")
+    // every hash planted from the standing corpus must be absent
+    val staleHashes = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .select(md5(col("text")).as("content_hash"))
+    assert(out.join(staleHashes, Seq("content_hash")).count() === 0L,
+      "a standing-corpus hash slipped past the anti-join")
+  }
+
   test("t18: training-split documents have zero unseen bigrams") {
     // every bigram of a train-split doc is, by construction, in the
     // model's count table; OOV can only come from the val split
