@@ -1254,6 +1254,45 @@ object StreamQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** D-family streaming — INCREMENTAL DEDUP AT INGEST (streaming twin
+    * of d11): the arriving delta (originals ∪ the same two planted
+    * overlap classes, built from the stream itself) is checked
+    * against the STANDING corpus's hash projection by a stateless
+    * stream-static join (left-outer + null-filter — the anti-join
+    * lifted to the micro-batch; the standing side ships hashes only),
+    * and the within-delta keeper rule runs as ONE update-mode
+    * aggregation per content hash served from the keyed upsert table
+    * (min-id keeper + copy count, both monotone under late arrivals —
+    * the order-free argument every serving twin rides). State is one
+    * row per distinct delta hash — delta-bounded, never
+    * standing-corpus-bounded, which is the point: the nightly's
+    * standing side stays on disk. The sentinel matches no branch
+    * filter (no watermark here, so nothing needs it); its hash can
+    * never surface. Oracle is d11's.
+    */
+  val st37_stream_incremental_dedup: Q = (spark, dir) => {
+    val existing = graft.Tables.documents(spark, dir)
+      .where(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+    val eh = existing.select(md5(col("text")).as("content_hash")).distinct()
+      .withColumn("in_corpus", lit(1))
+    def docs() = Replay.tableStream(spark, dir, "documents",
+      Replay.documentsSentinel(spark)).select(col("doc_id"), col("text"))
+    val delta0 = docs().where(col("doc_id") % 10 === 0)
+    val replant = docs().where(col("doc_id") % 10 === 0 && col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val stale = docs().where(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1
+        && col("doc_id") >= 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val agg = delta0.unionAll(replant).unionAll(stale)
+      .withColumn("content_hash", md5(col("text")))
+      .join(eh, Seq("content_hash"), "left_outer")
+      .where(col("in_corpus").isNull)
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    upsertServe(spark, agg, Seq("content_hash"), "n_copies")
+      .select(col("content_hash"), col("keeper_id"), col("n_copies"))
+  }
+
   /** D-family streaming — SEMANTIC DECONTAMINATION AT INGEST
     * (streaming twin of d10, exactly as st16 serves d08's shingle
     * gate): the arriving embedding corpus (train side ∪ the planted
@@ -1548,6 +1587,7 @@ object StreamQueries {
     "st34_stream_bloom_prune" -> st34_stream_bloom_prune,
     "st35_stream_hybrid_serve" -> st35_stream_hybrid_serve,
     "st36_stream_bloom_build" -> st36_stream_bloom_build,
+    "st37_stream_incremental_dedup" -> st37_stream_incremental_dedup,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1590,6 +1630,9 @@ object StreamQueries {
     // st36's stream-built summary must prune exactly as j13's batch build
     "st36_stream_bloom_build" ->
       graft.operators.Relational.oracles("j13_bloom_prune_join"),
+    // st37's served keeper table must equal the batch nightly — d11's oracle
+    "st37_stream_incremental_dedup" ->
+      graft.operators.Dedup.oracles("d11_incremental_dedup"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

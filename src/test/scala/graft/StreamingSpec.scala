@@ -482,6 +482,17 @@ class StreamingSpec extends SparkSpecBase {
       "ingest-served fusion diverges from the batch hybrid ranking")
   }
 
+  test("st37: the ingest-served keeper table equals batch d11 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st37_stream_incremental_dedup")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Dedup.d11_incremental_dedup(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty, "served keeper table must not be empty")
+    assert(streamed.toSeq === batch.toSeq,
+      "ingest incremental dedup diverges from the batch nightly")
+  }
+
   test("retention: the cohort is the MIN day even when the earliest event arrives last") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
