@@ -304,6 +304,47 @@ object Dedup {
         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
   }
 
+  /** [[d12_incremental_neardup]]'s DuckDB twin: the d02 oracle chain
+    * instantiated once per corpus side, candidates delta→standing.
+    */
+  private def duckIncNearDupSql: String = {
+    val (nBands, nRows) = PickedBanding
+    val mhs = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(hs, h -> ${Portable.duckXorMix(i, "h")}))").mkString("[", ", ", "]")
+    val bandKeys = (0 until nBands).map(b =>
+      (1 to nRows).map(r => s"mhs[${nRows * b + r}]")
+        .mkString("concat_ws('_', ", ", ", ")"))
+    def chain(tag: String, corpus: String) =
+      s"""sh$tag AS (SELECT doc_id, $duckShingleExpr AS shd FROM $corpus),
+          shn$tag AS (SELECT doc_id, shd FROM sh$tag WHERE len(shd) > 0),
+          hsx$tag AS (SELECT doc_id,
+                             list_transform(shd, s -> ${Portable.duckHash60("s")}) AS hs
+                      FROM shn$tag),
+          mh$tag AS (SELECT doc_id, $mhs AS mhs FROM hsx$tag),
+          bands$tag AS (
+            SELECT doc_id, t.band,
+                   CASE ${bandKeys.zipWithIndex.map { case (k, b) => s"WHEN t.band = $b THEN $k" }.mkString(" ")} END AS bkey
+            FROM mh$tag, (SELECT unnest([${(0 until nBands).mkString(",")}]) AS band) t)"""
+    s"""WITH standing AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                  UNION ALL
+                  SELECT doc_id + 3000000 AS doc_id,
+                         array_to_string(string_split(text, ' ')[6:], ' ') AS text
+                  FROM standing WHERE doc_id % 9 = 2),
+        ${chain("s", "standing")},
+        ${chain("d", "delta")},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS delta_id, b.doc_id AS standing_id
+          FROM bandsd a JOIN bandss b ON a.band = b.band AND a.bkey = b.bkey),
+        j AS (
+          SELECT delta_id, standing_id,
+                 CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE) /
+                 CAST(len(list_distinct(list_concat(x.hs, y.hs))) AS DOUBLE) AS jaccard
+          FROM cand JOIN hsxd x ON x.doc_id = delta_id
+                    JOIN hsxs y ON y.doc_id = standing_id)
+        SELECT delta_id, standing_id, jaccard FROM j WHERE jaccard >= 0.5"""
+  }
+
   // ------------------------------------------------------------------
   // d03 — SimHash near-dup
   // ------------------------------------------------------------------
@@ -897,6 +938,57 @@ object Dedup {
         nt"""
   }
 
+  /** d12 — INCREMENTAL NEAR-DUP: the d11 nightly at the NEAR-dup
+    * tier — flag delta documents that are near-copies of STANDING
+    * corpus documents, probing the standing LSH index with the delta
+    * only. Candidate generation joins the delta's band keys against
+    * the standing side's (never delta×delta, never all-pairs), so the
+    * incremental run is O(|delta|·bands) probe rows against the
+    * prebuilt index — the production shape where the standing
+    * signatures are a materialized artifact and tonight's crawl is
+    * the only new work. Same [[PickedBanding]] config, same
+    * codegen'd shingle→hash→minhash pipeline, same exact-Jaccard
+    * ≥ 0.5 verification as d02 (false candidates die at the verify;
+    * misses are the banding's measured recall trade, tuned by the
+    * d09→pickBanding loop). Planted near-copies of standing docs
+    * (head-truncation, J ≈ 0.9 — the [[nearDupCorpus]] recipe)
+    * guarantee the differential check exercises real hits.
+    */
+  val d12_incremental_neardup: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = d.where(col("doc_id") % 10 =!= 0)
+    val delta = d.where(col("doc_id") % 10 === 0)
+      .unionAll(standing.where(col("doc_id") % 9 === 2)
+        .select((col("doc_id") + 3000000L).as("doc_id"), dropHead5(col("text")).as("text")))
+    def prep(df: DataFrame) = df
+      .select(col("doc_id"), shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("doc_id"), Portable.hash60Array(col("shd")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hsS = prep(standing)
+    val hsD = prep(delta)
+    val (nb, nr) = PickedBanding
+    val seedsCsv = Portable.xorSeeds.take(NumHashes).mkString(",")
+    def bandsOf(hs: DataFrame) = hs
+      .select(col("doc_id"),
+        call_function("minhash_mins", col("hs"), lit(seedsCsv)).as("mh"))
+      .select(col("doc_id"), explode(array(minhashBandStructs(nb, nr): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bandsOf(hsD).alias("a")
+      .join(bandsOf(hsS).alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("delta_id"), col("b.doc_id").as("standing_id"))
+      .distinct()
+    val x = hsD.select(col("doc_id").as("delta_id"), col("hs").as("sha"))
+    val y = hsS.select(col("doc_id").as("standing_id"), col("hs").as("shb"))
+    cand.join(x, "delta_id").join(y, "standing_id")
+      .select(col("delta_id"), col("standing_id"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+  }
+
   /** d11 — INCREMENTAL DEDUP: deduplicate an arriving DELTA batch
     * against the STANDING corpus — the production nightly (a new
     * crawl lands; only rows never seen before may enter). Two
@@ -944,6 +1036,7 @@ object Dedup {
     "d08_decontam" -> d08_decontam,
     "d09_lsh_tuning" -> d09_lsh_tuning,
     "d11_incremental_dedup" -> d11_incremental_dedup,
+    "d12_incremental_neardup" -> d12_incremental_neardup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -977,5 +1070,6 @@ object Dedup {
           FROM delta
           WHERE md5(text) NOT IN (SELECT content_hash FROM eh)
           GROUP BY 1""",
+    "d12_incremental_neardup" -> duckIncNearDupSql,
   )
 }

@@ -307,6 +307,20 @@ class DedupSpec extends SparkSpecBase {
       "a standing-corpus hash slipped past the anti-join")
   }
 
+  test("d12: every planted near-copy is flagged against its own standing original") {
+    val pairs = try Dedup.d12_incremental_neardup(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.catalog.clearCache()
+    assert(pairs.nonEmpty, "the planted near-copies must surface")
+    val planted = pairs.filter(_._1 >= 3000000L)
+    assert(planted.nonEmpty, "no planted delta ids in the pair set")
+    val missed = planted.collect {
+      case (d, _) if !pairs.contains((d, d - 3000000L)) => d
+    }
+    assert(missed.isEmpty,
+      s"planted copies not matched to their originals: $missed")
+  }
+
   test("t18: training-split documents have zero unseen bigrams") {
     // every bigram of a train-split doc is, by construction, in the
     // model's count table; OOV can only come from the val split
