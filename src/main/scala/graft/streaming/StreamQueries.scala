@@ -1473,12 +1473,19 @@ object StreamQueries {
       .select(col("query_id"), col("leg"), col("tk.items").as("items"),
         col("n_scored"))
 
-    val served = upsertServe(spark, base, Seq("query_id", "leg"), "n_scored")
+    hybridServeOnRead(upsertServe(spark, base, Seq("query_id", "leg"), "n_scored"))
+  }
+
+  /** st35's read-side: derive per-leg ranks from the served TopK
+    * buffers and fuse (shared with the restart spec — the
+    * rollupOnRead/hittersOnRead convention).
+    */
+  private[graft] def hybridServeOnRead(served: DataFrame): DataFrame = {
     val ranked = served
       .select(col("query_id"), col("leg"), posexplode(col("items")))
       .select(col("query_id"), col("leg"), col("col.id").as("doc_id"),
         (col("pos") + 1).cast("long").as("rnk"))
-    S.fuseLegs(
+    graft.operators.Similarity.fuseLegs(
       ranked.where(col("leg") === "lex").drop("leg"),
       ranked.where(col("leg") === "sem").drop("leg"))
   }

@@ -8,6 +8,8 @@ import graft.streaming.{Pipelines, RetEvent, ScdEvent}
 
 case class CubeOrder(r_name: String, n_name: String, o_totalprice: Double)
 
+case class ScoredDoc(query_id: Long, doc_id: Long, score: Double, leg: String)
+
 /** The heavy-user bounded-state contract: a single user delivering 10k
   * events must leave retention/scd2 state CAPPED (the round-7 judge
   * task 4) with the documented deterministic truncation — smallest
@@ -175,5 +177,43 @@ class StateCapSpec extends SparkSpecBase {
       s"served rollup after kill/resume must equal the batch cube;\n got $got\n exp $expected")
     assert(got((Some("EUROPE"), Some("FRANCE")))._2 === 3L,
       "the updated cell must carry pre- AND post-restart orders exactly once")
+  }
+
+  test("st35's serving path: leg rankings survive a kill/resume; fusion equals batch") {
+    // st35's twin of the st23 lock: kill the hybrid serving writer
+    // between batches, resume over the SAME checkpoint + table — the
+    // per-(query, leg) TopK state must recover (post-restart arrivals
+    // displace pre-restart entries exactly as one continuous stream
+    // would), and the RRF fusion derived from the served buffers must
+    // equal the fusion over ALL delivered rows.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[ScoredDoc]
+    val cp = tmpDir("cp_st35_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st35_restart_"), Seq("query_id", "leg"), "n_scored")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("query_id"), col("leg"))
+      .agg(graft.functions.TopK.topK(50)(col("score"), col("doc_id")).as("tk"),
+        count(lit(1)).as("n_scored"))
+      .select(col("query_id"), col("leg"), col("tk.items").as("items"),
+        col("n_scored"))
+    val run1 = Seq(
+      ScoredDoc(0, 11, 900000.0, "lex"), ScoredDoc(0, 12, 800000.0, "lex"),
+      ScoredDoc(0, 12, 0.91, "sem"), ScoredDoc(0, 13, 0.88, "sem"))
+    val run2 = Seq(
+      ScoredDoc(0, 14, 950000.0, "lex"), // displaces the pre-restart leader
+      ScoredDoc(0, 11, 0.99, "sem")) // a doc gaining its second leg
+    ms.addData(run1: _*)
+    SQ.upsertServeWith(spark, agg(ms.toDF()), table, cp) // pass 1, writer dies
+    ms.addData(run2: _*)
+    val served = SQ.upsertServeWith(spark, agg(ms.toDF()), table, cp) // resumed
+    val got = SQ.hybridServeOnRead(served)
+      .collect().map(_.toSeq.mkString(",")).sorted.toSeq
+    val expected = SQ.hybridServeOnRead(agg((run1 ++ run2).toDF()))
+      .collect().map(_.toSeq.mkString(",")).sorted.toSeq
+    assert(got.nonEmpty && got === expected,
+      s"fused serving after kill/resume must equal the batch fusion;\n got $got\n exp $expected")
   }
 }
