@@ -356,12 +356,122 @@ object Curation {
         pick(0.5).as("p50_tok"), pick(0.9).as("p90_tok"), pick(0.99).as("p99_tok"))
   }
 
+  /** c06 — THE INCREMENTAL MANIFEST: c02's nightly run scoped to a
+    * DELTA batch against the standing corpus — tonight's crawl is
+    * admitted by the d11 rule (content hash unseen in the standing
+    * corpus, min-id keeper within the delta), then runs the FULL gate
+    * chain: heuristics + sample + split (per-row), delta-scoped
+    * decontamination (the d08 pattern instantiated over
+    * admitted ∪ eval — the document frequency a delta batch can
+    * actually compute, the batch analog of st16's eval-side rule),
+    * t21's repetition battery over the survivors, the TRAINED
+    * perplexity and NB gates (the shared corpus-trained artifacts
+    * score the delta — incremental runs never retrain per batch), and
+    * BPE counts + packing into the delta's own shards. Together with
+    * d11/d12/st36/st37 this closes the incremental family: admission,
+    * near-dup, summary build, ingest serving, and now the capstone.
+    *
+    * Scale shape: every stage is d11's/c02's — the admission
+    * anti-join ships standing HASHES only (the j13 bloom pre-filter
+    * is the documented 100 TB upgrade), the gates are one delta
+    * scan, decontam df is delta-bounded, model scoring joins are
+    * |delta|-bounded, and packing exchanges once on (split, shard).
+    * Nothing in the plan touches standing-corpus payloads.
+    */
+  val c06_incremental_manifest: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val T = TextAnalysis
+    val D = Dedup
+    val W = org.apache.spark.sql.expressions.Window
+
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val standing = docs.where(col("doc_id") % 10 =!= 0)
+    val replant = docs.where(col("doc_id") % 10 === 0 && col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("n_chars"))
+    val stale = standing.where(col("doc_id") % 7 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
+        col("lang"), col("n_chars"))
+    val delta = docs.where(col("doc_id") % 10 === 0)
+      .unionAll(replant).unionAll(stale)
+
+    // admission: d11's incremental-dedup rule
+    val eh = standing.select(md5(col("text")).as("content_hash")).distinct()
+    val admittedIds = delta.withColumn("content_hash", md5(col("text")))
+      .join(eh, Seq("content_hash"), "left_anti")
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val admitted = delta.join(admittedIds, "doc_id")
+
+    // per-row gates (gateFlags' expressions, delta-scoped)
+    val split9 = when(
+      Portable.hash60(concat(lit("split:"), col("doc_id").cast("string"))) % 100 < T.TrainPct,
+      "train").otherwise("val")
+    val sampleU = pmod(
+      Portable.hash60(concat(lit("sample:"), col("doc_id").cast("string"))), lit(10000L))
+    val rate = T.SampleRates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val flagged = admitted
+      .select(col("doc_id"), col("lang"), col("text"),
+        T.prepQualityCol.as("quality_score"), T.prepEnOkCol.as("en_ok"),
+        sampleU.as("u"), split9.as("split"))
+      .withColumn("heur_ok", col("quality_score") >= 2 && col("en_ok"))
+      .withColumn("sample_ok", col("u") < (rate * 10000).cast("long"))
+
+    // delta-scoped decontamination (d08's chain over admitted ∪ eval)
+    val ev = D.evalSet(spark, dir)
+      .select(col("doc_id"), col("text"), lit("e").as("role"))
+    val sh = admitted.select(col("doc_id"), col("text"), lit("t").as("role"))
+      .unionAll(ev)
+      .select(col("doc_id"), col("role"), D.shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("doc_id"), col("role"),
+        explode(Portable.hash60Array(col("shd"))).as("s"))
+    val keptSh = sh
+      .withColumn("df", count(lit(1)).over(W.partitionBy(col("s"))))
+      .where(col("df") <= D.DfCap).drop("df")
+    val contam = keptSh.where(col("role") === "t").alias("a")
+      .join(keptSh.where(col("role") === "e").alias("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= D.MinContamHits)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+
+    val gated = flagged.join(contam, Seq("doc_id"), "left")
+      .where(col("heur_ok") && col("sample_ok") &&
+        !coalesce(col("is_contam"), lit(false)))
+      .select(col("doc_id"), col("text"), col("quality_score"), col("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // trained gates: the shared corpus-trained artifacts score the delta
+    val rep = T.repSignals(spark, gated)
+      .select(col("doc_id"), col("top2_frac"), col("top3_frac"),
+        col("dup5_frac"), col("rep_keep"))
+      .where(col("rep_keep")).drop("rep_keep")
+    val g1 = gated.join(rep, "doc_id")
+    val ppl = T.lmScore(spark, dir, g1)
+      .where(col("avg_lp_micro") >= T.PplGateMicro.toDouble)
+      .select(col("doc_id"), col("avg_lp_micro"))
+    val g2 = g1.join(ppl, "doc_id")
+    val nb = T.nbScore(spark, dir, g2)
+      .where(col("log_odds_micro") >= 0)
+      .select(col("doc_id"), col("log_odds_micro"))
+    val g3 = g2.join(nb, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    packManifest(spark, dir, g3, Seq("top2_frac", "top3_frac", "dup5_frac",
+      "avg_lp_micro", "log_odds_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_curated_manifest" -> c02_curated_manifest,
     "c03_curation_audit" -> c03_curation_audit,
     "c04_manifest_table" -> c04_manifest_table,
     "c05_curation_profile" -> c05_curation_profile,
+    "c06_incremental_manifest" -> c06_incremental_manifest,
   )
 
   // --------------------------------------------------------------------
@@ -509,6 +619,86 @@ object Curation {
         LEFT JOIN nbsc n ON n.doc_id = f.doc_id"""
   }
 
+  /** c06's twin: the d11 admission CTEs, the flag chain over the
+    * admitted delta (decontam df over admitted ∪ eval — the
+    * delta-scoped rule), then c02's repetition/LM/NB/pack fragments
+    * over the delta survivor chain.
+    */
+  private def duckC06Sql: String = {
+    val T = TextAnalysis
+    val D = Dedup
+    val splitH = Portable.duckHash60("concat('split:', CAST(psd.doc_id AS VARCHAR))")
+    val sampleH = Portable.duckHash60("concat('sample:', CAST(psd.doc_id AS VARCHAR))")
+    val caseRate = T.SampleRates.foldRight("1.0") { case ((l, r), acc) =>
+      s"CASE WHEN d.lang = '$l' THEN $r ELSE $acc END"
+    }
+    val shingleH = Portable.duckHash60("s")
+    s"""WITH standing AS (SELECT doc_id, text, lang, n_chars FROM documents
+                          WHERE doc_id % 10 <> 0),
+        delta AS (SELECT doc_id, text, lang, n_chars FROM documents
+                  WHERE doc_id % 10 = 0
+                  UNION ALL
+                  SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars
+                  FROM documents WHERE doc_id % 10 = 0 AND doc_id % 40 = 0
+                  UNION ALL
+                  SELECT doc_id + 2000000 AS doc_id, text, lang, n_chars
+                  FROM standing WHERE doc_id % 7 = 1),
+        eh AS (SELECT DISTINCT md5(text) AS h FROM standing),
+        adm AS (SELECT MIN(doc_id) AS doc_id FROM delta
+                WHERE md5(text) NOT IN (SELECT h FROM eh)
+                GROUP BY md5(text)),
+        admitted AS (SELECT dl.doc_id, dl.text, dl.lang, dl.n_chars
+                     FROM delta dl JOIN adm USING (doc_id)),
+        ${T.duckPrepGates("admitted", "d")},
+        ${D.duckEvalCorpus},
+        ccorp AS (SELECT doc_id, text, 't' AS role FROM admitted
+                  UNION ALL SELECT doc_id, text, 'e' AS role FROM ev),
+        cx0 AS (SELECT doc_id, role,
+                       unnest(list_transform(${D.duckShingleExpr}, s -> $shingleH)) AS s
+                FROM ccorp),
+        cx AS (SELECT doc_id, role, s FROM (
+                 SELECT doc_id, role, s, COUNT(*) OVER (PARTITION BY s) AS df
+                 FROM cx0)
+               WHERE df <= ${D.DfCap}),
+        cpr AS (SELECT a.doc_id AS doc_id, b.doc_id AS eval_id, COUNT(*) AS inter
+                FROM cx a JOIN cx b ON a.s = b.s
+                WHERE a.role = 't' AND b.role = 'e'
+                GROUP BY 1, 2 HAVING COUNT(*) >= ${D.MinContamHits}),
+        contam AS (SELECT DISTINCT doc_id FROM cpr),
+        flags AS (SELECT psd.doc_id, psd.quality_score, psd.text,
+                         psd.quality_score >= 2 AND psd.en_ok AS heur_ok,
+                         c.doc_id IS NOT NULL AS is_contam,
+                         ($sampleH) % 10000
+                           < CAST(($caseRate) * 10000 AS BIGINT) AS sample_ok,
+                         CASE WHEN ($splitH) % 100 < ${T.TrainPct}
+                              THEN 'train' ELSE 'val' END AS split
+                  FROM psd
+                  JOIN admitted d ON d.doc_id = psd.doc_id
+                  LEFT JOIN contam c ON c.doc_id = psd.doc_id),
+        base AS (SELECT doc_id, quality_score, text, split FROM flags
+                 WHERE heur_ok AND NOT is_contam AND sample_ok),
+        ${T.duckRepCtes("base")},
+        base1 AS (SELECT b.doc_id, b.quality_score, b.text, b.split,
+                         r.top2_frac, r.top3_frac, r.dup5_frac
+                  FROM base b JOIN rep r USING (doc_id)
+                  WHERE r.rep_keep),
+        ${duckLmGateCtes("base1")},
+        base2 AS (SELECT b.doc_id, b.quality_score, b.text, b.split,
+                         b.top2_frac, b.top3_frac, b.dup5_frac, l.avg_lp_micro
+                  FROM base1 b JOIN lmsc l USING (doc_id)
+                  WHERE l.avg_lp_micro >= CAST(${T.PplGateMicro} AS DOUBLE)),
+        ${T.duckPrepGates("documents")},
+        ${T.duckNbModelCtes()},
+        ${T.duckNbScoreCtes("base2")},
+        base3 AS (SELECT b.doc_id, b.quality_score, b.text, b.split,
+                         b.top2_frac, b.top3_frac, b.dup5_frac,
+                         b.avg_lp_micro, n.log_odds_micro
+                  FROM base2 b JOIN nbsc n USING (doc_id)
+                  WHERE n.log_odds_micro >= 0),
+        ${duckPackSql("base3", Seq("top2_frac", "top3_frac", "dup5_frac",
+          "avg_lp_micro", "log_odds_micro"))}"""
+  }
+
   val oracles: Map[String, String] = Map(
     "c01_curation_pipeline" -> duckC01Sql,
     "c02_curated_manifest" -> duckC02Sql,
@@ -531,5 +721,6 @@ object Curation {
                  max(CASE WHEN rn = ceil(0.9 * n) THEN n_tok END) AS p90_tok,
                  max(CASE WHEN rn = ceil(0.99 * n) THEN n_tok END) AS p99_tok
           FROM r GROUP BY stage""",
+    "c06_incremental_manifest" -> duckC06Sql,
   )
 }

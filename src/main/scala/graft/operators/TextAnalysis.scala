@@ -583,12 +583,12 @@ object TextAnalysis {
   /** DuckDB twin of the prep gates over relation `rel`(doc_id, text,
     * n_chars): CTEs `pm` (parsed) + `ps` (rows + quality_score/en_ok).
     */
-  private[graft] def duckPrepGates(rel: String): String = {
+  private[graft] def duckPrepGates(rel: String, tag: String = ""): String = {
     val inList = EnTrigrams.map(t => s"'$t'").mkString(", ")
-    s"""pm AS (SELECT doc_id, n_chars, text, lower(text) AS txt,
+    s"""pm$tag AS (SELECT doc_id, n_chars, text, lower(text) AS txt,
                       string_split(text, ' ') AS toks
                FROM $rel),
-        ps AS (SELECT doc_id, text,
+        ps$tag AS (SELECT doc_id, text,
                  (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)::BIGINT
                  + (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE)
                            / CAST(len(toks) AS DOUBLE) >= 0.35 THEN 1 ELSE 0 END)::BIGINT
@@ -601,7 +601,7 @@ object TextAnalysis {
                      list_transform(range(1, len(txt) - 1), i -> substr(txt, i, 3)),
                      x -> x IN ($inList))) AS DOUBLE)
                    / CAST(len(txt) - 2 AS DOUBLE) >= $TrigramThreshold AS en_ok
-               FROM pm)"""
+               FROM pm$tag)"""
   }
 
   /** Token budget per packed training sequence and shard fan-out for

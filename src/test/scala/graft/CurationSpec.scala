@@ -113,6 +113,18 @@ class CurationSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("c06 admits only genuinely new delta docs; planted copies never reach the manifest") {
+    val rows = try graft.operators.Curation
+        .queries("c06_incremental_manifest")(spark, sf).collect()
+      finally spark.catalog.clearCache()
+    assert(rows.nonEmpty, "the delta must contribute manifest rows")
+    val ids = rows.map(_.getLong(0))
+    assert(ids.forall(_ < 1000000L),
+      "a planted copy (within-delta or standing) reached the incremental manifest")
+    assert(ids.forall(id => id % 10 == 0),
+      "a non-delta doc_id reached the incremental manifest")
+  }
+
   test("c04 real-manifest read-back prunes on (split, shard) at the directory level") {
     try {
       val q = Curation.c04_manifest_table(spark, sf)
