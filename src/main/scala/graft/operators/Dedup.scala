@@ -304,6 +304,23 @@ object Dedup {
         SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5"""
   }
 
+  /** (band, bkey) rows of a hashed-shingle frame `hs(idCol, hs, …)`
+    * under [[PickedBanding]], carrying `carry` columns through — the
+    * signature/banding step shared by d12's two sides and the ingest
+    * twin st38 (where the delta side is a STREAM: every step here is
+    * a stateless projection, so it lifts to micro-batches unchanged).
+    */
+  private[graft] def pickedBandRows(hs: DataFrame, idCol: String,
+      carry: Seq[String]): DataFrame = {
+    val (nb, nr) = PickedBanding
+    val seedsCsv = Portable.xorSeeds.take(NumHashes).mkString(",")
+    val keep = col(idCol) +: carry.map(col)
+    hs.select(keep :+
+        call_function("minhash_mins", col("hs"), lit(seedsCsv)).as("mh"): _*)
+      .select(keep :+ explode(array(minhashBandStructs(nb, nr): _*)).as("bb"): _*)
+      .select(keep :+ col("bb.band").as("band") :+ col("bb.bkey").as("bkey"): _*)
+  }
+
   /** [[d12_incremental_neardup]]'s DuckDB twin: the d02 oracle chain
     * instantiated once per corpus side, candidates delta→standing.
     */
@@ -968,15 +985,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hsS = prep(standing)
     val hsD = prep(delta)
-    val (nb, nr) = PickedBanding
-    val seedsCsv = Portable.xorSeeds.take(NumHashes).mkString(",")
-    def bandsOf(hs: DataFrame) = hs
-      .select(col("doc_id"),
-        call_function("minhash_mins", col("hs"), lit(seedsCsv)).as("mh"))
-      .select(col("doc_id"), explode(array(minhashBandStructs(nb, nr): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = bandsOf(hsD).alias("a")
-      .join(bandsOf(hsS).alias("b"),
+    val cand = pickedBandRows(hsD, "doc_id", Nil).alias("a")
+      .join(pickedBandRows(hsS, "doc_id", Nil).alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("delta_id"), col("b.doc_id").as("standing_id"))
       .distinct()

@@ -1293,6 +1293,77 @@ object StreamQueries {
       .select(col("content_hash"), col("keeper_id"), col("n_copies"))
   }
 
+  /** D-family streaming — INCREMENTAL NEAR-DUP AT INGEST (streaming
+    * twin of d12, closing the incremental family's last cell): each
+    * arriving delta document is shingled, hashed, signed and
+    * band-exploded by the SAME codegen'd pipeline
+    * ([[graft.operators.Dedup.pickedBandRows]] — every step a
+    * stateless projection, so the batch code lifts to micro-batches
+    * verbatim), then probes the STANDING corpus's band index by a
+    * stream-static equi-join on (band, bkey). A candidate pair that
+    * fires on several bands collapses in watermark-scoped dedup
+    * state (one entry per surviving pair — delta-bounded; rows emit
+    * on first sight, so no flush depends on the sentinel), and the
+    * exact-Jaccard ≥ 0.5 verification re-joins the standing hashed
+    * shingle sets — static, payload-free. At 100 TB ingest the
+    * standing band/signature tables are the materialized artifacts
+    * tonight's stream probes; nothing here scans standing text.
+    * Oracle is d12's.
+    */
+  val st38_stream_incremental_neardup: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val D = graft.operators.Dedup
+    val P = graft.functions.Portable
+
+    val standing = graft.Tables.documents(spark, dir)
+      .where(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+    val hsS = standing.select(col("doc_id"), D.shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("doc_id"), P.hash60Array(col("shd")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandsS = D.pickedBandRows(hsS, "doc_id", Nil)
+      .select(col("doc_id").as("standing_id"), col("band"), col("bkey"))
+
+    def docs() = Replay.tableStream(spark, dir, "documents",
+      Replay.documentsSentinel(spark)).select(col("doc_id"), col("text"))
+    val delta = docs().where(col("doc_id") % 10 === 0)
+      .unionAll(docs().where(col("doc_id") % 10 =!= 0 && col("doc_id") % 9 === 2
+          && col("doc_id") >= 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          D.dropHead5(col("text")).as("text")))
+
+    // CONSTANT event time for real rows (sentinel far-future): the
+    // three union branches' files replay in arbitrary order, so any
+    // id-derived time would mark later-branch rows LATE once an
+    // earlier batch advanced the watermark — and late rows bypass the
+    // pair-dedup state (the documented dropDuplicatesWithinWatermark
+    // contract). A flat time keeps every pair deduplicable for the
+    // whole replay; state stays delta-pair-bounded either way.
+    val flatEventTime = when(col("doc_id") < 0,
+      lit("2100-01-01 00:00:00").cast("timestamp"))
+      .otherwise(lit("2024-01-01 00:00:00").cast("timestamp"))
+    val prepped = delta
+      .withColumn("event_time", flatEventTime)
+      .withWatermark("event_time", "1 hour")
+      .select(col("doc_id").as("delta_id"), col("event_time"),
+        D.shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("delta_id"), col("event_time"),
+        P.hash60Array(col("shd")).as("hs"))
+    val cand = D.pickedBandRows(prepped, "delta_id", Seq("event_time", "hs"))
+      .join(broadcast(bandsS), Seq("band", "bkey"))
+      .select(col("delta_id"), col("standing_id"), col("event_time"), col("hs"))
+      .dropDuplicatesWithinWatermark("delta_id", "standing_id")
+    val out = cand
+      .join(hsS.select(col("doc_id").as("standing_id"), col("hs").as("shb")),
+        Seq("standing_id"))
+      .select(col("delta_id"), col("standing_id"),
+        (size(array_intersect(col("hs"), col("shb"))).cast("double") /
+          size(array_union(col("hs"), col("shb"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= 0.5)
+    Replay.runAppend(spark, out)
+  }
+
   /** D-family streaming — SEMANTIC DECONTAMINATION AT INGEST
     * (streaming twin of d10, exactly as st16 serves d08's shingle
     * gate): the arriving embedding corpus (train side ∪ the planted
@@ -1595,6 +1666,7 @@ object StreamQueries {
     "st35_stream_hybrid_serve" -> st35_stream_hybrid_serve,
     "st36_stream_bloom_build" -> st36_stream_bloom_build,
     "st37_stream_incremental_dedup" -> st37_stream_incremental_dedup,
+    "st38_stream_incremental_neardup" -> st38_stream_incremental_neardup,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1640,6 +1712,9 @@ object StreamQueries {
     // st37's served keeper table must equal the batch nightly — d11's oracle
     "st37_stream_incremental_dedup" ->
       graft.operators.Dedup.oracles("d11_incremental_dedup"),
+    // st38's probed pairs must equal the batch incremental near-dup — d12's
+    "st38_stream_incremental_neardup" ->
+      graft.operators.Dedup.oracles("d12_incremental_neardup"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

@@ -493,6 +493,18 @@ class StreamingSpec extends SparkSpecBase {
       "ingest incremental dedup diverges from the batch nightly")
   }
 
+  test("st38: the ingest near-dup probe equals batch d12 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st38_stream_incremental_neardup")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Dedup.d12_incremental_neardup(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    spark.catalog.clearCache()
+    assert(streamed.nonEmpty, "the planted near-copies must surface at ingest")
+    assert(streamed.toSeq === batch.toSeq,
+      "ingest near-dup probing diverges from the batch nightly")
+  }
+
   test("retention: the cohort is the MIN day even when the earliest event arrives last") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
