@@ -465,6 +465,36 @@ object Curation {
       "avg_lp_micro", "log_odds_micro"))
   }
 
+  /** c07 — MIXTURE RESAMPLING TO TARGET WEIGHTS: the corpus is
+    * down-sampled so each (lang, source) domain's achieved share
+    * converges to t19's temperature-weighted target (√tokens, the
+    * GPT-3/mT5 mixing recipe) — the "act" step of the third
+    * monitor→decide→act loop (after d09→pickBanding→d02 and
+    * n16→pickNprobe→n17): t19 MONITORS the natural mixture,
+    * [[TextAnalysis.mixtureRates]] DECIDES per-domain acceptance
+    * rates in integer basis points, and this query ACTS by keeping
+    * exactly the documents whose keyed hash falls under their
+    * domain's rate — deterministic, so reruns and the ingest twin
+    * (st39) keep the identical set. Unlike the other two loops the
+    * decision never leaves the plan: the rate table is a
+    * |domains|-row relation broadcast into the accept join.
+    *
+    * Scale shape: ONE shuffle total (t19's domain rollup with
+    * map-side partials reducing 100 TB to |domains| rows); the rate
+    * table broadcasts back onto one corpus scan, and acceptance is a
+    * stateless per-row integer compare — no second pass, no state.
+    * Emits (doc_id, lang, source, rate_micro) for the kept set, the
+    * resample manifest a dataloader (or a downstream c02 run) reads.
+    */
+  val c07_mixture_resample: Q = (spark, dir) => {
+    val rates = TextAnalysis.mixtureRates(spark, dir)
+    documents(spark, dir)
+      .join(broadcast(rates), Seq("lang", "source"))
+      .where(pmod(Portable.hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(10000L)) < col("rate_micro"))
+      .select(col("doc_id"), col("lang"), col("source"), col("rate_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_curated_manifest" -> c02_curated_manifest,
@@ -472,6 +502,7 @@ object Curation {
     "c04_manifest_table" -> c04_manifest_table,
     "c05_curation_profile" -> c05_curation_profile,
     "c06_incremental_manifest" -> c06_incremental_manifest,
+    "c07_mixture_resample" -> c07_mixture_resample,
   )
 
   // --------------------------------------------------------------------
@@ -722,5 +753,13 @@ object Curation {
                  max(CASE WHEN rn = ceil(0.99 * n) THEN n_tok END) AS p99_tok
           FROM r GROUP BY stage""",
     "c06_incremental_manifest" -> duckC06Sql,
+    "c07_mixture_resample" -> {
+      val acceptH = Portable.duckHash60("concat('mix:', CAST(d.doc_id AS VARCHAR))")
+      s"""WITH ${TextAnalysis.duckMixRateCtes}
+          SELECT d.doc_id, d.lang, d.source, r.rate_micro
+          FROM documents d
+          JOIN mixrates r ON d.lang = r.lang AND d.source = r.source
+          WHERE ($acceptH) % 10000 < r.rate_micro"""
+    },
   )
 }

@@ -872,6 +872,43 @@ object TextAnalysis {
           (col("n_tokens").cast("double") / col("tot_tok").cast("double"))).as("boost"))
   }
 
+  /** The mixture-control DECISION table: per-domain acceptance rates in
+    * basis points, derived from t19's temperature mixture. A domain
+    * whose natural (proportional) token share exceeds its √tokens
+    * target weight is down-sampled to exactly the target (acceptance
+    * probability = t19's `boost`, which is < 1 for over-represented
+    * domains); under-represented domains keep everything (rate capped
+    * at 10000 — deterministic sampling cannot up-sample without
+    * duplication, and duplicated text is what the d-family removes).
+    * The rate is floor-quantized to integer basis points so the
+    * accept predicate compares exact integers — the d09/n16 decision
+    * artifacts' portability rule, except this decision never leaves
+    * the plan: rates are a |domains|-row relation that broadcasts
+    * into the accept join, so the monitor→decide→act loop is closed
+    * DECLARATIVELY (no driver read at all, unlike pickBanding's
+    * ≤6-row read).
+    *
+    * Double-arithmetic parity: the ratio is t19's `boost` column
+    * verbatim (hash-match-proven chained IEEE divisions), scaled and
+    * floored with identical parenthesization on both engines.
+    */
+  private[graft] def mixtureRates(spark: SparkSession, dir: String): DataFrame = {
+    val dom = documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tok")).as("n_tokens"))
+      .withColumn("s_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * LmMicro).cast("long"))
+    val tot = dom.agg(sum(col("s_micro")).as("tot_s"), sum(col("n_tokens")).as("tot_tok"))
+    dom.join(broadcast(tot), lit(true), "inner")
+      .select(col("lang"), col("source"),
+        floor(least(lit(10000.0),
+          (col("s_micro").cast("double") / col("tot_s").cast("double")) /
+            (col("n_tokens").cast("double") / col("tot_tok").cast("double")) * 10000.0))
+          .cast("long").as("rate_micro"))
+  }
+
   /** t20 — TRAINED QUALITY CLASSIFIER (multinomial Naive Bayes with
     * add-one smoothing): the model-based quality filter of GPT-3/CCNet-
     * style pipelines (there: a fasttext classifier over a curated seed
@@ -1418,6 +1455,28 @@ object TextAnalysis {
                (CAST(s_micro AS DOUBLE) / CAST(tot_s AS DOUBLE))
                  / (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE)) AS boost
         FROM d2, tot"""
+
+  /** CTE chain of [[mixtureRates]] — t19's domain rollup with the
+    * acceptance rate floored to basis points, identical
+    * parenthesization to the Spark column. Exposes `mixrates`
+    * (lang, source, rate_micro); mix-prefixed for composition.
+    */
+  private[graft] def duckMixRateCtes: String =
+    s"""mixdom AS (SELECT lang, source,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                   FROM documents GROUP BY 1, 2),
+        mixd2 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * $LmMicro) AS BIGINT)
+                              AS s_micro
+                  FROM mixdom),
+        mixtot AS (SELECT CAST(SUM(s_micro) AS BIGINT) AS tot_s,
+                          CAST(SUM(n_tokens) AS BIGINT) AS tot_tok
+                   FROM mixd2),
+        mixrates AS (SELECT lang, source,
+                            CAST(floor(least(10000.0,
+                              (CAST(s_micro AS DOUBLE) / CAST(tot_s AS DOUBLE))
+                                / (CAST(n_tokens AS DOUBLE) / CAST(tot_tok AS DOUBLE))
+                                * 10000.0)) AS BIGINT) AS rate_micro
+                     FROM mixd2, mixtot)"""
 
   private def duckLpm(num: String, den: String): String =
     s"CAST(floor(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * $LmMicro) AS BIGINT)"

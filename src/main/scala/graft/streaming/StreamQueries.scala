@@ -1175,6 +1175,43 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** C-family streaming — MIXTURE RESAMPLING AT INGEST (streaming twin
+    * of c07, closing the third monitor→decide→act loop across modes):
+    * the nightly batch DECIDES per-domain acceptance rates
+    * ([[graft.operators.TextAnalysis.mixtureRates]] — t19's
+    * temperature mixture floored to integer basis points) and the
+    * stream ACTS on them — each arriving document joins its domain's
+    * rate from the broadcast |domains|-row decision table and passes
+    * iff its keyed hash falls under the rate. The pickNprobe/st27
+    * decide-batch-serve-stream discipline, applied to corpus
+    * composition: ingest enforces LAST night's mixture (a stream
+    * cannot know tonight's corpus totals — the same
+    * cannot-know-future-df reasoning as st16's decontamination rule);
+    * the nightly c07 run re-decides, and the served rates roll
+    * forward.
+    *
+    * Fully STATELESS: broadcast equi-join on (lang, source) + one
+    * integer compare per row — no watermark, no state store, every
+    * micro-batch filters and appends. At 100 TB ingest rates this is
+    * the front-door mixture governor: over-crawled domains are shed
+    * at the scan task, before any shuffle or state sees them. The
+    * sentinel's ("x","x") domain matches no decision row and drops in
+    * the join. Oracle is c07's — the kept set must be identical to
+    * the batch resample because rates and hashes are both
+    * deterministic.
+    */
+  val st39_stream_mixture_resample: Q = (spark, dir) => {
+    val P = graft.functions.Portable
+    val rates = graft.operators.TextAnalysis.mixtureRates(spark, dir)
+    val docs = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .select(col("doc_id"), col("lang"), col("source"))
+    val out = docs.join(broadcast(rates), Seq("lang", "source"))
+      .where(pmod(P.hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(10000L)) < col("rate_micro"))
+      .select(col("doc_id"), col("lang"), col("source"), col("rate_micro"))
+    Replay.runAppend(spark, out)
+  }
+
   /** J-family streaming — BLOOM-PRUNED INGEST (streaming twin of
     * j13): the arriving lineitem firehose probes the broadcast m-bit
     * Bloom summary of the urgent-order keys BEFORE anything else —
@@ -1667,6 +1704,7 @@ object StreamQueries {
     "st36_stream_bloom_build" -> st36_stream_bloom_build,
     "st37_stream_incremental_dedup" -> st37_stream_incremental_dedup,
     "st38_stream_incremental_neardup" -> st38_stream_incremental_neardup,
+    "st39_stream_mixture_resample" -> st39_stream_mixture_resample,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1715,6 +1753,9 @@ object StreamQueries {
     // st38's probed pairs must equal the batch incremental near-dup — d12's
     "st38_stream_incremental_neardup" ->
       graft.operators.Dedup.oracles("d12_incremental_neardup"),
+    // st39's kept set must equal the batch resample exactly — c07's oracle
+    "st39_stream_mixture_resample" ->
+      graft.operators.Curation.oracles("c07_mixture_resample"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

@@ -125,6 +125,48 @@ class CurationSpec extends SparkSpecBase {
       "a non-delta doc_id reached the incremental manifest")
   }
 
+  /** The mixture control loop's three steps must cohere: the DECISION
+    * (mixtureRates) is exactly the MONITOR's boost (t19) floored to
+    * basis points; the ACT step (c07) keeps everything in
+    * under-represented domains and sheds over-represented ones at a
+    * frequency matching their rate (binomial tolerance on the
+    * deterministic hash sample).
+    */
+  test("c07 mixture loop: rates are t19's boost in basis points and the resample hits them") {
+    val t19 = graft.operators.TextAnalysis.t19_domain_mixture(spark, sf)
+      .select(col("lang"), col("source"), col("n_docs"), col("boost"))
+    val rates = graft.operators.TextAnalysis.mixtureRates(spark, sf)
+    try {
+      val joined = t19.join(rates, Seq("lang", "source")).cache()
+      assert(joined.count() === t19.count(),
+        "every monitored domain must receive a decision")
+      assert(joined.where(
+        floor(least(lit(10000.0), col("boost") * 10000.0)).cast("long") =!= col("rate_micro"))
+        .count() === 0,
+        "decision must be the monitor's boost floored to basis points")
+      val keptPer = Curation.c07_mixture_resample(spark, sf)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_kept"))
+      val audit = joined.join(keptPer, Seq("lang", "source"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .collect()
+      audit.foreach { r =>
+        val (nDocs, nKept) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+        val rate = r.getAs[Long]("rate_micro")
+        assert(rate >= 0L && rate <= 10000L)
+        if (rate == 10000L)
+          assert(nKept === nDocs, s"full-rate domain must keep every doc: $r")
+        else {
+          val p = rate.toDouble / 10000.0
+          val tol = 4.0 * math.sqrt(nDocs * p * (1 - p)) + 1.0
+          assert(math.abs(nKept - nDocs * p) <= tol,
+            s"kept count ${nKept} too far from ${nDocs * p} (tol $tol): $r")
+        }
+      }
+      assert(audit.exists(_.getAs[Long]("rate_micro") < 10000L),
+        "fixture must contain at least one down-sampled domain")
+    } finally spark.catalog.clearCache()
+  }
+
   test("c04 real-manifest read-back prunes on (split, shard) at the directory level") {
     try {
       val q = Curation.c04_manifest_table(spark, sf)
