@@ -1247,6 +1247,89 @@ object TextAnalysis {
     scored.orderBy(col("score_micro").desc, col("doc_id")).limit(Bm25TopK)
   }
 
+  /** PSI drift threshold in pico-units (1e-12 of the PSI statistic):
+    * 0.2 — the conventional "major population shift" line of the
+    * population-stability-index literature.
+    */
+  val DriftPsiPico = 200000000000L
+
+  /** Per-document (feature, bucket) rows for the drift monitor — the
+    * three distribution fingerprints a corpus health check watches:
+    * char-length decile (integer-div bucketed, capped), language, and
+    * source. Stateless explode, 3 rows per doc; shared verbatim by the
+    * batch monitor (t24) and the ingest twin (st40) so both modes
+    * bucket identically.
+    */
+  private[graft] def driftFeatures(docs: DataFrame, extra: Column*): DataFrame = {
+    val keep = col("doc_id") +: extra
+    docs.select(keep :+
+      explode(array(
+        struct(lit("len").as("feature"),
+          least(lit(9L), expr("n_chars div 200")).cast("string").as("bucket")),
+        struct(lit("lang").as("feature"), col("lang").as("bucket")),
+        struct(lit("source").as("feature"), col("source").as("bucket")))).as("f"): _*)
+      .select(keep ++ Seq(col("f.feature").as("feature"), col("f.bucket").as("bucket")): _*)
+  }
+
+  /** The drift arithmetic over a (feature, bucket, ref_n, cur_n) count
+    * table: Laplace-smoothed shares in exact integer micro-units
+    * (integer division — no float rounding can diverge), the log-ratio
+    * floor-quantized to micro-nats (the [[LmMicro]] portability
+    * construction), and the per-bucket PSI contribution as an EXACT
+    * integer product, window-summed to the per-feature statistic.
+    * Shared by t24 and st40's read-back so the verdict arithmetic is
+    * one code path.
+    */
+  private[graft] def driftScore(counts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feature"))
+    val enr = counts
+      .withColumn("nb", count(lit(1)).over(w))
+      .withColumn("cur_tot", sum(col("cur_n")).over(w))
+      .withColumn("ref_tot", sum(col("ref_n")).over(w))
+    val lnr = floor(log(
+      (col("cur_n") + 1).cast("double") * (col("ref_tot") + col("nb")).cast("double") /
+        ((col("ref_n") + 1).cast("double") * (col("cur_tot") + col("nb")).cast("double"))) *
+      LmMicro).cast("long")
+    val sc = enr.select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
+      expr("((cur_n + 1) * 1000000) div (cur_tot + nb)").as("p_micro"),
+      expr("((ref_n + 1) * 1000000) div (ref_tot + nb)").as("q_micro"),
+      lnr.as("lnr_micro"))
+    sc.select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
+      col("p_micro"), col("q_micro"),
+      ((col("p_micro") - col("q_micro")) * col("lnr_micro")).as("contrib_pico"))
+      .withColumn("psi_pico", sum(col("contrib_pico")).over(w))
+      .withColumn("drift", col("psi_pico") > DriftPsiPico)
+  }
+
+  /** t24 — CORPUS DRIFT MONITOR (population stability index): compares
+    * tonight's DELTA batch (the d11 `doc_id % 10` convention) against
+    * the STANDING corpus over three bucketed feature distributions —
+    * the check a 100 TB pipeline runs before admitting a crawl whose
+    * language mix, length profile, or source balance silently shifted.
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with Laplace-smoothed shares;
+    * every term is engine-exact: shares are integer micro-units by
+    * integer division, the log-ratio is floor-quantized micro-nats
+    * (t18's construction), and each bucket's contribution is an exact
+    * integer product in pico-units, so the oracle hash-matches. The
+    * per-feature statistic rides every bucket row (the a13 report
+    * shape) with the `drift` verdict at the conventional 0.2 line —
+    * the MONITOR of a fourth control loop (the decision it feeds:
+    * quarantine the delta, or let c06 admit it).
+    *
+    * Scale shape: ONE full-width shuffle (the (feature, bucket) rollup
+    * with map-side partials reduces 3·|corpus| tagged rows to
+    * |buckets| ≈ dozens); the window passes run on the rollup's
+    * |buckets|-row output. The delta/standing split rides the same
+    * scan as conditional aggregates — no second corpus pass.
+    */
+  val t24_drift_psi: Q = (spark, dir) => {
+    val counts = driftFeatures(documents(spark, dir))
+      .groupBy(col("feature"), col("bucket"))
+      .agg(sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("cur_n"),
+        sum(when(col("doc_id") % 10 === 0, 0L).otherwise(1L)).as("ref_n"))
+    driftScore(counts)
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -1271,6 +1354,7 @@ object TextAnalysis {
     "t21_repetition" -> t21_repetition,
     "t22_nb_agreement" -> t22_nb_agreement,
     "t23_bm25" -> t23_bm25,
+    "t24_drift_psi" -> t24_drift_psi,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -1478,6 +1562,44 @@ object TextAnalysis {
                                 * 10000.0)) AS BIGINT) AS rate_micro
                      FROM mixd2, mixtot)"""
 
+  /** DuckDB twin of [[t24_drift_psi]] (and st40's read-back, which
+    * shares [[driftScore]]): same explode→rollup→window chain, integer
+    * divisions via `//`, window sums CAST to BIGINT (DuckDB widens
+    * BIGINT sums to HUGEINT), ln floored to micro-nats with identical
+    * parenthesization.
+    */
+  private[graft] def duckDriftPsiSql: String =
+    s"""WITH feats AS (
+          SELECT doc_id, 'len' AS feature,
+                 CAST(least(9, n_chars // 200) AS VARCHAR) AS bucket FROM documents
+          UNION ALL SELECT doc_id, 'lang', lang FROM documents
+          UNION ALL SELECT doc_id, 'source', source FROM documents),
+        counts AS (
+          SELECT feature, bucket,
+                 CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cur_n,
+                 CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS ref_n
+          FROM feats GROUP BY 1, 2),
+        enr AS (
+          SELECT *, COUNT(*) OVER (PARTITION BY feature) AS nb,
+                 CAST(SUM(cur_n) OVER (PARTITION BY feature) AS BIGINT) AS cur_tot,
+                 CAST(SUM(ref_n) OVER (PARTITION BY feature) AS BIGINT) AS ref_tot
+          FROM counts),
+        sc AS (
+          SELECT feature, bucket, ref_n, cur_n,
+                 ((cur_n + 1) * 1000000) // (cur_tot + nb) AS p_micro,
+                 ((ref_n + 1) * 1000000) // (ref_tot + nb) AS q_micro,
+                 CAST(floor(ln(CAST(cur_n + 1 AS DOUBLE) * CAST(ref_tot + nb AS DOUBLE)
+                               / (CAST(ref_n + 1 AS DOUBLE) * CAST(cur_tot + nb AS DOUBLE)))
+                            * $LmMicro) AS BIGINT) AS lnr_micro
+          FROM enr)
+        SELECT feature, bucket, ref_n, cur_n, p_micro, q_micro,
+               (p_micro - q_micro) * lnr_micro AS contrib_pico,
+               CAST(SUM((p_micro - q_micro) * lnr_micro)
+                    OVER (PARTITION BY feature) AS BIGINT) AS psi_pico,
+               CAST(SUM((p_micro - q_micro) * lnr_micro)
+                    OVER (PARTITION BY feature) AS BIGINT) > $DriftPsiPico AS drift
+        FROM sc"""
+
   private def duckLpm(num: String, den: String): String =
     s"CAST(floor(ln(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) * $LmMicro) AS BIGINT)"
 
@@ -1620,6 +1742,7 @@ object TextAnalysis {
     "t20_nb_quality" -> duckNbQualitySql,
     "t18_bigram_lm" -> duckBigramLmSql,
     "t19_domain_mixture" -> duckDomainMixtureSql,
+    "t24_drift_psi" -> duckDriftPsiSql,
     "t16_corpus_stats" ->
       s"""WITH ${duckPrepGates("documents")},
           j AS (SELECT d.lang, d.source, d.n_chars,

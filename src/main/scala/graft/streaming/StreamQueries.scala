@@ -1212,6 +1212,56 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** T-family streaming — DRIFT MONITOR AT INGEST (streaming twin of
+    * t24): the arriving delta batch's feature distributions are
+    * counted INCREMENTALLY — a stateless 3-rows-per-doc feature
+    * explode (the shared [[graft.operators.TextAnalysis
+    * .driftFeatures]] projection, so both modes bucket identically)
+    * into ONE windowed aggregation whose state is one counter per
+    * open (window, feature, bucket) — dozens of rows, ingest-rate
+    * independent. The PSI verdict is computed ON READ against the
+    * standing corpus's batch-side reference counts via the shared
+    * [[graft.operators.TextAnalysis.driftScore]] arithmetic — count
+    * at ingest, judge on read, the upsert-serving division of labor.
+    * This is the alerting mode of the drift monitor: the nightly t24
+    * scores the full delta, the stream scores it as it lands, and
+    * both produce the identical statistic (oracle is t24's verbatim)
+    * because counting is the only stateful step and counts are
+    * delivery-order free.
+    *
+    * Sentinel discipline: the delta filter keeps the sentinel's
+    * `doc_id < 0` branch alive (st32's pattern — a predicate that
+    * drops the sentinel row below the watermark node starves the
+    * watermark and no window ever closes); the sentinel's features
+    * land in the one year-2100 window, which the watermark never
+    * passes, so they stay in state and never reach the read-back.
+    * The full-outer bucket join on read reproduces t24's bucket
+    * union (a bucket seen only on one side still contributes its
+    * smoothed term).
+    */
+  val st40_stream_drift: Q = (spark, dir) => {
+    val T = graft.operators.TextAnalysis
+    val docs = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .withColumn("event_time", prepCopyEventTime)
+      .withWatermark("event_time", "1 hour")
+      .where(col("doc_id") % 10 === 0 || col("doc_id") < 0)
+    val counts = T.driftFeatures(docs, col("event_time"))
+      .groupBy(window(col("event_time"), "1 hour"), col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val perWin = Replay.runAppend(spark, counts.drop("window"))
+    val cur = perWin.groupBy(col("feature"), col("bucket"))
+      .agg(sum(col("c")).as("cur_n"))
+    val ref = T.driftFeatures(
+      graft.Tables.documents(spark, dir).where(col("doc_id") % 10 =!= 0))
+      .groupBy(col("feature"), col("bucket"))
+      .agg(count(lit(1)).as("ref_n"))
+    val joined = ref.join(cur, Seq("feature", "bucket"), "full")
+      .select(col("feature"), col("bucket"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    T.driftScore(joined)
+  }
+
   /** J-family streaming — BLOOM-PRUNED INGEST (streaming twin of
     * j13): the arriving lineitem firehose probes the broadcast m-bit
     * Bloom summary of the urgent-order keys BEFORE anything else —
@@ -1705,6 +1755,7 @@ object StreamQueries {
     "st37_stream_incremental_dedup" -> st37_stream_incremental_dedup,
     "st38_stream_incremental_neardup" -> st38_stream_incremental_neardup,
     "st39_stream_mixture_resample" -> st39_stream_mixture_resample,
+    "st40_stream_drift" -> st40_stream_drift,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1756,6 +1807,8 @@ object StreamQueries {
     // st39's kept set must equal the batch resample exactly — c07's oracle
     "st39_stream_mixture_resample" ->
       graft.operators.Curation.oracles("c07_mixture_resample"),
+    // st40's incremental counts must yield EXACTLY t24's statistic
+    "st40_stream_drift" -> graft.operators.TextAnalysis.oracles("t24_drift_psi"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

@@ -167,6 +167,51 @@ class CurationSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  /** The sf fixture's delta slice is uniform in language and length
+    * (t24 must stay quiet on those) but its source allocation
+    * correlates with doc_id — the 1-in-10 slice carries sources the
+    * standing corpus never sees, a REAL mixture shift the monitor
+    * must flag (the fixture hands us a positive case for free). The
+    * constructed corpus then proves the lang path: a delta batch
+    * whose language mixture is swapped entirely must trip the 0.2
+    * PSI line while the deliberately-unshifted length profile stays
+    * below it.
+    */
+  test("t24 drift monitor: quiet on uniform features, trips on shifted mixes") {
+    val T = graft.operators.TextAnalysis
+    val calm = T.t24_drift_psi(spark, sf).collect()
+    assert(calm.nonEmpty)
+    calm.filter(r => Set("lang", "len")(r.getAs[String]("feature"))).foreach(r =>
+      assert(!r.getAs[Boolean]("drift"),
+        s"uniformly sliced feature must not register drift: $r"))
+    assert(calm.filter(_.getAs[String]("feature") == "source")
+      .forall(_.getAs[Boolean]("drift")),
+      "the fixture's doc_id-correlated source allocation is a real shift t24 must flag")
+    calm.groupBy(_.getAs[String]("feature")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("psi_pico")).distinct.length === 1,
+        "psi_pico must be constant within a feature")
+      assert(rows.head.getAs[Long]("psi_pico") ===
+        rows.map(_.getAs[Long]("contrib_pico")).sum,
+        "per-feature psi must equal the sum of its bucket contributions")
+    }
+    val dir = Tables.scratchDir("graft_driftcorpus_")
+    val langs = Vector("en", "fr", "de")
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val rows = (1 to 200).map { i =>
+      val lang = if (i % 10 == 0) "zz" else langs(i % 3)
+      (i.toLong, text, lang, s"src${i % 4}", text.length.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shifted = T.t24_drift_psi(spark, dir).collect()
+      .groupBy(_.getAs[String]("feature"))
+    assert(shifted("lang").forall(_.getAs[Boolean]("drift")),
+      "a fully swapped delta language mix must trip the PSI line")
+    assert(shifted("len").forall(!_.getAs[Boolean]("drift")),
+      "the unshifted length profile must stay below the PSI line")
+  }
+
   test("c04 real-manifest read-back prunes on (split, shard) at the directory level") {
     try {
       val q = Curation.c04_manifest_table(spark, sf)
