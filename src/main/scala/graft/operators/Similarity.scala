@@ -343,6 +343,50 @@ object Similarity {
         SELECT uenc.vec_id, uenc.m, uenc.code, ua.cell_id
         FROM uenc JOIN ua USING (vec_id)"""
 
+  /** Every vector with `vec_id % DeleteMod == 3` is tombstoned by
+    * [[n20_index_delete]] — the deletion stand-in (a takedown, a
+    * dedup verdict, a retention expiry).
+    */
+  private[graft] val DeleteMod = 9L
+
+  /** The index rows that survive the tombstone set — the artifact a
+    * compaction pass rewrites. Deletion is an id anti-predicate over
+    * the stored rows: no re-encoding, no re-assignment (removing
+    * members moves no centroid and changes no surviving code).
+    */
+  private[graft] def compactedIndex(spark: SparkSession, dir: String): DataFrame =
+    indexRows(spark, dir).where(col("vec_id") % DeleteMod =!= 3)
+
+  /** n20 — INDEX DELETE / COMPACTION PLAN: the read path of tombstoned
+    * deletion, completing the index lifecycle (build = `indexPath`,
+    * monitor = n14, retrain = `maintainIndex`, upsert = n15, delete =
+    * this). Emits one row per cell: member count before, tombstones
+    * falling in the cell, count after, and the `touched` flag — the
+    * compaction work list. A cell with no tombstones is not rewritten
+    * at all; serving meanwhile anti-joins the tombstone set
+    * ([[compactedIndex]]), so deletes are visible immediately and the
+    * physical rewrite is deferred to the planned cells (the
+    * tombstone-then-compact discipline of every LSM-shaped store).
+    *
+    * Scale shape: ONE aggregation keyed by cell over the cells
+    * artifact, tombstone membership riding as a conditional aggregate
+    * (a production tombstone SET broadcasts into an anti-join — ids
+    * only, never payloads); output is k rows. The rewrite each
+    * touched cell implies is a partition overwrite of that cell's
+    * rows — the c04 partitioned-layout contract, cell_id the
+    * partition key.
+    */
+  val n20_index_delete: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    idx(spark, dir, "cells").select(col("vec_id"), col("cell_id"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("vec_id") % DeleteMod === 3, 1L).otherwise(0L)).as("n_deleted"))
+      .select(col("cell_id"), col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_after"),
+        (col("n_deleted") > 0).as("touched"))
+  }
+
   /** Probe depths measured by [[n06_ivf_recall]] / [[n11_multiprobe_ivfadc]]. */
   private val RecallProbes = Seq(1, 3)
 
@@ -1400,6 +1444,7 @@ object Similarity {
     "n13_filtered_ivf" -> n13_filtered_ivf,
     "n14_cell_stats" -> n14_cell_stats,
     "n15_index_upsert" -> n15_index_upsert,
+    "n20_index_delete" -> n20_index_delete,
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
     "n18_hybrid_rrf" -> n18_hybrid_rrf,
@@ -1707,6 +1752,18 @@ object Similarity {
           FROM pr CROSS JOIN q
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
     "n15_index_upsert" -> duckIndexUpsertSql,
+    "n20_index_delete" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign
+          SELECT cell_id, COUNT(*) AS n_before,
+                 CAST(SUM(CASE WHEN vec_id % $DeleteMod = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deleted,
+                 COUNT(*) - CAST(SUM(CASE WHEN vec_id % $DeleteMod = 3 THEN 1 ELSE 0 END)
+                                 AS BIGINT) AS n_after,
+                 CAST(SUM(CASE WHEN vec_id % $DeleteMod = 3 THEN 1 ELSE 0 END) AS BIGINT) > 0
+                   AS touched
+          FROM a GROUP BY 1""",
     "n16_probe_sweep" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

@@ -175,4 +175,26 @@ class SimilaritySpec extends SparkSpecBase {
       "the serving-depth loop must be closed: n17's depth IS the sweep's pick")
     finally spark.catalog.clearCache()
   }
+
+  test("n20: tombstone accounting closes — compactedIndex IS the planned survivor set") {
+    try {
+      val plan = Similarity.n20_index_delete(spark, sf).collect()
+      // per-cell arithmetic and the touched flag are internally consistent
+      plan.foreach { r =>
+        assert(r.getLong(3) === r.getLong(1) - r.getLong(2), s"n_after mismatch in $r")
+        assert(r.getBoolean(4) === (r.getLong(2) > 0), s"touched flag mismatch in $r")
+      }
+      // the plan's totals equal the physical artifacts: sum(n_before) is the
+      // whole index, sum(n_after) is exactly what the serving anti-join keeps
+      val all = Similarity.indexRows(spark, sf)
+      val kept = Similarity.compactedIndex(spark, sf)
+      val nVecs = all.select("vec_id").distinct.count()
+      assert(plan.map(_.getLong(1)).sum === nVecs)
+      assert(plan.map(_.getLong(3)).sum === kept.select("vec_id").distinct.count())
+      // no tombstoned id survives; no surviving id was tombstoned
+      assert(kept.where(col("vec_id") % Similarity.DeleteMod === 3).count() === 0)
+      assert(all.count() - kept.count() ===
+        all.where(col("vec_id") % Similarity.DeleteMod === 3).count())
+    } finally spark.catalog.clearCache()
+  }
 }
