@@ -1262,6 +1262,45 @@ object StreamQueries {
     T.driftScore(joined)
   }
 
+  /** N-family streaming — INDEX DELETES AT INGEST (streaming twin of
+    * n20): tombstone events (takedowns, dedup verdicts, retention
+    * expiries) arrive on the vector firehose and the compaction
+    * planner's counters are maintained INCREMENTALLY — the tombstone
+    * filter and the cell lookup are STATELESS (an id-only
+    * stream-static equi-join against the cells artifact; payloads
+    * never ride), and the only stateful step is ONE running
+    * update-mode count per touched cell, upserted to the serving
+    * table each batch (state = one counter per touched cell — k rows
+    * at most, ingest-rate independent). The compaction PLAN is
+    * assembled ON READ: the standing per-cell member counts
+    * left-join the served tombstone counters, a never-touched cell
+    * coalescing to zero — count at ingest, plan on read, the
+    * upsert-serving division of labor. Oracle is n20's verbatim
+    * (counting is the only stateful step and counts are
+    * delivery-order free); the sentinel's vec_id = −1 fails the
+    * tombstone predicate at the stateless front door (no watermark
+    * in this pipeline, so no sentinel-starvation trap).
+    */
+  val st41_stream_index_delete: Q = (spark, dir) => {
+    val S = graft.operators.Similarity
+    graft.plans.GraftExtensions.register(spark)
+    val cells = S.idx(spark, dir, "cells").select(col("vec_id"), col("cell_id"))
+    val tomb = Replay
+      .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
+      .select(col("vec_id"))
+      .where(col("vec_id") % S.DeleteMod === 3)
+      .join(cells, "vec_id")
+    val counts = tomb.groupBy(col("cell_id")).agg(count(lit(1)).as("n_deleted"))
+    val served = upsertServe(spark, counts, Seq("cell_id"), "n_deleted")
+    cells.groupBy(col("cell_id")).agg(count(lit(1)).as("n_before"))
+      .join(served.select(col("cell_id"), col("n_deleted")), Seq("cell_id"), "left")
+      .select(col("cell_id"), col("n_before"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+      .select(col("cell_id"), col("n_before"), col("n_deleted"),
+        (col("n_before") - col("n_deleted")).as("n_after"),
+        (col("n_deleted") > 0).as("touched"))
+  }
+
   /** J-family streaming — BLOOM-PRUNED INGEST (streaming twin of
     * j13): the arriving lineitem firehose probes the broadcast m-bit
     * Bloom summary of the urgent-order keys BEFORE anything else —
@@ -1756,6 +1795,7 @@ object StreamQueries {
     "st38_stream_incremental_neardup" -> st38_stream_incremental_neardup,
     "st39_stream_mixture_resample" -> st39_stream_mixture_resample,
     "st40_stream_drift" -> st40_stream_drift,
+    "st41_stream_index_delete" -> st41_stream_index_delete,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1809,6 +1849,9 @@ object StreamQueries {
       graft.operators.Curation.oracles("c07_mixture_resample"),
     // st40's incremental counts must yield EXACTLY t24's statistic
     "st40_stream_drift" -> graft.operators.TextAnalysis.oracles("t24_drift_psi"),
+    // st41's served counters must assemble EXACTLY n20's compaction plan
+    "st41_stream_index_delete" ->
+      graft.operators.Similarity.oracles("n20_index_delete"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,
