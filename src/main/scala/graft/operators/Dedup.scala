@@ -1032,6 +1032,78 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Passage width (whitespace tokens per non-overlapping chunk) for
+    * [[d13_passage_dedup]]. 5 tokens removes ~10 % of the synthetic
+    * corpus's chunks — a realistic boilerplate rate.
+    */
+  private[graft] val PassageW = 5
+
+  /** d13 — PASSAGE-LEVEL EXACT-SUBSTRING DEDUP (the C4 line-dedup /
+    * Lee-et-al. duplicated-span pass, at chunk granularity): segment
+    * every document into consecutive [[PassageW]]-token passages,
+    * drop each passage whose exact content appears in ≥ 2 DISTINCT
+    * documents corpus-wide (boilerplate: headers, license blocks,
+    * navigation — content shared across pages), and reassemble the
+    * surviving text in order. Complements the d01-d04 document-level
+    * family: those drop whole near-copies; this removes repeated
+    * SPANS from documents that are otherwise unique.
+    *
+    * Scale shape: the corpus-wide frequency count is keyed by the
+    * passage's 60-bit [[Portable.hash60]] — ids, never text, ride the
+    * wide exchange — with map-side partial counts; the verdict joins
+    * back on the same key (exchange reuse), and the rebuild is ONE
+    * doc-keyed aggregation whose order is restored by sorting the
+    * collected (chunk_id, chunk) structs — no window, no driver.
+    * A doc losing every passage still emits its row (n_kept = 0,
+    * empty text): the rollup groups ALL chunks, not survivors.
+    */
+  val d13_passage_dedup: Q = (spark, dir) =>
+    passageDedup(documents(spark, dir))
+
+  /** The d13 pipeline over any (doc_id, text) relation — factored so
+    * the spec can drive it with a controlled fixture.
+    */
+  private[graft] def passageDedup(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nCh = ceil(size(col("toks")) / lit(PassageW.toDouble)).cast("int")
+    val ch = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(transform(sequence(lit(0), nCh - 1),
+        i => concat_ws(" ", slice(col("toks"), i * PassageW + 1, lit(PassageW))))))
+      .toDF("doc_id", "chunk_id", "chunk")
+      .withColumn("ck", Portable.hash60(col("chunk")))
+    val dfreq = ch.groupBy(col("ck"))
+      .agg(countDistinct(col("doc_id")).as("dfreq"))
+    ch.join(dfreq, Seq("ck"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dfreq") < 2, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("dfreq") < 2,
+            struct(col("chunk_id"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"))
+  }
+
+  private[graft] def duckPassageDedupSql: String =
+    s"""WITH tk AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+                    FROM documents),
+        pcid AS (SELECT doc_id, toks,
+                        unnest(range(0, CAST(ceil(len(toks) / $PassageW.0) AS BIGINT))) AS chunk_id
+                 FROM tk),
+        pch AS (SELECT doc_id, chunk_id,
+                       array_to_string(list_slice(toks, chunk_id * $PassageW + 1,
+                                                  chunk_id * $PassageW + $PassageW), ' ') AS chunk
+                FROM pcid),
+        pck AS (SELECT doc_id, chunk_id, chunk, ${Portable.duckHash60("chunk")} AS ck FROM pch),
+        pdf AS (SELECT ck, COUNT(DISTINCT doc_id) AS dfreq FROM pck GROUP BY 1)
+        SELECT pck.doc_id, COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN pdf.dfreq < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN pdf.dfreq < 2 THEN pck.chunk END, ' '
+                                   ORDER BY pck.chunk_id), '') AS clean_text
+        FROM pck JOIN pdf USING (ck)
+        GROUP BY 1"""
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
@@ -1047,6 +1119,7 @@ object Dedup {
     "d09_lsh_tuning" -> d09_lsh_tuning,
     "d11_incremental_dedup" -> d11_incremental_dedup,
     "d12_incremental_neardup" -> d12_incremental_neardup,
+    "d13_passage_dedup" -> d13_passage_dedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1081,5 +1154,6 @@ object Dedup {
           WHERE md5(text) NOT IN (SELECT content_hash FROM eh)
           GROUP BY 1""",
     "d12_incremental_neardup" -> duckIncNearDupSql,
+    "d13_passage_dedup" -> duckPassageDedupSql,
   )
 }

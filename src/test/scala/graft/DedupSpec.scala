@@ -331,4 +331,25 @@ class DedupSpec extends SparkSpecBase {
       finally spark.catalog.clearCache()
     assert(trainOov === 0L, s"$trainOov train docs report unseen bigrams")
   }
+
+  test("d13: shared passages drop from every carrier, unique text survives in order") {
+    import spark.implicits._
+    val boiler = "x1 x2 x3 x4 x5" // one exact 5-token passage shared by docs 1 and 2
+    val docs = Seq(
+      (1L, s"$boiler a1 a2 a3 a4 a5"),
+      (2L, s"$boiler b1 b2 b3 b4 b5 b6 b7"), // tail chunk is SHORT (2 tokens)
+      (3L, "c1 c2 c3 c4 c5"), // fully unique doc
+      (4L, boiler)) // nothing but the shared passage -> empty survivor
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.passageDedup(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // the shared passage vanishes from BOTH carriers; order is preserved
+    assert(out(1L).getString(3) === "a1 a2 a3 a4 a5")
+    assert(out(2L).getString(3) === "b1 b2 b3 b4 b5 b6 b7")
+    assert(out(2L).getLong(1) === 3 && out(2L).getLong(2) === 2) // short tail kept
+    // a unique doc is untouched
+    assert(out(3L).getString(3) === "c1 c2 c3 c4 c5")
+    // a doc that was ALL boilerplate still emits its row, empty
+    assert(out(4L).getLong(2) === 0 && out(4L).getString(3) === "")
+  }
 }
