@@ -1060,18 +1060,35 @@ object Dedup {
   val d13_passage_dedup: Q = (spark, dir) =>
     passageDedup(documents(spark, dir))
 
-  /** The d13 pipeline over any (doc_id, text) relation — factored so
-    * the spec can drive it with a controlled fixture.
+  /** One row per [[PassageW]]-token passage instance of each doc, with
+    * its 60-bit content key — the shared front half of d13 and the
+    * ingest scrub (st42).
     */
-  private[graft] def passageDedup(docs: DataFrame): DataFrame = {
+  private[graft] def passageChunks(docs: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val nCh = ceil(size(col("toks")) / lit(PassageW.toDouble)).cast("int")
-    val ch = docs
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"), posexplode(transform(sequence(lit(0), nCh - 1),
         i => concat_ws(" ", slice(col("toks"), i * PassageW + 1, lit(PassageW))))))
       .toDF("doc_id", "chunk_id", "chunk")
       .withColumn("ck", Portable.hash60(col("chunk")))
+  }
+
+  /** The distinct 60-bit keys of passages appearing in ≥ 2 docs —
+    * "tonight's boilerplate list", the decision artifact the ingest
+    * scrub (st42) enforces.
+    */
+  private[graft] def boilerplateKeys(docs: DataFrame): DataFrame =
+    passageChunks(docs)
+      .groupBy(col("ck")).agg(countDistinct(col("doc_id")).as("dfreq"))
+      .where(col("dfreq") >= 2).select(col("ck"))
+
+  /** The d13 pipeline over any (doc_id, text) relation — factored so
+    * the spec can drive it with a controlled fixture.
+    */
+  private[graft] def passageDedup(docs: DataFrame): DataFrame = {
+    val ch = passageChunks(docs)
     val dfreq = ch.groupBy(col("ck"))
       .agg(countDistinct(col("doc_id")).as("dfreq"))
     ch.join(dfreq, Seq("ck"))

@@ -1301,6 +1301,51 @@ object StreamQueries {
         (col("n_deleted") > 0).as("touched"))
   }
 
+  /** D-family streaming — PASSAGE SCRUB AT INGEST (streaming twin of
+    * d13, st16/st39's decide-batch-serve-stream discipline): the
+    * batch nightly DECIDES tonight's boilerplate list — the 60-bit
+    * keys of every passage seen in ≥ 2 docs ([[graft.operators.Dedup
+    * .boilerplateKeys]]) — and ingest ENFORCES it: each arriving
+    * document is segmented, each passage's key probed against the
+    * broadcast list, survivors reassembled in order, all WITHIN the
+    * row — fully STATELESS (the list rides st34's bounded 1-row
+    * stream-static join; no explode, no shuffle, no state store —
+    * per-doc rebuild needs no aggregation because a document arrives
+    * whole). A stream cannot know tonight's corpus-wide passage
+    * frequencies (st16's cannot-know-future reasoning); replaying the
+    * corpus the list was decided from proves scrub ≡ d13 exactly —
+    * the oracle is d13's verbatim. At 100 TB the exact key array
+    * becomes the Bloom summary (st34) with this array as the
+    * re-verify tier. The sentinel's one-token text matches no
+    * boilerplate passage; its row drops on the id filter after
+    * replay.
+    */
+  val st42_stream_passage_scrub: Q = (spark, dir) => {
+    val D = graft.operators.Dedup
+    val W = D.PassageW
+    val bkeys = D.boilerplateKeys(graft.Tables.documents(spark, dir))
+      .agg(sort_array(collect_list(col("ck"))).as("bkeys"))
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .select(col("doc_id"), col("text"))
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nCh = ceil(size(col("toks")) / lit(W.toDouble)).cast("int")
+    val scrubbed = docs
+      .join(broadcast(bkeys), lit(true))
+      .select(col("doc_id"), toks.as("toks"), col("bkeys"))
+      .select(col("doc_id"), transform(sequence(lit(0), nCh - 1),
+        i => concat_ws(" ", slice(col("toks"), i * W + 1, lit(W)))).as("chunks"),
+        col("bkeys"))
+      .select(col("doc_id"), col("chunks"),
+        filter(col("chunks"),
+          c => !array_contains(col("bkeys"), graft.functions.Portable.hash60(c))).as("kept"))
+      .select(col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+    Replay.runAppend(spark, scrubbed).where(col("doc_id") >= 0)
+  }
+
   /** J-family streaming — BLOOM-PRUNED INGEST (streaming twin of
     * j13): the arriving lineitem firehose probes the broadcast m-bit
     * Bloom summary of the urgent-order keys BEFORE anything else —
@@ -1796,6 +1841,7 @@ object StreamQueries {
     "st39_stream_mixture_resample" -> st39_stream_mixture_resample,
     "st40_stream_drift" -> st40_stream_drift,
     "st41_stream_index_delete" -> st41_stream_index_delete,
+    "st42_stream_passage_scrub" -> st42_stream_passage_scrub,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1852,6 +1898,9 @@ object StreamQueries {
     // st41's served counters must assemble EXACTLY n20's compaction plan
     "st41_stream_index_delete" ->
       graft.operators.Similarity.oracles("n20_index_delete"),
+    // st42's scrub against the decided list must equal d13's corpus pass
+    "st42_stream_passage_scrub" ->
+      graft.operators.Dedup.oracles("d13_passage_dedup"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,
