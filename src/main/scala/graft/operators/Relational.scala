@@ -697,6 +697,46 @@ object Relational {
         col("h.est_cnt").as("est_cnt"))
   }
 
+  /** a16 — BATCH SESSIONIZATION (the batch twin of st08's
+    * `session_window`, same 30-minute gap rule and output shape): the
+    * classic gap-and-island construction — a lag window flags every
+    * event ≥ 30 min after its predecessor as a session opener, a
+    * running sum turns the flags into per-user session ids, and one
+    * rollup emits each session's bounds (+gap-extended end, matching
+    * `session_window`'s close semantics) and event count. Gap
+    * arithmetic is in exact epoch MICROSECONDS on both engines (a
+    * seconds-truncated compare would flip verdicts on sub-second
+    * boundary gaps).
+    *
+    * Scale shape: both windows share PARTITION BY user_id ORDER BY ts
+    * — ONE exchange + ONE sort serve the lag and the running sum; the
+    * session rollup re-keys on (user_id, sid). Ties (equal ts) cannot
+    * straddle a boundary — a 0 gap never opens a session — so the
+    * output is tie-order free even though lag's intra-tie order
+    * isn't.
+    */
+  val a16_sessionize: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = 30L * 60L * 1000000L
+    events(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(wr))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")) + expr("INTERVAL 30 MINUTES"),
+          "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events"))
+  }
+
   /** a09 — ORDERED FUNNEL over the event stream (signup → click →
     * purchase): a user advances a stage only with a strictly LATER
     * event of the next type — min-timestamp per stage, each computed
@@ -1008,6 +1048,7 @@ object Relational {
     "a13_value_quantiles" -> a13_value_quantiles,
     "a14_quantile_sketch" -> a14_quantile_sketch,
     "a15_heavy_hitters" -> a15_heavy_hitters,
+    "a16_sessionize" -> a16_sessionize,
     "j11_scd2_history" -> j11_scd2_history,
     "j12_attribution_asof" -> j12_attribution_asof,
     "j13_bloom_prune_join" -> j13_bloom_prune_join,
@@ -1214,6 +1255,27 @@ object Relational {
                 MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
                 MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
          FROM r GROUP BY event_type""",
+    // the gap-and-island construction st08's oracle established; the
+    // interval compare is full-microsecond precision, matching the
+    // Spark side's unix_micros arithmetic
+    "a16_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
+         o AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o)
+         SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+                user_id, COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid""",
     "a09_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY 1),

@@ -221,6 +221,18 @@ class PlanSpec extends SparkSpecBase {
       s"both window passes and the final groupBy must reuse one hash distribution, saw $shuffles exchanges")
   }
 
+  test("a16: ONE exchange — lag, the running sum and the session rollup all ride user_id") {
+    // hash(user_id) satisfies the rollup's (user_id, sid) clustering —
+    // every row of a user is already co-located — so the session
+    // aggregation must NOT re-shuffle what the windows distributed.
+    val df = Relational.a16_sessionize(spark, sf)
+    df.collect()
+    val shuffles = flatten(df.queryExecution.executedPlan).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles === 1,
+      s"windows and session rollup must share the user_id distribution, saw $shuffles")
+  }
+
   test("j12: the as-of join plans as ONE exchange + window, never a nested loop") {
     // The union+window formulation's whole point: the naive
     // inequality join would plan a broadcast-nested-loop cross.
