@@ -697,6 +697,48 @@ object Relational {
         col("h.est_cnt").as("est_cnt"))
   }
 
+  /** Sample size for [[a17_kmv_sample]] (KMV "k minimum values"). */
+  private[graft] val KmvK = 64
+
+  /** a17 — KMV BOTTOM-K SKETCH: the k smallest 60-bit hashes of the
+    * distinct users per event type — simultaneously a DETERMINISTIC
+    * UNIFORM SAMPLE of the distinct users (min-wise: every distinct
+    * user is equally likely to land under any hash threshold) and a
+    * distinct-count estimator (est = (k−1)·2⁶⁰ / h₍ₖ₎; exact when a
+    * type has < k distinct users — then the sample IS the set). The
+    * deterministic counterpoint to a07's HLL: because the hash and
+    * the order statistic are engine-portable, the WHOLE sketch is
+    * oracle-checkable by hash — no no-oracle carve-out — while
+    * keeping the mergeable-summary scale story (min-k of a union is
+    * the min-k of min-ks; a production rollup unions per-partition
+    * bottom-k lists, never the raw keys).
+    *
+    * Scale shape: the distinct pass is the one wide exchange (its
+    * map-side partial dedup carries ≤ |partition distinct| rows); the
+    * rank and kth-value windows then share the event_type
+    * distribution. Estimate arithmetic is identically parenthesized
+    * IEEE on both engines (the t23 discipline): (k−1)·2⁶⁰ is exact in
+    * a double, one exact-rounded divide, floor.
+    */
+  val a17_kmv_sample: Q = (spark, dir) => {
+    val k = KmvK
+    val uh = events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        graft.functions.Portable.hash60(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"), col("user_id"))
+    val wt = Window.partitionBy(col("event_type"))
+    uh.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .withColumn("n_kept", max(col("rank")).over(wt))
+      .withColumn("kth", max(col("h")).over(wt))
+      .select(col("event_type"), col("rank"), col("user_id"), col("h"),
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            col("kth").cast("double"))).as("est_distinct"))
+  }
+
   /** a16 — BATCH SESSIONIZATION (the batch twin of st08's
     * `session_window`, same 30-minute gap rule and output shape): the
     * classic gap-and-island construction — a lag window flags every
@@ -1049,6 +1091,7 @@ object Relational {
     "a14_quantile_sketch" -> a14_quantile_sketch,
     "a15_heavy_hitters" -> a15_heavy_hitters,
     "a16_sessionize" -> a16_sessionize,
+    "a17_kmv_sample" -> a17_kmv_sample,
     "j11_scd2_history" -> j11_scd2_history,
     "j12_attribution_asof" -> j12_attribution_asof,
     "j13_bloom_prune_join" -> j13_bloom_prune_join,
@@ -1276,6 +1319,24 @@ object Relational {
                 strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                 user_id, COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    "a17_kmv_sample" ->
+      s"""WITH uh AS (
+            SELECT DISTINCT event_type, user_id,
+                   ${graft.functions.Portable.duckHash60(
+                     "concat('kmv:', CAST(user_id AS VARCHAR))")} AS h
+            FROM events),
+          r AS (
+            SELECT event_type, user_id, h,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY h, user_id) AS BIGINT) AS rank
+            FROM uh)
+          SELECT event_type, rank, user_id, h,
+                 CASE WHEN MAX(rank) OVER (PARTITION BY event_type) < $KmvK
+                      THEN MAX(rank) OVER (PARTITION BY event_type)
+                      ELSE CAST(floor(${KmvK - 1}.0 * pow(2.0, 60.0) /
+                             CAST(MAX(h) OVER (PARTITION BY event_type) AS DOUBLE))
+                           AS BIGINT) END AS est_distinct
+          FROM r WHERE rank <= $KmvK""",
     "a09_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY 1),

@@ -146,4 +146,19 @@ class RelationalSpec extends SparkSpecBase {
     assert(rows.count(_.getLong(0) == 2L) === 1 &&
       rows.find(_.getLong(0) == 2L).get.getBoolean(5))
   }
+
+  test("a17: the KMV estimate brackets the exact distinct within the k=64 envelope") {
+    val est = Relational.a17_kmv_sample(spark, sf)
+      .groupBy(col("event_type")).agg(max(col("est_distinct")).as("est"))
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+    val rows = est.join(exact, "event_type").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (e, n) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      // k=64 gives σ ≈ n/8; 4σ is a generous deterministic-fixture bound
+      assert(math.abs(e - n) <= n / 2.0,
+        s"${r.getString(0)}: estimate $e vs exact $n out of envelope")
+    }
+  }
 }
