@@ -1301,6 +1301,47 @@ object StreamQueries {
         (col("n_deleted") > 0).as("touched"))
   }
 
+  /** A-family streaming — THE KMV SKETCH MAINTAINED AT INGEST
+    * (streaming twin of a17, completing the sketch-serving family
+    * st29 quantiles / st30 heavy hitters / st36 bloom / this): the
+    * per-type bottom-k user-hash set is carried as ONE update-mode
+    * aggregation over [[graft.functions.MinK]] — a SET-semantics
+    * mergeable summary, so the raw event firehose needs no distinct
+    * pass in front (re-deliveries of a user are absorbed by the
+    * buffer, `MinKSpec`'s idempotence law) and state is one ≤ k-item
+    * buffer per event type, ingest-rate independent. Each batch
+    * upserts the buffer to the serving table; the sample rows and the
+    * distinct-count estimate (a17's exact arithmetic) are unpacked ON
+    * READ. Because min-k ∘ union is associative, commutative and
+    * idempotent, the streamed buffer is BIT-IDENTICAL to the batch
+    * order statistic — oracle is a17's verbatim. The sentinel drops
+    * on the stateless user_id ≥ 0 front door (no watermark here).
+    */
+  val st43_stream_kmv_serve: Q = (spark, dir) => {
+    val R = graft.operators.Relational
+    val k = R.KmvK
+    val P = graft.functions.Portable
+    val ev = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .select(col("event_type"), col("user_id"),
+        P.hash60(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+    val build = ev.groupBy(col("event_type"))
+      .agg(graft.functions.MinK.minK(k)(col("h"), col("user_id")).as("s"))
+      .select(col("event_type"), col("s.items").as("items"),
+        size(col("s.items")).as("n_kept"))
+    val served = upsertServe(spark, build, Seq("event_type"), "n_kept")
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    served.select(col("event_type"), posexplode(col("items")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("user_id"), col("col.h").as("h"))
+      .withColumn("n_kept", max(col("rank")).over(wt))
+      .withColumn("kth", max(col("h")).over(wt))
+      .select(col("event_type"), col("rank"), col("user_id"), col("h"),
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            col("kth").cast("double"))).as("est_distinct"))
+  }
+
   /** D-family streaming — PASSAGE SCRUB AT INGEST (streaming twin of
     * d13, st16/st39's decide-batch-serve-stream discipline): the
     * batch nightly DECIDES tonight's boilerplate list — the 60-bit
@@ -1842,6 +1883,7 @@ object StreamQueries {
     "st40_stream_drift" -> st40_stream_drift,
     "st41_stream_index_delete" -> st41_stream_index_delete,
     "st42_stream_passage_scrub" -> st42_stream_passage_scrub,
+    "st43_stream_kmv_serve" -> st43_stream_kmv_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1901,6 +1943,9 @@ object StreamQueries {
     // st42's scrub against the decided list must equal d13's corpus pass
     "st42_stream_passage_scrub" ->
       graft.operators.Dedup.oracles("d13_passage_dedup"),
+    // st43's streamed bottom-k buffer must unpack to a17's order statistic
+    "st43_stream_kmv_serve" ->
+      graft.operators.Relational.oracles("a17_kmv_sample"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,
