@@ -697,6 +697,47 @@ object Relational {
         col("h.est_cnt").as("est_cnt"))
   }
 
+  /** j14 — MULTI-TOUCH ATTRIBUTION (the complement of j12's
+    * last-touch): every purchase splits its value EQUALLY, in exact
+    * integer cents, across ALL the user's clicks in the strictly-prior
+    * 7-day lookback — the linear-credit model of ads measurement.
+    * Remainder cents go one-per-click to the earliest ranks (w03's
+    * deterministic allocation rule), so per-purchase credit sums to
+    * the purchase's cents EXACTLY on both engines.
+    *
+    * Scale shape: ONE user_id exchange — the click set per purchase
+    * comes from a RANGE-framed window over event-time micros (the
+    * per-user sorted sweep; never a user-crossing inequality join),
+    * the explode is per-row, and the credit arithmetic is pure
+    * integer. The DuckDB twin is a structurally different correlated
+    * interval join + rank, so the differential checks semantics, not
+    * plan. Purchases with no lookback click drop (inner semantics —
+    * j12 carries the null-on-miss variant of attribution).
+    */
+  val j14_multitouch_attribution: Q = (spark, dir) => {
+    val lookbackUs = 7L * 86400L * 1000000L
+    val ev = events(spark, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("tsu"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsu"))
+      .rangeBetween(-lookbackUs, -1L)
+    ev.withColumn("clicks", collect_list(
+        when(col("event_type") === "click",
+          struct(col("tsu"), col("event_id")))).over(w))
+      .where(col("event_type") === "purchase" && size(col("clicks")) > 0)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        sort_array(col("clicks")).as("clicks"))
+      .select(col("purchase_id"), col("user_id"), col("cents"),
+        size(col("clicks")).cast("long").as("n_clicks"),
+        posexplode(col("clicks")))
+      .select(col("purchase_id"), col("user_id"),
+        col("col.event_id").as("click_id"),
+        (col("pos") + 1).cast("long").as("click_rank"), col("n_clicks"),
+        (floor(col("cents") / col("n_clicks")).cast("long") +
+          when(col("pos") + 1 <= pmod(col("cents"), col("n_clicks")), 1L)
+            .otherwise(0L)).as("credit_cents"))
+  }
+
   /** Sample size for [[a17_kmv_sample]] (KMV "k minimum values"). */
   private[graft] val KmvK = 64
 
@@ -1092,6 +1133,7 @@ object Relational {
     "a15_heavy_hitters" -> a15_heavy_hitters,
     "a16_sessionize" -> a16_sessionize,
     "a17_kmv_sample" -> a17_kmv_sample,
+    "j14_multitouch_attribution" -> j14_multitouch_attribution,
     "j11_scd2_history" -> j11_scd2_history,
     "j12_attribution_asof" -> j12_attribution_asof,
     "j13_bloom_prune_join" -> j13_bloom_prune_join,
@@ -1337,6 +1379,32 @@ object Relational {
                              CAST(MAX(h) OVER (PARTITION BY event_type) AS DOUBLE))
                            AS BIGINT) END AS est_distinct
           FROM r WHERE rank <= $KmvK""",
+    // correlated interval join + rank — structurally different from the
+    // Spark side's range-framed window, same semantics
+    "j14_multitouch_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_us(ts) AS tsu, value FROM events),
+          p AS (SELECT event_id AS purchase_id, user_id, tsu,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM e WHERE event_type = 'purchase'),
+          c AS (SELECT event_id AS click_id, user_id, tsu FROM e
+                WHERE event_type = 'click'),
+          j AS (SELECT p.purchase_id, p.user_id, p.cents, c.click_id,
+                       c.tsu AS ctsu
+                FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.tsu >= p.tsu - 604800000000 AND c.tsu < p.tsu),
+          r AS (SELECT purchase_id, user_id, cents, click_id,
+                       CAST(row_number() OVER (PARTITION BY purchase_id
+                                               ORDER BY ctsu, click_id)
+                            AS BIGINT) AS click_rank,
+                       CAST(COUNT(*) OVER (PARTITION BY purchase_id)
+                            AS BIGINT) AS n_clicks
+                FROM j)
+          SELECT purchase_id, user_id, click_id, click_rank, n_clicks,
+                 cents // n_clicks +
+                   CASE WHEN click_rank <= cents % n_clicks THEN 1 ELSE 0 END
+                   AS credit_cents
+          FROM r""",
     "a09_funnel" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
                      WHERE event_type = 'signup' GROUP BY 1),

@@ -233,6 +233,20 @@ class PlanSpec extends SparkSpecBase {
       s"windows and session rollup must share the user_id distribution, saw $shuffles")
   }
 
+  test("j14: multi-touch credit plans as ONE user exchange, never a user-crossing join") {
+    val df = Relational.j14_multitouch_attribution(spark, sf)
+    df.collect()
+    val plans = flatten(df.queryExecution.executedPlan)
+    val shuffles = plans.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles === 1,
+      s"the range-framed window must be the only distribution, saw $shuffles")
+    assert(!plans.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "the lookback must never plan as a nested-loop/cartesian join")
+  }
+
   test("j12: the as-of join plans as ONE exchange + window, never a nested loop") {
     // The union+window formulation's whole point: the naive
     // inequality join would plan a broadcast-nested-loop cross.

@@ -147,6 +147,19 @@ class RelationalSpec extends SparkSpecBase {
       rows.find(_.getLong(0) == 2L).get.getBoolean(5))
   }
 
+  test("j14: per-purchase credit conserves the purchase's cents exactly") {
+    val out = Relational.j14_multitouch_attribution(spark, sf)
+      .groupBy(col("purchase_id"))
+      .agg(sum(col("credit_cents")).as("total"))
+    val purch = graft.Tables.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val bad = out.join(purch, "purchase_id")
+      .where(col("total") =!= col("cents")).count()
+    assert(bad === 0L, s"$bad purchases lose or mint credit in the split")
+  }
+
   test("a17: the KMV estimate brackets the exact distinct within the k=64 envelope") {
     val est = Relational.a17_kmv_sample(spark, sf)
       .groupBy(col("event_type")).agg(max(col("est_distinct")).as("est"))
