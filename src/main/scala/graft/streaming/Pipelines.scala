@@ -97,6 +97,21 @@ case class AttrOut(event_id: Long, user_id: Long, tsu: Long,
                    click_id: Option[Long], click_tsu: Option[Long],
                    gap_us: Option[Long])
 
+/** One buffered touchpoint/conversion in multi-touch state; `cents`
+  * is the conversion value (0 for clicks).
+  */
+case class MtEvent(user_id: Long, tsu: Long, event_id: Long,
+                   is_click: Boolean, cents: Long,
+                   event_time: java.sql.Timestamp)
+case class MtBuf(tsu: Long, event_id: Long, is_click: Boolean, cents: Long)
+
+/** Multi-touch keyed state: capped buffer + monotone TTL anchor. */
+case class MtState(buf: Seq[MtBuf], newestMs: Long)
+
+/** One (purchase, click) credit share of a multi-touch split. */
+case class MtOut(purchase_id: Long, user_id: Long, click_id: Long,
+                 click_rank: Long, n_clicks: Long, credit_cents: Long)
+
 /** One emitted SCD2 version; `vf`/`vt` are micros, `vt` = -1 for the
   * open (current) version.
   */
@@ -631,6 +646,62 @@ object Pipelines {
             val newestMs =
               math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
             state.update(AttrState(buf, newestMs))
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** j14's multi-touch split, streamed: per-user buffered state (the
+    * [[attribution]] machinery — capped prefix, monotone TTL anchor,
+    * event-time timeout), and at flush ONE sorted sweep over the
+    * complete delivered history assigns every purchase its equal-split
+    * credit across the clicks in the strictly-prior `lookbackUs`
+    * window — so a late-arriving earlier click joins the split it
+    * belongs to, which no eager per-batch join can do. Credit
+    * arithmetic is j14's verbatim (floor split, remainder cents to the
+    * earliest ranks — conservation exact). The per-purchase scan is
+    * O(buf) with the buffer hard-capped at `maxEvents`.
+    */
+  def multiTouch(events: Dataset[MtEvent],
+                 lookbackUs: Long = 7L * 86400L * 1000000L,
+                 ttlMs: Long = FunnelTimeoutMs,
+                 maxEvents: Int = MaxScdEvents): Dataset[MtOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MtState, MtOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[MtEvent], state: GroupState[MtState]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get.buf.sortBy(b => (b.tsu, b.event_id))
+            state.remove()
+            val out = Vector.newBuilder[MtOut]
+            hist.withFilter(!_.is_click).foreach { p =>
+              val cs = hist.filter(c => c.is_click &&
+                c.tsu >= p.tsu - lookbackUs && c.tsu < p.tsu)
+              val n = cs.size.toLong
+              if (n > 0) {
+                val base = p.cents / n
+                val rem = p.cents % n
+                cs.zipWithIndex.foreach { case (c, i) =>
+                  out += MtOut(p.event_id, uid, c.event_id, i + 1L, n,
+                    base + (if (i + 1L <= rem) 1L else 0L))
+                }
+              }
+            }
+            out.result().iterator
+          } else {
+            val prev = state.getOption.getOrElse(MtState(Seq.empty, Long.MinValue))
+            val buf0 = prev.buf ++
+              rows.map(e => MtBuf(e.tsu, e.event_id, e.is_click, e.cents))
+            val buf = if (buf0.size > maxEvents)
+              buf0.sortBy(b => (b.tsu, b.event_id)).take(maxEvents)
+            else buf0
+            val newestMs =
+              math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
+            state.update(MtState(buf, newestMs))
             state.setTimeoutTimestamp(
               math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

@@ -1151,6 +1151,34 @@ object StreamQueries {
       .where(col("user_id") >= 0)
   }
 
+  /** J-family streaming — MULTI-TOUCH ATTRIBUTION AT INGEST
+    * (streaming twin of j14, st32's machinery): clicks and purchases
+    * buffer in per-user capped state; when the watermark proves a
+    * user's history closed, ONE sorted sweep splits every purchase's
+    * cents equally across its strictly-prior-7-day clicks
+    * ([[Pipelines.multiTouch]] — j14's exact integer credit rule, so
+    * conservation holds per purchase). Flush-time assignment over the
+    * complete delivered history means a late-arriving earlier click
+    * joins the split it belongs to — the same out-of-order guarantee
+    * as st32, now for the one-to-many credit shape. State: capped
+    * per-user event list + monotone TTL anchor, RocksDB-backed. The
+    * sentinel rides the `user_id < 0` branch to keep the watermark
+    * alive and drops after read-back. Oracle is j14's verbatim.
+    */
+  val st44_stream_multitouch: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .where(col("event_type").isin("click", "purchase") || col("user_id") < 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+        (col("event_type") === "click").as("is_click"),
+        coalesce(round(col("value") * 100).cast("long"), lit(0L)).as("cents"),
+        col("ts").as("event_time"))
+      .as[graft.streaming.MtEvent]
+    Replay.runAppend(spark, Pipelines.multiTouch(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+  }
+
   /** J-family streaming — RANGE JOIN AT INGEST (streaming twin of
     * j10): each arriving event is assigned to every campaign whose
     * [start, end) period contains it, via the SAME interval→day-bucket
@@ -1899,6 +1927,7 @@ object StreamQueries {
     "st41_stream_index_delete" -> st41_stream_index_delete,
     "st42_stream_passage_scrub" -> st42_stream_passage_scrub,
     "st43_stream_kmv_serve" -> st43_stream_kmv_serve,
+    "st44_stream_multitouch" -> st44_stream_multitouch,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1961,6 +1990,9 @@ object StreamQueries {
     // st43's streamed bottom-k buffer must unpack to a17's order statistic
     "st43_stream_kmv_serve" ->
       graft.operators.Relational.oracles("a17_kmv_sample"),
+    // st44's flush-time splits must reproduce EXACTLY j14's credit rows
+    "st44_stream_multitouch" ->
+      graft.operators.Relational.oracles("j14_multitouch_attribution"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

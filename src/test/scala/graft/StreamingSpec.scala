@@ -430,6 +430,51 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("multiTouch: a late-arriving earlier click joins the split; remainder cents go to the earliest rank") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[graft.streaming.MtEvent]
+    val ev = ms.toDS().withWatermark("event_time", "1 hour")
+    val q = Pipelines.multiTouch(ev).toDF()
+      .writeStream.format("memory").queryName("mt_ms")
+      .option("checkpointLocation", tmpDir("cp_mt_"))
+      .outputMode("append").start()
+    try {
+      def me(uid: Long, click: Boolean, s: String, id: Long, cents: Long) = {
+        val tt = t(s)
+        graft.streaming.MtEvent(uid, tt.getTime * 1000L, id, click, cents, tt)
+      }
+      // batch 1: the purchase (101 cents) arrives BEFORE both its clicks
+      ms.addData(me(1, click = false, "2024-01-01 00:10:00", 10, 101))
+      drain(q)
+      // batch 2: two clicks arrive late with EARLIER event times — both
+      // must join the split; an equal-ts click (strictly-before rule)
+      // and an out-of-lookback click must NOT
+      ms.addData(
+        me(1, click = true, "2024-01-01 00:01:00", 1, 0),
+        me(1, click = true, "2024-01-01 00:02:00", 2, 0),
+        me(1, click = true, "2024-01-01 00:10:00", 3, 0), // equal ts
+        me(1, click = true, "2023-12-20 00:00:00", 4, 0)) // outside 7d
+      drain(q)
+      ms.addData(me(-1, click = false, "2100-01-01 00:00:00", 6, 0)); drain(q)
+      ms.addData(me(-1, click = false, "2100-06-01 00:00:00", 7, 0)); drain(q)
+      val got = spark.table("mt_ms").where(col("user_id") >= 0)
+        .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(5))).sorted
+      // 101 = 50 + 50 + the remainder cent, which rank 1 takes
+      assert(got.toSeq === Seq((1L, 1L, 51L), (2L, 2L, 50L)), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("st44: the streamed multi-touch split equals batch j14 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st44_stream_multitouch")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Relational.j14_multitouch_attribution(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq,
+      "ingest multi-touch diverges from the batch split")
+  }
+
   test("st32: the streamed as-of attribution equals batch j12 exactly") {
     val streamed = graft.streaming.StreamQueries
       .queries("st32_stream_attribution")(spark, sf)
