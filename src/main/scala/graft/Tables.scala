@@ -21,18 +21,24 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for — sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * and this loader rebuilds a microsecond TimestampType via integral
-    * division (`div`, not `/`: ns epochs exceed 2^53, double division
-    * would lose precision). Truncation toward zero matches DuckDB's
-    * ns→µs narrowing, keeping oracle parity.
+  /** `events.ts` normalized to session-TZ TimestampType whatever the
+    * parquet generation shipped: TIMESTAMP(NANOS) arrives as a long
+    * under `spark.sql.legacy.parquet.nanosAsLong=true` and is rebuilt
+    * via integral division (`div`, not `/`: ns epochs exceed 2^53,
+    * double division would lose precision; truncation toward zero
+    * matches DuckDB's ns→µs narrowing); TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false arrives as TIMESTAMP_NTZ and is cast —
+    * sessions pin `spark.sql.session.timeZone=UTC`, so the cast is
+    * value-preserving and every downstream consumer (`unix_micros`,
+    * watermarks, window()) sees one type across generations.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

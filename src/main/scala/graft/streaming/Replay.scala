@@ -105,12 +105,37 @@ object Replay {
 
   /** Open `<sfDir>/<table>.parquet` as a file-source stream (with the
     * sentinel appended) using the table's batch schema.
+    *
+    * The sentinel is ALIGNED to the source's physical schema before it
+    * is written: driver testdata generations have shipped event time as
+    * TIMESTAMP(NANOS) (a long under `nanosAsLong`) and as
+    * TIMESTAMP(MICROS) NTZ, and a parquet file source rejects a file
+    * whose column type differs from the declared schema — so the
+    * sentinel builders pin ONE generation's shape and this conversion
+    * makes the harness generation-proof (sessions pin UTC, so the
+    * timestamp casts are value-preserving).
     */
   def tableStream(spark: SparkSession, sfDir: String, table: String,
                   sentinel: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
     val src = s"$sfDir/$table.parquet"
     val schema = spark.read.parquet(src).schema
-    spark.readStream.schema(schema).parquet(streamDir(src, sentinel).toString)
+    val aligned = sentinel.select(schema.fields.map { f =>
+      val c = col(f.name)
+      val have = sentinel.schema(f.name).dataType
+      val conv = (have, f.dataType) match {
+        case (a, b) if a == b => c
+        case (LongType, TimestampNTZType) => // raw nanos → µs NTZ
+          timestamp_micros(expr(s"${f.name} div 1000")).cast(TimestampNTZType)
+        case (LongType, TimestampType) => // raw nanos → µs
+          timestamp_micros(expr(s"${f.name} div 1000"))
+        case (TimestampNTZType, LongType) => // µs NTZ → raw nanos
+          unix_micros(c.cast(TimestampType)) * 1000
+        case _ => c.cast(f.dataType)
+      }
+      conv.as(f.name)
+    }.toSeq: _*)
+    spark.readStream.schema(schema).parquet(streamDir(src, aligned).toString)
   }
 
   /** Run an append-mode streaming DataFrame to completion
