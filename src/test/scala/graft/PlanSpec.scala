@@ -301,6 +301,20 @@ class PlanSpec extends SparkSpecBase {
     assert(scanned === 1, s"pruning must scan exactly the matching partition, scanned $scanned")
   }
 
+  test("j15: bucketed co-located join + rollup plans with ZERO exchanges") {
+    val df = graft.operators.Relational.j15_bucketed_join(spark, sf)
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val ex = nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    val plan = df.queryExecution.executedPlan.toString
+    assert(ex === 0,
+      s"the bucketed layout must eliminate every exchange (agg AND join):\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"the MERGE-hinted co-located join must plan sort-merge:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"both scans must read bucketed layout:\n$plan")
+  }
+
   test("d04: all three index consumers read the cache; one shuffle on the shingle key") {
     val (pairs, kept) = graft.operators.Dedup.ngramJaccardPlan(
       spark, sf, graft.operators.Dedup.DfCap)

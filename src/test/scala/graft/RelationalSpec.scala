@@ -160,6 +160,22 @@ class RelationalSpec extends SparkSpecBase {
     assert(bad === 0L, s"$bad purchases lose or mint credit in the split")
   }
 
+  test("j15: bucketing changes layout, never content (equals the plain join)") {
+    val bucketed = Relational.j15_bucketed_join(spark, sf)
+    val plain = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .join(Tables.orders(spark, sf)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            Tables.moneySum(col("o_totalprice")).as("user_spend")),
+        col("user_id") === col("o_custkey"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("n_orders"), col("user_spend"))
+    assert(bucketed.exceptAll(plain).count() === 0L &&
+      plain.exceptAll(bucketed).count() === 0L,
+      "the bucketed plan must compute the identical relation")
+  }
+
   test("a17: the KMV estimate brackets the exact distinct within the k=64 envelope") {
     val est = Relational.a17_kmv_sample(spark, sf)
       .groupBy(col("event_type")).agg(max(col("est_distinct")).as("est"))
