@@ -495,6 +495,43 @@ object Curation {
       .select(col("doc_id"), col("lang"), col("source"), col("rate_micro"))
   }
 
+  /** c08 — DRIFT-GATED ADMISSION: the ACT step closing the FOURTH
+    * monitor→decide→act loop (after d09→pickBanding→d02,
+    * n16→pickNprobe→n17 and t19→mixtureRates→c07): t24 MONITORS the
+    * delta-vs-corpus PSI over three feature distributions,
+    * [[TextAnalysis.driftVerdicts]] DECIDES which (feature, bucket)
+    * memberships trip (feature drifted AND bucket over-represented in
+    * the delta — the cause of the shift, not its victims), and this
+    * query ACTS: every delta document is admitted or quarantined by
+    * its own bucket memberships, with the first tripping feature
+    * named for the audit (deterministic `min`, the c03 first-reject
+    * convention). A tripped doc is what c06's incremental manifest
+    * should NOT admit tonight; an admitted doc rides through even
+    * when some OTHER bucket of its feature drifted — the gate is
+    * per-membership, so a source shift quarantines the over-crawled
+    * source's docs, not the whole delta (the p12 quarantine
+    * philosophy at the batch level).
+    *
+    * Scale shape: like c07, the decision never leaves the plan — the
+    * monitor's ONE (feature, bucket) rollup shuffle reduces the
+    * corpus to dozens of verdict rows, which broadcast back onto the
+    * delta's 3-rows-per-doc feature explode; the only other exchange
+    * is the doc-keyed verdict rollup over 3·|delta| rows. No second
+    * corpus pass, no state, no driver read.
+    */
+  val c08_drift_gated_admission: Q = (spark, dir) => {
+    val T = TextAnalysis
+    val verd = T.driftVerdicts(spark, dir)
+    val trip = col("drift") && col("over")
+    T.driftFeatures(documents(spark, dir).where(col("doc_id") % 10 === 0))
+      .join(broadcast(verd), Seq("feature", "bucket"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(trip, 1L).otherwise(0L)).as("n_trips"),
+        min(when(trip, col("feature"))).as("trip_feature"))
+      .withColumn("admitted", col("n_trips") === 0L)
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_curated_manifest" -> c02_curated_manifest,
@@ -503,6 +540,7 @@ object Curation {
     "c05_curation_profile" -> c05_curation_profile,
     "c06_incremental_manifest" -> c06_incremental_manifest,
     "c07_mixture_resample" -> c07_mixture_resample,
+    "c08_drift_gated_admission" -> c08_drift_gated_admission,
   )
 
   // --------------------------------------------------------------------
@@ -761,5 +799,21 @@ object Curation {
           JOIN mixrates r ON d.lang = r.lang AND d.source = r.source
           WHERE ($acceptH) % 10000 < r.rate_micro"""
     },
+    "c08_drift_gated_admission" ->
+      s"""WITH ${TextAnalysis.duckDriftCtes},
+          verd AS (
+            SELECT feature, bucket,
+                   (CAST(SUM((p_micro - q_micro) * lnr_micro)
+                         OVER (PARTITION BY feature) AS BIGINT)
+                      > ${TextAnalysis.DriftPsiPico}
+                    AND p_micro > q_micro) AS trip
+            FROM sc)
+          SELECT f.doc_id,
+                 CAST(SUM(CASE WHEN v.trip THEN 1 ELSE 0 END) AS BIGINT) AS n_trips,
+                 MIN(CASE WHEN v.trip THEN v.feature END) AS trip_feature,
+                 CAST(SUM(CASE WHEN v.trip THEN 1 ELSE 0 END) AS BIGINT) = 0 AS admitted
+          FROM feats f JOIN verd v USING (feature, bucket)
+          WHERE f.doc_id % 10 = 0
+          GROUP BY f.doc_id""",
   )
 }

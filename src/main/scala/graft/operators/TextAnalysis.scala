@@ -1260,12 +1260,18 @@ object TextAnalysis {
     * batch monitor (t24) and the ingest twin (st40) so both modes
     * bucket identically.
     */
+  /** The char-length decile bucket — shared by [[driftFeatures]] and
+    * the stateless ingest gate (st45) so every mode buckets
+    * identically.
+    */
+  private[graft] def driftLenBucket: Column =
+    least(lit(9L), expr("n_chars div 200")).cast("string")
+
   private[graft] def driftFeatures(docs: DataFrame, extra: Column*): DataFrame = {
     val keep = col("doc_id") +: extra
     docs.select(keep :+
       explode(array(
-        struct(lit("len").as("feature"),
-          least(lit(9L), expr("n_chars div 200")).cast("string").as("bucket")),
+        struct(lit("len").as("feature"), driftLenBucket.as("bucket")),
         struct(lit("lang").as("feature"), col("lang").as("bucket")),
         struct(lit("source").as("feature"), col("source").as("bucket")))).as("f"): _*)
       .select(keep ++ Seq(col("f.feature").as("feature"), col("f.bucket").as("bucket")): _*)
@@ -1329,6 +1335,21 @@ object TextAnalysis {
         sum(when(col("doc_id") % 10 === 0, 0L).otherwise(1L)).as("ref_n"))
     driftScore(counts)
   }
+
+  /** The DECISION relation of the drift control loop (t24 monitors →
+    * this decides → c08/st45 act): per (feature, bucket), whether the
+    * feature drifts (PSI above the 0.2 line) and whether the bucket is
+    * OVER-represented in the delta (p > q — the smoothed delta share
+    * exceeds the standing corpus's). A membership trips the admission
+    * gate iff BOTH hold: an under-represented bucket inside a drifted
+    * feature is the victim of the shift, not its cause. ≤|buckets| ≈
+    * dozens of rows whatever the corpus size — broadcasts into the
+    * gate join.
+    */
+  private[graft] def driftVerdicts(spark: SparkSession, dir: String): DataFrame =
+    t24_drift_psi(spark, dir)
+      .select(col("feature"), col("bucket"), col("drift"),
+        (col("p_micro") > col("q_micro")).as("over"))
 
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
@@ -1568,8 +1589,12 @@ object TextAnalysis {
     * BIGINT sums to HUGEINT), ln floored to micro-nats with identical
     * parenthesization.
     */
-  private[graft] def duckDriftPsiSql: String =
-    s"""WITH feats AS (
+  /** The feats→counts→enr→sc CTE prefix of [[duckDriftPsiSql]],
+    * factored so the drift-gated admission oracle (c08) chains the
+    * identical arithmetic.
+    */
+  private[graft] def duckDriftCtes: String =
+    s"""feats AS (
           SELECT doc_id, 'len' AS feature,
                  CAST(least(9, n_chars // 200) AS VARCHAR) AS bucket FROM documents
           UNION ALL SELECT doc_id, 'lang', lang FROM documents
@@ -1591,7 +1616,10 @@ object TextAnalysis {
                  CAST(floor(ln(CAST(cur_n + 1 AS DOUBLE) * CAST(ref_tot + nb AS DOUBLE)
                                / (CAST(ref_n + 1 AS DOUBLE) * CAST(cur_tot + nb AS DOUBLE)))
                             * $LmMicro) AS BIGINT) AS lnr_micro
-          FROM enr)
+          FROM enr)"""
+
+  private[graft] def duckDriftPsiSql: String =
+    s"""WITH $duckDriftCtes
         SELECT feature, bucket, ref_n, cur_n, p_micro, q_micro,
                (p_micro - q_micro) * lnr_micro AS contrib_pico,
                CAST(SUM((p_micro - q_micro) * lnr_micro)

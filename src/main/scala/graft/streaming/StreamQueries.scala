@@ -1899,6 +1899,55 @@ object StreamQueries {
         (col("vt") < 0).as("is_current"))
   }
 
+  /** C-family streaming — DRIFT-GATED ADMISSION AT INGEST (streaming
+    * twin of c08, closing the fourth monitor→decide→act loop across
+    * modes): the nightly t24 monitors, [[graft.operators.TextAnalysis
+    * .driftVerdicts]] DECIDES the tripped (feature, bucket) set, and
+    * ingest ACTS on last night's decision (st39's
+    * decide-batch-serve-stream discipline — a stream cannot know
+    * tonight's corpus totals). FULLY STATELESS, and — unlike the
+    * batch act, whose doc verdict is a rollup over the 3-row feature
+    * explode — the stream needs NO aggregation at all: the tripped
+    * set is ≤|buckets| rows, so each feature's slice broadcasts into
+    * its own stream-static LEFT join and the per-doc verdict
+    * (`n_trips`, first tripping feature in c03's deterministic-min
+    * order, `admitted`) is computed WITHIN the row from the three
+    * hit flags. At 100 TB ingest this is the admission front door
+    * bolted next to st39's mixture governor: over-crawled buckets of
+    * a drifted feature are quarantined at the scan task before any
+    * shuffle, state or sink. The sentinel's doc_id = −1 fails the
+    * delta predicate at the front door (no watermark anywhere — no
+    * starvation trap). Oracle is c08's verbatim: verdicts and bucket
+    * arithmetic are deterministic, so the streamed gate must equal
+    * the batch act bit-for-bit.
+    */
+  val st45_stream_drift_gate: Q = (spark, dir) => {
+    val T = graft.operators.TextAnalysis
+    val tripped = T.driftVerdicts(spark, dir)
+      .where(col("drift") && col("over"))
+      .select(col("feature"), col("bucket"))
+    def leg(f: String) = broadcast(
+      tripped.where(col("feature") === f)
+        .select(col("bucket").as(s"${f}_bucket"), lit(1L).as(s"${f}_trip")))
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), T.driftLenBucket.as("len_b"),
+        col("lang"), col("source"))
+    val out = docs
+      .join(leg("len"), col("len_b") === col("len_bucket"), "left")
+      .join(leg("lang"), col("lang") === col("lang_bucket"), "left")
+      .join(leg("source"), col("source") === col("source_bucket"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("len_trip"), lit(0L)) + coalesce(col("lang_trip"), lit(0L))
+          + coalesce(col("source_trip"), lit(0L))).as("n_trips"),
+        when(col("lang_trip").isNotNull, "lang")
+          .when(col("len_trip").isNotNull, "len")
+          .when(col("source_trip").isNotNull, "source").as("trip_feature"))
+      .withColumn("admitted", col("n_trips") === 0L)
+    Replay.runAppend(spark, out)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
@@ -1928,6 +1977,7 @@ object StreamQueries {
     "st42_stream_passage_scrub" -> st42_stream_passage_scrub,
     "st43_stream_kmv_serve" -> st43_stream_kmv_serve,
     "st44_stream_multitouch" -> st44_stream_multitouch,
+    "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -1993,6 +2043,9 @@ object StreamQueries {
     // st44's flush-time splits must reproduce EXACTLY j14's credit rows
     "st44_stream_multitouch" ->
       graft.operators.Relational.oracles("j14_multitouch_attribution"),
+    // st45's stateless gate must equal the batch drift-gated admission
+    "st45_stream_drift_gate" ->
+      graft.operators.Curation.oracles("c08_drift_gated_admission"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

@@ -212,6 +212,42 @@ class CurationSpec extends SparkSpecBase {
       "the unshifted length profile must stay below the PSI line")
   }
 
+  /** Closes the fourth loop end-to-end on the fixture: t24 flags only
+    * the source feature (previous spec), so every c08 quarantine must
+    * name "source", and a delta doc is quarantined EXACTLY when its
+    * own source bucket is over-represented — the decision relation IS
+    * the act, re-derived independently here.
+    */
+  test("c08 drift gate: quarantines exactly the over-represented buckets of the drifted feature") {
+    val T = graft.operators.TextAnalysis
+    val out = Curation.c08_drift_gated_admission(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val admitted = r.getAs[Boolean]("admitted")
+      assert(admitted === (r.getAs[Long]("n_trips") == 0L),
+        s"admitted must mean zero trips: $r")
+      assert(admitted === (r.getAs[String]("trip_feature") == null),
+        s"a quarantined doc must name its first tripping feature: $r")
+    }
+    assert(out.exists(!_.getAs[Boolean]("admitted")),
+      "the fixture's source shift must quarantine some delta docs")
+    out.filter(!_.getAs[Boolean]("admitted")).foreach(r =>
+      assert(r.getAs[String]("trip_feature") === "source",
+        s"only the source feature drifts in the fixture: $r"))
+    val overSrc = T.driftVerdicts(spark, sf)
+      .where(col("feature") === "source" && col("drift") && col("over"))
+      .collect().map(_.getAs[String]("bucket")).toSet
+    assert(overSrc.nonEmpty, "the shifted source buckets must be decided tripped")
+    val srcOf = Tables.documents(spark, sf).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    out.foreach { r =>
+      val tripped = overSrc(srcOf(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Boolean]("admitted") === !tripped,
+        s"doc ${r.getAs[Long]("doc_id")}: gate verdict must equal its bucket's decision")
+    }
+  }
+
   test("c04 real-manifest read-back prunes on (split, shard) at the directory level") {
     try {
       val q = Curation.c04_manifest_table(spark, sf)

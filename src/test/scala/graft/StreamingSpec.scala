@@ -475,6 +475,17 @@ class StreamingSpec extends SparkSpecBase {
       "ingest multi-touch diverges from the batch split")
   }
 
+  test("st45: the stateless streamed drift gate equals batch c08 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st45_stream_drift_gate")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Curation.c08_drift_gated_admission(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty, "streamed drift gate must not be empty")
+    assert(streamed.toSeq === batch.toSeq,
+      "the ingest admission gate diverges from the batch act")
+  }
+
   test("st32: the streamed as-of attribution equals batch j12 exactly") {
     val streamed = graft.streaming.StreamQueries
       .queries("st32_stream_attribution")(spark, sf)
