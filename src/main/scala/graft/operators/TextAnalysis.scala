@@ -476,6 +476,47 @@ object TextAnalysis {
         (col("n_bpe_tokens").cast("double") / col("n_words").cast("double")).as("fertility"))
   }
 
+  /** t25 — BPE DECODE: the inverse path closing the tokenizer
+    * lifecycle (train t11 → encode t12 → unseen t17 → decode this).
+    * BPE is lossless by construction — concatenating a word's subword
+    * symbols reproduces the word — and this query PROVES it
+    * end-to-end through the trained artifact: every word decodes by
+    * stripping the symbol joins from its trained segmentation, the
+    * document re-assembles IN ORDER (positions ride the explode, the
+    * d13 sorted-struct rebuild — no window, no driver), and the
+    * rebuilt text is compared against the whitespace-normalized
+    * original. `decoded_ok` must be true for every document; a false
+    * would mean the tokenizer corrupted data, the one failure mode a
+    * training pipeline can least afford.
+    *
+    * Scale shape: decode is a vocabulary LOOKUP join (the trained
+    * artifact, |vocab| rows, broadcastable) on the exploded words —
+    * one (doc_id) rebuild aggregation with the collected structs
+    * sorted in-memory per doc; the normalized-original join rides the
+    * same doc_id hash. Two shuffles total, both doc-keyed.
+    */
+  val t25_bpe_decode: Q = (spark, dir) => {
+    val vocab = bpeIdx(spark, dir, "vocab")
+      .select(col("token"), size(split(col("syms"), " ")).cast("long").as("n_sub"),
+        replace(col("syms"), lit(" "), lit("")).as("dec"))
+    val words = documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .where(length(col("token")) > 0)
+    val rebuilt = words.join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("dec")))),
+          s => s.getField("dec")), " ").as("decoded"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(filter(split(col("text"), " "), w => length(w) > 0), " ").as("norm"))
+      .join(rebuilt, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (col("decoded") === col("norm")).as("decoded_ok"),
+        length(col("decoded")).cast("long").as("decoded_chars"))
+  }
+
   /** t17 — BPE ENCODE OF UNSEEN TEXT: the path new data takes AFTER
     * tokenizer training (t12's documented gap). The tokenizer is
     * trained with every [[HoldoutMod]]-th document held out
@@ -1376,6 +1417,7 @@ object TextAnalysis {
     "t22_nb_agreement" -> t22_nb_agreement,
     "t23_bm25" -> t23_bm25,
     "t24_drift_psi" -> t24_drift_psi,
+    "t25_bpe_decode" -> t25_bpe_decode,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -1491,6 +1533,35 @@ object TextAnalysis {
                CAST(SUM(n_sub) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS fertility
         FROM dw JOIN vs USING (token)
         GROUP BY doc_id"""
+
+  /** t25's twin: decode every word off the trained vocabulary (strip
+    * the symbol joins), rebuild each document with an ordered
+    * string_agg (the parallel unnest zips token and position), and
+    * compare against the whitespace-normalized original.
+    */
+  private def duckBpeDecodeSql: String =
+    s"""WITH ${duckBpeCtes("documents")},
+        dwp AS (SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS token,
+                       unnest(range(1, len(list_filter(string_split(text, ' '),
+                                               w -> len(w) > 0)) + 1)) AS pos
+                FROM documents),
+        vs AS (SELECT token, len(string_split(syms, ' ')) AS n_sub,
+                      replace(syms, ' ', '') AS dec
+               FROM w$BpeIters),
+        rb AS (SELECT doc_id, COUNT(*) AS n_words,
+                      CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens,
+                      string_agg(dec, ' ' ORDER BY pos) AS decoded
+               FROM dwp JOIN vs USING (token)
+               GROUP BY doc_id),
+        nrm AS (SELECT doc_id,
+                       array_to_string(list_filter(string_split(text, ' '),
+                                         w -> len(w) > 0), ' ') AS norm
+                FROM documents)
+        SELECT doc_id, n_words, n_bpe_tokens,
+               (decoded = norm) AS decoded_ok,
+               CAST(len(decoded) AS BIGINT) AS decoded_chars
+        FROM rb JOIN nrm USING (doc_id)"""
 
   /** CTE chain of the TRAINED bigram LM (model only, no scoring):
     * `lmtr`/`lmtt` (train split + token arrays) → pair counts `lmc2`,
@@ -1915,6 +1986,7 @@ object TextAnalysis {
          FROM w CROSS JOIN best""",
     "t11_bpe_train" -> duckBpeTrainSql,
     "t12_bpe_encode" -> duckBpeEncodeSql,
+    "t25_bpe_decode" -> duckBpeDecodeSql,
     "t17_bpe_unseen" -> duckBpeUnseenSql,
     "t13_corpus_prep" -> {
       val h = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")

@@ -248,6 +248,13 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("t25: every document decodes losslessly through the trained tokenizer") {
+    val out = graft.operators.TextAnalysis.t25_bpe_decode(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("decoded_ok"),
+      s"BPE decode corrupted doc ${r.getAs[Long]("doc_id")}"))
+  }
+
   test("c04 real-manifest read-back prunes on (split, shard) at the directory level") {
     try {
       val q = Curation.c04_manifest_table(spark, sf)
