@@ -596,12 +596,22 @@ object Dedup {
     * rounds — split out so `DedupSpec` can prove convergence (round
     * K+1 must change nothing).
     */
-  private[graft] def clusterLabels(spark: SparkSession, dir: String,
-                                   iters: Int): DataFrame = {
+  /** The symmetric edge list of d03's pair relation, persisted —
+    * shared by the cluster loop and the centrality loop (d14) so the
+    * banded candidate join computes once per consumer chain.
+    */
+  private[graft] def simhashEdges(spark: SparkSession, dir: String): DataFrame = {
     val prs = d03_simhash(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = prs
-      .unionAll(prs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    prs.unionAll(prs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private[graft] def clusterLabels(spark: SparkSession, dir: String,
+                                   iters: Int): DataFrame =
+    clusterLabelsFrom(spark, dir, simhashEdges(spark, dir), iters)
+
+  private[graft] def clusterLabelsFrom(spark: SparkSession, dir: String,
+                                       edges: DataFrame, iters: Int): DataFrame = {
     var lbl = nearDupCorpus(spark, dir)
       .select(col("doc_id"), col("doc_id").as("lbl"))
     for (_ <- 1 to iters) {
@@ -625,6 +635,71 @@ object Dedup {
         .localCheckpoint(false)
     }
     lbl
+  }
+
+  private[graft] val RankIters = 5
+  private[graft] val RankPico = 1000000000000L
+
+  /** d14 — CENTRALITY-WEIGHTED CANONICAL PICK: PageRank over the
+    * near-dup graph, then one representative per d07 cluster chosen
+    * by rank (ties to the min doc id). d07's min-id keeper is
+    * arbitrary; real dedup pipelines keep the best-connected version
+    * of a duplicated document (the one most other near-copies
+    * resemble — typically the canonical/original, not a truncated or
+    * mutated copy). This adds the engine's iterative-graph-CENTRALITY
+    * operator class beside d07's iterative closure: K fixed power-
+    * iteration rounds with damping 85/100, every term EXACT integer
+    * pico-unit arithmetic (teleport = (15·(10¹²÷N))÷100 by integer
+    * division, each edge's contribution (85·r)÷(100·deg) divided
+    * BEFORE the sum so partial aggregation is associative and the
+    * oracle hashes bit-for-bit; mass conservation is deliberately
+    * traded for engine-exactness — ordering, not probability, is the
+    * product). Isolated documents keep teleport-only rank and remain
+    * their own canonical.
+    *
+    * Scale shape: the persisted symmetric edge list is shared with
+    * the cluster loop (ONE banded candidate join feeds both); each
+    * rank round is one |E|-row shuffle keyed on the destination with
+    * map-side partial sums, lineage cut per round (the d07 lesson);
+    * the N-row and per-cluster argmax reductions are 1-row/|clusters|-
+    * row broadcasts — no driver reads anywhere. The DuckDB twin
+    * unrolls the same K rounds; its argmax is a structurally
+    * different ROW_NUMBER so the differential checks semantics, not
+    * plan.
+    */
+  val d14_canonical_rank: Q = (spark, dir) => {
+    val edges = simhashEdges(spark, dir)
+    val corpus = nearDupCorpus(spark, dir).select(col("doc_id"))
+    val nrow = corpus.agg(count(lit(1)).as("n_docs"))
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+    var rank = corpus.join(broadcast(nrow), lit(true), "left")
+      .select(col("doc_id"),
+        expr(s"$RankPico div n_docs").as("rank_pico"),
+        expr(s"(15 * ($RankPico div n_docs)) div 100").as("tele"))
+    for (_ <- 1 to RankIters) {
+      val inflow = edges
+        .join(rank.select(col("doc_id").as("src"), col("rank_pico").as("r")),
+          col("doc_a") === col("src"))
+        .join(deg, "doc_a")
+        .groupBy(col("doc_b"))
+        .agg(sum(expr("(85 * r) div (100 * deg)")).as("inflow"))
+      rank = rank
+        .join(inflow.withColumnRenamed("doc_b", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (col("tele") + coalesce(col("inflow"), lit(0L))).as("rank_pico"),
+          col("tele"))
+        .localCheckpoint(false)
+    }
+    val clusters = clusterLabelsFrom(spark, dir, edges, ClusterIters)
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+    val ranked = rank.select(col("doc_id"), col("rank_pico"))
+      .join(clusters, "doc_id")
+    val canon = ranked.groupBy(col("cluster_id"))
+      .agg(max(struct(col("rank_pico"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("canonical_id"))
+    ranked.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("rank_pico"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
   }
 
   /** Fixpoint variant of [[clusterLabels]] — the production driver
@@ -674,28 +749,79 @@ object Dedup {
     (lbl, rounds)
   }
 
-  private def duckClusterSql: String = {
-    val rounds = (1 to ClusterIters).map { i =>
-      s"""l$i AS (
+  /** The symmetric simhash edge CTEs (cand → prs → edges) — the SQL
+    * twin of [[simhashEdges]], shared by the cluster and centrality
+    * oracles.
+    */
+  private def duckEdgeCtes: String =
+    s"""cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        prs AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= $MaxHamming),
+        edges AS MATERIALIZED (SELECT doc_a, doc_b FROM prs
+                  UNION ALL SELECT doc_b, doc_a FROM prs)"""
+
+  /** The K unrolled min-label propagation rounds (l1..lK). Each round
+    * references its predecessor TWICE (own label + neighbor scan), so
+    * without `AS MATERIALIZED` DuckDB's default CTE inlining expands
+    * the chain 2^K-fold — the SQL twin of the localCheckpoint
+    * lineage-cut on the Spark side, for the same reason.
+    */
+  private def duckClusterRounds: String =
+    (1 to ClusterIters).map { i =>
+      s"""l$i AS MATERIALIZED (
             SELECT v.doc_id, LEAST(v.lbl, COALESCE(m.nlbl, v.lbl)) AS lbl
             FROM l${i - 1} v LEFT JOIN (
               SELECT e.doc_a AS doc_id, MIN(p.lbl) AS nlbl
               FROM edges e JOIN l${i - 1} p ON p.doc_id = e.doc_b
               GROUP BY e.doc_a) m USING (doc_id))"""
     }.mkString(",\n")
-    s"""WITH $duckNearCorpus, $duckSimhashBandsSql,
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        prs AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= $MaxHamming),
-        edges AS (SELECT doc_a, doc_b FROM prs
-                  UNION ALL SELECT doc_b, doc_a FROM prs),
+
+  private def duckClusterSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
         l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
-        $rounds
+        $duckClusterRounds
         SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_keeper
         FROM l$ClusterIters"""
+
+  /** d14's twin: the same K exact-integer power-iteration rounds, the
+    * same K label rounds, but a ROW_NUMBER argmax — structurally
+    * different from the Spark side's struct-max so the differential
+    * checks the semantics.
+    */
+  private def duckCanonicalRankSql: String = {
+    val rrounds = (1 to RankIters).map { i =>
+      s"""r$i AS MATERIALIZED (
+            SELECT v.doc_id, v.tele + COALESCE(m.inflow, 0) AS rank_pico, v.tele
+            FROM r${i - 1} v LEFT JOIN (
+              SELECT e.doc_b AS doc_id,
+                     CAST(SUM((85 * p.rank_pico) // (100 * d.deg)) AS BIGINT) AS inflow
+              FROM edges e JOIN r${i - 1} p ON p.doc_id = e.doc_a
+                   JOIN deg d ON d.doc_a = e.doc_a
+              GROUP BY e.doc_b) m USING (doc_id))"""
+    }.mkString(",\n")
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        nrow AS (SELECT COUNT(*) AS n_docs FROM corpus),
+        deg AS MATERIALIZED (SELECT doc_a, COUNT(*) AS deg FROM edges GROUP BY doc_a),
+        r0 AS (SELECT doc_id,
+                      $RankPico // n_docs AS rank_pico,
+                      (15 * ($RankPico // n_docs)) // 100 AS tele
+               FROM corpus, nrow),
+        $rrounds,
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+        $duckClusterRounds,
+        rk AS (SELECT r.doc_id, r.rank_pico, l.lbl AS cluster_id
+               FROM r$RankIters r JOIN l$ClusterIters l USING (doc_id)),
+        canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+                    SELECT cluster_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY rank_pico DESC, doc_id ASC) AS rn
+                    FROM rk) WHERE rn = 1)
+        SELECT rk.doc_id, rk.cluster_id, rk.rank_pico,
+               rk.doc_id = c.canonical_id AS is_canonical
+        FROM rk JOIN canon c USING (cluster_id)"""
   }
 
   // ------------------------------------------------------------------
@@ -1137,6 +1263,7 @@ object Dedup {
     "d11_incremental_dedup" -> d11_incremental_dedup,
     "d12_incremental_neardup" -> d12_incremental_neardup,
     "d13_passage_dedup" -> d13_passage_dedup,
+    "d14_canonical_rank" -> d14_canonical_rank,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1172,5 +1299,6 @@ object Dedup {
           GROUP BY 1""",
     "d12_incremental_neardup" -> duckIncNearDupSql,
     "d13_passage_dedup" -> duckPassageDedupSql,
+    "d14_canonical_rank" -> duckCanonicalRankSql,
   )
 }

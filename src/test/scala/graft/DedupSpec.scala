@@ -352,4 +352,30 @@ class DedupSpec extends SparkSpecBase {
     // a doc that was ALL boilerplate still emits its row, empty
     assert(out(4L).getLong(2) === 0 && out(4L).getString(3) === "")
   }
+
+  test("d14: one rank-maximal canonical per cluster; hubs rank above isolates") {
+    val out = graft.operators.Dedup.d14_canonical_rank(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, rows) =>
+      val canon = rows.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canon.length === 1, s"cluster $cid must have exactly one canonical")
+      val cb = (canon.head.getAs[Long]("rank_pico"), -canon.head.getAs[Long]("doc_id"))
+      rows.foreach { r =>
+        val rb = (r.getAs[Long]("rank_pico"), -r.getAs[Long]("doc_id"))
+        assert(Ordering[(Long, Long)].lteq(rb, cb),
+          s"cluster $cid: canonical must dominate on (rank, min id): $r")
+      }
+    }
+    val sizes = byCluster.view.mapValues(_.length).toMap
+    val (iso, conn) = out.partition(r => sizes(r.getAs[Long]("cluster_id")) == 1)
+    assert(iso.nonEmpty && conn.nonEmpty, "fixture must have both isolates and clusters")
+    iso.foreach(r => assert(r.getAs[Boolean]("is_canonical"),
+      "an isolated doc is its own canonical"))
+    val teleOnly = iso.map(_.getAs[Long]("rank_pico")).distinct
+    assert(teleOnly.length === 1,
+      "every isolated doc carries exactly the teleport-only rank")
+    assert(conn.map(_.getAs[Long]("rank_pico")).max > teleOnly.head,
+      "connected docs must accumulate inflow above the teleport floor")
+  }
 }
