@@ -820,6 +820,28 @@ object Relational {
         col("n_events"))
   }
 
+  /** a18 — CUBE (full grouping-set lattice): every (day, event_type)
+    * margin of the activity matrix in ONE pass — per-cell, per-day,
+    * per-type and grand totals, distinguished by `grouping_id` (a11's
+    * rollup covers the hierarchical lattice; CUBE is the cross one,
+    * completing the multi-dimensional aggregate surface a DWS layer
+    * serves). Spark expands the lattice BELOW the aggregation: one
+    * Expand node emits 4 tagged copies per row into a single hash
+    * aggregation — one shuffle with map-side partials, not four
+    * passes; at 100 TB the ×|lattice| expansion happens on the
+    * map side pre-combine, which is exactly where it's affordable.
+    * Money stays in integer cents for engine parity.
+    */
+  val a18_event_cube: Q = (spark, dir) => {
+    events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("event_type"),
+        col("value"))
+      .cube(col("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"),
+        grouping_id().cast("long").as("gid"))
+  }
+
   /** a09 — ORDERED FUNNEL over the event stream (signup → click →
     * purchase): a user advances a stage only with a strictly LATER
     * event of the next type — min-timestamp per stage, each computed
@@ -1097,6 +1119,37 @@ object Relational {
     * fixing the reference's integer-division truncation bug at :183 and
     * its cross-partition Redis race (SURVEY §7.1).
     */
+  /** w04 — ANALYTIC WINDOW BATTERY: the ranking/distribution function
+    * surface (rank, dense_rank, percent_rank, cume_dist, ntile,
+    * lag/lead) in one pass per event — the §2.7 analog of f01's scalar
+    * battery. Two frames, chosen for DETERMINISM: the rank family
+    * runs over the COARSE per-user day order (real ties, so rank ≠
+    * dense_rank ≠ row_number actually exercises tie semantics — tie
+    * functions are order-insensitive within a tie group), while the
+    * value-picking functions (lag/lead/ntile) run over the FULLY
+    * UNIQUE (ts, event_id) order — a value function over a tied order
+    * is nondeterministic, the classic window bug. percent_rank and
+    * cume_dist are ratios of the same integers in both engines —
+    * identical IEEE doubles.
+    *
+    * Scale shape: both frames share the user_id partitioning — ONE
+    * exchange, two in-partition sorts; no joins, no state.
+    */
+  val w04_window_battery: Q = (spark, dir) => {
+    val coarse = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+    val fine = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), to_date(col("ts")).as("dt"))
+      .select(col("event_id"), col("user_id"),
+        rank().over(coarse).cast("long").as("rnk"),
+        dense_rank().over(coarse).cast("long").as("drnk"),
+        percent_rank().over(coarse).as("pr"),
+        cume_dist().over(coarse).as("cd"),
+        ntile(4).over(fine).cast("long").as("tile4"),
+        lag(col("event_id"), 1).over(fine).as("prev_id"),
+        lead(col("event_id"), 1).over(fine).as("next_id"))
+  }
+
   val w03_payment_allocation: Q = (spark, dir) => {
     val oi = orders(spark, dir)
     val od = lineitem(spark, dir)
@@ -1197,6 +1250,7 @@ object Relational {
     "a15_heavy_hitters" -> a15_heavy_hitters,
     "a16_sessionize" -> a16_sessionize,
     "a17_kmv_sample" -> a17_kmv_sample,
+    "a18_event_cube" -> a18_event_cube,
     "j14_multitouch_attribution" -> j14_multitouch_attribution,
     "j11_scd2_history" -> j11_scd2_history,
     "j12_attribution_asof" -> j12_attribution_asof,
@@ -1206,6 +1260,7 @@ object Relational {
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
     "w03_payment_allocation" -> w03_payment_allocation,
+    "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
   )
 
@@ -1386,6 +1441,13 @@ object Relational {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    "a18_event_cube" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+                COUNT(*) AS n_events,
+                SUM(ROUND(value * 100)) / 100 AS total_value,
+                CAST(GROUPING(dt, event_type) AS BIGINT) AS gid
+         FROM events
+         GROUP BY CUBE (dt, event_type)""",
     "a12_event_pivot" ->
       """SELECT CAST(ts AS DATE) AS dt,
                 CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
@@ -1578,6 +1640,18 @@ object Relational {
                      THEN (total_cents - (SUM(prop_cents) OVER (PARTITION BY order_id) - prop_cents)) / 100
                      ELSE prop_cents / 100 END AS final_detail_amount
          FROM p""",
+    "w04_window_battery" ->
+      """SELECT event_id, user_id,
+                CAST(RANK() OVER c AS BIGINT) AS rnk,
+                CAST(DENSE_RANK() OVER c AS BIGINT) AS drnk,
+                PERCENT_RANK() OVER c AS pr,
+                CUME_DIST() OVER c AS cd,
+                CAST(NTILE(4) OVER f AS BIGINT) AS tile4,
+                LAG(event_id, 1) OVER f AS prev_id,
+                LEAD(event_id, 1) OVER f AS next_id
+         FROM (SELECT event_id, user_id, ts, CAST(ts AS DATE) AS dt FROM events)
+         WINDOW c AS (PARTITION BY user_id ORDER BY dt),
+                f AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "f01_scalar_suite" ->
       """SELECT p_partkey,
                 string_split(p_type, ' ')[1] AS type_head,

@@ -301,6 +301,22 @@ class PlanSpec extends SparkSpecBase {
     assert(scanned === 1, s"pruning must scan exactly the matching partition, scanned $scanned")
   }
 
+  test("w04: both window frames ride ONE user_id exchange") {
+    val plan = graft.operators.Relational.w04_window_battery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"the coarse and fine frames must share the user_id distribution:\n$plan")
+  }
+
+  test("a18: the cube lattice is ONE Expand + ONE aggregation exchange") {
+    val plan = graft.operators.Relational.a18_event_cube(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"),
+      s"cube must expand the lattice below one aggregation, not run 4 passes:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"one shuffle for the whole lattice:\n$plan")
+  }
+
   test("j15: bucketed co-located join + rollup plans with ZERO exchanges") {
     val df = graft.operators.Relational.j15_bucketed_join(spark, sf)
     val nodes = flatten(df.queryExecution.executedPlan)
