@@ -1948,6 +1948,37 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** A-family streaming — THE CUBE SERVED AT INGEST (streaming twin of
+    * a18, extending the st23/st24 serving discipline to the full
+    * grouping-set lattice): the stream maintains ONLY the finest
+    * (day, event_type) cells in the keyed upsert table (update-mode
+    * aggregation, state = |days|·|types| rows, ingest-rate
+    * independent; money in integer cents so every later sum is
+    * exact), and the ENTIRE lattice — per-day, per-type and grand
+    * margins — is derived ON READ by cubing the bounded cell table.
+    * Maintaining margins in stream state would write every margin
+    * row on every batch (the top cell absorbs every event — a
+    * hot-key on the state store); deriving them from dozens of cells
+    * costs microseconds. No watermark (update mode), so the sentinel
+    * is pre-filtered by id. Oracle is a18's verbatim: lattice-of-sums
+    * equals sums-of-lattice because the finest cells partition the
+    * input.
+    */
+  val st46_stream_cube_serve: Q = (spark, dir) => {
+    val base = Replay.eventsStream(spark, dir)
+      .where(col("event_id") >= 0)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("event_type"),
+        col("value"))
+      .groupBy(col("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.Tables.cents(col("value"))).as("cents"))
+    val cells = upsertServe(spark, base, Seq("dt", "event_type"), "n_events")
+    cells.cube(col("dt"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        (sum(col("cents")) / 100).as("total_value"),
+        grouping_id().cast("long").as("gid"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
@@ -1978,6 +2009,7 @@ object StreamQueries {
     "st43_stream_kmv_serve" -> st43_stream_kmv_serve,
     "st44_stream_multitouch" -> st44_stream_multitouch,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
+    "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -2046,6 +2078,9 @@ object StreamQueries {
     // st45's stateless gate must equal the batch drift-gated admission
     "st45_stream_drift_gate" ->
       graft.operators.Curation.oracles("c08_drift_gated_admission"),
+    // st46's served cells must cube to EXACTLY a18's lattice
+    "st46_stream_cube_serve" ->
+      graft.operators.Relational.oracles("a18_event_cube"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

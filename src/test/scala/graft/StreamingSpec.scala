@@ -475,6 +475,17 @@ class StreamingSpec extends SparkSpecBase {
       "ingest multi-touch diverges from the batch split")
   }
 
+  test("st46: the cube served from streamed cells equals batch a18 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st46_stream_cube_serve")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Relational.a18_event_cube(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty, "served cube must not be empty")
+    assert(streamed.toSeq === batch.toSeq,
+      "the on-read lattice diverges from the batch cube")
+  }
+
   test("st45: the stateless streamed drift gate equals batch c08 exactly") {
     val streamed = graft.streaming.StreamQueries
       .queries("st45_stream_drift_gate")(spark, sf)
