@@ -473,6 +473,43 @@ object Relational {
       .select(col("event_id"), col("campaign_id"))
   }
 
+  /** One JSON-lines copy of the documents table per sfDir (scratch,
+    * GC'd at JVM exit) — the fixture for the non-parquet source path.
+    */
+  private val jsonCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def jsonCopy(spark: SparkSession, dir: String): String =
+    jsonCache.computeIfAbsent(dir, _ => {
+      val p = graft.Tables.scratchDir("graft_json_")
+      documents(spark, dir).write.mode("overwrite").json(p)
+      p
+    })
+
+  /** S10 — JSON-lines source with a PINNED schema: the non-parquet
+    * ingest path (the reference consumes JSON payloads off its bus —
+    * fastjson in every app; here the same data read as a splittable
+    * JSON-lines file source). The schema is declared, never inferred:
+    * at 100 TB schema inference is a full extra pass over the data
+    * before the real one, and a schema drifting under inference is a
+    * silent correctness bug — production JSON ingest pins the schema
+    * and lets corrupt rows surface (columnNameOfCorruptRecord) rather
+    * than re-shape the table. Declaring only the consumed fields also
+    * prunes the parse itself: the reader skips tokens outside the
+    * schema, the JSON analog of parquet column pruning. JSON-lines is
+    * line-splittable, so scan parallelism survives arbitrary file
+    * sizes. Oracle is the same projection over the parquet twin —
+    * format changes encoding, never values.
+    */
+  val s10_json_source: Q = (spark, dir) => {
+    val p = jsonCopy(spark, dir)
+    spark.read
+      .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .json(p)
+      .where(col("n_chars") >= 400)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
   // --------------------------------------------------------------------
   // A — aggregations
   // --------------------------------------------------------------------
@@ -1214,6 +1251,7 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     "s06_dim_scan" -> s06_dim_scan,
+    "s10_json_source" -> s10_json_source,
     "p02_cdc_route" -> p02_cdc_route,
     "p03_date_hour" -> p03_date_hour,
     "p04_epoch_derive" -> p04_epoch_derive,
@@ -1273,6 +1311,9 @@ object Relational {
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey
          WHERE r_name IN ('ASIA','EUROPE')""",
+    "s10_json_source" ->
+      """SELECT doc_id, lang, source, n_chars
+         FROM documents WHERE n_chars >= 400""",
     "p02_cdc_route" ->
       """SELECT event_id, event_type, 'ods_' || event_type AS route, user_id
          FROM events WHERE event_type IN ('purchase','signup','click')""",
