@@ -387,6 +387,77 @@ object Similarity {
         (col("n_deleted") > 0).as("touched"))
   }
 
+  /** The standing PHYSICAL index table: one row per vector with its
+    * payload, landed cell-partitioned under the c04 layout (hive
+    * partition dirs on cell_id, compacted files) — the thing n21's
+    * rewrite mutates.
+    */
+  private[graft] def buildIndexTable(spark: SparkSession, dir: String,
+                                     path: String): Unit =
+    graft.sinks.Sinks.partitionedParquet(
+      idx(spark, dir, "cells").select(col("vec_id"), col("v"), col("cell_id")),
+      path, Seq("cell_id"))
+
+  /** Execute n20's compaction plan against a landed index table:
+    * rewrite ONLY the touched cells (survivors re-written under
+    * dynamic partition overwrite — an untouched cell's directory is
+    * never listed, opened or rewritten). A touched cell whose
+    * survivor set is EMPTY would be missed by dynamic overwrite (no
+    * rows → partition absent from the written set → stale files
+    * survive); production follows with a directory prune driven by
+    * the plan's `n_after = 0` rows (a ≤k-row decision read, the
+    * pickBanding bounded contract) — the fixture's cells are all
+    * populated, so the prune list is empty here and the path is
+    * documented rather than exercised.
+    */
+  private[graft] def executeCompaction(spark: SparkSession, dir: String,
+                                       path: String,
+                                       cellFilter: Column = lit(true)): Unit = {
+    val touched = n20_index_delete(spark, dir)
+      .where(col("touched") && cellFilter).select(col("cell_id"))
+    val survivors = idx(spark, dir, "cells")
+      .select(col("vec_id"), col("v"), col("cell_id"))
+      .join(broadcast(touched), "cell_id")
+      .where(col("vec_id") % DeleteMod =!= 3)
+      .repartition(col("cell_id"))
+      .select(col("vec_id"), col("v"), col("cell_id"))
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** n21 — COMPACTION EXECUTED: the physical rewrite n20 planned and
+    * st41 counted, closing the delete lifecycle (tombstone → serve
+    * around it → plan → REWRITE). The index lands once as a
+    * cell-partitioned table ([[buildIndexTable]] — the c04 layout,
+    * cell_id the partition key n20's docstring promised), then the
+    * plan's touched cells are rewritten survivor-only under DYNAMIC
+    * partition overwrite: the write set contains only touched cells,
+    * so untouched cell directories keep their exact files
+    * (spec-locked byte-for-byte) — at 100 TB this is the difference
+    * between rewriting k hot cells and rewriting the index. The
+    * query emits the post-rewrite per-cell counts read back from the
+    * table; the oracle recomputes them from the assignment arithmetic
+    * (survivors per cell), so the differential covers
+    * build → plan → rewrite → read-back end to end.
+    */
+  val n21_compaction_execute: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val p = compactCache.computeIfAbsent(dir, _ => {
+      val path = graft.Tables.scratchDir("graft_idx_table_")
+      buildIndexTable(spark, dir, path)
+      executeCompaction(spark, dir, path)
+      path
+    })
+    spark.read.parquet(p)
+      .groupBy(col("cell_id").cast("long").as("cell_id"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Probe depths measured by [[n06_ivf_recall]] / [[n11_multiprobe_ivfadc]]. */
   private val RecallProbes = Seq(1, 3)
 
@@ -1445,6 +1516,7 @@ object Similarity {
     "n14_cell_stats" -> n14_cell_stats,
     "n15_index_upsert" -> n15_index_upsert,
     "n20_index_delete" -> n20_index_delete,
+    "n21_compaction_execute" -> n21_compaction_execute,
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
     "n18_hybrid_rrf" -> n18_hybrid_rrf,
@@ -1764,6 +1836,13 @@ object Similarity {
                  CAST(SUM(CASE WHEN vec_id % $DeleteMod = 3 THEN 1 ELSE 0 END) AS BIGINT) > 0
                    AS touched
           FROM a GROUP BY 1""",
+    "n21_compaction_execute" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign
+          SELECT cell_id, COUNT(*) AS n_rows
+          FROM a WHERE vec_id % $DeleteMod <> 3
+          GROUP BY cell_id""",
     "n16_probe_sweep" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

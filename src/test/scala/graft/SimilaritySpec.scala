@@ -197,4 +197,42 @@ class SimilaritySpec extends SparkSpecBase {
         all.where(col("vec_id") % Similarity.DeleteMod === 3).count())
     } finally spark.catalog.clearCache()
   }
+
+  /** n21's dynamic-overwrite contract, proven through the production
+    * write path: a compaction restricted to ONE cell rewrites exactly
+    * that cell's directory — every other cell's files stay
+    * byte-identical (name, size, mtime) — and the full pass leaves
+    * per-cell counts equal to the plan's n_after with no tombstoned
+    * id surviving anywhere.
+    */
+  test("n21: rewrite touches only planned cells; untouched files stay byte-stable") {
+    val path = tmpDir("graft_n21_")
+    Similarity.buildIndexTable(spark, sf, path)
+    def listing(cell: Long) = {
+      val d = new java.io.File(s"$path/cell_id=$cell")
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val plan = Similarity.n20_index_delete(spark, sf).collect()
+    val touched = plan.filter(_.getAs[Boolean]("touched")).map(_.getAs[Long]("cell_id"))
+    assert(touched.nonEmpty, "fixture must tombstone something")
+    val one = touched.min
+    val others = plan.map(_.getAs[Long]("cell_id")).filter(_ != one)
+    val before = others.map(c => c -> listing(c)).toMap
+    Similarity.executeCompaction(spark, sf, path, col("cell_id") === one)
+    others.foreach(c => assert(listing(c) === before(c),
+      s"cell $c was not in the restricted plan but its files changed"))
+    val oneRows = spark.read.parquet(s"$path/cell_id=$one")
+    assert(oneRows.where(col("vec_id") % Similarity.DeleteMod === 3).count() === 0L,
+      "the rewritten cell must hold no tombstoned id")
+    Similarity.executeCompaction(spark, sf, path)
+    val counts = spark.read.parquet(path)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Number]("cell_id").longValue -> r.getAs[Long]("n")).toMap
+    plan.foreach(r => assert(counts(r.getAs[Long]("cell_id")) === r.getAs[Long]("n_after"),
+      s"cell ${r.getAs[Long]("cell_id")}: read-back count must equal the plan's n_after"))
+    assert(spark.read.parquet(path)
+      .where(col("vec_id") % Similarity.DeleteMod === 3).count() === 0L)
+  }
 }
