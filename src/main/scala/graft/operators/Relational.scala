@@ -510,6 +510,71 @@ object Relational {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  /** One mixed-generation parquet dir per sfDir: generation 1 landed
+    * WITHOUT the `value` column (the pre-migration envelope),
+    * generation 2 appended WITH it — the fixture for the
+    * schema-evolution read path.
+    */
+  private val evoCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def evoCopy(spark: SparkSession, dir: String): String =
+    evoCache.computeIfAbsent(dir, _ => {
+      val p = graft.Tables.scratchDir("graft_evo_")
+      val ev = events(spark, dir)
+      ev.where(pmod(col("event_id"), lit(2)) === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$p/t")
+      ev.where(pmod(col("event_id"), lit(2)) === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("append").parquet(s"$p/t")
+      p
+    })
+
+  /** P13 — SCHEMA EVOLUTION READ: one table, two file generations —
+    * the old files predate the `value` column (every long-lived 100 TB
+    * table is mid-migration somewhere). `mergeSchema` unions the file
+    * footers into one schema and old files surface the new column as
+    * null — no rewrite of petabytes of history, the reader absorbs
+    * the drift. (mergeSchema is a FOOTER-only pass and off by default
+    * because footer-listing 100k files costs real time: production
+    * pins the merged schema in a catalog and this read path is the
+    * migration-window fallback.) The oracle reconstructs the same
+    * relation from the raw table: the generation split is
+    * deterministic (event_id parity), so old-generation rows must
+    * carry null value.
+    */
+  val p13_schema_evolution: Q = (spark, dir) => {
+    val p = evoCopy(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(s"$p/t")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  /** a19 — TIME-DECAYED ENGAGEMENT: per event type, the
+    * exponentially-decayed value total (half-life flavored, λ = 1/30
+    * days against a PINNED anchor date — the p05 pinned-now
+    * discipline; an unpinned now() makes results irreproducible).
+    * Engine-exact by the t18 construction: the decay weight is
+    * floor-quantized to integer micro-units per row, value rides in
+    * integer cents, and the summed products are exact longs — the sum
+    * is associative, so map-side partials and DuckDB's parallel
+    * aggregation agree bit-for-bit. One shuffle with map-side
+    * partials; the decay arithmetic is a stateless per-row projection
+    * at the scan.
+    */
+  val a19_decayed_engagement: Q = (spark, dir) => {
+    val anchor = lit("2024-02-15").cast("date")
+    events(spark, dir)
+      .select(col("event_type"),
+        datediff(anchor, to_date(col("ts"))).cast("long").as("age_days"),
+        cents(col("value")).cast("long").as("c"))
+      .withColumn("w_micro",
+        floor(exp(-col("age_days").cast("double") / 30.0) * 1000000).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c") * col("w_micro")).as("decayed_micro_cents"),
+        count(lit(1)).as("n_events"))
+  }
+
   // --------------------------------------------------------------------
   // A — aggregations
   // --------------------------------------------------------------------
@@ -1105,6 +1170,25 @@ object Relational {
         col("n_orders"), col("user_spend"))
   }
 
+  /** S11 — BUCKET-PRUNED POINT SCAN: the read-side dividend of j15's
+    * layout — an equality filter on the bucket key scans ONE bucket's
+    * files out of 8 (`SelectedBucketsCount: 1 out of 8`,
+    * plan-spec-locked), because the key's bucket is computable from
+    * the filter alone. At 100 TB this turns a needle-in-haystack user
+    * lookup from a full scan into 1/N of one — the poor man's index,
+    * paid for by the same nightly layout write the join amortizes.
+    * The probed key is chosen deterministically (min customer id), so
+    * the oracle is the same point select over raw parquet.
+    */
+  val s11_bucket_pruned_scan: Q = (spark, dir) => {
+    val (_, orT) = bucketedTables(spark, dir)
+    spark.table(orT)
+      .where(col("o_custkey") === 1L)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("user_spend"))
+  }
+
   /** A6 — salt-and-merge two-phase aggregation: the standard
     * skewed-key mitigation at scale (a hot brand would overload one
     * reducer; salting spreads it over 8 partial groups, the second
@@ -1252,6 +1336,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "s06_dim_scan" -> s06_dim_scan,
     "s10_json_source" -> s10_json_source,
+    "s11_bucket_pruned_scan" -> s11_bucket_pruned_scan,
     "p02_cdc_route" -> p02_cdc_route,
     "p03_date_hour" -> p03_date_hour,
     "p04_epoch_derive" -> p04_epoch_derive,
@@ -1295,6 +1380,8 @@ object Relational {
     "j13_bloom_prune_join" -> j13_bloom_prune_join,
     "j15_bucketed_join" -> j15_bucketed_join,
     "p12_quarantine" -> p12_quarantine,
+    "p13_schema_evolution" -> p13_schema_evolution,
+    "a19_decayed_engagement" -> a19_decayed_engagement,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
     "w03_payment_allocation" -> w03_payment_allocation,
@@ -1314,6 +1401,23 @@ object Relational {
     "s10_json_source" ->
       """SELECT doc_id, lang, source, n_chars
          FROM documents WHERE n_chars >= 400""",
+    "s11_bucket_pruned_scan" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+                SUM(ROUND(o_totalprice * 100)) / 100 AS user_spend
+         FROM orders WHERE o_custkey = 1
+         GROUP BY o_custkey""",
+    "p13_schema_evolution" ->
+      """SELECT event_id, user_id, event_type,
+                CASE WHEN event_id % 2 = 1 THEN value END AS value
+         FROM events""",
+    "a19_decayed_engagement" ->
+      """SELECT event_type,
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) *
+                         CAST(floor(exp(-(DATE '2024-02-15' - CAST(ts AS DATE)) / 30.0)
+                                    * 1000000) AS BIGINT)) AS BIGINT)
+                  AS decayed_micro_cents,
+                COUNT(*) AS n_events
+         FROM events GROUP BY event_type""",
     "p02_cdc_route" ->
       """SELECT event_id, event_type, 'ods_' || event_type AS route, user_id
          FROM events WHERE event_type IN ('purchase','signup','click')""",

@@ -317,6 +317,13 @@ class PlanSpec extends SparkSpecBase {
       s"one shuffle for the whole lattice:\n$plan")
   }
 
+  test("s11: the point scan reads ONE bucket of 8") {
+    val plan = graft.operators.Relational.s11_bucket_pruned_scan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"the equality filter on the bucket key must prune to one bucket:\n$plan")
+  }
+
   test("j15: bucketed co-located join + rollup plans with ZERO exchanges") {
     val df = graft.operators.Relational.j15_bucketed_join(spark, sf)
     val nodes = flatten(df.queryExecution.executedPlan)
