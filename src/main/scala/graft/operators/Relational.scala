@@ -1228,6 +1228,33 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("dau_approx"))
   }
 
+  /** a20 — SKETCH REAGGREGATION: weekly approximate distinct users
+    * assembled by MERGING stored daily HLL sketches
+    * (hll_sketch_agg → hll_union_agg, the Apache DataSketches pair) —
+    * the warehouse pattern a07 only hints at: land one ~kB sketch per
+    * (day), answer ANY date-range distinct question later by merging
+    * sketches instead of re-scanning raw events. At 100 TB the daily
+    * sketch table is the difference between a week-over-week WAU
+    * query touching kilobytes and touching the event history. Like
+    * a07 (DuckDB's HLL is a different sketch) there is no cross-engine
+    * oracle — the driver records the rows-only check and the spec
+    * bounds the weekly estimates against the exact distinct (a03's
+    * discipline) and locks merge-path identity: union-of-daily equals
+    * the directly-built weekly sketch.
+    */
+  val a20_sketch_reagg: Q = (spark, dir) => {
+    val daily = events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .groupBy(col("dt"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    daily
+      .withColumn("wk", date_format(date_trunc("week", col("dt").cast("date")),
+        "yyyy-MM-dd"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("wau_approx"))
+  }
+
   // --------------------------------------------------------------------
   // W — analytic windows
   // --------------------------------------------------------------------
@@ -1384,6 +1411,7 @@ object Relational {
     "a19_decayed_engagement" -> a19_decayed_engagement,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
+    "a20_sketch_reagg" -> a20_sketch_reagg,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,

@@ -1979,6 +1979,37 @@ object StreamQueries {
         grouping_id().cast("long").as("gid"))
   }
 
+  /** A-family streaming — TIME-DECAYED ENGAGEMENT SERVED AT INGEST
+    * (streaming twin of a19): the stream maintains UNDECAYED
+    * per-(event_type, age_day) cent totals in the upsert table —
+    * decay weights are applied ON READ against the pinned anchor, so
+    * state never needs re-aging (storing decayed values would rot:
+    * every day that passes would demand a full-state rewrite to the
+    * new as-of; storing per-day raw sums makes "as of when" a
+    * read-time parameter). State = |types|·|days| rows, ingest-rate
+    * independent; the read-back is a |cells|-row stateless projection
+    * through a19's exact floor-quantized weight arithmetic. Oracle is
+    * a19's verbatim: Σ_day w(day)·Σ_events cents = Σ_events w·cents
+    * because the weight is constant within a day cell.
+    */
+  val st47_stream_decay_serve: Q = (spark, dir) => {
+    val anchor = lit("2024-02-15").cast("date")
+    val base = Replay.eventsStream(spark, dir)
+      .where(col("event_id") >= 0)
+      .select(col("event_type"),
+        datediff(anchor, to_date(col("ts"))).cast("long").as("age_days"),
+        graft.Tables.cents(col("value")).cast("long").as("c"))
+      .groupBy(col("event_type"), col("age_days"))
+      .agg(sum(col("c")).as("cents"), count(lit(1)).as("n"))
+    val cells = upsertServe(spark, base, Seq("event_type", "age_days"), "n")
+    cells
+      .withColumn("w_micro",
+        floor(exp(-col("age_days").cast("double") / 30.0) * 1000000).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("cents") * col("w_micro")).as("decayed_micro_cents"),
+        sum(col("n")).as("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
@@ -2010,6 +2041,7 @@ object StreamQueries {
     "st44_stream_multitouch" -> st44_stream_multitouch,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
+    "st47_stream_decay_serve" -> st47_stream_decay_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -2081,6 +2113,9 @@ object StreamQueries {
     // st46's served cells must cube to EXACTLY a18's lattice
     "st46_stream_cube_serve" ->
       graft.operators.Relational.oracles("a18_event_cube"),
+    // st47's undecayed cells must decay on read to EXACTLY a19's totals
+    "st47_stream_decay_serve" ->
+      graft.operators.Relational.oracles("a19_decayed_engagement"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,

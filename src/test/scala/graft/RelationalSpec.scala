@@ -160,6 +160,33 @@ class RelationalSpec extends SparkSpecBase {
     assert(bad === 0L, s"$bad purchases lose or mint credit in the split")
   }
 
+  test("a20: merged weekly sketches bracket the exact distinct; merge path is identity") {
+    val approx = Relational.a20_sketch_reagg(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("wau_approx").toDouble).toMap
+    val exact = Tables.events(spark, sf)
+      .select(date_format(date_trunc("week", to_date(col("ts"))), "yyyy-MM-dd").as("wk"),
+        col("user_id"))
+      .groupBy(col("wk")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.nonEmpty && approx.keySet === exact.keySet)
+    approx.foreach { case (wk, est) =>
+      val n = exact(wk).toDouble
+      assert(math.abs(est - n) <= 0.05 * n + 2,
+        s"week $wk: estimate $est vs exact $n outside the lgK=12 envelope")
+    }
+    // merge-path identity: union-of-daily == the directly built weekly sketch
+    val direct = Tables.events(spark, sf)
+      .select(date_format(date_trunc("week", to_date(col("ts"))), "yyyy-MM-dd").as("wk"),
+        col("user_id"))
+      .groupBy(col("wk"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("est"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est").toDouble).toMap
+    approx.foreach { case (wk, est) =>
+      assert(math.abs(est - direct(wk)) <= 0.01 * direct(wk),
+        s"week $wk: merged-daily estimate $est diverges from direct sketch ${direct(wk)}")
+    }
+  }
+
   test("j15: bucketing changes layout, never content (equals the plain join)") {
     val bucketed = Relational.j15_bucketed_join(spark, sf)
     val plain = Tables.events(spark, sf)

@@ -475,6 +475,16 @@ class StreamingSpec extends SparkSpecBase {
       "ingest multi-touch diverges from the batch split")
   }
 
+  test("st47: undecayed streamed cells decay on read to batch a19 exactly") {
+    val streamed = graft.streaming.StreamQueries
+      .queries("st47_stream_decay_serve")(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Relational.a19_decayed_engagement(spark, sf)
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(streamed.nonEmpty && streamed.toSeq === batch.toSeq,
+      "read-time decay over served cells diverges from the batch totals")
+  }
+
   test("st46: the cube served from streamed cells equals batch a18 exactly") {
     val streamed = graft.streaming.StreamQueries
       .queries("st46_stream_cube_serve")(spark, sf)
