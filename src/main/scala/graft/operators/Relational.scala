@@ -155,6 +155,32 @@ object Relational {
       get_json_object(col("props"), "$.k").as("k"))
   }
 
+  /** P14 — CORRUPT-RECORD ROUTING AT THE PARSER: the PERMISSIVE-mode
+    * contract every JSON ingest needs — a malformed payload must
+    * neither crash the job (FAILFAST at 100 TB means one bad producer
+    * kills the nightly) nor silently vanish (DROPMALFORMED loses
+    * data): it routes to quarantine WITH its raw payload preserved
+    * for replay, the parser-level layer of p12's row-level DQ
+    * quarantine. Corruption is injected deterministically (a leading
+    * brace on every 11th payload) so the differential can check the
+    * routing itself: `columnNameOfCorruptRecord` captures the raw
+    * text of unparseable rows while parseable rows project their
+    * fields — one stateless codegen'd projection, no shuffle. The
+    * DuckDB twin routes on json_valid.
+    */
+  val p14_corrupt_route: Q = (spark, dir) => {
+    val raw = when(col("event_id") % 11 === 0, concat(lit("}"), col("props")))
+      .otherwise(col("props"))
+    events(spark, dir)
+      .select(col("event_id"), raw.as("raw"))
+      .withColumn("p", from_json(col("raw"), "k STRING, _corrupt STRING",
+        java.util.Map.of("columnNameOfCorruptRecord", "_corrupt")))
+      .select(col("event_id"),
+        when(col("p._corrupt").isNull, col("p.k")).as("k"),
+        col("p._corrupt").isNotNull.as("quarantined"),
+        when(col("p._corrupt").isNotNull, col("raw")).as("raw_payload"))
+  }
+
   /** P1 — typed envelope parse: `from_json` with a declared StructType
     * (dwd/Ods_to_DWD_order_info.scala:55-66 — fastjson
     * `JSON.parseObject(v, classOf[T])`; app/Dau.scala:136-147 nested
@@ -1408,6 +1434,7 @@ object Relational {
     "j15_bucketed_join" -> j15_bucketed_join,
     "p12_quarantine" -> p12_quarantine,
     "p13_schema_evolution" -> p13_schema_evolution,
+    "p14_corrupt_route" -> p14_corrupt_route,
     "a19_decayed_engagement" -> a19_decayed_engagement,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
@@ -1489,6 +1516,17 @@ object Relational {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
     "p11_json_flatten" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k FROM events""",
+    "p14_corrupt_route" ->
+      """WITH m AS (SELECT event_id,
+                           CASE WHEN event_id % 11 = 0 THEN '}' || props
+                                ELSE props END AS raw
+                    FROM events)
+         SELECT event_id,
+                CASE WHEN json_valid(raw)
+                     THEN json_extract_string(raw, '$.k') END AS k,
+                NOT json_valid(raw) AS quarantined,
+                CASE WHEN NOT json_valid(raw) THEN raw END AS raw_payload
+         FROM m""",
     "p01_envelope_parse" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
