@@ -1281,6 +1281,72 @@ object Relational {
         hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("wau_approx"))
   }
 
+  /** a21 — KEY-SKEW REPORT: the diagnostic that DECIDES between a
+    * plain shuffle join/agg and the mitigations this engine ships
+    * (j09's salting, a06's salt-and-merge, AQE skew splitting) — per
+    * grouping domain: row count, key cardinality, the hottest key's
+    * row count, and its load as a multiple of the fair share in
+    * exact integer per-mille (top·keys·1000 ÷ rows; > 2000 = the hot
+    * key carries over twice its fair share, the rule-of-thumb line
+    * where one reducer becomes the stage's tail). Two aggregations,
+    * both with map-side partials; the second input is |keys| rows.
+    */
+  val a21_skew_report: Q = (spark, dir) => {
+    events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("top_key_events"))
+      .withColumn("skew_x1000",
+        expr("top_key_events * n_keys * 1000 div n_events"))
+      .withColumn("skewed", col("skew_x1000") > 2000L)
+  }
+
+  /** The standing per-customer order aggregate, materialized ONCE per
+    * sfDir — a22's "last night's view".
+    */
+  private val mvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mvBase(spark: SparkSession, dir: String): String =
+    mvCache.computeIfAbsent(dir, _ => {
+      val p = graft.Tables.scratchDir("graft_mv_")
+      orders(spark, dir).where(col("o_orderkey") % 10 =!= 0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("cents"))
+        .write.parquet(s"$p/base")
+      p
+    })
+
+  /** a22 — INCREMENTAL AGGREGATE MAINTENANCE (materialized-view
+    * refresh): tonight's per-customer totals computed WITHOUT
+    * rescanning history — the standing aggregate (landed nightly,
+    * |keys| rows) unions the delta's partial aggregate and one keyed
+    * merge re-sums, exploiting that count/sum are ALGEBRAIC (partials
+    * merge losslessly; the d11 `% 10` delta convention). At 100 TB
+    * this is the difference between a refresh that scans the delta
+    * plus a |keys|-row artifact and one that scans the table. For
+    * non-algebraic measures the engine's mergeable-summary family
+    * (a14 quantiles, a15 heavy hitters, a17 KMV, a20 HLL) is exactly
+    * what rides this same union-merge path. Integer cents keep the
+    * merge associative; the oracle recomputes from scratch, proving
+    * increment ≡ full.
+    */
+  val a22_incremental_agg: Q = (spark, dir) => {
+    val baseAgg = spark.read.parquet(s"${mvBase(spark, dir)}/base")
+    val deltaAgg = orders(spark, dir).where(col("o_orderkey") % 10 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("cents"))
+    baseAgg.unionAll(deltaAgg)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        (sum(col("cents")) / 100).as("total_spend"))
+  }
+
   // --------------------------------------------------------------------
   // W — analytic windows
   // --------------------------------------------------------------------
@@ -1439,6 +1505,8 @@ object Relational {
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
     "a20_sketch_reagg" -> a20_sketch_reagg,
+    "a21_skew_report" -> a21_skew_report,
+    "a22_incremental_agg" -> a22_incremental_agg,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
@@ -1465,6 +1533,22 @@ object Relational {
       """SELECT event_id, user_id, event_type,
                 CASE WHEN event_id % 2 = 1 THEN value END AS value
          FROM events""",
+    "a21_skew_report" ->
+      """WITH pk AS (SELECT event_type, user_id, COUNT(*) AS c
+                     FROM events GROUP BY 1, 2)
+         SELECT event_type,
+                CAST(SUM(c) AS BIGINT) AS n_events,
+                COUNT(*) AS n_keys,
+                CAST(MAX(c) AS BIGINT) AS top_key_events,
+                (CAST(MAX(c) AS BIGINT) * COUNT(*) * 1000)
+                  // CAST(SUM(c) AS BIGINT) AS skew_x1000,
+                (CAST(MAX(c) AS BIGINT) * COUNT(*) * 1000)
+                  // CAST(SUM(c) AS BIGINT) > 2000 AS skewed
+         FROM pk GROUP BY event_type""",
+    "a22_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+                SUM(ROUND(o_totalprice * 100)) / 100 AS total_spend
+         FROM orders GROUP BY o_custkey""",
     "a19_decayed_engagement" ->
       """SELECT event_type,
                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) *

@@ -2010,6 +2010,34 @@ object StreamQueries {
         sum(col("n")).as("n_events"))
   }
 
+  /** P-family streaming — CORRUPT-RECORD ROUTING AT INGEST (streaming
+    * twin of p14): the PERMISSIVE parse with the corrupt-record
+    * capture runs as a stateless per-row projection on the firehose —
+    * malformed payloads route to the quarantine lane WITH raw text
+    * preserved, parseable rows project their fields, nothing crashes
+    * and nothing is dropped. This is the very front of the ingest
+    * front door: it runs BEFORE any filter that trusts the payload's
+    * shape. No state, no watermark; the sentinel's `{}` props parse
+    * clean and its negative id is filtered like every non-delta row
+    * would be in downstream consumers — here it simply rides through
+    * and is excluded by the deterministic corruption predicate's
+    * domain (event_id ≥ 0). Oracle is p14's verbatim.
+    */
+  val st48_stream_corrupt_route: Q = (spark, dir) => {
+    val raw = when(col("event_id") % 11 === 0 && col("event_id") >= 0,
+      concat(lit("}"), col("props"))).otherwise(col("props"))
+    val out = Replay.eventsStream(spark, dir)
+      .where(col("event_id") >= 0)
+      .select(col("event_id"), raw.as("raw"))
+      .withColumn("p", from_json(col("raw"), "k STRING, _corrupt STRING",
+        java.util.Map.of("columnNameOfCorruptRecord", "_corrupt")))
+      .select(col("event_id"),
+        when(col("p._corrupt").isNull, col("p.k")).as("k"),
+        col("p._corrupt").isNotNull.as("quarantined"),
+        when(col("p._corrupt").isNotNull, col("raw")).as("raw_payload"))
+    Replay.runAppend(spark, out)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
@@ -2042,6 +2070,7 @@ object StreamQueries {
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
+    "st48_stream_corrupt_route" -> st48_stream_corrupt_route,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -2116,6 +2145,9 @@ object StreamQueries {
     // st47's undecayed cells must decay on read to EXACTLY a19's totals
     "st47_stream_decay_serve" ->
       graft.operators.Relational.oracles("a19_decayed_engagement"),
+    // st48's routed lanes must equal the batch parser quarantine
+    "st48_stream_corrupt_route" ->
+      graft.operators.Relational.oracles("p14_corrupt_route"),
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,
