@@ -357,10 +357,14 @@ object Curation {
   }
 
   /** c06 — THE INCREMENTAL MANIFEST: c02's nightly run scoped to a
-    * DELTA batch against the standing corpus — tonight's crawl is
-    * admitted by the d11 rule (content hash unseen in the standing
-    * corpus, min-id keeper within the delta), then runs the FULL gate
-    * chain: heuristics + sample + split (per-row), delta-scoped
+    * DELTA batch against the standing corpus — tonight's crawl first
+    * passes c08's DRIFT GATE at the front door (a doc whose own
+    * bucket membership is decided tripped by the t24 loop never
+    * reaches admission; gate-first, so a quarantined copy can hand
+    * the min-id keeper role to a later clean copy exactly as an
+    * ingest front door would), is then admitted by the d11 rule
+    * (content hash unseen in the standing corpus, min-id keeper
+    * within the delta), and runs the FULL gate chain: heuristics + sample + split (per-row), delta-scoped
     * decontamination (the d08 pattern instantiated over
     * admitted ∪ eval — the document frequency a delta batch can
     * actually compute, the batch analog of st16's eval-side rule),
@@ -378,6 +382,48 @@ object Curation {
     * |delta|-bounded, and packing exchanges once on (split, shard).
     * Nothing in the plan touches standing-corpus payloads.
     */
+  /** If the drift gate would refuse MORE than this share of the delta
+    * (in percent), it DISARMS for the run: a mass quarantine means
+    * either the verdict is wrong or the mix change was deliberate —
+    * both need a human, and automation must not silently erase
+    * tonight's crawl (the manifest run proceeds un-gated; the t24
+    * report is the escalation artifact).
+    */
+  private[graft] val DriftRefuseCapPct = 40L
+
+  /** c06's front door: the c08 drift gate WITH the circuit breaker —
+    * tripped docs (their own (feature, bucket) membership decided
+    * over-represented inside a drifted feature) are dropped from the
+    * delta, UNLESS the refusal share exceeds [[DriftRefuseCapPct]],
+    * in which case the whole gate disarms (see the cap's docstring).
+    * Fully declarative: the two counts ride 1-row broadcasts, the
+    * armed flag is a left-semi against a 0/1-row relation, and the
+    * act is one left-anti — no driver read anywhere. On the driver
+    * fixture the delta is a TOTAL source shift (every delta doc
+    * carries a delta-only source), so the breaker disarms and c06
+    * equals the un-gated run — the SELECTIVE path is spec-proven on
+    * a constructed partial-shift corpus (`CurationSpec`), and c08's
+    * own oracle covers the verdict arithmetic either way.
+    */
+  private[graft] def driftGatedDelta(spark: SparkSession, dir: String,
+                                     delta: DataFrame): DataFrame = {
+    val T = TextAnalysis
+    val trippedFB = broadcast(T.driftVerdicts(spark, dir)
+      .where(col("drift") && col("over"))
+      .select(col("feature"), col("bucket")))
+    val quarIds = T.driftFeatures(
+        delta.select(col("doc_id"), col("lang"), col("n_chars"), col("source")))
+      .join(trippedFB, Seq("feature", "bucket"))
+      .select(col("doc_id")).distinct()
+    val armed = broadcast(
+      quarIds.agg(count(lit(1)).as("n_quar"))
+        .join(delta.agg(count(lit(1)).as("n_delta")), lit(true), "left")
+        .where(col("n_quar") * 100 <= col("n_delta") * DriftRefuseCapPct)
+        .select(lit(1).as("one")))
+    val quarEff = quarIds.join(armed, lit(true), "left_semi")
+    delta.join(quarEff, Seq("doc_id"), "left_anti")
+  }
+
   val c06_incremental_manifest: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
     val T = TextAnalysis
@@ -385,24 +431,33 @@ object Curation {
     val W = org.apache.spark.sql.expressions.Window
 
     val docs = documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        col("source"))
     val standing = docs.where(col("doc_id") % 10 =!= 0)
     val replant = docs.where(col("doc_id") % 10 === 0 && col("doc_id") % 40 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
-        col("lang"), col("n_chars"))
+        col("lang"), col("n_chars"), col("source"))
     val stale = standing.where(col("doc_id") % 7 === 1)
       .select((col("doc_id") + 2000000L).as("doc_id"), col("text"),
-        col("lang"), col("n_chars"))
+        col("lang"), col("n_chars"), col("source"))
     val delta = docs.where(col("doc_id") % 10 === 0)
       .unionAll(replant).unionAll(stale)
 
+    // FRONT DOOR: c08's drift gate — a delta doc whose own (feature,
+    // bucket) membership is decided tripped (feature drifted AND
+    // bucket over-represented, t24's loop) never reaches admission.
+    // Gate-first matters: dropping a copy here can hand d11's min-id
+    // keeper role to a later clean copy, exactly as an ingest front
+    // door would.
+    val deltaAdm = driftGatedDelta(spark, dir, delta)
+
     // admission: d11's incremental-dedup rule
     val eh = standing.select(md5(col("text")).as("content_hash")).distinct()
-    val admittedIds = delta.withColumn("content_hash", md5(col("text")))
+    val admittedIds = deltaAdm.withColumn("content_hash", md5(col("text")))
       .join(eh, Seq("content_hash"), "left_anti")
       .groupBy(col("content_hash")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val admitted = delta.join(admittedIds, "doc_id")
+    val admitted = deltaAdm.join(admittedIds, "doc_id")
 
     // per-row gates (gateFlags' expressions, delta-scoped)
     val split9 = when(
@@ -505,8 +560,9 @@ object Curation {
     * query ACTS: every delta document is admitted or quarantined by
     * its own bucket memberships, with the first tripping feature
     * named for the audit (deterministic `min`, the c03 first-reject
-    * convention). A tripped doc is what c06's incremental manifest
-    * should NOT admit tonight; an admitted doc rides through even
+    * convention). c06 COMPOSES this gate as its front door (a tripped
+    * doc never reaches the d11 admission), and st45 runs it at
+    * ingest; an admitted doc rides through even
     * when some OTHER bucket of its feature drifted — the gate is
     * per-membership, so a source shift quarantines the over-crawled
     * source's docs, not the whole delta (the p12 quarantine
@@ -702,22 +758,35 @@ object Curation {
       s"CASE WHEN d.lang = '$l' THEN $r ELSE $acc END"
     }
     val shingleH = Portable.duckHash60("s")
-    s"""WITH standing AS (SELECT doc_id, text, lang, n_chars FROM documents
-                          WHERE doc_id % 10 <> 0),
-        delta AS (SELECT doc_id, text, lang, n_chars FROM documents
+    s"""WITH standing AS (SELECT doc_id, text, lang, n_chars, source
+                          FROM documents WHERE doc_id % 10 <> 0),
+        delta AS (SELECT doc_id, text, lang, n_chars, source FROM documents
                   WHERE doc_id % 10 = 0
                   UNION ALL
-                  SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars
+                  SELECT doc_id + 1000000 AS doc_id, text, lang, n_chars, source
                   FROM documents WHERE doc_id % 10 = 0 AND doc_id % 40 = 0
                   UNION ALL
-                  SELECT doc_id + 2000000 AS doc_id, text, lang, n_chars
+                  SELECT doc_id + 2000000 AS doc_id, text, lang, n_chars, source
                   FROM standing WHERE doc_id % 7 = 1),
+        ${T.duckDriftCtes},
+        ${T.duckDriftVerdCte},
+        dquar AS (SELECT DISTINCT d.doc_id FROM delta d JOIN verd v
+                  ON v.trip AND (
+                       (v.feature = 'len'
+                        AND v.bucket = CAST(least(9, d.n_chars // 200) AS VARCHAR))
+                    OR (v.feature = 'lang' AND v.bucket = d.lang)
+                    OR (v.feature = 'source' AND v.bucket = d.source))),
+        dqe AS (SELECT q.doc_id FROM dquar q
+                WHERE (SELECT COUNT(*) FROM dquar) * 100
+                        <= (SELECT COUNT(*) FROM delta) * $DriftRefuseCapPct),
+        deltag AS (SELECT * FROM delta
+                   WHERE doc_id NOT IN (SELECT doc_id FROM dqe)),
         eh AS (SELECT DISTINCT md5(text) AS h FROM standing),
-        adm AS (SELECT MIN(doc_id) AS doc_id FROM delta
+        adm AS (SELECT MIN(doc_id) AS doc_id FROM deltag
                 WHERE md5(text) NOT IN (SELECT h FROM eh)
                 GROUP BY md5(text)),
         admitted AS (SELECT dl.doc_id, dl.text, dl.lang, dl.n_chars
-                     FROM delta dl JOIN adm USING (doc_id)),
+                     FROM deltag dl JOIN adm USING (doc_id)),
         ${T.duckPrepGates("admitted", "d")},
         ${D.duckEvalCorpus},
         ccorp AS (SELECT doc_id, text, 't' AS role FROM admitted
@@ -801,13 +870,7 @@ object Curation {
     },
     "c08_drift_gated_admission" ->
       s"""WITH ${TextAnalysis.duckDriftCtes},
-          verd AS (
-            SELECT feature, bucket,
-                   (CAST(SUM((p_micro - q_micro) * lnr_micro)
-                         OVER (PARTITION BY feature) AS BIGINT)
-                      > ${TextAnalysis.DriftPsiPico}
-                    AND p_micro > q_micro) AS trip
-            FROM sc)
+          ${TextAnalysis.duckDriftVerdCte}
           SELECT f.doc_id,
                  CAST(SUM(CASE WHEN v.trip THEN 1 ELSE 0 END) AS BIGINT) AS n_trips,
                  MIN(CASE WHEN v.trip THEN v.feature END) AS trip_feature,

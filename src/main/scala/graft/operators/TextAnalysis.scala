@@ -1689,6 +1689,19 @@ object TextAnalysis {
                             * $LmMicro) AS BIGINT) AS lnr_micro
           FROM enr)"""
 
+  /** The tripped-verdict CTE over [[duckDriftCtes]]'s `sc` — the SQL
+    * twin of [[driftVerdicts]] (trip = feature drifted AND bucket
+    * over-represented), shared by the c08 oracle and the composed
+    * c06 front door.
+    */
+  private[graft] def duckDriftVerdCte: String =
+    s"""verd AS (
+          SELECT feature, bucket,
+                 (CAST(SUM((p_micro - q_micro) * lnr_micro)
+                       OVER (PARTITION BY feature) AS BIGINT) > $DriftPsiPico
+                  AND p_micro > q_micro) AS trip
+          FROM sc)"""
+
   private[graft] def duckDriftPsiSql: String =
     s"""WITH $duckDriftCtes
         SELECT feature, bucket, ref_n, cur_n, p_micro, q_micro,

@@ -248,6 +248,44 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  /** The ARMED path of c06's drift front door, on a constructed
+    * PARTIAL source shift (the driver fixture's delta is a total
+    * shift, where the circuit breaker correctly disarms): one third
+    * of the delta carries a delta-only source — under the 40 % refuse
+    * cap — so the gate must drop exactly those docs and pass the
+    * rest; and on the real fixture the breaker must disarm (gated
+    * delta ≡ delta).
+    */
+  test("c06 drift front door: selective when armed, disarmed on mass quarantine") {
+    val T = graft.operators.TextAnalysis
+    val dir = Tables.scratchDir("graft_gatecorpus_")
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    import spark.implicits._
+    val rows = (1 to 300).map { i =>
+      // (i/3)%4 spreads sources evenly over the %10 delta slice too —
+      // an i%4 source would make EVERY delta source over-represented
+      // (multiples of 10 are even) and re-create the total shift
+      val src = if (i % 10 == 0 && i % 30 == 0) "evil" else s"src${(i / 3) % 4}"
+      (i.toLong, s"$text $i", "en", src, (text.length + 4).toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val delta = Tables.documents(spark, dir).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"), col("source"))
+    val gated = Curation.driftGatedDelta(spark, dir, delta)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val all = delta.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val evil = all.filter(_ % 30 == 0)
+    assert(evil.nonEmpty && evil.size * 100 <= all.size * 40,
+      "fixture must sit under the refuse cap so the gate arms")
+    assert(gated === all -- evil,
+      "armed gate must drop exactly the tripped-source docs")
+    val realDelta = Tables.documents(spark, sf).where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"), col("source"))
+    assert(Curation.driftGatedDelta(spark, sf, realDelta).count() === realDelta.count(),
+      "a total-shift delta must disarm the breaker, not vanish")
+  }
+
   test("t25: every document decodes losslessly through the trained tokenizer") {
     val out = graft.operators.TextAnalysis.t25_bpe_decode(spark, sf).collect()
     assert(out.nonEmpty)
