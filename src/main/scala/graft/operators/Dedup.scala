@@ -650,6 +650,49 @@ object Dedup {
     lbl
   }
 
+  /** d15 — FUZZY MATCH (bounded edit distance with prefix blocking):
+    * the dedup family's fourth similarity axis — d02/d03/d04 see
+    * token-set overlap, d05/d10 see embedding geometry, d13 sees
+    * exact spans; edit distance catches the character-level mutation
+    * class (OCR noise, typo farms, template fills) that token-set
+    * measures dilute and exact hashing misses entirely. The corpus
+    * plants one mid-text token substitution per 10th doc (the
+    * nearDupCorpus convention at the character level), candidates
+    * block on the 16-char text prefix — a blocking key chosen to
+    * SURVIVE the mutation class it hunts (mid-text edits keep the
+    * prefix; contrast d02, whose shingle bands survive head
+    * truncation instead — the lesson that the block key must match
+    * the threat model), and `levenshtein` (unit-cost edit distance,
+    * identical definition in both engines) verifies each candidate
+    * within the 96-char window.
+    *
+    * Scale shape: ONE equi-join on the block key — never all-pairs;
+    * per-block fan-out is the square of the block size, so a
+    * production run caps block membership exactly like d02's df-cap
+    * bounds shingle buckets (the documented guard; the fixture's
+    * synthetic prefixes are near-unique). The quadratic-cost
+    * `levenshtein` runs only on post-block candidates and only over
+    * the bounded window, never the full document.
+    */
+  val d15_fuzzy_match: Q = (spark, dir) => {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val arr = split(col("text"), " ")
+    val fuzzed = concat(slice(arr, 1, 7), array(lit("zz")),
+      slice(arr, lit(9), greatest(size(arr) - 8, lit(0))))
+    val corpus = d.unionAll(
+      d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(fuzzed, " ").as("text")))
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+        substring(col("text"), 1, 96).as("head"))
+    val a = corpus.alias("a")
+    val b = corpus.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.head"), col("b.head")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= 16)
+  }
+
   private[graft] val RankIters = 5
   private[graft] val RankPico = 1000000000000L
 
@@ -1273,6 +1316,7 @@ object Dedup {
     "d12_incremental_neardup" -> d12_incremental_neardup,
     "d13_passage_dedup" -> d13_passage_dedup,
     "d14_canonical_rank" -> d14_canonical_rank,
+    "d15_fuzzy_match" -> d15_fuzzy_match,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1309,5 +1353,21 @@ object Dedup {
     "d12_incremental_neardup" -> duckIncNearDupSql,
     "d13_passage_dedup" -> duckPassageDedupSql,
     "d14_canonical_rank" -> duckCanonicalRankSql,
+    "d15_fuzzy_match" ->
+      """WITH fz AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   array_to_string(
+                     string_split(text, ' ')[1:7] || ['zz'] ||
+                     string_split(text, ' ')[9:], ' ')
+            FROM documents WHERE doc_id % 10 = 0),
+          c AS (SELECT doc_id, substring(text, 1, 16) AS blk,
+                       substring(text, 1, 96) AS head
+                FROM fz)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+          FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.head, b.head) <= 16""",
   )
 }

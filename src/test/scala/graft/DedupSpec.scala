@@ -353,6 +353,19 @@ class DedupSpec extends SparkSpecBase {
     assert(out(4L).getLong(2) === 0 && out(4L).getString(3) === "")
   }
 
+  test("d15: every planted character mutation survives blocking and verifies") {
+    val out = graft.operators.Dedup.d15_fuzzy_match(spark, sf).collect()
+    val planted = out.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
+    val expected = Tables.documents(spark, sf)
+      .where(col("doc_id") % 10 === 0).count()
+    assert(planted.length.toLong === expected,
+      "each fuzzed copy must block with its original and pass the distance cap")
+    assert(planted.forall(_.getAs[Long]("edit_dist") <= 16L))
+    assert(planted.exists(_.getAs[Long]("edit_dist") > 0L),
+      "the mid-text substitution must register a nonzero distance")
+  }
+
   test("d14: one rank-maximal canonical per cluster; hubs rank above isolates") {
     val out = graft.operators.Dedup.d14_canonical_rank(spark, sf).collect()
     assert(out.nonEmpty)
