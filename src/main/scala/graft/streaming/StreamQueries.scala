@@ -2038,6 +2038,41 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** D-family streaming — FUZZY MATCH AT INGEST (streaming twin of
+    * d15, st38's probe-the-standing-index discipline applied to edit
+    * distance): each arriving mutated doc derives its 16-char block
+    * key statelessly and probes the STANDING corpus's block index by
+    * stream-static equi-join; `levenshtein` verifies each candidate
+    * within the bounded 96-char window, all inside the probe row.
+    * FULLY STATELESS — one block key per doc means no multi-band
+    * duplicate pairs to dedup (contrast st38, whose banded candidates
+    * need watermark-scoped pair state), so there is no watermark and
+    * no state store: the cost is the probe join plus O(window²) per
+    * candidate. The sentinel's negative id fails the delta predicate
+    * at the front door. Oracle is d15's candidate arithmetic
+    * restricted to standing×arriving pairs.
+    */
+  val st49_stream_fuzzy_probe: Q = (spark, dir) => {
+    val standing = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("doc_a"), substring(col("text"), 1, 16).as("blk"),
+        substring(col("text"), 1, 96).as("head_a"))
+    val arr = split(col("text"), " ")
+    val fuzzed = concat(slice(arr, 1, 7), array(lit("zz")),
+      slice(arr, lit(9), greatest(size(arr) - 8, lit(0))))
+    val arriving = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_b"),
+        array_join(fuzzed, " ").as("text"))
+      .select(col("doc_b"), substring(col("text"), 1, 16).as("blk"),
+        substring(col("text"), 1, 96).as("head_b"))
+    val out = arriving.join(standing, "blk")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("head_a"), col("head_b")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= 16)
+    Replay.runAppend(spark, out)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
@@ -2071,6 +2106,7 @@ object StreamQueries {
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
     "st48_stream_corrupt_route" -> st48_stream_corrupt_route,
+    "st49_stream_fuzzy_probe" -> st49_stream_fuzzy_probe,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -2148,6 +2184,24 @@ object StreamQueries {
     // st48's routed lanes must equal the batch parser quarantine
     "st48_stream_corrupt_route" ->
       graft.operators.Relational.oracles("p14_corrupt_route"),
+    // st49's stateless probe must equal d15's standing-vs-arriving slice
+    "st49_stream_fuzzy_probe" ->
+      """WITH fz AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   array_to_string(
+                     string_split(text, ' ')[1:7] || ['zz'] ||
+                     string_split(text, ' ')[9:], ' ')
+            FROM documents WHERE doc_id % 10 = 0),
+          c AS (SELECT doc_id, substring(text, 1, 16) AS blk,
+                       substring(text, 1, 96) AS head
+                FROM fz)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+          FROM c a JOIN c b ON a.blk = b.blk
+          WHERE a.doc_id < 1000000 AND b.doc_id >= 1000000
+            AND levenshtein(a.head, b.head) <= 16""",
     // st34's prune must be invisible: the oracle is the exact row-level join
     "st34_stream_bloom_prune" ->
       """SELECT l_orderkey, l_linenumber,
