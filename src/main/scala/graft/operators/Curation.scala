@@ -411,10 +411,18 @@ object Curation {
     val trippedFB = broadcast(T.driftVerdicts(spark, dir)
       .where(col("drift") && col("over"))
       .select(col("feature"), col("bucket")))
+    // lineage CUT, not just a persist: the gated delta feeds every
+    // c06 stage and the quarantine set feeds both the breaker count
+    // and the semi-join — without truncation each downstream branch
+    // carries (and Catalyst re-analyzes) the whole t24 windowed
+    // subtree, the d07 2^K plan-walk lesson at the capstone level.
+    // The lazy local checkpoint keeps the `(spark, dir) => DataFrame`
+    // contract (computes at first action, once).
     val quarIds = T.driftFeatures(
         delta.select(col("doc_id"), col("lang"), col("n_chars"), col("source")))
       .join(trippedFB, Seq("feature", "bucket"))
       .select(col("doc_id")).distinct()
+      .localCheckpoint(false)
     val armed = broadcast(
       quarIds.agg(count(lit(1)).as("n_quar"))
         .join(delta.agg(count(lit(1)).as("n_delta")), lit(true), "left")
@@ -422,6 +430,7 @@ object Curation {
         .select(lit(1).as("one")))
     val quarEff = quarIds.join(armed, lit(true), "left_semi")
     delta.join(quarEff, Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
   }
 
   val c06_incremental_manifest: Q = (spark, dir) => {
