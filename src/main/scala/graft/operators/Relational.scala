@@ -588,8 +588,14 @@ object Relational {
     * partials; the decay arithmetic is a stateless per-row projection
     * at the scan.
     */
+  /** The pinned as-of date for the decay family (a19 + st47's serving
+    * twin) — one constant so the two modes cannot drift; the SQL twin
+    * pins the same literal.
+    */
+  private[graft] val DecayAnchor = "2024-02-15"
+
   val a19_decayed_engagement: Q = (spark, dir) => {
-    val anchor = lit("2024-02-15").cast("date")
+    val anchor = lit(DecayAnchor).cast("date")
     events(spark, dir)
       .select(col("event_type"),
         datediff(anchor, to_date(col("ts"))).cast("long").as("age_days"),
@@ -1290,6 +1296,9 @@ object Relational {
     * key carries over twice its fair share, the rule-of-thumb line
     * where one reducer becomes the stage's tail). Two aggregations,
     * both with map-side partials; the second input is |keys| rows.
+    * The ingest-time analog is st30's Misra-Gries serving twin:
+    * exact per-key counting at stream scale would be corpus-bounded
+    * state, so the monitor runs on the mergeable summary there.
     */
   val a21_skew_report: Q = (spark, dir) => {
     events(spark, dir)

@@ -1993,7 +1993,7 @@ object StreamQueries {
     * because the weight is constant within a day cell.
     */
   val st47_stream_decay_serve: Q = (spark, dir) => {
-    val anchor = lit("2024-02-15").cast("date")
+    val anchor = lit(graft.operators.Relational.DecayAnchor).cast("date")
     val base = Replay.eventsStream(spark, dir)
       .where(col("event_id") >= 0)
       .select(col("event_type"),
