@@ -1440,6 +1440,44 @@ object Relational {
     * projection: split, concat, substring/equality, upper/lower,
     * coalesce/null-guard, 2-dp rounding, arithmetic.
     */
+  /** The 21-bit Morton bit-spread stages as (shift, mask) pairs —
+    * decimal literals interpolated into BOTH engines from this one
+    * list, so the interleave arithmetic cannot drift.
+    */
+  private[graft] val MortonStages: Seq[(Int, Long)] = Seq(
+    32 -> 8725724278095871L, 16 -> 8725728556220671L,
+    8 -> 1157144660301377551L, 4 -> 1207822528635744451L,
+    2 -> 1317624576693539401L)
+
+  private def mortonSpread(c: Column): Column =
+    MortonStages.foldLeft(c.bitwiseAND(lit(0x1fffffL))) { case (x, (sh, m)) =>
+      (x.bitwiseOR(shiftleft(x, sh))).bitwiseAND(lit(m))
+    }
+
+  /** Z-ORDER KEY (Morton interleave) of two 21-bit dimensions —
+    * [[f02_zorder_key]]'s kernel and the sort key of the multi-column
+    * data-skipping layout: sorting files by this key tightens per-file
+    * min/max ranges on BOTH dimensions at once, where a linear sort
+    * tightens one and leaves the other full-width (the OPTIMIZE
+    * ZORDER technique; `RelationalSpec` measures exactly that on two
+    * written layouts). Pure codegen'd bitwise arithmetic — no UDF.
+    */
+  private[graft] def morton2(a: Column, b: Column): Column =
+    mortonSpread(a).bitwiseOR(shiftleft(mortonSpread(b), 1))
+
+  /** f02 — the z-order key battery over events: each row's
+    * (user_id, day-index) interleave, plus the spread stages exposed
+    * for the differential (both engines run the identical
+    * shift-or-mask cascade off [[MortonStages]]).
+    */
+  val f02_zorder_key: Q = (spark, dir) => {
+    val day = datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+      .cast("long")
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), day.as("day_idx"),
+        morton2(col("user_id"), day).as("zkey"))
+  }
+
   val f01_scalar_suite: Q = (spark, dir) => {
     part(spark, dir).select(
       col("p_partkey"),
@@ -1519,6 +1557,7 @@ object Relational {
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
+    "f02_zorder_key" -> f02_zorder_key,
   )
 
   /** DuckDB oracle SQL. Column aliases match the Spark side exactly
@@ -1956,6 +1995,15 @@ object Relational {
          FROM (SELECT event_id, user_id, ts, CAST(ts AS DATE) AS dt FROM events)
          WINDOW c AS (PARTITION BY user_id ORDER BY dt),
                 f AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "f02_zorder_key" -> {
+      def spread(e: String) = MortonStages.foldLeft(s"($e & 2097151)") {
+        case (x, (sh, m)) => s"(($x | ($x << $sh)) & $m)"
+      }
+      val day = "CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)"
+      s"""SELECT event_id, user_id, $day AS day_idx,
+                 (${spread("user_id")} | (${spread(day)} << 1)) AS zkey
+          FROM events"""
+    },
     "f01_scalar_suite" ->
       """SELECT p_partkey,
                 string_split(p_type, ' ')[1] AS type_head,

@@ -160,6 +160,36 @@ class RelationalSpec extends SparkSpecBase {
     assert(bad === 0L, s"$bad purchases lose or mint credit in the split")
   }
 
+  /** The z-order layout claim measured, not asserted from theory: the
+    * SAME rows land three ways (user-sorted, day-sorted, z-ordered)
+    * and the z-ordered files must carry tighter per-file spans on the
+    * dimension each linear sort leaves full-width.
+    */
+  test("f02: the z-ordered layout tightens BOTH dimensions' per-file spans") {
+    val dir = tmpDir("zorder_")
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("long").as("day_idx"))
+    def spans(sortCol: org.apache.spark.sql.Column, path: String) = {
+      ev.repartition(1).sortWithinPartitions(sortCol)
+        .write.option("maxRecordsPerFile", 100).mode("overwrite").parquet(path)
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max(col("user_id")) - min(col("user_id"))).as("us"),
+          (max(col("day_idx")) - min(col("day_idx"))).as("ds"))
+        .agg(avg(col("us")), avg(col("ds"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (_, dayUnderUserSort) = spans(col("user_id"), s"$dir/u")
+    val (userUnderDaySort, _) = spans(col("day_idx"), s"$dir/d")
+    val (uZ, dZ) = spans(
+      graft.operators.Relational.morton2(col("user_id"), col("day_idx")), s"$dir/z")
+    assert(dZ < dayUnderUserSort,
+      s"z-order must tighten day spans ($dZ) vs the user-sorted layout ($dayUnderUserSort)")
+    assert(uZ < userUnderDaySort,
+      s"z-order must tighten user spans ($uZ) vs the day-sorted layout ($userUnderDaySort)")
+  }
+
   test("a20: merged weekly sketches bracket the exact distinct; merge path is identity") {
     val approx = Relational.a20_sketch_reagg(spark, sf)
       .collect().map(r => r.getString(0) -> r.getAs[Long]("wau_approx").toDouble).toMap
