@@ -181,6 +181,45 @@ object Relational {
         when(col("p._corrupt").isNotNull, col("raw")).as("raw_payload"))
   }
 
+  /** P15 — DATA-CONTRACT CHECKS: the constraint battery a table's
+    * producer publishes and its consumers gate on (the dbt-test /
+    * expectations layer) — one row per named constraint with its
+    * violation count and verdict, so a landing job can fail-fast on
+    * `passed = false` and an ops dashboard trends the counts. Five
+    * constraint CLASSES over events: non-null (ts), domain
+    * (event_type in the published enum), range (value ≥ 0),
+    * uniqueness (event_id), and referential integrity (user_id ⊆
+    * customer keys). Uniqueness is count−distinct; RI is a left-anti
+    * count against the key side — at 100 TB that anti-join is the
+    * j13 bloom-prune shape (summary-first, exact join on probable
+    * misses only), documented rather than forced here.
+    *
+    * Scale shape: the four row-local constraints ride ONE scan as
+    * conditional aggregates; uniqueness adds one distinct; RI one
+    * anti-join against the (broadcastable) key projection. Output is
+    * |constraints| rows.
+    */
+  val p15_contract_checks: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+    val known = Seq("click", "error", "purchase", "signup", "view")
+    val rowLocal = ev.agg(
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("ts_not_null"),
+      sum(when(!col("event_type").isin(known: _*), 1L).otherwise(0L))
+        .as("event_type_in_enum"),
+      sum(when(col("value") < 0, 1L).otherwise(0L)).as("value_non_negative"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("event_id_unique"))
+    val ri = ev.select(col("user_id"))
+      .join(customer(spark, dir).select(col("c_custkey").as("user_id")),
+        Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("user_id_in_customer"))
+    val wide = rowLocal.join(ri, lit(true), "left")
+    val checks = Seq("ts_not_null", "event_type_in_enum", "value_non_negative",
+      "event_id_unique", "user_id_in_customer")
+    checks.map(c => wide.select(lit(c).as("constraint_name"),
+        col(c).as("n_violations"), (col(c) === 0L).as("passed")))
+      .reduce(_ unionAll _)
+  }
+
   /** P1 — typed envelope parse: `from_json` with a declared StructType
     * (dwd/Ods_to_DWD_order_info.scala:55-66 — fastjson
     * `JSON.parseObject(v, classOf[T])`; app/Dau.scala:136-147 nested
@@ -1548,6 +1587,7 @@ object Relational {
     "p12_quarantine" -> p12_quarantine,
     "p13_schema_evolution" -> p13_schema_evolution,
     "p14_corrupt_route" -> p14_corrupt_route,
+    "p15_contract_checks" -> p15_contract_checks,
     "a19_decayed_engagement" -> a19_decayed_engagement,
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
@@ -1581,6 +1621,30 @@ object Relational {
       """SELECT event_id, user_id, event_type,
                 CASE WHEN event_id % 2 = 1 THEN value END AS value
          FROM events""",
+    "p15_contract_checks" ->
+      """WITH rl AS (
+            SELECT CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ts_not_null,
+                   CAST(SUM(CASE WHEN event_type NOT IN
+                              ('click','error','purchase','signup','view')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS event_type_in_enum,
+                   CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS value_non_negative,
+                   COUNT(*) - COUNT(DISTINCT event_id) AS event_id_unique
+            FROM events),
+          ri AS (SELECT COUNT(*) AS user_id_in_customer FROM events
+                 WHERE user_id NOT IN (SELECT c_custkey FROM customer)),
+          w AS (SELECT * FROM rl, ri)
+          SELECT 'ts_not_null' AS constraint_name, ts_not_null AS n_violations,
+                 ts_not_null = 0 AS passed FROM w
+          UNION ALL SELECT 'event_type_in_enum', event_type_in_enum,
+                 event_type_in_enum = 0 FROM w
+          UNION ALL SELECT 'value_non_negative', value_non_negative,
+                 value_non_negative = 0 FROM w
+          UNION ALL SELECT 'event_id_unique', event_id_unique,
+                 event_id_unique = 0 FROM w
+          UNION ALL SELECT 'user_id_in_customer', user_id_in_customer,
+                 user_id_in_customer = 0 FROM w""",
     "a21_skew_report" ->
       """WITH pk AS (SELECT event_type, user_id, COUNT(*) AS c
                      FROM events GROUP BY 1, 2)
