@@ -1392,6 +1392,30 @@ object TextAnalysis {
       .select(col("feature"), col("bucket"), col("drift"),
         (col("p_micro") > col("q_micro")).as("over"))
 
+  /** t26 — LANGUAGE-ID AGREEMENT MATRIX (t22's
+    * classifier-vs-heuristic discipline applied to the LID pair): the
+    * stopword heuristic (t01) and the trigram profile (t06) vote
+    * per document, and this rollup counts every (labeled lang,
+    * stopword verdict, trigram verdict) cell with an agreement flag —
+    * the monitor that catches one LID implementation drifting from
+    * the other (a threshold change, a profile update) before it
+    * silently re-shapes the corpus mixture. Documents too short for
+    * trigrams (t06's length guard) surface as a NULL trigram verdict
+    * — the disagreement class "only one model can vote" is part of
+    * the report, not dropped. One join on doc_id + one ≤|cells|
+    * rollup.
+    */
+  val t26_lid_agreement: Q = (spark, dir) => {
+    val a = t01_lang_id(spark, dir)
+      .select(col("doc_id"), col("lang"), col("lang_pred").as("stop_pred"))
+    val b = t06_lang_ngram(spark, dir)
+      .select(col("doc_id"), col("lang_pred").as("tri_pred"))
+    a.join(b, Seq("doc_id"), "left")
+      .groupBy(col("lang"), col("stop_pred"), col("tri_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("agree", col("stop_pred") <=> col("tri_pred"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -1418,6 +1442,7 @@ object TextAnalysis {
     "t23_bm25" -> t23_bm25,
     "t24_drift_psi" -> t24_drift_psi,
     "t25_bpe_decode" -> t25_bpe_decode,
+    "t26_lid_agreement" -> t26_lid_agreement,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -2000,6 +2025,32 @@ object TextAnalysis {
     "t11_bpe_train" -> duckBpeTrainSql,
     "t12_bpe_encode" -> duckBpeEncodeSql,
     "t25_bpe_decode" -> duckBpeDecodeSql,
+    "t26_lid_agreement" -> {
+      val inList = EnTrigrams.map(t => s"'$t'").mkString(", ")
+      s"""WITH sp AS (
+            SELECT doc_id, lang,
+                   CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('a','the'))) AS DOUBLE)
+                               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                               >= $StopRatioEn
+                        THEN 'en' ELSE 'unk' END AS stop_pred
+            FROM documents),
+          tr AS (
+            SELECT doc_id,
+                   CASE WHEN CAST(len(list_filter(
+                                list_transform(range(1, len(lower(text)) - 1),
+                                  i -> substr(lower(text), i, 3)),
+                                x -> x IN ($inList))) AS DOUBLE)
+                               / CAST(len(lower(text)) - 2 AS DOUBLE)
+                               >= $TrigramThreshold
+                        THEN 'en' ELSE 'unk' END AS tri_pred
+            FROM documents WHERE len(text) >= 3)
+          SELECT sp.lang, sp.stop_pred, tr.tri_pred,
+                 COUNT(*) AS n_docs,
+                 COALESCE(sp.stop_pred = tr.tri_pred, FALSE) AS agree
+          FROM sp LEFT JOIN tr USING (doc_id)
+          GROUP BY 1, 2, 3"""
+    },
     "t17_bpe_unseen" -> duckBpeUnseenSql,
     "t13_corpus_prep" -> {
       val h = Portable.duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
