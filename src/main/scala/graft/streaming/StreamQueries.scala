@@ -2073,6 +2073,43 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** P-family streaming — CONTRACT MONITOR AT INGEST (streaming twin
+    * of p15, minus uniqueness): the four constraints checkable
+    * per-row ride ONE update-mode aggregation whose state is a
+    * SINGLE row of running violation counters (non-null, enum
+    * domain, range as conditional sums; referential integrity as a
+    * stateless stream-static anti-join flag folded into the same
+    * sums), served from the upsert table and unpivoted on read into
+    * p15's report shape. Uniqueness is deliberately absent: exact
+    * duplicate detection at ingest needs per-id state — that is
+    * st11's TTL'd dedup, not a counter — so its row is the batch
+    * battery's alone and the oracle is p15's minus that row. The
+    * sentinel's negative id is filtered at the front door.
+    */
+  val st50_stream_contract_monitor: Q = (spark, dir) => {
+    val known = Seq("click", "error", "purchase", "signup", "view")
+    val custKeys = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), lit(1L).as("known_user"))
+    val base = Replay.eventsStream(spark, dir)
+      .where(col("event_id") >= 0)
+      .join(broadcast(custKeys), Seq("user_id"), "left")
+      .groupBy(lit(1).as("k"))
+      .agg(
+        sum(when(col("ts").isNull, 1L).otherwise(0L)).as("ts_not_null"),
+        sum(when(!col("event_type").isin(known: _*), 1L).otherwise(0L))
+          .as("event_type_in_enum"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("value_non_negative"),
+        sum(when(col("known_user").isNull, 1L).otherwise(0L))
+          .as("user_id_in_customer"),
+        count(lit(1)).as("n_rows"))
+    val served = upsertServe(spark, base, Seq("k"), "n_rows")
+    Seq("ts_not_null", "event_type_in_enum", "value_non_negative",
+      "user_id_in_customer")
+      .map(c => served.select(lit(c).as("constraint_name"),
+        col(c).as("n_violations"), (col(c) === 0L).as("passed")))
+      .reduce(_ unionAll _)
+  }
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
@@ -2107,6 +2144,7 @@ object StreamQueries {
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
     "st48_stream_corrupt_route" -> st48_stream_corrupt_route,
     "st49_stream_fuzzy_probe" -> st49_stream_fuzzy_probe,
+    "st50_stream_contract_monitor" -> st50_stream_contract_monitor,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -2184,6 +2222,28 @@ object StreamQueries {
     // st48's routed lanes must equal the batch parser quarantine
     "st48_stream_corrupt_route" ->
       graft.operators.Relational.oracles("p14_corrupt_route"),
+    // st50's served counters must equal p15's battery minus uniqueness
+    "st50_stream_contract_monitor" ->
+      """WITH rl AS (
+            SELECT CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS ts_not_null,
+                   CAST(SUM(CASE WHEN event_type NOT IN
+                              ('click','error','purchase','signup','view')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS event_type_in_enum,
+                   CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS value_non_negative
+            FROM events),
+          ri AS (SELECT COUNT(*) AS user_id_in_customer FROM events
+                 WHERE user_id NOT IN (SELECT c_custkey FROM customer)),
+          w AS (SELECT * FROM rl, ri)
+          SELECT 'ts_not_null' AS constraint_name, ts_not_null AS n_violations,
+                 ts_not_null = 0 AS passed FROM w
+          UNION ALL SELECT 'event_type_in_enum', event_type_in_enum,
+                 event_type_in_enum = 0 FROM w
+          UNION ALL SELECT 'value_non_negative', value_non_negative,
+                 value_non_negative = 0 FROM w
+          UNION ALL SELECT 'user_id_in_customer', user_id_in_customer,
+                 user_id_in_customer = 0 FROM w""",
     // st49's stateless probe must equal d15's standing-vs-arriving slice
     "st49_stream_fuzzy_probe" ->
       """WITH fz AS (
