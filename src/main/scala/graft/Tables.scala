@@ -42,8 +42,39 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Fixture-integrity guard for the synthetic-id convention: planted
+    * dup/mutation fixtures derive synthetic rows as `doc_id + 1e6`
+    * (`vec_id + 2e6`), and their DuckDB oracles split standing vs
+    * arriving on that same literal. A corpus whose real ids reach the
+    * offset would alias synthetic ids onto real ones and silently
+    * misclassify pairs — so the offset's headroom is ASSERTED once per
+    * (table, dir) per session (one 1-row max() aggregate, served from
+    * parquet row-group stats under aggregate pushdown) instead of
+    * trusted. At a larger generation the fix is to re-pin the offset,
+    * not to loosen this check.
+    */
+  private val headroomChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def assertIdHeadroom(spark: SparkSession, dir: String, name: String,
+                               idCol: String, offset: Long): Unit = {
+    headroomChecked.computeIfAbsent(s"$dir#$name", _ => {
+      val mx = load(spark, dir, name).agg(max(col(idCol))).head().getLong(0)
+      require(mx < offset,
+        s"$name.$idCol max $mx >= synthetic-id offset $offset in $dir: " +
+          "planted fixtures would alias real ids; re-pin the offset")
+      java.lang.Boolean.TRUE
+    }): Unit
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    assertIdHeadroom(spark, dir, "documents", "doc_id", 1000000L)
+    load(spark, dir, "documents")
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    assertIdHeadroom(spark, dir, "embeddings", "vec_id", 2000000L)
+    load(spark, dir, "embeddings")
+  }
 
   /** Exact money arithmetic for oracle parity.
     *

@@ -1191,7 +1191,11 @@ object Relational {
 
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     bucketCache.computeIfAbsent(dir, _ => {
-      val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      // Collision-resistant dir tag: 32-bit hashCode could collide across
+      // two sfDirs in one session, dropping each other's tables while the
+      // per-dir cache served the stale name. md5 makes that impossible.
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val (evT, orT) = (s"graft_bkt_events_$tag", s"graft_bkt_orders_$tag")
       val p = graft.Tables.scratchDir("graft_bkt_")
       spark.sql(s"DROP TABLE IF EXISTS $evT")
@@ -1348,7 +1352,12 @@ object Relational {
         count(lit(1)).as("n_keys"),
         max(col("c")).as("top_key_events"))
       .withColumn("skew_x1000",
-        expr("top_key_events * n_keys * 1000 div n_events"))
+        // Promote to decimal(38,0) BEFORE multiplying: top*keys*1000 in
+        // Long wraps silently at production cardinalities (Spark non-ANSI)
+        // where DuckDB promotes — the engines would diverge exactly at
+        // scale. IntegralDivide on decimals yields the same Long result.
+        expr("cast(cast(top_key_events as decimal(38,0)) * n_keys * 1000" +
+          " div n_events as bigint)"))
       .withColumn("skewed", col("skew_x1000") > 2000L)
   }
 
@@ -1652,10 +1661,10 @@ object Relational {
                 CAST(SUM(c) AS BIGINT) AS n_events,
                 COUNT(*) AS n_keys,
                 CAST(MAX(c) AS BIGINT) AS top_key_events,
-                (CAST(MAX(c) AS BIGINT) * COUNT(*) * 1000)
-                  // CAST(SUM(c) AS BIGINT) AS skew_x1000,
-                (CAST(MAX(c) AS BIGINT) * COUNT(*) * 1000)
-                  // CAST(SUM(c) AS BIGINT) > 2000 AS skewed
+                CAST((CAST(MAX(c) AS HUGEINT) * COUNT(*) * 1000)
+                  // CAST(SUM(c) AS BIGINT) AS BIGINT) AS skew_x1000,
+                CAST((CAST(MAX(c) AS HUGEINT) * COUNT(*) * 1000)
+                  // CAST(SUM(c) AS BIGINT) AS BIGINT) > 2000 AS skewed
          FROM pk GROUP BY event_type""",
     "a22_incremental_agg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,

@@ -421,10 +421,12 @@ object Similarity {
       .where(col("vec_id") % DeleteMod =!= 3)
       .repartition(col("cell_id"))
       .select(col("vec_id"), col("v"), col("cell_id"))
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors.write.mode("overwrite").partitionBy("cell_id").parquet(path)
-    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // Per-write option, NOT a session-conf toggle: mutating the global
+    // partitionOverwriteMode would leak dynamic-overwrite semantics into
+    // any concurrent partitioned overwrite in the same session.
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell_id").parquet(path)
   }
 
   private val compactCache =

@@ -131,6 +131,13 @@ object Replay {
           timestamp_micros(expr(s"${f.name} div 1000"))
         case (TimestampNTZType, LongType) => // µs NTZ → raw nanos
           unix_micros(c.cast(TimestampType)) * 1000
+        case (TimestampType, LongType) => // µs → raw nanos
+          unix_micros(c) * 1000
+        case (a @ (TimestampType | TimestampNTZType | DateType), b) =>
+          // A generic cast from a timestamp yields epoch SECONDS — a silent
+          // 1e9-scale error against a nanos-long generation. Refuse instead.
+          throw new IllegalStateException(
+            s"unhandled sentinel timestamp alignment ${f.name}: $a -> $b")
         case _ => c.cast(f.dataType)
       }
       conv.as(f.name)
