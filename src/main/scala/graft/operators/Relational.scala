@@ -839,6 +839,31 @@ object Relational {
         col("s.p50").as("p50"), col("s.p90").as("p90"), col("s.p99").as("p99"))
   }
 
+  /** a14x — THE QUANTILE SKETCH IN ITS EXACT REGIME, hash-oracle-
+    * checked (the a17 pattern, shrinking the no-oracle carve-out):
+    * capacity 4096 against a ≤4000-row slice (`event_id < 4000` — ids
+    * are dense from 0, so the slice is SF-invariant), so level 0 never
+    * reaches capacity, NO compaction ever fires, and the sketch holds
+    * the exact multiset under ANY merge tree — finish()'s weighted
+    * order statistic degenerates to the plain rank-⌈p·n⌉ order
+    * statistic, which the DuckDB twin computes directly (ROW_NUMBER
+    * over value; ⌈p·n⌉ is identical exact-rounded IEEE on both
+    * engines). This pins the ENTIRE buffer arithmetic — encoder,
+    * reduce, merge, finish — cross-engine; only the compaction branch
+    * stays spec-bounded (a14), now a genuinely merge-dependent
+    * residue.
+    */
+  val a14x_quantile_exact: Q = (spark, dir) => {
+    val sk = graft.functions.QuantileSketch.quantileSketch(4096)(col("value"))
+    events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .where(col("value").isNotNull && col("event_id") < 4000L)
+      .groupBy(col("event_type"))
+      .agg(sk.as("s"))
+      .select(col("event_type"), col("s.n_events").as("n_events"),
+        col("s.p50").as("p50"), col("s.p90").as("p90"), col("s.p99").as("p99"))
+  }
+
   /** a15 — MERGEABLE HEAVY HITTERS (the third of the sketch trio —
     * distinct counts a07, quantiles a14, frequent items this): the
     * Misra-Gries summary of [[graft.functions.HeavyHittersAgg]] over
@@ -865,6 +890,25 @@ object Relational {
     li.join(p, li("l_partkey") === p("p_partkey"))
       .select(col("p_brand"))
       .agg(graft.functions.HeavyHitters.heavyHitters(16)(col("p_brand")).as("s"))
+      .select(col("s.n_items").as("n_items"), explode(col("s.hits")).as("h"))
+      .select(col("n_items"), col("h.item").as("p_brand"),
+        col("h.est_cnt").as("est_cnt"))
+  }
+
+  /** a15x — MISRA-GRIES IN ITS EXACT REGIME, hash-oracle-checked:
+    * k = 32 counters against 25 distinct brands, so reduce() never
+    * takes the decrement branch and merge() never trims — the summary
+    * IS the exact per-brand count under any merge tree, and the DuckDB
+    * twin is a plain groupBy count. Complements a15 (k = 16, capacity
+    * binding): together they pin the counter arithmetic cross-engine
+    * and bound the sketchy regime against the exact one.
+    */
+  val a15x_heavy_hitters_exact: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .select(col("p_brand"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(32)(col("p_brand")).as("s"))
       .select(col("s.n_items").as("n_items"), explode(col("s.hits")).as("h"))
       .select(col("n_items"), col("h.item").as("p_brand"),
         col("h.est_cnt").as("est_cnt"))
@@ -1584,7 +1628,9 @@ object Relational {
     "a12_event_pivot" -> a12_event_pivot,
     "a13_value_quantiles" -> a13_value_quantiles,
     "a14_quantile_sketch" -> a14_quantile_sketch,
+    "a14x_quantile_exact" -> a14x_quantile_exact,
     "a15_heavy_hitters" -> a15_heavy_hitters,
+    "a15x_heavy_hitters_exact" -> a15x_heavy_hitters_exact,
     "a16_sessionize" -> a16_sessionize,
     "a17_kmv_sample" -> a17_kmv_sample,
     "a18_event_cube" -> a18_event_cube,
@@ -1904,6 +1950,33 @@ object Relational {
                 strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                 user_id, COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    // a14x's exact regime: no compaction ⇒ finish() is the plain
+    // rank-⌈p·n⌉ order statistic; ⌈p·n⌉ is the same exact-rounded IEEE
+    // double expression on both engines
+    "a14x_quantile_exact" ->
+      """WITH v AS (
+            SELECT event_type, value,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                                           ORDER BY value) AS BIGINT) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL AND event_id < 4000)
+         SELECT event_type, MAX(n) AS n_events,
+                MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+                         THEN value END) AS p50,
+                MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+                         THEN value END) AS p90,
+                MAX(CASE WHEN r = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT))
+                         THEN value END) AS p99
+         FROM v GROUP BY event_type""",
+    // a15x's exact regime: capacity never binds ⇒ the summary is the
+    // exact per-brand count
+    "a15x_heavy_hitters_exact" ->
+      """WITH bc AS (SELECT p_brand, COUNT(*) AS est_cnt
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     GROUP BY 1)
+         SELECT CAST((SELECT SUM(est_cnt) FROM bc) AS BIGINT) AS n_items,
+                p_brand, est_cnt
+         FROM bc""",
     "a17_kmv_sample" ->
       s"""WITH uh AS (
             SELECT DISTINCT event_type, user_id,
