@@ -667,13 +667,41 @@ object Dedup {
     * within the 96-char window.
     *
     * Scale shape: ONE equi-join on the block key — never all-pairs;
-    * per-block fan-out is the square of the block size, so a
-    * production run caps block membership exactly like d02's df-cap
-    * bounds shingle buckets (the documented guard; the fixture's
-    * synthetic prefixes are near-unique). The quadratic-cost
-    * `levenshtein` runs only on post-block candidates and only over
-    * the bounded window, never the full document.
+    * per-block fan-out is the square of the block size, so block
+    * membership is CAPPED at [[FuzzyBlockCap]] exactly like d02's
+    * df-cap bounds shingle buckets: an over-cap block (a boilerplate
+    * prefix shared by thousands of docs — exactly the skew that would
+    * square) is dropped whole, trading recall on that degenerate
+    * prefix for a hard bound on fan-out. The cap rides the SAME blk
+    * hash distribution the self-join needs (a count window, no extra
+    * exchange), and `FuzzyDedupSpec` plants a skewed block to assert
+    * the cap binds while the planted mutations' recall survives. The
+    * quadratic-cost `levenshtein` runs only on post-block candidates
+    * and only over the bounded window, never the full document.
     */
+  private[graft] val FuzzyBlockCap = 64
+
+  /** The blocking + bounded-verify core of d15 over any (doc_id, text)
+    * corpus — factored so the spec can drive it with a planted skewed
+    * block.
+    */
+  private[graft] def fuzzyPairs(corpus: DataFrame, cap: Int): DataFrame = {
+    val blocked = corpus
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+        substring(col("text"), 1, 96).as("head"))
+      .withColumn("blk_n",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))))
+      .where(col("blk_n") <= cap)
+      .select(col("doc_id"), col("blk"), col("head"))
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.head"), col("b.head")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= 16)
+  }
+
   val d15_fuzzy_match: Q = (spark, dir) => {
     val d = documents(spark, dir).select(col("doc_id"), col("text"))
     val arr = split(col("text"), " ")
@@ -683,14 +711,7 @@ object Dedup {
       d.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           array_join(fuzzed, " ").as("text")))
-      .select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
-        substring(col("text"), 1, 96).as("head"))
-    val a = corpus.alias("a")
-    val b = corpus.alias("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        levenshtein(col("a.head"), col("b.head")).cast("long").as("edit_dist"))
-      .where(col("edit_dist") <= 16)
+    fuzzyPairs(corpus, FuzzyBlockCap)
   }
 
   private[graft] val RankIters = 5
@@ -1362,9 +1383,11 @@ object Dedup {
                      string_split(text, ' ')[1:7] || ['zz'] ||
                      string_split(text, ' ')[9:], ' ')
             FROM documents WHERE doc_id % 10 = 0),
-          c AS (SELECT doc_id, substring(text, 1, 16) AS blk,
-                       substring(text, 1, 96) AS head
-                FROM fz)
+          c0 AS (SELECT doc_id, substring(text, 1, 16) AS blk,
+                        substring(text, 1, 96) AS head
+                 FROM fz),
+          c AS (SELECT doc_id, blk, head FROM c0
+                QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 64)
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
           FROM c a JOIN c b ON a.blk = b.blk AND a.doc_id < b.doc_id

@@ -366,6 +366,24 @@ class DedupSpec extends SparkSpecBase {
       "the mid-text substitution must register a nonzero distance")
   }
 
+  test("d15: an over-cap prefix block is dropped whole; discriminative recall survives") {
+    // 5 docs share one 16-char boilerplate prefix (block size 5 > cap 4):
+    // a skewed block whose fan-out would square — the cap must kill every
+    // pairing inside it, including genuinely-near texts.
+    val boiler = "SAMEPREFIX16CHAR" // exactly 16 chars = the whole block key
+    val skewed = (1L to 5L).map(i => (i, s"$boiler unique tail $i"))
+    // docs 21/22: a planted single-token mutation over a discriminative
+    // prefix (block size 2 <= cap) — recall must survive the cap.
+    val keep = Seq(
+      21L -> "discriminative prefix alpha beta gamma delta",
+      22L -> "discriminative prefix alpha beta gammaX delta")
+    val corpus = (skewed ++ keep).toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyPairs(corpus, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((21L, 22L)),
+      "cap must bind on the skewed block and ONLY the planted pair survive")
+  }
+
   test("d14: one rank-maximal canonical per cluster; hubs rank above isolates") {
     val out = graft.operators.Dedup.d14_canonical_rank(spark, sf).collect()
     assert(out.nonEmpty)
