@@ -246,6 +246,62 @@ object Multimodal {
         dims.getField("n_samples").as("n_samples"))
   }
 
+  /** Samples per analysis frame for [[mm06_wav_features]]. */
+  private val SampleFrameLen = graft.functions.Pcm16FramesUtil.FrameLen
+
+  /** mm06 — REAL WAV SAMPLE FEATURES: per-frame amplitude statistics
+    * decoded from the payload's raw 16-bit PCM sample region — the
+    * signal-level features an audio curation pipeline filters on
+    * (silence/clipping detection via peak+RMS, voiced-vs-noise via
+    * zero-crossing rate). This closes the "header-only" corner:
+    * mm04 parses the WAV's shape; this decodes the SAMPLES. The
+    * sample region (bytes after the 44-byte header, length from the
+    * data-chunk field at offset 40 — parsed, not assumed) is read as
+    * little-endian signed int16s, framed into [[SampleFrameLen]]-
+    * sample windows (trailing partial frame kept, its n_samples
+    * recorded), and each frame emits exact integer stats — sum of
+    * squares, peak |amplitude|, strict sign-change count — plus RMS
+    * as the one derived double (sqrt of an exact integer ratio:
+    * identical exact-rounded IEEE on both engines). Frames are
+    * channel-agnostic over the interleaved stream (a per-channel
+    * variant de-interleaves by `i % channels` in the same transform).
+    *
+    * Scale shape: decode + framing are per-row array transforms in one
+    * projection (no shuffle anywhere); the explode fans frames out as
+    * work items exactly like mm03, and the per-frame aggregates run
+    * INSIDE the array (`aggregate`/`zip_with`) before the explode's
+    * row multiplication, so only the final stats ride the generator —
+    * never the sample arrays.
+    */
+  val mm06_wav_features: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val digest = sha2(col("text"), 256)
+    val h = Portable.hash60(digest)
+    val body = encode(col("text"), "utf-8")
+    val sampleRate = element_at(
+      array(lit(8000L), lit(16000L), lit(44100L)), (h % 3 + 1).cast("int"))
+    val payload = concat(
+      wavHeader(h % 2 + 1, sampleRate, lit(16L), octet_length(body).cast("long")),
+      body)
+    // sample region sliced by the PARSED data-chunk length, then ONE
+    // codegen'd pass computes every frame's integer stats (a per-sample
+    // higher-order decode was quadratic: substr on a long string
+    // re-counts chars per call)
+    documents(spark, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"),
+        call_function("pcm16_frames",
+          col("payload").substr(lit(45), leUInt(col("payload"), 41, 4).cast("int")))
+          .as("frames"))
+      .where(col("frames").isNotNull)
+      .select(col("doc_id"), explode(col("frames")).as("fr"))
+      .select(col("doc_id"), col("fr.frame_id").as("frame_id"),
+        col("fr.n_samples").as("n_samples"), col("fr.sum_sq").as("sum_sq"),
+        col("fr.peak").as("peak"), col("fr.n_cross").as("n_cross"))
+      .withColumn("rms",
+        sqrt(col("sum_sq").cast("double") / col("n_samples")))
+  }
+
   /** Near-dup Jaccard threshold for [[mm05_media_dedup]]. */
   private val MediaDupJaccard = 0.5
 
@@ -332,6 +388,7 @@ object Multimodal {
     "mm02_pixel_features" -> mm02_pixel_features,
     "mm03_frame_sample" -> mm03_frame_sample,
     "mm04_wav_meta" -> mm04_wav_meta,
+    "mm06_wav_features" -> mm06_wav_features,
   )
 
   private def duckMediaDedupSql: String = {
@@ -402,6 +459,47 @@ object Multimodal {
                  CAST(floor(octet_length(encode(text))
                             / ((($h) % 2 + 1) * 2.0)) AS BIGINT) AS n_samples
           FROM documents"""
+    },
+    "mm06_wav_features" -> {
+      // same LE-int16 decode + exact integer frame stats over the text
+      // bytes (== the payload's sample region by construction); RMS is
+      // the one sqrt of an exact integer ratio on both engines
+      val F = SampleFrameLen
+      s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx
+                     FROM documents),
+          s AS (SELECT doc_id,
+                  list_transform(range(0, length(hx) // 4), i ->
+                    CASE WHEN ('0x' || substr(hx, (4*i+3)::INT, 2)
+                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT >= 32768
+                         THEN ('0x' || substr(hx, (4*i+3)::INT, 2)
+                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT - 65536
+                         ELSE ('0x' || substr(hx, (4*i+3)::INT, 2)
+                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT END)
+                    AS samples
+                FROM b),
+          f AS (SELECT doc_id,
+                       unnest(range(0, (len(samples) + ${F - 1}) // $F)) AS frame_id,
+                       samples
+                FROM s WHERE len(samples) > 0),
+          fr AS (SELECT doc_id, frame_id,
+                        samples[(frame_id*$F+1)::INT :
+                                least((frame_id+1)*$F, len(samples))::INT] AS fr
+                 FROM f),
+          st AS (SELECT doc_id, frame_id,
+                        CAST(len(fr) AS BIGINT) AS n_samples,
+                        CAST(list_aggregate(list_transform(fr, x -> x*x), 'sum')
+                             AS BIGINT) AS sum_sq,
+                        CAST(list_aggregate(list_transform(fr, x -> abs(x)), 'max')
+                             AS BIGINT) AS peak,
+                        CAST(coalesce(list_aggregate(
+                               list_transform(range(0, len(fr) - 1), i ->
+                                 CASE WHEN fr[(i+1)::INT] * fr[(i+2)::INT] < 0
+                                      THEN 1 ELSE 0 END), 'sum'), 0)
+                             AS BIGINT) AS n_cross
+                 FROM fr)
+          SELECT doc_id, frame_id, n_samples, sum_sq, peak, n_cross,
+                 sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
+          FROM st"""
     },
     "mm02_pixel_features" -> {
       // same byte math as ByteStatsUtil: unsigned byte values of the

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{BloomMightContain, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Pcm16Frames, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.l2Sq)
     ext.injectFunction(GraftExtensions.gramKeys)
     ext.injectFunction(GraftExtensions.bloomContains)
+    ext.injectFunction(GraftExtensions.pcm16Frames)
   }
 }
 
@@ -122,13 +123,21 @@ object GraftExtensions {
       BloomMightContain(args.head, args(1))
     })
 
+  val pcm16Frames: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pcm16_frames"),
+    new ExpressionInfo(classOf[Pcm16Frames].getName, "pcm16_frames"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"pcm16_frames expects 1 argument, got ${args.length}")
+      Pcm16Frames(args.head)
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
         wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
-        bloomContains).foreach {
+        bloomContains, pcm16Frames).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
