@@ -460,6 +460,66 @@ object Similarity {
       .agg(count(lit(1)).as("n_rows"))
   }
 
+  /** Buckets for the id-keyed index layout of [[n22_index_point_probe]]. */
+  private val IdxBuckets = 8
+
+  /** The pinned probe id for n22 (vec_ids are dense from 0, so any
+    * small constant exists at every SF).
+    */
+  private[graft] val ProbeVecId = 42L
+
+  private val bucketedIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The standing index rows landed ONCE as a vec_id-BUCKETED table —
+    * j15's layout discipline applied to the n-family serving artifact,
+    * beside the existing cell-partitioned layout
+    * ([[buildIndexTable]]): cell partitioning serves the scan-by-cell
+    * read (queries, compaction); this serves the scan-by-ID read
+    * (n15's upsert splice, takedown audits, "what does the index say
+    * about vector X" point probes) at 1/N of a scan via bucket
+    * pruning. Table name carries a collision-resistant dir tag; data
+    * lands on scratch (external table), reclaimed at JVM exit.
+    */
+  private[graft] def bucketedIndexRows(spark: SparkSession, dir: String): String =
+    bucketedIdxCache.computeIfAbsent(dir, _ => {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val t = s"graft_bkt_idx_$tag"
+      val p = graft.Tables.scratchDir("graft_bkt_idx_")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      indexRows(spark, dir)
+        .repartition(IdxBuckets, col("vec_id"))
+        .write.bucketBy(IdxBuckets, "vec_id").sortBy("vec_id")
+        .option("path", s"$p/rows").mode("overwrite").saveAsTable(t)
+      t
+    })
+
+  /** n22 — BUCKET-PRUNED INDEX POINT PROBE: an equality filter on
+    * vec_id over the bucketed index layout scans ONE bucket's files of
+    * [[IdxBuckets]] (`SelectedBucketsCount: 1 out of 8`, plan-locked
+    * in `PlanSpec` — the s11 discipline on the ANN artifact). At
+    * 100 TB this is how the index answers per-vector questions —
+    * upsert splices, deletion audits, debugging a bad neighbor —
+    * without touching the cell-ordered data path. Bucketing changes
+    * layout, never content: the oracle re-derives the probed vector's
+    * index rows (cell assignment + all PQ codes) from first
+    * principles.
+    */
+  val n22_index_point_probe: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val t = bucketedIndexRows(spark, dir)
+    // the rollup keys on the bucket column (plus m — a one-row group,
+    // so max() is the value): without a distribution consumer Spark's
+    // autoBucketedScan DISABLES the bucketed read and the pruning with
+    // it (the s11 lesson); with it the plan is scan-one-bucket +
+    // exchange-free aggregate
+    spark.table(t)
+      .where(col("vec_id") === ProbeVecId)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max(col("code")).as("code"), max(col("cell_id")).as("cell_id"))
+  }
+
   /** Probe depths measured by [[n06_ivf_recall]] / [[n11_multiprobe_ivfadc]]. */
   private val RecallProbes = Seq(1, 3)
 
@@ -1519,6 +1579,7 @@ object Similarity {
     "n15_index_upsert" -> n15_index_upsert,
     "n20_index_delete" -> n20_index_delete,
     "n21_compaction_execute" -> n21_compaction_execute,
+    "n22_index_point_probe" -> n22_index_point_probe,
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
     "n18_hybrid_rrf" -> n18_hybrid_rrf,
@@ -1845,6 +1906,14 @@ object Similarity {
           SELECT cell_id, COUNT(*) AS n_rows
           FROM a WHERE vec_id % $DeleteMod <> 3
           GROUP BY cell_id""",
+    "n22_index_point_probe" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          $duckPqTrain
+          SELECT enc.vec_id, enc.m, enc.code, a.cell_id
+          FROM enc JOIN a USING (vec_id)
+          WHERE enc.vec_id = $ProbeVecId""",
     "n16_probe_sweep" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

@@ -324,6 +324,13 @@ class PlanSpec extends SparkSpecBase {
       s"the equality filter on the bucket key must prune to one bucket:\n$plan")
   }
 
+  test("n22: the index point probe reads ONE bucket of 8") {
+    val plan = graft.operators.Similarity.n22_index_point_probe(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"the vec_id equality filter must prune the bucketed index to one bucket:\n$plan")
+  }
+
   test("j15: bucketed co-located join + rollup plans with ZERO exchanges") {
     val df = graft.operators.Relational.j15_bucketed_join(spark, sf)
     val nodes = flatten(df.queryExecution.executedPlan)
