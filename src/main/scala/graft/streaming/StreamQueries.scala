@@ -2110,6 +2110,185 @@ object StreamQueries {
       .reduce(_ unionAll _)
   }
 
+  /** st51 — THE COMPOSED INGEST FRONT DOOR: ONE streaming pipeline
+    * chaining the proven admission gates in c06's order — the
+    * streaming twin of `c06_incremental_manifest`'s front half and
+    * the at-scale EP1 (the reference's door is
+    * ods/KafkaToODS_M.scala:45-74 — nine separate jobs; ours is one
+    * pipeline). Each arriving delta document flows through, IN ORDER:
+    *
+    *   1. CORRUPT ROUTE (st48's discipline): a planted metadata
+    *      corruption (`n_chars = −1` on every 13th delta id) routes
+    *      the row to the 'corrupt' lane with nothing dropped — the
+    *      very front, before any gate that trusts the row's shape.
+    *   2. MIXTURE GOVERNOR (st39): last night's `mixtureRates`
+    *      decision broadcasts onto the scan; a doc whose keyed hash
+    *      falls outside its domain's rate lanes 'mixture'.
+    *   3. DRIFT GATE (st45 + c06's circuit breaker): the tripped
+    *      (feature, bucket) set rides three broadcast legs; the
+    *      breaker verdict (refusal share vs [[graft.operators
+    *      .Curation.DriftRefuseCapPct]], decided over the NIGHTLY
+    *      delta — a stream cannot know tonight's totals) arms or
+    *      disarms the whole gate. On the driver fixture the delta is
+    *      a total source shift, so the breaker disarms and the leg
+    *      joins run armed=false (the selective path is spec-proven in
+    *      `CurationSpec` on a partial-shift corpus).
+    *   4. DEDUP ADMISSION, TWO-TIER (st34's bloom front + st37's
+    *      exact rule): the standing corpus's content hashes ride BOTH
+    *      a broadcast Bloom summary (the O(1) in-row front door — no
+    *      false negatives, so a negative skips the exact tier
+    *      entirely; at 100 TB that is what keeps the shuffled
+    *      standing-side probe off ~all-unique traffic) and the exact
+    *      stream-static hash join (the authority — a Bloom false
+    *      positive costs a probe, never a wrong lane). Standing dups
+    *      lane 'dup'.
+    *   5. PASSAGE SCRUB (st42, survivors only): the nightly
+    *      boilerplate list scrubs each admitted doc's ≥2-doc passages
+    *      in-row through the same two-tier Bloom+exact probe.
+    *
+    * Gates 1-5 are ALL stateless and ride ONE scan — broadcast joins
+    * + per-row expressions; the single stateful step is the final
+    * update-mode aggregation keyed (lane, content_hash): d11's
+    * min-id keeper + copy count per lane, served from the keyed
+    * upsert table (delta-bounded state; the scrubbed text rides the
+    * group key, which is sound because content_hash determines it).
+    * The per-lane row counts read off the served table ARE st50's
+    * contract counters — the monitor comes free with the serving
+    * artifact. The sentinel's negative id fails every delta branch
+    * predicate at the front (no watermark anywhere — no starvation
+    * trap). The oracle chains the existing gate CTEs (mixture rates,
+    * drift verdicts + breaker, standing hashes, boilerplate keys)
+    * over the same delta, so the differential proves the WHOLE door
+    * end-to-end; `StateCapSpec` kills and resumes it mid-stream.
+    */
+  val st51_stream_front_door: Q = (spark, dir) =>
+    frontDoorServe(spark, dir, graft.Tables.scratchDir("graft_fd_"),
+      new graft.sinks.KeyedUpsertTable(
+        spark, graft.Tables.scratchDir("graft_upsert_"),
+        Seq("lane", "content_hash", "clean_text"), "n_copies"))
+
+  /** st51's pipeline against an explicit table + checkpoint, so the
+    * kill/resume spec drives the exact production path.
+    */
+  private[graft] def frontDoorServe(spark: SparkSession, dir: String,
+                                    cp: String,
+                                    table: graft.sinks.KeyedUpsertTable): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    val T = graft.operators.TextAnalysis
+    val D = graft.operators.Dedup
+    val B = graft.functions.BloomFilters
+    val P = graft.functions.Portable
+    val W = D.PassageW
+    val pay = Seq("text", "lang", "n_chars", "source").map(col)
+
+    // ---- last night's decisions (batch-derived, all broadcast) ----
+    val rates = T.mixtureRates(spark, dir)
+    val tripped = T.driftVerdicts(spark, dir)
+      .where(col("drift") && col("over"))
+      .select(col("feature"), col("bucket"))
+    val docsB = graft.Tables.documents(spark, dir)
+      .select(col("doc_id") +: pay: _*)
+    val standingB = docsB.where(col("doc_id") % 10 =!= 0)
+    val deltaB = docsB.where(col("doc_id") % 10 === 0)
+      .unionAll(docsB.where(col("doc_id") % 10 === 0 && col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id") +: pay: _*))
+      .unionAll(standingB.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id") +: pay: _*))
+    val nQuar = T.driftFeatures(
+        deltaB.select(col("doc_id"), col("lang"), col("n_chars"), col("source")))
+      .join(broadcast(tripped), Seq("feature", "bucket"))
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_quar"))
+    val armedRel = nQuar
+      .join(deltaB.agg(count(lit(1)).as("n_delta")), lit(true), "left")
+      .select((col("n_quar") * 100 <=
+        col("n_delta") * graft.operators.Curation.DriftRefuseCapPct).as("armed"))
+    val ehB = standingB.select(md5(col("text")).as("content_hash")).distinct()
+    val ebf = ehB
+      .agg(B.bloom(1 << 20)(P.hash60(col("content_hash"))).as("bf"))
+      .select(col("bf.bits").as("ebits"))
+    val bkeys = D.boilerplateKeys(graft.Tables.documents(spark, dir))
+      .agg(sort_array(collect_list(col("ck"))).as("bkeys"),
+        B.bloom(1 << 17)(col("ck")).as("bbf"))
+      .select(col("bkeys"), col("bbf.bits").as("bbits"))
+    val oneRow = armedRel
+      .join(ebf, lit(true), "left")
+      .join(bkeys, lit(true), "left")
+
+    // ---- the firehose: the d11/c06 delta built from the stream ----
+    def docs() = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .select(col("doc_id") +: pay: _*)
+    val delta0 = docs().where(col("doc_id") % 10 === 0)
+    val replant = docs()
+      .where(col("doc_id") % 10 === 0 && col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id") +: pay: _*)
+    val stale = docs()
+      .where(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1
+        && col("doc_id") >= 0)
+      .select((col("doc_id") + 2000000L).as("doc_id") +: pay: _*)
+    val arriving = delta0.unionAll(replant).unionAll(stale)
+      .withColumn("n_chars", // the planted metadata corruption (gate 1)
+        when(pmod(col("doc_id"), lit(13L)) === 3, lit(-1L))
+          .otherwise(col("n_chars")))
+
+    // ---- gates 1-5, one scan, all stateless ----
+    def leg(f: String) = broadcast(tripped.where(col("feature") === f)
+      .select(col("bucket").as(s"${f}_bucket"), lit(1L).as(s"${f}_trip")))
+    val mixH = pmod(
+      P.hash60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(10000L))
+    val bloomDup = B.mightContain(col("ebits"), P.hash60(col("content_hash")))
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val scrubbed = concat_ws(" ", transform(
+      filter(transform(col("chunks"),
+          c => struct(c.as("chunk"), P.hash60(c).as("h"))),
+        s => !(B.mightContain(col("bbits"), s.getField("h")) &&
+          array_contains(col("bkeys"), s.getField("h")))),
+      s => s.getField("chunk")))
+    val laned = arriving
+      .join(broadcast(rates), Seq("lang", "source"), "left")
+      .withColumn("len_b", T.driftLenBucket)
+      .join(leg("len"), col("len_b") === col("len_bucket"), "left")
+      .join(leg("lang"), col("lang") === col("lang_bucket"), "left")
+      .join(leg("source"), col("source") === col("source_bucket"), "left")
+      .join(broadcast(oneRow), lit(true), "left")
+      .withColumn("content_hash", md5(col("text")))
+      .join(ehB.withColumn("in_corpus", lit(1)), Seq("content_hash"), "left")
+      .withColumn("mix_pass",
+        col("rate_micro").isNotNull && mixH < col("rate_micro"))
+      .withColumn("n_trips", when(col("armed"),
+        coalesce(col("len_trip"), lit(0L)) + coalesce(col("lang_trip"), lit(0L))
+          + coalesce(col("source_trip"), lit(0L))).otherwise(lit(0L)))
+      .withColumn("lane",
+        when(col("n_chars") < 0, "corrupt")
+          .when(!col("mix_pass"), "mixture")
+          .when(col("n_trips") > 0, "drift")
+          .when(bloomDup && col("in_corpus").isNotNull, "dup")
+          .otherwise("admitted"))
+      .withColumn("toks", toks)
+      .withColumn("chunks", transform(
+        sequence(lit(0), ceil(size(col("toks")) / lit(W.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(col("toks"), i * W + 1, lit(W)))))
+      .withColumn("clean_text",
+        when(col("lane") === "admitted", scrubbed).otherwise(lit("")))
+
+    // ---- the ONE stateful step: per-(lane, hash) keeper rollup ----
+    upsertServeWith(spark, frontDoorAgg(laned), table, cp)
+      .select(col("lane"), col("content_hash"), col("keeper_id"),
+        col("n_copies"), col("clean_text"))
+  }
+
+  /** st51's stateful tail over any laned (doc_id, lane, content_hash,
+    * clean_text) relation — factored so the kill/resume spec drives
+    * the exact production aggregation through the exact serving
+    * writer. Both aggregates are order-free (min monotone, count
+    * additive), the restart-safety argument every serving twin rides.
+    */
+  private[graft] def frontDoorAgg(laned: DataFrame): DataFrame =
+    laned
+      .groupBy(col("lane"), col("content_hash"), col("clean_text"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   val queries: Map[String, Q] = Map(
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
@@ -2145,6 +2324,7 @@ object StreamQueries {
     "st48_stream_corrupt_route" -> st48_stream_corrupt_route,
     "st49_stream_fuzzy_probe" -> st49_stream_fuzzy_probe,
     "st50_stream_contract_monitor" -> st50_stream_contract_monitor,
+    "st51_stream_front_door" -> st51_stream_front_door,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -2164,6 +2344,106 @@ object StreamQueries {
   )
 
   private val range = s"INTERVAL ${Pipelines.JoinRangeDays} DAY"
+
+  /** st51's DuckDB twin: the existing gate CTEs (mixture rates, drift
+    * verdicts + the c06 breaker, standing hashes, boilerplate keys)
+    * chained over the d11/c06 delta with the planted metadata
+    * corruption, laned in the front door's order, admitted survivors
+    * scrubbed, rolled up per (lane, content_hash).
+    */
+  private def duckFrontDoorSql: String = {
+    val T = graft.operators.TextAnalysis
+    val D = graft.operators.Dedup
+    val P = graft.functions.Portable
+    val W = D.PassageW
+    val mixH = P.duckHash60("concat('mix:', CAST(l.doc_id AS VARCHAR))")
+    val ckH = P.duckHash60("chunk")
+    s"""WITH standing AS (SELECT doc_id, text, lang, n_chars, source
+                          FROM documents WHERE doc_id % 10 <> 0),
+        delta AS (SELECT doc_id, text, lang, n_chars, source FROM documents
+                  WHERE doc_id % 10 = 0
+                  UNION ALL
+                  SELECT doc_id + 1000000, text, lang, n_chars, source
+                  FROM documents WHERE doc_id % 10 = 0 AND doc_id % 40 = 0
+                  UNION ALL
+                  SELECT doc_id + 2000000, text, lang, n_chars, source
+                  FROM standing WHERE doc_id % 7 = 1),
+        planted AS (SELECT doc_id, text, lang,
+                           CASE WHEN doc_id % 13 = 3 THEN -1 ELSE n_chars END
+                             AS n_chars,
+                           source
+                    FROM delta),
+        ${T.duckMixRateCtes},
+        ${T.duckDriftCtes},
+        ${T.duckDriftVerdCte},
+        dquar AS (SELECT DISTINCT d.doc_id FROM delta d JOIN verd v
+                  ON v.trip AND (
+                       (v.feature = 'len'
+                        AND v.bucket = CAST(least(9, d.n_chars // 200) AS VARCHAR))
+                    OR (v.feature = 'lang' AND v.bucket = d.lang)
+                    OR (v.feature = 'source' AND v.bucket = d.source))),
+        armedrel AS (SELECT (SELECT COUNT(*) FROM dquar) * 100
+                       <= (SELECT COUNT(*) FROM delta)
+                            * ${graft.operators.Curation.DriftRefuseCapPct}
+                         AS armed),
+        dtrips AS (SELECT p.doc_id, COUNT(*) AS n_trips
+                   FROM planted p JOIN verd v
+                   ON v.trip AND (
+                        (v.feature = 'len'
+                         AND v.bucket = CAST(least(9, p.n_chars // 200) AS VARCHAR))
+                     OR (v.feature = 'lang' AND v.bucket = p.lang)
+                     OR (v.feature = 'source' AND v.bucket = p.source))
+                   GROUP BY 1),
+        eh AS (SELECT DISTINCT md5(text) AS h FROM standing),
+        laned AS (SELECT l.doc_id, l.text, md5(l.text) AS content_hash,
+                         CASE WHEN l.n_chars < 0 THEN 'corrupt'
+                              WHEN r.rate_micro IS NULL
+                                   OR ($mixH) % 10000 >= r.rate_micro
+                                THEN 'mixture'
+                              WHEN (SELECT armed FROM armedrel)
+                                   AND COALESCE(t.n_trips, 0) > 0 THEN 'drift'
+                              WHEN md5(l.text) IN (SELECT h FROM eh) THEN 'dup'
+                              ELSE 'admitted' END AS lane
+                  FROM planted l
+                  LEFT JOIN mixrates r
+                    ON l.lang = r.lang AND l.source = r.source
+                  LEFT JOIN dtrips t ON t.doc_id = l.doc_id),
+        btk AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+                FROM documents),
+        bcid AS (SELECT doc_id, toks,
+                        unnest(range(0, CAST(ceil(len(toks) / $W.0) AS BIGINT)))
+                          AS chunk_id
+                 FROM btk),
+        bch AS (SELECT doc_id,
+                       array_to_string(list_slice(toks, chunk_id * $W + 1,
+                                                  chunk_id * $W + $W), ' ') AS chunk
+                FROM bcid),
+        bp AS (SELECT ck FROM (SELECT doc_id, $ckH AS ck FROM bch)
+               GROUP BY ck HAVING COUNT(DISTINCT doc_id) >= 2),
+        atk AS (SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+                FROM laned WHERE lane = 'admitted'),
+        acid AS (SELECT doc_id, toks,
+                        unnest(range(0, CAST(ceil(len(toks) / $W.0) AS BIGINT)))
+                          AS chunk_id
+                 FROM atk),
+        ach AS (SELECT doc_id, chunk_id,
+                       array_to_string(list_slice(toks, chunk_id * $W + 1,
+                                                  chunk_id * $W + $W), ' ') AS chunk
+                FROM acid),
+        ack AS (SELECT doc_id, chunk_id, chunk, $ckH AS ck FROM ach),
+        clean AS (SELECT doc_id,
+                         COALESCE(string_agg(
+                           CASE WHEN ck NOT IN (SELECT ck FROM bp) THEN chunk END,
+                           ' ' ORDER BY chunk_id), '') AS clean_text
+                  FROM ack GROUP BY 1)
+        SELECT l.lane, l.content_hash, MIN(l.doc_id) AS keeper_id,
+               COUNT(*) AS n_copies,
+               COALESCE(MAX(c.clean_text), '') AS clean_text
+        FROM laned l LEFT JOIN clean c ON c.doc_id = l.doc_id
+        GROUP BY 1, 2"""
+  }
 
   val oracles: Map[String, String] = Map(
     // st17 must return EXACTLY n09's batch answer — the oracle is n09's
@@ -2244,6 +2524,11 @@ object StreamQueries {
                  value_non_negative = 0 FROM w
           UNION ALL SELECT 'user_id_in_customer', user_id_in_customer,
                  user_id_in_customer = 0 FROM w""",
+    // st51's served lanes must equal the chained batch gates: corrupt
+    // route → mixture governor → drift gate (with c06's breaker) →
+    // two-tier dedup admission → passage scrub, each the EXISTING
+    // gate's CTE arithmetic composed over the d11/c06 delta
+    "st51_stream_front_door" -> duckFrontDoorSql,
     // st49's stateless probe must equal d15's standing-vs-arriving slice
     "st49_stream_fuzzy_probe" ->
       """WITH fz AS (

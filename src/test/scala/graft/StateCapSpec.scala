@@ -10,6 +10,9 @@ case class CubeOrder(r_name: String, n_name: String, o_totalprice: Double)
 
 case class ScoredDoc(query_id: Long, doc_id: Long, score: Double, leg: String)
 
+case class LanedDoc(doc_id: Long, lane: String, content_hash: String,
+                    clean_text: String)
+
 /** The heavy-user bounded-state contract: a single user delivering 10k
   * events must leave retention/scd2 state CAPPED (the round-7 judge
   * task 4) with the documented deterministic truncation — smallest
@@ -215,5 +218,52 @@ class StateCapSpec extends SparkSpecBase {
       .collect().map(_.toSeq.mkString(",")).sorted.toSeq
     assert(got.nonEmpty && got === expected,
       s"fused serving after kill/resume must equal the batch fusion;\n got $got\n exp $expected")
+  }
+
+  test("st51's serving path: front-door lanes survive a kill/resume; keeper stays the min id") {
+    // st51's twin of the st23 lock: kill the front-door serving writer
+    // between batches, resume over the SAME checkpoint + table — the
+    // (lane, content_hash) keeper state must recover, a post-restart
+    // copy with a SMALLER id must take the keeper role from the
+    // pre-restart keeper exactly as one continuous stream would, and
+    // the served table must equal the batch rollup over ALL delivered
+    // rows. (The stateless gates ahead of this tail are batch-proven
+    // by st51's chained oracle; this locks the stateful tail.)
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[LanedDoc]
+    val cp = tmpDir("cp_st51_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st51_restart_"),
+      Seq("lane", "content_hash", "clean_text"), "n_copies")
+    val run1 = Seq(
+      LanedDoc(30L, "admitted", "h1", "clean one"),
+      LanedDoc(40L, "admitted", "h1", "clean one"),
+      LanedDoc(7L, "corrupt", "h2", ""),
+      LanedDoc(9L, "dup", "h3", ""))
+    val run2 = Seq(
+      LanedDoc(10L, "admitted", "h1", "clean one"), // takes h1's keeper role
+      LanedDoc(5L, "mixture", "h4", "")) // a new lane after restart
+    ms.addData(run1: _*)
+    SQ.upsertServeWith(spark, SQ.frontDoorAgg(ms.toDF()), table, cp) // writer dies
+    ms.addData(run2: _*)
+    val served = SQ.upsertServeWith(spark, SQ.frontDoorAgg(ms.toDF()), table, cp)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.mkString("|")
+    val got = served
+      .select(col("lane"), col("content_hash"), col("clean_text"),
+        col("keeper_id"), col("n_copies"))
+      .collect().map(key).sorted.toSeq
+    val expected = SQ.frontDoorAgg((run1 ++ run2).toDF()
+        .select(col("doc_id"), col("lane"), col("content_hash"), col("clean_text")))
+      .select(col("lane"), col("content_hash"), col("clean_text"),
+        col("keeper_id"), col("n_copies"))
+      .collect().map(key).sorted.toSeq
+    assert(got.nonEmpty && got === expected,
+      s"served lanes after kill/resume must equal the batch rollup;\n got $got\n exp $expected")
+    val h1 = served.where(col("content_hash") === "h1").collect()
+    assert(h1.length === 1 && h1.head.getAs[Long]("keeper_id") === 10L &&
+      h1.head.getAs[Long]("n_copies") === 3L,
+      "the post-restart smaller id must take the keeper role over recovered state")
   }
 }
