@@ -1229,6 +1229,14 @@ object Relational {
     * later query joins shuffle-free. Table names carry a dir tag so
     * test and verify fixtures coexist in one catalog; data lands on
     * scratch (external tables), reclaimed at JVM exit.
+    *
+    * Nightly-vs-stream: this batch build is NOT forced by
+    * `writeStream`'s missing `bucketBy` — [[graft.sinks
+    * .BucketedStreamTable]] maintains the same layout incrementally
+    * via `foreachBatch` appends (content, pruning and the
+    * exchange-free plan all spec-locked); the designs compose as
+    * stream-maintains / nightly-compacts (this build doubling as the
+    * one-file-per-bucket compaction that restores the per-file sort).
     */
   private val bucketCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()

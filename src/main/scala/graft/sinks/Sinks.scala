@@ -202,6 +202,50 @@ class KeyedUpsertTable(spark: SparkSession, path: String,
     }
 }
 
+/** Storage-layout sink — THE BUCKETED TABLE MAINTAINED BY THE STREAM:
+  * settles whether j15's zero-exchange layout must be a nightly batch
+  * build (`writeStream` cannot `bucketBy`). It need not: `foreachBatch`
+  * appends each micro-batch into the SAME bucketed table spec — Spark
+  * hash-splits every append by the bucket key, later appends add files
+  * per bucket, and a bucketed scan reads all of a bucket's files in one
+  * task, so the co-located-join property and the bucket pruning BOTH
+  * survive incremental maintenance (`SinkSpec` plan-locks zero
+  * exchanges over the stream-built table). What narrows is only the
+  * per-FILE sort: a multi-file bucket makes the scan's output
+  * sort-unknown, so EnsureRequirements re-inserts a local sort before a
+  * merge join — a sort, never an exchange; a nightly compaction that
+  * rewrites each bucket to one file restores it (j15's build IS that
+  * compaction, so the two designs compose: stream maintains, nightly
+  * compacts).
+  *
+  * Replay discipline: a commit marker per batch id skips re-delivered
+  * batches (at-least-once → effectively-once). The crash window between
+  * the data append and the marker is the one K5's versioned overwrite
+  * closes; an append-only bucketed table cannot version per-batch
+  * (bucketing is table-level), so production closes it with a
+  * transactional table format under the same bucket spec.
+  */
+class BucketedStreamTable(spark: SparkSession, table: String, path: String,
+                          buckets: Int, key: String) {
+  private val commits = Paths.get(path).resolve("_commits")
+
+  /** The idempotent `foreachBatch` function. */
+  def append(batch: DataFrame, batchId: Long): Unit = {
+    if (Files.exists(commits.resolve(batchId.toString))) return
+    batch.repartition(buckets, col(key))
+      .write.mode("append")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", s"$path/data").format("parquet").saveAsTable(table)
+    Files.createDirectories(commits)
+    val tmp = Files.createTempFile(commits, s".$batchId", ".tmp")
+    Files.move(tmp, commits.resolve(batchId.toString),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The maintained table as a bucketed catalog scan. */
+  def read(): DataFrame = spark.table(table)
+}
+
 /** K3 — append sink idempotent by batch identity (the ES doc-id
   * analog, ref utils/MyEsUtil bulk-with-id): every micro-batch writes
   * `batch=<batchId>/` with overwrite, so an at-least-once replay

@@ -38,6 +38,38 @@ class SinkSpec extends SparkSpecBase {
     assert(state() === Map(1L -> "a", 2L -> "b2", 3L -> "c"))
   }
 
+  test("BucketedStreamTable: stream-maintained layout keeps content, pruning and the exchange-free plan") {
+    val path = tmpDir("bkt_stream_")
+    val tbl = "graft_bkt_stream_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val t = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "o_custkey")
+    def orders(rows: (Long, Double)*): DataFrame =
+      rows.toDF("o_custkey", "o_totalprice")
+    // two micro-batches, then an at-least-once replay of batch 1
+    t.append(orders((1L, 10.0), (2L, 20.0), (9L, 5.0)), 0L)
+    t.append(orders((1L, 1.5), (17L, 7.0)), 1L)
+    t.append(orders((1L, 1.5), (17L, 7.0)), 1L) // replay: marker skips it
+    val got = t.read().collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(got === Seq((1L, 1.5), (1L, 10.0), (2L, 20.0), (9L, 5.0), (17L, 7.0)),
+      "content must equal the delivered batches exactly once")
+    // the incremental layout must still serve j15's plan shape: the
+    // key rollup rides the bucketed scan with ZERO exchanges ...
+    val agg = t.read().groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+    val nodes = agg.queryExecution.executedPlan.toString
+    assert(!nodes.contains("Exchange hashpartitioning"),
+      s"the stream-built bucketed table must aggregate exchange-free:\n$nodes")
+    assert(nodes.contains("Bucketed: true"),
+      s"the scan must read bucketed layout:\n$nodes")
+    // ... and the s11 point probe prunes to one bucket of 8
+    val probe = t.read().where(col("o_custkey") === 1L)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("SelectedBucketsCount: 1 out of 8"),
+      s"bucket pruning must survive incremental maintenance:\n$probe")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("checkpointed restart: new data only, no dupes, no loss") {
     val srcDir = tmpDir("src_")
     val cp = tmpDir("cp_")
