@@ -723,6 +723,71 @@ object Similarity {
         .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
   }
 
+  /** Candidate depth of n23's approximate first stage. */
+  private[graft] val RerankC = 50
+
+  /** n23 — TWO-STAGE RETRIEVAL (ADC candidates → EXACT RE-RANK): the
+    * production vector-serving shape (FAISS's IVFADC+refine; every
+    * large-scale RAG stack): stage 1 runs the TUNED multi-probe
+    * compressed-domain search (n17's probe depth, n09's ADC table
+    * lookups over the trained codes) to [[RerankC]] candidates per
+    * query — scanning 8-code rows, never raw vectors; stage 2 joins
+    * ONLY those |Q|·C candidate ids back to the full-precision
+    * embeddings and re-ranks by exact cosine to the final top-K. This
+    * buys back the quantization error n11 measured (ADC's top-k is
+    * not monotone in probe depth; exact re-ranking over a wide
+    * candidate set is) at the cost of C full-precision rows per query
+    * instead of the corpus — at 100 TB the raw embedding column is
+    * touched at |Q|·C row-lookups (a broadcast id probe into the
+    * bucketed/cell layout), while the scan-bandwidth-bound stage
+    * reads 32× compressed codes.
+    *
+    * Scale shape: all index artifacts are shared reads
+    * ([[indexPath]]); stage 1 is n09's bounded probe join + broadcast
+    * LUT + one (query, vector) aggregation; the candidate list is
+    * |Q|·C rows, broadcast into the stage-2 id join; stage 2 ends in
+    * one bounded top-K aggregation. Both stages' ranks use exact
+    * integer/6-dp tie-broken orderings, so the DuckDB twin (the same
+    * chained CTEs + re-rank tail) hash-matches bit-for-bit.
+    */
+  val n23_two_stage_rerank: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val cents = idx(spark, dir, "coarse")
+    val books = idx(spark, dir, "books")
+    val cellOf = idx(spark, dir, "cells").select(col("vec_id"), col("cell_id"))
+    val enc = idx(spark, dir, "codes")
+    val qvec = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // stage 1: tuned-depth ADC over the trained index, top-C
+    val qCells = qvec.join(broadcast(cents), lit(true), "inner")
+      .select(col("query_id"), col("cid"), cos6(col("qv"), col("cv")).as("c6"))
+      .groupBy("query_id")
+      .agg(TopK.topK(PickedNprobe)(col("c6"), col("cid")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("qcell"))
+    val lut = pqLutL(qvec, books)
+    val cand = enc.join(cellOf, "vec_id")
+      .join(broadcast(qCells),
+        col("cell_id") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).as("amicro"))
+      .select(col("query_id"), col("vec_id"),
+        (-col("amicro").cast("double")).as("s"))
+      .groupBy("query_id")
+      .agg(TopK.topK(RerankC)(col("s"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("vec_id"))
+    // stage 2: exact cosine over ONLY the candidate rows, final top-K
+    explodeTopK(
+      e.join(broadcast(cand), "vec_id")
+        .join(broadcast(qvec), "query_id")
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+  }
+
   /** [[n18_hybrid_rrf]] constants: per-leg retrieval depth, the RRF
     * dampening constant (Cormack-Clarke-Buettcher 2009's k = 60), the
     * fused depth, and the per-query-doc term budget.
@@ -1580,6 +1645,7 @@ object Similarity {
     "n20_index_delete" -> n20_index_delete,
     "n21_compaction_execute" -> n21_compaction_execute,
     "n22_index_point_probe" -> n22_index_point_probe,
+    "n23_two_stage_rerank" -> n23_two_stage_rerank,
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
     "n18_hybrid_rrf" -> n18_hybrid_rrf,
@@ -1914,6 +1980,43 @@ object Similarity {
           SELECT enc.vec_id, enc.m, enc.code, a.cell_id
           FROM enc JOIN a USING (vec_id)
           WHERE enc.vec_id = $ProbeVecId""",
+    // n23: the tuned-ADC candidate CTEs (duckTunedAdcSql's chain) with
+    // the rank tail swapped for a top-C cut + exact-cosine re-rank
+    "n23_two_stage_rerank" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          $duckPqTrain,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                WHERE vec_id < $NumQueries),
+          qc AS (SELECT query_id, cid AS qcell,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos6 DESC, cid) AS cell_rank
+                 FROM (SELECT query_id, cid,
+                              round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+                                    / (qn * cn) * 1000000) / 1000000 AS cos6
+                       FROM q, ct)),
+          adc AS (SELECT l.query_id, enc.vec_id,
+                         CAST(SUM(l.dmicro) AS BIGINT) AS amicro
+                  FROM enc
+                  JOIN a ON a.vec_id = enc.vec_id
+                  JOIN qc ON qc.qcell = a.cell_id AND qc.cell_rank <= $PickedNprobe
+                  JOIN lut l ON l.query_id = qc.query_id
+                            AND l.m = enc.m AND l.code = enc.code
+                  WHERE enc.vec_id <> qc.query_id
+                  GROUP BY 1, 2),
+          cand AS (SELECT query_id, vec_id FROM adc
+                   QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY amicro, vec_id) <= $RerankC),
+          rr AS (SELECT c.query_id, c.vec_id, $duckCos AS cos6
+                 FROM cand c
+                 JOIN n ON n.vec_id = c.vec_id
+                 JOIN q USING (query_id))
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
+                 vec_id AS neighbor_id, cos6
+          FROM rr QUALIFY rnk <= $K""",
     "n16_probe_sweep" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,
