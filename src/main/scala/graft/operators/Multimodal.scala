@@ -382,6 +382,75 @@ object Multimodal {
       .where(col("jaccard") >= MediaDupJaccard)
   }
 
+  /** Band-bucket membership cap for [[mm07_media_phash]] — the d15
+    * lesson ENFORCED from day one: an over-cap band bucket (a
+    * constant-region band shared by thousands of media items — the
+    * skew that would square the candidate join) is dropped whole.
+    */
+  private[graft] val PhashBandCap = 64
+
+  /** mm07 — PERCEPTUAL-HASH MEDIA NEAR-DUP (block-mean hash + banded
+    * hamming LSH): the similarity axis mm05's byte-aligned frame
+    * digests cannot cover — a LOW-AMPLITUDE content change (one
+    * corrected byte, a brightness nudge) rewrites the containing
+    * 16-byte frame's digest but barely moves any block MEAN, so the
+    * perceptual signature survives. The corpus plants exact binary
+    * copies of every 10th item (+1M) and one-byte perturbed copies of
+    * every doc_id % 10 == 5 item (+2M, first byte swapped — same
+    * length, so stride boundaries hold); each payload's pixel region
+    * hashes to the 64-bit block-mean signature in one codegen'd pass
+    * (`blockhash64`, exact integer cross-multiplied mean compares),
+    * carried as four 16-bit bands that double as the LSH keys:
+    * candidates equi-join on ANY equal (band_id, band) — pigeonhole:
+    * hamming < 4 ⟹ some band matches exactly, so recall at the ≤ 3
+    * threshold is GUARANTEED, not probabilistic (contrast d02's
+    * banded MinHash, where band equality is a random event) — and
+    * verification is the exact popcount of the XORed bands.
+    *
+    * Scale shape: one projection computes signatures (no shuffle),
+    * ONE shuffle on the band key for the candidate join with
+    * over-cap band buckets dropped by a count window riding the same
+    * distribution ([[PhashBandCap]]), pair dedup collapses multi-band
+    * hits, and the verify is per-row integer arithmetic — 8 longs
+    * ride the shuffle per doc, never payload bytes.
+    */
+  val mm07_media_phash: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    val perturbed = when(substring(col("text"), 1, 1) === "Q",
+      concat(lit("Z"), expr("substring(text, 2)")))
+      .otherwise(concat(lit("Q"), expr("substring(text, 2)")))
+    val corpus = base
+      .unionAll(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(base.where(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 2000000L).as("doc_id"), perturbed.as("text")))
+    val banded = corpus
+      .select(col("doc_id"),
+        call_function("blockhash64", encode(col("text"), "utf-8")).as("bands"))
+      .where(col("bands").isNotNull)
+      .select(col("doc_id"), col("bands"), posexplode(col("bands")))
+      .select(col("doc_id"), col("bands"), col("pos").as("band_id"),
+        col("col").as("band"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band"))))
+      .where(col("bn") <= PhashBandCap)
+      .drop("bn")
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bands").as("ba"), col("b.bands").as("bb"))
+      .distinct()
+      .withColumn("hamming", aggregate(
+        zip_with(col("ba"), col("bb"),
+          (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm05_media_dedup" -> mm05_media_dedup,
@@ -389,6 +458,7 @@ object Multimodal {
     "mm03_frame_sample" -> mm03_frame_sample,
     "mm04_wav_meta" -> mm04_wav_meta,
     "mm06_wav_features" -> mm06_wav_features,
+    "mm07_media_phash" -> mm07_media_phash,
   )
 
   private def duckMediaDedupSql: String = {
@@ -459,6 +529,60 @@ object Multimodal {
                  CAST(floor(octet_length(encode(text))
                             / ((($h) % 2 + 1) * 2.0)) AS BIGINT) AS n_samples
           FROM documents"""
+    },
+    "mm07_media_phash" -> {
+      // same stride mapping (stride of byte i = i*64 div n; stride s
+      // spans [ceil(s*n/64), ceil((s+1)*n/64))), same exact integer
+      // cross-multiplied mean compare, same band cap and pigeonhole
+      // candidate join
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   (CASE WHEN substr(text, 1, 1) = 'Q' THEN 'Z' ELSE 'Q' END)
+                     || substr(text, 2)
+            FROM documents WHERE doc_id % 10 = 5),
+          by AS (SELECT doc_id,
+                        list_transform(range(0, octet_length(encode(text))),
+                          i -> ('0x' || substr(hex(encode(text)), (2*i + 1)::INT, 2))::BIGINT)
+                          AS bytes
+                 FROM corpus),
+          st AS (SELECT doc_id, bytes, len(bytes) AS n,
+                        CAST(list_aggregate(bytes, 'sum') AS BIGINT) AS total
+                 FROM by WHERE len(bytes) >= 64),
+          ssum AS (SELECT doc_id, n, total, s,
+                          CAST(coalesce(list_aggregate(
+                            bytes[((s*n + 63)//64 + 1)::INT :
+                                  (((s+1)*n + 63)//64)::INT], 'sum'), 0) AS BIGINT)
+                            AS sum_s,
+                          ((s+1)*n + 63)//64 - (s*n + 63)//64 AS len_s
+                   FROM (SELECT doc_id, bytes, n, total,
+                                unnest(range(0, 64)) AS s
+                         FROM st)),
+          bits AS (SELECT doc_id, s // 16 AS band_id,
+                          CAST(SUM(CASE WHEN sum_s * n > total * len_s
+                                        THEN (1::BIGINT << (s % 16)::INT)
+                                        ELSE 0 END) AS BIGINT) AS band
+                   FROM ssum GROUP BY 1, 2),
+          capped AS (SELECT doc_id, band_id, band FROM bits
+                     QUALIFY COUNT(*) OVER (PARTITION BY band_id, band)
+                               <= $PhashBandCap),
+          sig AS (SELECT doc_id, list(band ORDER BY band_id) AS bands
+                  FROM bits GROUP BY 1),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM capped a JOIN capped b
+                   ON a.band_id = b.band_id AND a.band = b.band
+                      AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(list_sum(list_transform(list_zip(sa.bands, sb.bands),
+                          t -> bit_count(xor(t[1], t[2])))) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b)
+          WHERE hamming <= 3"""
     },
     "mm06_wav_features" -> {
       // same LE-int16 decode + exact integer frame stats over the text

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BloomMightContain, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Pcm16Frames, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{Blockhash64, BloomMightContain, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Pcm16Frames, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gramKeys)
     ext.injectFunction(GraftExtensions.bloomContains)
     ext.injectFunction(GraftExtensions.pcm16Frames)
+    ext.injectFunction(GraftExtensions.blockhash64)
   }
 }
 
@@ -131,13 +132,21 @@ object GraftExtensions {
       Pcm16Frames(args.head)
     })
 
+  val blockhash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("blockhash64"),
+    new ExpressionInfo(classOf[Blockhash64].getName, "blockhash64"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"blockhash64 expects 1 argument, got ${args.length}")
+      Blockhash64(args.head)
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
         wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
-        bloomContains, pcm16Frames).foreach {
+        bloomContains, pcm16Frames, blockhash64).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
