@@ -108,6 +108,69 @@ object TextAnalysis {
       when(score === 3, "high").when(score === 2, "medium").otherwise("low").as("quality_class"))
   }
 
+  /** The stop-word list of t27's coverage rule (Gopher's canonical
+    * eight; Rae et al. 2021, table A1).
+    */
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** t27 — GOPHER QUALITY RULES: the published rule battery every
+    * web-scale pretraining pipeline starts from (Rae et al. 2021,
+    * "Scaling Language Models", appendix A1.1 — reused by
+    * RefinedWeb/Dolma/FineWeb), complementing t03's statistical score
+    * with interpretable hard gates: word count ∈ [50, 100k]; mean
+    * word length ∈ [3, 10]; symbol-to-word ratio ('#' and '…') ≤ 0.1;
+    * ≤ 90 % of lines bullet-started and ≤ 30 % ellipsis-ended; ≥ 80 %
+    * of words containing an alphabetic character; ≥ 2 distinct words
+    * from the canonical 8-stop-word list. Emits each rule's verdict,
+    * the violation count, and the keep flag — the audit shape (c03's
+    * convention) rather than a bare filter, so a curation run can
+    * report WHY documents dropped.
+    *
+    * Every ratio compare is EXACT integer cross-multiplication
+    * (10·symbols ≤ words, not a float divide), so both engines agree
+    * bit-for-bit; all per-doc work is one projection over codegen'd
+    * builtins + array folds — no shuffle anywhere.
+    */
+  val t27_gopher_rules: Q = (spark, dir) => {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val lines = split(col("text"), "\n")
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"), toks.as("toks"), lines.as("lines"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t)).as("sum_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")) +
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("n_sym"),
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(filter(col("lines"),
+          l => l.startsWith("-") || l.startsWith("*"))).cast("long")
+          .as("n_bullet"),
+        size(filter(col("lines"), l => l.endsWith("..."))).cast("long")
+          .as("n_ell_end"),
+        size(array_intersect(
+          transform(col("toks"), t => lower(t)),
+          lit(GopherStops.toArray))).cast("long").as("n_stops"))
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") >= 50L && col("n_tok") <= 100000L).as("r_word_count"),
+        (col("sum_len") >= col("n_tok") * 3L &&
+          col("sum_len") <= col("n_tok") * 10L).as("r_mean_word_len"),
+        (col("n_sym") * 10L <= col("n_tok")).as("r_symbol_ratio"),
+        (col("n_bullet") * 10L <= col("n_lines") * 9L).as("r_bullets"),
+        (col("n_ell_end") * 10L <= col("n_lines") * 3L).as("r_ellipsis"),
+        (col("n_alpha") * 10L >= col("n_tok") * 8L).as("r_alpha_words"),
+        (col("n_stops") >= 2L).as("r_stop_words"))
+      .withColumn("n_violations",
+        Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullets",
+          "r_ellipsis", "r_alpha_words", "r_stop_words")
+          .map(c => when(col(c), 0L).otherwise(1L)).reduce(_ + _))
+      .withColumn("keep", col("n_violations") === 0L)
+  }
+
   private val FpWindow = 8
 
   /** t04 — document fingerprint: rolling 8-token window hashes,
@@ -1443,6 +1506,7 @@ object TextAnalysis {
     "t24_drift_psi" -> t24_drift_psi,
     "t25_bpe_decode" -> t25_bpe_decode,
     "t26_lid_agreement" -> t26_lid_agreement,
+    "t27_gopher_rules" -> t27_gopher_rules,
   )
 
   /** One unrolled BPE merge round for the [[t11_bpe_train]] oracle:
@@ -2025,6 +2089,64 @@ object TextAnalysis {
     "t11_bpe_train" -> duckBpeTrainSql,
     "t12_bpe_encode" -> duckBpeEncodeSql,
     "t25_bpe_decode" -> duckBpeDecodeSql,
+    // t27: the same exact cross-multiplied rule arithmetic
+    "t27_gopher_rules" -> {
+      val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+      s"""WITH b AS (
+            SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks,
+                   string_split(text, chr(10)) AS lines
+            FROM documents),
+          m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tok,
+                   CAST(coalesce(list_aggregate(
+                     list_transform(toks, t -> len(t)), 'sum'), 0) AS BIGINT)
+                     AS sum_len,
+                   CAST(len(text) - len(replace(text, '#', ''))
+                        + (len(text) - len(replace(text, '...', ''))) // 3
+                     AS BIGINT) AS n_sym,
+                   CAST(len(list_filter(toks,
+                     t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(lines,
+                     l -> starts_with(l, '-') OR starts_with(l, '*')))
+                     AS BIGINT) AS n_bullet,
+                   CAST(len(list_filter(lines, l -> ends_with(l, '...')))
+                     AS BIGINT) AS n_ell_end,
+                   CAST(len(list_intersect(
+                     list_transform(toks, t -> lower(t)), [$stops]))
+                     AS BIGINT) AS n_stops
+            FROM b),
+          r AS (
+            SELECT doc_id, n_tok,
+                   n_tok >= 50 AND n_tok <= 100000 AS r_word_count,
+                   sum_len >= 3 * n_tok AND sum_len <= 10 * n_tok
+                     AS r_mean_word_len,
+                   n_sym * 10 <= n_tok AS r_symbol_ratio,
+                   n_bullet * 10 <= n_lines * 9 AS r_bullets,
+                   n_ell_end * 10 <= n_lines * 3 AS r_ellipsis,
+                   n_alpha * 10 >= n_tok * 8 AS r_alpha_words,
+                   n_stops >= 2 AS r_stop_words
+            FROM m)
+          SELECT *,
+                 CAST((CASE WHEN r_word_count THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_bullets THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_ellipsis THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_alpha_words THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_stop_words THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_violations,
+                 (CASE WHEN r_word_count THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_mean_word_len THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_bullets THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_ellipsis THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_alpha_words THEN 0 ELSE 1 END)
+                    + (CASE WHEN r_stop_words THEN 0 ELSE 1 END) = 0 AS keep
+          FROM r"""
+    },
     "t26_lid_agreement" -> {
       val inList = EnTrigrams.map(t => s"'$t'").mkString(", ")
       s"""WITH sp AS (
