@@ -131,6 +131,14 @@ object TextAnalysis {
     * (10·symbols ≤ words, not a float divide), so both engines agree
     * bit-for-bit; all per-doc work is one projection over codegen'd
     * builtins + array folds — no shuffle anywhere.
+    *
+    * Fixture note: the synthetic corpus's vocabulary contains none of
+    * the eight stop words, so r_stop_words (and, for short docs,
+    * r_word_count) trips on every row and `keep` is uniformly false —
+    * the expected verdict for non-natural text, and exactly why the
+    * battery emits per-rule columns: the audit shows WHICH gate an
+    * English-looking-but-synthetic corpus fails. The thresholds stay
+    * canonical rather than fixture-tuned.
     */
   val t27_gopher_rules: Q = (spark, dir) => {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
