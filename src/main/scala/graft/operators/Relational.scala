@@ -1413,6 +1413,64 @@ object Relational {
       .withColumn("skewed", col("skew_x1000") > 2000L)
   }
 
+  /** Count-Min geometry for [[a23_count_min]]. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+
+  /** a23 — COUNT-MIN SKETCH (the point-query counter summary,
+    * completing the mergeable-counter set beside a07's HLL, a14's
+    * quantiles, a15's Misra-Gries and a17's KMV): per-user event
+    * frequencies summarized into a FIXED d×w counter grid — each
+    * event increments one bucket per row (d portable xor-mixed
+    * hashes), a point query reads the MIN of its d buckets. Unlike
+    * Misra-Gries, CMS is fully DETERMINISTIC under any merge tree
+    * (merge = elementwise sum; min-of-sums is order-free), so — the
+    * a17 precedent — the WHOLE sketch is hash-oracle-checked, no
+    * carve-out. Guarantees (the audit columns make them visible):
+    * est ≥ exact always (counters only ever overcount), and the
+    * probed zero-event users show the collision overcount a CMS
+    * consumer must budget for (ε = e/w per the Cormode-Muthukrishnan
+    * bound).
+    *
+    * Scale shape: the sketch build is ONE aggregation whose map-side
+    * partials are capped at d·w counters per partition — the O(k)
+    * exchange that replaces a full user-keyed groupBy at 100 TB; the
+    * probe set is bounded and broadcast, and the estimate join
+    * touches d rows per probe against the ≤ d·w-row sketch. The
+    * exact twin rides the same scan for the audit (at production
+    * scale the exact column is the expensive side — that is the
+    * point of the sketch).
+    */
+  val a23_count_min: Q = (spark, dir) => {
+    val P = graft.functions.Portable
+    val h = P.hash60(concat(lit("cms:"), col("user_id").cast("string")))
+    val rows = (0 until CmsDepth).map(r =>
+      struct(lit(r.toLong).as("r"),
+        pmod(P.xorMix(r, h), lit(CmsWidth)).as("bucket")))
+    val cms = events(spark, dir)
+      .select(col("user_id"), explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = customer(spark, dir)
+      .where(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("user_id"))
+    val ph = P.hash60(concat(lit("cms:"), col("user_id").cast("string")))
+    val probeRows = probes.select(col("user_id"),
+      explode(array((0 until CmsDepth).map(r =>
+        struct(lit(r.toLong).as("r"),
+          pmod(P.xorMix(r, ph), lit(CmsWidth)).as("bucket"))): _*)).as("rb"))
+      .select(col("user_id"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val est = probeRows.join(cms, Seq("r", "bucket"), "left")
+      .groupBy(col("user_id"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+    val exact = events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+        col("est_cnt"), (col("est_cnt") - coalesce(col("exact_cnt"), lit(0L)))
+          .as("overcount"))
+  }
+
   /** The standing per-customer order aggregate, materialized ONCE per
     * sfDir — a22's "last night's view".
     */
@@ -1656,6 +1714,7 @@ object Relational {
     "a07_dau_approx" -> a07_dau_approx,
     "a20_sketch_reagg" -> a20_sketch_reagg,
     "a21_skew_report" -> a21_skew_report,
+    "a23_count_min" -> a23_count_min,
     "a22_incremental_agg" -> a22_incremental_agg,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
@@ -1708,6 +1767,28 @@ object Relational {
                  event_id_unique = 0 FROM w
           UNION ALL SELECT 'user_id_in_customer', user_id_in_customer,
                  user_id_in_customer = 0 FROM w""",
+    // a23: the same d portable xor-mixed hashes, fixed grid, min-of-d
+    // point read — CMS is merge-order free, so the whole sketch
+    // hash-matches
+    "a23_count_min" -> {
+      val P = graft.functions.Portable
+      val h = P.duckHash60("concat('cms:', CAST(user_id AS VARCHAR))")
+      def rb(src: String) = (0 until CmsDepth).map(r =>
+        s"SELECT user_id, $r AS r, ${P.duckXorMix(r, h)} % $CmsWidth AS bucket FROM $src")
+        .mkString(" UNION ALL ")
+      s"""WITH cmsrows AS (${rb("events")}),
+          cms AS (SELECT r, bucket, COUNT(*) AS cnt FROM cmsrows GROUP BY 1, 2),
+          probes AS (SELECT c_custkey AS user_id FROM customer
+                     WHERE c_custkey % 50 = 0),
+          prows AS (${rb("probes")}),
+          est AS (SELECT user_id, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_cnt
+                  FROM prows LEFT JOIN cms USING (r, bucket) GROUP BY 1),
+          exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1)
+          SELECT user_id,
+                 CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS exact_cnt, est_cnt,
+                 est_cnt - CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS overcount
+          FROM est LEFT JOIN exact USING (user_id)"""
+    },
     "a21_skew_report" ->
       """WITH pk AS (SELECT event_type, user_id, COUNT(*) AS c
                      FROM events GROUP BY 1, 2)
