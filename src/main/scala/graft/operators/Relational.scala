@@ -1141,6 +1141,61 @@ object Relational {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** j16 — POINT-IN-TIME (SCD2) JOIN: each click joined to the dim
+    * VERSION whose half-open validity interval contains it — the
+    * warehouse classic (fact row → dim attributes as of fact time)
+    * that j12's as-of cannot express: an as-of carries the latest
+    * prior version forever, while PIT must EXPIRE at `valid_to`, so a
+    * probe falling in a coverage GAP gets nulls even though an
+    * earlier version exists. The dim here is j11's version history
+    * thinned to odd versions (real gaps, exercising the expiry path);
+    * zero-length versions are dropped on both engines (unmatchable
+    * under half-open semantics, and the one instant they occupy must
+    * not shadow the sweep).
+    *
+    * Scale shape — the j12 union+window formulation extended with
+    * TOMBSTONES: version starts carry the attributes, version ends
+    * carry a null-attribute state row, probes read the last state row
+    * at-or-before them (`last(..., ignoreNulls)` over a rows frame;
+    * ends sort before starts before probes at equal instants, so
+    * boundary probes resolve exactly like the half-open predicate).
+    * ONE user_id exchange + one sort for the whole join — the naive
+    * interval theta-join plans as a per-user nested loop. The DuckDB
+    * twin deliberately runs that structurally different correlated
+    * interval join, so the differential checks semantics, not plan.
+    */
+  val j16_point_in_time: Q = (spark, dir) => {
+    val kept = j11_scd2_history(spark, dir)
+      .where(col("version_n") % 2 === 1)
+      .where(col("valid_to").isNull || col("valid_to") > col("valid_from"))
+    val nullSt = struct(lit(null).cast("long").as("version_n"),
+      lit(null).cast("string").as("dim_type"))
+    val starts = kept.select(col("user_id"),
+      unix_micros(col("valid_from")).as("tsu"), lit(0).as("tag"),
+      lit(0L).as("eid"),
+      struct(col("version_n"), col("event_type").as("dim_type")).as("st"))
+    val ends = kept.where(col("valid_to").isNotNull)
+      .select(col("user_id"), unix_micros(col("valid_to")).as("tsu"),
+        lit(0).as("tag"), lit(-1L).as("eid"), nullSt.as("st"))
+    val probes = events(spark, dir).where(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        lit(1).as("tag"), col("event_id").as("eid"),
+        // literally NULL (not a struct of nulls): probe rows must be
+        // SKIPPED by ignoreNulls, while end rows' null-FIELD struct
+        // participates and resets the carried attributes
+        lit(null).cast("struct<version_n:bigint,dim_type:string>").as("st"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("tag"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    starts.unionByName(ends).unionByName(probes)
+      .withColumn("cur", last(col("st"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("eid").as("event_id"), col("user_id"),
+        col("cur.version_n").as("version_n"),
+        col("cur.dim_type").as("dim_type"),
+        col("cur.version_n").isNotNull.as("in_version"))
+  }
+
   /** j12 — AS-OF JOIN (last-touch attribution): each purchase joined
     * to the SAME user's latest click at-or-before it — the operator
     * classic warehouses need (latest rate/dim-version/touchpoint at
@@ -1702,6 +1757,7 @@ object Relational {
     "a18_event_cube" -> a18_event_cube,
     "j14_multitouch_attribution" -> j14_multitouch_attribution,
     "j11_scd2_history" -> j11_scd2_history,
+    "j16_point_in_time" -> j16_point_in_time,
     "j12_attribution_asof" -> j12_attribution_asof,
     "j13_bloom_prune_join" -> j13_bloom_prune_join,
     "j15_bucketed_join" -> j15_bucketed_join,
@@ -2169,6 +2225,35 @@ object Relational {
                  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                    AS is_current
           FROM ch""",
+    // j16: structurally different correlated half-open interval join
+    // over the same odd-version dim (checks semantics, not plan)
+    "j16_point_in_time" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+                           lag(event_type) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                    FROM events),
+          ch AS (SELECT user_id, event_type, ts, event_id FROM c
+                 WHERE prev_type IS NULL OR prev_type <> event_type),
+          vv AS (SELECT user_id, event_type,
+                        CAST(row_number() OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                          AS version_n,
+                        ts AS valid_from,
+                        lead(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+                 FROM ch),
+          kept AS (SELECT * FROM vv
+                   WHERE version_n % 2 = 1
+                     AND (valid_to IS NULL OR valid_to > valid_from))
+          SELECT e.event_id, e.user_id,
+                 v.version_n, v.event_type AS dim_type,
+                 v.version_n IS NOT NULL AS in_version
+          FROM events e
+          LEFT JOIN kept v
+            ON v.user_id = e.user_id
+           AND v.valid_from <= e.ts
+           AND (v.valid_to IS NULL OR e.ts < v.valid_to)
+          WHERE e.event_type = 'click'""",
     // a07_dau_approx: no oracle — HLL sketches differ across engines;
     // the driver records a rows-only check and a03 anchors exactness.
     // a14_quantile_sketch: no oracle — the sketch depends on the merge
