@@ -181,6 +181,41 @@ object Relational {
         when(col("p._corrupt").isNotNull, col("raw")).as("raw_payload"))
   }
 
+  /** p16 — QUARANTINE REPLAY: the recovery half of the dead-letter
+    * loop p14 opened (route → PATCH → replay → verify), closing the
+    * fifth operational loop: quarantined payloads (raw text
+    * preserved, p14's contract) are re-parsed after the producer's
+    * fix — here the deterministic leading-brace strip the p14
+    * docstring diagnosed — and each replayed row carries BOTH the
+    * recovered value and an audit compare against the never-corrupted
+    * parse of the same event, so the replay job itself proves
+    * recovered ≡ clean before re-admitting anything (a replay that
+    * silently re-admits half-fixed rows is how quarantines corrupt
+    * downstream tables). On this fixture every row recovers and
+    * matches — the assertion IS the query's content, and the oracle
+    * re-derives the same values from the pristine column.
+    *
+    * Scale shape: the quarantine lane is a filtered scan (its
+    * selectivity is the corruption rate); the patch + re-parse are
+    * per-row projections; the audit join is keyed on event_id against
+    * the source scan. No state, no second pass over clean traffic.
+    */
+  val p16_quarantine_replay: Q = (spark, dir) => {
+    val quarantined = p14_corrupt_route(spark, dir).where(col("quarantined"))
+    val patched = regexp_replace(col("raw_payload"), "^\\}", "")
+    val clean = events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), lit("k STRING")).getField("k").as("k_clean"))
+    quarantined
+      .withColumn("p", from_json(patched, "k STRING, _corrupt STRING",
+        java.util.Map.of("columnNameOfCorruptRecord", "_corrupt")))
+      .select(col("event_id"), col("p.k").as("k"),
+        col("p._corrupt").isNull.as("recovered"))
+      .join(clean, "event_id")
+      .select(col("event_id"), col("k"), col("recovered"),
+        (col("k") <=> col("k_clean")).as("matches_clean"))
+  }
+
   /** P15 — DATA-CONTRACT CHECKS: the constraint battery a table's
     * producer publishes and its consumers gate on (the dbt-test /
     * expectations layer) — one row per named constraint with its
@@ -1764,6 +1799,7 @@ object Relational {
     "p12_quarantine" -> p12_quarantine,
     "p13_schema_evolution" -> p13_schema_evolution,
     "p14_corrupt_route" -> p14_corrupt_route,
+    "p16_quarantine_replay" -> p16_quarantine_replay,
     "p15_contract_checks" -> p15_contract_checks,
     "a19_decayed_engagement" -> a19_decayed_engagement,
     "a06_salted_agg" -> a06_salted_agg,
@@ -1923,6 +1959,24 @@ object Relational {
                 NOT json_valid(raw) AS quarantined,
                 CASE WHEN NOT json_valid(raw) THEN raw END AS raw_payload
          FROM m""",
+    // p16: replay the quarantine lane after the leading-brace patch;
+    // the audit compares against the pristine parse of the same event
+    "p16_quarantine_replay" ->
+      """WITH q AS (SELECT event_id, '}' || props AS raw_payload, props
+                    FROM events WHERE event_id % 11 = 0),
+          rp AS (SELECT event_id,
+                        regexp_replace(raw_payload, '^\}', '') AS patched,
+                        props
+                 FROM q)
+         SELECT event_id,
+                CASE WHEN json_valid(patched)
+                     THEN json_extract_string(patched, '$.k') END AS k,
+                json_valid(patched) AS recovered,
+                (CASE WHEN json_valid(patched)
+                      THEN json_extract_string(patched, '$.k') END
+                 IS NOT DISTINCT FROM json_extract_string(props, '$.k'))
+                  AS matches_clean
+         FROM rp""",
     "p01_envelope_parse" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
