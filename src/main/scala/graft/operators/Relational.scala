@@ -1503,6 +1503,39 @@ object Relational {
       .withColumn("skewed", col("skew_x1000") > 2000L)
   }
 
+  /** w05 — OHLC CANDLES (open-high-low-close per (series, hour)): the
+    * time-series summary shape every metrics/markets dashboard rolls
+    * up to, and the canonical use of ORDERED-PICK aggregates
+    * (`min_by`/`max_by`): open and close are the values at the
+    * candle's first and last instant under the TOTAL order
+    * (tsu, event_id) — a bare ts order would make equal-timestamp
+    * candles nondeterministic, the a16/j11 tie lesson. Money rides as
+    * integer cents (exact partials).
+    *
+    * Scale shape: ONE aggregation with map-side partials — min_by/
+    * max_by partials carry (value, key) pairs, so the exchange is
+    * |candles| rows per partition, never the raw series; no window
+    * pass, no sort. The DuckDB twin deliberately computes the picks
+    * the structurally different way (row_number edges), checking
+    * semantics, not implementation.
+    */
+  val w05_ohlc_candles: Q = (spark, dir) => {
+    val ord = struct(col("tsu"), col("event_id"))
+    events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        cents(col("value")).cast("long").as("c"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min_by(col("c"), ord).as("open_cents"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        max_by(col("c"), ord).as("close_cents"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Count-Min geometry for [[a23_count_min]]. */
   private val CmsDepth = 4
   private val CmsWidth = 1024L
@@ -1807,6 +1840,7 @@ object Relational {
     "a20_sketch_reagg" -> a20_sketch_reagg,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
+    "w05_ohlc_candles" -> w05_ohlc_candles,
     "a22_incremental_agg" -> a22_incremental_agg,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
@@ -1859,6 +1893,27 @@ object Relational {
                  event_id_unique = 0 FROM w
           UNION ALL SELECT 'user_id_in_customer', user_id_in_customer,
                  user_id_in_customer = 0 FROM w""",
+    // w05: the same candle arithmetic with the picks computed the
+    // structurally different way (row_number edges vs min_by/max_by)
+    "w05_ohlc_candles" ->
+      """WITH e AS (SELECT event_type,
+                           strftime(ts, '%Y-%m-%d %H') AS hour,
+                           CAST(round(value * 100) AS BIGINT) AS c,
+                           epoch_us(ts) AS tsu, event_id
+                    FROM events WHERE value IS NOT NULL),
+          r AS (SELECT *,
+                       row_number() OVER (PARTITION BY event_type, hour
+                                          ORDER BY tsu, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY event_type, hour
+                                          ORDER BY tsu DESC, event_id DESC) AS rn_d
+                FROM e)
+          SELECT event_type, hour,
+                 MAX(CASE WHEN rn_a = 1 THEN c END) AS open_cents,
+                 MAX(c) AS high_cents,
+                 MIN(c) AS low_cents,
+                 MAX(CASE WHEN rn_d = 1 THEN c END) AS close_cents,
+                 COUNT(*) AS n_events
+          FROM r GROUP BY 1, 2""",
     // a23: the same d portable xor-mixed hashes, fixed grid, min-of-d
     // point read — CMS is merge-order free, so the whole sketch
     // hash-matches
