@@ -969,8 +969,56 @@ object Dedup {
       .agg(count(lit(1)).as("n_eval_hits"), max(col("inter")).as("max_overlap"))
   }
 
-  private def duckDecontamSql: String =
-    s"""WITH $duckEvalCorpus,
+  /** d16 — EVAL-LEAKAGE REPORT: d08's contamination relation rolled up
+    * per EVAL item instead of per train doc — the leaderboard-
+    * integrity view (which benchmark items are compromised, how
+    * broadly, and by whom): hit count, worst overlap, and the
+    * deterministic worst offender (max_by under (inter, −doc_id) —
+    * highest overlap, ties to the smallest id, the d14 argmax
+    * convention). The two rollups are the two consumers real
+    * pipelines run off ONE pair relation: d08 gates the training
+    * side, this audits the eval side.
+    *
+    * Scale shape: identical to d08 up to the final |pairs|-row rollup
+    * (shared df-capped shingle exchange + candidate equi-join); at
+    * 100 TB the eval side stays broadcast-bounded.
+    */
+  val d16_eval_leakage: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val tr = documents(spark, dir).select(col("doc_id"), col("text"), lit("t").as("role"))
+    val ev = evalSet(spark, dir).select(col("doc_id"), col("text"), lit("e").as("role"))
+    val sh = tr.unionAll(ev)
+      .select(col("doc_id"), col("role"), shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("doc_id"), col("role"),
+        explode(Portable.hash60Array(col("shd"))).as("s"))
+    val kept = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .where(col("df") <= DfCap)
+      .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = kept.where(col("role") === "t").alias("a")
+      .join(kept.where(col("role") === "e").alias("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+      .where(col("inter") >= MinContamHits)
+    pairs.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_train_hits"),
+        max(col("inter")).as("max_overlap"),
+        // composite order packed into one long (inter ≤ 1e4 shingles,
+        // ids < 3e6): highest overlap wins, ties to the smallest id —
+        // the same scalar key on both engines
+        max_by(col("doc_id"),
+          col("inter") * 100000000L - col("doc_id")).as("worst_doc_id"))
+  }
+
+  /** The d08 contamination-pair CTE chain ending in
+    * `prs`(doc_id, eval_id, inter) — shared by the d08 and d16 oracle
+    * tails.
+    */
+  private def duckContamPairCtes: String =
+    s"""$duckEvalCorpus,
         corpus AS (
           SELECT doc_id, text, 't' AS role FROM documents
           UNION ALL SELECT doc_id, text, 'e' AS role FROM ev),
@@ -987,9 +1035,20 @@ object Dedup {
         prs AS (SELECT a.doc_id AS doc_id, b.doc_id AS eval_id, COUNT(*) AS inter
                 FROM ex a JOIN ex b ON a.s = b.s
                 WHERE a.role = 't' AND b.role = 'e'
-                GROUP BY 1, 2 HAVING COUNT(*) >= $MinContamHits)
+                GROUP BY 1, 2 HAVING COUNT(*) >= $MinContamHits)"""
+
+  private def duckDecontamSql: String =
+    s"""WITH $duckContamPairCtes
         SELECT doc_id, COUNT(*) AS n_eval_hits, MAX(inter) AS max_overlap
         FROM prs GROUP BY doc_id"""
+
+  private def duckEvalLeakageSql: String =
+    s"""WITH $duckContamPairCtes
+        SELECT eval_id, COUNT(*) AS n_train_hits,
+               CAST(MAX(inter) AS BIGINT) AS max_overlap,
+               CAST(arg_max(doc_id, inter * 100000000 - doc_id) AS BIGINT)
+                 AS worst_doc_id
+        FROM prs GROUP BY eval_id"""
 
   // ------------------------------------------------------------------
   // d09 — LSH banding parameter sweep
@@ -1338,6 +1397,7 @@ object Dedup {
     "d13_passage_dedup" -> d13_passage_dedup,
     "d14_canonical_rank" -> d14_canonical_rank,
     "d15_fuzzy_match" -> d15_fuzzy_match,
+    "d16_eval_leakage" -> d16_eval_leakage,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1355,6 +1415,7 @@ object Dedup {
     "d04_ngram_jaccard" -> duckNgramSql,
     "d07_dedup_clusters" -> duckClusterSql,
     "d08_decontam" -> duckDecontamSql,
+    "d16_eval_leakage" -> duckEvalLeakageSql,
     "d09_lsh_tuning" -> duckLshSweepSql,
     "d11_incremental_dedup" ->
       """WITH existing AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),

@@ -610,6 +610,49 @@ object Relational {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
   }
 
+  private val csvCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def csvCopy(spark: SparkSession, dir: String): String =
+    csvCache.computeIfAbsent(dir, _ => {
+      val p = graft.Tables.scratchDir("graft_csv_")
+      documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .csv(p)
+      p
+    })
+
+  /** S12 — CSV source with a PINNED schema and full quoting: the
+    * delimited-text ingest path completing the source-format matrix
+    * (parquet = the tables, JSON-lines = s10, CSV = this). Same
+    * discipline as s10 — schema declared, never inferred (inference
+    * is an extra full pass AND type-guesses drift) — plus the
+    * CSV-specific trap the writer settles: free text containing
+    * delimiters/newlines is only round-trippable under QUOTING
+    * (`quoteAll` on write; the reader's default quote handling parses
+    * it back), and a quoted field spanning newlines breaks naive
+    * line-splitting — which is why production lands CSV to a
+    * splittable columnar format at the door (this reader IS that
+    * door). `text` rides the round trip and the length re-check
+    * proves it: the oracle recomputes n_chars-consistency from the
+    * parquet twin, so a mis-parsed row (shifted columns, truncated
+    * quotes) cannot hash-match. Format changes encoding, never
+    * values.
+    */
+  val s12_csv_source: Q = (spark, dir) => {
+    val p = csvCopy(spark, dir)
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("header", "true")
+      .csv(p)
+      .where(col("n_chars") >= 400)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+  }
+
   /** One mixed-generation parquet dir per sfDir: generation 1 landed
     * WITHOUT the `value` column (the pre-migration envelope),
     * generation 2 appended WITH it — the fixture for the
@@ -1537,8 +1580,8 @@ object Relational {
   }
 
   /** Count-Min geometry for [[a23_count_min]]. */
-  private val CmsDepth = 4
-  private val CmsWidth = 1024L
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 1024L
 
   /** a23 — COUNT-MIN SKETCH (the point-query counter summary,
     * completing the mergeable-counter set beside a07's HLL, a14's
@@ -1783,6 +1826,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "s06_dim_scan" -> s06_dim_scan,
     "s10_json_source" -> s10_json_source,
+    "s12_csv_source" -> s12_csv_source,
     "s11_bucket_pruned_scan" -> s11_bucket_pruned_scan,
     "p02_cdc_route" -> p02_cdc_route,
     "p03_date_hour" -> p03_date_hour,
@@ -1859,6 +1903,12 @@ object Relational {
          WHERE r_name IN ('ASIA','EUROPE')""",
     "s10_json_source" ->
       """SELECT doc_id, lang, source, n_chars
+         FROM documents WHERE n_chars >= 400""",
+    // s12: the text column rides the quoted CSV round trip; its length
+    // re-derivation makes a mis-parse unable to hash-match
+    "s12_csv_source" ->
+      """SELECT doc_id, lang, source, n_chars,
+                CAST(len(text) AS BIGINT) AS text_len
          FROM documents WHERE n_chars >= 400""",
     "s11_bucket_pruned_scan" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,

@@ -2110,6 +2110,83 @@ object StreamQueries {
       .reduce(_ unionAll _)
   }
 
+  /** W-family streaming — OHLC CANDLES SERVED AT INGEST (streaming
+    * twin of w05, the st46/st47 finest-grain-state discipline applied
+    * to ordered-pick aggregates): the stream maintains per-(series,
+    * hour) candles in ONE update-mode aggregation — min_by/max_by
+    * under the total (tsu, event_id) order are ORDER-FREE over any
+    * delivery interleaving (the pick depends only on the multiset),
+    * and high/low/count are plain monotone partials — so the served
+    * table equals the batch candle relation exactly and the oracle is
+    * w05's verbatim. State = |candles| rows, ingest-rate independent;
+    * no watermark (update mode), the sentinel pre-filtered by id.
+    */
+  val st52_stream_ohlc_serve: Q = (spark, dir) => {
+    val ord = struct(col("tsu"), col("event_id"))
+    val base = Replay.eventsStream(spark, dir)
+      .where(col("event_id") >= 0 && col("value").isNotNull)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        graft.Tables.cents(col("value")).cast("long").as("c"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(
+        min_by(col("c"), ord).as("open_cents"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        max_by(col("c"), ord).as("close_cents"),
+        count(lit(1)).as("n_events"))
+    upsertServe(spark, base, Seq("event_type", "hour"), "n_events")
+      .select(col("event_type"), col("hour"), col("open_cents"),
+        col("high_cents"), col("low_cents"), col("close_cents"),
+        col("n_events"))
+  }
+
+  /** A-family streaming — THE COUNT-MIN SKETCH MAINTAINED AT INGEST
+    * (streaming twin of a23, the st36 bit-identical-artifact
+    * discipline on the counter grid): the d×w counter table is ONE
+    * update-mode aggregation keyed (r, bucket) — counts are additive
+    * and the grid is FIXED, so state is ≤ d·w rows regardless of
+    * ingest rate, and because CMS is merge-order free the streamed
+    * sketch equals the batch sketch EXACTLY: point estimates read
+    * from the served grid hash-match a23's oracle verbatim, no
+    * carve-out. The probe set + exact audit ride the batch side on
+    * read (count at ingest, estimate on read).
+    */
+  val st53_stream_cms_serve: Q = (spark, dir) => {
+    val R = graft.operators.Relational
+    val P = graft.functions.Portable
+    val h = P.hash60(concat(lit("cms:"), col("user_id").cast("string")))
+    val rows = (0 until R.CmsDepth).map(r =>
+      struct(lit(r.toLong).as("r"),
+        pmod(P.xorMix(r, h), lit(R.CmsWidth)).as("bucket")))
+    val build = Replay.eventsStream(spark, dir)
+      .where(col("event_id") >= 0)
+      .select(col("user_id"), explode(array(rows: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val cms = upsertServe(spark, build, Seq("r", "bucket"), "cnt")
+    val probes = graft.Tables.customer(spark, dir)
+      .where(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("user_id"))
+    val ph = P.hash60(concat(lit("cms:"), col("user_id").cast("string")))
+    val probeRows = probes.select(col("user_id"),
+      explode(array((0 until R.CmsDepth).map(r =>
+        struct(lit(r.toLong).as("r"),
+          pmod(P.xorMix(r, ph), lit(R.CmsWidth)).as("bucket"))): _*)).as("rb"))
+      .select(col("user_id"), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+    val est = probeRows.join(cms, Seq("r", "bucket"), "left")
+      .groupBy(col("user_id"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+    val exact = graft.Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    est.join(exact, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+        col("est_cnt"),
+        (col("est_cnt") - coalesce(col("exact_cnt"), lit(0L))).as("overcount"))
+  }
+
   /** st51 — THE COMPOSED INGEST FRONT DOOR: ONE streaming pipeline
     * chaining the proven admission gates in c06's order — the
     * streaming twin of `c06_incremental_manifest`'s front half and
@@ -2325,6 +2402,8 @@ object StreamQueries {
     "st49_stream_fuzzy_probe" -> st49_stream_fuzzy_probe,
     "st50_stream_contract_monitor" -> st50_stream_contract_monitor,
     "st51_stream_front_door" -> st51_stream_front_door,
+    "st52_stream_ohlc_serve" -> st52_stream_ohlc_serve,
+    "st53_stream_cms_serve" -> st53_stream_cms_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
     "st15_stream_corpus_prep" -> st15_stream_corpus_prep,
@@ -2524,6 +2603,14 @@ object StreamQueries {
                  value_non_negative = 0 FROM w
           UNION ALL SELECT 'user_id_in_customer', user_id_in_customer,
                  user_id_in_customer = 0 FROM w""",
+    // st52's served candles must equal the batch relation — the picks
+    // are order-free under the total (tsu, event_id) order
+    "st52_stream_ohlc_serve" ->
+      graft.operators.Relational.oracles("w05_ohlc_candles"),
+    // st53's streamed grid must equal the batch sketch bit-for-bit —
+    // CMS is merge-order free
+    "st53_stream_cms_serve" ->
+      graft.operators.Relational.oracles("a23_count_min"),
     // st51's served lanes must equal the chained batch gates: corrupt
     // route → mixture governor → drift gate (with c06's breaker) →
     // two-tier dedup admission → passage scrub, each the EXISTING
