@@ -1248,13 +1248,18 @@ object Relational {
       .where(col("valid_to").isNull || col("valid_to") > col("valid_from"))
     val nullSt = struct(lit(null).cast("long").as("version_n"),
       lit(null).cast("string").as("dim_type"))
-    val starts = kept.select(col("user_id"),
-      unix_micros(col("valid_from")).as("tsu"), lit(0).as("tag"),
-      lit(0L).as("eid"),
-      struct(col("version_n"), col("event_type").as("dim_type")).as("st"))
-    val ends = kept.where(col("valid_to").isNotNull)
-      .select(col("user_id"), unix_micros(col("valid_to")).as("tsu"),
-        lit(0).as("tag"), lit(-1L).as("eid"), nullSt.as("st"))
+    // start + end rows from ONE pass over the version subtree (two
+    // separate selects would plan the j11 window chain twice — Catalyst
+    // does not dedupe common subplans)
+    val stateRows = kept.select(col("user_id"),
+        explode(array(
+          struct(unix_micros(col("valid_from")).as("tsu"), lit(0L).as("eid"),
+            struct(col("version_n"), col("event_type").as("dim_type")).as("st")),
+          struct(unix_micros(col("valid_to")).as("tsu"), lit(-1L).as("eid"),
+            nullSt.as("st")))).as("r"))
+      .where(col("r.tsu").isNotNull) // open versions emit no end row
+      .select(col("user_id"), col("r.tsu").as("tsu"), lit(0).as("tag"),
+        col("r.eid").as("eid"), col("r.st").as("st"))
     val probes = events(spark, dir).where(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
         lit(1).as("tag"), col("event_id").as("eid"),
@@ -1265,7 +1270,7 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("tsu"), col("tag"), col("eid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    starts.unionByName(ends).unionByName(probes)
+    stateRows.unionByName(probes)
       .withColumn("cur", last(col("st"), ignoreNulls = true).over(w))
       .where(col("tag") === 1)
       .select(col("eid").as("event_id"), col("user_id"),

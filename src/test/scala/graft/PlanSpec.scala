@@ -324,6 +324,27 @@ class PlanSpec extends SparkSpecBase {
       s"the equality filter on the bucket key must prune to one bucket:\n$plan")
   }
 
+  test("j16: version build + sweep are the only exchanges; never a nested loop") {
+    val plan = graft.operators.Relational.j16_point_in_time(spark, sf)
+      .queryExecution.executedPlan.toString
+    // two exchanges total: the version-history build and the sweep —
+    // the irreducible pair (thinning needs version numbers, so the
+    // build cannot fold into the sweep's single pass)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2,
+      s"version build + sweep must be the only two user_id exchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the interval join must never plan as a nested loop:\n$plan")
+  }
+
+  test("w05: candles are ONE aggregation exchange, no window pass") {
+    val plan = graft.operators.Relational.w05_ohlc_candles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"ordered-pick aggregates must ride one candle-keyed exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"min_by/max_by must not fall back to a window + sort:\n$plan")
+  }
+
   test("n22: the index point probe reads ONE bucket of 8") {
     val plan = graft.operators.Similarity.n22_index_point_probe(spark, sf)
       .queryExecution.executedPlan.toString
