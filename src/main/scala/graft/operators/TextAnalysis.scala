@@ -140,10 +140,17 @@ object TextAnalysis {
     * English-looking-but-synthetic corpus fails. The thresholds stay
     * canonical rather than fixture-tuned.
     */
-  val t27_gopher_rules: Q = (spark, dir) => {
+  val t27_gopher_rules: Q = (spark, dir) =>
+    gopherRules(documents(spark, dir))
+
+  /** t27's rule battery over any (doc_id, text) relation — one
+    * stateless projection, shared verbatim by the batch audit and the
+    * ingest gate (st54) so both modes judge identically.
+    */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val lines = split(col("text"), "\n")
-    documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"), toks.as("toks"), lines.as("lines"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),

@@ -2110,6 +2110,26 @@ object StreamQueries {
       .reduce(_ unionAll _)
   }
 
+  /** T-family streaming — THE GOPHER GATE AT INGEST (streaming twin
+    * of t27): the published hard-rule battery runs as ONE stateless
+    * per-row projection on the document firehose — the quality
+    * front-door a crawl pipeline bolts beside st39's mixture governor
+    * and st45's drift gate (st51's composition shows where it slots).
+    * No joins, no state, no watermark: every rule is per-row exact
+    * integer arithmetic shared verbatim with the batch audit
+    * ([[graft.operators.TextAnalysis.gopherRules]]), so the appended
+    * verdicts equal t27's relation and the oracle is t27's verbatim.
+    * The sentinel drops on the id filter after replay.
+    */
+  val st54_stream_gopher_gate: Q = (spark, dir) => {
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .select(col("doc_id"), col("text"))
+    Replay.runAppend(spark,
+      graft.operators.TextAnalysis.gopherRules(docs))
+      .where(col("doc_id") >= 0)
+  }
+
   /** W-family streaming — OHLC CANDLES SERVED AT INGEST (streaming
     * twin of w05, the st46/st47 finest-grain-state discipline applied
     * to ordered-pick aggregates): the stream maintains per-(series,
@@ -2403,6 +2423,7 @@ object StreamQueries {
     "st50_stream_contract_monitor" -> st50_stream_contract_monitor,
     "st51_stream_front_door" -> st51_stream_front_door,
     "st52_stream_ohlc_serve" -> st52_stream_ohlc_serve,
+    "st54_stream_gopher_gate" -> st54_stream_gopher_gate,
     "st53_stream_cms_serve" -> st53_stream_cms_serve,
     "st17_stream_ann_serve" -> st17_stream_ann_serve,
     "st14_stream_index" -> st14_stream_index,
@@ -2603,6 +2624,10 @@ object StreamQueries {
                  value_non_negative = 0 FROM w
           UNION ALL SELECT 'user_id_in_customer', user_id_in_customer,
                  user_id_in_customer = 0 FROM w""",
+    // st54's appended verdicts must equal t27's audit — the battery
+    // is one shared stateless projection
+    "st54_stream_gopher_gate" ->
+      graft.operators.TextAnalysis.oracles("t27_gopher_rules"),
     // st52's served candles must equal the batch relation — the picks
     // are order-free under the total (tsu, event_id) order
     "st52_stream_ohlc_serve" ->
