@@ -1279,6 +1279,75 @@ object Relational {
         col("cur.version_n").isNotNull.as("in_version"))
   }
 
+  /** j17 — CDC CHANGELOG APPLY (batch MERGE materialization): compact
+    * an ordered insert/update/delete changelog into the latest state
+    * per key — the operation the reference's whole ODS layer exists to
+    * feed (Maxwell rows land in Kafka, ods/KafkaToODS_M.scala:49-69
+    * routes them, and every dim app then REPLAYS them into HBase/Redis
+    * row-at-a-time; this is that replay as ONE declarative pass).
+    * Semantics are Maxwell/Debezium partial-image: an `insert` sets
+    * every column, an `update` carries ONLY the changed columns (the
+    * rest arrive null and must not clobber), a `delete` tombstones the
+    * key. Updates to a key that was never inserted (or whose last
+    * marker is a delete) are DROPPED — applying them would resurrect
+    * deleted rows, the classic CDC-apply bug.
+    *
+    * The changelog is derived deterministically from events: signup →
+    * insert (full image), error → delete, purchase/click → update of
+    * balance_c (purchase also re-segments to 'buyer'), view → update
+    * of segment only. Apply shape: a running count of insert/delete
+    * markers assigns each row a GENERATION; only the key's last
+    * generation survives (an insert resets state — pre-reinsert
+    * updates must not leak through), and within it each column takes
+    * its last non-null value via `max(struct(tsu, eid, col))` filtered
+    * to non-null rows. ONE user_id exchange total: the generation
+    * window, the full-frame max and the final rollup all ride the same
+    * hash distribution. The DuckDB twin uses a structurally different
+    * arg_max-with-FILTER formulation, so the differential checks the
+    * apply semantics, not the plan.
+    */
+  /** [[j17_cdc_apply]]'s apply step over an arbitrary changelog of
+    * (user_id, tsu, eid, op, balance_c, segment) rows — exposed so the
+    * spec can pin the generation-reset / dropped-orphan-update /
+    * tombstone semantics on a hand-built log where the order is
+    * controlled.
+    */
+  private[graft] def cdcApply(log: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ordered = W.partitionBy(col("user_id")).orderBy(col("tsu"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = when(col("op").isin("insert", "delete"), 1L).otherwise(0L)
+    val withGen = log
+      .withColumn("gen", sum(boundary).over(ordered))
+      .withColumn("last_gen", max(col("gen")).over(W.partitionBy(col("user_id"))))
+      .where(col("gen") === col("last_gen") && col("last_gen") >= 1)
+    def lastNonNull(c: String) =
+      max(when(col(c).isNotNull, struct(col("tsu"), col("eid"), col(c))))
+        .getField(c).as(c)
+    withGen.groupBy(col("user_id"))
+      .agg(max(when(col("op") =!= "update", col("op"))).as("opener"),
+        lastNonNull("balance_c"), lastNonNull("segment"),
+        count(lit(1)).as("n_ops"), max(col("tsu")).as("last_tsu"))
+      .where(col("opener") === "insert")
+      .select(col("user_id"), col("balance_c"), col("segment"),
+        col("n_ops"), col("last_tsu"))
+  }
+
+  val j17_cdc_apply: Q = (spark, dir) => {
+    val log = events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id").as("eid"),
+      when(col("event_type") === "signup", "insert")
+        .when(col("event_type") === "error", "delete")
+        .otherwise("update").as("op"),
+      when(col("event_type").isin("signup", "click", "purchase"),
+        graft.Tables.cents(col("value")).cast("long")).as("balance_c"),
+      when(col("event_type") === "signup", lit("new"))
+        .when(col("event_type") === "purchase", lit("buyer"))
+        .when(col("event_type") === "view",
+          concat(lit("seg_"), col("event_id") % 5)).as("segment"))
+    cdcApply(log)
+  }
+
   /** j12 — AS-OF JOIN (last-touch attribution): each purchase joined
     * to the SAME user's latest click at-or-before it — the operator
     * classic warehouses need (latest rate/dim-version/touchpoint at
@@ -1875,6 +1944,7 @@ object Relational {
     "j14_multitouch_attribution" -> j14_multitouch_attribution,
     "j11_scd2_history" -> j11_scd2_history,
     "j16_point_in_time" -> j16_point_in_time,
+    "j17_cdc_apply" -> j17_cdc_apply,
     "j12_attribution_asof" -> j12_attribution_asof,
     "j13_bloom_prune_join" -> j13_bloom_prune_join,
     "j15_bucketed_join" -> j15_bucketed_join,
@@ -2418,6 +2488,36 @@ object Relational {
            AND v.valid_from <= e.ts
            AND (v.valid_to IS NULL OR e.ts < v.valid_to)
           WHERE e.event_type = 'click'""",
+    // j17: structurally different arg_max-with-FILTER apply over the
+    // same derived changelog (checks the CDC semantics, not the plan)
+    "j17_cdc_apply" ->
+      """WITH log AS (
+           SELECT user_id, epoch_us(ts) AS tsu, event_id AS eid,
+                  CASE event_type WHEN 'signup' THEN 'insert'
+                                  WHEN 'error' THEN 'delete'
+                                  ELSE 'update' END AS op,
+                  CASE WHEN event_type IN ('signup','click','purchase')
+                       THEN CAST(ROUND(value*100) AS BIGINT) END AS balance_c,
+                  CASE event_type WHEN 'signup' THEN 'new'
+                                  WHEN 'purchase' THEN 'buyer'
+                                  WHEN 'view' THEN 'seg_' || CAST(event_id % 5 AS VARCHAR)
+                  END AS segment
+           FROM events),
+          g AS (SELECT *,
+                  SUM(CASE WHEN op IN ('insert','delete') THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY tsu, eid
+                          ROWS UNBOUNDED PRECEDING) AS gen
+                FROM log),
+          lg AS (SELECT *, MAX(gen) OVER (PARTITION BY user_id) AS last_gen FROM g),
+          k AS (SELECT *, CAST(tsu AS HUGEINT) * 100000000 + eid AS ord
+                FROM lg WHERE gen = last_gen AND last_gen >= 1)
+          SELECT user_id,
+                 arg_max(balance_c, ord) FILTER (balance_c IS NOT NULL) AS balance_c,
+                 arg_max(segment, ord) FILTER (segment IS NOT NULL) AS segment,
+                 COUNT(*) AS n_ops, MAX(tsu) AS last_tsu
+          FROM k
+          GROUP BY user_id
+          HAVING MAX(op) FILTER (op IN ('insert','delete')) = 'insert'""",
     // a07_dau_approx: no oracle — HLL sketches differ across engines;
     // the driver records a rows-only check and a03 anchors exactness.
     // a14_quantile_sketch: no oracle — the sketch depends on the merge

@@ -147,6 +147,42 @@ class RelationalSpec extends SparkSpecBase {
       rows.find(_.getLong(0) == 2L).get.getBoolean(5))
   }
 
+  /** The CDC-apply semantics pinned on a hand-built changelog where
+    * the order is controlled (the oracle differential runs the same
+    * derivation on both engines, so it can't catch a shared
+    * misreading of the semantics themselves):
+    *  - partial update patches one column, keeps the other
+    *  - re-insert RESETS state (pre-reinsert updates must not leak)
+    *  - a delete tombstones the key even with earlier generations
+    *  - updates to a never-inserted key are dropped, not applied
+    */
+  test("j17: generation reset, tombstone and orphan-update semantics") {
+    import spark.implicits._
+    val log = Seq(
+      // u1: insert(10,new) → update balance 20 → insert(5,re) → update segment
+      (1L, 10L, 1L, "insert", Some(10L), Some("new")),
+      (1L, 20L, 2L, "update", Some(20L), None),
+      (1L, 30L, 3L, "insert", Some(5L), Some("re")),
+      (1L, 40L, 4L, "update", None, Some("gold")),
+      // u2: insert → delete (tombstoned)
+      (2L, 10L, 5L, "insert", Some(7L), Some("new")),
+      (2L, 20L, 6L, "delete", None, None),
+      // u3: update only, never inserted (orphan — dropped)
+      (3L, 10L, 7L, "update", Some(9L), None),
+      // u4: delete then update after the delete (must NOT resurrect)
+      (4L, 10L, 8L, "insert", Some(1L), Some("new")),
+      (4L, 20L, 9L, "delete", None, None),
+      (4L, 30L, 10L, "update", Some(99L), None))
+      .toDF("user_id", "tsu", "eid", "op", "balance_c", "segment")
+    val out = Relational.cdcApply(log)
+      .orderBy("user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // u1 survives with the RE-INSERTED balance (5, not 20), the
+    // post-reinsert segment patch, and only gen-2 ops counted
+    assert(out.toSeq === Seq((1L, 5L, "gold", 2L)))
+  }
+
   test("j14: per-purchase credit conserves the purchase's cents exactly") {
     val out = Relational.j14_multitouch_attribution(spark, sf)
       .groupBy(col("purchase_id"))
