@@ -216,6 +216,47 @@ object Relational {
         (col("k") <=> col("k_clean")).as("matches_clean"))
   }
 
+  /** p17 — SNAPSHOT DIFF: the added/removed/changed delta between two
+    * versions of a keyed table — the table-versioning primitive every
+    * lakehouse workflow leans on (incremental exports, CDC backfill
+    * reconciliation, audit of a nightly rebuild against yesterday's:
+    * what did the pipeline actually change?). The "new" snapshot is
+    * derived deterministically from documents: every doc_id%11==5 row
+    * removed, every %7==3 row's text mutated, and a %13==2 cohort
+    * re-added under the planted-fixture id offset (headroom-asserted
+    * in [[graft.Tables.documents]]).
+    *
+    * Scale shape: ONE full-outer join keyed on doc_id (sort-merge;
+    * both sides shuffle once), classification is row-local, and
+    * UNCHANGED rows are suppressed — the output is the delta, not the
+    * corpus, so a 100 TB diff with 0.1 % churn emits 100 GB. Rows
+    * here carry lengths only; at scale the compare column is a
+    * fingerprint (xxhash64) computed AT WRITE time and stored with
+    * each snapshot, so the diff never ships text — the differential
+    * compares the text directly because string equality is the
+    * engine-portable form of that fingerprint compare.
+    */
+  val p17_snapshot_diff: Q = (spark, dir) => {
+    val base = documents(spark, dir).select(col("doc_id"), col("text"))
+    val next = base.where(!(col("doc_id") % 11 === 5))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [v2]")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(base.where(col("doc_id") % 13 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" [new]")).as("text")))
+    val o = base.select(col("doc_id").as("okey"), col("text").as("old_text"))
+    val n = next.select(col("doc_id").as("nkey"), col("text").as("new_text"))
+    o.join(n, col("okey") === col("nkey"), "full_outer")
+      .select(coalesce(col("okey"), col("nkey")).as("doc_id"),
+        when(col("okey").isNull, "added")
+          .when(col("nkey").isNull, "removed")
+          .when(col("old_text") =!= col("new_text"), "changed").as("change"),
+        length(col("old_text")).cast("long").as("old_len"),
+        length(col("new_text")).cast("long").as("new_len"))
+      .where(col("change").isNotNull)
+  }
+
   /** P15 — DATA-CONTRACT CHECKS: the constraint battery a table's
     * producer publishes and its consumers gate on (the dbt-test /
     * expectations layer) — one row per named constraint with its
@@ -1952,6 +1993,7 @@ object Relational {
     "p13_schema_evolution" -> p13_schema_evolution,
     "p14_corrupt_route" -> p14_corrupt_route,
     "p16_quarantine_replay" -> p16_quarantine_replay,
+    "p17_snapshot_diff" -> p17_snapshot_diff,
     "p15_contract_checks" -> p15_contract_checks,
     "a19_decayed_engagement" -> a19_decayed_engagement,
     "a06_salted_agg" -> a06_salted_agg,
@@ -2157,6 +2199,25 @@ object Relational {
                  IS NOT DISTINCT FROM json_extract_string(props, '$.k'))
                   AS matches_clean
          FROM rp""",
+    "p17_snapshot_diff" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+          nxt AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3 THEN text || ' [v2]' ELSE text END AS text
+            FROM base WHERE doc_id % 11 <> 5
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text || ' [new]' AS text
+            FROM base WHERE doc_id % 13 = 2)
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      WHEN o.text <> n.text THEN 'changed' END AS change,
+                 LENGTH(o.text) AS old_len,
+                 LENGTH(n.text) AS new_len
+          FROM base o FULL OUTER JOIN nxt n ON o.doc_id = n.doc_id
+          WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.text <> n.text THEN 'changed' END IS NOT NULL""",
     "p01_envelope_parse" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,

@@ -793,6 +793,46 @@ object TextAnalysis {
       .where(col("u") < (rate * 10000).cast("long"))
   }
 
+  /** [[t28_weighted_sample]]'s sample size. */
+  private[graft] val WSampleK = 100
+
+  /** t28 — WEIGHTED SAMPLE (priority sampling, Duffield–Lund–Thorup):
+    * a DETERMINISTIC weight-proportional sample of k documents —
+    * t15's stratified sampler answers "keep p% of each language";
+    * this answers the other sampling question a corpus pipeline asks:
+    * "give me k docs where a doc's chance scales with its WEIGHT"
+    * (chars here; tokens, quality mass or cost in production), with
+    * an unbiased subset-sum estimator attached. Each doc gets
+    * priority w/u where u = (hash60(id)+1)/2⁶⁰ — the k largest
+    * priorities ARE the sample, and τ = the (k+1)-th priority turns
+    * it into the Horvitz–Thompson estimate Σ max(wᵢ, τ) of ANY
+    * weight-subtotal (spec-asserted against the true total). The
+    * hash replaces randomness (t15's discipline), so the sample is
+    * reproducible and the oracle differential exact: priority =
+    * (double(w)·2⁶⁰)/double(h+1) is one IEEE multiply + one divide,
+    * both correctly rounded — bit-identical cross-engine.
+    *
+    * Scale shape: priorities are row-local; the global top-k rides
+    * the bounded [[graft.functions.TopKAggregator]] (map-side O(k)
+    * buffers, ONE k-row merge — never a global sort); the weight
+    * join-back broadcasts k rows. The oracle's global-window
+    * row_number is exactly the plan this avoids.
+    */
+  val t28_weighted_sample: Q = (spark, dir) => {
+    val h = Portable.hash60(concat(lit("wsample:"), col("doc_id").cast("string")))
+    val pri = (col("n_chars").cast("double") * lit(1152921504606846976.0)) /
+      (h + lit(1L)).cast("double")
+    val tk = documents(spark, dir)
+      .select(pri.as("pri"), col("doc_id"))
+      .agg(graft.functions.TopK.topK(WSampleK)(col("pri"), col("doc_id")).as("tk"))
+    val sample = tk.select(posexplode(col("tk.items")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"), col("col.score").as("pri"))
+    documents(spark, dir).select(col("doc_id"), col("n_chars").as("w"))
+      .join(broadcast(sample), "doc_id")
+      .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
+  }
+
   /** t16 — CORPUS ACCOUNTING: the per-(lang, source) rollup every
     * curation pipeline reports before/after its gates — document and
     * token counts, character volume, English-gate hit count and the
@@ -1510,6 +1550,7 @@ object TextAnalysis {
     "t13_corpus_prep" -> t13_corpus_prep,
     "t14_pack" -> t14_pack,
     "t15_stratified_sample" -> t15_stratified_sample,
+    "t28_weighted_sample" -> t28_weighted_sample,
     "t16_corpus_stats" -> t16_corpus_stats,
     "t17_bpe_unseen" -> t17_bpe_unseen,
     "t18_bigram_lm" -> t18_bigram_lm,
@@ -1955,6 +1996,19 @@ object TextAnalysis {
                   FROM sc GROUP BY doc_id)
           SELECT doc_id, score_micro, n_terms FROM agg
           ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""",
+    // t28: global-window formulation (structurally different from the
+    // bounded top-k aggregator; checks the sample, not the plan)
+    "t28_weighted_sample" -> {
+      val h = Portable.duckHash60("concat('wsample:', CAST(doc_id AS VARCHAR))")
+      s"""WITH w AS (SELECT doc_id, n_chars AS w,
+                 (CAST(n_chars AS DOUBLE) * 1152921504606846976.0)
+                   / CAST(($h + 1) AS DOUBLE) AS pri
+               FROM documents),
+          r AS (SELECT doc_id, w, pri,
+                  CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS BIGINT) AS rnk
+                FROM w)
+          SELECT rnk, doc_id, w, pri FROM r WHERE rnk <= $WSampleK"""
+    },
     "t20_nb_quality" -> duckNbQualitySql,
     "t18_bigram_lm" -> duckBigramLmSql,
     "t19_domain_mixture" -> duckDomainMixtureSql,

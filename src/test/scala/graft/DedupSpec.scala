@@ -155,6 +155,30 @@ class DedupSpec extends SparkSpecBase {
       (96L, 0L, 5000L, 1L, 1904L)), s"got ${got.toSeq}")
   }
 
+  /** t28's real payoff is the estimator: the k-doc priority sample +
+    * τ = (k+1)-th priority gives the unbiased Horvitz–Thompson
+    * estimate Σ max(wᵢ, τ) of the corpus's TOTAL weight — asserted
+    * here against the true total (the differential gate checks the
+    * sample rows; only the spec can check the estimate contract).
+    */
+  test("t28: Horvitz-Thompson estimate from the priority sample tracks the true total") {
+    val k = TextAnalysis.WSampleK
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("double").as("w"),
+        (col("n_chars").cast("double") * lit(1152921504606846976.0) /
+          (graft.functions.Portable.hash60(
+            concat(lit("wsample:"), col("doc_id").cast("string"))) + lit(1L))
+            .cast("double")).as("pri"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .sortBy { case (_, pri) => -pri }
+    val trueTotal = docs.map(_._1).sum
+    assert(docs.length > k + 1, "fixture must exceed the sample size")
+    val tau = docs(k)._2
+    val est = docs.take(k).map { case (w, _) => math.max(w, tau) }.sum
+    val relErr = math.abs(est - trueTotal) / trueTotal
+    assert(relErr <= 0.25, s"HT estimate $est vs true $trueTotal (relErr $relErr)")
+  }
+
   test("t15: stratified sample keeps every non-en doc, downsamples en, deterministically") {
     val dir = tmpDir("t15_fixture_")
     val docs = (0 until 200).map(i => (i.toLong, s"en text $i", "en", "web", 10L)) ++
