@@ -1631,6 +1631,65 @@ object Similarity {
     nearDupPairs(e.unionAll(pert), CellCap)
   }
 
+  /** d17 — SEMDEDUP (cluster-then-dedup): the keep/drop VERDICT layer
+    * over embedding-space near-dups, the Abbas-et-al. SemDeDup recipe
+    * — where d05 emits the near-dup PAIRS, a curation pipeline needs
+    * a per-document decision, and SemDeDup's is: cluster the corpus
+    * (k-means cells — the real [[assignCells]] quantizer, not d05's
+    * pre-baked labels), and within each cluster drop every member
+    * that has a ≥-threshold neighbor sitting CLOSER to their shared
+    * centroid (tie → smaller vec_id wins). Keeping the most central
+    * copy (not the min-id one, d01's rule, nor the best-connected,
+    * d14's) biases retention toward the cluster's semantic core. The
+    * rule is deliberately one-pass greedy: a dropped member can still
+    * doom its own neighbors (A beats B, B beats C ⇒ only A survives
+    * even if A–C was never a candidate pair) — the fixpoint
+    * alternative is d07/d14's territory, and production SemDeDup runs
+    * exactly this one-pass form.
+    *
+    * Scale shape: assignment is the bounded n·k broadcast fold; pairs
+    * come from [[nearDupPairs]]'s cell-capped equi-join (never
+    * all-pairs); the centroid-proximity lookup is two keyed joins of
+    * the bounded pair set back to the assignment; verdicts are a
+    * distinct + one left join. Everything keys on vec_id or the cell
+    * — no global structure, O(cells·cap²) candidate work.
+    */
+  /** [[d17_semdedup]]'s (assignment, candidate-pair) construction,
+    * exposed so the spec can join the verdicts back to the exact pair
+    * set the operator judged.
+    */
+  private[graft] def semDedupParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val pert = e.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array_repeat(lit(0.0f), 8), slice(col("v"), 9, 56)).as("v"))
+    val corpus = e.unionAll(pert)
+    val cents = e.where(col("vec_id") % CentroidStride === 0)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = scoredAssign(corpus, cents, carryVec = true)
+    val pairs = nearDupPairs(
+      assigned.select(col("vec_id"), col("cell_id").as("label"), col("v")), CellCap)
+    (assigned, pairs)
+  }
+
+  val d17_semdedup: Q = (spark, dir) => {
+    val (assigned, pairs) = semDedupParts(spark, dir)
+    val centScore = assigned.select(col("vec_id"), col("cell_id"),
+      col("cos6").as("cent6"))
+    val beaten = pairs
+      .join(centScore.select(col("vec_id").as("vec_a"), col("cent6").as("cent_a")), "vec_a")
+      .join(centScore.select(col("vec_id").as("vec_b"), col("cent6").as("cent_b")), "vec_b")
+      .select(
+        when(col("cent_a") > col("cent_b"), col("vec_b"))
+          .when(col("cent_a") < col("cent_b"), col("vec_a"))
+          .otherwise(greatest(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .distinct()
+    centScore.join(beaten.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"), col("cent6"),
+        coalesce(col("hit"), lit(false)) === false as "keep")
+  }
+
   /** d10 — SEMANTIC DECONTAMINATION: the embedding-space twin of d08's
     * shingle decontamination (paraphrased eval leakage carries no
     * shingle overlap — the reason modern pipelines run BOTH): flag
@@ -1709,6 +1768,7 @@ object Similarity {
     "n19_hybrid_ivf" -> n19_hybrid_ivf,
     "d05_embedding_neardup" -> d05_embedding_neardup,
     "d10_semantic_decontam" -> d10_semantic_decontam,
+    "d17_semdedup" -> d17_semdedup,
   )
 
   // ------------------------------------------------------------------
@@ -2379,6 +2439,52 @@ object Similarity {
                  COALESCE(mtc.matched, 0) / ${K}.0 AS recall10
           FROM pr CROSS JOIN q
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
+    // d17: same cells/pairs construction, verdicts via a correlated
+    // CASE over the pair set (structurally different argmax pick)
+    "d17_semdedup" -> {
+      val h60vid = Portable.duckHash60("CAST(vec_id AS VARCHAR)")
+      s"""WITH e0 AS (SELECT vec_id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings),
+          corpus AS (
+            SELECT vec_id, v FROM e0
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_concat([0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], v[9:])
+            FROM e0 WHERE vec_id % 10 = 0),
+          n AS (SELECT vec_id, v,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM corpus),
+          c AS (SELECT vec_id AS cid, v AS cv,
+                  sqrt(list_sum(list_transform(v, x -> x * x))) AS cn
+                FROM e0 WHERE vec_id % $CentroidStride = 0),
+          p AS (SELECT n.vec_id, cid,
+                  round(list_sum(list_transform(list_zip(cv, n.v), t -> t[1] * t[2]))
+                        / (cn * nrm) * 1000000) / 1000000 AS cos6
+                FROM n, c),
+          a AS (SELECT vec_id, cid AS cell_id, cos6 AS cent6 FROM p
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) = 1),
+          av AS (SELECT a.vec_id, a.cell_id, a.cent6, n.v, n.nrm
+                 FROM a JOIN n USING (vec_id)),
+          counts AS (SELECT cell_id, COUNT(*) AS cnt FROM av GROUP BY cell_id),
+          sb AS (SELECT av.*, $h60vid % ((cnt + ${CellCap - 1}) // $CellCap) AS sub
+                 FROM av JOIN counts USING (cell_id)),
+          pr AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   x.cent6 AS cent_a, y.cent6 AS cent_b,
+                   round(list_sum(list_transform(list_zip(x.v, y.v), t -> t[1] * t[2]))
+                         / (x.nrm * y.nrm) * 1000000) / 1000000 AS cos6
+                 FROM sb x JOIN sb y
+                   ON x.cell_id = y.cell_id AND x.sub = y.sub
+                  AND x.vec_id < y.vec_id),
+          drops AS (SELECT DISTINCT
+                      CASE WHEN cent_a > cent_b THEN vec_b
+                           WHEN cent_a < cent_b THEN vec_a
+                           ELSE greatest(vec_a, vec_b) END AS vec_id
+                    FROM pr WHERE cos6 >= $NearDupThreshold)
+          SELECT av.vec_id, av.cell_id, av.cent6,
+                 (d.vec_id IS NULL) AS keep
+          FROM av LEFT JOIN drops d ON av.vec_id = d.vec_id"""
+    },
     "d05_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -20,6 +20,37 @@ class SimilaritySpec extends SparkSpecBase {
     (0 until n).map(i => (i.toLong, 1L, v)).toDF("vec_id", "label", "v")
   }
 
+  /** d17's verdict contract: in every candidate near-dup pair the
+    * less-central member is dropped, so (a) no pair survives with
+    * BOTH members kept, and (b) each cell's most-central member
+    * (cent6 desc, vec_id asc) can never lose a comparison — it is
+    * always kept. Both are invariants the differential can't state
+    * (it only re-derives the same rows).
+    */
+  test("d17: no intact near-dup pair survives; cell champions always survive") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Similarity.d17_semdedup(spark, sf)
+    out.cache()
+    val dropped = out.where(!col("keep")).count()
+    assert(dropped > 0, "fixture must make the verdict non-vacuous")
+    // every cell's (cent6 desc, vec_id asc) champion is kept
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell_id")).orderBy(col("cent6").desc, col("vec_id"))
+    val champsDropped = out
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && !col("keep")).count()
+    assert(champsDropped === 0, s"$champsDropped cell champions were dropped")
+    // no judged pair keeps BOTH members
+    val (_, pairs) = graft.operators.Similarity.semDedupParts(spark, sf)
+    val keepFlags = out.select(col("vec_id"), col("keep"))
+    val intact = pairs
+      .join(keepFlags.select(col("vec_id").as("vec_a"), col("keep").as("ka")), "vec_a")
+      .join(keepFlags.select(col("vec_id").as("vec_b"), col("keep").as("kb")), "vec_b")
+      .where(col("ka") && col("kb")).count()
+    assert(intact === 0, s"$intact near-dup pairs survived with both members kept")
+    out.unpersist()
+  }
+
   test("an oversized cell is sub-bucketed: fan-out stays far below c²") {
     GraftExtensions.register(spark)
     val n = 300
