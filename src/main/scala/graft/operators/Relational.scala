@@ -1769,6 +1769,46 @@ object Relational {
       p
     })
 
+  /** a24 — ROBUST OUTLIER DETECTION (median/MAD): flag events whose
+    * value deviates from its type's MEDIAN by more than 3 robust
+    * sigmas (MAD · 1.4826) — the monitoring gate a21's mean-based
+    * skew report can't provide, because mean and stddev are
+    * themselves dragged by the outliers they're meant to find; the
+    * median/MAD pair has a 50 % breakdown point. All arithmetic is
+    * exact integers: values in cents, the 3·1.4826 threshold as the
+    * cross-multiplied compare `10000·dev > 44478·mad` — no doubles
+    * anywhere, so the engines agree bit-for-bit.
+    *
+    * Scale shape: both medians are picked order statistics (a13's
+    * rn = ⌈n/2⌉ pick); each pick costs one hash(event_type)
+    * exchange + sort (two total, plan-spec-bounded), and the
+    * |types|-row med/mad relations broadcast back. Output is
+    * outliers only — the delta, not the corpus. At 100 TB the exact
+    * per-group sort follows a13's deferral: swap the pick for a14's
+    * mergeable quantile sketch and the whole query becomes one
+    * map-side pass. The DuckDB twin uses quantile_disc (same lower-
+    * median semantics, different construction).
+    */
+  val a24_outlier_mad: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type"))
+    val x = events(spark, dir).select(col("event_id"), col("event_type"),
+      graft.Tables.cents(col("value")).cast("long").as("xc"))
+    def medOf(df: DataFrame, c: String, out: String) = df
+      .withColumn("rn", row_number().over(byType.orderBy(col(c), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")), col(c))).as(out))
+    val med = medOf(x, "xc", "med")
+    val dev = x.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("xc") - col("med")))
+    val mad = medOf(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .where(col("dev") * 10000 > col("mad") * 44478)
+      .select(col("event_id"), col("event_type"), col("xc"),
+        col("med"), col("mad"), col("dev"))
+  }
+
   /** a22 — INCREMENTAL AGGREGATE MAINTENANCE (materialized-view
     * refresh): tonight's per-customer totals computed WITHOUT
     * rescanning history — the standing aggregate (landed nightly,
@@ -2003,6 +2043,7 @@ object Relational {
     "a23_count_min" -> a23_count_min,
     "w05_ohlc_candles" -> w05_ohlc_candles,
     "a22_incremental_agg" -> a22_incremental_agg,
+    "a24_outlier_mad" -> a24_outlier_mad,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
@@ -2103,6 +2144,22 @@ object Relational {
                  est_cnt - CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS overcount
           FROM est LEFT JOIN exact USING (user_id)"""
     },
+    // a24: quantile_disc formulation (same lower-median semantics as
+    // the Spark side's rank pick, different construction)
+    "a24_outlier_mad" ->
+      """WITH x AS (SELECT event_id, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS xc
+                    FROM events),
+          m AS (SELECT event_type, quantile_disc(xc, 0.5) AS med
+                FROM x GROUP BY 1),
+          d AS (SELECT x.event_id, x.event_type, x.xc, m.med,
+                       abs(xc - med) AS dev
+                FROM x JOIN m USING (event_type)),
+          md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                 FROM d GROUP BY 1)
+          SELECT event_id, d.event_type, xc, med, mad, dev
+          FROM d JOIN md USING (event_type)
+          WHERE 10000 * dev > 44478 * mad""",
     "a21_skew_report" ->
       """WITH pk AS (SELECT event_type, user_id, COUNT(*) AS c
                      FROM events GROUP BY 1, 2)

@@ -221,6 +221,19 @@ class PlanSpec extends SparkSpecBase {
       s"both window passes and the final groupBy must reuse one hash distribution, saw $shuffles exchanges")
   }
 
+  test("a24: two event_type exchanges (one per median pass), med/mad broadcast back") {
+    val df = Relational.a24_outlier_mad(spark, sf)
+    df.collect()
+    val plans = flatten(df.queryExecution.executedPlan)
+    val shuffles = plans.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles <= 2,
+      s"each median pick should cost one event_type exchange, saw $shuffles")
+    val bcasts = plans.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
+    assert(bcasts >= 2, s"med and mad must broadcast back, saw $bcasts broadcasts")
+  }
+
   test("a16: ONE exchange — lag, the running sum and the session rollup all ride user_id") {
     // hash(user_id) satisfies the rollup's (user_id, sid) clustering —
     // every row of a user is already co-located — so the session
