@@ -1374,8 +1374,12 @@ object Relational {
         col("n_ops"), col("last_tsu"))
   }
 
-  val j17_cdc_apply: Q = (spark, dir) => {
-    val log = events(spark, dir).select(
+  /** The deterministic events→changelog derivation shared by [[j17_cdc_apply]]
+    * and its streaming twin st55 (a pure projection, so it applies to
+    * the batch scan and the replay stream alike).
+    */
+  private[graft] def cdcLog(ev: DataFrame): DataFrame =
+    ev.select(
       col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id").as("eid"),
       when(col("event_type") === "signup", "insert")
         .when(col("event_type") === "error", "delete")
@@ -1386,8 +1390,9 @@ object Relational {
         .when(col("event_type") === "purchase", lit("buyer"))
         .when(col("event_type") === "view",
           concat(lit("seg_"), col("event_id") % 5)).as("segment"))
-    cdcApply(log)
-  }
+
+  val j17_cdc_apply: Q = (spark, dir) =>
+    cdcApply(cdcLog(events(spark, dir)))
 
   /** j12 — AS-OF JOIN (last-touch attribution): each purchase joined
     * to the SAME user's latest click at-or-before it — the operator

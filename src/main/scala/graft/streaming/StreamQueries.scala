@@ -1179,6 +1179,57 @@ object StreamQueries {
       .where(col("user_id") >= 0)
   }
 
+  /** J-family streaming — CDC APPLY AT INGEST (streaming twin of
+    * j17, the reference's actual runtime shape: Maxwell rows stream
+    * in and the current state serves immediately, dim/User_info_APP
+    * row-at-a-time against Phoenix; here ONE update-mode
+    * aggregation). The key design move vs st32/st44's buffered
+    * history: because inserts carry the FULL image, j17's
+    * generation-reset semantics collapse to three mergeable
+    * per-key maxes — the last boundary marker max(tsu,eid,op over
+    * insert|delete), and per column the last non-null
+    * max(tsu,eid,col) (any post-reset row ≥ the reset's image, so
+    * the global last-non-null IS the last-generation last-non-null)
+    * — all commutative/associative/idempotent-under-replay order
+    * structs, so state is O(1) PER KEY (three small structs), never
+    * the user's history, and arrival order cannot matter. Keys whose
+    * boundary is a delete serve op='delete' with null columns — the
+    * tombstone stays VISIBLE in the serving table (a consumer must
+    * distinguish "deleted" from "never existed"); j17's batch rows
+    * are exactly the op='insert' slice (spec-locked), which also
+    * means st55 deliberately omits j17's n_ops — a count "since the
+    * last boundary" is the one piece that is NOT order-free, and
+    * trading it away is what buys the O(1) state.
+    *
+    * Serving: keyed upsert on user_id ordered by the monotone
+    * last_tsu; sentinel pre-filtered (update-mode agg needs no
+    * watermark, st26's rule). Oracle: the same order-free aggregates
+    * in DuckDB (arg_max FILTER) — fully hash-checked.
+    */
+  /** [[st55_stream_cdc_apply]]'s order-free state aggregation over an
+    * arbitrary changelog — exposed so `StateCapSpec` can kill/resume
+    * the exact serving path over a MemoryStream.
+    */
+  private[graft] def cdcServeAgg(log: DataFrame): DataFrame = {
+    def lastOf(cond: Column, c: Column) = max(when(cond, struct(col("tsu"), col("eid"), c)))
+    log.groupBy(col("user_id"))
+      .agg(lastOf(col("op").isin("insert", "delete"), col("op")).as("b"),
+        lastOf(col("balance_c").isNotNull, col("balance_c")).as("cb"),
+        lastOf(col("segment").isNotNull, col("segment")).as("cs"),
+        max(col("tsu")).as("last_tsu"))
+      .where(col("b").isNotNull)
+      .select(col("user_id"), col("b.op").as("op"),
+        when(col("b.op") === "insert", col("cb.balance_c")).as("balance_c"),
+        when(col("b.op") === "insert", col("cs.segment")).as("segment"),
+        col("last_tsu"))
+  }
+
+  val st55_stream_cdc_apply: Q = (spark, dir) => {
+    val log = graft.operators.Relational.cdcLog(
+      Replay.eventsStream(spark, dir).where(col("user_id") >= 0))
+    upsertServe(spark, cdcServeAgg(log), Seq("user_id"), "last_tsu")
+  }
+
   /** J-family streaming — RANGE JOIN AT INGEST (streaming twin of
     * j10): each arriving event is assigned to every campaign whose
     * [start, end) period contains it, via the SAME interval→day-bucket
@@ -2415,6 +2466,7 @@ object StreamQueries {
     "st42_stream_passage_scrub" -> st42_stream_passage_scrub,
     "st43_stream_kmv_serve" -> st43_stream_kmv_serve,
     "st44_stream_multitouch" -> st44_stream_multitouch,
+    "st55_stream_cdc_apply" -> st55_stream_cdc_apply,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2590,6 +2642,35 @@ object StreamQueries {
     // st44's flush-time splits must reproduce EXACTLY j14's credit rows
     "st44_stream_multitouch" ->
       graft.operators.Relational.oracles("j14_multitouch_attribution"),
+    // st55: the same order-free boundary/candidate maxes in DuckDB —
+    // delivery order provably can't matter, so the batch-table twin
+    // is exact (tombstoned keys stay visible with null columns)
+    "st55_stream_cdc_apply" ->
+      """WITH log AS (
+           SELECT user_id, epoch_us(ts) AS tsu, event_id AS eid,
+                  CASE event_type WHEN 'signup' THEN 'insert'
+                                  WHEN 'error' THEN 'delete'
+                                  ELSE 'update' END AS op,
+                  CASE WHEN event_type IN ('signup','click','purchase')
+                       THEN CAST(ROUND(value*100) AS BIGINT) END AS balance_c,
+                  CASE event_type WHEN 'signup' THEN 'new'
+                                  WHEN 'purchase' THEN 'buyer'
+                                  WHEN 'view' THEN 'seg_' || CAST(event_id % 5 AS VARCHAR)
+                  END AS segment
+           FROM events),
+          o AS (SELECT *, CAST(tsu AS HUGEINT) * 100000000 + eid AS ord FROM log),
+          agg AS (SELECT user_id,
+                    arg_max(op, ord) FILTER (op IN ('insert','delete')) AS bop,
+                    arg_max(balance_c, ord) FILTER (balance_c IS NOT NULL) AS cand_b,
+                    arg_max(segment, ord) FILTER (segment IS NOT NULL) AS cand_s,
+                    MAX(tsu) AS last_tsu,
+                    COUNT(*) FILTER (op IN ('insert','delete')) AS nb
+                  FROM o GROUP BY user_id)
+          SELECT user_id, bop AS op,
+                 CASE WHEN bop = 'insert' THEN cand_b END AS balance_c,
+                 CASE WHEN bop = 'insert' THEN cand_s END AS segment,
+                 last_tsu
+          FROM agg WHERE nb > 0""",
     // st45's stateless gate must equal the batch drift-gated admission
     "st45_stream_drift_gate" ->
       graft.operators.Curation.oracles("c08_drift_gated_admission"),

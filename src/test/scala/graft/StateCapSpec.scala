@@ -8,6 +8,9 @@ import graft.streaming.{Pipelines, RetEvent, ScdEvent}
 
 case class CubeOrder(r_name: String, n_name: String, o_totalprice: Double)
 
+case class CdcOp(user_id: Long, tsu: Long, eid: Long, op: String,
+                 balance_c: Option[Long], segment: Option[String])
+
 case class ScoredDoc(query_id: Long, doc_id: Long, score: Double, leg: String)
 
 case class LanedDoc(doc_id: Long, lane: String, content_hash: String,
@@ -137,6 +140,35 @@ class StateCapSpec extends SparkSpecBase {
       assert(got.toSeq === Seq(("a", 1L, -1L)),
         s"the capped history is one open 'a' version; got ${got.toSeq}")
     } finally q.stop()
+  }
+
+  test("st55's CDC serving: state survives a kill/resume; a post-restart delete tombstones a pre-restart insert") {
+    // The boundary/candidate maxes must recover from the checkpoint:
+    // run 2's delete of user 1 has to beat an insert that was only
+    // ever seen in run 1, and user 2's update must patch one column
+    // of a recovered image without clobbering the other.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[CdcOp]
+    val cp = tmpDir("cp_st55_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st55_restart_"), Seq("user_id"), "last_tsu")
+    def base = SQ.cdcServeAgg(ms.toDF())
+    ms.addData(
+      CdcOp(1L, 10L, 1L, "insert", Some(10L), Some("new")),
+      CdcOp(2L, 10L, 2L, "insert", Some(7L), Some("new")))
+    SQ.upsertServeWith(spark, base, table, cp) // pass 1, then the writer dies
+    ms.addData(
+      CdcOp(1L, 20L, 3L, "delete", None, None),
+      CdcOp(2L, 20L, 4L, "update", Some(42L), None))
+    val served = SQ.upsertServeWith(spark, base, table, cp) // resumed pass 2
+    val got = served.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), Option(r.get(3))))
+    assert(got.toSeq === Seq(
+      (1L, "delete", None, None),
+      (2L, "insert", Some(42L), Some("new"))),
+      s"recovered CDC state is wrong: ${got.toSeq}")
   }
 
   test("st23's upsert-serving path: cube survives a kill/resume; served rollup equals batch") {

@@ -475,6 +475,28 @@ class StreamingSpec extends SparkSpecBase {
       "ingest multi-touch diverges from the batch split")
   }
 
+  test("st55: the served insert slice equals batch j17 (tombstones = exactly the j17-absent bounded keys)") {
+    val served = graft.streaming.StreamQueries
+      .queries("st55_stream_cdc_apply")(spark, sf)
+    served.cache()
+    // live keys: identical state minus n_ops (the order-dependent
+    // column st55 deliberately trades for O(1) state)
+    val live = served.where(col("op") === "insert")
+      .select("user_id", "balance_c", "segment", "last_tsu")
+      .collect().map(_.toSeq.mkString(",")).sorted
+    val batch = graft.operators.Relational.j17_cdc_apply(spark, sf)
+      .select("user_id", "balance_c", "segment", "last_tsu")
+      .collect().map(_.toSeq.mkString(",")).sorted
+    assert(live.nonEmpty && live.toSeq === batch.toSeq,
+      "ingest CDC state diverges from the batch apply")
+    // tombstoned keys are visible with null columns
+    val tomb = served.where(col("op") === "delete")
+    assert(tomb.count() > 0, "fixture must exercise the delete path")
+    assert(tomb.where(col("balance_c").isNotNull || col("segment").isNotNull).count() === 0,
+      "a tombstone must not carry attribute values")
+    served.unpersist()
+  }
+
   test("st47: undecayed streamed cells decay on read to batch a19 exactly") {
     val streamed = graft.streaming.StreamQueries
       .queries("st47_stream_decay_serve")(spark, sf)
