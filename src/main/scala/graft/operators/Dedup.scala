@@ -490,10 +490,14 @@ object Dedup {
     * self-join reads co-partitioned input with no further exchange,
     * and the shingle/md5 pass runs exactly once.
     */
-  private[graft] def ngramJaccardPlan(spark: SparkSession, dir: String,
-                                      dfCap: Int): (DataFrame, DataFrame) = {
-    graft.plans.GraftExtensions.register(spark)
-    val sh = nearDupCorpus(spark, dir)
+  /** The df-capped hashed-shingle inverted index over an arbitrary
+    * (doc_id, text) corpus — d04's candidate machinery, shared with
+    * d18's containment measure. One shuffle on the shingle hash `s`
+    * (df-count, filter and the downstream self-join all reuse it);
+    * persisted because every consumer reads it ≥3 times.
+    */
+  private[graft] def shingleIndex(corpus: DataFrame, dfCap: Int): DataFrame = {
+    val sh = corpus
       .select(col("doc_id"), shingles(col("text")).as("shd"))
       .where(size(col("shd")) > 0)
     // inverted index over HASHED shingles: the self-equi-join shuffles
@@ -501,12 +505,17 @@ object Dedup {
     val ex = sh.select(col("doc_id"),
       explode(Portable.hash60Array(col("shd"))).as("s"))
     // df-cap as a window count over the join key: one shuffle on s
-    val kept = ex
-      .withColumn("df", count(lit(1)).over(
+    ex.withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
       .where(col("df") <= dfCap)
       .drop("df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private[graft] def ngramJaccardPlan(spark: SparkSession, dir: String,
+                                      dfCap: Int): (DataFrame, DataFrame) = {
+    graft.plans.GraftExtensions.register(spark)
+    val kept = shingleIndex(nearDupCorpus(spark, dir), dfCap)
     // per-doc sizes AFTER the cap (Jaccard over the kept universe)
     val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
@@ -551,6 +560,107 @@ object Dedup {
                CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) AS jaccard
         FROM i JOIN n x ON x.doc_id = doc_a JOIN n y ON y.doc_id = doc_b
         WHERE CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE) >= 0.5"""
+
+  // ------------------------------------------------------------------
+  // d18 — asymmetric shingle containment (quote-inclusion dedup)
+  // ------------------------------------------------------------------
+
+  /** documents ∪ EXCERPTS (the first ⌈n/2⌉ tokens, min 3) of every
+    * 17th doc — a planted "doc quoted inside a bigger doc" fixture:
+    * every excerpt shingle appears in its source, so containment is
+    * exactly 1000‰ while Jaccard sits near 0.5, d04's blind spot.
+    */
+  private def excerptHalf(text: Column): Column = {
+    val toks = split(text, " ")
+    concat_ws(" ", slice(toks, lit(1),
+      greatest(((size(toks) + 1) / 2).cast("int"), lit(3))))
+  }
+
+  private def containmentCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(
+      d.where(col("doc_id") % 17 === 4)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          excerptHalf(col("text")).as("text")))
+  }
+
+  /** Minimum kept-shingle count for a containment verdict — a 3-token
+    * quote "contained" everywhere is noise, not duplication.
+    */
+  val ContainMinShingles = 10
+
+  /** d18 — ASYMMETRIC CONTAINMENT: |A∩B| / |A| over the df-capped
+    * shingle universe, the measure that catches SUBSET duplication —
+    * a document wholly quoted inside a longer one (press-release
+    * reprints, license blocks grown into READMEs, chat logs quoting
+    * chat logs). Jaccard (d04) divides by the UNION, so a short doc
+    * inside a long one scores ~|A|/|B| and slips the 0.5 gate; the
+    * fixture's half-excerpts score Jaccard ≈ 0.5 but containment
+    * 1000‰ (spec-locked). Emits the DIRECTED pair (doc_sub ⊆
+    * doc_sup, sub = the smaller kept-shingle set, tie → smaller id)
+    * with the per-mille containment — exact integer division, both
+    * engines truncating.
+    *
+    * Scale shape: identical to d04's — ONE exchange on the shingle
+    * hash builds the df-capped inverted index ([[shingleIndex]],
+    * shared code), the self-join reads it co-partitioned, pair
+    * fan-out is bounded by dfCap², and the direction pick is
+    * row-local post-aggregation. The sub-quadratic path at 100 TB is
+    * d02's MinHash banding with this exact measure as the verifier.
+    */
+  val d18_containment: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val kept = shingleIndex(containmentCorpus(spark, dir), DfCap)
+    val n = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_x"), col("b.doc_id").as("doc_y"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id").as("doc_x"), col("n").as("nx")), "doc_x")
+      .join(n.select(col("doc_id").as("doc_y"), col("n").as("ny")), "doc_y")
+      .select(
+        when(col("nx") <= col("ny"), col("doc_x")).otherwise(col("doc_y")).as("doc_sub"),
+        when(col("nx") <= col("ny"), col("doc_y")).otherwise(col("doc_x")).as("doc_sup"),
+        when(col("nx") <= col("ny"), col("nx")).otherwise(col("ny")).as("n_sub"),
+        col("inter"))
+      .where(col("n_sub") >= ContainMinShingles)
+      .select(col("doc_sub"), col("doc_sup"), col("n_sub"), col("inter"),
+        expr("CAST(inter * 1000 div n_sub AS BIGINT)").as("contain_pm"))
+      .where(col("contain_pm") >= 900)
+  }
+
+  private def duckContainmentSql: String =
+    s"""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000,
+                 array_to_string(string_split(text, ' ')[1:greatest(
+                   (len(string_split(text, ' ')) + 1) // 2, 3)], ' ')
+          FROM documents WHERE doc_id % 17 = 4),
+        sh AS (SELECT doc_id, $duckShingleExpr AS shd FROM corpus),
+        shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+        hsx AS (SELECT doc_id,
+                       list_transform(shd, s -> ${Portable.duckHash60("s")}) AS hs
+                FROM shn),
+        ex0 AS (SELECT doc_id, unnest(hs) AS s FROM hsx),
+        ex AS (SELECT doc_id, s FROM (
+                 SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ex0)
+               WHERE df <= $DfCap),
+        n AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+        i AS (SELECT a.doc_id AS doc_x, b.doc_id AS doc_y, COUNT(*) AS inter
+              FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        d AS (SELECT CASE WHEN x.n <= y.n THEN doc_x ELSE doc_y END AS doc_sub,
+                     CASE WHEN x.n <= y.n THEN doc_y ELSE doc_x END AS doc_sup,
+                     CASE WHEN x.n <= y.n THEN x.n ELSE y.n END AS n_sub,
+                     inter
+              FROM i JOIN n x ON x.doc_id = doc_x JOIN n y ON y.doc_id = doc_y)
+        SELECT doc_sub, doc_sup, n_sub, inter,
+               CAST(inter * 1000 // n_sub AS BIGINT) AS contain_pm
+        FROM d
+        WHERE n_sub >= $ContainMinShingles AND inter * 1000 // n_sub >= 900"""
 
   // ------------------------------------------------------------------
   // d07 — near-dup clusters (connected components over the pair graph)
@@ -1388,6 +1498,7 @@ object Dedup {
     "d02_minhash_lsh" -> d02_minhash_lsh,
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
+    "d18_containment" -> d18_containment,
     "d06_dedup_materialize" -> d06_dedup_materialize,
     "d07_dedup_clusters" -> d07_dedup_clusters,
     "d08_decontam" -> d08_decontam,
@@ -1413,6 +1524,7 @@ object Dedup {
     "d02_minhash_lsh" -> duckMinhashSql,
     "d03_simhash" -> duckSimhashSql,
     "d04_ngram_jaccard" -> duckNgramSql,
+    "d18_containment" -> duckContainmentSql,
     "d07_dedup_clusters" -> duckClusterSql,
     "d08_decontam" -> duckDecontamSql,
     "d16_eval_leakage" -> duckEvalLeakageSql,

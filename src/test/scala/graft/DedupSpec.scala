@@ -155,6 +155,31 @@ class DedupSpec extends SparkSpecBase {
       (96L, 0L, 5000L, 1L, 1904L)), s"got ${got.toSeq}")
   }
 
+  /** d18's planted half-excerpts must surface with full containment:
+    * every shingle of the excerpt appears in its source, and kept-ness
+    * under the df-cap is global per shingle, so the per-mille stays
+    * 1000 whatever the cap drops. Docs too short to clear the
+    * ContainMinShingles floor are exempt by construction.
+    */
+  test("d18: every long-enough planted excerpt is contained in its source at ~1000 per-mille") {
+    val out = graft.operators.Dedup.d18_containment(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val planted = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 17 === 4)
+      // excerpt = ceil(n/2) tokens → needs n ≥ 23 for ≥10 shingles
+      .where(size(split(col("text"), " ")) >= 23)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty, "fixture must plant qualifying excerpts")
+    for (id <- planted) {
+      val hit = out.exists { case (sub, sup, pm) =>
+        ((sub == id + 1000000L && sup == id) || (sub == id && sup == id + 1000000L)) &&
+          pm >= 990
+      }
+      assert(hit, s"excerpt of doc $id not detected as contained")
+    }
+  }
+
   /** t28's real payoff is the estimator: the k-doc priority sample +
     * τ = (k+1)-th priority gives the unbiased Horvitz–Thompson
     * estimate Σ max(wᵢ, τ) of the corpus's TOTAL weight — asserted
