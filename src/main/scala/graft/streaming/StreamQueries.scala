@@ -1230,6 +1230,59 @@ object StreamQueries {
     upsertServe(spark, cdcServeAgg(log), Seq("user_id"), "last_tsu")
   }
 
+  /** P-family streaming — SNAPSHOT DIFF AT INGEST (streaming twin of
+    * p17, the count-at-ingest/judge-on-read discipline of st40/st41):
+    * the new snapshot's rows stream in and are classified added /
+    * changed / unchanged FULLY STATELESSLY — one stream-static left
+    * join against the standing base on the key, verdict computed
+    * within the row — and the complete arrived-key MANIFEST (id,
+    * verdict, lengths; never the text) upserts to the serving table.
+    * 'unchanged' rows land in the manifest too, deliberately: REMOVAL
+    * is the one verdict ingest cannot emit (absence has no arrival
+    * event), so it is judged ON READ as base ∖ manifest — and that
+    * anti-join can only distinguish "removed" from "arrived unchanged"
+    * if the manifest is complete. The serving table is O(|snapshot|)
+    * ids — the manifest IS the product (it doubles as the fingerprint
+    * table p17's docstring says a production diff keeps per version);
+    * the read-back emits the delta only. No state store, no
+    * watermark; the sentinel rides `doc_id < 0` and is pre-filtered.
+    * Oracle is p17's verbatim.
+    */
+  val st56_stream_snapshot_diff: Q = (spark, dir) => {
+    val base = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+    // the arriving NEW snapshot, derived row-locally in ONE stateless
+    // pass (p17's removal/mutation/re-add fixture): each source doc
+    // emits its next-version row unless removed, plus the re-add
+    val nextRows = docs.select(explode(array(
+        when(!(col("doc_id") % 11 === 5),
+          struct(col("doc_id"),
+            when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [v2]")))
+              .otherwise(col("text")).as("text"))),
+        when(col("doc_id") % 13 === 2,
+          struct((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" [new]")).as("text"))))).as("r"))
+      .where(col("r").isNotNull)
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("new_text"))
+    val verdicts = nextRows
+      .join(base.select(col("doc_id"), col("text").as("old_text")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("old_text").isNull, "added")
+          .when(col("old_text") =!= col("new_text"), "changed")
+          .otherwise("unchanged").as("change"),
+        length(col("old_text")).cast("long").as("old_len"),
+        length(col("new_text")).cast("long").as("new_len"))
+    val served = upsertServe(spark, verdicts, Seq("doc_id"), "new_len")
+    val removed = base.join(served.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("change"),
+        length(col("text")).cast("long").as("old_len"),
+        lit(null).cast("long").as("new_len"))
+    served.where(col("change") =!= "unchanged")
+      .select(col("doc_id"), col("change"), col("old_len"), col("new_len"))
+      .unionByName(removed)
+  }
+
   /** J-family streaming — RANGE JOIN AT INGEST (streaming twin of
     * j10): each arriving event is assigned to every campaign whose
     * [start, end) period contains it, via the SAME interval→day-bucket
@@ -1419,6 +1472,45 @@ object StreamQueries {
         when(col("n_kept") < k, col("n_kept")).otherwise(
           floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
             col("kth").cast("double"))).as("est_distinct"))
+  }
+
+  /** T-family streaming — THE WEIGHTED SAMPLE AT INGEST (streaming
+    * twin of t28, completing the mergeable-summary serving family
+    * st29/st30/st43): the k highest priorities ride ONE bounded
+    * [[graft.functions.TopKAggregator]] buffer in a single-group
+    * update-mode aggregation — top-k of a union is the top-k of
+    * per-partial top-ks (total order (pri desc, id asc), so the
+    * streamed buffer is bit-identical to the batch order statistic
+    * whatever the merge tree) — and the sample unpacks ON READ
+    * (explode + the k-row broadcast weight join, t28's tail). State:
+    * ONE ≤k-item buffer, ingest-rate independent; n_seen (exact
+    * count) is the upsert's monotone order column. Like st29/st30
+    * (and unlike st43's set-semantics MinK), the buffer assumes the
+    * replay's exactly-once delivery — an at-least-once upstream
+    * would double-insert a re-delivered doc, and the fix is st43's
+    * discipline (dedupe on the sampled id inside the buffer).
+    * Oracle is t28's verbatim.
+    */
+  val st57_stream_sample_serve: Q = (spark, dir) => {
+    val k = graft.operators.TextAnalysis.WSampleK
+    val P = graft.functions.Portable
+    val docs = Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("doc_id"),
+        ((col("n_chars").cast("double") * lit(1152921504606846976.0)) /
+          (P.hash60(concat(lit("wsample:"), col("doc_id").cast("string"))) + lit(1L))
+            .cast("double")).as("pri"))
+    val build = docs.groupBy(lit(1L).as("g"))
+      .agg(graft.functions.TopK.topK(k)(col("pri"), col("doc_id")).as("tk"),
+        count(lit(1)).as("n_seen"))
+      .select(col("g"), col("tk.items").as("items"), col("n_seen"))
+    val served = upsertServe(spark, build, Seq("g"), "n_seen")
+    val sample = served.select(posexplode(col("items")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"), col("col.score").as("pri"))
+    graft.Tables.documents(spark, dir).select(col("doc_id"), col("n_chars").as("w"))
+      .join(broadcast(sample), "doc_id")
+      .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
   }
 
   /** D-family streaming — PASSAGE SCRUB AT INGEST (streaming twin of
@@ -2467,6 +2559,8 @@ object StreamQueries {
     "st43_stream_kmv_serve" -> st43_stream_kmv_serve,
     "st44_stream_multitouch" -> st44_stream_multitouch,
     "st55_stream_cdc_apply" -> st55_stream_cdc_apply,
+    "st56_stream_snapshot_diff" -> st56_stream_snapshot_diff,
+    "st57_stream_sample_serve" -> st57_stream_sample_serve,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2671,6 +2765,12 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st57's streamed k-buffer must unpack to t28's exact sample
+    "st57_stream_sample_serve" ->
+      graft.operators.TextAnalysis.oracles("t28_weighted_sample"),
+    // st56's manifest-judged delta must equal the batch snapshot diff
+    "st56_stream_snapshot_diff" ->
+      graft.operators.Relational.oracles("p17_snapshot_diff"),
     // st45's stateless gate must equal the batch drift-gated admission
     "st45_stream_drift_gate" ->
       graft.operators.Curation.oracles("c08_drift_gated_admission"),
