@@ -969,6 +969,47 @@ object Dedup {
         SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_keeper
         FROM l$ClusterIters"""
 
+  /** d19 — LEAKAGE-FREE SPLIT ASSIGNMENT: train/val/test decided by
+    * hashing the near-dup CLUSTER id, never the document id — the
+    * split operator that makes d16's eval-leakage report come back
+    * clean by construction. Splitting on doc_id (t15's per-doc
+    * sampling rule) puts a document and its near-copy on opposite
+    * sides of the train/eval fence with probability 2·p·(1−p) — the
+    * classic benchmark-inflation bug; hashing the d07 cluster label
+    * moves the decision to the equivalence class, so every DETECTED
+    * near-dup travels with its cluster wherever it lands (the spec
+    * locks split-is-a-function-of-cluster and exhibits a detected
+    * pair the doc-hash rule would straddle; recall of detection
+    * itself is d03's banding contract). 80/10/10 via one portable
+    * hash-mod on the label.
+    *
+    * Scale shape: d07's label propagation (shared `simhashEdges`
+    * artifact) + one row-local hash — the split adds NOTHING to the
+    * clustering's cost, and the assignment is reproducible from the
+    * label alone (no global shuffle, no sampling state).
+    */
+  val d19_cluster_split: Q = (spark, dir) => {
+    val b = pmod(Portable.hash60(
+      concat(lit("split:"), col("cluster_id").cast("string"))), lit(100L))
+    d07_dedup_clusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+  }
+
+  private def duckClusterSplitSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+        $duckClusterRounds,
+        cl AS (SELECT doc_id, lbl AS cluster_id FROM l$ClusterIters),
+        h AS (SELECT doc_id, cluster_id,
+                ${Portable.duckHash60("concat('split:', CAST(cluster_id AS VARCHAR))")} % 100 AS b
+              FROM cl)
+        SELECT doc_id, cluster_id,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h"""
+
   /** d14's twin: the same K exact-integer power-iteration rounds, the
     * same K label rounds, but a ROW_NUMBER argmax — structurally
     * different from the Spark side's struct-max so the differential
@@ -1501,6 +1542,7 @@ object Dedup {
     "d18_containment" -> d18_containment,
     "d06_dedup_materialize" -> d06_dedup_materialize,
     "d07_dedup_clusters" -> d07_dedup_clusters,
+    "d19_cluster_split" -> d19_cluster_split,
     "d08_decontam" -> d08_decontam,
     "d09_lsh_tuning" -> d09_lsh_tuning,
     "d11_incremental_dedup" -> d11_incremental_dedup,
@@ -1526,6 +1568,7 @@ object Dedup {
     "d04_ngram_jaccard" -> duckNgramSql,
     "d18_containment" -> duckContainmentSql,
     "d07_dedup_clusters" -> duckClusterSql,
+    "d19_cluster_split" -> duckClusterSplitSql,
     "d08_decontam" -> duckDecontamSql,
     "d16_eval_leakage" -> duckEvalLeakageSql,
     "d09_lsh_tuning" -> duckLshSweepSql,

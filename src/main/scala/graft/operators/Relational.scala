@@ -1883,6 +1883,46 @@ object Relational {
         lead(col("event_id"), 1).over(fine).as("next_id"))
   }
 
+  /** w06 — ROLLING-FRAME AGGREGATES, the frame classes w04's battery
+    * leaves out: a trailing ROWS frame (this event + its 6
+    * predecessors — "last 7 interactions" features) and a trailing
+    * event-time RANGE frame (everything within the past hour —
+    * "activity in the last hour" features, where equal timestamps
+    * all enter the frame whatever the tiebreak). The pair matters
+    * because they answer different product questions and degrade
+    * differently under burstiness: a ROWS frame is O(1) rows however
+    * bursty the user, a RANGE frame is O(rate·window). Sums ride
+    * exact integer cents; the mean is one double division of exact
+    * integers (correctly rounded → engine-identical).
+    *
+    * Scale shape: ONE hash(user_id) exchange and ONE sort — the ROWS
+    * frame orders by (tsu, event_id), the RANGE frame's required
+    * (tsu) ordering is a prefix of it, so Catalyst stacks both
+    * Window nodes on the same sorted distribution. Trailing frames
+    * stream in one pass (no re-scan per row); at 100 TB this is a
+    * per-user sequential sweep, the same shape as j12/j14.
+    */
+  val w06_rolling_stats: Q = (spark, dir) => {
+    val rows7 = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    val hour = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"),
+        graft.Tables.cents(col("value")).cast("long").as("c"))
+      .select(col("event_id"), col("user_id"), col("tsu"), col("c"),
+        sum(col("c")).over(rows7).as("roll7_sum"),
+        count(lit(1)).over(rows7).as("roll7_n"),
+        max(col("c")).over(rows7).as("roll7_max"),
+        (sum(col("c")).over(rows7).cast("double") /
+          count(lit(1)).over(rows7).cast("double")).as("roll7_avg"),
+        sum(col("c")).over(hour).as("hr_sum"),
+        count(lit(1)).over(hour).as("hr_n"))
+  }
+
   val w03_payment_allocation: Q = (spark, dir) => {
     val oi = orders(spark, dir)
     val od = lineitem(spark, dir)
@@ -2047,6 +2087,7 @@ object Relational {
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
     "w05_ohlc_candles" -> w05_ohlc_candles,
+    "w06_rolling_stats" -> w06_rolling_stats,
     "a22_incremental_agg" -> a22_incremental_agg,
     "a24_outlier_mad" -> a24_outlier_mad,
     "w03_payment_allocation" -> w03_payment_allocation,
@@ -2108,6 +2149,23 @@ object Relational {
                  user_id_in_customer = 0 FROM w""",
     // w05: the same candle arithmetic with the picks computed the
     // structurally different way (row_number edges vs min_by/max_by)
+    "w06_rolling_stats" ->
+      """WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c
+                    FROM events)
+          SELECT event_id, user_id, tsu, c,
+                 CAST(SUM(c) OVER r7 AS BIGINT) AS roll7_sum,
+                 COUNT(*) OVER r7 AS roll7_n,
+                 MAX(c) OVER r7 AS roll7_max,
+                 CAST(SUM(c) OVER r7 AS DOUBLE) / CAST(COUNT(*) OVER r7 AS DOUBLE)
+                   AS roll7_avg,
+                 CAST(SUM(c) OVER hr AS BIGINT) AS hr_sum,
+                 COUNT(*) OVER hr AS hr_n
+          FROM x
+          WINDOW r7 AS (PARTITION BY user_id ORDER BY tsu, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 hr AS (PARTITION BY user_id ORDER BY tsu
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     "w05_ohlc_candles" ->
       """WITH e AS (SELECT event_type,
                            strftime(ts, '%Y-%m-%d %H') AS hour,

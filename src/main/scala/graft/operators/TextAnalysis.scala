@@ -833,6 +833,53 @@ object TextAnalysis {
       .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
   }
 
+  /** Redaction patterns valid — with identical semantics — in BOTH
+    * Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+    * repetition and ASCII \b only; no lookaround, no backreferences.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** t29 — PII SCRUB: regex redaction of emails and IPv4 addresses
+    * with per-doc match accounting — the redaction gate every
+    * published curation pipeline runs before training (emails and
+    * IPs are the two classes with crisp, engine-portable patterns;
+    * names/addresses need NER models and are out of regex reach —
+    * the t20 trained-gate slot is where that model would plug in).
+    * The corpus plants deterministic PII (an email on every 19th
+    * doc, an IP on every 23rd, ids woven into both so a wrong match
+    * count can't hash-match), and only FLAGGED docs are emitted —
+    * the output is the redaction delta, not the corpus. Emails
+    * scrub before IPs (fixed order; a user@10.0.0.1 address must
+    * not double-count).
+    *
+    * Scale shape: one stateless whole-stage-codegen projection — no
+    * shuffle at all. The regexes are linear-scan safe (no
+    * catastrophic backtracking classes: single alternation-free
+    * patterns with bounded quantifiers). DuckDB twin needs the 'g'
+    * flag (its regexp_replace is first-match by default; Spark's is
+    * global).
+    */
+  val t29_pii_scrub: Q = (spark, dir) => {
+    val planted = documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 19 === 6,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 23 === 7,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)), lit(".0.1")))
+          .otherwise(lit(""))).as("text"))
+    planted
+      .select(col("doc_id"), col("text"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"))
+      .where(col("n_email") + col("n_ip") > 0)
+      .select(col("doc_id"), col("n_email"), col("n_ip"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>").as("scrubbed"))
+      .withColumn("scrubbed_len", length(col("scrubbed")).cast("long"))
+  }
+
   /** t16 — CORPUS ACCOUNTING: the per-(lang, source) rollup every
     * curation pipeline reports before/after its gates — document and
     * token counts, character volume, English-gate hit count and the
@@ -1551,6 +1598,7 @@ object TextAnalysis {
     "t14_pack" -> t14_pack,
     "t15_stratified_sample" -> t15_stratified_sample,
     "t28_weighted_sample" -> t28_weighted_sample,
+    "t29_pii_scrub" -> t29_pii_scrub,
     "t16_corpus_stats" -> t16_corpus_stats,
     "t17_bpe_unseen" -> t17_bpe_unseen,
     "t18_bigram_lm" -> t18_bigram_lm,
@@ -1996,6 +2044,32 @@ object TextAnalysis {
                   FROM sc GROUP BY doc_id)
           SELECT doc_id, score_micro, n_terms FROM agg
           ORDER BY score_micro DESC, doc_id LIMIT $Bm25TopK""",
+    // t29: RE2 twin; regexp_replace needs the 'g' flag (DuckDB is
+    // first-match by default, Spark is global)
+    "t29_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH planted AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 19 = 6
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 23 = 7
+                        THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                        ELSE '' END AS text
+            FROM documents),
+          f AS (SELECT doc_id, text,
+                  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_email,
+                  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip
+                FROM planted)
+          SELECT doc_id, n_email, n_ip,
+                 regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+                                '$ip', '<IP>', 'g') AS scrubbed,
+                 CAST(length(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+                                            '$ip', '<IP>', 'g')) AS BIGINT) AS scrubbed_len
+          FROM f WHERE n_email + n_ip > 0"""
+    },
     // t28: global-window formulation (structurally different from the
     // bounded top-k aggregator; checks the sample, not the plan)
     "t28_weighted_sample" -> {

@@ -180,6 +180,40 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  /** d19's whole point: DETECTED near-dups never straddle the
+    * train/eval fence (detection recall is d03's banding contract,
+    * not d19's — a copy the LSH missed is a d03 fixture fact). The
+    * invariant is that split is a pure function of cluster_id; the
+    * non-vacuity check shows the naive doc_id-hash rule WOULD
+    * straddle at least one detected pair that cluster-hashing keeps
+    * together.
+    */
+  test("d19: split is per-cluster; doc-hash splitting would straddle a detected pair") {
+    val rows = graft.operators.Dedup.d19_cluster_split(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // one split per cluster
+    val byCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(byCluster.forall(_._2.size == 1),
+      s"clusters with mixed splits: ${byCluster.filter(_._2.size > 1).keys.take(3).toSeq}")
+    assert(rows.map(_._3).toSet === Set("train", "val", "test"),
+      "all three splits should be populated at this corpus size")
+    // contrast: under split-by-doc_id, some multi-doc cluster straddles
+    def docSplit(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"split:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    val multi = rows.groupBy(_._2).filter(_._2.length >= 2)
+    assert(multi.nonEmpty, "fixture must produce multi-doc clusters")
+    val straddles = multi.values.exists { members =>
+      members.map(m => docSplit(m._1) match {
+        case b if b < 80 => "train"; case b if b < 90 => "val"; case _ => "test"
+      }).distinct.size > 1
+    }
+    assert(straddles,
+      "doc-hash splitting never straddles any detected pair here — the contrast is vacuous")
+  }
+
   /** t28's real payoff is the estimator: the k-doc priority sample +
     * τ = (k+1)-th priority gives the unbiased Horvitz–Thompson
     * estimate Σ max(wᵢ, τ) of the corpus's TOTAL weight — asserted
