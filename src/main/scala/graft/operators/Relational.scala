@@ -1794,7 +1794,11 @@ object Relational {
     * map-side pass. The DuckDB twin uses quantile_disc (same lower-
     * median semantics, different construction).
     */
-  val a24_outlier_mad: Q = (spark, dir) => {
+  /** [[a24_outlier_mad]]'s per-type (med, mad) thresholds — the
+    * |types|-row nightly decision relation, shared with st58's
+    * at-ingest gate (decide-batch-serve-stream).
+    */
+  private[graft] def madThresholds(spark: SparkSession, dir: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val byType = W.partitionBy(col("event_type"))
     val x = events(spark, dir).select(col("event_id"), col("event_type"),
@@ -1807,8 +1811,14 @@ object Relational {
     val med = medOf(x, "xc", "med")
     val dev = x.join(broadcast(med), "event_type")
       .withColumn("dev", abs(col("xc") - col("med")))
-    val mad = medOf(dev, "dev", "mad")
-    dev.join(broadcast(mad), "event_type")
+    med.join(medOf(dev, "dev", "mad"), "event_type")
+  }
+
+  val a24_outlier_mad: Q = (spark, dir) => {
+    val x = events(spark, dir).select(col("event_id"), col("event_type"),
+      graft.Tables.cents(col("value")).cast("long").as("xc"))
+    x.join(broadcast(madThresholds(spark, dir)), "event_type")
+      .withColumn("dev", abs(col("xc") - col("med")))
       .where(col("dev") * 10000 > col("mad") * 44478)
       .select(col("event_id"), col("event_type"), col("xc"),
         col("med"), col("mad"), col("dev"))

@@ -844,6 +844,66 @@ object Similarity {
           .as("recall10"))
   }
 
+  /** nDCG@K position discounts in integer micro-units — PRECOMPUTED
+    * literals shared verbatim with the SQL twin, so neither engine
+    * ever evaluates a log (the a13/t23 exactness discipline applied
+    * to ranking metrics). IDCG under binary relevance with all K
+    * relevant is their constant sum.
+    */
+  private[graft] val NdcgDiscMicro: IndexedSeq[Long] =
+    (1 to K).map(r => math.floor(1000000.0 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** n25 — GRADED RETRIEVAL METRICS (MRR + nDCG@10): the ranking-
+    * quality view n24's recall cannot give — recall counts set
+    * overlap, but serving quality lives in WHERE the relevant
+    * neighbors sit (an ANN that returns all 10 true neighbors in
+    * positions 41..50 of a fused page recalls 1.0 and ranks
+    * terribly). Binary relevance against the exact top-10; per
+    * (method ∈ {adc, rerank}, query): MRR as 10⁶ div the first
+    * relevant rank, DCG as Σ rel·D(rank) with D the precomputed
+    * micro-unit discounts, nDCG per-mille as an exact integer
+    * division by the constant IDCG. All integer arithmetic — fully
+    * hash-checked, and the re-rank's win shows up as a rank-weighted
+    * improvement, not just set recall.
+    *
+    * Scale shape: n24's exact-baseline-persisted + equi-join
+    * methodology; metrics ride one (method, query) aggregation;
+    * zero-relevant queries survive via the left join.
+    */
+  val n25_retrieval_eval: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    import org.apache.spark.storage.StorageLevel
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val qvec = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = explodeTopK(
+      e.join(broadcast(qvec), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adcLeg = adcTopK(tunedAdcFrame(spark, dir))
+      .select(lit("adc").as("method"), col("query_id"), col("rnk"), col("neighbor_id"))
+    val rerankLeg = n23_two_stage_rerank(spark, dir)
+      .select(lit("rerank").as("method"), col("query_id"), col("rnk"), col("neighbor_id"))
+    val disc = element_at(array(NdcgDiscMicro.map(lit): _*), col("rnk").cast("int"))
+    val perQ = adcLeg.unionByName(rerankLeg)
+      .join(exact, Seq("query_id", "neighbor_id")) // relevant hits only
+      .groupBy(col("method"), col("query_id"))
+      .agg(max(expr("1000000 div rnk")).as("mrr_micro"),
+        sum(disc).as("dcg_micro"))
+    val mq = Seq("adc", "rerank").map(m =>
+        qvec.select(lit(m).as("method"), col("query_id")))
+      .reduce(_.unionByName(_))
+    mq.join(perQ, Seq("method", "query_id"), "left")
+      .select(col("method"), col("query_id"),
+        coalesce(col("mrr_micro"), lit(0L)).as("mrr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        expr(s"CAST(coalesce(dcg_micro, 0) * 1000 div ${NdcgDiscMicro.sum} AS BIGINT)")
+          .as("ndcg_pm"))
+  }
+
   /** [[n18_hybrid_rrf]] constants: per-leg retrieval depth, the RRF
     * dampening constant (Cormack-Clarke-Buettcher 2009's k = 60), the
     * fused depth, and the per-query-doc term budget.
@@ -1762,6 +1822,7 @@ object Similarity {
     "n22_index_point_probe" -> n22_index_point_probe,
     "n23_two_stage_rerank" -> n23_two_stage_rerank,
     "n24_rerank_recall" -> n24_rerank_recall,
+    "n25_retrieval_eval" -> n25_retrieval_eval,
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
     "n18_hybrid_rrf" -> n18_hybrid_rrf,
@@ -2187,6 +2248,67 @@ object Similarity {
                  CAST(COALESCE(matched, 0) AS DOUBLE) / CAST($K AS DOUBLE)
                    AS recall10
           FROM mq LEFT JOIN mt USING (method, query_id)""",
+    // n25: n24's leg chain with ranks carried; metric tail shares the
+    // PRECOMPUTED discount literals with the Spark side (no logs)
+    "n25_retrieval_eval" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          $duckPqTrain,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                WHERE vec_id < $NumQueries),
+          qc AS (SELECT query_id, cid AS qcell,
+                        row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos6 DESC, cid) AS cell_rank
+                 FROM (SELECT query_id, cid,
+                              round(list_sum(list_transform(list_zip(qv, cv), t -> t[1] * t[2]))
+                                    / (qn * cn) * 1000000) / 1000000 AS cos6
+                       FROM q, ct)),
+          adc AS (SELECT l.query_id, enc.vec_id,
+                         CAST(SUM(l.dmicro) AS BIGINT) AS amicro
+                  FROM enc
+                  JOIN a ON a.vec_id = enc.vec_id
+                  JOIN qc ON qc.qcell = a.cell_id AND qc.cell_rank <= $PickedNprobe
+                  JOIN lut l ON l.query_id = qc.query_id
+                            AND l.m = enc.m AND l.code = enc.code
+                  WHERE enc.vec_id <> qc.query_id
+                  GROUP BY 1, 2),
+          exact10 AS (SELECT query_id, vec_id
+                      FROM (SELECT query_id, n.vec_id, $duckCos AS cos6
+                            FROM q JOIN n ON n.vec_id <> query_id)
+                      QUALIFY row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos6 DESC, vec_id) <= $K),
+          adctop AS (SELECT 'adc' AS method, query_id, vec_id,
+                            CAST(row_number() OVER (PARTITION BY query_id
+                              ORDER BY amicro, vec_id) AS BIGINT) AS rnk
+                     FROM adc QUALIFY rnk <= $K),
+          cand AS (SELECT query_id, vec_id FROM adc
+                   QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY amicro, vec_id) <= $RerankC),
+          rr AS (SELECT c.query_id, c.vec_id, $duckCos AS cos6
+                 FROM cand c
+                 JOIN n ON n.vec_id = c.vec_id
+                 JOIN q USING (query_id)),
+          rrtop AS (SELECT 'rerank' AS method, query_id, vec_id,
+                           CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk
+                    FROM rr QUALIFY rnk <= $K),
+          legs AS (SELECT * FROM adctop UNION ALL SELECT * FROM rrtop),
+          rel AS (SELECT method, legs.query_id, rnk
+                  FROM legs JOIN exact10 USING (query_id, vec_id)),
+          pq AS (SELECT method, query_id,
+                        MAX(1000000 // rnk) AS mrr_micro,
+                        CAST(SUM([${NdcgDiscMicro.mkString(", ")}][rnk]) AS BIGINT)
+                          AS dcg_micro
+                 FROM rel GROUP BY 1, 2),
+          mq AS (SELECT m.method, q.query_id
+                 FROM (SELECT unnest(['adc', 'rerank']) AS method) m, q)
+          SELECT method, query_id,
+                 CAST(COALESCE(mrr_micro, 0) AS BIGINT) AS mrr_micro,
+                 COALESCE(dcg_micro, 0) AS dcg_micro,
+                 CAST(COALESCE(dcg_micro, 0) * 1000 // ${NdcgDiscMicro.sum} AS BIGINT)
+                   AS ndcg_pm
+          FROM mq LEFT JOIN pq USING (method, query_id)""",
     "n16_probe_sweep" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

@@ -1474,6 +1474,34 @@ object StreamQueries {
             col("kth").cast("double"))).as("est_distinct"))
   }
 
+  /** A-family streaming — THE ROBUST OUTLIER GATE AT INGEST
+    * (streaming twin of a24, st16/st39's decide-batch-serve-stream
+    * discipline): the batch nightly DECIDES the per-type (median,
+    * MAD) thresholds — a |types|-row relation — and ingest ENFORCES
+    * them FULLY STATELESSLY: one stream-static broadcast join, the
+    * deviation and the 3-robust-sigma cross-multiplied compare
+    * computed within the row, flagged events append straight through
+    * (no state store, no watermark; the sentinel rides `user_id <
+    * 0`). A stream cannot know tonight's medians (st16's
+    * cannot-know-future reasoning), and an anomaly gate judged
+    * against LAST night's baseline is exactly how production
+    * monitors run; replaying the corpus the thresholds were decided
+    * from proves gate ≡ a24 — the oracle is a24's verbatim.
+    */
+  val st58_stream_outlier_gate: Q = (spark, dir) => {
+    val thr = graft.operators.Relational.madThresholds(spark, dir)
+    val ev = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .select(col("event_id"), col("event_type"),
+        graft.Tables.cents(col("value")).cast("long").as("xc"))
+    val out = ev.join(broadcast(thr), Seq("event_type"))
+      .withColumn("dev", abs(col("xc") - col("med")))
+      .where(col("dev") * 10000 > col("mad") * 44478)
+      .select(col("event_id"), col("event_type"), col("xc"),
+        col("med"), col("mad"), col("dev"))
+    Replay.runAppend(spark, out)
+  }
+
   /** T-family streaming — THE WEIGHTED SAMPLE AT INGEST (streaming
     * twin of t28, completing the mergeable-summary serving family
     * st29/st30/st43): the k highest priorities ride ONE bounded
@@ -2561,6 +2589,7 @@ object StreamQueries {
     "st55_stream_cdc_apply" -> st55_stream_cdc_apply,
     "st56_stream_snapshot_diff" -> st56_stream_snapshot_diff,
     "st57_stream_sample_serve" -> st57_stream_sample_serve,
+    "st58_stream_outlier_gate" -> st58_stream_outlier_gate,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2765,6 +2794,9 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st58's stateless gate must flag exactly a24's outlier rows
+    "st58_stream_outlier_gate" ->
+      graft.operators.Relational.oracles("a24_outlier_mad"),
     // st57's streamed k-buffer must unpack to t28's exact sample
     "st57_stream_sample_serve" ->
       graft.operators.TextAnalysis.oracles("t28_weighted_sample"),

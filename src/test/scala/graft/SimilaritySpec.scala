@@ -20,6 +20,29 @@ class SimilaritySpec extends SparkSpecBase {
     (0 until n).map(i => (i.toLong, 1L, v)).toDF("vec_id", "label", "v")
   }
 
+  /** n25's point: the re-rank's win must show up in RANK-weighted
+    * terms, not just set recall — and a perfect ranking must pin the
+    * metrics at their integer ceilings (MRR 10⁶ ⇔ first hit at rank
+    * 1; nDCG 1000‰ ⇔ every position relevant).
+    */
+  test("n25: rerank dominates adc on mean nDCG; metric ceilings are exact") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Similarity.n25_retrieval_eval(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    def mean(m: String, f: ((String, Long, Long, Long)) => Long) = {
+      val xs = out.filter(_._1 == m).map(f(_).toDouble)
+      xs.sum / xs.length
+    }
+    val adcN = mean("adc", _._4); val rrN = mean("rerank", _._4)
+    assert(rrN >= adcN, s"re-rank mean nDCG $rrN below adc $adcN")
+    // ceilings: any query with ndcg_pm = 1000 must also carry mrr 10⁶,
+    // and no metric exceeds its ceiling
+    out.foreach { case (m, qid, mrr, ndcg) =>
+      assert(mrr <= 1000000L && ndcg <= 1000L, s"$m/$qid metric over ceiling")
+      if (ndcg == 1000L) assert(mrr == 1000000L, s"$m/$qid perfect nDCG but MRR $mrr")
+    }
+  }
+
   /** d17's verdict contract: in every candidate near-dup pair the
     * less-central member is dropped, so (a) no pair survives with
     * BOTH members kept, and (b) each cell's most-central member
