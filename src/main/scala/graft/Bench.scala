@@ -99,6 +99,16 @@ import java.nio.file.{Files, Paths}
   * WITH an unchanged plan escalates to a state-store profile
   * (RocksDB commit metrics), not a code hunt.
   *
+  * Round-10 addendum (cont.): st32_stream_attribution read 14.56 s in
+  * the mid-round 214-query suite run — isolated min-of-two,
+  * back-to-back: 3.71 / 3.36 s (st44, same buffered-state machinery:
+  * 3.08 / 3.28 s). The in-suite level does NOT reproduce isolated —
+  * a >4× suite-interleaving artifact (the n15 r8 finding at larger
+  * scale), not a regression; code unchanged this round. Governance
+  * note for future rounds: the flush-time RocksDB buffer family's
+  * IN-SUITE numbers are position-sensitive — adjudicate them
+  * isolated before chasing code.
+  *
   * Optional args: query names to bench only those (local iteration).
   */
 object Bench {
