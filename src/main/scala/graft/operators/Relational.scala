@@ -694,6 +694,59 @@ object Relational {
         length(col("text")).cast("long").as("text_len"))
   }
 
+  /** s14 — TIME-TRAVEL READ (snapshot versioning over a diff log):
+    * reconstruct a table AS OF version k from an append-only version
+    * LOG — the lakehouse primitive (Delta/Iceberg "VERSION AS OF")
+    * that p17's diff model implies: if every nightly publishes its
+    * delta (full-image upserts + delete tombstones), any historical
+    * snapshot is the fold of the log up to k, and storage costs
+    * base + deltas instead of a copy per version. The log here is
+    * deterministic: v0 = the base corpus as upserts; v1 applies
+    * p17's mutation set (remove %11==5, rewrite %7==3, add %13==2);
+    * v2 removes %17==0, rewrites %5==1 (carrying v1's image — a
+    * full-image log row must restate the CURRENT text), adds %23==21.
+    * Both AS OF 1 and AS OF 2 are emitted, tagged.
+    *
+    * Scale shape: AS OF k = one argmax-by-version per key
+    * (`max(struct(ver, …))` with map-side partials — one shuffle on
+    * the key), filtered to surviving upserts; at scale the log lands
+    * version-partitioned so the `ver <= k` predicate prunes
+    * partitions before the fold, and a served table (st55's CDC
+    * serving) absorbs the common k = latest case. The DuckDB twin
+    * folds via a row_number window — structurally different.
+    */
+  val s14_time_travel: Q = (spark, dir) => {
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val nullT = lit(null).cast("string")
+    def row(ver: Int, id: Column, op: String, text: Column) =
+      Seq(lit(ver.toLong).as("ver"), id.as("doc_id"), lit(op).as("op"), text.as("text"))
+    val log = d.select(row(0, col("doc_id"), "upsert", col("text")): _*)
+      .unionByName(d.where(col("doc_id") % 11 === 5)
+        .select(row(1, col("doc_id"), "delete", nullT): _*))
+      .unionByName(d.where(col("doc_id") % 7 === 3 && !(col("doc_id") % 11 === 5))
+        .select(row(1, col("doc_id"), "upsert", concat(col("text"), lit(" [v2]"))): _*))
+      .unionByName(d.where(col("doc_id") % 13 === 2)
+        .select(row(1, col("doc_id") + 1000000L, "upsert",
+          concat(col("text"), lit(" [new]"))): _*))
+      .unionByName(d.where(col("doc_id") % 17 === 0 && !(col("doc_id") % 11 === 5))
+        .select(row(2, col("doc_id"), "delete", nullT): _*))
+      .unionByName(d.where(col("doc_id") % 5 === 1 &&
+          !(col("doc_id") % 11 === 5) && !(col("doc_id") % 17 === 0))
+        .select(row(2, col("doc_id"), "upsert",
+          concat(when(col("doc_id") % 7 === 3, concat(col("text"), lit(" [v2]")))
+            .otherwise(col("text")), lit(" [v3]"))): _*))
+      .unionByName(d.where(col("doc_id") % 23 === 21)
+        .select(row(2, col("doc_id") + 1100000L, "upsert",
+          concat(col("text"), lit(" [new2]"))): _*))
+    def asOf(k: Int) = log.where(col("ver") <= k)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("ver"), col("op"), col("text"))).as("m"))
+      .where(col("m.op") === "upsert")
+      .select(lit(k.toLong).as("version_read"), col("doc_id"),
+        col("m.text").as("text"))
+    asOf(1).unionByName(asOf(2))
+  }
+
   /** One mixed-generation parquet dir per sfDir: generation 1 landed
     * WITHOUT the `value` column (the pre-migration envelope),
     * generation 2 appended WITH it — the fixture for the
@@ -2089,6 +2142,7 @@ object Relational {
     "p14_corrupt_route" -> p14_corrupt_route,
     "p16_quarantine_replay" -> p16_quarantine_replay,
     "p17_snapshot_diff" -> p17_snapshot_diff,
+    "s14_time_travel" -> s14_time_travel,
     "p15_contract_checks" -> p15_contract_checks,
     "a19_decayed_engagement" -> a19_decayed_engagement,
     "a06_salted_agg" -> a06_salted_agg,
@@ -2348,6 +2402,38 @@ object Relational {
           WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
                      WHEN n.doc_id IS NULL THEN 'removed'
                      WHEN o.text <> n.text THEN 'changed' END IS NOT NULL""",
+    // s14: the same log folded via a row_number window per (read
+    // version, key) — structurally different from the struct-max
+    "s14_time_travel" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+          log AS (
+            SELECT 0 AS ver, doc_id, 'upsert' AS op, text FROM d
+            UNION ALL
+            SELECT 1, doc_id, 'delete', NULL FROM d WHERE doc_id % 11 = 5
+            UNION ALL
+            SELECT 1, doc_id, 'upsert', text || ' [v2]' FROM d
+            WHERE doc_id % 7 = 3 AND doc_id % 11 <> 5
+            UNION ALL
+            SELECT 1, doc_id + 1000000, 'upsert', text || ' [new]' FROM d
+            WHERE doc_id % 13 = 2
+            UNION ALL
+            SELECT 2, doc_id, 'delete', NULL FROM d
+            WHERE doc_id % 17 = 0 AND doc_id % 11 <> 5
+            UNION ALL
+            SELECT 2, doc_id, 'upsert',
+                   (CASE WHEN doc_id % 7 = 3 THEN text || ' [v2]' ELSE text END)
+                     || ' [v3]'
+            FROM d WHERE doc_id % 5 = 1 AND doc_id % 11 <> 5 AND doc_id % 17 <> 0
+            UNION ALL
+            SELECT 2, doc_id + 1100000, 'upsert', text || ' [new2]' FROM d
+            WHERE doc_id % 23 = 21),
+          s AS (SELECT CAST(k.vr AS BIGINT) AS version_read, l.doc_id, l.op, l.text,
+                       row_number() OVER (PARTITION BY k.vr, l.doc_id
+                                          ORDER BY l.ver DESC) AS rn
+                FROM (SELECT unnest([1, 2]) AS vr) k
+                JOIN log l ON l.ver <= k.vr)
+          SELECT version_read, doc_id, text
+          FROM s WHERE rn = 1 AND op = 'upsert'""",
     "p01_envelope_parse" ->
       """SELECT event_id,
                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,

@@ -183,6 +183,33 @@ class RelationalSpec extends SparkSpecBase {
     assert(out.toSeq === Seq((1L, 5L, "gold", 2L)))
   }
 
+  /** Cross-operator contract: the time-travel read AS OF 1 must equal
+    * the base snapshot with p17's diff applied — the two operators
+    * describe the same version edge from opposite directions, and a
+    * drift between them would mean the diff model and the log-fold
+    * model disagree.
+    */
+  test("s14: AS OF 1 == base ⊕ p17's diff (keys and changed-text agreement)") {
+    val base = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val diff = Relational.p17_snapshot_diff(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val v1 = Relational.s14_time_travel(spark, sf)
+      .where(col("version_read") === 1)
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    val expectedKeys = (base.keySet -- diff.filter(_._2 == "removed").keySet) ++
+      diff.filter(_._2 == "added").keySet
+    assert(v1.keySet === expectedKeys, "AS OF 1 key set diverges from base ⊕ diff")
+    v1.foreach { case (id, text) =>
+      diff.get(id) match {
+        case Some("changed") => assert(text !== base(id), s"doc $id marked changed but text equals base")
+        case Some("added") => assert(!base.contains(id))
+        case _ => assert(text === base(id), s"undiffed doc $id drifted in the fold")
+      }
+    }
+  }
+
   test("j14: per-purchase credit conserves the purchase's cents exactly") {
     val out = Relational.j14_multitouch_attribution(spark, sf)
       .groupBy(col("purchase_id"))
