@@ -1986,6 +1986,65 @@ object Relational {
         count(lit(1)).over(hour).as("hr_n"))
   }
 
+  /** w07 — SEQUENCE-PATTERN MATCH (the CEP / MATCH_RECOGNIZE class):
+    * find click → purchase WITHIN 1 hour WITH NO error BETWEEN, per
+    * user — the "A then B within T, no C between" pattern every
+    * funnel/fraud/alerting pipeline needs and Spark has no native
+    * operator for (Flink CEP's bread and butter; SQL:2016
+    * MATCH_RECOGNIZE). a09's funnel counts stage reachability; this
+    * emits the matched INSTANCES with their witness rows.
+    *
+    * Scale shape — the negation is the hard part: "no C between" is
+    * naively a per-pair interval anti-join (quadratic per user).
+    * Here every predicate folds into ONE ordered sweep: under the
+    * total (tsu, tag, event_id) order, carry a running error COUNT
+    * and the last click (id, tsu, and the count AT that click) —
+    * then a purchase matches iff its carried click is within the
+    * hour AND the error count hasn't moved since the click. ONE
+    * user_id exchange + one sort, O(n log n) — the j12 sweep with a
+    * monotone counter standing in for the NOT EXISTS. The DuckDB
+    * twin deliberately runs the quadratic correlated form (latest
+    * prior click + NOT EXISTS error in the open interval) so the
+    * differential checks the pattern semantics, not the plan. Ties:
+    * clicks sort before errors before purchases at one instant, so
+    * an instant-sharing error does sit "between".
+    */
+  val w07_sequence_match: Q = (spark, dir) =>
+    sequenceMatch(events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"),
+        col("event_id")))
+
+  /** [[w07_sequence_match]]'s sweep over an arbitrary
+    * (user_id, event_type, tsu, event_id) relation — exposed so the
+    * spec can pin the negation and instant-tie semantics on a
+    * hand-built event log.
+    */
+  private[graft] def sequenceMatch(events: DataFrame): DataFrame = {
+    val ev = events
+      .where(col("event_type").isin("click", "purchase", "error"))
+      .select(col("user_id"), col("event_type"), col("tsu"), col("event_id"),
+        when(col("event_type") === "click", 0)
+          .when(col("event_type") === "error", 1).otherwise(2).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("err_cnt",
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_tsu",
+        last(when(col("event_type") === "click", col("tsu")), ignoreNulls = true).over(w))
+      .withColumn("click_err",
+        last(when(col("event_type") === "click", col("err_cnt")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase" && col("click_tsu").isNotNull &&
+        col("tsu") - col("click_tsu") <= 3600000000L &&
+        col("err_cnt") === col("click_err"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"), col("click_tsu"), col("tsu").as("purchase_tsu"),
+        (col("tsu") - col("click_tsu")).as("gap_us"))
+  }
+
   val w03_payment_allocation: Q = (spark, dir) => {
     val oi = orders(spark, dir)
     val od = lineitem(spark, dir)
@@ -2152,6 +2211,7 @@ object Relational {
     "a23_count_min" -> a23_count_min,
     "w05_ohlc_candles" -> w05_ohlc_candles,
     "w06_rolling_stats" -> w06_rolling_stats,
+    "w07_sequence_match" -> w07_sequence_match,
     "a22_incremental_agg" -> a22_incremental_agg,
     "a24_outlier_mad" -> a24_outlier_mad,
     "w03_payment_allocation" -> w03_payment_allocation,
@@ -2213,6 +2273,34 @@ object Relational {
                  user_id_in_customer = 0 FROM w""",
     // w05: the same candle arithmetic with the picks computed the
     // structurally different way (row_number edges vs min_by/max_by)
+    // w07: the quadratic correlated form (latest prior click + NOT
+    // EXISTS error in the open interval) — checks semantics, not plan
+    "w07_sequence_match" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id,
+                      CASE event_type WHEN 'click' THEN 0
+                                      WHEN 'error' THEN 1 ELSE 2 END AS tag
+                    FROM events
+                    WHERE event_type IN ('click', 'purchase', 'error')),
+          p AS (SELECT user_id, tsu, event_id, tag FROM e
+                WHERE event_type = 'purchase'),
+          c AS (SELECT p.event_id AS purchase_id, p.user_id,
+                       p.tsu AS purchase_tsu, p.tag AS ptag,
+                       cl.event_id AS click_id, cl.tsu AS click_tsu,
+                       row_number() OVER (PARTITION BY p.event_id
+                         ORDER BY cl.tsu DESC, cl.event_id DESC) AS rn
+                FROM p JOIN e cl
+                  ON cl.user_id = p.user_id AND cl.event_type = 'click'
+                 AND (cl.tsu, cl.tag, cl.event_id) < (p.tsu, p.tag, p.event_id)
+                 AND p.tsu - cl.tsu <= 3600000000),
+          m AS (SELECT * FROM c WHERE rn = 1)
+          SELECT purchase_id, user_id, click_id, click_tsu, purchase_tsu,
+                 purchase_tsu - click_tsu AS gap_us
+          FROM m
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e er
+            WHERE er.user_id = m.user_id AND er.event_type = 'error'
+              AND (er.tsu, er.tag, er.event_id) > (m.click_tsu, 0, m.click_id)
+              AND (er.tsu, er.tag, er.event_id) < (m.purchase_tsu, 2, m.purchase_id))""",
     "w06_rolling_stats" ->
       """WITH x AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
                       CAST(ROUND(value * 100) AS BIGINT) AS c

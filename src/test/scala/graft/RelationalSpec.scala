@@ -183,6 +183,35 @@ class RelationalSpec extends SparkSpecBase {
     assert(out.toSeq === Seq((1L, 5L, "gold", 2L)))
   }
 
+  /** w07's pattern semantics pinned on a hand-built log (the oracle
+    * re-derives the same relation, so a shared misreading of
+    * "between" would pass the differential):
+    *  - an error between click and purchase kills the match
+    *  - an error BEFORE the click does not
+    *  - a later clean click re-arms after an error
+    *  - the 1-hour window binds
+    *  - an error at the purchase's exact instant counts as between
+    *    (clicks < errors < purchases at one instant)
+    */
+  test("w07: negation, re-arm, window and instant-tie semantics") {
+    import spark.implicits._
+    val H = 3600000000L
+    val log = Seq(
+      (1L, "click", 0L, 1L), (1L, "purchase", 100L, 2L), // match
+      (2L, "click", 0L, 3L), (2L, "error", 50L, 4L), (2L, "purchase", 100L, 5L), // killed
+      (3L, "error", 0L, 6L), (3L, "click", 50L, 7L), (3L, "purchase", 100L, 8L), // match
+      (4L, "click", 0L, 9L), (4L, "purchase", H + 1L, 10L), // window exceeded
+      (5L, "click", 0L, 11L), (5L, "error", 10L, 12L),
+      (5L, "click", 20L, 13L), (5L, "purchase", 30L, 14L), // re-armed → match on 13
+      (6L, "click", 0L, 15L), (6L, "error", 100L, 16L), (6L, "purchase", 100L, 17L)) // instant tie kills
+      .toDF("user_id", "event_type", "tsu", "event_id")
+    val got = Relational.sequenceMatch(log)
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((2L, 1L), (8L, 7L), (14L, 13L)),
+      s"pattern instances wrong: $got")
+  }
+
   /** Cross-operator contract: the time-travel read AS OF 1 must equal
     * the base snapshot with p17's diff applied — the two operators
     * describe the same version edge from opposite directions, and a
