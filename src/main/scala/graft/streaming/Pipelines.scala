@@ -97,6 +97,18 @@ case class AttrOut(event_id: Long, user_id: Long, tsu: Long,
                    click_id: Option[Long], click_tsu: Option[Long],
                    gap_us: Option[Long])
 
+/** One buffered event for the sequence-pattern sweep. */
+case class SeqEvent(user_id: Long, tsu: Long, event_id: Long,
+                    etype: String, event_time: java.sql.Timestamp)
+case class SeqBuf(tsu: Long, event_id: Long, etype: String)
+
+/** Sequence-pattern keyed state: capped buffer + monotone TTL anchor. */
+case class SeqState(buf: Seq[SeqBuf], newestMs: Long)
+
+/** One matched click→purchase pattern instance (w07's row shape). */
+case class SeqOut(purchase_id: Long, user_id: Long, click_id: Long,
+                  click_tsu: Long, purchase_tsu: Long, gap_us: Long)
+
 /** One buffered touchpoint/conversion in multi-touch state; `cents`
   * is the conversion value (0 for clicks).
   */
@@ -702,6 +714,69 @@ object Pipelines {
             val newestMs =
               math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
             state.update(MtState(buf, newestMs))
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** w07's sequence-pattern sweep, streamed: per-user buffered state
+    * (the [[attribution]] machinery — capped prefix, monotone TTL
+    * anchor, event-time timeout), and at flush ONE sorted sweep under
+    * the total (tsu, tag, event_id) order — clicks before errors
+    * before purchases at an instant, w07's tie rule — carrying the
+    * running error count and the last click with the count AT it; a
+    * purchase emits iff its click is within `windowUs` and the count
+    * hasn't moved. Flush-time evaluation over the complete delivered
+    * history is what makes negation SAFE under disorder: an eager
+    * per-batch match would emit a pattern instance that a
+    * late-arriving in-between error retroactively kills — an
+    * unretractable wrong answer in append mode; buffering until the
+    * watermark closes the user's hour makes the NOT-EXISTS decidable.
+    */
+  def sequenceMatch(events: Dataset[SeqEvent],
+                    windowUs: Long = 3600000000L,
+                    ttlMs: Long = FunnelTimeoutMs,
+                    maxEvents: Int = MaxScdEvents): Dataset[SeqOut] = {
+    import events.sparkSession.implicits._
+    def tag(t: String): Int = t match {
+      case "click" => 0; case "error" => 1; case _ => 2
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, SeqOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SeqEvent], state: GroupState[SeqState]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get.buf.sortBy(b => (b.tsu, tag(b.etype), b.event_id))
+            state.remove()
+            var errCnt = 0L
+            var click: Option[(SeqBuf, Long)] = None // (row, errCnt at click)
+            val out = Vector.newBuilder[SeqOut]
+            hist.foreach { b =>
+              b.etype match {
+                case "click" => click = Some((b, errCnt))
+                case "error" => errCnt += 1
+                case _ =>
+                  click.foreach { case (c, ce) =>
+                    if (b.tsu - c.tsu <= windowUs && ce == errCnt)
+                      out += SeqOut(b.event_id, uid, c.event_id, c.tsu,
+                        b.tsu, b.tsu - c.tsu)
+                  }
+              }
+            }
+            out.result().iterator
+          } else {
+            val prev = state.getOption.getOrElse(SeqState(Seq.empty, Long.MinValue))
+            val buf0 = prev.buf ++
+              rows.map(e => SeqBuf(e.tsu, e.event_id, e.etype))
+            val buf = if (buf0.size > maxEvents)
+              buf0.sortBy(b => (b.tsu, b.event_id)).take(maxEvents)
+            else buf0
+            val newestMs =
+              math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
+            state.update(SeqState(buf, newestMs))
             state.setTimeoutTimestamp(
               math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

@@ -1230,6 +1230,30 @@ object StreamQueries {
     upsertServe(spark, cdcServeAgg(log), Seq("user_id"), "last_tsu")
   }
 
+  /** W-family streaming — SEQUENCE-PATTERN MATCH AT INGEST (streaming
+    * twin of w07, st32/st44's flush-time machinery): click/error/
+    * purchase events buffer in per-user capped state; when the
+    * watermark proves the user's history closed, ONE sorted sweep
+    * emits the matched pattern instances ([[Pipelines.sequenceMatch]]
+    * — w07's exact rule under the same total order). Flush-time
+    * matters doubly for a pattern with NEGATION: a late in-between
+    * error must retroactively kill a match, which an eager per-batch
+    * emit can never take back in append mode. State: capped per-user
+    * event list + monotone TTL anchor, RocksDB-backed; sentinel rides
+    * `user_id < 0`. Oracle is w07's verbatim.
+    */
+  val st59_stream_sequence_match: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .where(col("event_type").isin("click", "purchase", "error") || col("user_id") < 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("event_type").as("etype"), col("ts").as("event_time"))
+      .as[graft.streaming.SeqEvent]
+    Replay.runAppend(spark, Pipelines.sequenceMatch(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+  }
+
   /** P-family streaming — SNAPSHOT DIFF AT INGEST (streaming twin of
     * p17, the count-at-ingest/judge-on-read discipline of st40/st41):
     * the new snapshot's rows stream in and are classified added /
@@ -2590,6 +2614,7 @@ object StreamQueries {
     "st56_stream_snapshot_diff" -> st56_stream_snapshot_diff,
     "st57_stream_sample_serve" -> st57_stream_sample_serve,
     "st58_stream_outlier_gate" -> st58_stream_outlier_gate,
+    "st59_stream_sequence_match" -> st59_stream_sequence_match,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2794,6 +2819,9 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st59's flush-time sweep must emit exactly w07's pattern instances
+    "st59_stream_sequence_match" ->
+      graft.operators.Relational.oracles("w07_sequence_match"),
     // st58's stateless gate must flag exactly a24's outlier rows
     "st58_stream_outlier_gate" ->
       graft.operators.Relational.oracles("a24_outlier_mad"),
