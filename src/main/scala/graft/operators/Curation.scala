@@ -597,6 +597,58 @@ object Curation {
       .withColumn("admitted", col("n_trips") === 0L)
   }
 
+  /** c09 — GATE ABLATION: for each of the five INDEPENDENT gates
+    * (heuristic quality, exact-dup keeper, contamination, stratified
+    * sample, repetition), how many documents does it reject, and how
+    * many does it reject UNIQUELY — the "what would admission look
+    * like without this gate" analysis every curation team runs
+    * before tightening or dropping a rule. c03 answers "which gate
+    * rejected doc X first" (sequential, stage-ordered); this answers
+    * the orthogonal question "which gates carry unique precision vs
+    * merely confirming each other" — a gate with zero unique kills
+    * is either redundant or the backstop for another gate's misses,
+    * and only this view can tell. The repetition signal here is
+    * computed over the FULL corpus (not c02's stage-1-4 survivors):
+    * ablation needs each flag independent of the others' verdicts.
+    * The trained gates (t18/t20) are deliberately out of scope —
+    * they are trained on other gates' survivors, so "independent"
+    * is not even definable for them (docstring'd, not silent).
+    *
+    * Scale shape: flags are gateFlags' one persisted pass + the
+    * repetition rollup; the ablation itself is a 5-way per-row
+    * explode into ONE |gates|-key aggregation with map-side
+    * partials. Null repetition signals (too few tokens) reject, the
+    * c03 rule applied uniformly.
+    */
+  val c09_gate_ablation: Q = (spark, dir) => {
+    val rep = TextAnalysis.repSignals(spark,
+        documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("rep_keep"))
+    val gates = Seq("heur", "dup", "contam", "sample", "rep")
+    val f = gateFlags(spark, dir)
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (!col("heur_ok")).as("r_heur"),
+        (!col("is_keeper")).as("r_dup"),
+        col("is_contam").as("r_contam"),
+        (!col("sample_ok")).as("r_sample"),
+        (!coalesce(col("rep_keep"), lit(false))).as("r_rep"))
+      .withColumn("n_rej",
+        gates.map(g => col(s"r_$g").cast("long")).reduce(_ + _))
+    val admitted = f.agg(
+      sum(when(col("n_rej") === 0, 1L).otherwise(0L)).as("n_admitted"))
+    f.select(col("n_rej"), explode(array(gates.map(g =>
+        struct(lit(g).as("gate"), col(s"r_$g").as("r"))): _*)).as("e"))
+      .select(col("n_rej"), col("e.gate").as("gate"), col("e.r").as("r"))
+      .groupBy(col("gate"))
+      .agg(sum(when(col("r"), 1L).otherwise(0L)).as("n_reject"),
+        sum(when(col("r") && col("n_rej") === 1, 1L).otherwise(0L)).as("n_unique_kill"))
+      .join(broadcast(admitted), lit(true), "left")
+      .select(col("gate"), col("n_reject"), col("n_unique_kill"),
+        col("n_admitted"),
+        (col("n_admitted") + col("n_unique_kill")).as("n_admitted_without"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_curated_manifest" -> c02_curated_manifest,
@@ -606,6 +658,7 @@ object Curation {
     "c06_incremental_manifest" -> c06_incremental_manifest,
     "c07_mixture_resample" -> c07_mixture_resample,
     "c08_drift_gated_admission" -> c08_drift_gated_admission,
+    "c09_gate_ablation" -> c09_gate_ablation,
   )
 
   // --------------------------------------------------------------------
@@ -847,6 +900,38 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    "c09_gate_ablation" -> {
+      val T = TextAnalysis
+      s"""WITH $duckFlagsCtes,
+          ${T.duckRepCtes("documents")},
+          fr AS (SELECT f.doc_id,
+                        NOT f.heur_ok AS r_heur,
+                        NOT f.is_keeper AS r_dup,
+                        f.is_contam AS r_contam,
+                        NOT f.sample_ok AS r_sample,
+                        NOT COALESCE(r.rep_keep, false) AS r_rep
+                 FROM flags f LEFT JOIN rep r ON r.doc_id = f.doc_id),
+          nn AS (SELECT *,
+                        CAST(r_heur AS BIGINT) + CAST(r_dup AS BIGINT)
+                      + CAST(r_contam AS BIGINT) + CAST(r_sample AS BIGINT)
+                      + CAST(r_rep AS BIGINT) AS n_rej
+                 FROM fr),
+          adm AS (SELECT CAST(COUNT(*) FILTER (n_rej = 0) AS BIGINT) AS n_admitted
+                  FROM nn),
+          st AS (SELECT n_rej, 'heur' AS gate, r_heur AS r FROM nn
+                 UNION ALL SELECT n_rej, 'dup', r_dup FROM nn
+                 UNION ALL SELECT n_rej, 'contam', r_contam FROM nn
+                 UNION ALL SELECT n_rej, 'sample', r_sample FROM nn
+                 UNION ALL SELECT n_rej, 'rep', r_rep FROM nn)
+          SELECT gate,
+                 CAST(COUNT(*) FILTER (r) AS BIGINT) AS n_reject,
+                 CAST(COUNT(*) FILTER (r AND n_rej = 1) AS BIGINT) AS n_unique_kill,
+                 (SELECT n_admitted FROM adm) AS n_admitted,
+                 (SELECT n_admitted FROM adm)
+                   + CAST(COUNT(*) FILTER (r AND n_rej = 1) AS BIGINT)
+                   AS n_admitted_without
+          FROM st GROUP BY gate"""
+    },
     "c01_curation_pipeline" -> duckC01Sql,
     "c02_curated_manifest" -> duckC02Sql,
     "c03_curation_audit" -> duckC03Sql,
