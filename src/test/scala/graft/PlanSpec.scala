@@ -234,6 +234,30 @@ class PlanSpec extends SparkSpecBase {
     assert(bcasts >= 2, s"med and mad must broadcast back, saw $bcasts broadcasts")
   }
 
+  test("w06: ONE exchange and ONE sort — the RANGE frame rides the ROWS frame's ordering") {
+    val df = Relational.w06_rolling_stats(spark, sf)
+    df.collect()
+    val plans = flatten(df.queryExecution.executedPlan)
+    val shuffles = plans.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles === 1, s"both frames must share the user_id distribution, saw $shuffles")
+    val sorts = plans.count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    assert(sorts === 1,
+      s"(tsu) is a prefix of (tsu, event_id) — the second window must not re-sort, saw $sorts")
+  }
+
+  test("w07: the pattern sweep is ONE user exchange, never a nested loop") {
+    val df = Relational.w07_sequence_match(spark, sf)
+    df.collect()
+    val plans = flatten(df.queryExecution.executedPlan)
+    val shuffles = plans.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles === 1, s"the sweep must be the only distribution, saw $shuffles")
+    assert(!plans.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "the negation must fold into the sweep, not plan as an interval join")
+  }
+
   test("a16: ONE exchange — lag, the running sum and the session rollup all ride user_id") {
     // hash(user_id) satisfies the rollup's (user_id, sid) clustering —
     // every row of a user is already co-located — so the session
