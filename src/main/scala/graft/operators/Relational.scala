@@ -1867,6 +1867,47 @@ object Relational {
     med.join(medOf(dev, "dev", "mad"), "event_type")
   }
 
+  /** a25 — WINSORIZED + TRIMMED MEANS: robust per-type location
+    * estimates — where a24 FLAGS outliers, this AGGREGATES through
+    * them: the winsorized mean clamps values into [p05, p95] (every
+    * row still votes, tails vote at the fence) and the trimmed mean
+    * drops the tails entirely — the two standard choices when a mean
+    * must not follow a fat tail, reported beside the plain mean so
+    * the dashboard shows HOW MUCH the tail was dragging. The fences
+    * are a13's exact picked order statistics (rn = ⌈q·n⌉); all sums
+    * are integer cents, the three means one exact-integer double
+    * division each — bit-identical cross-engine.
+    *
+    * Scale shape: one rank window + rollup per type for the fences
+    * (hash(event_type) exchange + sort), |types| fence rows
+    * broadcast back, ONE conditional re-aggregation for all three
+    * means (clamp and trim ride the same scan as when-branches). At
+    * 100 TB the fences defer to a14's sketch like a13 does.
+    */
+  val a25_winsorized_mean: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type"))
+    val x = events(spark, dir).select(col("event_type"),
+      graft.Tables.cents(col("value")).cast("long").as("xc"), col("event_id"))
+    val ranked = x
+      .withColumn("rn", row_number().over(byType.orderBy(col("xc"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    def pick(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("xc")))
+    val fences = ranked.groupBy(col("event_type"))
+      .agg(pick(0.05).as("p05"), pick(0.95).as("p95"))
+    val clamped = greatest(col("p05"), least(col("p95"), col("xc")))
+    val inside = col("xc") >= col("p05") && col("xc") <= col("p95")
+    x.join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("p05")).as("p05"), max(col("p95")).as("p95"),
+        (sum(col("xc")).cast("double") / count(lit(1)).cast("double")).as("mean_c"),
+        (sum(clamped).cast("double") / count(lit(1)).cast("double")).as("wins_mean_c"),
+        (sum(when(inside, col("xc"))).cast("double") /
+          sum(when(inside, 1L)).cast("double")).as("trim_mean_c"))
+  }
+
   val a24_outlier_mad: Q = (spark, dir) => {
     val x = events(spark, dir).select(col("event_id"), col("event_type"),
       graft.Tables.cents(col("value")).cast("long").as("xc"))
@@ -2214,6 +2255,7 @@ object Relational {
     "w07_sequence_match" -> w07_sequence_match,
     "a22_incremental_agg" -> a22_incremental_agg,
     "a24_outlier_mad" -> a24_outlier_mad,
+    "a25_winsorized_mean" -> a25_winsorized_mean,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
@@ -2359,6 +2401,32 @@ object Relational {
                  est_cnt - CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS overcount
           FROM est LEFT JOIN exact USING (user_id)"""
     },
+    // a25: same rank-pick fences (window formulation), means as
+    // exact-integer double divisions
+    "a25_winsorized_mean" ->
+      """WITH x AS (SELECT event_type, event_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS xc
+                    FROM events),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY xc, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM x),
+          f AS (SELECT event_type,
+                  MAX(CASE WHEN rn = ceil(0.05 * n) THEN xc END) AS p05,
+                  MAX(CASE WHEN rn = ceil(0.95 * n) THEN xc END) AS p95
+                FROM r GROUP BY 1)
+          SELECT x.event_type,
+                 COUNT(*) AS n_events,
+                 MAX(p05) AS p05, MAX(p95) AS p95,
+                 CAST(SUM(xc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_c,
+                 CAST(SUM(GREATEST(p05, LEAST(p95, xc))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS wins_mean_c,
+                 CAST(SUM(CASE WHEN xc BETWEEN p05 AND p95 THEN xc END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN xc BETWEEN p05 AND p95 THEN 1 END) AS DOUBLE)
+                   AS trim_mean_c
+          FROM x JOIN f USING (event_type)
+          GROUP BY 1""",
     // a24: quantile_disc formulation (same lower-median semantics as
     // the Spark side's rank pick, different construction)
     "a24_outlier_mad" ->
