@@ -1130,6 +1130,50 @@ object Relational {
   /** Sample size for [[a17_kmv_sample]] (KMV "k minimum values"). */
   private[graft] val KmvK = 64
 
+  /** a26 — ROLLING 7-DAY DISTINCT USERS (the sliding-window distinct
+    * problem): distinct counts do NOT decompose over window frames —
+    * a running sum can slide, a running distinct cannot (yesterday's
+    * leavers are invisible to a counter) — so the production answer
+    * is a MERGEABLE summary per day, merged across the frame. Here
+    * the summary is a17's KMV bottom-k ([[graft.functions.MinK]] —
+    * set-semantics, merge-tree free, so unlike the HLL twin the
+    * whole relation hash-checks exactly), realized as one explode of
+    * each (day, user) into the 7 windows it serves: at 100 TB the
+    * replication carries an 8-byte hash + id, not the event, and the
+    * alternative — 7 daily re-scans or an exact distinct per window
+    * — re-shuffles the raw corpus per frame. The exact count rides
+    * along (the estimator's audit column, a17's convention); windows
+    * past the corpus edge are partial by construction, like any
+    * trailing dashboard day.
+    *
+    * Scale shape: one (day, user) pre-dedup exchange, one explode
+    * (×7, thin rows), one day-keyed aggregation whose min-k partials
+    * collapse map-side to ≤ k items. Estimate arithmetic is a17's
+    * verbatim IEEE parenthesization.
+    */
+  val a26_rolling_distinct: Q = (spark, dir) => {
+    val k = KmvK
+    val pd = events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val ex = pd.select(
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
+      .distinct()
+    val h = graft.functions.Portable.hash60(
+      concat(lit("kmv:"), col("user_id").cast("string")))
+    val kth = element_at(col("s.items"), size(col("s.items"))).getField("h")
+    ex.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.MinK.minK(k)(h, col("user_id")).as("s"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("dt"),
+        col("n_exact"),
+        size(col("s.items")).cast("long").as("n_kept"),
+        kth.as("kth"),
+        when(size(col("s.items")) < k, size(col("s.items")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            kth.cast("double")).cast("long")).as("est_distinct"))
+  }
+
   /** a17 — KMV BOTTOM-K SKETCH: the k smallest 60-bit hashes of the
     * distinct users per event type — simultaneously a DETERMINISTIC
     * UNIFORM SAMPLE of the distinct users (min-wise: every distinct
@@ -2256,6 +2300,7 @@ object Relational {
     "a22_incremental_agg" -> a22_incremental_agg,
     "a24_outlier_mad" -> a24_outlier_mad,
     "a25_winsorized_mean" -> a25_winsorized_mean,
+    "a26_rolling_distinct" -> a26_rolling_distinct,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
@@ -2400,6 +2445,29 @@ object Relational {
                  CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS exact_cnt, est_cnt,
                  est_cnt - CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS overcount
           FROM est LEFT JOIN exact USING (user_id)"""
+    },
+    // a26: rank-window formulation of the same bottom-k per window day
+    "a26_rolling_distinct" -> {
+      val h = graft.functions.Portable.duckHash60(
+        "concat('kmv:', CAST(user_id AS VARCHAR))")
+      s"""WITH pd AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+          ex AS (SELECT DISTINCT day + CAST(i AS INTEGER) AS day, user_id
+                 FROM pd, (SELECT unnest(range(0, 7)) AS i) t),
+          uh AS (SELECT day, user_id, $h AS h FROM ex),
+          r AS (SELECT day, user_id, h,
+                  CAST(row_number() OVER (PARTITION BY day
+                                          ORDER BY h, user_id) AS BIGINT) AS rank,
+                  COUNT(*) OVER (PARTITION BY day) AS n_exact
+                FROM uh)
+          SELECT strftime(day, '%Y-%m-%d') AS dt,
+                 MAX(n_exact) AS n_exact,
+                 CAST(COUNT(*) FILTER (rank <= $KmvK) AS BIGINT) AS n_kept,
+                 MAX(CASE WHEN rank <= $KmvK THEN h END) AS kth,
+                 CASE WHEN MAX(n_exact) < $KmvK THEN MAX(n_exact)
+                      ELSE CAST(floor(${KmvK - 1}.0 * pow(2.0, 60.0) /
+                             CAST(MAX(CASE WHEN rank <= $KmvK THEN h END) AS DOUBLE))
+                           AS BIGINT) END AS est_distinct
+          FROM r GROUP BY day"""
     },
     // a25: same rank-pick fences (window formulation), means as
     // exact-integer double divisions
