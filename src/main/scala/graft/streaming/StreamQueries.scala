@@ -1565,6 +1565,47 @@ object StreamQueries {
       .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
   }
 
+  /** A-family streaming — THE ROLLING DISTINCT WINDOW AT INGEST
+    * (streaming twin of a26, st43's machinery widened to window
+    * frames): each arriving event explodes STATELESSLY into the 7
+    * window-days it serves (thin rows — hash + id), and ONE
+    * update-mode MinK aggregation maintains each window-day's
+    * bottom-k. The set semantics do double duty here: they absorb
+    * both the raw stream's repeated users AND the explode's overlap
+    * (one user active on two days lands twice in a shared window) —
+    * so no distinct pass runs anywhere, which is the entire at-scale
+    * point (a26's batch form needs two dedup exchanges; ingest gets
+    * the same bit-identical buffers with none). State: ≤ k items per
+    * OPEN window-day, ingest-rate independent; n_exact is traded
+    * away (exact distinct is precisely what a stream cannot keep
+    * cheaply — the estimator IS the serving answer), so the oracle
+    * is a26's minus its audit column via a thin projection. Sentinel
+    * pre-filtered; upsert ordered by n_kept (monotone under set
+    * growth).
+    */
+  val st60_stream_rolling_distinct: Q = (spark, dir) => {
+    val k = graft.operators.Relational.KmvK
+    val P = graft.functions.Portable
+    val ex = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .select(explode(sequence(to_date(col("ts")),
+        date_add(to_date(col("ts")), 6))).as("day"), col("user_id"))
+      .select(col("day"), col("user_id"),
+        P.hash60(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+    val build = ex.groupBy(col("day"))
+      .agg(graft.functions.MinK.minK(k)(col("h"), col("user_id")).as("s"))
+      .select(col("day"), col("s.items").as("items"),
+        size(col("s.items")).as("n_kept"))
+    val served = upsertServe(spark, build, Seq("day"), "n_kept")
+    val kth = element_at(col("items"), size(col("items"))).getField("h")
+    served.select(date_format(col("day"), "yyyy-MM-dd").as("dt"),
+      size(col("items")).cast("long").as("n_kept"),
+      kth.as("kth"),
+      when(size(col("items")) < k, size(col("items")).cast("long"))
+        .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+          kth.cast("double")).cast("long")).as("est_distinct"))
+  }
+
   /** D-family streaming — PASSAGE SCRUB AT INGEST (streaming twin of
     * d13, st16/st39's decide-batch-serve-stream discipline): the
     * batch nightly DECIDES tonight's boilerplate list — the 60-bit
@@ -2615,6 +2656,7 @@ object StreamQueries {
     "st57_stream_sample_serve" -> st57_stream_sample_serve,
     "st58_stream_outlier_gate" -> st58_stream_outlier_gate,
     "st59_stream_sequence_match" -> st59_stream_sequence_match,
+    "st60_stream_rolling_distinct" -> st60_stream_rolling_distinct,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2819,6 +2861,12 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st60's streamed window buffers must equal a26's bottom-k exactly
+    // (minus the n_exact audit column a stream deliberately trades away)
+    "st60_stream_rolling_distinct" -> {
+      val a26 = graft.operators.Relational.oracles("a26_rolling_distinct")
+      s"""SELECT dt, n_kept, kth, est_distinct FROM ($a26)"""
+    },
     // st59's flush-time sweep must emit exactly w07's pattern instances
     "st59_stream_sequence_match" ->
       graft.operators.Relational.oracles("w07_sequence_match"),
