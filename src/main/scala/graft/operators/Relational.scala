@@ -1491,6 +1491,48 @@ object Relational {
   val j17_cdc_apply: Q = (spark, dir) =>
     cdcApply(cdcLog(events(spark, dir)))
 
+  /** j18 — HIERARCHICAL FALLBACK JOIN (most-specific-key wins): each
+    * document takes its rate from the most specific rate-card level
+    * that covers it — (lang, source), else (lang), else the global
+    * default — the config/rate-card resolution pattern every
+    * enrichment layer needs (pricing tiers, sampling rates, model
+    * routing tables) and plain equi-joins can't express alone. The
+    * cards are built from the corpus itself (mean chars per key, in
+    * exact integer div) with DETERMINISTIC coverage gaps — a third
+    * of pairs and a quarter of langs are hash-dropped from their
+    * cards — so all three levels resolve at any SF and the fixture
+    * honestly models "the card has holes", which is the operator's
+    * entire reason to exist.
+    *
+    * Scale shape: cards are aggregates of the fact table itself
+    * (|keys| rows — broadcast), resolution is two broadcast LEFT
+    * joins + one row-local coalesce cascade; the fact table is
+    * scanned once for cards, once for resolution, never shuffled on
+    * the card keys.
+    */
+  val j18_fallback_join: Q = (spark, dir) => {
+    val P = graft.functions.Portable
+    val docs = documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    def meanChars = expr("CAST(sum(n_chars) div count(1) AS BIGINT)")
+    val pairCard = docs.groupBy(col("lang"), col("source"))
+      .agg(meanChars.as("rate_pair"))
+      .where(P.hash60(concat(col("lang"), lit("|"), col("source"))) % 3 =!= 0)
+    val langCard = docs.groupBy(col("lang"))
+      .agg(meanChars.as("rate_lang"))
+      .where(P.hash60(col("lang")) % 4 =!= 0)
+    val globalCard = docs.agg(meanChars.as("rate_global"))
+    docs
+      .join(broadcast(pairCard), Seq("lang", "source"), "left")
+      .join(broadcast(langCard), Seq("lang"), "left")
+      .join(broadcast(globalCard), lit(true), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        coalesce(col("rate_pair"), col("rate_lang"), col("rate_global")).as("rate"),
+        when(col("rate_pair").isNotNull, "pair")
+          .when(col("rate_lang").isNotNull, "lang")
+          .otherwise("global").as("level"))
+  }
+
   /** j12 — AS-OF JOIN (last-touch attribution): each purchase joined
     * to the SAME user's latest click at-or-before it — the operator
     * classic warehouses need (latest rate/dim-version/touchpoint at
@@ -2278,6 +2320,7 @@ object Relational {
     "j11_scd2_history" -> j11_scd2_history,
     "j16_point_in_time" -> j16_point_in_time,
     "j17_cdc_apply" -> j17_cdc_apply,
+    "j18_fallback_join" -> j18_fallback_join,
     "j12_attribution_asof" -> j12_attribution_asof,
     "j13_bloom_prune_join" -> j13_bloom_prune_join,
     "j15_bucketed_join" -> j15_bucketed_join,
@@ -2989,6 +3032,29 @@ object Relational {
            AND v.valid_from <= e.ts
            AND (v.valid_to IS NULL OR e.ts < v.valid_to)
           WHERE e.event_type = 'click'""",
+    "j18_fallback_join" -> {
+      val hp = graft.functions.Portable.duckHash60("concat(lang, '|', source)")
+      val hl = graft.functions.Portable.duckHash60("lang")
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars FROM documents),
+          pc AS (SELECT lang, source,
+                   CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS rate_pair
+                 FROM d GROUP BY 1, 2
+                 HAVING ($hp) % 3 <> 0),
+          lc AS (SELECT lang,
+                   CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS rate_lang
+                 FROM d GROUP BY 1
+                 HAVING ($hl) % 4 <> 0),
+          gc AS (SELECT CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS rate_global
+                 FROM d)
+          SELECT doc_id, d.lang, d.source,
+                 COALESCE(rate_pair, rate_lang, rate_global) AS rate,
+                 CASE WHEN rate_pair IS NOT NULL THEN 'pair'
+                      WHEN rate_lang IS NOT NULL THEN 'lang'
+                      ELSE 'global' END AS level
+          FROM d
+          LEFT JOIN pc ON pc.lang = d.lang AND pc.source = d.source
+          LEFT JOIN lc ON lc.lang = d.lang, gc"""
+    },
     // j17: structurally different arg_max-with-FILTER apply over the
     // same derived changelog (checks the CDC semantics, not the plan)
     "j17_cdc_apply" ->
