@@ -837,8 +837,8 @@ object TextAnalysis {
     * Java regex (Spark) and RE2 (DuckDB): character classes, bounded
     * repetition and ASCII \b only; no lookaround, no backreferences.
     */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** t29 — PII SCRUB: regex redaction of emails and IPv4 addresses
     * with per-doc match accounting — the redaction gate every

@@ -2454,6 +2454,16 @@ object StreamQueries {
     *      corruption (`n_chars = −1` on every 13th delta id) routes
     *      the row to the 'corrupt' lane with nothing dropped — the
     *      very front, before any gate that trusts the row's shape.
+    *   1b. PII LANE (t29's patterns at the door, round-10
+    *      composition): docs carrying an email or IPv4 match route
+    *      'pii' — quarantine-for-redaction rather than in-door
+    *      rewrite, because a scrub that rewrites text here would
+    *      change the content hash and break the dedup gate's
+    *      standing-corpus compare (the door hashes what arrived);
+    *      the redaction replay that re-admits the lane is t29's job,
+    *      closing the p14 → p16 dead-letter loop for PII. The
+    *      fixture plants t29's deterministic emails/IPs into the
+    *      arriving delta.
     *   2. MIXTURE GOVERNOR (st39): last night's `mixtureRates`
     *      decision broadcasts onto the scan; a doc whose keyed hash
     *      falls outside its domain's rate lanes 'mixture'.
@@ -2564,6 +2574,14 @@ object StreamQueries {
       .withColumn("n_chars", // the planted metadata corruption (gate 1)
         when(pmod(col("doc_id"), lit(13L)) === 3, lit(-1L))
           .otherwise(col("n_chars")))
+      .withColumn("text", // planted PII (gate 2 — t29's fixture at the door)
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(19L)) === 6,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(23L)) === 7,
+            concat(lit(" from 10."), pmod(col("doc_id"), lit(256L)), lit(".0.1")))
+            .otherwise(lit(""))))
 
     // ---- gates 1-5, one scan, all stateless ----
     def leg(f: String) = broadcast(tripped.where(col("feature") === f)
@@ -2594,6 +2612,8 @@ object StreamQueries {
           + coalesce(col("source_trip"), lit(0L))).otherwise(lit(0L)))
       .withColumn("lane",
         when(col("n_chars") < 0, "corrupt")
+          .when(regexp_count(col("text"), lit(T.EmailRe)) +
+            regexp_count(col("text"), lit(T.Ipv4Re)) > 0, "pii")
           .when(!col("mix_pass"), "mixture")
           .when(col("n_trips") > 0, "drift")
           .when(bloomDup && col("in_corpus").isNotNull, "dup")
@@ -2710,7 +2730,17 @@ object StreamQueries {
                   UNION ALL
                   SELECT doc_id + 2000000, text, lang, n_chars, source
                   FROM standing WHERE doc_id % 7 = 1),
-        planted AS (SELECT doc_id, text, lang,
+        planted AS (SELECT doc_id,
+                           text ||
+                           CASE WHEN doc_id % 19 = 6
+                                THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                       || '@example.com now'
+                                ELSE '' END ||
+                           CASE WHEN doc_id % 23 = 7
+                                THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                       || '.0.1'
+                                ELSE '' END AS text,
+                           lang,
                            CASE WHEN doc_id % 13 = 3 THEN -1 ELSE n_chars END
                              AS n_chars,
                            source
@@ -2739,6 +2769,10 @@ object StreamQueries {
         eh AS (SELECT DISTINCT md5(text) AS h FROM standing),
         laned AS (SELECT l.doc_id, l.text, md5(l.text) AS content_hash,
                          CASE WHEN l.n_chars < 0 THEN 'corrupt'
+                              WHEN len(regexp_extract_all(l.text,
+                                     '${T.EmailRe}'))
+                                 + len(regexp_extract_all(l.text,
+                                     '${T.Ipv4Re}')) > 0 THEN 'pii'
                               WHEN r.rate_micro IS NULL
                                    OR ($mixH) % 10000 >= r.rate_micro
                                 THEN 'mixture'
