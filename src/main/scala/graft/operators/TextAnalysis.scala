@@ -266,6 +266,51 @@ object TextAnalysis {
         when(score >= TrigramThreshold, "en").otherwise("unk").as("lang_pred"))
   }
 
+  /** t30 — CODE-SWITCH SEGMENTATION: per-LINE language verdicts over
+    * multi-line documents, with a doc-level mixed-language flag —
+    * the pass that catches what a whole-doc LID (t01/t06) averages
+    * away: a page that is half English half not scores "mostly en"
+    * as a doc but is exactly the content a monolingual training mix
+    * must split or drop. The corpus ships single-line docs, so the
+    * fixture SYNTHESIZES the multi-line shape: every %3==0 doc
+    * concatenates its successor as a second line (langs interleave
+    * by id, so en/non-en, en/en and non-en/non-en pairs all occur —
+    * the flag genuinely varies). Each line ≥3 chars scores through
+    * the SAME codegen'd trigram profile t06 uses (one model, two
+    * granularities); code_switched ⇔ the doc mixes line verdicts.
+    *
+    * Scale shape: one self-join on the successor id (broadcastable
+    * pairing relation at any SF since it is the corpus itself —
+    * planned as a shuffle join; row-local from there), line fan-out
+    * ×2, and the doc rollup rides one doc_id window. No new model
+    * artifacts — the en-trigram profile is a literal.
+    */
+  val t30_code_switch: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val partner = d.select((col("doc_id") - 1).as("doc_id"), col("text").as("text_b"))
+    val lines = d.where(col("doc_id") % 3 === 0).join(partner, "doc_id")
+      .select(col("doc_id"), posexplode(array(col("text"), col("text_b"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("line_no"),
+        col("col").as("line"))
+      .where(length(col("line")) >= 3)
+    val txt = lower(col("line"))
+    val nTg = length(txt) - 2
+    val hits = call_function("trigram_hits", txt,
+      lit(EnTrigrams.mkString(graft.functions.TrigramHits.ProfileSep)))
+    val score = hits.cast("double") / nTg.cast("double")
+    val W = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    lines
+      .select(col("doc_id"), col("line_no"),
+        nTg.cast("long").as("n_trigrams"), score.as("en_score"),
+        (score >= TrigramThreshold).as("line_en"))
+      .withColumn("n_lines", count(lit(1)).over(W))
+      .withColumn("n_en", sum(when(col("line_en"), 1L).otherwise(0L)).over(W))
+      .select(col("doc_id"), col("line_no"), col("n_trigrams"), col("en_score"),
+        when(col("line_en"), "en").otherwise("unk").as("line_pred"),
+        (col("n_en") > 0 && col("n_en") < col("n_lines")).as("code_switched"))
+  }
+
   /** Scrub patterns — conservative syntax (literal character classes,
     * bounded quantifiers) so Java (Spark) and RE2 (DuckDB) agree
     * exactly.
@@ -1599,6 +1644,7 @@ object TextAnalysis {
     "t15_stratified_sample" -> t15_stratified_sample,
     "t28_weighted_sample" -> t28_weighted_sample,
     "t29_pii_scrub" -> t29_pii_scrub,
+    "t30_code_switch" -> t30_code_switch,
     "t16_corpus_stats" -> t16_corpus_stats,
     "t17_bpe_unseen" -> t17_bpe_unseen,
     "t18_bigram_lm" -> t18_bigram_lm,
@@ -2184,6 +2230,36 @@ object TextAnalysis {
                              / CAST(n_trigrams AS DOUBLE) >= $TrigramThreshold
                       THEN 'en' ELSE 'unk' END AS lang_pred
           FROM g"""
+    },
+    "t30_code_switch" -> {
+      val inList = EnTrigrams.map(t => s"'$t'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+          m AS (SELECT a.doc_id, a.text AS ta, b.text AS tb
+                FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 3 = 0),
+          l0 AS (SELECT doc_id, 1 AS line_no, ta AS line FROM m
+                 UNION ALL SELECT doc_id, 2, tb FROM m),
+          l AS (SELECT doc_id, CAST(line_no AS BIGINT) AS line_no,
+                       lower(line) AS txt
+                FROM l0 WHERE len(line) >= 3),
+          g AS (SELECT doc_id, line_no,
+                       CAST(len(txt) - 2 AS BIGINT) AS n_trigrams,
+                       list_transform(range(1, len(txt) - 1),
+                                      i -> substr(txt, i, 3)) AS tgs
+                FROM l),
+          s AS (SELECT doc_id, line_no, n_trigrams,
+                       CAST(len(list_filter(tgs, x -> x IN ($inList))) AS DOUBLE)
+                         / CAST(n_trigrams AS DOUBLE) AS en_score
+                FROM g),
+          f AS (SELECT *, en_score >= $TrigramThreshold AS line_en FROM s)
+          SELECT doc_id, line_no, n_trigrams, en_score,
+                 CASE WHEN line_en THEN 'en' ELSE 'unk' END AS line_pred,
+                 SUM(CASE WHEN line_en THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id) > 0
+                 AND SUM(CASE WHEN line_en THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id)
+                   < COUNT(*) OVER (PARTITION BY doc_id) AS code_switched
+          FROM f"""
     },
     "t07_scrub" ->
       s"""WITH c AS (
