@@ -1130,6 +1130,42 @@ object Relational {
   /** Sample size for [[a17_kmv_sample]] (KMV "k minimum values"). */
   private[graft] val KmvK = 64
 
+  /** a27 — CONVERSION LATENCY DISTRIBUTION: p50/p90/p99 of the
+    * click→purchase gap per purchase day — the time-to-convert
+    * funnel metric, composed from j12's as-of assignment (the gap
+    * column j12 emits is exactly this distribution's raw material)
+    * with a13's exact rank-picked quantiles on top. Unattributed
+    * purchases (no prior click) are excluded and COUNTED — a latency
+    * distribution silently absorbing nulls as zeros is the classic
+    * dashboard lie, so the n_unattributed column rides beside n.
+    *
+    * Scale shape: j12's one user_id sweep, then one hash(dt)
+    * exchange for the rank window + rollup; day keys are bounded, so
+    * the second exchange carries |purchases| thin rows. Quantiles
+    * defer to a14's sketch at 100 TB per a13's note.
+    */
+  val a27_conversion_latency: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = j12_attribution_asof(spark, dir)
+      .select(date_format(timestamp_micros(col("tsu")), "yyyy-MM-dd").as("dt"),
+        col("gap_us"), col("event_id"))
+    val byDay = W.partitionBy(col("dt"))
+    val ranked = g.where(col("gap_us").isNotNull)
+      .withColumn("rn", row_number().over(byDay.orderBy(col("gap_us"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byDay))
+    def pick(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("gap_us")))
+    val unatt = g.where(col("gap_us").isNull)
+      .groupBy(col("dt")).agg(count(lit(1)).as("n_unattributed"))
+    ranked.groupBy(col("dt"))
+      .agg(max(col("n")).as("n_attributed"),
+        pick(0.5).as("p50_us"), pick(0.9).as("p90_us"), pick(0.99).as("p99_us"))
+      .join(unatt, Seq("dt"), "left")
+      .select(col("dt"), col("n_attributed"),
+        coalesce(col("n_unattributed"), lit(0L)).as("n_unattributed"),
+        col("p50_us"), col("p90_us"), col("p99_us"))
+  }
+
   /** a26 — ROLLING 7-DAY DISTINCT USERS (the sliding-window distinct
     * problem): distinct counts do NOT decompose over window frames —
     * a running sum can slide, a running distinct cannot (yesterday's
@@ -2344,6 +2380,7 @@ object Relational {
     "a24_outlier_mad" -> a24_outlier_mad,
     "a25_winsorized_mean" -> a25_winsorized_mean,
     "a26_rolling_distinct" -> a26_rolling_distinct,
+    "a27_conversion_latency" -> a27_conversion_latency,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
@@ -2489,6 +2526,36 @@ object Relational {
                  est_cnt - CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS overcount
           FROM est LEFT JOIN exact USING (user_id)"""
     },
+    // a27: j12's correlated as-of chained into rank-pick quantiles
+    "a27_conversion_latency" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+                    WHERE event_type = 'click'),
+          p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+                WHERE event_type = 'purchase'),
+          att AS (SELECT p.event_id, p.user_id, p.tsu,
+                    (SELECT c.event_id FROM c
+                     WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
+                     ORDER BY c.tsu DESC, c.event_id DESC LIMIT 1) AS click_id
+                  FROM p),
+          g AS (SELECT strftime(make_timestamp(a.tsu), '%Y-%m-%d') AS dt,
+                       a.tsu - c.tsu AS gap_us, a.event_id
+                FROM att a LEFT JOIN c ON c.event_id = a.click_id),
+          r AS (SELECT dt, gap_us,
+                       row_number() OVER (PARTITION BY dt
+                                          ORDER BY gap_us, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY dt) AS n
+                FROM g WHERE gap_us IS NOT NULL),
+          u AS (SELECT dt, COUNT(*) AS n_unattributed FROM g
+                WHERE gap_us IS NULL GROUP BY 1),
+          q AS (SELECT dt, MAX(n) AS n_attributed,
+                       MAX(CASE WHEN rn = ceil(0.5 * n) THEN gap_us END) AS p50_us,
+                       MAX(CASE WHEN rn = ceil(0.9 * n) THEN gap_us END) AS p90_us,
+                       MAX(CASE WHEN rn = ceil(0.99 * n) THEN gap_us END) AS p99_us
+                FROM r GROUP BY dt)
+          SELECT q.dt, n_attributed,
+                 COALESCE(n_unattributed, 0) AS n_unattributed,
+                 p50_us, p90_us, p99_us
+          FROM q LEFT JOIN u ON u.dt = q.dt""",
     // a26: rank-window formulation of the same bottom-k per window day
     "a26_rolling_distinct" -> {
       val h = graft.functions.Portable.duckHash60(
