@@ -113,6 +113,44 @@ object Multimodal {
         dims.getField("channels").as("channels"))
   }
 
+  /** mm08 — MEDIA ADMISSION GATE: the binary front door every media
+    * ingest runs before decode — reject what the decoder would choke
+    * on, with a machine-readable reason (the p14 corrupt-routing
+    * pattern applied to payload bytes): lane 'truncated' (payload
+    * shorter than the fixed header — the torn-upload case; nothing
+    * past the length check is even read), 'bad_magic' (format sniff
+    * fails), 'size_mismatch' (the header's declared file size
+    * disagrees with the actual byte count — the classic
+    * partial-write), else 'ok'. The fixture corrupts deterministic
+    * doc_id cohorts (head-torn, magic-flipped, body-truncated); the
+    * oracle computes every verdict from the CONSTRUCTION arithmetic
+    * while this side genuinely parses the corrupted bytes — the
+    * construct∘corrupt∘parse loop is the check (mm01's discipline
+    * under fault injection). Checks are ORDERED so no branch reads
+    * bytes a prior branch hasn't proven present. Pure projection; no
+    * shuffle.
+    */
+  val mm08_media_gate: Q = (spark, dir) => {
+    val corrupted = withPayload(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 9 === 2,
+        expr("substring(payload, 1, 40)"))
+        .when(col("doc_id") % 9 === 5,
+          concat(lit("XX").cast("binary"),
+            expr("substring(payload, 3, octet_length(payload) - 2)")))
+        .when(col("doc_id") % 9 === 7,
+          expr("substring(payload, 1, octet_length(payload) - 10)"))
+        .otherwise(col("payload")).as("payload"))
+    val len = octet_length(col("payload")).cast("long")
+    val magicOk = substring(col("payload"), 1, 2) === lit("BM").cast("binary")
+    val declared = leUInt(col("payload"), 3, 4)
+    corrupted.select(col("doc_id"), len.as("byte_len"),
+      when(len < 54, "truncated")
+        .when(!magicOk, "bad_magic")
+        .when(declared =!= len, "size_mismatch")
+        .otherwise("ok").as("lane"),
+      when(len >= 54, declared).as("declared_size"))
+  }
+
   private val NumFeatures = graft.functions.ByteStatsUtil.NumFeatures
 
   /** mm02 — pixel feature extraction over the payload: a fixed-width
@@ -459,6 +497,7 @@ object Multimodal {
     "mm04_wav_meta" -> mm04_wav_meta,
     "mm06_wav_features" -> mm06_wav_features,
     "mm07_media_phash" -> mm07_media_phash,
+    "mm08_media_gate" -> mm08_media_gate,
   )
 
   private def duckMediaDedupSql: String = {
@@ -492,6 +531,23 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm05_media_dedup" -> duckMediaDedupSql,
+    "mm08_media_gate" ->
+      // every verdict from the CONSTRUCTION arithmetic; the Spark side
+      // parses the corrupted bytes (construct∘corrupt∘parse = identity)
+      """SELECT doc_id,
+                CAST(CASE WHEN doc_id % 9 = 2 THEN 40
+                          WHEN doc_id % 9 = 7
+                            THEN 54 + octet_length(encode(text)) - 10
+                          ELSE 54 + octet_length(encode(text)) END AS BIGINT)
+                  AS byte_len,
+                CASE WHEN doc_id % 9 = 2 THEN 'truncated'
+                     WHEN doc_id % 9 = 5 THEN 'bad_magic'
+                     WHEN doc_id % 9 = 7 THEN 'size_mismatch'
+                     ELSE 'ok' END AS lane,
+                CAST(CASE WHEN doc_id % 9 = 2 THEN NULL
+                          ELSE 54 + octet_length(encode(text)) END AS BIGINT)
+                  AS declared_size
+         FROM documents""",
     "mm01_binary_meta" -> {
       // the oracle mirrors the CONSTRUCTION (hash-derived dims + LE
       // byte layout); the Spark side genuinely parses the bytes, so a
