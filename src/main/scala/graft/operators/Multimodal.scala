@@ -79,17 +79,20 @@ object Multimodal {
     * (dimensions hash-derived — the testdata ships no real media)
     * followed by the text bytes as pixel data.
     */
-  private def withPayload(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def payloadFor(docs: DataFrame): DataFrame = {
     val digest = sha2(col("text"), 256)
     val h = Portable.hash60(digest)
     val body = encode(col("text"), "utf-8")
-    documents(spark, dir).select(
+    docs.select(
       col("doc_id"),
       col("text"),
       digest.as("digest"),
       concat(bmpHeader(h % 640, h % 480, h % 3 + 1, octet_length(body).cast("long")),
         body).as("payload"))
   }
+
+  private def withPayload(spark: SparkSession, dir: String): DataFrame =
+    payloadFor(documents(spark, dir))
 
   /** mm01 — binary metadata extraction: byte length, content digest,
     * leading "magic" bytes (format sniffing), and decoded dimensions
@@ -130,8 +133,14 @@ object Multimodal {
     * bytes a prior branch hasn't proven present. Pure projection; no
     * shuffle.
     */
-  val mm08_media_gate: Q = (spark, dir) => {
-    val corrupted = withPayload(spark, dir).select(col("doc_id"),
+  val mm08_media_gate: Q = (spark, dir) =>
+    mediaGate(documents(spark, dir))
+
+  /** [[mm08_media_gate]]'s row-local gate over any documents-shaped
+    * relation — shared verbatim with the ingest twin st61.
+    */
+  private[graft] def mediaGate(docs: DataFrame): DataFrame = {
+    val corrupted = payloadFor(docs).select(col("doc_id"),
       when(col("doc_id") % 9 === 2,
         expr("substring(payload, 1, 40)"))
         .when(col("doc_id") % 9 === 5,

@@ -1565,6 +1565,23 @@ object StreamQueries {
       .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
   }
 
+  /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
+    * of mm08): payload synthesis, fault injection and the ordered
+    * header checks are all row-local, so the binary front door runs
+    * FULLY STATELESSLY on the firehose — every arriving payload is
+    * sniffed, length-checked and size-reconciled within its row and
+    * routed with its verdict (the st48 corrupt-routing discipline
+    * extended to bytes). No state, no watermark; sentinel rides
+    * `doc_id < 0`. Oracle is mm08's verbatim — the construction
+    * arithmetic judges what the stream-side parse decided.
+    */
+  val st61_stream_media_gate: Q = (spark, dir) => {
+    val out = graft.operators.Multimodal.mediaGate(
+      Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+        .where(col("doc_id") >= 0))
+    Replay.runAppend(spark, out)
+  }
+
   /** A-family streaming — THE ROLLING DISTINCT WINDOW AT INGEST
     * (streaming twin of a26, st43's machinery widened to window
     * frames): each arriving event explodes STATELESSLY into the 7
@@ -2677,6 +2694,7 @@ object StreamQueries {
     "st58_stream_outlier_gate" -> st58_stream_outlier_gate,
     "st59_stream_sequence_match" -> st59_stream_sequence_match,
     "st60_stream_rolling_distinct" -> st60_stream_rolling_distinct,
+    "st61_stream_media_gate" -> st61_stream_media_gate,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2895,6 +2913,9 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st61's streamed byte verdicts must equal mm08's batch gate
+    "st61_stream_media_gate" ->
+      graft.operators.Multimodal.oracles("mm08_media_gate"),
     // st60's streamed window buffers must equal a26's bottom-k exactly
     // (minus the n_exact audit column a stream deliberately trades away)
     "st60_stream_rolling_distinct" -> {
