@@ -216,6 +216,52 @@ object Relational {
         (col("k") <=> col("k_clean")).as("matches_clean"))
   }
 
+  private val maskPolicyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** p18 — COLUMN MASKING POLICY (governance as data): project a
+    * table through a POLICY RELATION — (column, action) rows with
+    * action ∈ keep / drop / hash / bucket — instead of a hand-written
+    * select, the column-level-security layer every governed warehouse
+    * puts between raw tables and consumers (views per audience,
+    * driven from a catalog). Actions here: `props` drops (free-form
+    * payloads are unauditable), `user_id` pseudonymizes through the
+    * portable keyed hash (stable joins survive, identity doesn't),
+    * `value` coarsens to decade buckets (k-anonymity-style
+    * generalization), the rest pass. The policy lands as a real
+    * parquet artifact and is read back and COLLECTED to build the
+    * projection — a ≤|columns|-row decision read, the documented
+    * bounded driver-action contract (the d09/n16 ≤64-row rule):
+    * policies size with schemas, never with data.
+    *
+    * Scale shape: one stateless projection once built; masking adds
+    * zero shuffles. The oracle applies the same policy statically —
+    * the differential proves the dynamic build resolves to the right
+    * projection.
+    */
+  val p18_masking_policy: Q = (spark, dir) => {
+    import spark.implicits._
+    val polPath = maskPolicyCache.computeIfAbsent("policy", _ => {
+      val p = s"${graft.Tables.scratchDir("graft_policy_")}/policy"
+      Seq(("user_id", "hash"), ("props", "drop"), ("value", "bucket"))
+        .toDF("column", "action").coalesce(1).write.parquet(p)
+      p
+    })
+    val policy = spark.read.parquet(polPath)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ev = events(spark, dir)
+    val masked = ev.columns.toSeq.flatMap { c =>
+      policy.getOrElse(c, "keep") match {
+        case "drop" => None
+        case "hash" => Some(graft.functions.Portable.hash60(
+          concat(lit("mask:"), col(c).cast("string"))).as(s"${c}_hashed"))
+        case "bucket" => Some((floor(col(c) / 10) * 10).as(s"${c}_bucket"))
+        case _ => Some(col(c))
+      }
+    }
+    ev.select(masked: _*)
+  }
+
   /** p17 — SNAPSHOT DIFF: the added/removed/changed delta between two
     * versions of a keyed table — the table-versioning primitive every
     * lakehouse workflow leans on (incremental exports, CDC backfill
@@ -2365,6 +2411,7 @@ object Relational {
     "p14_corrupt_route" -> p14_corrupt_route,
     "p16_quarantine_replay" -> p16_quarantine_replay,
     "p17_snapshot_diff" -> p17_snapshot_diff,
+    "p18_masking_policy" -> p18_masking_policy,
     "s14_time_travel" -> s14_time_travel,
     "p15_contract_checks" -> p15_contract_checks,
     "a19_decayed_engagement" -> a19_decayed_engagement,
@@ -2736,6 +2783,17 @@ object Relational {
           WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
                      WHEN n.doc_id IS NULL THEN 'removed'
                      WHEN o.text <> n.text THEN 'changed' END IS NOT NULL""",
+    // p18: the policy applied statically (proves the dynamic build
+    // resolves to the right projection)
+    "p18_masking_policy" -> {
+      val h = graft.functions.Portable.duckHash60(
+        "concat('mask:', CAST(user_id AS VARCHAR))")
+      s"""SELECT event_id, ts,
+                 $h AS user_id_hashed,
+                 event_type,
+                 CAST(floor(value / 10) * 10 AS BIGINT) AS value_bucket
+          FROM events"""
+    },
     // s14: the same log folded via a row_number window per (read
     // version, key) — structurally different from the struct-max
     "s14_time_travel" ->
