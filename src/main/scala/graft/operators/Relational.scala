@@ -1176,6 +1176,45 @@ object Relational {
   /** Sample size for [[a17_kmv_sample]] (KMV "k minimum values"). */
   private[graft] val KmvK = 64
 
+  /** a28 — A/B ASSIGNMENT + SRM GUARD: deterministic experiment
+    * bucketing (hash-of-user, the only assignment that survives
+    * retries, backfills and cross-device joins) with the Sample
+    * Ratio Mismatch check every experimentation platform runs before
+    * trusting a readout — a 50/50 split whose realized counts are
+    * improbably lopsided means the assignment or logging is broken,
+    * and any lift computed on it is noise. Per event_type: arm
+    * counts, per-arm revenue means, and the 1-df chi-square for the
+    * 50/50 null as EXACT integer micro-units — χ²·10⁶ =
+    * (n_t − n_c)²·10⁶ div (n_t + n_c) — flagged against the p=0.05
+    * critical value 3.841459 (a shared literal; no engine evaluates
+    * a distribution function). Means are exact-integer double
+    * divisions of cent sums.
+    *
+    * Scale shape: assignment is row-local; everything aggregates in
+    * ONE hash(event_type) pass with map-side partials (arm columns
+    * are conditional aggregates, never a second scan); |types| rows
+    * out. The per-USER dedup subtlety is deliberate: SRM is checked
+    * on distinct users (count_distinct per arm rides the same
+    * rollup), not events — an active user must not vote twice.
+    */
+  val a28_ab_assignment: Q = (spark, dir) => {
+    val arm = pmod(graft.functions.Portable.hash60(
+      concat(lit("exp:"), col("user_id").cast("string"))), lit(2L))
+    val ev = events(spark, dir).select(col("event_type"), col("user_id"),
+      graft.Tables.cents(col("value")).cast("long").as("c"), arm.as("arm"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        countDistinct(when(col("arm") === 1, col("user_id"))).as("n_treat"),
+        countDistinct(when(col("arm") === 0, col("user_id"))).as("n_ctrl"),
+        (sum(when(col("arm") === 1, col("c"))).cast("double") /
+          count(when(col("arm") === 1, 1L)).cast("double")).as("treat_mean_c"),
+        (sum(when(col("arm") === 0, col("c"))).cast("double") /
+          count(when(col("arm") === 0, 1L)).cast("double")).as("ctrl_mean_c"))
+      .withColumn("chi2_micro",
+        expr("CAST((n_treat - n_ctrl) * (n_treat - n_ctrl) * 1000000 div (n_treat + n_ctrl) AS BIGINT)"))
+      .withColumn("srm_flag", col("chi2_micro") > 3841459L)
+  }
+
   /** a27 — CONVERSION LATENCY DISTRIBUTION: p50/p90/p99 of the
     * click→purchase gap per purchase day — the time-to-convert
     * funnel metric, composed from j12's as-of assignment (the gap
@@ -2428,6 +2467,7 @@ object Relational {
     "a25_winsorized_mean" -> a25_winsorized_mean,
     "a26_rolling_distinct" -> a26_rolling_distinct,
     "a27_conversion_latency" -> a27_conversion_latency,
+    "a28_ab_assignment" -> a28_ab_assignment,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
@@ -2572,6 +2612,40 @@ object Relational {
                  CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS exact_cnt, est_cnt,
                  est_cnt - CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS overcount
           FROM est LEFT JOIN exact USING (user_id)"""
+    },
+    "a28_ab_assignment" -> {
+      val arm = graft.functions.Portable.duckHash60(
+        "concat('exp:', CAST(user_id AS VARCHAR))")
+      s"""WITH x AS (SELECT event_type, user_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS c,
+                       ($arm) % 2 AS arm
+                     FROM events)
+          SELECT event_type,
+                 COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END) AS n_treat,
+                 COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END) AS n_ctrl,
+                 CAST(SUM(CASE WHEN arm = 1 THEN c END) AS DOUBLE)
+                   / CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS DOUBLE)
+                   AS treat_mean_c,
+                 CAST(SUM(CASE WHEN arm = 0 THEN c END) AS DOUBLE)
+                   / CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS DOUBLE)
+                   AS ctrl_mean_c,
+                 CAST((COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                       - COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END))
+                    * (COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                       - COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END))
+                    * 1000000
+                    // (COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                       + COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END))
+                    AS BIGINT) AS chi2_micro,
+                 CAST((COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                       - COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END))
+                    * (COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                       - COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END))
+                    * 1000000
+                    // (COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+                       + COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END))
+                    AS BIGINT) > 3841459 AS srm_flag
+          FROM x GROUP BY 1"""
     },
     // a27: j12's correlated as-of chained into rank-pick quantiles
     "a27_conversion_latency" ->
