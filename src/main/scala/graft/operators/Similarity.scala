@@ -844,6 +844,50 @@ object Similarity {
           .as("recall10"))
   }
 
+  /** n26 — EMBEDDING CENTERING (the normalization pass in front of
+    * every ANN index build): subtract the corpus's per-dimension
+    * mean — centered vectors make cosine behave (a large common
+    * component inflates every similarity; IVF/PQ train measurably
+    * better on centered data), and the transform must be computed
+    * ONCE over the corpus and applied identically at index and
+    * query time or retrieval silently skews. Means follow the
+    * k-means discipline (n04): elements scale to integer
+    * thousandths, sum as longs (order-free), divide once — so both
+    * engines see the same 64 doubles; the centered elements and both
+    * norms round to 6 dp for the differential.
+    *
+    * Scale shape: one posexplode → (dim) rollup with map-side
+    * partials (64 rows out), the mean VECTOR reassembled by one
+    * sorted collect into a 1-row relation that broadcasts back, and
+    * the apply is a row-local zip — the corpus is scanned twice
+    * (stats pass + apply pass), the streaming-ingest version applies
+    * LAST night's means statelessly (st39's decide/serve split).
+    */
+  val n26_embedding_center: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val means = e
+      .select(posexplode(col("v")))
+      .select(col("pos").cast("long").as("dim"),
+        round(col("col") * 1000).cast("long").as("xi"))
+      .groupBy(col("dim"))
+      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        (col("sx").cast("double") / (col("n").cast("double") * 1000.0)).as("mv"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("mv")))),
+        s => s.getField("mv")).as("marr"))
+    def norm6(a: Column) = round(
+      sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x)) * 1000000) / 1000000
+    e.join(broadcast(means), lit(true), "inner")
+      .select(col("vec_id"),
+        zip_with(col("v"), col("marr"), (x, m) => x - m).as("cv0"),
+        norm6(col("v")).as("norm_before6"))
+      .select(col("vec_id"), col("norm_before6"),
+        norm6(col("cv0")).as("norm_after6"),
+        transform(col("cv0"), x => round(x * 1000000) / 1000000).as("centered6"))
+  }
+
   /** nDCG@K position discounts in integer micro-units — PRECOMPUTED
     * literals shared verbatim with the SQL twin, so neither engine
     * ever evaluates a log (the a13/t23 exactness discipline applied
@@ -1823,6 +1867,7 @@ object Similarity {
     "n23_two_stage_rerank" -> n23_two_stage_rerank,
     "n24_rerank_recall" -> n24_rerank_recall,
     "n25_retrieval_eval" -> n25_retrieval_eval,
+    "n26_embedding_center" -> n26_embedding_center,
     "n16_probe_sweep" -> n16_probe_sweep,
     "n17_tuned_ivf" -> n17_tuned_ivf,
     "n18_hybrid_rrf" -> n18_hybrid_rrf,
@@ -2248,6 +2293,29 @@ object Similarity {
                  CAST(COALESCE(matched, 0) AS DOUBLE) / CAST($K AS DOUBLE)
                    AS recall10
           FROM mq LEFT JOIN mt USING (method, query_id)""",
+    // n26: same thousandths-sum means; list ops mirror the zip apply
+    "n26_embedding_center" ->
+      s"""WITH e AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          x AS (SELECT vec_id, unnest(range(0, len(v))) AS dim,
+                       CAST(round(unnest(list_transform(v, q -> q * 1000))) AS BIGINT)
+                         AS xi
+                FROM e),
+          m AS (SELECT dim, CAST(SUM(xi) AS DOUBLE)
+                              / (CAST(COUNT(*) AS DOUBLE) * 1000.0) AS mv
+                FROM x GROUP BY dim),
+          ma AS (SELECT list(mv ORDER BY dim) AS marr FROM m),
+          c AS (SELECT vec_id, v,
+                       list_transform(list_zip(v, marr), t -> t[1] - t[2]) AS cv0
+                FROM e, ma)
+          SELECT vec_id,
+                 round(sqrt(list_sum(list_transform(v, q -> q * q))) * 1000000)
+                   / 1000000 AS norm_before6,
+                 round(sqrt(list_sum(list_transform(cv0, q -> q * q))) * 1000000)
+                   / 1000000 AS norm_after6,
+                 list_transform(cv0, q -> round(q * 1000000) / 1000000) AS centered6
+          FROM c""",
     // n25: n24's leg chain with ranks carried; metric tail shares the
     // PRECOMPUTED discount literals with the Spark side (no logs)
     "n25_retrieval_eval" ->
