@@ -863,20 +863,23 @@ object Similarity {
     * (stats pass + apply pass), the streaming-ingest version applies
     * LAST night's means statelessly (st39's decide/serve split).
     */
-  val n26_embedding_center: Q = (spark, dir) => {
-    GraftExtensions.register(spark)
-    val e = embeddings(spark, dir).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val means = e
-      .select(posexplode(col("v")))
-      .select(col("pos").cast("long").as("dim"),
-        round(col("col") * 1000).cast("long").as("xi"))
-      .groupBy(col("dim"))
-      .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
-      .select(col("dim"),
-        (col("sx").cast("double") / (col("n").cast("double") * 1000.0)).as("mv"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("mv")))),
-        s => s.getField("mv")).as("marr"))
+  /** The corpus per-dimension mean VECTOR as a 1-row broadcastable
+    * relation (n26's stats pass — shared with the ingest twin st62,
+    * which applies LAST night's means statelessly).
+    */
+  private[graft] def dimMeans(e: DataFrame): DataFrame = e
+    .select(posexplode(col("v")))
+    .select(col("pos").cast("long").as("dim"),
+      round(col("col") * 1000).cast("long").as("xi"))
+    .groupBy(col("dim"))
+    .agg(sum(col("xi")).as("sx"), count(lit(1)).as("n"))
+    .select(col("dim"),
+      (col("sx").cast("double") / (col("n").cast("double") * 1000.0)).as("mv"))
+    .agg(transform(sort_array(collect_list(struct(col("dim"), col("mv")))),
+      s => s.getField("mv")).as("marr"))
+
+  /** n26's row-local apply: center against the 1-row means relation. */
+  private[graft] def centerApply(e: DataFrame, means: DataFrame): DataFrame = {
     def norm6(a: Column) = round(
       sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x)) * 1000000) / 1000000
     e.join(broadcast(means), lit(true), "inner")
@@ -886,6 +889,13 @@ object Similarity {
       .select(col("vec_id"), col("norm_before6"),
         norm6(col("cv0")).as("norm_after6"),
         transform(col("cv0"), x => round(x * 1000000) / 1000000).as("centered6"))
+  }
+
+  val n26_embedding_center: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    centerApply(e, dimMeans(e))
   }
 
   /** nDCG@K position discounts in integer micro-units — PRECOMPUTED

@@ -1565,6 +1565,31 @@ object StreamQueries {
       .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
   }
 
+  /** N-family streaming — EMBEDDING CENTERING AT INGEST (streaming
+    * twin of n26, st39's decide-batch/apply-stream split): the batch
+    * nightly DECIDES the per-dimension mean vector (one 64-double
+    * row), and ingest applies it FULLY STATELESSLY — one broadcast
+    * of the 1-row means relation, centering and both norms computed
+    * within the row. This split is the operator's own correctness
+    * rule made physical: index vectors and query vectors MUST be
+    * centered by the same means, so the means are an artifact, not
+    * a per-batch recomputation. No state, no watermark; sentinel
+    * rides `vec_id < 0`. Oracle is n26's verbatim (replaying the
+    * corpus the means were decided from).
+    */
+  val st62_stream_center: Q = (spark, dir) => {
+    val S = graft.operators.Similarity
+    graft.plans.GraftExtensions.register(spark)
+    val batch = graft.Tables.embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val arriving = Replay
+      .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
+      .where(col("vec_id") >= 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    Replay.runAppend(spark, S.centerApply(arriving, S.dimMeans(batch)))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -2695,6 +2720,7 @@ object StreamQueries {
     "st59_stream_sequence_match" -> st59_stream_sequence_match,
     "st60_stream_rolling_distinct" -> st60_stream_rolling_distinct,
     "st61_stream_media_gate" -> st61_stream_media_gate,
+    "st62_stream_center" -> st62_stream_center,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2913,6 +2939,9 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st62's stateless centering must equal the batch transform
+    "st62_stream_center" ->
+      graft.operators.Similarity.oracles("n26_embedding_center"),
     // st61's streamed byte verdicts must equal mm08's batch gate
     "st61_stream_media_gate" ->
       graft.operators.Multimodal.oracles("mm08_media_gate"),
