@@ -11,6 +11,8 @@ case class CubeOrder(r_name: String, n_name: String, o_totalprice: Double)
 case class CdcOp(user_id: Long, tsu: Long, eid: Long, op: String,
                  balance_c: Option[Long], segment: Option[String])
 
+case class WsDoc(doc_id: Long, pri: Double)
+
 case class ScoredDoc(query_id: Long, doc_id: Long, score: Double, leg: String)
 
 case class LanedDoc(doc_id: Long, lane: String, content_hash: String,
@@ -140,6 +142,34 @@ class StateCapSpec extends SparkSpecBase {
       assert(got.toSeq === Seq(("a", 1L, -1L)),
         s"the capped history is one open 'a' version; got ${got.toSeq}")
     } finally q.stop()
+  }
+
+  test("st57's sample serving: the top-k buffer survives a kill/resume; a post-restart arrival evicts a pre-restart member") {
+    // st57's shape: ONE global update-mode TopK buffer, upsert-served.
+    // Run 2's high-priority doc must enter the recovered buffer and
+    // push out the weakest pre-restart member — proving the buffer
+    // state (not just the served table) came back from the checkpoint.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[WsDoc]
+    val cp = tmpDir("cp_st57_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st57_restart_"), Seq("g"), "n_seen")
+    def base = ms.toDF().groupBy(lit(1L).as("g"))
+      .agg(graft.functions.TopK.topK(3)(col("pri"), col("doc_id")).as("tk"),
+        count(lit(1)).as("n_seen"))
+      .select(col("g"), col("tk.items").as("items"), col("n_seen"))
+    ms.addData(WsDoc(1L, 10.0), WsDoc(2L, 20.0), WsDoc(3L, 30.0), WsDoc(4L, 5.0))
+    SQ.upsertServeWith(spark, base, table, cp) // pass 1, writer dies
+    ms.addData(WsDoc(5L, 40.0))
+    val served = SQ.upsertServeWith(spark, base, table, cp) // resumed pass 2
+    val got = served.select(org.apache.spark.sql.functions.explode(col("items")))
+      .select(col("col.id")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(5L, 3L, 2L),
+      s"recovered buffer wrong: $got (40>30>20 must survive, 10 evicted)")
+    assert(served.head().getAs[Long]("n_seen") === 5L,
+      "n_seen must count across the restart")
   }
 
   test("st55's CDC serving: state survives a kill/resume; a post-restart delete tombstones a pre-restart insert") {
