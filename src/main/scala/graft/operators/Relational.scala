@@ -247,8 +247,10 @@ object Relational {
         .toDF("column", "action").coalesce(1).write.parquet(p)
       p
     })
+    // head(16), not collect: the read is bounded by the CONTRACT
+    // (policies have ≤ |columns| rows), and the bound is explicit
     val policy = spark.read.parquet(polPath)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      .head(16).map(r => r.getString(0) -> r.getString(1)).toMap
     val ev = events(spark, dir)
     val masked = ev.columns.toSeq.flatMap { c =>
       policy.getOrElse(c, "keep") match {
@@ -1374,6 +1376,38 @@ object Relational {
         col("n_events"))
   }
 
+  /** a29 — SESSION CONVERSION RATE: sessions (a16's 30-minute gap
+    * rule, same construction) rolled to a per-day funnel — sessions
+    * started, sessions containing a purchase, and the conversion
+    * per-mille as an exact integer division. The SESSION is the
+    * right conversion denominator (per-event rates double-count
+    * active users; per-user rates hide frequency) — this is the
+    * number a16's bounds exist to feed.
+    *
+    * Scale shape: a16's single user_id exchange (lag + running sum +
+    * session rollup all co-distributed), then one |days| rollup.
+    */
+  val a29_session_conversion: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = 30L * 60L * 1000000L
+    val sess = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(wr))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(date_format(min(col("ts")), "yyyy-MM-dd").as("dt"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    sess.groupBy(col("dt"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .withColumn("conv_pm",
+        expr("CAST(n_converted * 1000 div n_sessions AS BIGINT)"))
+  }
+
   /** a18 — CUBE (full grouping-set lattice): every (day, event_type)
     * margin of the activity matrix in ONE pass — per-cell, per-day,
     * per-type and grand totals, distinguished by `grouping_id` (a11's
@@ -2234,6 +2268,39 @@ object Relational {
         count(lit(1)).over(hour).as("hr_n"))
   }
 
+  /** w08 — GROWTH ACCOUNTING (new vs cumulative users per day): the
+    * registration-curve pair every growth dashboard opens with —
+    * n_new (users whose FIRST-ever activity is this day) and n_cum
+    * (distinct users seen to date). The cumulative series is the
+    * canonical "running distinct" trap: a running COUNT DISTINCT
+    * window re-scans history per day, while first-seen-day converts
+    * it to a plain running SUM — distinct once per user, cumulative
+    * arithmetic over |days| rows (a26's mergeable-summary answer is
+    * for SLIDING windows; growth's expanding window needs no sketch
+    * because first-seen is a one-shot event).
+    *
+    * Scale shape: one user-keyed min-aggregation (map-side partials),
+    * one |days| rollup, one running sum over the bounded day series
+    * (single partition BY CONSTRUCTION — |days| rows, not data
+    * scale). Days with no new users don't appear (emitting them
+    * needs a calendar spine — deliberately out: the series is keyed
+    * by first-seen days).
+    */
+  val w08_cumulative_users: Q = (spark, dir) => {
+    val firstDay = events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    val daily = firstDay.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("first_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n_cum", sum(col("n_new")).over(w))
+      .select(date_format(col("first_day"), "yyyy-MM-dd").as("dt"),
+        col("n_new"), col("n_cum").cast("long").as("n_cum"))
+  }
+
   /** w07 — SEQUENCE-PATTERN MATCH (the CEP / MATCH_RECOGNIZE class):
     * find click → purchase WITHIN 1 hour WITH NO error BETWEEN, per
     * user — the "A then B within T, no C between" pattern every
@@ -2462,12 +2529,14 @@ object Relational {
     "w05_ohlc_candles" -> w05_ohlc_candles,
     "w06_rolling_stats" -> w06_rolling_stats,
     "w07_sequence_match" -> w07_sequence_match,
+    "w08_cumulative_users" -> w08_cumulative_users,
     "a22_incremental_agg" -> a22_incremental_agg,
     "a24_outlier_mad" -> a24_outlier_mad,
     "a25_winsorized_mean" -> a25_winsorized_mean,
     "a26_rolling_distinct" -> a26_rolling_distinct,
     "a27_conversion_latency" -> a27_conversion_latency,
     "a28_ab_assignment" -> a28_ab_assignment,
+    "a29_session_conversion" -> a29_session_conversion,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
@@ -2527,6 +2596,14 @@ object Relational {
                  user_id_in_customer = 0 FROM w""",
     // w05: the same candle arithmetic with the picks computed the
     // structurally different way (row_number edges vs min_by/max_by)
+    "w08_cumulative_users" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+                    FROM events GROUP BY 1),
+          d AS (SELECT first_day, COUNT(*) AS n_new FROM f GROUP BY 1)
+          SELECT strftime(first_day, '%Y-%m-%d') AS dt, n_new,
+                 CAST(SUM(n_new) OVER (ORDER BY first_day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+          FROM d""",
     // w07: the quadratic correlated form (latest prior click + NOT
     // EXISTS error in the open interval) — checks semantics, not plan
     "w07_sequence_match" ->
@@ -2613,6 +2690,26 @@ object Relational {
                  est_cnt - CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS overcount
           FROM est LEFT JOIN exact USING (user_id)"""
     },
+    "a29_session_conversion" ->
+      """WITH e AS (SELECT user_id, ts, event_type,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                    FROM events),
+          s AS (SELECT user_id, ts, event_type,
+                       SUM(CASE WHEN prev IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e),
+          g AS (SELECT user_id, sid,
+                       strftime(MIN(ts), '%Y-%m-%d') AS dt,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         AS converted
+                FROM s GROUP BY 1, 2)
+          SELECT dt, COUNT(*) AS n_sessions,
+                 CAST(SUM(converted) AS BIGINT) AS n_converted,
+                 CAST(SUM(converted) * 1000 // COUNT(*) AS BIGINT) AS conv_pm
+          FROM g GROUP BY 1""",
     "a28_ab_assignment" -> {
       val arm = graft.functions.Portable.duckHash60(
         "concat('exp:', CAST(user_id AS VARCHAR))")
