@@ -1565,6 +1565,41 @@ object StreamQueries {
       .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
   }
 
+  /** W-family streaming — GROWTH ACCOUNTING AT INGEST (streaming twin
+    * of w08): per-user FIRST-SEEN day maintained as one update-mode
+    * min-aggregation — min is order-free, which is the whole design:
+    * a late-delivered EARLIER event must take over a user's first-day
+    * (the dropDuplicates/first-arrival formulation silently keeps the
+    * wrong day under disorder; min cannot). State: one date per user
+    * (rate-bounded entity, the st01 contract); served keyed by user
+    * with the NEGATED epoch-day as the monotone upsert order (the
+    * first-seen day only ever moves EARLIER, so its negation only
+    * ever grows). The growth curve — n_new per first-day, running
+    * n_cum — is assembled ON READ over the bounded served table
+    * (count at ingest, curve on read; st40's discipline). Sentinel
+    * pre-filtered. Oracle is w08's verbatim.
+    */
+  val st63_stream_first_seen: Q = (spark, dir) => {
+    val firstSeen = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+      .select(col("user_id"), col("first_day"),
+        (-datediff(col("first_day"), lit("1970-01-01").cast("date")))
+          .cast("long").as("neg_epoch_day"))
+    val served = upsertServe(spark, firstSeen, Seq("user_id"), "neg_epoch_day")
+    val daily = served.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("first_day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily.withColumn("n_cum", sum(col("n_new")).over(w))
+      .select(date_format(col("first_day"), "yyyy-MM-dd").as("dt"),
+        col("n_new"), col("n_cum").cast("long").as("n_cum"))
+  }
+
   /** N-family streaming — EMBEDDING CENTERING AT INGEST (streaming
     * twin of n26, st39's decide-batch/apply-stream split): the batch
     * nightly DECIDES the per-dimension mean vector (one 64-double
@@ -2721,6 +2756,7 @@ object StreamQueries {
     "st60_stream_rolling_distinct" -> st60_stream_rolling_distinct,
     "st61_stream_media_gate" -> st61_stream_media_gate,
     "st62_stream_center" -> st62_stream_center,
+    "st63_stream_first_seen" -> st63_stream_first_seen,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2939,6 +2975,9 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st63's served first-days must curve to exactly w08's growth series
+    "st63_stream_first_seen" ->
+      graft.operators.Relational.oracles("w08_cumulative_users"),
     // st62's stateless centering must equal the batch transform
     "st62_stream_center" ->
       graft.operators.Similarity.oracles("n26_embedding_center"),
