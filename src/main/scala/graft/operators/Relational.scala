@@ -239,7 +239,11 @@ object Relational {
     * the differential proves the dynamic build resolves to the right
     * projection.
     */
-  val p18_masking_policy: Q = (spark, dir) => {
+  /** [[p18_masking_policy]]'s dynamic projection over any
+    * events-shaped relation — the policy read + column build, shared
+    * with the ingest twin st65 (governance applied AT the door).
+    */
+  private[graft] def maskWith(spark: SparkSession, ev: DataFrame): DataFrame = {
     import spark.implicits._
     val polPath = maskPolicyCache.computeIfAbsent("policy", _ => {
       val p = s"${graft.Tables.scratchDir("graft_policy_")}/policy"
@@ -251,7 +255,6 @@ object Relational {
     // (policies have ≤ |columns| rows), and the bound is explicit
     val policy = spark.read.parquet(polPath)
       .head(16).map(r => r.getString(0) -> r.getString(1)).toMap
-    val ev = events(spark, dir)
     val masked = ev.columns.toSeq.flatMap { c =>
       policy.getOrElse(c, "keep") match {
         case "drop" => None
@@ -263,6 +266,9 @@ object Relational {
     }
     ev.select(masked: _*)
   }
+
+  val p18_masking_policy: Q = (spark, dir) =>
+    maskWith(spark, events(spark, dir))
 
   /** p17 — SNAPSHOT DIFF: the added/removed/changed delta between two
     * versions of a keyed table — the table-versioning primitive every
@@ -1665,7 +1671,12 @@ object Relational {
     * scanned once for cards, once for resolution, never shuffled on
     * the card keys.
     */
-  val j18_fallback_join: Q = (spark, dir) => {
+  /** [[j18_fallback_join]]'s card set (pair, lang, global) built from
+    * the batch corpus — shared with the ingest twin st64, which
+    * resolves arriving rows against LAST night's cards.
+    */
+  private[graft] def fallbackCards(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val P = graft.functions.Portable
     val docs = documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -1677,16 +1688,28 @@ object Relational {
       .agg(meanChars.as("rate_lang"))
       .where(P.hash60(col("lang")) % 4 =!= 0)
     val globalCard = docs.agg(meanChars.as("rate_global"))
+    (pairCard, langCard, globalCard)
+  }
+
+  /** The most-specific-wins resolution over any (doc_id, lang, source)
+    * relation — row-local once the cards broadcast.
+    */
+  private[graft] def fallbackResolve(docs: DataFrame,
+      cards: (DataFrame, DataFrame, DataFrame)): DataFrame =
     docs
-      .join(broadcast(pairCard), Seq("lang", "source"), "left")
-      .join(broadcast(langCard), Seq("lang"), "left")
-      .join(broadcast(globalCard), lit(true), "left")
+      .join(broadcast(cards._1), Seq("lang", "source"), "left")
+      .join(broadcast(cards._2), Seq("lang"), "left")
+      .join(broadcast(cards._3), lit(true), "left")
       .select(col("doc_id"), col("lang"), col("source"),
         coalesce(col("rate_pair"), col("rate_lang"), col("rate_global")).as("rate"),
         when(col("rate_pair").isNotNull, "pair")
           .when(col("rate_lang").isNotNull, "lang")
           .otherwise("global").as("level"))
-  }
+
+  val j18_fallback_join: Q = (spark, dir) =>
+    fallbackResolve(
+      documents(spark, dir).select(col("doc_id"), col("lang"), col("source")),
+      fallbackCards(spark, dir))
 
   /** j12 — AS-OF JOIN (last-touch attribution): each purchase joined
     * to the SAME user's latest click at-or-before it — the operator

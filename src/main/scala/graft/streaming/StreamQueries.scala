@@ -1565,6 +1565,38 @@ object StreamQueries {
       .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
   }
 
+  /** J-family streaming — FALLBACK RESOLUTION AT INGEST (streaming
+    * twin of j18): last night's rate cards (pair / lang / global —
+    * |keys|-row relations) broadcast onto the firehose and every
+    * arriving row resolves its most-specific level FULLY STATELESSLY
+    * — the config/rate-card lookup as it actually runs in serving.
+    * No state, no watermark; sentinel rides `doc_id < 0`. Oracle is
+    * j18's verbatim.
+    */
+  val st64_stream_fallback_resolve: Q = (spark, dir) => {
+    val R = graft.operators.Relational
+    val arriving = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("doc_id"), col("lang"), col("source"))
+    Replay.runAppend(spark,
+      R.fallbackResolve(arriving, R.fallbackCards(spark, dir)))
+  }
+
+  /** P-family streaming — THE MASKING POLICY AT INGEST (streaming
+    * twin of p18): the policy relation reads once at pipeline build
+    * (the same bounded ≤|columns|-row contract) and the masking
+    * projection applies row-locally to the firehose — governance
+    * enforced AT the door, so nothing downstream ever sees the raw
+    * columns. Fully stateless; sentinel pre-filtered. Oracle is
+    * p18's verbatim.
+    */
+  val st65_stream_masking: Q = (spark, dir) => {
+    val masked = graft.operators.Relational.maskWith(spark,
+      Replay.eventsStream(spark, dir).where(col("user_id") >= 0))
+    Replay.runAppend(spark, masked)
+  }
+
   /** W-family streaming — GROWTH ACCOUNTING AT INGEST (streaming twin
     * of w08): per-user FIRST-SEEN day maintained as one update-mode
     * min-aggregation — min is order-free, which is the whole design:
@@ -2757,6 +2789,8 @@ object StreamQueries {
     "st61_stream_media_gate" -> st61_stream_media_gate,
     "st62_stream_center" -> st62_stream_center,
     "st63_stream_first_seen" -> st63_stream_first_seen,
+    "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
+    "st65_stream_masking" -> st65_stream_masking,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -2975,6 +3009,12 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st64's stateless resolution must equal the batch fallback join
+    "st64_stream_fallback_resolve" ->
+      graft.operators.Relational.oracles("j18_fallback_join"),
+    // st65's at-door masking must equal the batch policy projection
+    "st65_stream_masking" ->
+      graft.operators.Relational.oracles("p18_masking_policy"),
     // st63's served first-days must curve to exactly w08's growth series
     "st63_stream_first_seen" ->
       graft.operators.Relational.oracles("w08_cumulative_users"),
