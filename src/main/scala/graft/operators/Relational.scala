@@ -2016,6 +2016,51 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** w09 — CANDLE ROLLUP (multi-resolution OHLC): DAY candles merged
+    * FROM the hour candles, never from raw — the multi-resolution
+    * serving shape (minute→hour→day) every time-series store runs,
+    * and it works because OHLC is MERGEABLE: open = the earliest
+    * child's open, close = the latest child's close, high/low =
+    * max/min of children, volume = sum. The merge keys on each
+    * child's first/last (tsu, event_id) order struct — carrying the
+    * order witness through the hierarchy is what makes the
+    * associativity real (a day assembled from hours must pick its
+    * open by the child that actually starts first, not by hour-label
+    * string order — though those agree, the witness is the proof).
+    * The DuckDB twin computes day candles DIRECTLY FROM RAW — the
+    * differential IS the mergeability proof (rollup-of-candles ≡
+    * candles-of-raw), a22's increment≡full discipline for ordered
+    * picks.
+    *
+    * Scale shape: the hour pass is w05's one aggregation; the day
+    * merge aggregates |hour-candles| rows — at scale each resolution
+    * reads the one below, never raw.
+    */
+  val w09_candle_rollup: Q = (spark, dir) => {
+    val ord = struct(col("tsu"), col("event_id"))
+    val hourly = events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+        cents(col("value")).cast("long").as("c"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"))
+      .groupBy(col("event_type"), col("day"), col("hour"))
+      .agg(
+        min(struct(col("tsu"), col("event_id"), col("c"))).as("first"),
+        max(struct(col("tsu"), col("event_id"), col("c"))).as("last"),
+        max(col("c")).as("high_cents"),
+        min(col("c")).as("low_cents"),
+        count(lit(1)).as("n_events"))
+    hourly.groupBy(col("event_type"), col("day"))
+      .agg(
+        min(col("first")).getField("c").as("open_cents"),
+        max(col("high_cents")).as("high_cents"),
+        min(col("low_cents")).as("low_cents"),
+        max(col("last")).getField("c").as("close_cents"),
+        sum(col("n_events")).as("n_events"))
+  }
+
   /** Count-Min geometry for [[a23_count_min]]. */
   private[graft] val CmsDepth = 4
   private[graft] val CmsWidth = 1024L
@@ -2553,6 +2598,7 @@ object Relational {
     "w06_rolling_stats" -> w06_rolling_stats,
     "w07_sequence_match" -> w07_sequence_match,
     "w08_cumulative_users" -> w08_cumulative_users,
+    "w09_candle_rollup" -> w09_candle_rollup,
     "a22_incremental_agg" -> a22_incremental_agg,
     "a24_outlier_mad" -> a24_outlier_mad,
     "a25_winsorized_mean" -> a25_winsorized_mean,
@@ -2619,6 +2665,20 @@ object Relational {
                  user_id_in_customer = 0 FROM w""",
     // w05: the same candle arithmetic with the picks computed the
     // structurally different way (row_number edges vs min_by/max_by)
+    // w09: day candles DIRECTLY from raw — the differential IS the
+    // mergeability proof (rollup-of-candles must equal candles-of-raw)
+    "w09_candle_rollup" ->
+      """WITH x AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c,
+                      CAST(epoch_us(ts) AS HUGEINT) * 100000000 + event_id AS ord
+                    FROM events WHERE value IS NOT NULL)
+          SELECT event_type, day,
+                 arg_min(c, ord) AS open_cents,
+                 MAX(c) AS high_cents,
+                 MIN(c) AS low_cents,
+                 arg_max(c, ord) AS close_cents,
+                 COUNT(*) AS n_events
+          FROM x GROUP BY 1, 2""",
     "w08_cumulative_users" ->
       """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
                     FROM events GROUP BY 1),
