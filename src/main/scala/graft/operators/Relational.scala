@@ -2016,6 +2016,52 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** a30 — SEASONAL RESIDUAL MONITOR: flag hours whose traffic
+    * deviates robustly from the SAME HOUR YESTERDAY — the
+    * seasonal-naive anomaly detector (traffic is daily-periodic, so
+    * "vs 24h ago" is the baseline that doesn't fire every rush
+    * hour), with a24's median/MAD gate over the residuals so the
+    * threshold itself resists the anomalies it hunts. The seasonal
+    * join is BY TIME, not by row offset — hours with zero events are
+    * absent from the count relation, so a lag-24-ROWS window would
+    * silently compare misaligned hours; the self-join on (type,
+    * hr−24h) coalesces a missing baseline to 0 (yesterday truly had
+    * nothing). All integer counts, cross-multiplied threshold; output
+    * is flagged hours only.
+    *
+    * Scale shape: one (type, hour) count rollup (map-side partials),
+    * a self-join on the shifted key (both sides are the bounded
+    * |types|·|hours| count relation, not raw events), two rank-pick
+    * median passes over that same bounded relation. Raw data is
+    * scanned ONCE.
+    */
+  val a30_seasonal_residuals: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val byType = W.partitionBy(col("event_type"))
+    val h = events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val prior = h.select(col("event_type"),
+      (col("hr") + expr("INTERVAL 24 HOURS")).as("hr"), col("n").as("n_prior"))
+    val r = h.join(prior, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), col("n"),
+        coalesce(col("n_prior"), lit(0L)).as("expected"),
+        (col("n") - coalesce(col("n_prior"), lit(0L))).as("resid"))
+    def medOf(df: DataFrame, c: String, out: String) = df
+      .withColumn("rn", row_number().over(byType.orderBy(col(c), col("hr"))))
+      .withColumn("nn", count(lit(1)).over(byType))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rn") === ceil(lit(0.5) * col("nn")), col(c))).as(out))
+    val med = medOf(r, "resid", "med")
+    val dev = r.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("resid") - col("med")))
+    val mad = medOf(dev, "dev", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .where(col("dev") * 10000 > col("mad") * 44478)
+      .select(col("event_type"), date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
+        col("n"), col("expected"), col("resid"), col("med"), col("mad"))
+  }
+
   /** w09 — CANDLE ROLLUP (multi-resolution OHLC): DAY candles merged
     * FROM the hour candles, never from raw — the multi-resolution
     * serving shape (minute→hour→day) every time-series store runs,
@@ -2606,6 +2652,7 @@ object Relational {
     "a27_conversion_latency" -> a27_conversion_latency,
     "a28_ab_assignment" -> a28_ab_assignment,
     "a29_session_conversion" -> a29_session_conversion,
+    "a30_seasonal_residuals" -> a30_seasonal_residuals,
     "w03_payment_allocation" -> w03_payment_allocation,
     "w04_window_battery" -> w04_window_battery,
     "f01_scalar_suite" -> f01_scalar_suite,
@@ -2773,6 +2820,28 @@ object Relational {
                  est_cnt - CAST(COALESCE(exact_cnt, 0) AS BIGINT) AS overcount
           FROM est LEFT JOIN exact USING (user_id)"""
     },
+    // a30: quantile_disc medians (a24's equivalence), time-keyed
+    // seasonal self-join mirrored
+    "a30_seasonal_residuals" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+          r AS (SELECT a.event_type, a.hr, a.n,
+                       COALESCE(b.n, 0) AS expected,
+                       a.n - COALESCE(b.n, 0) AS resid
+                FROM h a LEFT JOIN h b
+                  ON b.event_type = a.event_type
+                 AND b.hr = a.hr - INTERVAL 24 HOURS),
+          m AS (SELECT event_type, quantile_disc(resid, 0.5) AS med
+                FROM r GROUP BY 1),
+          d AS (SELECT r.*, m.med, abs(resid - med) AS dev
+                FROM r JOIN m USING (event_type)),
+          md AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                 FROM d GROUP BY 1)
+          SELECT d.event_type, strftime(d.hr, '%Y-%m-%d %H') AS hr,
+                 n, expected, resid, med, mad
+          FROM d JOIN md USING (event_type)
+          WHERE 10000 * dev > 44478 * mad""",
     "a29_session_conversion" ->
       """WITH e AS (SELECT user_id, ts, event_type,
                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
