@@ -2035,12 +2035,20 @@ object Relational {
     * median passes over that same bounded relation. Raw data is
     * scanned ONCE.
     */
-  val a30_seasonal_residuals: Q = (spark, dir) => {
+  val a30_seasonal_residuals: Q = (spark, dir) =>
+    residualJudge(events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[a30_seasonal_residuals]]'s judgment over any (event_type, hr,
+    * n) count relation — shared with st66, where the counts are
+    * maintained at ingest and this entire judgment runs ON READ
+    * (counting is the only stateful step; counts are delivery-order
+    * free).
+    */
+  private[graft] def residualJudge(h: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val byType = W.partitionBy(col("event_type"))
-    val h = events(spark, dir)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"))
     val prior = h.select(col("event_type"),
       (col("hr") + expr("INTERVAL 24 HOURS")).as("hr"), col("n").as("n_prior"))
     val r = h.join(prior, Seq("event_type", "hr"), "left")
@@ -2105,6 +2113,44 @@ object Relational {
         min(col("low_cents")).as("low_cents"),
         max(col("last")).getField("c").as("close_cents"),
         sum(col("n_events")).as("n_events"))
+  }
+
+  /** w10 — CALENDAR GAPS (data-completeness audit): the hours in the
+    * corpus's span where a type produced NOTHING, reported as gap
+    * ISLANDS (start, end, length) — the freshness/SLA view a30
+    * cannot give, because an absent hour never makes it into the
+    * count relation a30 monitors (the absence-is-invisible trap that
+    * every count-based monitor has; the CALENDAR SPINE makes absence
+    * a row). Spine = one 1-row min/max aggregate exploded into
+    * hours × the bounded type set; missing = one anti-join;
+    * islands = a16's gap-and-island trick on the hour index.
+    *
+    * Scale shape: raw data is scanned once for the counts and once
+    * for the span; everything after operates on bounded relations
+    * (|types|·|hours|). The spine explode is driver-free — sequence()
+    * over the 1-row span.
+    */
+  val w10_calendar_gaps: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = events(spark, dir)
+    val h = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val spine = span.select(explode(
+      sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
+    val types = ev.select(col("event_type")).distinct()
+    val missing = spine.join(broadcast(types), lit(true), "inner")
+      .join(h, Seq("event_type", "hr"), "left_anti")
+    val w = W.partitionBy(col("event_type")).orderBy(col("hr"))
+    missing
+      .withColumn("grp",
+        expr("unix_micros(hr) div 3600000000") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(date_format(min(col("hr")), "yyyy-MM-dd HH").as("gap_start"),
+        date_format(max(col("hr")), "yyyy-MM-dd HH").as("gap_end"),
+        count(lit(1)).as("gap_hours"))
+      .select(col("event_type"), col("gap_start"), col("gap_end"), col("gap_hours"))
   }
 
   /** Count-Min geometry for [[a23_count_min]]. */
@@ -2645,6 +2691,7 @@ object Relational {
     "w07_sequence_match" -> w07_sequence_match,
     "w08_cumulative_users" -> w08_cumulative_users,
     "w09_candle_rollup" -> w09_candle_rollup,
+    "w10_calendar_gaps" -> w10_calendar_gaps,
     "a22_incremental_agg" -> a22_incremental_agg,
     "a24_outlier_mad" -> a24_outlier_mad,
     "a25_winsorized_mean" -> a25_winsorized_mean,
@@ -2712,6 +2759,31 @@ object Relational {
                  user_id_in_customer = 0 FROM w""",
     // w05: the same candle arithmetic with the picks computed the
     // structurally different way (row_number edges vs min_by/max_by)
+    // w10: NOT-EXISTS spine formulation (structurally different from
+    // the anti-join + island window)
+    "w10_calendar_gaps" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+          span AS (SELECT MIN(date_trunc('hour', ts)) AS lo,
+                          MAX(date_trunc('hour', ts)) AS hi
+                   FROM events),
+          spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+                    FROM span),
+          ty AS (SELECT DISTINCT event_type FROM events),
+          miss AS (SELECT ty.event_type, s.hr FROM ty, spine s
+                   WHERE NOT EXISTS (SELECT 1 FROM h
+                                     WHERE h.event_type = ty.event_type
+                                       AND h.hr = s.hr)),
+          g AS (SELECT event_type, hr,
+                       epoch(hr) // 3600
+                         - row_number() OVER (PARTITION BY event_type
+                                              ORDER BY hr) AS grp
+                FROM miss)
+          SELECT event_type,
+                 strftime(MIN(hr), '%Y-%m-%d %H') AS gap_start,
+                 strftime(MAX(hr), '%Y-%m-%d %H') AS gap_end,
+                 COUNT(*) AS gap_hours
+          FROM g GROUP BY event_type, grp""",
     // w09: day candles DIRECTLY from raw — the differential IS the
     // mergeability proof (rollup-of-candles must equal candles-of-raw)
     "w09_candle_rollup" ->

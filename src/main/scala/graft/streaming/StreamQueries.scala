@@ -1565,6 +1565,28 @@ object StreamQueries {
       .select(col("rnk"), col("doc_id"), col("w"), col("pri"))
   }
 
+  /** A-family streaming — THE SEASONAL MONITOR AT INGEST (streaming
+    * twin of a30, st40's count-at-ingest/judge-on-read taken whole):
+    * the ONLY stateful step is one update-mode (type, hour) count —
+    * counts are delivery-order free, so the served table equals the
+    * batch count relation exactly — and the ENTIRE judgment
+    * (24h-shifted self-join, median/MAD thresholds, the robust
+    * flags) runs ON READ over the bounded served relation through
+    * the shared [[graft.operators.Relational.residualJudge]]. State:
+    * one counter per open (type, hour) — dozens of rows,
+    * ingest-rate independent. Sentinel pre-filtered (update-mode
+    * agg, no watermark). Oracle is a30's verbatim.
+    */
+  val st66_stream_seasonal_monitor: Q = (spark, dir) => {
+    val counts = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val served = upsertServe(spark, counts, Seq("event_type", "hr"), "n")
+    graft.operators.Relational.residualJudge(
+      served.select(col("event_type"), col("hr"), col("n")))
+  }
+
   /** J-family streaming — FALLBACK RESOLUTION AT INGEST (streaming
     * twin of j18): last night's rate cards (pair / lang / global —
     * |keys|-row relations) broadcast onto the firehose and every
@@ -2791,6 +2813,7 @@ object StreamQueries {
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
+    "st66_stream_seasonal_monitor" -> st66_stream_seasonal_monitor,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -3009,6 +3032,9 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st66's counted-then-judged flags must equal a30's batch monitor
+    "st66_stream_seasonal_monitor" ->
+      graft.operators.Relational.oracles("a30_seasonal_residuals"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
