@@ -2131,15 +2131,24 @@ object Relational {
     * over the 1-row span.
     */
   val w10_calendar_gaps: Q = (spark, dir) => {
-    val W = org.apache.spark.sql.expressions.Window
     val ev = events(spark, dir)
-    val h = ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n"))
-    val span = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi"))
+    gapIslands(
+      ev.groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n")),
+      ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi")),
+      ev.select(col("event_type")).distinct())
+  }
+
+  /** [[w10_calendar_gaps]]' spine/anti-join/island tail over any
+    * (event_type, hr, n) count relation + 1-row span + type set —
+    * shared with st67, which audits the SERVED ingest counters.
+    */
+  private[graft] def gapIslands(h: DataFrame, span: DataFrame,
+                                types: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val spine = span.select(explode(
       sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
-    val types = ev.select(col("event_type")).distinct()
     val missing = spine.join(broadcast(types), lit(true), "inner")
       .join(h, Seq("event_type", "hr"), "left_anti")
     val w = W.partitionBy(col("event_type")).orderBy(col("hr"))

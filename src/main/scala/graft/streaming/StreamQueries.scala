@@ -1587,6 +1587,32 @@ object StreamQueries {
       served.select(col("event_type"), col("hr"), col("n")))
   }
 
+  /** W-family streaming — THE COMPLETENESS AUDIT OVER INGEST COUNTERS
+    * (streaming twin of w10, and st66's second consumer): the SAME
+    * served (type, hour) counter table st66 maintains is audited ON
+    * READ for silent hours — spine, anti-join and island rollup all
+    * run over the bounded served relation via the shared
+    * [[graft.operators.Relational.gapIslands]]. One counter table,
+    * two read-side verdicts (anomalous hours AND absent hours) — the
+    * monitoring pair a production pipeline wants from one piece of
+    * state. The spine's span is the batch corpus's (an audit must
+    * know the expected range; the stream alone cannot — st16's
+    * cannot-know reasoning). Oracle is w10's verbatim.
+    */
+  val st67_stream_gap_audit: Q = (spark, dir) => {
+    val counts = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val served = upsertServe(spark, counts, Seq("event_type", "hr"), "n")
+    val ev = graft.Tables.events(spark, dir)
+    graft.operators.Relational.gapIslands(
+      served.select(col("event_type"), col("hr"), col("n")),
+      ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi")),
+      ev.select(col("event_type")).distinct())
+  }
+
   /** J-family streaming — FALLBACK RESOLUTION AT INGEST (streaming
     * twin of j18): last night's rate cards (pair / lang / global —
     * |keys|-row relations) broadcast onto the firehose and every
@@ -2814,6 +2840,7 @@ object StreamQueries {
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
     "st66_stream_seasonal_monitor" -> st66_stream_seasonal_monitor,
+    "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
     "st47_stream_decay_serve" -> st47_stream_decay_serve,
@@ -3032,6 +3059,9 @@ object StreamQueries {
                  CASE WHEN bop = 'insert' THEN cand_s END AS segment,
                  last_tsu
           FROM agg WHERE nb > 0""",
+    // st67's served-counter audit must equal w10's batch gap islands
+    "st67_stream_gap_audit" ->
+      graft.operators.Relational.oracles("w10_calendar_gaps"),
     // st66's counted-then-judged flags must equal a30's batch monitor
     "st66_stream_seasonal_monitor" ->
       graft.operators.Relational.oracles("a30_seasonal_residuals"),
