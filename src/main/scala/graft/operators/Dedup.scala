@@ -631,6 +631,79 @@ object Dedup {
       .where(col("contain_pm") >= 900)
   }
 
+  /** d21 — INCREMENTAL CONTAINMENT (the d12 pattern applied to d18's
+    * measure): tonight's delta probed against the STANDING corpus's
+    * df-capped inverted index for quote-inclusion — is this new doc
+    * substantially contained in something we already have? — without
+    * ever self-joining the standing corpus. The fixture plants
+    * half-excerpts of standing docs into the delta (+1e6, %7==1
+    * sources), the "new doc is a quote of an old one" case. The
+    * denominator is the DELTA doc's full distinct-shingle count
+    * while the numerator only counts hits against the CAPPED index,
+    * so boilerplate-heavy docs under-score — deliberately
+    * conservative (capped shingles carry no discrimination, d04's
+    * rule; a doc made entirely of boilerplate should NOT read as
+    * "contained in" any one standing doc).
+    *
+    * Scale shape: O(|delta shingles|) probe rows against the
+    * standing index's hash distribution — the standing side is built
+    * once nightly ([[shingleIndex]], shared with d04/d18) and at
+    * 100 TB the delta probe touches index partitions, never
+    * standing²; pair fan-out stays bounded by the df-cap.
+    */
+  val d21_incremental_containment: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val d = documents(spark, dir).select(col("doc_id"), col("text"))
+    val standing = d.where(col("doc_id") % 10 =!= 0)
+    val delta = d.where(col("doc_id") % 10 === 0)
+      .unionAll(standing.where(col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          excerptHalf(col("text")).as("text")))
+    val idx = shingleIndex(standing, DfCap)
+    val dsh = delta
+      .select(col("doc_id").as("delta_id"), shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("delta_id"), explode(Portable.hash60Array(col("shd"))).as("s"))
+    val nD = dsh.groupBy(col("delta_id")).agg(count(lit(1)).as("n_delta"))
+    dsh.join(idx.select(col("doc_id").as("standing_id"), col("s")), "s")
+      .groupBy(col("delta_id"), col("standing_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(nD, "delta_id")
+      .where(col("n_delta") >= ContainMinShingles)
+      .select(col("delta_id"), col("standing_id"), col("n_delta"), col("inter"),
+        expr("CAST(inter * 1000 div n_delta AS BIGINT)").as("contain_pm"))
+      .where(col("contain_pm") >= 900)
+  }
+
+  private def duckIncContainmentSql: String =
+    s"""WITH standing AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                  UNION ALL
+                  SELECT doc_id + 1000000,
+                         array_to_string(string_split(text, ' ')[1:greatest(
+                           (len(string_split(text, ' ')) + 1) // 2, 3)], ' ')
+                  FROM standing WHERE doc_id % 7 = 1),
+        ssh AS (SELECT doc_id, $duckShingleExpr AS shd FROM standing),
+        shx AS (SELECT doc_id,
+                       unnest(list_transform(shd, s -> ${Portable.duckHash60("s")})) AS s
+                FROM ssh WHERE len(shd) > 0),
+        idx AS (SELECT doc_id, s FROM (
+                  SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM shx)
+                WHERE df <= $DfCap),
+        dsh0 AS (SELECT doc_id, $duckShingleExpr AS shd FROM delta),
+        dsh AS (SELECT doc_id AS delta_id,
+                       unnest(list_transform(shd, s -> ${Portable.duckHash60("s")})) AS s
+                FROM dsh0 WHERE len(shd) > 0),
+        nd AS (SELECT delta_id, COUNT(*) AS n_delta FROM dsh GROUP BY 1),
+        i AS (SELECT d.delta_id, idx.doc_id AS standing_id, COUNT(*) AS inter
+              FROM dsh d JOIN idx ON idx.s = d.s
+              GROUP BY 1, 2)
+        SELECT delta_id, standing_id, n_delta, inter,
+               CAST(inter * 1000 // n_delta AS BIGINT) AS contain_pm
+        FROM i JOIN nd USING (delta_id)
+        WHERE n_delta >= $ContainMinShingles
+          AND inter * 1000 // n_delta >= 900"""
+
   private def duckContainmentSql: String =
     s"""WITH corpus AS (
           SELECT doc_id, text FROM documents
@@ -1540,6 +1613,7 @@ object Dedup {
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d18_containment" -> d18_containment,
+    "d21_incremental_containment" -> d21_incremental_containment,
     "d06_dedup_materialize" -> d06_dedup_materialize,
     "d07_dedup_clusters" -> d07_dedup_clusters,
     "d19_cluster_split" -> d19_cluster_split,
@@ -1567,6 +1641,7 @@ object Dedup {
     "d03_simhash" -> duckSimhashSql,
     "d04_ngram_jaccard" -> duckNgramSql,
     "d18_containment" -> duckContainmentSql,
+    "d21_incremental_containment" -> duckIncContainmentSql,
     "d07_dedup_clusters" -> duckClusterSql,
     "d19_cluster_split" -> duckClusterSplitSql,
     "d08_decontam" -> duckDecontamSql,
