@@ -214,6 +214,24 @@ class DedupSpec extends SparkSpecBase {
       "doc-hash splitting never straddles any detected pair here — the contrast is vacuous")
   }
 
+  /** d21's planted delta-quotes-standing excerpts must surface against
+    * their sources (conservative denominator, so ≥900‰, not ==1000‰:
+    * a source shingle the df-cap dropped counts against the score by
+    * design).
+    */
+  test("d21: every long-enough planted delta excerpt is flagged against its standing source") {
+    val out = graft.operators.Dedup.d21_incremental_containment(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = graft.Tables.documents(spark, sf)
+      .where(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1)
+      .where(size(split(col("text"), " ")) >= 23)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(planted.nonEmpty, "fixture must plant qualifying excerpts")
+    for (id <- planted)
+      assert(out.contains((id + 1000000L, id)),
+        s"delta excerpt of standing doc $id not flagged as contained")
+  }
+
   /** t28's real payoff is the estimator: the k-doc priority sample +
     * τ = (k+1)-th priority gives the unbiased Horvitz–Thompson
     * estimate Σ max(wᵢ, τ) of the corpus's TOTAL weight — asserted
