@@ -2626,10 +2626,139 @@ object Relational {
   }
 
   // --------------------------------------------------------------------
+  // A31–A34 — distribution & statistical analytics (round 11). The
+  // reference's ADS layer stops at sums/counts (ads/TradeMarkAmountApp
+  // .scala:40-78); these add the distribution-shape and trend relations
+  // an analytics engine is expected to serve, all in the exact-integer
+  // discipline (integer cents / counts shuffled, doubles only derived
+  // in a pinned final expression both engines parenthesize identically).
+  // --------------------------------------------------------------------
+
+  /** a31 — equi-width histogram of event value by type: integer-cents
+    * values land in pinned $50 buckets, plus each bucket's per-mille
+    * share of its type (integer floor division — no float ratios on
+    * the hash path). ONE groupBy shuffle on (type, bucket) — the bucket
+    * id is derived map-side, so partial aggregation collapses rows
+    * before the exchange; the share window repartitions only the
+    * |types|·|buckets| bucket relation, never the raw events. At 100 TB
+    * the bucket relation stays O(types·buckets) — tiny.
+    */
+  val a31_hist_equiwidth: Q = (spark, dir) => {
+    val b = events(spark, dir)
+      .select(col("event_type"), cents(col("value")).cast("long").as("c"))
+      .select(col("event_type"), expr("(c div 5000) * 5000").as("bucket_lo_cents"))
+      .groupBy(col("event_type"), col("bucket_lo_cents"))
+      .agg(count(lit(1)).as("n"))
+    b.withColumn("total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("bucket_lo_cents"), col("n"),
+        expr("(n * 1000) div total").as("share_pm"))
+  }
+
+  /** a32 — EXACT equi-depth deciles of the order-price distribution via
+    * the value-compressed CDF: prices quantize to integer cents, the
+    * groupBy collapses duplicates to one (value, count) row, and the
+    * decile of a value is pure integer arithmetic over its EXCLUSIVE
+    * prefix count — `(10·cum_lo) div n` (a value ties wholly into one
+    * decile; with heavy ties decile populations are deliberately
+    * unequal — that is the exact semantics, not a bug). The ordered
+    * prefix-sum window runs single-partition BY DESIGN but over the
+    * COMPRESSED relation: |distinct cents| is bounded by the price
+    * domain, not the row count, so a 100× scale-up grows the window's
+    * input not at all once the domain saturates. For genuinely
+    * unbounded domains the scale path is a14's mergeable sketch
+    * cutpoints; this operator is the exact companion (a13 precedent).
+    */
+  val a32_hist_equidepth: Q = (spark, dir) => {
+    val g = orders(spark, dir)
+      .select(cents(col("o_totalprice")).cast("long").as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(sum(col("cnt")).as("n"))
+    val wCum = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.select(col("c"), col("cnt"),
+        coalesce(sum(col("cnt")).over(wCum), lit(0L)).as("cum_lo"))
+      .join(broadcast(tot), lit(true), "inner")
+      .select(col("c"), col("cnt"), expr("(cum_lo * 10) div n").as("decile"))
+      .groupBy(col("decile"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"))
+  }
+
+  /** a33 — Pearson correlation between per-user-day click and purchase
+    * activity, computed from EXACT integer component sums (n, Σx, Σy,
+    * Σxy, Σx², Σy² are all BIGINT — order-independent, so the shuffle
+    * can't perturb the statistic) with the correlation itself derived
+    * once, in one pinned IEEE expression both engines parenthesize
+    * identically: num / (sqrt(den_x) · sqrt(den_y)). NOT the engines'
+    * `corr()` builtin — that streams doubles through Welford-style
+    * updates whose result is partial-order dependent, exactly what a
+    * differential hash can't tolerate. Two shuffles total: the
+    * (user, day) rollup and a 1-row global agg. Component-sum headroom:
+    * per-cell counts are event-rate bounded; at 2⁶³-threatening scale
+    * the sums move to decimal — documented, not silent (a21 advice).
+    */
+  val a33_metric_corr: Q = (spark, dir) => {
+    val d = events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("dt"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .select(col("*"),
+        when(col("den_x") > 0 && col("den_y") > 0,
+          col("num").cast("double") /
+            (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double"))))
+          .as("pearson_r"))
+  }
+
+  /** a34 — OLS trend of daily revenue vs time: slope/intercept from the
+    * normal equations over exact integer sums. x = days since the
+    * PINNED corpus mid-date (centering keeps n·Σxy inside 2⁶³ with
+    * ~180× headroom at sf1 — the a21 lesson: bound the arithmetic,
+    * document the decimal switch-over for beyond); y = dollar-rounded
+    * daily revenue (integer, exact to sum in any order). The slope is
+    * emitted BOTH as an exact integer rational (num/den) and as the
+    * derived double; intercept (at the center date) likewise from one
+    * pinned expression. ONE groupBy on the day + a 1-row agg.
+    */
+  val a34_ols_trend: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .select(
+        (datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long") - 1200L).as("x"),
+        round(col("o_totalprice")).cast("long").as("yd"))
+      .groupBy(col("x")).agg(sum(col("yd")).as("y"))
+    daily
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .select(col("*"),
+        (col("slope_num").cast("double") / col("slope_den").cast("double"))
+          .as("slope_dollars_per_day"))
+      .select(col("*"),
+        ((col("sy").cast("double") -
+          col("slope_dollars_per_day") * col("sx").cast("double")) /
+          col("n").cast("double")).as("intercept_dollars"))
+  }
+
+  // --------------------------------------------------------------------
   // registry
   // --------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "a31_hist_equiwidth" -> a31_hist_equiwidth,
+    "a32_hist_equidepth" -> a32_hist_equidepth,
+    "a33_metric_corr" -> a33_metric_corr,
+    "a34_ols_trend" -> a34_ols_trend,
     "s06_dim_scan" -> s06_dim_scan,
     "s10_json_source" -> s10_json_source,
     "s12_csv_source" -> s12_csv_source,
@@ -2720,6 +2849,72 @@ object Relational {
     * the integer-cents expressions — see [[graft.Tables.cents]].
     */
   val oracles: Map[String, String] = Map(
+    "a31_hist_equiwidth" ->
+      """WITH c AS (SELECT event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+          b AS (SELECT event_type, (c // 5000) * 5000 AS bucket_lo_cents,
+                       COUNT(*) AS n
+                FROM c GROUP BY 1, 2)
+          SELECT event_type, bucket_lo_cents, n,
+                 CAST((n * 1000) // SUM(n) OVER (PARTITION BY event_type)
+                      AS BIGINT) AS share_pm
+          FROM b""",
+    "a32_hist_equidepth" ->
+      """WITH g AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                      COUNT(*) AS cnt
+                    FROM orders GROUP BY 1),
+          k AS (SELECT c, cnt,
+                       CAST(COALESCE(SUM(cnt) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS BIGINT) AS cum_lo,
+                       CAST((SELECT SUM(cnt) FROM g) AS BIGINT) AS n
+                FROM g)
+          SELECT CAST((cum_lo * 10) // n AS BIGINT) AS decile,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 MIN(c) AS lo_cents, MAX(c) AS hi_cents
+          FROM k GROUP BY 1""",
+    "a33_metric_corr" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS dt,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+                    FROM events GROUP BY 1, 2),
+          s AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) AS BIGINT) AS syy
+                FROM d)
+          SELECT n, sx, sy, sxy, sxx, syy,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den_x,
+                 n * syy - sy * sy AS den_y,
+                 CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+                           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                            sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 END AS pearson_r
+          FROM s""",
+    "a34_ols_trend" ->
+      """WITH daily AS (SELECT date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) - 1200 AS x,
+                        CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+                        FROM orders GROUP BY 1),
+          s AS (SELECT COUNT(*) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) AS BIGINT) AS sxx
+                FROM daily),
+          r AS (SELECT n, sx, sy, sxy, sxx,
+                       n * sxy - sx * sy AS slope_num,
+                       n * sxx - sx * sx AS slope_den
+                FROM s),
+          r2 AS (SELECT r.*, CAST(slope_num AS DOUBLE) /
+                             CAST(slope_den AS DOUBLE) AS slope_dollars_per_day
+                 FROM r)
+          SELECT r2.*,
+                 (CAST(sy AS DOUBLE) - slope_dollars_per_day * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept_dollars
+          FROM r2""",
     "s06_dim_scan" ->
       """SELECT n_nationkey, n_name, r_name
          FROM nation JOIN region ON n_regionkey = r_regionkey
