@@ -2751,10 +2751,150 @@ object Relational {
   }
 
   // --------------------------------------------------------------------
+  // A35–A38 — behavioral analytics (round 11): Markov transitions, RFM
+  // segmentation, market-basket lift, chi-square independence. Same
+  // exact-integer discipline; doubles appear only in a38's per-cell
+  // terms, derived from exact integers in one pinned expression.
+  // --------------------------------------------------------------------
+
+  /** a35 — event-type transition matrix (first-order Markov counts):
+    * each user's event sequence ordered by (ts, event_id) — event_id
+    * breaks timestamp ties deterministically — yields (from, to) pairs
+    * via `lead` in ONE user-partitioned window, then one groupBy on the
+    * pair; row-normalized probabilities as integer per-mille. The
+    * window and nothing else touches the raw events; the pair relation
+    * is |types|² rows. Per-user sequences are rate-bounded, so the
+    * window's per-partition state holds at 100 TB (the a16/j14 sweep
+    * discipline).
+    */
+  val a35_transition_matrix: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(n * 1000) div row_total").as("prob_pm"))
+  }
+
+  /** a36 — RFM segmentation: per-user Recency (days to the pinned
+    * corpus horizon — wall-clock injected, the P5 discipline),
+    * Frequency (event count), Monetary (integer purchase cents), each
+    * scored 1–5 by pinned-width integer buckets (data-derived
+    * cutpoints are a32's compressed-CDF pattern; pinning keeps the
+    * score a pure map-side function). ONE groupBy on user_id carries
+    * all three aggregates; scores and the segment label derive without
+    * another exchange.
+    */
+  val a36_rfm_segments: Q = (spark, dir) => {
+    val score = (c: Column) => least(c, lit(5L))
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(lit("2024-02-01").cast("date"), max(to_date(col("ts"))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase",
+          cents(col("value")).cast("long")).otherwise(0L)).as("monetary_cents"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"),
+        greatest(lit(1L), lit(5L) - expr("recency_days div 7")).as("r_score"),
+        score(lit(1L) + expr("frequency div 30")).as("f_score"),
+        score(lit(1L) + expr("monetary_cents div 200000")).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")))
+  }
+
+  /** a37 — market-basket pair lift over co-ordered parts: candidate
+    * pairs come from a SELF EQUI-JOIN on the order key — per-order
+    * fan-out is line-count bounded (≤ order size², never corpus²) —
+    * with `p1 < p2` halving the pair space; support and lift in exact
+    * integer micro-units. The ≥2-order floor bounds the output to
+    * genuinely recurring pairs. Overflow headroom (the a21 lesson):
+    * lift's numerator n_both·N·10⁶ ≤ N²·10⁶ ≈ 2.3×10¹⁸ at sf1 — inside
+    * 2⁶³ with 4× headroom; beyond that the expression moves to decimal
+    * (documented, not silent). Item counts are a dim-sized broadcast.
+    */
+  val a37_basket_lift: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey")).where(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= 2)
+      .join(broadcast(itemCnt.select(col("l_partkey").as("p1"),
+        col("n_item").as("n1"))), Seq("p1"))
+      .join(broadcast(itemCnt.select(col("l_partkey").as("p2"),
+        col("n_item").as("n2"))), Seq("p2"))
+      .join(broadcast(nOrders), lit(true), "inner")
+      .select(col("p1"), col("p2"), col("n_both"), col("n1"), col("n2"),
+        col("n_orders"),
+        expr("(n_both * 1000000) div n_orders").as("support_micro"),
+        expr("(n_both * n_orders * 1000000) div (n1 * n2)").as("lift_micro"))
+  }
+
+  /** a38 — chi-square independence of event_type × day-of-week. The
+    * day index is pure integer arithmetic off the epoch ((days+4) mod
+    * 7, 0 = Sunday) — no locale/engine DOW convention in the hash
+    * path. Observed counts are ONE groupBy; margins ride windows over
+    * the |types|·7 cell relation. Each cell's term (obs−e)²∕e derives
+    * from exact integers in one pinned IEEE expression, then QUANTIZED
+    * to integer micro-units before the statistic accumulates — float
+    * SUMS are banned from the hash path even in "same order" windows
+    * (DuckDB's windowed SUM reduces via a segment tree, Spark's
+    * sequentially: bit-identical terms, last-ulp-different totals —
+    * measured). floor(term·10⁶) of a bit-identical double is
+    * bit-identical, and the integer running sum is exact in any
+    * association. The last (type, dow) row carries the full χ² in
+    * micro-units. Cell count is fixed — the windows never see data
+    * volume.
+    */
+  val a38_chi2_independence: Q = (spark, dir) => {
+    val obs = events(spark, dir)
+      .select(col("event_type"),
+        ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 4) % 7)
+          .cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow")).agg(count(lit(1)).as("obs"))
+    val wRow = Window.partitionBy(col("event_type"))
+    val wCol = Window.partitionBy(col("dow"))
+    val wAll = Window.partitionBy()
+    val wRun = Window.orderBy(col("event_type"), col("dow"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    obs
+      .withColumn("row_n", sum(col("obs")).over(wRow))
+      .withColumn("col_n", sum(col("obs")).over(wCol))
+      .withColumn("n", sum(col("obs")).over(wAll))
+      .withColumn("e",
+        (col("row_n") * col("col_n")).cast("double") / col("n").cast("double"))
+      .withColumn("term",
+        (col("obs").cast("double") - col("e")) *
+          (col("obs").cast("double") - col("e")) / col("e"))
+      .withColumn("term_micro", floor(col("term") * lit(1000000d)))
+      .withColumn("chi2_running_micro", sum(col("term_micro")).over(wRun))
+      .select(col("event_type"), col("dow"), col("obs"), col("row_n"),
+        col("col_n"), col("n"), col("term"), col("term_micro"),
+        col("chi2_running_micro"))
+  }
+
+  // --------------------------------------------------------------------
   // registry
   // --------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "a35_transition_matrix" -> a35_transition_matrix,
+    "a36_rfm_segments" -> a36_rfm_segments,
+    "a37_basket_lift" -> a37_basket_lift,
+    "a38_chi2_independence" -> a38_chi2_independence,
     "a31_hist_equiwidth" -> a31_hist_equiwidth,
     "a32_hist_equidepth" -> a32_hist_equidepth,
     "a33_metric_corr" -> a33_metric_corr,
@@ -2849,6 +2989,83 @@ object Relational {
     * the integer-cents expressions — see [[graft.Tables.cents]].
     */
   val oracles: Map[String, String] = Map(
+    "a35_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+                      lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS to_type
+                    FROM events),
+          p AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+                FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, to_type, n,
+                 CAST((n * 1000) // SUM(n) OVER (PARTITION BY from_type)
+                      AS BIGINT) AS prob_pm
+          FROM p""",
+    "a36_rfm_segments" ->
+      """WITH u AS (SELECT user_id,
+                      date_diff('day', CAST(MAX(ts) AS DATE),
+                                DATE '2024-02-01') AS recency_days,
+                      COUNT(*) AS frequency,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(ROUND(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS monetary_cents
+                    FROM events GROUP BY 1),
+          s AS (SELECT u.*,
+                       greatest(1, 5 - recency_days // 7) AS r_score,
+                       least(1 + frequency // 30, 5) AS f_score,
+                       least(1 + monetary_cents // 200000, 5) AS m_score
+                FROM u)
+          SELECT user_id, recency_days, frequency, monetary_cents,
+                 r_score, f_score, m_score,
+                 CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+                   CAST(m_score AS VARCHAR) AS segment
+          FROM s""",
+    "a37_basket_lift" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+          c AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY 1),
+          p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                       COUNT(*) AS n_both
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+          SELECT p1, p2, n_both, c1.n_item AS n1, c2.n_item AS n2, n_orders,
+                 CAST((n_both * 1000000) // n_orders AS BIGINT)
+                   AS support_micro,
+                 CAST((n_both * n_orders * 1000000) // (c1.n_item * c2.n_item)
+                      AS BIGINT) AS lift_micro
+          FROM p JOIN c c1 ON c1.l_partkey = p1
+                 JOIN c c2 ON c2.l_partkey = p2
+                 CROSS JOIN n""",
+    "a38_chi2_independence" ->
+      """WITH o AS (SELECT event_type,
+                      (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       + 4) % 7 AS dow,
+                      COUNT(*) AS obs
+                    FROM events GROUP BY 1, 2),
+          m AS (SELECT event_type, dow, obs,
+                       CAST(SUM(obs) OVER (PARTITION BY event_type) AS BIGINT)
+                         AS row_n,
+                       CAST(SUM(obs) OVER (PARTITION BY dow) AS BIGINT)
+                         AS col_n,
+                       CAST(SUM(obs) OVER () AS BIGINT) AS n
+                FROM o),
+          t AS (SELECT m.*,
+                       (CAST(obs AS DOUBLE) -
+                        CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE)) *
+                       (CAST(obs AS DOUBLE) -
+                        CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE)) /
+                       (CAST(row_n * col_n AS DOUBLE) / CAST(n AS DOUBLE))
+                         AS term
+                FROM m),
+          t2 AS (SELECT t.*, CAST(floor(term * 1000000) AS BIGINT)
+                             AS term_micro
+                 FROM t)
+          SELECT event_type, dow, obs, row_n, col_n, n, term, term_micro,
+                 CAST(SUM(term_micro) OVER (ORDER BY event_type, dow
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS chi2_running_micro
+          FROM t2""",
     "a31_hist_equiwidth" ->
       """WITH c AS (SELECT event_type,
                       CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
