@@ -1855,7 +1855,83 @@ object Similarity {
       .agg(count(lit(1)).as("n_eval_hits"), max(col("c6")).as("max_cos6"))
   }
 
+  /** n27 — k-NN CLASSIFICATION over the embedding corpus: the labeled
+    * vectors double as training data; every 10th vector plays a query
+    * and takes the MAJORITY LABEL of its 5 nearest neighbors
+    * (leave-self-out). The neighbor label rides THROUGH the bounded
+    * [[TopK]] aggregator by packing (vec_id, label) into one long
+    * (id·16 + label — label < 16, and the packing is monotone in
+    * vec_id, so the aggregator's (score desc, id asc) tie order is
+    * unchanged) — no join-back against the corpus for labels, no
+    * per-query window over all n candidates. Vote argmax is
+    * (count desc, label asc), fully deterministic. Emits per-query
+    * verdicts; accuracy is a one-line rollup on read.
+    */
+  val n27_knn_classify: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").as("v"))
+    val q = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"),
+        (col("vec_id") * 16 + col("label")).as("packed"),
+        cos6(col("qv"), col("v")).as("c6"))
+    val votes = scored
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(TopK.topK(5)(col("c6"), col("packed")).as("tk"))
+      .select(col("query_id"), col("true_label"),
+        explode(col("tk.items")).as("it"))
+      .groupBy(col("query_id"), col("true_label"),
+        (col("it.id") % 16).as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(max(struct(col("n_votes"), (-col("pred_label")).as("neg"))).as("m"))
+      .select(col("query_id"), col("true_label"),
+        (-col("m.neg")).as("pred_label"), col("m.n_votes").as("n_votes"))
+      .withColumn("correct", col("true_label") === col("pred_label"))
+  }
+
+  /** n28 — DIVERSIFIED top-k: n01's exact ranking with a ≤2-per-cell
+    * cap (the IVF cell = the diversity facet), the deterministic
+    * algebraic stand-in for MMR's greedy sweep: redundancy is capped
+    * structurally instead of re-scored iteratively, which keeps the
+    * whole operator two bounded [[TopK]] aggregations — per (query,
+    * cell) then per query over the ≤2·|cells| survivors — both
+    * map-side partial, no per-query window over the corpus. Same
+    * (cos desc, id asc) tie discipline as n01; the label rides the
+    * packed id through both aggregations.
+    */
+  val n28_diversified_topk: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").as("v"))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val perCell = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"),
+        (col("vec_id") * 16 + col("label")).as("packed"),
+        cos6(col("qv"), col("v")).as("c6"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(TopK.topK(2)(col("c6"), col("packed")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+    perCell
+      .groupBy(col("query_id"))
+      .agg(TopK.topK(K)(col("it.score"), col("it.id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        expr("col.id div 16").as("neighbor_id"),
+        (col("col.id") % 16).as("cell"),
+        col("col.score").as("cos6"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n27_knn_classify" -> n27_knn_classify,
+    "n28_diversified_topk" -> n28_diversified_topk,
     "n01_cosine_topk" -> n01_cosine_topk,
     "n02_ivf_topk" -> n02_ivf_topk,
     "n03_cell_assign" -> n03_cell_assign,
@@ -2084,6 +2160,41 @@ object Similarity {
         $duckAdcRank"""
 
   val oracles: Map[String, String] = Map(
+    "n27_knn_classify" ->
+      s"""WITH $duckVecs,
+          q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS true_label,
+                       v AS qv, nrm AS qn
+                FROM n WHERE vec_id % 10 = 0),
+          p AS (SELECT query_id, true_label, vec_id,
+                       CAST(label AS BIGINT) AS lbl, $duckCos AS cos6
+                FROM q JOIN n ON vec_id <> query_id),
+          tk AS (SELECT query_id, true_label, lbl FROM p
+                 QUALIFY row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos6 DESC, vec_id) <= 5),
+          v2 AS (SELECT query_id, true_label, lbl AS pred_label,
+                        COUNT(*) AS n_votes
+                 FROM tk GROUP BY 1, 2, 3),
+          w2 AS (SELECT * FROM v2
+                 QUALIFY row_number() OVER (PARTITION BY query_id
+                   ORDER BY n_votes DESC, pred_label) = 1)
+          SELECT query_id, true_label, pred_label, n_votes,
+                 true_label = pred_label AS correct
+          FROM w2""",
+    "n28_diversified_topk" ->
+      s"""WITH $duckVecs,
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+                FROM n WHERE vec_id < $NumQueries),
+          p AS (SELECT query_id, vec_id, CAST(label AS BIGINT) AS cell,
+                       $duckCos AS cos6
+                FROM q JOIN n ON vec_id <> query_id),
+          pc AS (SELECT * FROM p
+                 QUALIFY row_number() OVER (PARTITION BY query_id, cell
+                   ORDER BY cos6 DESC, vec_id) <= 2)
+          SELECT query_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
+                 vec_id AS neighbor_id, cell, cos6
+          FROM pc QUALIFY rnk <= $K""",
     "n01_cosine_topk" ->
       s"""WITH $duckVecs,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),

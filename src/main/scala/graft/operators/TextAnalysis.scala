@@ -1626,7 +1626,39 @@ object TextAnalysis {
       .withColumn("agree", col("stop_pred") <=> col("tri_pred"))
   }
 
+  /** t31 — TF-IDF keyword extraction: each document's top-3 tokens by
+    * tf·idf, the classic per-doc salience relation (t23 ranks DOCS for
+    * a query; this ranks TERMS for a doc — the other half of the
+    * lexical-retrieval pair, and the summarization/tagging primitive a
+    * curation pipeline feeds into metadata). idf = ln(N/df)
+    * floor-quantized to micro-nats (the LmMicro contract), after which
+    * the score tf·idf_micro is EXACT integer arithmetic — the only
+    * float in the operator is one ln over two exact integers. Reuses
+    * t23's persisted (doc, token, tf) relation; the top-3 window
+    * partitions per doc (length-bounded partitions, never corpus-
+    * bounded); ties break (score desc, token asc).
+    */
+  val t31_tfidf_keywords: Q = (spark, dir) => {
+    val tf = bm25Tf(spark, dir)
+    val nDocs = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), lit(true), "inner")
+      .select(col("token"), col("df"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1000000d)).cast("long").as("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("token"))
+    tf.join(idf, Seq("token"))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("idf_micro"), (col("tf") * col("idf_micro")).as("score_micro"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t31_tfidf_keywords" -> t31_tfidf_keywords,
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
     "t03_quality_score" -> t03_quality_score,
@@ -2071,6 +2103,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t31_tfidf_keywords" ->
+      s"""WITH $duckBm25Corpus,
+          idf AS (SELECT token, df,
+                         CAST(floor(ln(CAST(n_docs AS DOUBLE)
+                                       / CAST(df AS DOUBLE)) * 1000000)
+                              AS BIGINT) AS idf_micro
+                  FROM dft, stats),
+          sc AS (SELECT tf.doc_id, tf.token, tf.tf, idf.df, idf.idf_micro,
+                        tf.tf * idf.idf_micro AS score_micro
+                 FROM tf JOIN idf USING (token))
+          SELECT doc_id, token, tf, df, idf_micro, score_micro,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score_micro DESC, token) AS BIGINT) AS rnk
+          FROM sc QUALIFY rnk <= 3""",
     "t22_nb_agreement" -> duckNbAgreementSql,
     "t21_repetition" -> duckRepetitionSql,
     // t23: arithmetic term for term with the Spark side — the one ln is
