@@ -2886,11 +2886,75 @@ object Relational {
         col("chi2_running_micro"))
   }
 
+  /** w11 — time-series gap fill with LINEAR INTERPOLATION: the sparse
+    * hourly series (rare high-value purchases — deliberately gappy) is
+    * stretched over a dense hour spine (sequence/explode — spine size
+    * is the series' hour RANGE, a calendar bound, not a data bound)
+    * and every missing hour gets the straight line between
+    * its known neighbors. Values ride in milli-units; the
+    * interpolation quotient is floor(double/double) — NOT `div`: Spark
+    * `div` truncates toward zero while DuckDB `//` floors, and a
+    * declining segment makes the numerator negative, which is exactly
+    * where the two disagree. The double quotient is exact here
+    * (numerator ≤ 10⁷·spine-hours ≪ 2⁵³, denominator a small gap
+    * count, and a non-integral ratio sits ≥ 1/gap from the boundary —
+    * ulp-safe). Two ignoreNulls window sweeps (prev/next known point)
+    * over the CALENDAR-BOUNDED spine (the single-partition windows see
+    * ≤ |hours| rows regardless of data volume); spine ends are known
+    * points by construction, so no edge nulls. The j12/j14 sweep
+    * discipline: never an inequality join against the known points.
+    */
+  val w11_linear_interp: Q = (spark, dir) => {
+    val known = events(spark, dir)
+      .where(col("event_type") === "purchase" && col("value") > 200)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val spine = known
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+    val wB = Window.orderBy(col("hr")).rowsBetween(Window.unboundedPreceding, 0)
+    val wA = Window.orderBy(col("hr")).rowsBetween(0, Window.unboundedFollowing)
+    spine.join(known, Seq("hr"), "left")
+      .withColumn("h", expr("unix_micros(hr) div 3600000000"))
+      .withColumn("prev_n", last(col("n"), ignoreNulls = true).over(wB))
+      .withColumn("prev_h",
+        last(when(col("n").isNotNull, col("h")), ignoreNulls = true).over(wB))
+      .withColumn("next_n", first(col("n"), ignoreNulls = true).over(wA))
+      .withColumn("next_h",
+        first(when(col("n").isNotNull, col("h")), ignoreNulls = true).over(wA))
+      .select(
+        date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
+        when(col("n").isNotNull, col("n") * 1000)
+          .otherwise(col("prev_n") * 1000 +
+            floor(((col("next_n") - col("prev_n")) * 1000 *
+              (col("h") - col("prev_h"))).cast("double") /
+              (col("next_h") - col("prev_h")).cast("double")).cast("long"))
+          .as("value_milli"),
+        col("n").isNull.as("is_interp"))
+  }
+
+  /** p19 — UNPIVOT (wide→long melt) of the lineitem measure columns:
+    * the reshape primitive dual to a12's pivot. Spark's native
+    * `unpivot` keeps it a zero-shuffle Expand over the scan (4 rows
+    * out per row in, schema-driven); values pass through untouched —
+    * both engines read the identical parquet doubles, so the hash
+    * path carries no arithmetic at all.
+    */
+  val p19_unpivot: Q = (spark, dir) => {
+    lineitem(spark, dir).unpivot(
+      Array(col("l_orderkey"), col("l_linenumber")),
+      Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax")),
+      "measure", "val")
+  }
+
   // --------------------------------------------------------------------
   // registry
   // --------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "w11_linear_interp" -> w11_linear_interp,
+    "p19_unpivot" -> p19_unpivot,
     "a35_transition_matrix" -> a35_transition_matrix,
     "a36_rfm_segments" -> a36_rfm_segments,
     "a37_basket_lift" -> a37_basket_lift,
@@ -2989,6 +3053,50 @@ object Relational {
     * the integer-cents expressions — see [[graft.Tables.cents]].
     */
   val oracles: Map[String, String] = Map(
+    "w11_linear_interp" ->
+      """WITH known AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
+                        FROM events
+                        WHERE event_type = 'purchase' AND value > 200
+                        GROUP BY 1),
+          bounds AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM known),
+          spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                      AS hr FROM bounds),
+          j AS (SELECT s.hr, k.n,
+                       epoch_us(s.hr) // 3600000000 AS h
+                FROM spine s LEFT JOIN known k USING (hr)),
+          f AS (SELECT j.*,
+                       last_value(n IGNORE NULLS) OVER wb AS prev_n,
+                       last_value(CASE WHEN n IS NOT NULL THEN h END
+                         IGNORE NULLS) OVER wb AS prev_h,
+                       first_value(n IGNORE NULLS) OVER wa AS next_n,
+                       first_value(CASE WHEN n IS NOT NULL THEN h END
+                         IGNORE NULLS) OVER wa AS next_h
+                FROM j
+                WINDOW wb AS (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW),
+                       wa AS (ORDER BY hr ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING))
+          SELECT strftime(hr, '%Y-%m-%d %H') AS hr,
+                 CASE WHEN n IS NOT NULL THEN n * 1000
+                      ELSE prev_n * 1000 +
+                           CAST(floor(CAST((next_n - prev_n) * 1000 *
+                                           (h - prev_h) AS DOUBLE)
+                                      / CAST(next_h - prev_h AS DOUBLE))
+                                AS BIGINT)
+                 END AS value_milli,
+                 n IS NULL AS is_interp
+          FROM f""",
+    "p19_unpivot" ->
+      """SELECT l_orderkey, l_linenumber,
+                'l_quantity' AS measure, l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber,
+                'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""",
     "a35_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_type, ts, event_id,
                       lead(event_type) OVER (PARTITION BY user_id
