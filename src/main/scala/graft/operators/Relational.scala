@@ -2643,17 +2643,24 @@ object Relational {
     * |types|·|buckets| bucket relation, never the raw events. At 100 TB
     * the bucket relation stays O(types·buckets) — tiny.
     */
-  val a31_hist_equiwidth: Q = (spark, dir) => {
-    val b = events(spark, dir)
+  val a31_hist_equiwidth: Q = (spark, dir) =>
+    histShares(events(spark, dir)
       .select(col("event_type"), cents(col("value")).cast("long").as("c"))
       .select(col("event_type"), expr("(c div 5000) * 5000").as("bucket_lo_cents"))
       .groupBy(col("event_type"), col("bucket_lo_cents"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[a31_hist_equiwidth]]'s share derivation over any (event_type,
+    * bucket_lo_cents, n) count relation — shared with st68, where the
+    * counts are maintained at ingest (count-at-ingest/shape-on-read,
+    * the st66 discipline) and this window runs over the served
+    * bucket relation.
+    */
+  private[graft] def histShares(b: DataFrame): DataFrame =
     b.withColumn("total",
         sum(col("n")).over(Window.partitionBy(col("event_type"))))
       .select(col("event_type"), col("bucket_lo_cents"), col("n"),
         expr("(n * 1000) div total").as("share_pm"))
-  }
 
   /** a32 — EXACT equi-depth deciles of the order-price distribution via
     * the value-compressed CDF: prices quantize to integer cents, the
@@ -2769,18 +2776,26 @@ object Relational {
     */
   val a35_transition_matrix: Q = (spark, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val pairs = events(spark, dir)
+    transitionMatrix(events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .where(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
-      .agg(count(lit(1)).as("n"))
+      .select(col("event_type").as("from_type"), col("to_type")))
+  }
+
+  /** [[a35_transition_matrix]]'s rollup over any (from_type, to_type)
+    * one-row-per-transition relation — shared with st69, where the
+    * pairs are emitted by the flush-time per-user sweep and this
+    * rollup runs on read.
+    */
+  private[graft] def transitionMatrix(pairs: DataFrame): DataFrame =
     pairs
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
       .withColumn("row_total",
         sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"),
         expr("(n * 1000) div row_total").as("prob_pm"))
-  }
 
   /** a36 — RFM segmentation: per-user Recency (days to the pinned
     * corpus horizon — wall-clock injected, the P5 discipline),

@@ -109,6 +109,11 @@ case class SeqState(buf: Seq[SeqBuf], newestMs: Long)
 case class SeqOut(purchase_id: Long, user_id: Long, click_id: Long,
                   click_tsu: Long, purchase_tsu: Long, gap_us: Long)
 
+/** One consecutive (from, to) transition from a user's flushed
+  * event history (a35's pair shape).
+  */
+case class TransOut(user_id: Long, from_type: String, to_type: String)
+
 /** One buffered touchpoint/conversion in multi-touch state; `cents`
   * is the conversion value (0 for clicks).
   */
@@ -767,6 +772,49 @@ object Pipelines {
               }
             }
             out.result().iterator
+          } else {
+            val prev = state.getOption.getOrElse(SeqState(Seq.empty, Long.MinValue))
+            val buf0 = prev.buf ++
+              rows.map(e => SeqBuf(e.tsu, e.event_id, e.etype))
+            val buf = if (buf0.size > maxEvents)
+              buf0.sortBy(b => (b.tsu, b.event_id)).take(maxEvents)
+            else buf0
+            val newestMs =
+              math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
+            state.update(SeqState(buf, newestMs))
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** a35's per-user ordered sweep AT FLUSH TIME (the sequenceMatch
+    * state discipline verbatim — capped buffer, monotone TTL anchor):
+    * when the watermark closes a user, the (tsu, event_id)-sorted
+    * history emits its consecutive (from, to) transition pairs.
+    * Flush-time is what makes ORDER safe under disorder: a pair
+    * emitted eagerly between two arrivals cannot be retracted when a
+    * late event lands between them, and append mode never takes
+    * answers back (the st59 negation reasoning, applied to
+    * adjacency). The matrix rollup runs ON READ over the emitted
+    * pairs. State: one capped buffer per user — rate-bounded.
+    */
+  def transitionPairs(events: Dataset[SeqEvent],
+                      ttlMs: Long = FunnelTimeoutMs,
+                      maxEvents: Int = MaxScdEvents): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, TransOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SeqEvent], state: GroupState[SeqState]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get.buf.sortBy(b => (b.tsu, b.event_id))
+            state.remove()
+            hist.iterator.zip(hist.iterator.drop(1)).map { case (a, b) =>
+              TransOut(uid, a.etype, b.etype)
+            }
           } else {
             val prev = state.getOption.getOrElse(SeqState(Seq.empty, Long.MinValue))
             val buf0 = prev.buf ++

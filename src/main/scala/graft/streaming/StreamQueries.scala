@@ -1613,6 +1613,56 @@ object StreamQueries {
       ev.select(col("event_type")).distinct())
   }
 
+  /** A-family streaming — THE VALUE HISTOGRAM AT INGEST (streaming
+    * twin of a31, st66's count-at-ingest/shape-on-read discipline):
+    * the bucket id derives row-locally (integer cents div the pinned
+    * width — delivery-order free), ONE update-mode (type, bucket)
+    * count is the only stateful step, and the per-mille shares run ON
+    * READ over the served bucket relation through the shared
+    * [[graft.operators.Relational.histShares]]. State: one counter
+    * per occupied (type, bucket) — O(types·buckets), ingest-rate
+    * independent. Sentinel pre-filtered (update-mode agg, no
+    * watermark). Oracle is a31's verbatim.
+    */
+  val st68_stream_hist: Q = (spark, dir) => {
+    val counts = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .select(col("event_type"), graft.Tables.cents(col("value")).cast("long").as("c"))
+      .select(col("event_type"), expr("(c div 5000) * 5000").as("bucket_lo_cents"))
+      .groupBy(col("event_type"), col("bucket_lo_cents"))
+      .agg(count(lit(1)).as("n"))
+    val served = upsertServe(spark, counts,
+      Seq("event_type", "bucket_lo_cents"), "n")
+    graft.operators.Relational.histShares(
+      served.select(col("event_type"), col("bucket_lo_cents"), col("n")))
+  }
+
+  /** A-family streaming — THE TRANSITION MATRIX AT INGEST (streaming
+    * twin of a35): adjacency needs ORDER, and order under disorder
+    * means flush-time (`Pipelines.transitionPairs` — the st59
+    * machinery applied to consecutive pairs: an eagerly-emitted pair
+    * cannot be retracted when a late event lands between its
+    * endpoints, so pairs emit only when the watermark closes the
+    * user). The matrix rollup — pair counts, row-normalized integer
+    * per-mille — runs ON READ over the emitted pairs through the
+    * shared [[graft.operators.Relational.transitionMatrix]]. State:
+    * one capped event buffer per user, rate-bounded (the st28/st59
+    * contract). Oracle is a35's verbatim.
+    */
+  val st69_stream_transition: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("event_type").as("etype"), col("ts").as("event_time"))
+      .as[graft.streaming.SeqEvent]
+    val pairs = Replay
+      .runAppend(spark, Pipelines.transitionPairs(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+    graft.operators.Relational.transitionMatrix(
+      pairs.select(col("from_type"), col("to_type")))
+  }
+
   /** J-family streaming — FALLBACK RESOLUTION AT INGEST (streaming
     * twin of j18): last night's rate cards (pair / lang / global —
     * |keys|-row relations) broadcast onto the firehose and every
@@ -2840,6 +2890,8 @@ object StreamQueries {
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
     "st66_stream_seasonal_monitor" -> st66_stream_seasonal_monitor,
+    "st68_stream_hist" -> st68_stream_hist,
+    "st69_stream_transition" -> st69_stream_transition,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3065,6 +3117,12 @@ object StreamQueries {
     // st66's counted-then-judged flags must equal a30's batch monitor
     "st66_stream_seasonal_monitor" ->
       graft.operators.Relational.oracles("a30_seasonal_residuals"),
+    // st68's served buckets must shape to exactly a31's histogram
+    "st68_stream_hist" ->
+      graft.operators.Relational.oracles("a31_hist_equiwidth"),
+    // st69's flush-time pairs must roll up to exactly a35's matrix
+    "st69_stream_transition" ->
+      graft.operators.Relational.oracles("a35_transition_matrix"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
