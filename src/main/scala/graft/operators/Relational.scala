@@ -2963,11 +2963,96 @@ object Relational {
       "measure", "val")
   }
 
+  /** a39 — KMV SET-OPERATION estimates: pairwise audience overlap
+    * (union size, Jaccard, intersection) between event types from
+    * their bottom-k sketches — the sketch-algebra layer on top of a17
+    * (a17 proves one set's sketch; this proves the MERGEABLE algebra:
+    * bottom-k of a union is computable from the two bottom-ks alone,
+    * so type-level audience overlap at 100 TB reads two k-row
+    * summaries, never the raw user sets). Per pair: merge the two
+    * ≤k-hash lists, keep the k smallest, count survivors present in
+    * BOTH sketches — n_common/k estimates Jaccard (integer per-mille),
+    * union size via a17's (k−1)·2⁶⁰/h₍ₖ₎ in the identical pinned
+    * expression, intersection = Jaccard·union in integer arithmetic.
+    * Exact regime (n_kept < k) short-circuits to exact counts, the
+    * a17 discipline. Everything hash-derived → fully hash-checked, no
+    * no-oracle carve-out. The 5-type dim makes the pair fan-out a
+    * bounded broadcast; sketches are k-row relations.
+    */
+  val a39_kmv_overlap: Q = (spark, dir) => {
+    val k = KmvK
+    val btm = events(spark, dir)
+      .select(col("event_type"),
+        graft.functions.Portable.hash60(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("h"))).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("event_type"), col("h"))
+    val ty = btm.select(col("event_type")).distinct()
+    val tp = ty.select(col("event_type").as("ta"))
+      .join(ty.select(col("event_type").as("tb")), col("ta") < col("tb"))
+    val merged = btm
+      .join(broadcast(tp),
+        col("event_type") === col("ta") || col("event_type") === col("tb"))
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(when(col("event_type") === col("ta"), 1L).otherwise(0L)).as("in_a"),
+        max(when(col("event_type") === col("tb"), 1L).otherwise(0L)).as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))).cast("long"))
+      .where(col("rn") <= k)
+    merged
+      .groupBy(col("ta"), col("tb"))
+      .agg(max(col("rn")).as("n_kept"), max(col("h")).as("kth"),
+        sum(col("in_a") * col("in_b")).as("n_common"))
+      .select(col("ta"), col("tb"), col("n_kept"), col("kth"), col("n_common"),
+        when(col("n_kept") < k, col("n_kept")).otherwise(
+          floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            col("kth").cast("double"))).as("union_est"))
+      .select(col("*"),
+        expr("(n_common * 1000) div n_kept").as("jaccard_pm"),
+        expr("(n_common * union_est) div n_kept").as("inter_est"))
+  }
+
+  /** j20 — INTERVAL SELF-JOIN via bucket explosion: order pairs of the
+    * same customer ≤30 days apart. The naive form is an inequality
+    * join (quadratic per customer at scale); the scalable form maps
+    * each left order to the ≤2 30-day epoch buckets its window can
+    * reach, equi-joins on (custkey, bucket) — candidate fan-out is
+    * per-bucket density, never per-customer² — and verifies the exact
+    * range after. A pair lands in exactly ONE bucket (its right
+    * side's), so no distinct pass is needed. Same-day pairs order by
+    * key to avoid double emission. The DuckDB twin deliberately runs
+    * the quadratic correlated form — the differential proves the
+    * bucketed rewrite IS the inequality join.
+    */
+  val j20_order_pairs: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast("long").as("di"))
+    val left = o
+      .select(col("o_custkey"), col("o_orderkey").as("k1"), col("di").as("d1"))
+      .withColumn("bkt", explode(array(expr("d1 div 30"), expr("d1 div 30 + 1"))))
+    val right = o
+      .select(col("o_custkey"), col("o_orderkey").as("k2"), col("di").as("d2"))
+      .withColumn("bkt", expr("d2 div 30"))
+    left.join(right, Seq("o_custkey", "bkt"))
+      .where((col("d2") - col("d1")).between(0, 30) &&
+        (col("d2") > col("d1") ||
+          (col("d2") === col("d1") && col("k1") < col("k2"))))
+      .select(col("o_custkey"), col("k1"), col("k2"),
+        (col("d2") - col("d1")).as("gap_days"))
+  }
+
   // --------------------------------------------------------------------
   // registry
   // --------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "a39_kmv_overlap" -> a39_kmv_overlap,
+    "j20_order_pairs" -> j20_order_pairs,
     "w11_linear_interp" -> w11_linear_interp,
     "p19_unpivot" -> p19_unpivot,
     "a35_transition_matrix" -> a35_transition_matrix,
@@ -3068,6 +3153,60 @@ object Relational {
     * the integer-cents expressions — see [[graft.Tables.cents]].
     */
   val oracles: Map[String, String] = Map(
+    "a39_kmv_overlap" -> {
+      val k = KmvK
+      s"""WITH uh AS (SELECT DISTINCT event_type,
+                        ${graft.functions.Portable.duckHash60(
+                          "concat('kmv:', CAST(user_id AS VARCHAR))")} AS h
+                      FROM events),
+          btm AS (SELECT event_type, h FROM (
+                    SELECT event_type, h,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY h) AS rn
+                    FROM uh) WHERE rn <= $k),
+          ty AS (SELECT DISTINCT event_type FROM btm),
+          tp AS (SELECT a.event_type AS ta, b.event_type AS tb
+                 FROM ty a JOIN ty b ON a.event_type < b.event_type),
+          mm AS (SELECT tp.ta, tp.tb, s.h,
+                        CAST(MAX(CASE WHEN s.event_type = tp.ta
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+                        CAST(MAX(CASE WHEN s.event_type = tp.tb
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+                 FROM tp JOIN btm s
+                   ON s.event_type = tp.ta OR s.event_type = tp.tb
+                 GROUP BY 1, 2, 3),
+          r AS (SELECT mm.*, CAST(row_number() OVER (PARTITION BY ta, tb
+                               ORDER BY h) AS BIGINT) AS rn
+                FROM mm),
+          kept AS (SELECT * FROM r WHERE rn <= $k),
+          agg AS (SELECT ta, tb, CAST(MAX(rn) AS BIGINT) AS n_kept,
+                         MAX(h) AS kth,
+                         CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+                  FROM kept GROUP BY 1, 2),
+          est AS (SELECT agg.*,
+                         CASE WHEN n_kept < $k THEN n_kept
+                              ELSE CAST(floor(${k - 1}.0 * pow(2.0, 60.0) /
+                                     CAST(kth AS DOUBLE)) AS BIGINT)
+                         END AS union_est
+                  FROM agg)
+          SELECT ta, tb, n_kept, kth, n_common, union_est,
+                 CAST((n_common * 1000) // n_kept AS BIGINT) AS jaccard_pm,
+                 CAST((n_common * union_est) // n_kept AS BIGINT) AS inter_est
+          FROM est"""
+    },
+    // j20: the deliberately quadratic correlated form — the
+    // differential proves the bucketed rewrite IS the inequality join
+    "j20_order_pairs" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+                      date_diff('day', DATE '1995-01-01',
+                                CAST(o_orderdate AS DATE)) AS di
+                    FROM orders)
+          SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+                 b.di - a.di AS gap_days
+          FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+           AND b.di - a.di BETWEEN 0 AND 30
+           AND (b.di > a.di
+                OR (b.di = a.di AND a.o_orderkey < b.o_orderkey))""",
     "w11_linear_interp" ->
       """WITH known AS (SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n
                         FROM events

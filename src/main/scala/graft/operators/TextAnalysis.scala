@@ -1657,7 +1657,39 @@ object TextAnalysis {
       .where(col("rnk") <= 3)
   }
 
+  /** t32 — STRATIFIED SAMPLE with exact per-stratum quotas: 20 docs
+    * per language, selected by MIN-WISE HASH ORDER (a17's reasoning:
+    * the k smallest keyed hashes ARE a uniform sample of the stratum,
+    * reproducible across runs/engines — no RNG state, retries and
+    * backfills land on the same sample). Equal quotas are the point:
+    * a global uniform sample inherits the corpus's language skew, a
+    * per-stratum quota rebalances it (the mixture-control idea, t19,
+    * applied to sampling). Emits the kept fraction per stratum in
+    * integer micro-units. The rank window partitions per stratum; the
+    * at-scale form for huge strata is the bounded MinK/TopK
+    * aggregation (a17's serving twin st43 proves it bit-identical) —
+    * the window form is the batch-exact baseline, the a17 precedent.
+    */
+  val t32_stratified_sample: Q = (spark, dir) => {
+    val q = 20
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val wt = W.partitionBy(col("lang"))
+    documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        graft.functions.Portable.hash60(
+          concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("n_stratum", count(lit(1)).over(wt))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= q)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("h"),
+        col("n_stratum"),
+        expr(s"(least($q, n_stratum) * 1000000) div n_stratum")
+          .as("frac_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t32_stratified_sample" -> t32_stratified_sample,
     "t31_tfidf_keywords" -> t31_tfidf_keywords,
     "t01_lang_id" -> t01_lang_id,
     "t02_token_stats" -> t02_token_stats,
@@ -2103,6 +2135,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t32_stratified_sample" ->
+      s"""WITH d AS (SELECT lang, doc_id,
+                       ${graft.functions.Portable.duckHash60(
+                         "concat('strat:', CAST(doc_id AS VARCHAR))")} AS h
+                     FROM documents),
+          s AS (SELECT lang, doc_id, h,
+                       CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT)
+                         AS n_stratum,
+                       CAST(row_number() OVER (PARTITION BY lang
+                         ORDER BY h, doc_id) AS BIGINT) AS rnk
+                FROM d)
+          SELECT lang, rnk, doc_id, h, n_stratum,
+                 CAST((least(20, n_stratum) * 1000000) // n_stratum AS BIGINT)
+                   AS frac_micro
+          FROM s WHERE rnk <= 20""",
     "t31_tfidf_keywords" ->
       s"""WITH $duckBm25Corpus,
           idf AS (SELECT token, df,
