@@ -2979,17 +2979,24 @@ object Relational {
     * no-oracle carve-out. The 5-type dim makes the pair fan-out a
     * bounded broadcast; sketches are k-row relations.
     */
-  val a39_kmv_overlap: Q = (spark, dir) => {
-    val k = KmvK
-    val btm = events(spark, dir)
+  val a39_kmv_overlap: Q = (spark, dir) =>
+    kmvOverlap(events(spark, dir)
       .select(col("event_type"),
         graft.functions.Portable.hash60(
           concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
       .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("h"))).cast("long"))
-      .where(col("rn") <= k)
-      .select(col("event_type"), col("h"))
+      .where(col("rn") <= KmvK)
+      .select(col("event_type"), col("h")))
+
+  /** [[a39_kmv_overlap]]'s pair algebra over any per-type bottom-k
+    * (event_type, h) relation — shared with st70, where the sketches
+    * are MinK buffers maintained at ingest and this entire algebra
+    * runs on read over the served k-row relations.
+    */
+  private[graft] def kmvOverlap(btm: DataFrame): DataFrame = {
+    val k = KmvK
     val ty = btm.select(col("event_type")).distinct()
     val tp = ty.select(col("event_type").as("ta"))
       .join(ty.select(col("event_type").as("tb")), col("ta") < col("tb"))
@@ -3046,11 +3053,93 @@ object Relational {
         (col("d2") - col("d1")).as("gap_days"))
   }
 
+  /** a40 — SESSION PATH ANALYSIS: the first three steps of every
+    * session (a16's gap-and-island sid construction, tie-order safe)
+    * concatenated into a path signature, rolled up to (path,
+    * n_sessions, share). The per-step pick is a conditional-max pivot
+    * over row_number ≤ 3 — no ordered string aggregation anywhere
+    * (collect_list/string_agg order is engine- and partial-dependent;
+    * a (ts, event_id) row_number is not). Plan shape: the sid window,
+    * the rank window AND the (user, sid) rollup all ride ONE
+    * hash(user_id) exchange (hash(user) satisfies every (user, …)
+    * clustering downstream — the a16 discipline); the path rollup
+    * shuffles |paths| ≤ |types|³ rows.
+    */
+  val a40_session_paths: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapMicros = 30L * 60L * 1000000L
+    val r = events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) >= gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(wr))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))))
+      .where(col("rn") <= 3)
+    val paths = r.groupBy(col("user_id"), col("sid"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("s1"),
+        max(when(col("rn") === 2, col("event_type"))).as("s2"),
+        max(when(col("rn") === 3, col("event_type"))).as("s3"))
+      .select(concat(col("s1"), lit(">"), coalesce(col("s2"), lit("-")),
+        lit(">"), coalesce(col("s3"), lit("-"))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .withColumn("share_pm",
+        expr("(n_sessions * 1000) div sum(n_sessions) OVER ()"))
+  }
+
+  /** w12 — ROLLING Z-SCORE anomaly flags over the hourly count series,
+    * entirely in EXACT integer arithmetic: with the trailing frame's
+    * cnt/Σx/Σx², the 3σ rule z² > 9 rewrites as (cnt·x − S)² >
+    * 9·(cnt·Q − S²) — no mean, no variance, no sqrt ever
+    * materializes, so there is no float in the hash path at all (a24's
+    * cross-multiplication idea applied to a MOVING window; a
+    * constant-history window has var_scaled = 0 and any deviation
+    * flags, the correct degenerate verdict). Frame = the last 24
+    * PRESENT hours excluding self (absence is w10's audit, not this
+    * monitor's). The window rides the bounded (type, hour) count
+    * relation, never the raw events. Integer headroom: dev² ≤
+    * (24·n_hour)², safe to n_hour ≈ 10⁸; the decimal switch-over
+    * beyond is documented, not silent (the a21 lesson).
+    */
+  val w12_rolling_zscore: Q = (spark, dir) =>
+    rollingZJudge(events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[w12_rolling_zscore]]'s judgment over any (event_type, hr, n)
+    * count relation — shared with st72, the (type, hour) ingest
+    * counter table's THIRD read-side consumer (st66 judges seasonal
+    * residuals, st67 audits gaps, this flags rolling-z outliers —
+    * one piece of ingest state, three monitors).
+    */
+  private[graft] def rollingZJudge(h: DataFrame): DataFrame = {
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(-24, -1)
+    h.withColumn("cnt", count(col("n")).over(wf))
+      .withColumn("s", sum(col("n")).over(wf))
+      .withColumn("q", sum(col("n") * col("n")).over(wf))
+      .where(col("cnt") >= 8)
+      .withColumn("dev2",
+        (col("cnt") * col("n") - col("s")) * (col("cnt") * col("n") - col("s")))
+      .withColumn("var_scaled", col("cnt") * col("q") - col("s") * col("s"))
+      .where(col("dev2") > lit(9L) * col("var_scaled"))
+      .select(col("event_type"), date_format(col("hr"), "yyyy-MM-dd HH").as("hr"),
+        col("n"), col("cnt"), col("s"), col("q"), col("dev2"),
+        col("var_scaled"))
+  }
+
   // --------------------------------------------------------------------
   // registry
   // --------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "a40_session_paths" -> a40_session_paths,
+    "w12_rolling_zscore" -> w12_rolling_zscore,
     "a39_kmv_overlap" -> a39_kmv_overlap,
     "j20_order_pairs" -> j20_order_pairs,
     "w11_linear_interp" -> w11_linear_interp,
@@ -3153,6 +3242,49 @@ object Relational {
     * the integer-cents expressions — see [[graft.Tables.cents]].
     */
   val oracles: Map[String, String] = Map(
+    "a40_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                    FROM events),
+          s AS (SELECT e.*, SUM(CASE WHEN prev IS NULL
+                        OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+                        THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e),
+          r AS (SELECT s.*, row_number() OVER (PARTITION BY user_id, sid
+                             ORDER BY ts, event_id) AS rn
+                FROM s),
+          g AS (SELECT user_id, sid,
+                       MAX(CASE WHEN rn = 1 THEN event_type END) AS s1,
+                       MAX(CASE WHEN rn = 2 THEN event_type END) AS s2,
+                       MAX(CASE WHEN rn = 3 THEN event_type END) AS s3
+                FROM r WHERE rn <= 3 GROUP BY 1, 2),
+          p AS (SELECT s1 || '>' || COALESCE(s2, '-') || '>' ||
+                       COALESCE(s3, '-') AS path
+                FROM g),
+          c AS (SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1)
+          SELECT path, n_sessions,
+                 CAST((n_sessions * 1000) // SUM(n_sessions) OVER ()
+                      AS BIGINT) AS share_pm
+          FROM c""",
+    "w12_rolling_zscore" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                      COUNT(*) AS n
+                    FROM events GROUP BY 1, 2),
+          f AS (SELECT event_type, hr, n,
+                       CAST(COUNT(n) OVER w AS BIGINT) AS cnt,
+                       CAST(SUM(n) OVER w AS BIGINT) AS s,
+                       CAST(SUM(n * n) OVER w AS BIGINT) AS q
+                FROM h
+                WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+          g AS (SELECT f.*, (cnt * n - s) * (cnt * n - s) AS dev2,
+                       cnt * q - s * s AS var_scaled
+                FROM f WHERE cnt >= 8)
+          SELECT event_type, strftime(hr, '%Y-%m-%d %H') AS hr, n, cnt, s, q,
+                 dev2, var_scaled
+          FROM g WHERE dev2 > 9 * var_scaled""",
     "a39_kmv_overlap" -> {
       val k = KmvK
       s"""WITH uh AS (SELECT DISTINCT event_type,

@@ -1671,16 +1671,26 @@ object TextAnalysis {
     * the window form is the batch-exact baseline, the a17 precedent.
     */
   val t32_stratified_sample: Q = (spark, dir) => {
-    val q = 20
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    val wt = W.partitionBy(col("lang"))
-    documents(spark, dir)
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    stratifiedShape(documents(spark, dir)
       .select(col("lang"), col("doc_id"),
         graft.functions.Portable.hash60(
           concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
-      .withColumn("n_stratum", count(lit(1)).over(wt))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(wt)))
+  }
+
+  private[graft] val StratQuota = 20
+
+  /** [[t32_stratified_sample]]'s quota/rank/fraction shape over any
+    * (lang, doc_id, h, n_stratum) relation — shared with st71, where
+    * the per-stratum bottom-k buffers and counts are maintained at
+    * ingest and this shape runs on read.
+    */
+  private[graft] def stratifiedShape(d: DataFrame): DataFrame = {
+    val q = StratQuota
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= q)
       .select(col("lang"), col("rnk"), col("doc_id"), col("h"),
         col("n_stratum"),
@@ -1688,7 +1698,43 @@ object TextAnalysis {
           .as("frac_micro"))
   }
 
+  /** The canonical text normalization: lowercase, non-alphanumerics to
+    * spaces, whitespace collapsed, trimmed. Both regexes ([^a-z0-9 ]+
+    * and the space run) mean the same thing in Java regex and RE2 —
+    * the t29 pattern-portability rule. IDEMPOTENT by construction
+    * (normalizing a normalized string is a no-op — spec-asserted by
+    * double application), which is what makes it safe to run at the
+    * door AND in the nightly without double-mangling.
+    */
+  private[graft] def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]+", " "), " +", " "))
+
+  /** t33 — NORMALIZATION-AWARE DEDUP KEYS: every doc's canonical form
+    * hashed into a dedup key that case/punctuation/whitespace variants
+    * SHARE (d01's exact-hash groups miss them; d02's shingles dilute
+    * them) — the preprocessing layer between raw ingest and the exact
+    * dedup gate. Emits the per-doc normalization delta (changed flag,
+    * lengths) and each normalized group's size. One row-local
+    * projection + one hash-keyed count window; text itself never
+    * shuffles (only the md5 key does — at 100 TB that is the
+    * difference between shuffling bytes and shuffling fingerprints).
+    */
+  val t33_normalize: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("norm_text", normText(col("text")))
+      .select(col("doc_id"),
+        (!(col("norm_text") <=> col("text"))).as("changed"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(col("norm_text")).cast("long").as("len_norm"),
+        md5(col("norm_text")).as("norm_hash"))
+      .withColumn("n_same_norm",
+        count(lit(1)).over(W.partitionBy(col("norm_hash"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t33_normalize" -> t33_normalize,
     "t32_stratified_sample" -> t32_stratified_sample,
     "t31_tfidf_keywords" -> t31_tfidf_keywords,
     "t01_lang_id" -> t01_lang_id,
@@ -2135,6 +2181,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t33_normalize" ->
+      """WITH n AS (SELECT doc_id, text,
+                      trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'))
+                        AS norm_text
+                    FROM documents),
+          d AS (SELECT doc_id, norm_text IS DISTINCT FROM text AS changed,
+                       CAST(length(text) AS BIGINT) AS len_raw,
+                       CAST(length(norm_text) AS BIGINT) AS len_norm,
+                       md5(norm_text) AS norm_hash
+                FROM n)
+          SELECT d.*, CAST(COUNT(*) OVER (PARTITION BY norm_hash) AS BIGINT)
+                        AS n_same_norm
+          FROM d""",
     "t32_stratified_sample" ->
       s"""WITH d AS (SELECT lang, doc_id,
                        ${graft.functions.Portable.duckHash60(

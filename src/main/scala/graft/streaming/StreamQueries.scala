@@ -1637,6 +1637,90 @@ object StreamQueries {
       served.select(col("event_type"), col("bucket_lo_cents"), col("n")))
   }
 
+  /** A-family streaming — ROLLING Z-FLAGS OVER INGEST COUNTERS
+    * (streaming twin of w12, and the (type, hour) counter table's
+    * THIRD read-side consumer after st66's seasonal residuals and
+    * st67's gap audit): the identical update-mode count is the only
+    * stateful step, and the exact-integer rolling-z judgment —
+    * (cnt·x−S)² > 9(cnt·Q−S²), no float anywhere — runs ON READ
+    * through the shared
+    * [[graft.operators.Relational.rollingZJudge]]. One piece of
+    * ingest state now feeds three independent monitors — the
+    * one-state-many-verdicts economics that make count-at-ingest the
+    * right door-side investment. Sentinel pre-filtered. Oracle is
+    * w12's verbatim.
+    */
+  val st72_stream_zscore: Q = (spark, dir) => {
+    val counts = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val served = upsertServe(spark, counts, Seq("event_type", "hr"), "n")
+    graft.operators.Relational.rollingZJudge(
+      served.select(col("event_type"), col("hr"), col("n")))
+  }
+
+  /** A-family streaming — KMV OVERLAP ALGEBRA OVER SERVED SKETCHES
+    * (streaming twin of a39, and st43's second consumer — the st67
+    * one-state-two-verdicts pattern on the sketch family): the SAME
+    * per-type MinK buffer st43 maintains at ingest (≤k distinct
+    * (h, user) pairs, set semantics — raw re-deliveries absorbed) is
+    * read back and the ENTIRE pairwise set-operation algebra (merge,
+    * re-rank, common-survivor count, union/Jaccard/intersection
+    * estimates) runs ON READ through the shared
+    * [[graft.operators.Relational.kmvOverlap]]. This is the mergeable
+    * promise made physical: type-level audience overlap from k-row
+    * summaries, never the raw user sets. State: one ≤k buffer per
+    * type. Sentinel drops on the stateless user_id ≥ 0 door (no
+    * watermark). Oracle is a39's verbatim.
+    */
+  val st70_stream_kmv_overlap: Q = (spark, dir) => {
+    val R = graft.operators.Relational
+    val P = graft.functions.Portable
+    val ev = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .select(col("event_type"), col("user_id"),
+        P.hash60(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+    val build = ev.groupBy(col("event_type"))
+      .agg(graft.functions.MinK.minK(R.KmvK)(col("h"), col("user_id")).as("s"))
+      .select(col("event_type"), col("s.items").as("items"),
+        size(col("s.items")).as("n_kept"))
+    val served = upsertServe(spark, build, Seq("event_type"), "n_kept")
+    R.kmvOverlap(
+      served.select(col("event_type"), explode(col("items")).as("it"))
+        .select(col("event_type"), col("it.h").as("h")).distinct())
+  }
+
+  /** T-family streaming — THE STRATIFIED SAMPLE AT INGEST (streaming
+    * twin of t32): per-language state is ONE MinK buffer (the
+    * min-wise quota sample — bottom-k of a union is order-free,
+    * idempotent, mergeable, so the streamed sample is bit-identical
+    * to the batch hash order statistic) plus ONE count (n_stratum,
+    * delivery-order free); both ride a single update-mode groupBy.
+    * The rank/fraction shape runs ON READ through the shared
+    * [[graft.operators.TextAnalysis.stratifiedShape]]. State: ≤quota
+    * pairs + one counter per stratum — |languages|-bounded, never
+    * corpus-bounded. Sentinel pre-filtered. Oracle is t32's verbatim.
+    */
+  val st71_stream_stratified: Q = (spark, dir) => {
+    val T = graft.operators.TextAnalysis
+    val P = graft.functions.Portable
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("lang"), col("doc_id"),
+        P.hash60(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+    val build = docs.groupBy(col("lang"))
+      .agg(graft.functions.MinK.minK(T.StratQuota)(col("h"), col("doc_id")).as("s"),
+        count(lit(1)).as("n_stratum"))
+      .select(col("lang"), col("s.items").as("items"), col("n_stratum"))
+    val served = upsertServe(spark, build, Seq("lang"), "n_stratum")
+    T.stratifiedShape(
+      served.select(col("lang"), col("n_stratum"), explode(col("items")).as("it"))
+        .select(col("lang"), col("it.id").as("doc_id"), col("it.h").as("h"),
+          col("n_stratum")))
+  }
+
   /** A-family streaming — THE TRANSITION MATRIX AT INGEST (streaming
     * twin of a35): adjacency needs ORDER, and order under disorder
     * means flush-time (`Pipelines.transitionPairs` — the st59
@@ -2892,6 +2976,9 @@ object StreamQueries {
     "st66_stream_seasonal_monitor" -> st66_stream_seasonal_monitor,
     "st68_stream_hist" -> st68_stream_hist,
     "st69_stream_transition" -> st69_stream_transition,
+    "st70_stream_kmv_overlap" -> st70_stream_kmv_overlap,
+    "st71_stream_stratified" -> st71_stream_stratified,
+    "st72_stream_zscore" -> st72_stream_zscore,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3123,6 +3210,15 @@ object StreamQueries {
     // st69's flush-time pairs must roll up to exactly a35's matrix
     "st69_stream_transition" ->
       graft.operators.Relational.oracles("a35_transition_matrix"),
+    // st70's served-sketch algebra must equal a39's batch overlap
+    "st70_stream_kmv_overlap" ->
+      graft.operators.Relational.oracles("a39_kmv_overlap"),
+    // st71's served buffers must shape to exactly t32's sample
+    "st71_stream_stratified" ->
+      graft.operators.TextAnalysis.oracles("t32_stratified_sample"),
+    // st72's counted-then-judged flags must equal w12's batch monitor
+    "st72_stream_zscore" ->
+      graft.operators.Relational.oracles("w12_rolling_zscore"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),

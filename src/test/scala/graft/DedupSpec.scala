@@ -510,4 +510,67 @@ class DedupSpec extends SparkSpecBase {
     assert(conn.map(_.getAs[Long]("rank_pico")).max > teleOnly.head,
       "connected docs must accumulate inflow above the teleport floor")
   }
+
+  test("d22/d23: a planted 3-clique yields one triangle per node, coefficient 1000, one frequency community") {
+    import spark.implicits._
+    val dir = tmpDir("docs_tri_")
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, base + " alpha", "en", "web", 100L),
+      (2L, base + " beta", "en", "web", 100L),
+      (3L, base + " gamma", "en", "web", 100L),
+      (4L, (1 to 14).map(i => s"far$i").mkString(" "), "en", "web", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val tri = Dedup.d22_triangle_count(spark, dir)
+      .where(col("doc_id").isin(1L, 2L, 3L)).collect()
+    assert(tri.length === 3, s"clique nodes missing from d22: ${tri.toSeq}")
+    tri.foreach { r =>
+      assert(r.getAs[Long]("n_tri") === 1L && r.getAs[Long]("deg") === 2L &&
+        r.getAs[Long]("clustering_pm") === 1000L,
+        s"clique node verdict wrong: $r")
+    }
+    val com = Dedup.d23_lpa_communities(spark, dir)
+    val c123 = com.where(col("doc_id").isin(1L, 2L, 3L))
+      .select(col("community")).distinct().collect()
+    assert(c123.length === 1, "the clique must share one frequency community")
+    val c4 = com.where(col("doc_id") === 4L).head()
+    assert(c4.getAs[Long]("community") === 4L &&
+      c4.getAs[Long]("community_size") === 1L,
+      "the isolate keeps its own singleton community")
+  }
+
+  test("t33: normalization is idempotent and merges case/punct/whitespace variants into one group") {
+    import spark.implicits._
+    val dir = tmpDir("docs_norm_")
+    Seq(
+      (1L, "Hello,   World! This is FINE.", "en", "web", 30L),
+      (2L, "hello world this is fine", "en", "web", 24L),
+      (3L, "HELLO WORLD--this is fine?!", "en", "web", 27L),
+      (4L, "something else entirely", "en", "web", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.t33_normalize(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("changed"), r.getAs[String]("norm_hash"),
+          r.getAs[Long]("n_same_norm"))).toMap
+    assert(out(1L)._2 === out(2L)._2 && out(2L)._2 === out(3L)._2,
+      "case/punct/whitespace variants must share the normalized key")
+    assert(out(1L)._3 === 3L && out(4L)._3 === 1L, "group sizes wrong")
+    assert(out(1L)._1 && out(3L)._1 && !out(2L)._1,
+      "changed flag must mark exactly the non-canonical docs")
+    // idempotence over the real corpus: a second application is a no-op
+    val norm = TextAnalysis.normText(col("text"))
+    val viol = graft.Tables.documents(spark, sf)
+      .where(!(TextAnalysis.normText(norm) <=> norm)).count()
+    assert(viol === 0L, s"normalization not idempotent on $viol docs")
+  }
+
+  test("d22: triangle mass on the corpus is divisible by 3; coefficients are valid per-mille") {
+    val r = Dedup.d22_triangle_count(spark, sf)
+    val tot = r.agg(coalesce(sum(col("n_tri")), lit(0L))).head().getLong(0)
+    assert(tot % 3 === 0, s"per-node triangle mass $tot not divisible by 3")
+    assert(r.where(col("clustering_pm") < 0 || col("clustering_pm") > 1000)
+      .count() === 0, "clustering coefficient out of [0, 1000]")
+  }
 }

@@ -420,4 +420,23 @@ class PlanSpec extends SparkSpecBase {
         "the index must be built by exactly one shuffle on the shingle key")
     } finally kept.unpersist()
   }
+
+  test("j20/a37/d22: candidate generation stays equi-join — no cartesian; j20 also no nested loop") {
+    // the round-11 pair/wedge generators: bucket explosion (j20), the
+    // order-key self-join (a37) and the oriented wedge joins (d22)
+    // must never degenerate into a cartesian; j20 has no bounded
+    // 1-row broadcast, so it must not plan ANY nested loop either
+    // (a37's single BroadcastNestedLoop is the intended 1-row
+    // n_orders attach).
+    val j20 = Relational.j20_order_pairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!j20.contains("CartesianProduct") &&
+      !j20.contains("BroadcastNestedLoop"), s"j20 plan degenerated:\n$j20")
+    val a37 = Relational.a37_basket_lift(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!a37.contains("CartesianProduct"), s"a37 plan degenerated:\n$a37")
+    val d22 = graft.operators.Dedup.d22_triangle_count(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!d22.contains("CartesianProduct"), s"d22 plan degenerated:\n$d22")
+  }
 }

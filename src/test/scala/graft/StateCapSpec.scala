@@ -13,6 +13,8 @@ case class CdcOp(user_id: Long, tsu: Long, eid: Long, op: String,
 
 case class WsDoc(doc_id: Long, pri: Double)
 
+case class StratDoc(lang: String, doc_id: Long, h: Long)
+
 case class ScoredDoc(query_id: Long, doc_id: Long, score: Double, leg: String)
 
 case class LanedDoc(doc_id: Long, lane: String, content_hash: String,
@@ -170,6 +172,36 @@ class StateCapSpec extends SparkSpecBase {
       s"recovered buffer wrong: $got (40>30>20 must survive, 10 evicted)")
     assert(served.head().getAs[Long]("n_seen") === 5L,
       "n_seen must count across the restart")
+  }
+
+  test("st71's stratified serving: the MinK quota buffer survives a kill/resume; a post-restart smaller hash evicts a pre-restart member") {
+    // st71's shape: one MinK buffer + one count per stratum, upsert-
+    // served. Run 2's smaller hash must enter the RECOVERED buffer and
+    // evict the largest pre-restart member; n_stratum must count
+    // across the restart — proving the aggregation state (not just the
+    // served table) came back from the checkpoint.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[StratDoc]
+    val cp = tmpDir("cp_st71_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st71_restart_"), Seq("lang"), "n_stratum")
+    def base = ms.toDF().groupBy(col("lang"))
+      .agg(graft.functions.MinK.minK(3)(col("h"), col("doc_id")).as("s"),
+        count(lit(1)).as("n_stratum"))
+      .select(col("lang"), col("s.items").as("items"), col("n_stratum"))
+    ms.addData(StratDoc("en", 1L, 40L), StratDoc("en", 2L, 20L),
+      StratDoc("en", 3L, 30L), StratDoc("en", 4L, 50L))
+    SQ.upsertServeWith(spark, base, table, cp) // pass 1, writer dies
+    ms.addData(StratDoc("en", 5L, 10L))
+    val served = SQ.upsertServeWith(spark, base, table, cp) // resumed pass 2
+    val got = served.select(explode(col("items")))
+      .select(col("col.id")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(5L, 2L, 3L),
+      s"recovered quota buffer wrong: $got (10<20<30 must survive, 40/50 out)")
+    assert(served.head().getAs[Long]("n_stratum") === 5L,
+      "n_stratum must count across the restart")
   }
 
   test("st55's CDC serving: state survives a kill/resume; a post-restart delete tombstones a pre-restart insert") {
