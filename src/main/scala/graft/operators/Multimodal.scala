@@ -192,6 +192,46 @@ object Multimodal {
           (0 until NumFeatures).map(i => col("fs").getItem(i).as(s"f$i"))): _*)
   }
 
+  /** Bytes per tile for mm09 — a fixed 64-byte block of the pixel
+    * region, the 1-D stand-in for a 2-D patch (a real decoder would
+    * tile width×channels strides; the plumbing — explode, slice,
+    * kernel per tile — is identical).
+    */
+  private val TileBytes = 64
+
+  /** mm09 — PER-TILE feature extraction: the patch/thumbnail-grid
+    * primitive (ViT-style patches, CLIP preprocessing, thumbnail
+    * pyramids all start exactly here): the pixel region fans out into
+    * fixed 64-byte tiles via sequence/explode — per-tile work items
+    * that partition freely across executors — and the codegen'd
+    * [[graft.functions.ByteStats]] kernel runs once per tile slice
+    * (min/max/mean/distinct-class, the same normalized byte math as
+    * mm02, so the oracle recomputes every tile from the same bytes).
+    * Total kernel work is the byte length once; the slice is taken
+    * from a single materialized payload projection (no re-inline per
+    * feature). Trailing partial tiles are dropped (fixed-shape
+    * patches — the model-side contract). Shuffle-free.
+    */
+  val mm09_tile_features: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val body = encode(col("text"), "utf-8") // == pixel region of the payload
+    documents(spark, dir)
+      .select(col("doc_id"), body.as("px"),
+        floor(octet_length(body) / TileBytes).cast("long").as("n_tiles"))
+      .where(col("n_tiles") > 0)
+      .select(col("doc_id"), col("px"),
+        explode(sequence(lit(0L), col("n_tiles") - 1)).as("tile_id"))
+      .select(col("doc_id"), col("tile_id"),
+        call_function("byte_stats",
+          col("px").substr((col("tile_id") * TileBytes + 1).cast("int"),
+            lit(TileBytes))).as("fs"))
+      .select(col("doc_id"), col("tile_id"),
+        col("fs").getItem(4).as("t_min"),
+        col("fs").getItem(5).as("t_max"),
+        col("fs").getItem(6).as("t_mean"),
+        col("fs").getItem(7).as("t_distinct"))
+  }
+
   private val FrameStep = 4
   /** Bytes per frame for mm03: one "frame" is a 16-byte block of the
     * pixel region (a stand-in for a row-stride; real decoders would use
@@ -502,6 +542,7 @@ object Multimodal {
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm05_media_dedup" -> mm05_media_dedup,
     "mm02_pixel_features" -> mm02_pixel_features,
+    "mm09_tile_features" -> mm09_tile_features,
     "mm03_frame_sample" -> mm03_frame_sample,
     "mm04_wav_meta" -> mm04_wav_meta,
     "mm06_wav_features" -> mm06_wav_features,
@@ -690,6 +731,31 @@ object Multimodal {
                  sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
           FROM st"""
     },
+    // mm09: per-tile twin of mm02's byte math — the same unsigned-byte
+    // list, sliced per 64-byte tile, min/max/sum/distinct with the
+    // identical normalizing divisions
+    "mm09_tile_features" ->
+      s"""WITH b AS (
+            SELECT doc_id,
+                   list_transform(range(0, octet_length(encode(text))),
+                     i -> ('0x' || substr(hex(encode(text)), 2*i + 1, 2))::BIGINT)
+                     AS bytes,
+                   octet_length(encode(text)) // $TileBytes AS n_tiles
+            FROM documents),
+          t AS (SELECT doc_id, bytes,
+                       unnest(range(0, n_tiles)) AS tile_id
+                FROM b WHERE n_tiles > 0),
+          s AS (SELECT doc_id, CAST(tile_id AS BIGINT) AS tile_id,
+                       bytes[tile_id * $TileBytes + 1 :
+                             (tile_id + 1) * $TileBytes] AS tb
+                FROM t)
+          SELECT doc_id, tile_id,
+                 list_aggregate(tb, 'min') / 255.0 AS t_min,
+                 list_aggregate(tb, 'max') / 255.0 AS t_max,
+                 CAST(list_aggregate(tb, 'sum') AS DOUBLE)
+                   / ($TileBytes * 255.0) AS t_mean,
+                 len(list_distinct(tb)) / 256.0 AS t_distinct
+          FROM s""",
     "mm02_pixel_features" -> {
       // same byte math as ByteStatsUtil: unsigned byte values of the
       // pixel region (== the text's UTF-8 bytes by construction),
