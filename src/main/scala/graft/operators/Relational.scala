@@ -3087,10 +3087,17 @@ object Relational {
         max(when(col("rn") === 3, col("event_type"))).as("s3"))
       .select(concat(col("s1"), lit(">"), coalesce(col("s2"), lit("-")),
         lit(">"), coalesce(col("s3"), lit("-"))).as("path"))
+    pathShares(paths)
+  }
+
+  /** [[a40_session_paths]]'s rollup over any one-row-per-session
+    * `path` relation — shared with st74, where paths emit from the
+    * flush-time per-user sweep and this rollup runs on read.
+    */
+  private[graft] def pathShares(paths: DataFrame): DataFrame =
     paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .withColumn("share_pm",
         expr("(n_sessions * 1000) div sum(n_sessions) OVER ()"))
-  }
 
   /** w12 — ROLLING Z-SCORE anomaly flags over the hourly count series,
     * entirely in EXACT integer arithmetic: with the trailing frame's
@@ -3133,11 +3140,49 @@ object Relational {
         col("var_scaled"))
   }
 
+  /** Benford expected first-digit shares, floor-quantized to integer
+    * micro-units ONCE here and inlined as literals into BOTH engines
+    * (the n25 precomputed-discount discipline: no engine ever
+    * evaluates a log on the hash path).
+    */
+  private val BenfordMicro: IndexedSeq[Long] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1000000).toLong)
+
+  /** p20 — BENFORD FIRST-DIGIT AUDIT over the money column: the
+    * classic fabricated-data screen for the quality battery (p14
+    * routes corrupt rows, p15 checks contracts, this checks the
+    * DISTRIBUTION: organic multiplicative amounts follow Benford;
+    * template-generated or clamped ones don't). First digit taken
+    * from the INTEGER CENTS' decimal string — pure string arithmetic,
+    * no float log anywhere; observed shares in integer micro-units
+    * against the precomputed [[BenfordMicro]] literals, deviation as
+    * exact integers. One groupBy on a 9-value key; the digit relation
+    * never sees data volume.
+    */
+  val p20_benford: Q = (spark, dir) => {
+    val expected = BenfordMicro.zipWithIndex
+      .map { case (m, i) => struct(lit(i + 1L).as("digit"), lit(m).as("exp_micro")) }
+    val exp = spark.range(1).select(
+      explode(array(expected: _*)).as("e"))
+      .select(col("e.digit"), col("e.exp_micro"))
+    val obs = orders(spark, dir)
+      .select(substring(cents(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n"))
+    obs.join(broadcast(exp), Seq("digit"))
+      .join(broadcast(tot), lit(true), "inner")
+      .select(col("digit"), col("n_obs"), col("n"),
+        expr("(n_obs * 1000000) div n").as("share_micro"), col("exp_micro"))
+      .withColumn("dev_micro", abs(col("share_micro") - col("exp_micro")))
+  }
+
   // --------------------------------------------------------------------
   // registry
   // --------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "p20_benford" -> p20_benford,
     "a40_session_paths" -> a40_session_paths,
     "w12_rolling_zscore" -> w12_rolling_zscore,
     "a39_kmv_overlap" -> a39_kmv_overlap,
@@ -3242,6 +3287,22 @@ object Relational {
     * the integer-cents expressions — see [[graft.Tables.cents]].
     */
   val oracles: Map[String, String] = Map(
+    "p20_benford" -> {
+      val expRows = BenfordMicro.zipWithIndex
+        .map { case (m, i) => s"(${i + 1}, ${m})" }.mkString(", ")
+      s"""WITH exp(digit, exp_micro) AS (VALUES $expRows),
+          c AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                         AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                FROM orders),
+          obs AS (SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+          SELECT obs.digit, n_obs, n,
+                 CAST((n_obs * 1000000) // n AS BIGINT) AS share_micro,
+                 CAST(exp_micro AS BIGINT) AS exp_micro,
+                 CAST(abs((n_obs * 1000000) // n - exp_micro) AS BIGINT)
+                   AS dev_micro
+          FROM obs JOIN exp ON exp.digit = obs.digit CROSS JOIN tot"""
+    },
     "a40_session_paths" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev

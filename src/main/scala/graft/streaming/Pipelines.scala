@@ -114,6 +114,9 @@ case class SeqOut(purchase_id: Long, user_id: Long, click_id: Long,
   */
 case class TransOut(user_id: Long, from_type: String, to_type: String)
 
+/** One session's first-three-steps path signature (a40's row shape). */
+case class PathOut(user_id: Long, path: String)
+
 /** One buffered touchpoint/conversion in multi-touch state; `cents`
   * is the conversion value (0 for clicks).
   */
@@ -815,6 +818,61 @@ object Pipelines {
             hist.iterator.zip(hist.iterator.drop(1)).map { case (a, b) =>
               TransOut(uid, a.etype, b.etype)
             }
+          } else {
+            val prev = state.getOption.getOrElse(SeqState(Seq.empty, Long.MinValue))
+            val buf0 = prev.buf ++
+              rows.map(e => SeqBuf(e.tsu, e.event_id, e.etype))
+            val buf = if (buf0.size > maxEvents)
+              buf0.sortBy(b => (b.tsu, b.event_id)).take(maxEvents)
+            else buf0
+            val newestMs =
+              math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
+            state.update(SeqState(buf, newestMs))
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** a40's session-path extraction AT FLUSH TIME: the flushed
+    * (tsu, event_id)-sorted history splits into sessions on the same
+    * ≥30-minute gap rule as the batch sid construction (a gap at a
+    * timestamp tie is 0, so tie order can't move a boundary — the
+    * a16/a29 invariance carried into the sweep), and each session
+    * emits its first-three-steps signature. Same flush-time
+    * reasoning as transitionPairs: order and session MEMBERSHIP are
+    * both retraction-unsafe under eager emission. Rollup on read.
+    */
+  def sessionPaths(events: Dataset[SeqEvent],
+                   gapUs: Long = 30L * 60L * 1000000L,
+                   ttlMs: Long = FunnelTimeoutMs,
+                   maxEvents: Int = MaxScdEvents): Dataset[PathOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, PathOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SeqEvent], state: GroupState[SeqState]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get.buf.sortBy(b => (b.tsu, b.event_id))
+            state.remove()
+            val out = Vector.newBuilder[PathOut]
+            var steps = Vector.empty[String]
+            var prevTsu = Long.MinValue
+            def close(): Unit = if (steps.nonEmpty) {
+              val s = steps.padTo(3, "-").take(3)
+              out += PathOut(uid, s"${s(0)}>${s(1)}>${s(2)}")
+            }
+            hist.foreach { b =>
+              if (prevTsu != Long.MinValue && b.tsu - prevTsu >= gapUs) {
+                close(); steps = Vector.empty
+              }
+              if (steps.size < 3) steps :+= b.etype
+              prevTsu = b.tsu
+            }
+            close()
+            out.result().iterator
           } else {
             val prev = state.getOption.getOrElse(SeqState(Seq.empty, Long.MinValue))
             val buf0 = prev.buf ++

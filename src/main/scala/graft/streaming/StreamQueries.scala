@@ -1660,6 +1660,60 @@ object StreamQueries {
       served.select(col("event_type"), col("hr"), col("n")))
   }
 
+  /** T-family streaming — NORMALIZATION GROUPS AT INGEST (streaming
+    * twin of t33): the canonical form and its md5 key derive
+    * row-locally at the door (idempotent — re-normalizing a replayed
+    * row is a no-op, which is exactly why this transform is safe at
+    * ingest); the GROUP SIZE is the one thing a single row cannot
+    * know, so one update-mode (norm_hash → count) aggregation is the
+    * only stateful step and the per-doc shape joins the served
+    * counts ON READ. State: one counter per distinct canonical form
+    * (the st11 content-hash-state contract). Sentinel pre-filtered.
+    * Oracle is t33's verbatim.
+    */
+  val st73_stream_norm_groups: Q = (spark, dir) => {
+    val T = graft.operators.TextAnalysis
+    val counts = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(md5(T.normText(col("text"))).as("norm_hash"))
+      .groupBy(col("norm_hash")).agg(count(lit(1)).as("n"))
+    val served = upsertServe(spark, counts, Seq("norm_hash"), "n")
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (!(T.normText(col("text")) <=> col("text"))).as("changed"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(T.normText(col("text"))).cast("long").as("len_norm"),
+        md5(T.normText(col("text"))).as("norm_hash"))
+      .join(served.select(col("norm_hash"), col("n").as("n_same_norm")),
+        Seq("norm_hash"))
+      .select(col("doc_id"), col("changed"), col("len_raw"), col("len_norm"),
+        col("norm_hash"), col("n_same_norm"))
+  }
+
+  /** A-family streaming — SESSION PATHS AT FLUSH TIME (streaming twin
+    * of a40, `Pipelines.sessionPaths`): both the step ORDER and the
+    * session MEMBERSHIP are retraction-unsafe under eager emission (a
+    * late event can re-order the first three steps OR split a session
+    * in two), so paths emit only when the watermark closes the user —
+    * the st59/st69 machinery with the batch gap rule folded into the
+    * sweep. The (path, n_sessions, share) rollup runs ON READ through
+    * the shared [[graft.operators.Relational.pathShares]]. State: one
+    * capped buffer per user. Oracle is a40's verbatim.
+    */
+  val st74_stream_session_paths: Q = (spark, dir) => {
+    import spark.implicits._
+    val ev = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("event_type").as("etype"), col("ts").as("event_time"))
+      .as[graft.streaming.SeqEvent]
+    val paths = Replay
+      .runAppend(spark, Pipelines.sessionPaths(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+    graft.operators.Relational.pathShares(paths.select(col("path")))
+  }
+
   /** A-family streaming — KMV OVERLAP ALGEBRA OVER SERVED SKETCHES
     * (streaming twin of a39, and st43's second consumer — the st67
     * one-state-two-verdicts pattern on the sketch family): the SAME
@@ -2979,6 +3033,8 @@ object StreamQueries {
     "st70_stream_kmv_overlap" -> st70_stream_kmv_overlap,
     "st71_stream_stratified" -> st71_stream_stratified,
     "st72_stream_zscore" -> st72_stream_zscore,
+    "st73_stream_norm_groups" -> st73_stream_norm_groups,
+    "st74_stream_session_paths" -> st74_stream_session_paths,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3219,6 +3275,12 @@ object StreamQueries {
     // st72's counted-then-judged flags must equal w12's batch monitor
     "st72_stream_zscore" ->
       graft.operators.Relational.oracles("w12_rolling_zscore"),
+    // st73's served group counts must shape to exactly t33's keys
+    "st73_stream_norm_groups" ->
+      graft.operators.TextAnalysis.oracles("t33_normalize"),
+    // st74's flush-time paths must roll up to exactly a40's shares
+    "st74_stream_session_paths" ->
+      graft.operators.Relational.oracles("a40_session_paths"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
