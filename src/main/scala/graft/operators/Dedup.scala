@@ -1653,25 +1653,33 @@ object Dedup {
   private val LpaIters = 2
 
   /** d23 — FREQUENCY label propagation communities (2 synchronous
-    * rounds): unlike d07's min-label closure (which converges to
-    * connected components), each node adopts its neighborhood's MOST
-    * COMMON label — (count desc, label asc) argmax, fully
-    * deterministic — so a component that is really two dense blobs
-    * joined by one spurious banding edge splits into two communities
-    * instead of collapsing. Per round: one (node, label) count
-    * shuffle + one argmax collapsed map-side via max(struct) —
-    * |V|+|E| rows per round, K fixed, lineage cut per round exactly
-    * like d07 (the localCheckpoint discipline). Isolated nodes keep
-    * their own label through the LEFT join.
+    * rounds WITH LABEL RETENTION): unlike d07's min-label closure
+    * (which converges to connected components), each node adopts the
+    * MOST COMMON label among its neighbors AND ITSELF — (count desc,
+    * label asc) argmax, fully deterministic. The self-vote is load-
+    * bearing, not a tweak: synchronous LPA without it OSCILLATES on
+    * any near-bipartite component (a planted dup PAIR swaps labels
+    * every round and lands back on singletons after even K — the
+    * classic 2-cycle), while retention makes pairs converge in one
+    * round and still lets a component that is two dense blobs joined
+    * by one spurious banding edge split on the majority vote. Per
+    * round: one (node, label) count shuffle + one argmax collapsed
+    * map-side via max(struct) — |V|+|E| rows per round, K fixed,
+    * lineage cut per round exactly like d07 (the localCheckpoint
+    * discipline). Isolated nodes keep their own label through the
+    * self-vote.
     */
   val d23_lpa_communities: Q = (spark, dir) => {
     val edges = simhashEdges(spark, dir)
     var lbl = nearDupCorpus(spark, dir)
       .select(col("doc_id"), col("doc_id").as("lbl"))
     for (_ <- 1 to LpaIters) {
-      val top = edges
+      val contrib = edges
         .join(lbl.select(col("doc_id").as("nb"), col("lbl").as("nlbl")),
           col("doc_b") === col("nb"))
+        .select(col("doc_a"), col("nlbl"))
+        .unionAll(lbl.select(col("doc_id").as("doc_a"), col("lbl").as("nlbl")))
+      val top = contrib
         .groupBy(col("doc_a"), col("nlbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_a"))
         .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
@@ -1723,11 +1731,15 @@ object Dedup {
             SELECT v.doc_id, COALESCE(m.nlbl, v.lbl) AS lbl
             FROM f${i - 1} v LEFT JOIN (
               SELECT doc_a AS doc_id, nlbl FROM (
-                SELECT e.doc_a, p.lbl AS nlbl,
-                       row_number() OVER (PARTITION BY e.doc_a
-                         ORDER BY COUNT(*) DESC, p.lbl) AS rn
-                FROM edges e JOIN f${i - 1} p ON p.doc_id = e.doc_b
-                GROUP BY e.doc_a, p.lbl)
+                SELECT doc_a, nlbl,
+                       row_number() OVER (PARTITION BY doc_a
+                         ORDER BY COUNT(*) DESC, nlbl) AS rn
+                FROM (
+                  SELECT e.doc_a, p.lbl AS nlbl
+                  FROM edges e JOIN f${i - 1} p ON p.doc_id = e.doc_b
+                  UNION ALL
+                  SELECT doc_id AS doc_a, lbl AS nlbl FROM f${i - 1})
+                GROUP BY doc_a, nlbl)
               WHERE rn = 1) m USING (doc_id))"""
     }.mkString(",\n")
     s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,

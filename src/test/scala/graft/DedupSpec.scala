@@ -515,11 +515,14 @@ class DedupSpec extends SparkSpecBase {
     import spark.implicits._
     val dir = tmpDir("docs_tri_")
     val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val pair = (1 to 14).map(i => s"pair$i").mkString(" ")
     Seq(
       (1L, base + " alpha", "en", "web", 100L),
       (2L, base + " beta", "en", "web", 100L),
       (3L, base + " gamma", "en", "web", 100L),
-      (4L, (1 to 14).map(i => s"far$i").mkString(" "), "en", "web", 80L))
+      (4L, (1 to 14).map(i => s"far$i").mkString(" "), "en", "web", 80L),
+      (5L, pair + " delta", "en", "web", 100L),
+      (6L, pair + " epsilon", "en", "web", 100L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val tri = Dedup.d22_triangle_count(spark, dir)
@@ -538,6 +541,13 @@ class DedupSpec extends SparkSpecBase {
     assert(c4.getAs[Long]("community") === 4L &&
       c4.getAs[Long]("community_size") === 1L,
       "the isolate keeps its own singleton community")
+    // the label-retention guarantee: a dup PAIR converges to ONE
+    // community (pure synchronous LPA would 2-cycle and land back on
+    // singletons after even rounds)
+    val c56 = com.where(col("doc_id").isin(5L, 6L))
+      .select(col("community")).distinct().collect()
+    assert(c56.length === 1,
+      "a pair must converge to one community — the retention self-vote")
   }
 
   test("t33: normalization is idempotent and merges case/punct/whitespace variants into one group") {
