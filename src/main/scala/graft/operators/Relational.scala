@@ -3177,11 +3177,80 @@ object Relational {
       .withColumn("dev_micro", abs(col("share_micro") - col("exp_micro")))
   }
 
+  /** w13 — ROLLING CORRELATION between the click and purchase series:
+    * a33's exact-component-sum discipline moved onto w12's trailing
+    * frame — cnt/Σx/Σy/Σxy/Σx²/Σy² accumulate as exact BIGINTs per
+    * 24-present-hour window, the numerator and both radicands are
+    * integer, and only the final r derives as one pinned IEEE
+    * expression. The frame windows ride the bounded hourly relation
+    * (calendar-bounded, never data-bounded); both series come out of
+    * ONE conditional rollup — no self-join of two filtered scans.
+    */
+  val w13_rolling_corr: Q = (spark, dir) => {
+    val h = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val wf = Window.orderBy(col("hr")).rowsBetween(-24, -1)
+    h.withColumn("cnt", count(lit(1)).over(wf))
+      .withColumn("sx", sum(col("x")).over(wf))
+      .withColumn("sy", sum(col("y")).over(wf))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wf))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wf))
+      .withColumn("syy", sum(col("y") * col("y")).over(wf))
+      .where(col("cnt") >= 8)
+      .select(date_format(col("hr"), "yyyy-MM-dd HH").as("hr"), col("x"),
+        col("y"), col("cnt"),
+        (col("cnt") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("cnt") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("cnt") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("roll_r",
+        when(col("den_x") > 0 && col("den_y") > 0,
+          col("num").cast("double") /
+            (sqrt(col("den_x").cast("double")) * sqrt(col("den_y").cast("double")))))
+  }
+
+  /** p21 — COLUMN PROFILE in one scan: the data-profiling relation
+    * (per column: non-null count, distinct count, min/max) computed
+    * as ONE aggregation over one pass — never a per-column scan loop
+    * (the p15 one-scan discipline applied to profiling) — then
+    * reshaped to long form by an explode over a literal struct array
+    * (the p19 dual: here the pivot is schema-driven on the way OUT).
+    * Numeric min/max ride as BIGINT, string min/max in their own
+    * columns — no numeric→string casts anywhere (engine float/string
+    * formatting is exactly the divergence the differential would
+    * catch). Timestamps profile as epoch micros.
+    */
+  val p21_column_profile: Q = (spark, dir) => {
+    val e = events(spark, dir).select(col("user_id"),
+      cents(col("value")).cast("long").as("value_cents"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"), col("props"))
+    val nulls = lit(null).cast("long")
+    val nullss = lit(null).cast("string")
+    def num(c: String) = struct(lit(c).as("column"),
+      count(col(c)).as("n_nonnull"), count_distinct(col(c)).as("n_distinct"),
+      min(col(c)).as("min_num"), max(col(c)).as("max_num"),
+      first(nullss).as("min_str"), first(nullss).as("max_str"))
+    def str(c: String) = struct(lit(c).as("column"),
+      count(col(c)).as("n_nonnull"), count_distinct(col(c)).as("n_distinct"),
+      first(nulls).as("min_num"), first(nulls).as("max_num"),
+      min(col(c)).as("min_str"), max(col(c)).as("max_str"))
+    e.agg(count(lit(1)).as("n_rows"),
+        array(num("user_id"), num("value_cents"), num("ts_us"),
+          str("event_type"), str("props")).as("cols"))
+      .select(col("n_rows"), explode(col("cols")).as("c"))
+      .select(col("c.column"), col("n_rows"), col("c.n_nonnull"),
+        col("c.n_distinct"), col("c.min_num"), col("c.max_num"),
+        col("c.min_str"), col("c.max_str"))
+  }
+
   // --------------------------------------------------------------------
   // registry
   // --------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "w13_rolling_corr" -> w13_rolling_corr,
+    "p21_column_profile" -> p21_column_profile,
     "p20_benford" -> p20_benford,
     "a40_session_paths" -> a40_session_paths,
     "w12_rolling_zscore" -> w12_rolling_zscore,
