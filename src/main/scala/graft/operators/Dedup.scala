@@ -1751,11 +1751,108 @@ object Dedup {
         FROM f$LpaIters"""
   }
 
+  /** d24 — PARTITION AGREEMENT AUDIT (components × communities): the
+    * cluster-quality verdict the curation pipeline actually consumes,
+    * joined for free off two standing label tables — d07's
+    * min-label connected components (the TRANSITIVE-closure view:
+    * "every doc reachable through near-dup edges") against d23's
+    * frequency-LPA communities (the DENSITY view: "docs that vote
+    * together"). Per component: doc count, how many communities it
+    * SPLITS into (a split = a chain component whose ends don't
+    * actually resemble each other — the transitive-closure
+    * over-merge LPA catches), how many of those communities are
+    * MERGED across other components (the dual: LPA density bridging
+    * what closure separated — possible because simhash band recall
+    * is probabilistic), the dominant community and its exact
+    * per-mille purity. The keep-one-per-cluster policy (d06) is
+    * safe where purity_pm = 1000 and suspect where splits pile up —
+    * this relation IS that dashboard.
+    *
+    * Scale shape: both label tables are (V)-row relations (their
+    * own cost is d07/d23's, shared via the `simhashEdges` artifact
+    * and each one doc_id-keyed exchange); the audit adds one
+    * (cluster, community) rollup, one |communities|-row span count,
+    * and a broadcast-sized join back — nothing scales with E. The
+    * DuckDB twin unrolls BOTH fixpoints in one WITH (structurally
+    * different argmax via row_number), so the differential checks
+    * both label tables AND the audit arithmetic in one hash.
+    */
+  val d24_partition_agreement: Q = (spark, dir) => {
+    val comp = clusterLabels(spark, dir, ClusterIters)
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+    val comm = d23_lpa_communities(spark, dir)
+      .select(col("doc_id"), col("community"))
+    val pc = comp.join(comm, Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("community"))
+      .agg(count(lit(1)).as("n"))
+    val span = pc.groupBy(col("community"))
+      .agg(count_distinct(col("cluster_id")).as("comm_span"))
+    pc.join(broadcast(span), Seq("community"))
+      .groupBy(col("cluster_id"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_comms"),
+        sum(when(col("comm_span") > 1, 1L).otherwise(0L)).as("n_merged_comms"),
+        max(struct(col("n"), (-col("community")).as("neg"))).as("m"))
+      .select(col("cluster_id"), col("n_docs"), col("n_comms"),
+        col("n_merged_comms"),
+        (-col("m.neg")).as("top_comm"), col("m.n").as("top_n"),
+        expr("(m.n * 1000) div n_docs").as("purity_pm"))
+      .withColumn("split", col("n_comms") > 1L)
+  }
+
+  private def duckAgreementSql: String = {
+    val lpaRounds = (1 to LpaIters).map { i =>
+      s"""f$i AS MATERIALIZED (
+            SELECT v.doc_id, COALESCE(m.nlbl, v.lbl) AS lbl
+            FROM f${i - 1} v LEFT JOIN (
+              SELECT doc_a AS doc_id, nlbl FROM (
+                SELECT doc_a, nlbl,
+                       row_number() OVER (PARTITION BY doc_a
+                         ORDER BY COUNT(*) DESC, nlbl) AS rn
+                FROM (
+                  SELECT e.doc_a, p.lbl AS nlbl
+                  FROM edges e JOIN f${i - 1} p ON p.doc_id = e.doc_b
+                  UNION ALL
+                  SELECT doc_id AS doc_a, lbl AS nlbl FROM f${i - 1})
+                GROUP BY doc_a, nlbl)
+              WHERE rn = 1) m USING (doc_id))"""
+    }.mkString(",\n")
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+        $duckClusterRounds,
+        f0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+        $lpaRounds,
+        j AS (SELECT c.doc_id, c.lbl AS cluster_id, f.lbl AS community
+              FROM l$ClusterIters c JOIN f$LpaIters f USING (doc_id)),
+        pc AS (SELECT cluster_id, community, COUNT(*) AS n
+               FROM j GROUP BY 1, 2),
+        cs AS (SELECT community, COUNT(DISTINCT cluster_id) AS comm_span
+               FROM pc GROUP BY 1),
+        agg AS (SELECT cluster_id,
+                       CAST(SUM(n) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_comms,
+                       CAST(SUM(CASE WHEN comm_span > 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_merged_comms
+                FROM pc JOIN cs USING (community) GROUP BY 1),
+        top AS (SELECT cluster_id, community AS top_comm, n AS top_n
+                FROM (SELECT pc.*,
+                             row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n DESC, community) AS rn
+                      FROM pc)
+                WHERE rn = 1)
+        SELECT a.cluster_id, n_docs, n_comms, n_merged_comms,
+               top_comm, top_n,
+               CAST((top_n * 1000) // n_docs AS BIGINT) AS purity_pm,
+               n_comms > 1 AS split
+        FROM agg a JOIN top USING (cluster_id)"""
+  }
+
   // ------------------------------------------------------------------
   // registry
   // ------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    "d24_partition_agreement" -> d24_partition_agreement,
     "d22_triangle_count" -> d22_triangle_count,
     "d23_lpa_communities" -> d23_lpa_communities,
     "d01_exact_dedup" -> d01_exact_dedup,
@@ -1780,6 +1877,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d22_triangle_count" -> duckTriangleSql,
     "d23_lpa_communities" -> duckLpaSql,
+    "d24_partition_agreement" -> duckAgreementSql,
     "d01_exact_dedup" ->
       s"""WITH $duckExactCorpus
           SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,

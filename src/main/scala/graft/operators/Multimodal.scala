@@ -538,7 +538,76 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** mm10 — DIFFERENCE-HASH MEDIA NEAR-DUP (dHash + banded hamming
+    * LSH): the LOCAL-EDIT axis mm07's block-mean hash cannot close.
+    * Every aHash bit compares its stride to the GLOBAL mean, so one
+    * localized edit (a stamped logo, a watermark strip, a partially
+    * re-encoded region) moves the mean and flips bits signature-wide
+    * — measured on this corpus, a 10 %-of-length +50 patch flips
+    * avg 23 / max 40 of aHash's 64 bits, far past any LSH threshold.
+    * dHash's bits each read two ADJACENT strides only
+    * ([[graft.functions.DHash64Util]]), so the same patch flips ≤ 4
+    * bits (avg 1.7) — the locally-edited copy stays inside the
+    * hamming-3 pigeonhole and is FOUND here while mm07 misses it;
+    * that locality is the actual multimodal dedup primitive at
+    * 100 TB, where edited re-uploads dominate. (Uniform brightness
+    * shifts are exactly cancelled by BOTH hashes' cross-multiplied
+    * compares — `DHash64Spec` locks both the shared identity and the
+    * locality separation.) The corpus plants exact copies of every
+    * 10th item (+1M, the mm07 cohort, hamming 0) and LOCALLY-PATCHED
+    * copies of every doc_id % 10 == 3 item (+3M: the middle tenth of
+    * the bytes shifted +50 — the codec-less container's deterministic
+    * stand-in for a logo stamp). Same guaranteed-recall band-LSH
+    * shape as mm07 (pigeonhole: hamming < 4 ⟹ some band matches;
+    * [[PhashBandCap]] enforced).
+    *
+    * Scale shape: mm07's — signatures in one codegen'd projection,
+    * ONE band-key shuffle with over-cap buckets dropped whole, pair
+    * dedup, per-row integer verify; 8 longs per doc on the wire.
+    */
+  val mm10_media_dhash: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val base = documents(spark, dir).select(col("doc_id"),
+      encode(col("text"), "utf-8").as("body"))
+    val n = octet_length(col("body"))
+    val off = (n / 2).cast("int") // 1-based patch start = n div 2
+    val len = (n / 10).cast("int") // patch covers [off, off+len)
+    val patched = concat(
+      col("body").substr(lit(1), off - 1),
+      call_function("byte_shift", col("body").substr(off, len), lit(50)),
+      col("body").substr(off + len, n - off - len + 1))
+    val corpus = base
+      .unionAll(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("body")))
+      .unionAll(base.where(col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"), patched.as("body")))
+    val banded = corpus
+      .select(col("doc_id"), call_function("dhash64", col("body")).as("bands"))
+      .where(col("bands").isNotNull)
+      .select(col("doc_id"), col("bands"), posexplode(col("bands")))
+      .select(col("doc_id"), col("bands"), col("pos").as("band_id"),
+        col("col").as("band"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band"))))
+      .where(col("bn") <= PhashBandCap)
+      .drop("bn")
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band") === col("b.band")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bands").as("ba"), col("b.bands").as("bb"))
+      .distinct()
+      .withColumn("hamming", aggregate(
+        zip_with(col("ba"), col("bb"),
+          (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm10_media_dhash" -> mm10_media_dhash,
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm05_media_dedup" -> mm05_media_dedup,
     "mm02_pixel_features" -> mm02_pixel_features,
@@ -581,6 +650,72 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "mm05_media_dedup" -> duckMediaDedupSql,
+    "mm10_media_dhash" -> {
+      // same 65-stride mapping (stride of byte i = i*65 div n; stride s
+      // spans [ceil(s*n/65), ceil((s+1)*n/65))), same exact integer
+      // cross-multiplied ADJACENT-stride compare, same band cap and
+      // pigeonhole candidate join; the middle-tenth +50 patch applied
+      // as 1-based list slices mirroring the substr arithmetic
+      s"""WITH by AS (
+            SELECT doc_id,
+                   list_transform(range(0, octet_length(encode(text))),
+                     i -> ('0x' || substr(hex(encode(text)), (2*i + 1)::INT, 2))::BIGINT)
+                     AS bytes
+            FROM documents),
+          corpus AS (
+            SELECT doc_id, bytes FROM by
+            UNION ALL
+            SELECT doc_id + 1000000, bytes FROM by WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 3000000,
+                   bytes[1 : (len(bytes)//2 - 1)::INT]
+                     || list_transform(
+                          bytes[(len(bytes)//2)::INT :
+                                (len(bytes)//2 + len(bytes)//10 - 1)::INT],
+                          b -> (b + 50) % 256)
+                     || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
+                              len(bytes)::INT]
+            FROM by WHERE doc_id % 10 = 3),
+          st AS (SELECT doc_id, bytes, len(bytes) AS n
+                 FROM corpus WHERE len(bytes) >= 65),
+          ssum AS (SELECT doc_id, n, s,
+                          CAST(coalesce(list_aggregate(
+                            bytes[((s*n + 64)//65 + 1)::INT :
+                                  (((s+1)*n + 64)//65)::INT], 'sum'), 0) AS BIGINT)
+                            AS sum_s,
+                          ((s+1)*n + 64)//65 - (s*n + 64)//65 AS len_s
+                   FROM (SELECT doc_id, bytes, n,
+                                unnest(range(0, 65)) AS s
+                         FROM st)),
+          adj AS (SELECT a.doc_id, a.s,
+                         a.sum_s AS sa, a.len_s AS la,
+                         b.sum_s AS sb, b.len_s AS lb
+                  FROM ssum a JOIN ssum b
+                    ON a.doc_id = b.doc_id AND b.s = a.s + 1
+                  WHERE a.s < 64),
+          bits AS (SELECT doc_id, s // 16 AS band_id,
+                          CAST(SUM(CASE WHEN sa * lb > sb * la
+                                        THEN (1::BIGINT << (s % 16)::INT)
+                                        ELSE 0 END) AS BIGINT) AS band
+                   FROM adj GROUP BY 1, 2),
+          capped AS (SELECT doc_id, band_id, band FROM bits
+                     QUALIFY COUNT(*) OVER (PARTITION BY band_id, band)
+                               <= $PhashBandCap),
+          sig AS (SELECT doc_id, list(band ORDER BY band_id) AS bands
+                  FROM bits GROUP BY 1),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM capped a JOIN capped b
+                   ON a.band_id = b.band_id AND a.band = b.band
+                      AND a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, hamming FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(list_sum(list_transform(list_zip(sa.bands, sb.bands),
+                          t -> bit_count(xor(t[1], t[2])))) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b)
+          WHERE hamming <= 3"""
+    },
     "mm08_media_gate" ->
       // every verdict from the CONSTRUCTION arithmetic; the Spark side
       // parses the corrupted bytes (construct∘corrupt∘parse = identity)

@@ -1812,7 +1812,11 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
-    bucketCache.computeIfAbsent(dir, _ => {
+    // Keyed per SparkContext: saveAsTable registers in the SESSION
+    // catalog, so a cached name from a stopped context would dangle in
+    // a fresh one (Bench restarts the session between query families).
+    bucketCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
       // Collision-resistant dir tag: 32-bit hashCode could collide across
       // two sfDirs in one session, dropping each other's tables while the
       // per-dir cache served the stale name. md5 makes that impossible.
@@ -1950,6 +1954,37 @@ object Relational {
       .groupBy(col("wk"))
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("wau_approx"))
+  }
+
+  /** a20x — THE HLL RE-AGGREGATION IN ITS EXACT REGIME, hash-oracle-
+    * checked (the a14x/a15x pattern completing the sketch trio's exact
+    * twins): the user domain is filtered to < 200 distincts, so every
+    * daily sketch and every weekly union stays in DataSketches'
+    * coupon (LIST/SET) mode — far below the lgK=12 promotion
+    * threshold (~3·2¹⁰ coupons) — where the stored summary IS the
+    * exact coupon set under ANY merge tree and `hll_sketch_estimate`
+    * returns the exact distinct count as an integral long (verified:
+    * the estimate equals COUNT(DISTINCT) bit-for-bit on this regime).
+    * This pins the ENTIRE daily-sketch → weekly-union merge path —
+    * encoder, serialize, union, estimate — cross-engine against
+    * DuckDB's plain exact distinct; only the dense-register branch
+    * stays spec-bounded (a20), now a genuinely estimation-dependent
+    * residue. A coupon-hash collision inside the 200-user domain
+    * (p ≈ 2·10⁻⁴ at 2²⁶ coupon space) would surface loudly as a
+    * hash mismatch, not silently.
+    */
+  val a20x_sketch_reagg_exact: Q = (spark, dir) => {
+    val daily = events(spark, dir)
+      .where(col("user_id") < 200L)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .groupBy(col("dt"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+    daily
+      .withColumn("wk", date_format(date_trunc("week", col("dt").cast("date")),
+        "yyyy-MM-dd"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("wau"))
   }
 
   /** a21 — KEY-SKEW REPORT: the diagnostic that DECIDES between a
@@ -2818,7 +2853,13 @@ object Relational {
           cents(col("value")).cast("long")).otherwise(0L)).as("monetary_cents"))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary_cents"),
-        greatest(lit(1L), lit(5L) - expr("recency_days div 7")).as("r_score"),
+        // Clamp recency to >= 0 BEFORE the integer divide: a negative
+        // operand (any event past the pinned horizon) splits Spark's
+        // truncate-toward-zero `div` from DuckDB's floor `//` — the w11
+        // negative-operand hazard. greatest(0, ·) removes the divergent
+        // domain entirely, and caps r_score at 5 as a side effect.
+        greatest(lit(1L), lit(5L) - expr("greatest(0L, recency_days) div 7"))
+          .as("r_score"),
         score(lit(1L) + expr("frequency div 30")).as("f_score"),
         score(lit(1L) + expr("monetary_cents div 200000")).as("m_score"))
       .withColumn("segment",
@@ -3329,6 +3370,7 @@ object Relational {
     "a06_salted_agg" -> a06_salted_agg,
     "a07_dau_approx" -> a07_dau_approx,
     "a20_sketch_reagg" -> a20_sketch_reagg,
+    "a20x_sketch_reagg_exact" -> a20x_sketch_reagg_exact,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
     "w05_ohlc_candles" -> w05_ohlc_candles,
@@ -3356,6 +3398,75 @@ object Relational {
     * the integer-cents expressions — see [[graft.Tables.cents]].
     */
   val oracles: Map[String, String] = Map(
+    "w13_rolling_corr" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+                      SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+                      SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+                    FROM events GROUP BY 1),
+          f AS (SELECT hr, x, y,
+                       CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+                       CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                       CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                       CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+                FROM h
+                WINDOW w AS (ORDER BY hr
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+          g AS (SELECT strftime(hr, '%Y-%m-%d %H') AS hr, x, y, cnt,
+                       cnt * sxy - sx * sy AS num,
+                       cnt * sxx - sx * sx AS den_x,
+                       cnt * syy - sy * sy AS den_y
+                FROM f WHERE cnt >= 8)
+          SELECT g.*, CASE WHEN den_x > 0 AND den_y > 0
+                           THEN CAST(num AS DOUBLE) /
+                                (sqrt(CAST(den_x AS DOUBLE)) *
+                                 sqrt(CAST(den_y AS DOUBLE)))
+                      END AS roll_r
+          FROM g""",
+    "p21_column_profile" ->
+      """WITH e AS (SELECT user_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+                      epoch_us(ts) AS ts_us, event_type, props
+                    FROM events),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM e)
+          SELECT 'user_id' AS "column", t.n_rows,
+                 CAST(COUNT(user_id) AS BIGINT) AS n_nonnull,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+                 CAST(MIN(user_id) AS BIGINT) AS min_num,
+                 CAST(MAX(user_id) AS BIGINT) AS max_num,
+                 CAST(NULL AS VARCHAR) AS min_str,
+                 CAST(NULL AS VARCHAR) AS max_str
+          FROM e, t GROUP BY t.n_rows
+          UNION ALL
+          SELECT 'value_cents', t.n_rows,
+                 CAST(COUNT(value_cents) AS BIGINT),
+                 CAST(COUNT(DISTINCT value_cents) AS BIGINT),
+                 CAST(MIN(value_cents) AS BIGINT),
+                 CAST(MAX(value_cents) AS BIGINT),
+                 CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+          FROM e, t GROUP BY t.n_rows
+          UNION ALL
+          SELECT 'ts_us', t.n_rows,
+                 CAST(COUNT(ts_us) AS BIGINT),
+                 CAST(COUNT(DISTINCT ts_us) AS BIGINT),
+                 CAST(MIN(ts_us) AS BIGINT), CAST(MAX(ts_us) AS BIGINT),
+                 CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+          FROM e, t GROUP BY t.n_rows
+          UNION ALL
+          SELECT 'event_type', t.n_rows,
+                 CAST(COUNT(event_type) AS BIGINT),
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                 MIN(event_type), MAX(event_type)
+          FROM e, t GROUP BY t.n_rows
+          UNION ALL
+          SELECT 'props', t.n_rows,
+                 CAST(COUNT(props) AS BIGINT),
+                 CAST(COUNT(DISTINCT props) AS BIGINT),
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                 MIN(props), MAX(props)
+          FROM e, t GROUP BY t.n_rows""",
     "p20_benford" -> {
       val expRows = BenfordMicro.zipWithIndex
         .map { case (m, i) => s"(${i + 1}, ${m})" }.mkString(", ")
@@ -3534,7 +3645,7 @@ object Relational {
                                ELSE 0 END) AS BIGINT) AS monetary_cents
                     FROM events GROUP BY 1),
           s AS (SELECT u.*,
-                       greatest(1, 5 - recency_days // 7) AS r_score,
+                       greatest(1, 5 - greatest(0, recency_days) // 7) AS r_score,
                        least(1 + frequency // 30, 5) AS f_score,
                        least(1 + monetary_cents // 200000, 5) AS m_score
                 FROM u)
@@ -4338,6 +4449,18 @@ object Relational {
                 strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                 user_id, COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    // a20x's exact regime: coupon mode ⇒ the union of daily sketches
+    // carries the exact coupon set and the estimate IS the exact
+    // weekly distinct, which DuckDB computes directly
+    "a20x_sketch_reagg_exact" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id
+                    FROM events WHERE user_id < 200),
+          wk AS (SELECT strftime(date_trunc('week', CAST(dt AS DATE)),
+                          '%Y-%m-%d') AS wk, dt, user_id
+                 FROM e)
+          SELECT wk, CAST(COUNT(DISTINCT dt) AS BIGINT) AS n_days,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+          FROM wk GROUP BY 1""",
     // a14x's exact regime: no compaction ⇒ finish() is the plain
     // rank-⌈p·n⌉ order statistic; ⌈p·n⌉ is the same exact-rounded IEEE
     // double expression on both engines

@@ -482,7 +482,11 @@ object Similarity {
     * lands on scratch (external table), reclaimed at JVM exit.
     */
   private[graft] def bucketedIndexRows(spark: SparkSession, dir: String): String =
-    bucketedIdxCache.computeIfAbsent(dir, _ => {
+    // Keyed per SparkContext: saveAsTable registers in the SESSION
+    // catalog, so a cached name from a stopped context would dangle in
+    // a fresh one (Bench restarts the session between query families).
+    bucketedIdxCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val t = s"graft_bkt_idx_$tag"
@@ -878,7 +882,14 @@ object Similarity {
     .agg(transform(sort_array(collect_list(struct(col("dim"), col("mv")))),
       s => s.getField("mv")).as("marr"))
 
-  /** n26's row-local apply: center against the 1-row means relation. */
+  /** n26's row-local apply: center against the 1-row means relation.
+    * Emits LONG FORM — `(vec_id, norm_before6, norm_after6, dim, c6)`,
+    * one row per centered element — never a top-level array column
+    * (the r11 harness could not sort/hash an array column, so the
+    * differential never ran; long form is the oracle-portable shape
+    * and the posexplode is stateless, so the streaming twin st62
+    * inherits it unchanged).
+    */
   private[graft] def centerApply(e: DataFrame, means: DataFrame): DataFrame = {
     def norm6(a: Column) = round(
       sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x)) * 1000000) / 1000000
@@ -888,7 +899,9 @@ object Similarity {
         norm6(col("v")).as("norm_before6"))
       .select(col("vec_id"), col("norm_before6"),
         norm6(col("cv0")).as("norm_after6"),
-        transform(col("cv0"), x => round(x * 1000000) / 1000000).as("centered6"))
+        posexplode(transform(col("cv0"), x => round(x * 1000000) / 1000000)))
+      .select(col("vec_id"), col("norm_before6"), col("norm_after6"),
+        col("pos").cast("long").as("dim"), col("col").as("c6"))
   }
 
   val n26_embedding_center: Q = (spark, dir) => {
@@ -1867,8 +1880,36 @@ object Similarity {
     * (count desc, label asc), fully deterministic. Emits per-query
     * verdicts; accuracy is a one-line rollup on read.
     */
+  /** n27/n28 pack (vec_id · 16 + label) into one long so the label can
+    * ride through [[TopK]] without a corpus join-back. The monotone
+    * tie-order claim needs label ∈ [0, 16) and vec_id ≥ 0 — neither is
+    * free to assume under a future generator (≥16 IVF cells would
+    * silently corrupt pred_label/cell and the tie order, surfacing only
+    * as an opaque differential hash mismatch), so the domain is
+    * ASSERTED once per dir (one 1-row aggregate, the
+    * [[graft.Tables.assertIdHeadroom]] discipline). At a wider label
+    * domain the fix is to widen the packing stride, not drop the check.
+    */
+  private val packDomainChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def assertPackable(spark: SparkSession, dir: String): Unit = {
+    packDomainChecked.computeIfAbsent(dir, _ => {
+      val r = embeddings(spark, dir)
+        .agg(max(col("label").cast("long")).as("maxl"),
+          min(col("label").cast("long")).as("minl"),
+          min(col("vec_id")).as("minv")).head()
+      require(r.getLong(0) < 16L && r.getLong(1) >= 0L && r.getLong(2) >= 0L,
+        s"label/vec_id domain (max_label=${r.getLong(0)}, " +
+          s"min_label=${r.getLong(1)}, min_vec_id=${r.getLong(2)}) breaks " +
+          s"the (vec_id*16 + label) packing in $dir; widen the stride")
+      java.lang.Boolean.TRUE
+    }): Unit
+  }
+
   val n27_knn_classify: Q = (spark, dir) => {
     GraftExtensions.register(spark)
+    assertPackable(spark, dir)
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").as("v"))
@@ -1907,6 +1948,7 @@ object Similarity {
     */
   val n28_diversified_topk: Q = (spark, dir) => {
     GraftExtensions.register(spark)
+    assertPackable(spark, dir)
     val e = embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         col("embedding").as("v"))
@@ -2435,7 +2477,9 @@ object Similarity {
                    / 1000000 AS norm_before6,
                  round(sqrt(list_sum(list_transform(cv0, q -> q * q))) * 1000000)
                    / 1000000 AS norm_after6,
-                 list_transform(cv0, q -> round(q * 1000000) / 1000000) AS centered6
+                 CAST(unnest(range(0, len(cv0))) AS BIGINT) AS dim,
+                 unnest(list_transform(cv0, q -> round(q * 1000000) / 1000000))
+                   AS c6
           FROM c""",
     // n25: n24's leg chain with ranks carried; metric tail shares the
     // PRECOMPUTED discount literals with the Spark side (no logs)

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Blockhash64, BloomMightContain, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Pcm16Frames, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Pcm16Frames, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomContains)
     ext.injectFunction(GraftExtensions.pcm16Frames)
     ext.injectFunction(GraftExtensions.blockhash64)
+    ext.injectFunction(GraftExtensions.dhash64)
+    ext.injectFunction(GraftExtensions.byteShift)
   }
 }
 
@@ -140,13 +142,35 @@ object GraftExtensions {
       Blockhash64(args.head)
     })
 
+  val dhash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dhash64"),
+    new ExpressionInfo(classOf[DHash64].getName, "dhash64"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"dhash64 expects 1 argument, got ${args.length}")
+      DHash64(args.head)
+    })
+
+  val byteShift: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("byte_shift"),
+    new ExpressionInfo(classOf[ByteShift].getName, "byte_shift"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"byte_shift expects 2 arguments, got ${args.length}")
+      val c = args(1) match {
+        case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+        case e => throw new IllegalArgumentException(
+          s"byte_shift: shift must be a foldable int literal, got $e")
+      }
+      ByteShift(args.head, c)
+    })
+
   /** Imperative registration for sessions created without the
     * `spark.sql.extensions` config (e.g. an already-running REPL).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
         wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
-        bloomContains, pcm16Frames, blockhash64).foreach {
+        bloomContains, pcm16Frames, blockhash64, dhash64,
+        byteShift).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

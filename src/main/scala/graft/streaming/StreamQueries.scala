@@ -1701,8 +1701,38 @@ object StreamQueries {
     * the shared [[graft.operators.Relational.pathShares]]. State: one
     * capped buffer per user. Oracle is a40's verbatim.
     */
+  /** st69/st74 are differentially checked against the UNCAPPED batch
+    * sweeps (a35/a40), but `Pipelines.transitionPairs`/`sessionPaths`
+    * cap per-user state at [[Pipelines.MaxScdEvents]] and keep the
+    * EARLIEST rows when the cap trims — a user past the cap would
+    * silently drop its newest events and the differential would
+    * mismatch opaquely. So the rate-bound contract the docstrings
+    * assume is ASSERTED once per dir (one aggregate over the replayed
+    * table, the assertIdHeadroom discipline): if a future fixture
+    * breaks the bound, this fails loudly with the hot user's count
+    * instead of shipping a hash mismatch. At production scale the cap
+    * is the documented degradation, not an error.
+    */
+  private val rateBoundChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def assertSeqRateBound(spark: SparkSession, dir: String): Unit = {
+    rateBoundChecked.computeIfAbsent(dir, _ => {
+      val r = graft.Tables.events(spark, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("mx")).head()
+      require(r.getLong(0) < Pipelines.MaxScdEvents,
+        s"hottest user has ${r.getLong(0)} events >= MaxScdEvents " +
+          s"${Pipelines.MaxScdEvents} in $dir: the capped flush buffers " +
+          "would trim newest events and diverge from the uncapped batch " +
+          "oracles; raise the cap or re-pin the fixture")
+      java.lang.Boolean.TRUE
+    }): Unit
+  }
+
   val st74_stream_session_paths: Q = (spark, dir) => {
     import spark.implicits._
+    assertSeqRateBound(spark, dir)
     val ev = Replay.eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
@@ -1789,6 +1819,7 @@ object StreamQueries {
     */
   val st69_stream_transition: Q = (spark, dir) => {
     import spark.implicits._
+    assertSeqRateBound(spark, dir)
     val ev = Replay.eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
