@@ -128,6 +128,18 @@ import java.nio.file.{Files, Paths}
   * artifact-warm pre-passes, and chase only per-query deltas that
   * move AGAINST the family.
   *
+  * Round-12 addendum (closing the round-11 verdict's t23_bm25 watch
+  * item — 1.53 s r9 → 2.16 s r11 in-suite, code unchanged): three
+  * back-to-back isolated min-of-two runs at sf0.1, each in a fresh
+  * JVM with the sf0.001 warmup pass (JVM/codegen warm; each timed
+  * pass rebuilds the persisted tf artifact, which is the operator's
+  * documented per-run cost): 1.46 / 1.61 / 1.88 s. The r11 level
+  * does NOT reproduce isolated — t23 sits at its r9 level, so the
+  * drift was the same suite-length load the rest of the round-11
+  * streaming/t-family band moved with, not an idf-join regression.
+  * No code change warranted; the family split below is the
+  * structural fix for the band effect itself.
+  *
   * Round-12 addendum (closing the round-11 verdict's suite-split
   * task): the suite now runs as TWO SparkSessions over two
   * SparkContexts in sequence — all batch families first, then the
