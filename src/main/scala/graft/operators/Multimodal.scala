@@ -565,22 +565,30 @@ object Multimodal {
     * ONE band-key shuffle with over-cap buckets dropped whole, pair
     * dedup, per-row integer verify; 8 longs per doc on the wire.
     */
+  /** The mm10/st75 fixture's deterministic local edit: the middle
+    * tenth of the bytes shifted +50 (1-based substr arithmetic; the
+    * DuckDB twins mirror it as 1-based list slices).
+    */
+  private[graft] def patchedBody(body: Column): Column = {
+    val n = octet_length(body)
+    val off = (n / 2).cast("int") // 1-based patch start = n div 2
+    val len = (n / 10).cast("int") // patch covers [off, off+len)
+    concat(
+      body.substr(lit(1), off - 1),
+      call_function("byte_shift", body.substr(off, len), lit(50)),
+      body.substr(off + len, n - off - len + 1))
+  }
+
   val mm10_media_dhash: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
     val base = documents(spark, dir).select(col("doc_id"),
       encode(col("text"), "utf-8").as("body"))
-    val n = octet_length(col("body"))
-    val off = (n / 2).cast("int") // 1-based patch start = n div 2
-    val len = (n / 10).cast("int") // patch covers [off, off+len)
-    val patched = concat(
-      col("body").substr(lit(1), off - 1),
-      call_function("byte_shift", col("body").substr(off, len), lit(50)),
-      col("body").substr(off + len, n - off - len + 1))
     val corpus = base
       .unionAll(base.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("body")))
       .unionAll(base.where(col("doc_id") % 10 === 3)
-        .select((col("doc_id") + 3000000L).as("doc_id"), patched.as("body")))
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          patchedBody(col("body")).as("body")))
     val banded = corpus
       .select(col("doc_id"), call_function("dhash64", col("body")).as("bands"))
       .where(col("bands").isNotNull)
@@ -647,6 +655,75 @@ object Multimodal {
                 / CAST(len(list_distinct(list_concat(a.fd, b.fd))) AS DOUBLE)
               >= $MediaDupJaccard"""
   }
+
+  /** st75's oracle: the mm10 stride/bit arithmetic with the corpus
+    * split into standing (base docs) and delta (the re-uploaded
+    * cohorts), the band cap applied to the STANDING side only (the
+    * probe's governance: delta rows probe, they don't join each
+    * other), and only (standing, delta) pairs emitted.
+    */
+  private[graft] def duckDhashProbeSql: String =
+    s"""WITH by AS (
+          SELECT doc_id,
+                 list_transform(range(0, octet_length(encode(text))),
+                   i -> ('0x' || substr(hex(encode(text)), (2*i + 1)::INT, 2))::BIGINT)
+                   AS bytes
+          FROM documents),
+        corpus AS (
+          SELECT doc_id, bytes FROM by
+          UNION ALL
+          SELECT doc_id + 1000000, bytes FROM by WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id + 3000000,
+                 bytes[1 : (len(bytes)//2 - 1)::INT]
+                   || list_transform(
+                        bytes[(len(bytes)//2)::INT :
+                              (len(bytes)//2 + len(bytes)//10 - 1)::INT],
+                        b -> (b + 50) % 256)
+                   || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
+                            len(bytes)::INT]
+          FROM by WHERE doc_id % 10 = 3),
+        st AS (SELECT doc_id, bytes, len(bytes) AS n
+               FROM corpus WHERE len(bytes) >= 65),
+        ssum AS (SELECT doc_id, n, s,
+                        CAST(coalesce(list_aggregate(
+                          bytes[((s*n + 64)//65 + 1)::INT :
+                                (((s+1)*n + 64)//65)::INT], 'sum'), 0) AS BIGINT)
+                          AS sum_s,
+                        ((s+1)*n + 64)//65 - (s*n + 64)//65 AS len_s
+                 FROM (SELECT doc_id, bytes, n,
+                              unnest(range(0, 65)) AS s
+                       FROM st)),
+        adj AS (SELECT a.doc_id, a.s,
+                       a.sum_s AS sa, a.len_s AS la,
+                       b.sum_s AS sb, b.len_s AS lb
+                FROM ssum a JOIN ssum b
+                  ON a.doc_id = b.doc_id AND b.s = a.s + 1
+                WHERE a.s < 64),
+        bits AS (SELECT doc_id, s // 16 AS band_id,
+                        CAST(SUM(CASE WHEN sa * lb > sb * la
+                                      THEN (1::BIGINT << (s % 16)::INT)
+                                      ELSE 0 END) AS BIGINT) AS band
+                 FROM adj GROUP BY 1, 2),
+        stand AS (SELECT doc_id, band_id, band FROM bits
+                  WHERE doc_id < 1000000
+                  QUALIFY COUNT(*) OVER (PARTITION BY band_id, band)
+                            <= $PhashBandCap),
+        delta AS (SELECT doc_id, band_id, band FROM bits
+                  WHERE doc_id >= 1000000),
+        sig AS (SELECT doc_id, list(band ORDER BY band_id) AS bands
+                FROM bits GROUP BY 1),
+        cand AS (SELECT DISTINCT s.doc_id AS doc_a, d.doc_id AS doc_b
+                 FROM stand s JOIN delta d
+                 ON s.band_id = d.band_id AND s.band = d.band)
+        SELECT doc_a, doc_b, hamming FROM (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(list_sum(list_transform(list_zip(sa.bands, sb.bands),
+                        t -> bit_count(xor(t[1], t[2])))) AS BIGINT) AS hamming
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b)
+        WHERE hamming <= 3"""
 
   val oracles: Map[String, String] = Map(
     "mm05_media_dedup" -> duckMediaDedupSql,

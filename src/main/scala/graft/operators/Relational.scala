@@ -1987,6 +1987,53 @@ object Relational {
         hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("wau"))
   }
 
+  /** a41 — CHANGEPOINT SCAN (binary-segmentation step over the daily
+    * revenue series): for every split point i of the date-ordered
+    * daily totals, the left/right mean gap as an exact integer —
+    * num = sl·(n−i) − sr·i over den = i·(n−i) (the cross-multiplied
+    * form of mean_l − mean_r; the a33 exact-component discipline
+    * applied to segmentation) — scaled to micro units through a
+    * decimal(38,0) promotion (num·10⁶ wraps a Long at production
+    * revenue — the a21 overflow lesson applied BEFORE it bites).
+    * The argmax row (ties → earliest day) is flagged `is_peak`: the
+    * first cut binary segmentation would recurse on, and the
+    * monitoring answer to "did the level shift, and when?" that
+    * a30's seasonal-naive residuals can't give (a30 scores single
+    * days; this locates a PERSISTENT level change). All integer
+    * until one final division that never happens (the micro scaling
+    * IS the division, floored).
+    *
+    * Scale shape: one dt rollup with map-side partials; prefix sums,
+    * split statistics and the peak flag all ride the CALENDAR-bounded
+    * daily relation (~2.4k rows/7yr at any SF — the w-family bound),
+    * so the unpartitioned windows never see data volume; the 1-row
+    * total broadcasts.
+    */
+  val a41_changepoint: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+    val tot = daily.agg(sum(col("rev_cents")).as("st"),
+      count(lit(1)).as("n"))
+    val wc = Window.orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("i", row_number().over(Window.orderBy(col("dt"))).cast("long"))
+      .withColumn("sl", sum(col("rev_cents")).over(wc))
+      .join(broadcast(tot), lit(true), "inner")
+      .where(col("i") < col("n"))
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+        col("rev_cents"), col("i"), col("sl"), col("st"), col("n"),
+        (col("sl") * (col("n") - col("i")) - (col("st") - col("sl")) * col("i"))
+          .as("num"),
+        (col("i") * (col("n") - col("i"))).as("den"))
+      .withColumn("absdiff_micro",
+        expr("cast(cast(abs(num) as decimal(38,0)) * 1000000 div den as bigint)"))
+      .withColumn("is_peak",
+        row_number().over(
+          Window.orderBy(col("absdiff_micro").desc, col("i"))) === 1)
+  }
+
   /** a21 — KEY-SKEW REPORT: the diagnostic that DECIDES between a
     * plain shuffle join/agg and the mitigations this engine ships
     * (j09's salting, a06's salt-and-merge, AQE skew splitting) — per
@@ -3371,6 +3418,7 @@ object Relational {
     "a07_dau_approx" -> a07_dau_approx,
     "a20_sketch_reagg" -> a20_sketch_reagg,
     "a20x_sketch_reagg_exact" -> a20x_sketch_reagg_exact,
+    "a41_changepoint" -> a41_changepoint,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
     "w05_ohlc_candles" -> w05_ohlc_candles,
@@ -4449,6 +4497,31 @@ object Relational {
                 strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                 user_id, COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    // a41: the same cross-multiplied split statistic; HUGEINT carries
+    // the micro scaling where Spark promotes to decimal(38,0)
+    "a41_changepoint" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS rev_cents
+                        FROM orders GROUP BY 1),
+          t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS st,
+                       CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+          pre AS (SELECT dt, rev_cents,
+                         CAST(row_number() OVER (ORDER BY dt) AS BIGINT) AS i,
+                         CAST(SUM(rev_cents) OVER (ORDER BY dt
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl
+                  FROM daily),
+          s AS (SELECT strftime(dt, '%Y-%m-%d') AS dt, rev_cents, i, sl, st, n,
+                       sl * (n - i) - (st - sl) * i AS num,
+                       i * (n - i) AS den
+                FROM pre, t WHERE i < n),
+          f AS (SELECT s.*,
+                       CAST((CAST(abs(num) AS HUGEINT) * 1000000) // den
+                            AS BIGINT) AS absdiff_micro
+                FROM s)
+          SELECT f.*, row_number() OVER (ORDER BY absdiff_micro DESC, i) = 1
+                        AS is_peak
+          FROM f""",
     // a20x's exact regime: coupon mode ⇒ the union of daily sketches
     // carries the exact coupon set and the estimate IS the exact
     // weekly distinct, which DuckDB computes directly

@@ -1971,7 +1971,69 @@ object Similarity {
         col("col.score").as("cos6"))
   }
 
+  /** The prefix lengths n30 evaluates — the Matryoshka truncation
+    * ladder (dims 64 → 32 → 16).
+    */
+  private[graft] val TruncDims = Seq(16, 32)
+
+  /** n30 — TRUNCATED-DIMENSION RETRIEVAL EVAL (the Matryoshka/MRL
+    * question every 100 TB embedding store answers before it ships a
+    * compressed index): how much top-k recall survives ranking by the
+    * FIRST D dims only? Per (trunc_dim ∈ {16, 32}, query): the
+    * prefix-cosine top-K (same codegen'd cosine over `slice(v,1,D)`,
+    * same (cos desc, id asc) ties, same bounded [[TopK]] aggregator)
+    * intersected with the full-dim exact top-K (n01's relation,
+    * persisted once and shared across the ladder), recall as exact
+    * integer per-mille. The storage story this prices: a D=16 index
+    * is 4× smaller and 4× faster to scan — this relation says what
+    * that buys and costs PER QUERY, not as one corpus average
+    * (per-query floors are what serving SLOs bind on).
+    *
+    * Scale shape: the query set broadcasts (n01's contract); each
+    * ladder rung is one map-side-partial TopK aggregation over the
+    * same scan (slice is row-local — no second corpus pass lands in
+    * the plan until the rungs' unions force it, and each rung's
+    * exchange carries K rows per query); the eval join is
+    * (K·queries)-row. Nothing scales with corpus².
+    */
+  val n30_truncated_retrieval: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    import org.apache.spark.storage.StorageLevel
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = explodeTopK(
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rungs = TruncDims.map { d =>
+      explodeTopK(
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            cos6(slice(col("qv"), 1, d), slice(col("v"), 1, d)).as("c6"))
+          .groupBy("query_id")
+          .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+        .select(lit(d.toLong).as("trunc_dim"), col("query_id"),
+          col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val matched = rungs
+      .join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("trunc_dim"), col("query_id"))
+      .agg(count(lit(1)).as("n_matched"))
+    val grid = TruncDims.map(d =>
+        q.select(lit(d.toLong).as("trunc_dim"), col("query_id")))
+      .reduce(_.unionByName(_))
+    grid.join(matched, Seq("trunc_dim", "query_id"), "left")
+      .select(col("trunc_dim"), col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        expr(s"coalesce(n_matched, 0) * 1000 div $K").as("recall_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n30_truncated_retrieval" -> n30_truncated_retrieval,
     "n27_knn_classify" -> n27_knn_classify,
     "n28_diversified_topk" -> n28_diversified_topk,
     "n01_cosine_topk" -> n01_cosine_topk,
@@ -2237,6 +2299,42 @@ object Similarity {
                    ORDER BY cos6 DESC, vec_id) AS BIGINT) AS rnk,
                  vec_id AS neighbor_id, cell, cos6
           FROM pc QUALIFY rnk <= $K""",
+    // n30: prefix slices re-normed in place; exact top-10 as in n25
+    "n30_truncated_retrieval" -> {
+      val dimsRows = TruncDims.map(d => s"($d)").mkString(", ")
+      s"""WITH $duckVecs,
+          dims(td) AS (VALUES $dimsRows),
+          q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+                WHERE vec_id < $NumQueries),
+          exact10 AS (SELECT query_id, vec_id
+                      FROM (SELECT query_id, n.vec_id, $duckCos AS cos6
+                            FROM q JOIN n ON n.vec_id <> query_id)
+                      QUALIFY row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos6 DESC, vec_id) <= $K),
+          p AS (SELECT td, query_id, n.vec_id,
+                       round(list_sum(list_transform(
+                               list_zip(qv[1:td::INT], v[1:td::INT]),
+                               t -> t[1] * t[2]))
+                             / (sqrt(list_sum(list_transform(qv[1:td::INT],
+                                 x -> x * x)))
+                                * sqrt(list_sum(list_transform(v[1:td::INT],
+                                    x -> x * x)))) * 1000000) / 1000000 AS c6
+                FROM dims, q JOIN n ON n.vec_id <> query_id),
+          ttop AS (SELECT td, query_id, vec_id FROM p
+                   QUALIFY row_number() OVER (PARTITION BY td, query_id
+                             ORDER BY c6 DESC, vec_id) <= $K),
+          m AS (SELECT td, query_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+                FROM ttop JOIN exact10 USING (query_id, vec_id)
+                GROUP BY 1, 2),
+          grid AS (SELECT CAST(td AS BIGINT) AS trunc_dim, query_id
+                   FROM dims, q)
+          SELECT grid.trunc_dim, grid.query_id,
+                 COALESCE(n_matched, 0) AS n_matched,
+                 CAST(COALESCE(n_matched, 0) * 1000 // $K AS BIGINT)
+                   AS recall_pm
+          FROM grid LEFT JOIN m ON m.td = grid.trunc_dim
+                                AND m.query_id = grid.query_id"""
+    },
     "n01_cosine_topk" ->
       s"""WITH $duckVecs,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),

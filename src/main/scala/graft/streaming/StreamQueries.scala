@@ -1941,6 +1941,75 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** MM-family streaming — PERCEPTUAL NEAR-DUP AT INGEST (streaming
+    * twin of mm10; st38's probe-the-standing-index discipline moved
+    * onto the dHash bands): the standing corpus signs ONCE into a
+    * banded signature table — dHash's 4×16-bit bands, over-cap band
+    * buckets dropped whole ([[graft.operators.Multimodal.PhashBandCap]],
+    * counted over the STANDING side: delta rows probe, they never
+    * join each other) — and every arriving payload (exact re-uploads
+    * and the locally-patched re-uploads mm07's global-mean hash
+    * loses) signs in one codegen'd projection and probes the standing
+    * bands by equi-join: candidate fan-out is band-bucket density,
+    * never corpus². Multi-band hits collapse to one verdict via
+    * dropDuplicatesWithinWatermark; verify is the exact popcount over
+    * both carried signatures. Flat event time (the st38 contract —
+    * the union branches' files replay in arbitrary order, so any
+    * id-derived time would mark later branches late and bypass the
+    * pair-dedup state). Oracle: mm10's arithmetic restricted to
+    * (standing, delta) pairs with the standing-side cap.
+    */
+  val st75_stream_dhash: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val M = graft.operators.Multimodal
+    val sigS = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("standing_id"),
+        call_function("dhash64", encode(col("text"), "utf-8")).as("sb"))
+      .where(col("sb").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandS = sigS
+      .select(col("standing_id"), col("sb"), posexplode(col("sb")))
+      .select(col("standing_id"), col("sb"), col("pos").as("band_id"),
+        col("col").as("band"))
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("band"))))
+      .where(col("bn") <= M.PhashBandCap)
+      .drop("bn")
+    def docs() = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("body"))
+    val delta = docs().where(col("doc_id") >= 0 && col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("body"))
+      .unionAll(docs().where(col("doc_id") >= 0 && col("doc_id") % 10 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          M.patchedBody(col("body")).as("body")))
+    val prepped = delta
+      .withColumn("event_time", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withWatermark("event_time", "1 hour")
+      .select(col("doc_id").as("delta_id"), col("event_time"),
+        call_function("dhash64", col("body")).as("db"))
+      .where(col("db").isNotNull)
+    val cand = prepped
+      .select(col("delta_id"), col("event_time"), col("db"),
+        posexplode(col("db")))
+      .select(col("delta_id"), col("event_time"), col("db"),
+        col("pos").as("band_id"), col("col").as("band"))
+      .join(broadcast(bandS), Seq("band_id", "band"))
+      .select(col("delta_id"), col("standing_id"), col("event_time"),
+        col("db"), col("sb"))
+      .dropDuplicatesWithinWatermark("delta_id", "standing_id")
+    val out = cand
+      .withColumn("hamming", aggregate(
+        zip_with(col("sb"), col("db"),
+          (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .where(col("hamming") <= 3)
+      .select(col("standing_id").as("doc_a"), col("delta_id").as("doc_b"),
+        col("hamming"))
+    Replay.runAppend(spark, out)
+  }
+
   /** A-family streaming — THE ROLLING DISTINCT WINDOW AT INGEST
     * (streaming twin of a26, st43's machinery widened to window
     * frames): each arriving event explodes STATELESSLY into the 7
@@ -3054,6 +3123,7 @@ object StreamQueries {
     "st59_stream_sequence_match" -> st59_stream_sequence_match,
     "st60_stream_rolling_distinct" -> st60_stream_rolling_distinct,
     "st61_stream_media_gate" -> st61_stream_media_gate,
+    "st75_stream_dhash" -> st75_stream_dhash,
     "st62_stream_center" -> st62_stream_center,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
@@ -3325,6 +3395,10 @@ object StreamQueries {
     "st62_stream_center" ->
       graft.operators.Similarity.oracles("n26_embedding_center"),
     // st61's streamed byte verdicts must equal mm08's batch gate
+    // st75's streamed probe must equal mm10's arithmetic on the
+    // (standing, delta) slice with the standing-side band cap
+    "st75_stream_dhash" ->
+      graft.operators.Multimodal.duckDhashProbeSql,
     "st61_stream_media_gate" ->
       graft.operators.Multimodal.oracles("mm08_media_gate"),
     // st60's streamed window buffers must equal a26's bottom-k exactly
