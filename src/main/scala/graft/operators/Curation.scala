@@ -649,7 +649,40 @@ object Curation {
         (col("n_admitted") + col("n_unique_kill")).as("n_admitted_without"))
   }
 
+  /** c10 — MEDIA ADMISSION CAPSTONE: the binary-corpus twin of c01's
+    * text manifest, composing the two mm-family verdicts a media
+    * ingest actually chains — mm08's byte-level admission gate (lane:
+    * truncated / bad_magic / size_mismatch / ok, parsed from the
+    * genuinely corrupted payload bytes) and mm10's perceptual near-dup
+    * graph over the BASE corpus (dHash banded LSH at hamming ≤ 3) —
+    * into ONE per-item decision row: lane, dup_of (the smallest
+    * perceptual partner below it — the d01 min-id keeper rule moved
+    * onto the hamming graph; null ⇒ this item IS its group's keeper)
+    * and the final `admitted` verdict (clean bytes AND keeper). The
+    * cheap-gates-first ordering is structural: the byte gate is a
+    * row-local projection; only the dedup leg pays a shuffle.
+    *
+    * Scale shape: mm08's leg is shuffle-free; mm10's leg is the one
+    * band-key exchange with capped buckets ([[Multimodal.dhashPairs]]);
+    * the compose is a left join on doc_id against a ≤|dups| relation.
+    */
+  val c10_media_admission: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val M = Multimodal
+    val lanes = M.mediaGate(documents(spark, dir))
+      .select(col("doc_id"), col("lane"))
+    val base = documents(spark, dir).select(col("doc_id"),
+      encode(col("text"), "utf-8").as("body"))
+    val dup = M.dhashPairs(base)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"))
+    lanes.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lane"), col("dup_of"),
+        (col("lane") === "ok" && col("dup_of").isNull).as("admitted"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c10_media_admission" -> c10_media_admission,
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_curated_manifest" -> c02_curated_manifest,
     "c03_curation_audit" -> c03_curation_audit,
@@ -900,6 +933,43 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // c10: mm08's construction-derived lanes composed with the dHash
+    // pair graph over the base corpus (shared bit CTEs) and the
+    // min-partner keeper rule
+    "c10_media_admission" -> {
+      val M = Multimodal
+      s"""WITH ${M.duckDhashBytesCte},
+          corpus AS (SELECT doc_id, bytes FROM by),
+          ${M.duckDhashBitsCtes},
+          capped AS (SELECT doc_id, band_id, band FROM bits
+                     QUALIFY COUNT(*) OVER (PARTITION BY band_id, band)
+                               <= ${M.PhashBandCap}),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM capped a JOIN capped b
+                   ON a.band_id = b.band_id AND a.band = b.band
+                      AND a.doc_id < b.doc_id),
+          pairs AS (SELECT doc_a, doc_b FROM (
+                      SELECT c.doc_a, c.doc_b,
+                             CAST(list_sum(list_transform(
+                                    list_zip(sa.bands, sb.bands),
+                                    t -> bit_count(xor(t[1], t[2]))))
+                                  AS BIGINT) AS hamming
+                      FROM cand c
+                      JOIN sig sa ON sa.doc_id = c.doc_a
+                      JOIN sig sb ON sb.doc_id = c.doc_b)
+                    WHERE hamming <= 3),
+          dup AS (SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+                  FROM pairs GROUP BY 1),
+          lane AS (SELECT doc_id,
+                          CASE WHEN doc_id % 9 = 2 THEN 'truncated'
+                               WHEN doc_id % 9 = 5 THEN 'bad_magic'
+                               WHEN doc_id % 9 = 7 THEN 'size_mismatch'
+                               ELSE 'ok' END AS lane
+                   FROM documents)
+          SELECT l.doc_id, l.lane, d.dup_of,
+                 l.lane = 'ok' AND d.dup_of IS NULL AS admitted
+          FROM lane l LEFT JOIN dup d USING (doc_id)"""
+    },
     "c09_gate_ablation" -> {
       val T = TextAnalysis
       s"""WITH $duckFlagsCtes,

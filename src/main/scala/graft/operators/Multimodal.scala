@@ -589,6 +589,16 @@ object Multimodal {
       .unionAll(base.where(col("doc_id") % 10 === 3)
         .select((col("doc_id") + 3000000L).as("doc_id"),
           patchedBody(col("body")).as("body")))
+    dhashPairs(corpus)
+  }
+
+  /** mm10's banded-LSH hamming self-join over any (doc_id, body)
+    * corpus — shared with the c10 media-admission capstone (which
+    * runs it over the base corpus only): signatures in one codegen'd
+    * projection, over-cap band buckets dropped whole, pair dedup,
+    * exact popcount verify at hamming ≤ 3.
+    */
+  private[graft] def dhashPairs(corpus: DataFrame): DataFrame = {
     val banded = corpus
       .select(col("doc_id"), call_function("dhash64", col("body")).as("bands"))
       .where(col("bands").isNotNull)
@@ -656,6 +666,48 @@ object Multimodal {
               >= $MediaDupJaccard"""
   }
 
+  /** The per-doc bytes CTE (`by`) every dHash oracle starts from. */
+  private[graft] val duckDhashBytesCte: String =
+    """by AS (
+         SELECT doc_id,
+                list_transform(range(0, octet_length(encode(text))),
+                  i -> ('0x' || substr(hex(encode(text)), (2*i + 1)::INT, 2))::BIGINT)
+                  AS bytes
+         FROM documents)"""
+
+  /** The shared dHash bit arithmetic as chainable CTE text — expects a
+    * preceding CTE named `corpus(doc_id, bytes)` and ends with
+    * `bits(doc_id, band_id, band)` and `sig(doc_id, bands)`: same
+    * 65-stride mapping as the Spark expression (stride of byte i =
+    * i·65 div n; stride s spans [ceil(s·n/65), ceil((s+1)·n/65))),
+    * same exact integer cross-multiplied ADJACENT-stride compares.
+    */
+  private[graft] val duckDhashBitsCtes: String =
+    """st AS (SELECT doc_id, bytes, len(bytes) AS n
+             FROM corpus WHERE len(bytes) >= 65),
+       ssum AS (SELECT doc_id, n, s,
+                       CAST(coalesce(list_aggregate(
+                         bytes[((s*n + 64)//65 + 1)::INT :
+                               (((s+1)*n + 64)//65)::INT], 'sum'), 0) AS BIGINT)
+                         AS sum_s,
+                       ((s+1)*n + 64)//65 - (s*n + 64)//65 AS len_s
+                FROM (SELECT doc_id, bytes, n,
+                             unnest(range(0, 65)) AS s
+                      FROM st)),
+       adj AS (SELECT a.doc_id, a.s,
+                      a.sum_s AS sa, a.len_s AS la,
+                      b.sum_s AS sb, b.len_s AS lb
+               FROM ssum a JOIN ssum b
+                 ON a.doc_id = b.doc_id AND b.s = a.s + 1
+               WHERE a.s < 64),
+       bits AS (SELECT doc_id, s // 16 AS band_id,
+                       CAST(SUM(CASE WHEN sa * lb > sb * la
+                                     THEN (1::BIGINT << (s % 16)::INT)
+                                     ELSE 0 END) AS BIGINT) AS band
+                FROM adj GROUP BY 1, 2),
+       sig AS (SELECT doc_id, list(band ORDER BY band_id) AS bands
+               FROM bits GROUP BY 1)"""
+
   /** st75's oracle: the mm10 stride/bit arithmetic with the corpus
     * split into standing (base docs) and delta (the re-uploaded
     * cohorts), the band cap applied to the STANDING side only (the
@@ -663,12 +715,7 @@ object Multimodal {
     * other), and only (standing, delta) pairs emitted.
     */
   private[graft] def duckDhashProbeSql: String =
-    s"""WITH by AS (
-          SELECT doc_id,
-                 list_transform(range(0, octet_length(encode(text))),
-                   i -> ('0x' || substr(hex(encode(text)), (2*i + 1)::INT, 2))::BIGINT)
-                   AS bytes
-          FROM documents),
+    s"""WITH $duckDhashBytesCte,
         corpus AS (
           SELECT doc_id, bytes FROM by
           UNION ALL
@@ -683,36 +730,13 @@ object Multimodal {
                    || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
                             len(bytes)::INT]
           FROM by WHERE doc_id % 10 = 3),
-        st AS (SELECT doc_id, bytes, len(bytes) AS n
-               FROM corpus WHERE len(bytes) >= 65),
-        ssum AS (SELECT doc_id, n, s,
-                        CAST(coalesce(list_aggregate(
-                          bytes[((s*n + 64)//65 + 1)::INT :
-                                (((s+1)*n + 64)//65)::INT], 'sum'), 0) AS BIGINT)
-                          AS sum_s,
-                        ((s+1)*n + 64)//65 - (s*n + 64)//65 AS len_s
-                 FROM (SELECT doc_id, bytes, n,
-                              unnest(range(0, 65)) AS s
-                       FROM st)),
-        adj AS (SELECT a.doc_id, a.s,
-                       a.sum_s AS sa, a.len_s AS la,
-                       b.sum_s AS sb, b.len_s AS lb
-                FROM ssum a JOIN ssum b
-                  ON a.doc_id = b.doc_id AND b.s = a.s + 1
-                WHERE a.s < 64),
-        bits AS (SELECT doc_id, s // 16 AS band_id,
-                        CAST(SUM(CASE WHEN sa * lb > sb * la
-                                      THEN (1::BIGINT << (s % 16)::INT)
-                                      ELSE 0 END) AS BIGINT) AS band
-                 FROM adj GROUP BY 1, 2),
+        $duckDhashBitsCtes,
         stand AS (SELECT doc_id, band_id, band FROM bits
                   WHERE doc_id < 1000000
                   QUALIFY COUNT(*) OVER (PARTITION BY band_id, band)
                             <= $PhashBandCap),
         delta AS (SELECT doc_id, band_id, band FROM bits
                   WHERE doc_id >= 1000000),
-        sig AS (SELECT doc_id, list(band ORDER BY band_id) AS bands
-                FROM bits GROUP BY 1),
         cand AS (SELECT DISTINCT s.doc_id AS doc_a, d.doc_id AS doc_b
                  FROM stand s JOIN delta d
                  ON s.band_id = d.band_id AND s.band = d.band)
@@ -733,12 +757,7 @@ object Multimodal {
       // cross-multiplied ADJACENT-stride compare, same band cap and
       // pigeonhole candidate join; the middle-tenth +50 patch applied
       // as 1-based list slices mirroring the substr arithmetic
-      s"""WITH by AS (
-            SELECT doc_id,
-                   list_transform(range(0, octet_length(encode(text))),
-                     i -> ('0x' || substr(hex(encode(text)), (2*i + 1)::INT, 2))::BIGINT)
-                     AS bytes
-            FROM documents),
+      s"""WITH $duckDhashBytesCte,
           corpus AS (
             SELECT doc_id, bytes FROM by
             UNION ALL
@@ -753,33 +772,10 @@ object Multimodal {
                      || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
                               len(bytes)::INT]
             FROM by WHERE doc_id % 10 = 3),
-          st AS (SELECT doc_id, bytes, len(bytes) AS n
-                 FROM corpus WHERE len(bytes) >= 65),
-          ssum AS (SELECT doc_id, n, s,
-                          CAST(coalesce(list_aggregate(
-                            bytes[((s*n + 64)//65 + 1)::INT :
-                                  (((s+1)*n + 64)//65)::INT], 'sum'), 0) AS BIGINT)
-                            AS sum_s,
-                          ((s+1)*n + 64)//65 - (s*n + 64)//65 AS len_s
-                   FROM (SELECT doc_id, bytes, n,
-                                unnest(range(0, 65)) AS s
-                         FROM st)),
-          adj AS (SELECT a.doc_id, a.s,
-                         a.sum_s AS sa, a.len_s AS la,
-                         b.sum_s AS sb, b.len_s AS lb
-                  FROM ssum a JOIN ssum b
-                    ON a.doc_id = b.doc_id AND b.s = a.s + 1
-                  WHERE a.s < 64),
-          bits AS (SELECT doc_id, s // 16 AS band_id,
-                          CAST(SUM(CASE WHEN sa * lb > sb * la
-                                        THEN (1::BIGINT << (s % 16)::INT)
-                                        ELSE 0 END) AS BIGINT) AS band
-                   FROM adj GROUP BY 1, 2),
+          $duckDhashBitsCtes,
           capped AS (SELECT doc_id, band_id, band FROM bits
                      QUALIFY COUNT(*) OVER (PARTITION BY band_id, band)
                                <= $PhashBandCap),
-          sig AS (SELECT doc_id, list(band ORDER BY band_id) AS bands
-                  FROM bits GROUP BY 1),
           cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                    FROM capped a JOIN capped b
                    ON a.band_id = b.band_id AND a.band = b.band

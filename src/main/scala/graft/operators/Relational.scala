@@ -1987,6 +1987,71 @@ object Relational {
         hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("wau"))
   }
 
+  /** p22 — FUNCTIONAL-DEPENDENCY / KEY-CANDIDATE AUDIT: the schema-
+    * discovery relation profilers derive before anyone writes a join —
+    * for each pinned candidate (determinant → dependent) pair:
+    * |distinct(det)| vs |distinct(det, dep)| (equal ⟺ the FD holds on
+    * this corpus — det functionally determines dep), plus the
+    * determinant's uniqueness in exact per-mille (1000 ⟺ det is a key
+    * candidate). This is how `event_id → *` is PROVEN unique before
+    * K3's idempotent-by-id sink relies on it, and how a proposed
+    * enrichment join key is vetted for fan-out before it ships.
+    *
+    * Scale shape: all pairs ride ONE aggregation over one scan
+    * (Spark expands multi-distinct into one Expand + aggregate — a
+    * constant factor over the pair count, never a per-pair scan
+    * loop: the p21 one-scan discipline applied to dependency
+    * profiling); the reshape-out is a literal-array explode of a
+    * 1-row relation.
+    */
+  val p22_fd_audit: Q = (spark, dir) => {
+    val e = events(spark, dir)
+    def fd(det: String, dep: String) = struct(
+      lit(det).as("det"), lit(dep).as("dep"),
+      count_distinct(col(det)).as("n_det"),
+      count_distinct(struct(col(det), col(dep))).as("n_pair"))
+    e.agg(count(lit(1)).as("n_rows"),
+        array(fd("event_id", "user_id"), fd("event_id", "event_type"),
+          fd("user_id", "event_type"), fd("event_type", "props"),
+          fd("props", "event_type")).as("fds"))
+      .select(col("n_rows"), explode(col("fds")).as("f"))
+      .select(col("f.det").as("det"), col("f.dep").as("dep"), col("n_rows"),
+        col("f.n_det").as("n_det"), col("f.n_pair").as("n_pair"),
+        (col("f.n_det") === col("f.n_pair")).as("fd_holds"),
+        expr("f.n_det * 1000 div n_rows").as("det_key_pm"))
+  }
+
+  /** w14 — PERIOD-OVER-PERIOD COMPARISON: daily revenue against the
+    * same day one week back (WoW) and 364 days back (YoY at weekday
+    * parity — 52 exact weeks, so Monday compares to Monday; the naive
+    * 365 shifts the weekday and poisons the comparison with the
+    * weekly cycle), deltas in exact integer per-mille. CALENDAR
+    * self-joins on the shifted date, not row-offset lags — a missing
+    * day must compare as missing (null), not silently slide to
+    * whatever row happened to be 7 positions back (the w10 gap
+    * lesson applied to reporting).
+    *
+    * Scale shape: the daily relation is calendar-bounded (the
+    * w-family bound), so both shifted self-joins broadcast; one dt
+    * rollup with map-side partials is the only data-volume exchange.
+    */
+  val w14_period_over_period: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+    def shifted(days: Int, as: String) = daily.select(
+      date_add(col("dt"), days).as("dt"), col("rev_cents").as(as))
+    daily
+      .join(broadcast(shifted(7, "wk_cents")), Seq("dt"), "left")
+      .join(broadcast(shifted(364, "yr_cents")), Seq("dt"), "left")
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+        col("rev_cents"), col("wk_cents"), col("yr_cents"),
+        when(col("wk_cents").isNotNull && col("wk_cents") > 0,
+          expr("((rev_cents - wk_cents) * 1000) div wk_cents")).as("wow_pm"),
+        when(col("yr_cents").isNotNull && col("yr_cents") > 0,
+          expr("((rev_cents - yr_cents) * 1000) div yr_cents")).as("yoy_pm"))
+  }
+
   /** a41 — CHANGEPOINT SCAN (binary-segmentation step over the daily
     * revenue series): for every split point i of the date-ordered
     * daily totals, the left/right mean gap as an exact integer —
@@ -3419,6 +3484,8 @@ object Relational {
     "a20_sketch_reagg" -> a20_sketch_reagg,
     "a20x_sketch_reagg_exact" -> a20x_sketch_reagg_exact,
     "a41_changepoint" -> a41_changepoint,
+    "p22_fd_audit" -> p22_fd_audit,
+    "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
     "w05_ohlc_candles" -> w05_ohlc_candles,
@@ -4497,6 +4564,61 @@ object Relational {
                 strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
                 user_id, COUNT(*) AS n_events
          FROM s GROUP BY user_id, sid""",
+    // p22: same one-pass distinct counts; the pair distinct counted
+    // over a row struct on both engines
+    "p22_fd_audit" ->
+      """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events),
+          f AS (
+            SELECT 'event_id' AS det, 'user_id' AS dep,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_det,
+                   CAST(COUNT(DISTINCT struct_pack(a := event_id, b := user_id))
+                        AS BIGINT) AS n_pair
+            FROM events
+            UNION ALL
+            SELECT 'event_id', 'event_type',
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT),
+                   CAST(COUNT(DISTINCT struct_pack(a := event_id, b := event_type))
+                        AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'user_id', 'event_type',
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   CAST(COUNT(DISTINCT struct_pack(a := user_id, b := event_type))
+                        AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', 'props',
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   CAST(COUNT(DISTINCT struct_pack(a := event_type, b := props))
+                        AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'props', 'event_type',
+                   CAST(COUNT(DISTINCT props) AS BIGINT),
+                   CAST(COUNT(DISTINCT struct_pack(a := props, b := event_type))
+                        AS BIGINT)
+            FROM events)
+          SELECT det, dep, n_rows, n_det, n_pair,
+                 n_det = n_pair AS fd_holds,
+                 CAST(n_det * 1000 // n_rows AS BIGINT) AS det_key_pm
+          FROM f, t""",
+    // w14: the same calendar self-joins (missing days stay missing)
+    "w14_period_over_period" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS rev_cents
+                        FROM orders GROUP BY 1)
+          SELECT strftime(d.dt, '%Y-%m-%d') AS dt, d.rev_cents,
+                 w.rev_cents AS wk_cents, y.rev_cents AS yr_cents,
+                 CASE WHEN w.rev_cents > 0
+                      THEN ((d.rev_cents - w.rev_cents) * 1000) // w.rev_cents
+                 END AS wow_pm,
+                 CASE WHEN y.rev_cents > 0
+                      THEN ((d.rev_cents - y.rev_cents) * 1000) // y.rev_cents
+                 END AS yoy_pm
+          FROM daily d
+          LEFT JOIN daily w ON w.dt = d.dt - INTERVAL 7 DAY
+          LEFT JOIN daily y ON y.dt = d.dt - INTERVAL 364 DAY""",
     // a41: the same cross-multiplied split statistic; HUGEINT carries
     // the micro scaling where Spark promotes to decimal(38,0)
     "a41_changepoint" ->
