@@ -2074,10 +2074,16 @@ object Relational {
     * so the unpartitioned windows never see data volume; the 1-row
     * total broadcasts.
     */
-  val a41_changepoint: Q = (spark, dir) => {
-    val daily = orders(spark, dir)
+  val a41_changepoint: Q = (spark, dir) =>
+    changepointScan(orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents")))
+
+  /** [[a41_changepoint]]'s split scan over any (dt, rev_cents) daily
+    * relation — shared with st76, where the daily sums are maintained
+    * at ingest and this scan runs on read (the st68/st72 discipline).
+    */
+  private[graft] def changepointScan(daily: DataFrame): DataFrame = {
     val tot = daily.agg(sum(col("rev_cents")).as("st"),
       count(lit(1)).as("n"))
     val wc = Window.orderBy(col("dt"))
@@ -2770,6 +2776,36 @@ object Relational {
       (round(col("p_retailprice") * lit(110)) / 100).as("uplift"),
       (col("p_size") + 1).as("size_next"),
       (col("p_retailprice") > 1000).as("is_premium"))
+  }
+
+  /** f03 — DATETIME SCALAR BATTERY: the calendar-function parity
+    * surface (§2.8's date leg) pinned cross-engine, because calendar
+    * functions are where engines silently disagree: DuckDB's
+    * `dayofweek` is 0-based Sunday where Spark's is 1-based (the
+    * oracle shifts), week-of-year means ISO week on both (pinned by
+    * the differential, not assumed), `add_months`/`+ INTERVAL MONTH`
+    * both clamp to month end (2024-01-31 + 1 mo = 2024-02-29 — the
+    * clamp IS the test), and truncations compare as formatted strings
+    * so no epoch/timezone re-derivation can hide. Every derived
+    * column is an integer or a string — nothing floats. Pure
+    * projection; no shuffle.
+    */
+  val f03_datetime_suite: Q = (spark, dir) => {
+    val dt = to_date(col("o_orderdate"))
+    orders(spark, dir).select(
+      col("o_orderkey"),
+      date_format(dt, "yyyy-MM-dd").as("dt"),
+      year(dt).cast("long").as("yr"),
+      quarter(dt).cast("long").as("qtr"),
+      month(dt).cast("long").as("mo"),
+      dayofmonth(dt).cast("long").as("dom"),
+      dayofweek(dt).cast("long").as("dow1"), // 1 = Sunday
+      dayofyear(dt).cast("long").as("doy"),
+      weekofyear(dt).cast("long").as("iso_week"),
+      date_format(last_day(dt), "yyyy-MM-dd").as("month_end"),
+      date_format(add_months(dt, 1), "yyyy-MM-dd").as("plus_month"),
+      date_format(date_trunc("quarter", dt), "yyyy-MM-dd").as("qtr_start"),
+      datediff(dt, lit("1970-01-01").cast("date")).cast("long").as("epoch_day"))
   }
 
   // --------------------------------------------------------------------
@@ -3485,6 +3521,7 @@ object Relational {
     "a20x_sketch_reagg_exact" -> a20x_sketch_reagg_exact,
     "a41_changepoint" -> a41_changepoint,
     "p22_fd_audit" -> p22_fd_audit,
+    "f03_datetime_suite" -> f03_datetime_suite,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -4602,6 +4639,28 @@ object Relational {
                  n_det = n_pair AS fd_holds,
                  CAST(n_det * 1000 // n_rows AS BIGINT) AS det_key_pm
           FROM f, t""",
+    // f03: dayofweek re-based (DuckDB 0=Sunday -> +1), ISO week via
+    // strftime %V, everything else the named calendar function
+    "f03_datetime_suite" ->
+      """SELECT o_orderkey,
+                strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS dt,
+                CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+                CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+                CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+                CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow1,
+                CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+                CAST(strftime(CAST(o_orderdate AS DATE), '%V') AS BIGINT)
+                  AS iso_week,
+                strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+                  AS month_end,
+                strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH,
+                         '%Y-%m-%d') AS plus_month,
+                strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)),
+                         '%Y-%m-%d') AS qtr_start,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  AS epoch_day
+         FROM orders""",
     // w14: the same calendar self-joins (missing days stay missing)
     "w14_period_over_period" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,

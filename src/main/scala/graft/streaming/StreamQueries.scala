@@ -1650,6 +1650,29 @@ object StreamQueries {
     * right door-side investment. Sentinel pre-filtered. Oracle is
     * w12's verbatim.
     */
+  /** A-family streaming — CHANGEPOINT MONITOR OVER INGEST COUNTERS
+    * (streaming twin of a41, the fourth consumer of the
+    * count-at-ingest door): ONE update-mode daily-revenue aggregation
+    * is the only stateful step (state = |days|, calendar-bounded;
+    * per-day sums only GROW as orders arrive, so the upsert order
+    * column is monotone by construction), and a41's exact
+    * cross-multiplied binary-segmentation scan runs ON READ through
+    * the shared [[graft.operators.Relational.changepointScan]] —
+    * "did the level shift, and when?" answered from kilobytes of
+    * served state instead of a raw-history rescan. Sentinel
+    * pre-filtered. Oracle is a41's verbatim.
+    */
+  val st76_stream_changepoint: Q = (spark, dir) => {
+    val daily = Replay.ordersStream(spark, dir)
+      .where(col("o_orderkey") >= 0)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(graft.Tables.cents(col("o_totalprice")).cast("long"))
+        .as("rev_cents"))
+    val served = upsertServe(spark, daily, Seq("dt"), "rev_cents")
+    graft.operators.Relational.changepointScan(
+      served.select(col("dt"), col("rev_cents")))
+  }
+
   val st72_stream_zscore: Q = (spark, dir) => {
     val counts = Replay.eventsStream(spark, dir)
       .where(col("user_id") >= 0)
@@ -3134,6 +3157,7 @@ object StreamQueries {
     "st70_stream_kmv_overlap" -> st70_stream_kmv_overlap,
     "st71_stream_stratified" -> st71_stream_stratified,
     "st72_stream_zscore" -> st72_stream_zscore,
+    "st76_stream_changepoint" -> st76_stream_changepoint,
     "st73_stream_norm_groups" -> st73_stream_norm_groups,
     "st74_stream_session_paths" -> st74_stream_session_paths,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
@@ -3374,6 +3398,9 @@ object StreamQueries {
     "st71_stream_stratified" ->
       graft.operators.TextAnalysis.oracles("t32_stratified_sample"),
     // st72's counted-then-judged flags must equal w12's batch monitor
+    // st76's served daily sums must scan to exactly a41's split relation
+    "st76_stream_changepoint" ->
+      graft.operators.Relational.oracles("a41_changepoint"),
     "st72_stream_zscore" ->
       graft.operators.Relational.oracles("w12_rolling_zscore"),
     // st73's served group counts must shape to exactly t33's keys
