@@ -1851,7 +1851,68 @@ object Dedup {
   // registry
   // ------------------------------------------------------------------
 
+  /** d25 — PER-SOURCE DUPLICATION REPORT: the crawl-budget telemetry
+    * a curation org actually steers by — per `source`: corpus volume,
+    * how many of its docs are exact copies of an earlier doc (d01's
+    * min-id keeper rule: a doc is an exact dup iff it is not its
+    * content-hash group's keeper), how many participate in a near-dup
+    * relation (any endpoint of the standing simhash edge set,
+    * restricted to base ids — the planted fixture cohorts don't
+    * charge any source), and both rates in exact per-mille. A source
+    * running hot on dup-rate is paying crawl, storage and dedup
+    * compute to re-acquire what it already has — this relation is
+    * where that shows up first.
+    *
+    * Scale shape: one content-hash shuffle (d01's), one reuse of the
+    * materialized `simhashEdges` artifact reduced to a distinct-id
+    * relation, one |sources|-row rollup. Nothing new scales with
+    * corpus².
+    */
+  val d25_source_dup_report: Q = (spark, dir) => {
+    val base = documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keepers = base.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val near = simhashEdges(spark, dir)
+      .where(col("doc_a") < 1000000L && col("doc_b") < 1000000L)
+      .select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    base.join(keepers, Seq("h"))
+      .join(near, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+          .as("n_exact_dup"),
+        sum(when(coalesce(col("is_near"), lit(false)), 1L).otherwise(0L))
+          .as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"),
+        expr("n_exact_dup * 1000 div n_docs").as("exact_dup_pm"),
+        expr("n_near_dup * 1000 div n_docs").as("near_dup_pm"))
+  }
+
+  private def duckSourceDupSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        base AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        k AS (SELECT h, MIN(doc_id) AS keeper FROM base GROUP BY 1),
+        nr AS (SELECT DISTINCT doc_a AS doc_id FROM edges
+               WHERE doc_a < 1000000 AND doc_b < 1000000),
+        f AS (SELECT b.doc_id, b.source,
+                     b.doc_id <> k.keeper AS is_exact,
+                     nr.doc_id IS NOT NULL AS is_near
+              FROM base b JOIN k USING (h) LEFT JOIN nr USING (doc_id))
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_exact_dup,
+               CAST(SUM(CASE WHEN is_near THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_near_dup,
+               CAST(SUM(CASE WHEN is_exact THEN 1 ELSE 0 END) * 1000
+                    // COUNT(*) AS BIGINT) AS exact_dup_pm,
+               CAST(SUM(CASE WHEN is_near THEN 1 ELSE 0 END) * 1000
+                    // COUNT(*) AS BIGINT) AS near_dup_pm
+        FROM f GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "d25_source_dup_report" -> d25_source_dup_report,
     "d24_partition_agreement" -> d24_partition_agreement,
     "d22_triangle_count" -> d22_triangle_count,
     "d23_lpa_communities" -> d23_lpa_communities,
@@ -1878,6 +1939,7 @@ object Dedup {
     "d22_triangle_count" -> duckTriangleSql,
     "d23_lpa_communities" -> duckLpaSql,
     "d24_partition_agreement" -> duckAgreementSql,
+    "d25_source_dup_report" -> duckSourceDupSql,
     "d01_exact_dedup" ->
       s"""WITH $duckExactCorpus
           SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,

@@ -1733,7 +1733,46 @@ object TextAnalysis {
         count(lit(1)).over(W.partitionBy(col("norm_hash"))))
   }
 
+  /** t34 — TOKENIZER FERTILITY BY LANGUAGE: the tokenizer-budget
+    * relation mixture planning actually reads — per language, off the
+    * TRAINED shared artifact ([[bpeIdx]], t12's per-doc encode
+    * machinery rolled up one level): doc/word/BPE-token/char volumes,
+    * fertility (BPE tokens per word) and compression (chars per BPE
+    * token), both as exact integer micro-ratios. A language whose
+    * fertility runs hot pays more sequence budget per word — this
+    * table is how that cost enters the c07-style mixture decision
+    * with numbers instead of folklore.
+    *
+    * Scale shape: one (doc, token) explode joined to the broadcast
+    * vocab, ONE doc_id-keyed rollup (map-side partial), then a
+    * |langs|-row re-aggregation — t12's plan plus one tiny exchange;
+    * the train-once artifact amortizes as ever.
+    */
+  val t34_lang_fertility: Q = (spark, dir) => {
+    val vocab = bpeIdx(spark, dir, "vocab")
+      .select(col("token"), size(split(col("syms"), " ")).cast("long").as("n_sub"))
+    val perDoc = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
+    perDoc
+      .join(documents(spark, dir).select(col("doc_id"), col("lang"),
+        col("n_chars")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        expr("n_bpe_tokens * 1000000 div n_words").as("fertility_micro"),
+        expr("n_chars * 1000000 div n_bpe_tokens").as("chars_per_tok_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t34_lang_fertility" -> t34_lang_fertility,
     "t33_normalize" -> t33_normalize,
     "t32_stratified_sample" -> t32_stratified_sample,
     "t31_tfidf_keywords" -> t31_tfidf_keywords,
@@ -2460,6 +2499,29 @@ object TextAnalysis {
          FROM w CROSS JOIN best""",
     "t11_bpe_train" -> duckBpeTrainSql,
     "t12_bpe_encode" -> duckBpeEncodeSql,
+    // t34: t12's encode rollup re-keyed by language, integer micro-ratios
+    "t34_lang_fertility" ->
+      s"""WITH ${duckBpeCtes("documents")},
+          dw AS (SELECT doc_id, token
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                       FROM documents)
+                 WHERE len(token) > 0),
+          vs AS (SELECT token, len(string_split(syms, ' ')) AS n_sub
+                 FROM w$BpeIters),
+          pd AS (SELECT doc_id, COUNT(*) AS n_words,
+                        CAST(SUM(n_sub) AS BIGINT) AS n_bpe
+                 FROM dw JOIN vs USING (token) GROUP BY 1),
+          j AS (SELECT d.lang, pd.n_words, pd.n_bpe, d.n_chars
+                FROM pd JOIN documents d USING (doc_id))
+          SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_words) AS BIGINT) AS n_words,
+                 CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                 CAST(SUM(n_bpe) * 1000000 // SUM(n_words) AS BIGINT)
+                   AS fertility_micro,
+                 CAST(SUM(n_chars) * 1000000 // SUM(n_bpe) AS BIGINT)
+                   AS chars_per_tok_micro
+          FROM j GROUP BY 1""",
     "t25_bpe_decode" -> duckBpeDecodeSql,
     // t27: the same exact cross-multiplied rule arithmetic
     "t27_gopher_rules" -> {
