@@ -2035,10 +2035,16 @@ object Relational {
     * w-family bound), so both shifted self-joins broadcast; one dt
     * rollup with map-side partials is the only data-volume exchange.
     */
-  val w14_period_over_period: Q = (spark, dir) => {
-    val daily = orders(spark, dir)
+  val w14_period_over_period: Q = (spark, dir) =>
+    periodShifts(orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents")))
+
+  /** [[w14_period_over_period]]'s shifted self-joins over any
+    * (dt, rev_cents) daily relation — shared with st77, where the
+    * daily sums are maintained at ingest and the report runs on read.
+    */
+  private[graft] def periodShifts(daily: DataFrame): DataFrame = {
     def shifted(days: Int, as: String) = daily.select(
       date_add(col("dt"), days).as("dt"), col("rev_cents").as(as))
     daily

@@ -1673,6 +1673,26 @@ object StreamQueries {
       served.select(col("dt"), col("rev_cents")))
   }
 
+  /** W-family streaming — PERIOD-OVER-PERIOD REPORT OVER INGEST
+    * COUNTERS (streaming twin of w14, the daily-revenue door's second
+    * read-side consumer beside st76 — the one-state-many-verdicts
+    * economics yet again): the identical update-mode daily sum is the
+    * only stateful step; the WoW/YoY calendar self-joins run ON READ
+    * through the shared
+    * [[graft.operators.Relational.periodShifts]]. Sentinel
+    * pre-filtered. Oracle is w14's verbatim.
+    */
+  val st77_stream_period_report: Q = (spark, dir) => {
+    val daily = Replay.ordersStream(spark, dir)
+      .where(col("o_orderkey") >= 0)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(graft.Tables.cents(col("o_totalprice")).cast("long"))
+        .as("rev_cents"))
+    val served = upsertServe(spark, daily, Seq("dt"), "rev_cents")
+    graft.operators.Relational.periodShifts(
+      served.select(col("dt"), col("rev_cents")))
+  }
+
   val st72_stream_zscore: Q = (spark, dir) => {
     val counts = Replay.eventsStream(spark, dir)
       .where(col("user_id") >= 0)
@@ -3158,6 +3178,7 @@ object StreamQueries {
     "st71_stream_stratified" -> st71_stream_stratified,
     "st72_stream_zscore" -> st72_stream_zscore,
     "st76_stream_changepoint" -> st76_stream_changepoint,
+    "st77_stream_period_report" -> st77_stream_period_report,
     "st73_stream_norm_groups" -> st73_stream_norm_groups,
     "st74_stream_session_paths" -> st74_stream_session_paths,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
@@ -3401,6 +3422,9 @@ object StreamQueries {
     // st76's served daily sums must scan to exactly a41's split relation
     "st76_stream_changepoint" ->
       graft.operators.Relational.oracles("a41_changepoint"),
+    // st77's served daily sums must report exactly w14's shifts
+    "st77_stream_period_report" ->
+      graft.operators.Relational.oracles("w14_period_over_period"),
     "st72_stream_zscore" ->
       graft.operators.Relational.oracles("w12_rolling_zscore"),
     // st73's served group counts must shape to exactly t33's keys

@@ -439,4 +439,46 @@ class PlanSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!d22.contains("CartesianProduct"), s"d22 plan degenerated:\n$d22")
   }
+
+  test("mm10/d24/d25: round-12 pair and audit plans stay equi-join — no cartesian") {
+    // mm10's banded hamming join, d24's label-table joins and d25's
+    // edge-artifact reuse must never degenerate into a cartesian; the
+    // single BroadcastNestedLoop allowed anywhere is a bounded 1-row
+    // total attach (none of these three has one).
+    for ((name, q) <- Seq(
+        ("mm10", graft.operators.Multimodal.mm10_media_dhash),
+        ("d24", graft.operators.Dedup.d24_partition_agreement),
+        ("d25", graft.operators.Dedup.d25_source_dup_report))) {
+      val plan = q(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"$name plan degenerated:\n$plan")
+    }
+  }
+
+  test("n30: the query side broadcasts; each rung aggregates partially map-side") {
+    val plan = graft.operators.Similarity.n30_truncated_retrieval(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the bounded query set must broadcast:\n$plan")
+    assert(plan.contains("partial_topk") || plan.contains("partial_finalmerge")
+        || plan.contains("objHashAggregate") || plan.contains("partial"),
+      s"rungs must partially aggregate before the exchange:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"n30 plan degenerated:\n$plan")
+  }
+
+  test("a41/w14: split scan and period report ride the calendar-bounded daily relation") {
+    // the one full-width exchange either query may have is the daily
+    // rollup's; the analytics tail must not add a data-volume shuffle
+    // (windows over the daily relation are unpartitioned by design —
+    // the calendar bound is the docstring contract)
+    val a41 = Relational.a41_changepoint(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!a41.contains("CartesianProduct"), s"a41 plan degenerated:\n$a41")
+    val w14 = Relational.w14_period_over_period(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!w14.contains("CartesianProduct") &&
+      !w14.contains("SortMergeJoin"),
+      s"w14's shifted self-joins must broadcast, never sort-merge:\n$w14")
+  }
 }
