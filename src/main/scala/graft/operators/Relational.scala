@@ -1987,6 +1987,39 @@ object Relational {
         hll_sketch_estimate(hll_union_agg(col("sk"), true)).as("wau"))
   }
 
+  /** a42 — JOIN-SIZE FORECAST (a21's companion, the other half of the
+    * shuffle-planning decision): before anyone runs `events ⋈ orders`
+    * on the customer key, this predicts its EXACT output cardinality
+    * from per-key counts — for an equi-join, |A⋈B| = Σ_k cA(k)·cB(k),
+    * an identity, not an estimate — plus where that volume sits: the
+    * hottest key's product and its per-mille share of the join (one
+    * key carrying >some threshold of the output is the AQE-skew /
+    * salting trigger BEFORE the join runs, when mitigation is still a
+    * plan choice rather than a stage autopsy). Emits one row; per-side
+    * volumes ride along so fan-out ratio is derivable.
+    *
+    * Scale shape: two independent key rollups (each ONE map-side-
+    * partial shuffle of its own table), an equi-join of two ≤|keys|
+    * relations, a 1-row rollup. The joined-table volume this predicts
+    * is never materialized — that is the point.
+    */
+  val a42_join_size_forecast: Q = (spark, dir) => {
+    val ec = events(spark, dir).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("ce"))
+    val oc = orders(spark, dir).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("co"))
+    ec.join(oc, Seq("k"))
+      .select(col("k"), (col("ce") * col("co")).as("prod"), col("ce"), col("co"))
+      .agg(count(lit(1)).as("n_keys_common"),
+        sum(col("ce")).as("left_rows"),
+        sum(col("co")).as("right_rows"),
+        sum(col("prod")).as("join_rows"),
+        max(col("prod")).as("top_key_rows"))
+      .withColumn("top_share_pm",
+        expr("cast(cast(top_key_rows as decimal(38,0)) * 1000" +
+          " div join_rows as bigint)"))
+  }
+
   /** p22 — FUNCTIONAL-DEPENDENCY / KEY-CANDIDATE AUDIT: the schema-
     * discovery relation profilers derive before anyone writes a join —
     * for each pinned candidate (determinant → dependent) pair:
@@ -3528,6 +3561,7 @@ object Relational {
     "a41_changepoint" -> a41_changepoint,
     "p22_fd_audit" -> p22_fd_audit,
     "f03_datetime_suite" -> f03_datetime_suite,
+    "a42_join_size_forecast" -> a42_join_size_forecast,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -4645,6 +4679,23 @@ object Relational {
                  n_det = n_pair AS fd_holds,
                  CAST(n_det * 1000 // n_rows AS BIGINT) AS det_key_pm
           FROM f, t""",
+    // a42: the same per-key product identity; left/right volumes over
+    // the COMMON keys only (inner-join semantics on both engines)
+    "a42_join_size_forecast" ->
+      """WITH ec AS (SELECT user_id AS k, COUNT(*) AS ce
+                     FROM events GROUP BY 1),
+          oc AS (SELECT o_custkey AS k, COUNT(*) AS co
+                 FROM orders GROUP BY 1),
+          j AS (SELECT ec.k, ce * co AS prod, ce, co
+                FROM ec JOIN oc USING (k))
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_common,
+                 CAST(SUM(ce) AS BIGINT) AS left_rows,
+                 CAST(SUM(co) AS BIGINT) AS right_rows,
+                 CAST(SUM(prod) AS BIGINT) AS join_rows,
+                 CAST(MAX(prod) AS BIGINT) AS top_key_rows,
+                 CAST((CAST(MAX(prod) AS HUGEINT) * 1000) // SUM(prod)
+                      AS BIGINT) AS top_share_pm
+          FROM j""",
     // f03: dayofweek re-based (DuckDB 0=Sunday -> +1), ISO week via
     // strftime %V, everything else the named calendar function
     "f03_datetime_suite" ->

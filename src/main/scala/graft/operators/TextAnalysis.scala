@@ -1771,7 +1771,49 @@ object TextAnalysis {
         expr("n_chars * 1000000 div n_bpe_tokens").as("chars_per_tok_micro"))
   }
 
+  /** t35 — ZIPF FIT (rank-frequency slope of the token distribution):
+    * the corpus-health scalar distribution work watches — natural text
+    * sits near slope −1; template/boilerplate floods flatten the head,
+    * dedup failures fatten it. OLS over (ln r, ln c) of the top-1000
+    * tokens with both logs FLOOR-QUANTIZED to integer milli-nats (the
+    * LmMicro discipline one grid coarser: both operands are logs of
+    * exact integers, the grid cell is 10⁻³ nats vs ~10⁻¹⁵ cross-libm
+    * ulp noise — twelve orders of margin), so all five OLS component
+    * sums are exact BIGINTs (a34's discipline on the log-log plane;
+    * milli keeps n·Σxy inside a Long where micro would overflow it)
+    * and only the final slope divides, once, identically parenthesized
+    * on both engines.
+    *
+    * Scale shape: one (token) count shuffle with map-side partials,
+    * a TakeOrderedAndProject top-1000 (the a05 contract — no global
+    * sort), then a 1000-row bounded relation carries the rank window
+    * and the 1-row component rollup.
+    */
+  val t35_zipf_fit: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("token"))
+    val ranked = documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(1000)
+      .withColumn("r", row_number().over(w).cast("long"))
+    ranked
+      .select(floor(log(col("r").cast("double")) * 1000).cast("long").as("lx"),
+        floor(log(col("c").cast("double")) * 1000).cast("long").as("ly"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("zipf_slope",
+        when(col("den") > 0, col("num").cast("double") / col("den").cast("double")))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t35_zipf_fit" -> t35_zipf_fit,
     "t34_lang_fertility" -> t34_lang_fertility,
     "t33_normalize" -> t33_normalize,
     "t32_stratified_sample" -> t32_stratified_sample,
@@ -2499,6 +2541,34 @@ object TextAnalysis {
          FROM w CROSS JOIN best""",
     "t11_bpe_train" -> duckBpeTrainSql,
     "t12_bpe_encode" -> duckBpeEncodeSql,
+    // t35: same milli-nat floor quantization; rank ties break on token
+    "t35_zipf_fit" ->
+      """WITH tf AS (SELECT token, COUNT(*) AS c
+                     FROM (SELECT unnest(string_split(text, ' ')) AS token
+                           FROM documents)
+                     WHERE len(token) > 0 GROUP BY 1),
+          rk AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, token)
+                              AS BIGINT) AS r
+                 FROM tf ORDER BY c DESC, token LIMIT 1000),
+          pt AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT)
+                          AS lx,
+                        CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT)
+                          AS ly
+                 FROM rk),
+          s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(lx) AS BIGINT) AS sx,
+                       CAST(SUM(ly) AS BIGINT) AS sy,
+                       CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+                       CAST(SUM(lx * lx) AS BIGINT) AS sxx
+                FROM pt)
+          SELECT n, sx, sy, sxy, sxx,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS den,
+                 CASE WHEN n * sxx - sx * sx > 0
+                      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE)
+                 END AS zipf_slope
+          FROM s""",
     // t34: t12's encode rollup re-keyed by language, integer micro-ratios
     "t34_lang_fertility" ->
       s"""WITH ${duckBpeCtes("documents")},
