@@ -2020,6 +2020,40 @@ object Relational {
           " div join_rows as bigint)"))
   }
 
+  /** p23 — REFERENTIAL-INTEGRITY AUDIT: orphan-FK rates across the
+    * star schema's three load-bearing edges (lineitem→orders,
+    * orders→customer, lineitem→part) in one relation — the ingest
+    * trust check every downstream join implicitly assumes and a
+    * broken backfill silently violates (an orphaned FK doesn't fail;
+    * it just drops rows from every inner join forever). Orphans via
+    * LEFT ANTI against the DISTINCT parent key set — never a row-level
+    * outer join of two fact tables — with the rate in exact per-mille.
+    *
+    * Scale shape: per edge, one distinct-key reduction of the parent
+    * (map-side partial) and one anti-join keyed the same way; output
+    * is 3 rows. The child is never joined at row width.
+    */
+  val p23_fk_audit: Q = (spark, dir) => {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String) = {
+      val n = child.agg(count(lit(1)).as("n_child"))
+      val orphans = child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      n.join(orphans, lit(true), "inner")
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+          expr("n_orphans * 1000 div n_child").as("orphan_pm"))
+    }
+    Seq(
+      edge("lineitem->orders", lineitem(spark, dir), "l_orderkey",
+        orders(spark, dir), "o_orderkey"),
+      edge("orders->customer", orders(spark, dir), "o_custkey",
+        customer(spark, dir), "c_custkey"),
+      edge("lineitem->part", lineitem(spark, dir), "l_partkey",
+        part(spark, dir), "p_partkey"))
+      .reduce(_.unionByName(_))
+  }
+
   /** p22 — FUNCTIONAL-DEPENDENCY / KEY-CANDIDATE AUDIT: the schema-
     * discovery relation profilers derive before anyone writes a join —
     * for each pinned candidate (determinant → dependent) pair:
@@ -3562,6 +3596,7 @@ object Relational {
     "p22_fd_audit" -> p22_fd_audit,
     "f03_datetime_suite" -> f03_datetime_suite,
     "a42_join_size_forecast" -> a42_join_size_forecast,
+    "p23_fk_audit" -> p23_fk_audit,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -4679,6 +4714,35 @@ object Relational {
                  n_det = n_pair AS fd_holds,
                  CAST(n_det * 1000 // n_rows AS BIGINT) AS det_key_pm
           FROM f, t""",
+    // p23: the same anti-join orphan counts per edge
+    "p23_fk_audit" ->
+      """WITH e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+                       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1
+                                     ELSE 0 END) AS BIGINT) AS n_orphans
+                     FROM lineitem l LEFT JOIN (
+                       SELECT DISTINCT o_orderkey FROM orders) o
+                       ON l.l_orderkey = o.o_orderkey),
+          e2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+                        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1
+                                      ELSE 0 END) AS BIGINT) AS n_orphans
+                 FROM orders o LEFT JOIN (
+                   SELECT DISTINCT c_custkey FROM customer) c
+                   ON o.o_custkey = c.c_custkey),
+          e3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+                        CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1
+                                      ELSE 0 END) AS BIGINT) AS n_orphans
+                 FROM lineitem l LEFT JOIN (
+                   SELECT DISTINCT p_partkey FROM part) p
+                   ON l.l_partkey = p.p_partkey)
+          SELECT 'lineitem->orders' AS edge, n_child, n_orphans,
+                 CAST(n_orphans * 1000 // n_child AS BIGINT) AS orphan_pm
+          FROM e1
+          UNION ALL
+          SELECT 'orders->customer', n_child, n_orphans,
+                 CAST(n_orphans * 1000 // n_child AS BIGINT) FROM e2
+          UNION ALL
+          SELECT 'lineitem->part', n_child, n_orphans,
+                 CAST(n_orphans * 1000 // n_child AS BIGINT) FROM e3""",
     // a42: the same per-key product identity; left/right volumes over
     // the COMMON keys only (inner-join semantics on both engines)
     "a42_join_size_forecast" ->

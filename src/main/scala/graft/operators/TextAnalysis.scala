@@ -1812,7 +1812,81 @@ object TextAnalysis {
         when(col("den") > 0, col("num").cast("double") / col("den").cast("double")))
   }
 
+  /** Buckets for the token-keyed postings layout of [[t36_term_lookup]]. */
+  private val PostingsBuckets = 8
+
+  /** The probe term for t36 — pinned to a token the deterministic
+    * generator emits at every SF (asserted at build time, not trusted).
+    */
+  private[graft] val ProbeTerm = "the"
+
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The inverted index landed ONCE as a token-BUCKETED postings
+    * table — n22's serving-layout discipline applied to text: the
+    * (token, doc_id, tf) relation every BM25 consumer re-derives is
+    * here a standing artifact laid out for the POINT READ ("which
+    * docs contain term X"), so a term lookup scans 1/N of the
+    * postings via bucket pruning instead of the corpus. Table name
+    * carries the collision-resistant dir tag; keyed per SparkContext
+    * (the Bench session-split contract); data lands on scratch,
+    * reclaimed at JVM exit.
+    */
+  private[graft] def bucketedPostings(spark: SparkSession, dir: String): String =
+    postingsCache.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}#$dir", _ => {
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        val t = s"graft_bkt_postings_$tag"
+        val p = graft.Tables.scratchDir("graft_bkt_post_")
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val postings = documents(spark, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .where(length(col("token")) > 0)
+          .groupBy(col("token"), col("doc_id"))
+          .agg(count(lit(1)).as("tf"))
+        postings
+          .repartition(PostingsBuckets, col("token"))
+          .write.bucketBy(PostingsBuckets, "token").sortBy("token")
+          .option("path", s"$p/postings").mode("overwrite").saveAsTable(t)
+        // the pinned probe term must exist at this SF — asserted at
+        // build time (the assertIdHeadroom discipline), not trusted
+        require(spark.table(t).where(col("token") === ProbeTerm)
+            .limit(1).count() == 1L,
+          s"probe term '$ProbeTerm' absent from $dir postings; re-pin it")
+        t
+      })
+
+  /** t36 — BUCKET-PRUNED TERM LOOKUP: the inverted-index point read
+    * every retrieval stack serves ("docs containing X, by tf") off the
+    * standing bucketed postings table — an equality filter on the
+    * bucket key scans ONE bucket's files of [[PostingsBuckets]]
+    * (`SelectedBucketsCount` plan-locked in `PlanSpec`), and the
+    * within-term ranking rides the bounded [[graft.functions.TopK]]
+    * aggregator — at 100 TB this is the difference between a term
+    * lookup costing a postings-bucket scan and costing the corpus.
+    * Ranked by (tf desc, doc_id asc) — fully deterministic.
+    */
+  val t36_term_lookup: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val t = bucketedPostings(spark, dir)
+    spark.table(t)
+      .where(col("token") === ProbeTerm)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        graft.functions.TopK.topK(10)(col("tf").cast("double"), col("doc_id"))
+          .as("tk"))
+      .select(col("token"), col("df"), col("total_tf"),
+        posexplode(col("tk.items")))
+      .select(col("token"), col("df"), col("total_tf"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("doc_id"), col("col.score").cast("long").as("tf"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t36_term_lookup" -> t36_term_lookup,
     "t35_zipf_fit" -> t35_zipf_fit,
     "t34_lang_fertility" -> t34_lang_fertility,
     "t33_normalize" -> t33_normalize,
@@ -2541,6 +2615,24 @@ object TextAnalysis {
          FROM w CROSS JOIN best""",
     "t11_bpe_train" -> duckBpeTrainSql,
     "t12_bpe_encode" -> duckBpeEncodeSql,
+    // t36: the same postings rollup + (tf desc, doc_id asc) rank,
+    // DuckDB's window against the Spark-side bounded TopK
+    "t36_term_lookup" ->
+      s"""WITH p AS (SELECT token, doc_id, COUNT(*) AS tf
+                     FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS token
+                           FROM documents)
+                     WHERE len(token) > 0 GROUP BY 1, 2),
+          t AS (SELECT token, doc_id, CAST(tf AS BIGINT) AS tf,
+                       CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT)
+                         AS df,
+                       CAST(SUM(tf) OVER (PARTITION BY token) AS BIGINT)
+                         AS total_tf,
+                       CAST(row_number() OVER (PARTITION BY token
+                              ORDER BY tf DESC, doc_id) AS BIGINT) AS rnk
+                FROM p WHERE token = '$ProbeTerm')
+          SELECT token, df, total_tf, rnk, doc_id, tf
+          FROM t WHERE rnk <= 10""",
     // t35: same milli-nat floor quantization; rank ties break on token
     "t35_zipf_fit" ->
       """WITH tf AS (SELECT token, COUNT(*) AS c

@@ -389,6 +389,13 @@ class PlanSpec extends SparkSpecBase {
       s"the vec_id equality filter must prune the bucketed index to one bucket:\n$plan")
   }
 
+  test("t36: the term lookup reads ONE postings bucket of 8") {
+    val plan = graft.operators.TextAnalysis.t36_term_lookup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+      s"the token equality filter must prune the postings to one bucket:\n$plan")
+  }
+
   test("j15: bucketed co-located join + rollup plans with ZERO exchanges") {
     val df = graft.operators.Relational.j15_bucketed_join(spark, sf)
     val nodes = flatten(df.queryExecution.executedPlan)
