@@ -1503,6 +1503,59 @@ object Relational {
     * runs between them without re-exchanging (same key). Emits one row
     * per version, not per event.
     */
+  /** j11's DuckDB twin — factored so j21's audit oracle can chain it. */
+  private[graft] val duckScd2Sql: String =
+    """WITH c AS (SELECT user_id, event_type, ts, event_id,
+                         lag(event_type) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                  FROM events),
+        ch AS (SELECT user_id, event_type, ts, event_id FROM c
+               WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type,
+               CAST(row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version_n,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 AS is_current
+        FROM ch"""
+
+  /** j21 — SCD2 CONSISTENCY AUDIT: the invariants every point-in-time
+    * consumer (j16) silently assumes, COUNTED instead of trusted — per
+    * entity: version count, OVERLAPS (a version opening before its
+    * predecessor closed: two truths at one instant — the classic
+    * double-apply backfill bug), GAPS (opening after it closed: the
+    * interval where a PIT probe correctly gets nulls, j16's expiry
+    * path), and whether an open current version exists at all. The
+    * fixture PLANTS both rots deterministically on j11's clean history
+    * (every 7th-mod-3 version deleted → gaps + possibly no current;
+    * every 5th version's open slid 30 min early → overlaps), so both
+    * counting paths are exercised, not just compiled — the mm08
+    * construct∘corrupt∘audit discipline on the time axis.
+    *
+    * Scale shape: j11's one user_id exchange carries the lag audit
+    * (same key, no re-exchange) and the per-user rollup; output is
+    * |users| rows.
+    */
+  val j21_scd_audit: Q = (spark, dir) => {
+    val planted = j11_scd2_history(spark, dir)
+      .where(col("version_n") % 7 =!= 3)
+      .withColumn("valid_from",
+        when(col("version_n") % 5 === 0,
+          col("valid_from") - expr("INTERVAL 30 MINUTES"))
+          .otherwise(col("valid_from")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("version_n"))
+    planted
+      .withColumn("prev_to", lag(col("valid_to"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("prev_to").isNotNull && col("valid_from") < col("prev_to"),
+          1L).otherwise(0L)).as("n_overlaps"),
+        sum(when(col("prev_to").isNotNull && col("valid_from") > col("prev_to"),
+          1L).otherwise(0L)).as("n_gaps"),
+        max(when(col("is_current"), 1L).otherwise(0L)).as("has_current"))
+  }
+
   val j11_scd2_history: Q = (spark, dir) => {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val changes = events(spark, dir)
@@ -2018,6 +2071,81 @@ object Relational {
       .withColumn("top_share_pm",
         expr("cast(cast(top_key_rows as decimal(38,0)) * 1000" +
           " div join_rows as bigint)"))
+  }
+
+  /** w15 — HOT-STREAK ISLANDS: maximal runs of CONSECUTIVE calendar
+    * days with revenue above the corpus median — the "N straight days
+    * above trend" relation reporting and anomaly triage both ask for.
+    * The median is a13's exactly-picked order statistic (rank ⌈n/2⌉
+    * under the total (rev, dt) order — no interpolation, no float),
+    * broadcast as one row; runs form by the classic island key
+    * (epoch_day − row_number is constant exactly on calendar-
+    * consecutive days, so a missing day BREAKS the streak — the w10
+    * gap discipline), and only streaks ≥ 3 days emit.
+    *
+    * Scale shape: one dt rollup is the only data-volume exchange; the
+    * rank pick, island key and run rollup all ride the
+    * calendar-bounded daily relation (unpartitioned windows — the
+    * w-family bound).
+    */
+  val w15_hot_streaks: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+      .withColumn("ed",
+        datediff(col("dt"), lit("1970-01-01").cast("date")).cast("long"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    val med = daily
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("rev_cents"), col("dt"))).cast("long"))
+      .join(broadcast(n), lit(true), "inner")
+      .where(col("r") === expr("cast(ceil(n / 2.0) as bigint)"))
+      .select(col("rev_cents").as("med_cents"))
+    daily.join(broadcast(med), lit(true), "inner")
+      .where(col("rev_cents") > col("med_cents"))
+      .withColumn("grp",
+        col("ed") - row_number().over(Window.orderBy(col("ed"))))
+      .groupBy(col("grp"))
+      .agg(date_format(min(col("dt")), "yyyy-MM-dd").as("start_dt"),
+        date_format(max(col("dt")), "yyyy-MM-dd").as("end_dt"),
+        count(lit(1)).as("len_days"),
+        sum(col("rev_cents")).as("streak_cents"))
+      .where(col("len_days") >= 3)
+      .drop("grp")
+  }
+
+  /** a43 — WEEKDAY SEASONAL INDEX: each weekday's revenue level as an
+    * exact per-mille of the overall daily mean — the seasonal-index
+    * relation (ratio-to-average) that prices "Mondays run at 96.2 %"
+    * for staffing/alerting, and the denominator a30-style residual
+    * monitors normalize by. The ratio mean_g/mean computes entirely in
+    * integers by cross-multiplication — (S_g·N·1000) div (n_g·S) —
+    * so no float mean ever forms (the a33 discipline); the spread
+    * between the max and min index is the seasonality-strength scalar
+    * and rides along per row.
+    *
+    * Scale shape: one dt rollup (map-side partial) is the only
+    * data-volume exchange; the weekday re-aggregation and the 1-row
+    * total broadcast ride the calendar-bounded daily relation; output
+    * is 7 rows.
+    */
+  val a43_weekday_index: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+    val byDow = daily
+      .groupBy(dayofweek(col("dt")).cast("long").as("dow1"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev_cents")).as("rev_sum"))
+    val tot = byDow.agg(sum(col("n_days")).as("n_total"),
+      sum(col("rev_sum")).as("rev_total"))
+    val idx = byDow.join(broadcast(tot), lit(true), "inner")
+      .select(col("dow1"), col("n_days"), col("rev_sum"),
+        expr("cast(cast(rev_sum as decimal(38,0)) * n_total * 1000" +
+          " div (cast(n_days as decimal(38,0)) * rev_total) as bigint)")
+          .as("index_pm"))
+    val spread = idx.agg((max(col("index_pm")) - min(col("index_pm")))
+      .as("spread_pm"))
+    idx.join(broadcast(spread), lit(true), "inner")
   }
 
   /** p23 — REFERENTIAL-INTEGRITY AUDIT: orphan-FK rates across the
@@ -2851,6 +2979,28 @@ object Relational {
       (col("p_retailprice") > 1000).as("is_premium"))
   }
 
+  /** f04 — STRING SCALAR BATTERY II (the §2.8 surface f01 left
+    * uncovered): pad/translate/repeat/reverse, positional search,
+    * regex extraction, split_part and cross-engine `levenshtein` —
+    * each a place engines plausibly diverge (1- vs 0-based positions,
+    * empty-match regex semantics, pad truncation) and therefore worth
+    * pinning by differential rather than assumption. Pure projection;
+    * no shuffle.
+    */
+  val f04_string_suite: Q = (spark, dir) => {
+    part(spark, dir).select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "#").as("brand_lpad"),
+      rpad(col("p_brand"), 12, "*").as("brand_rpad"),
+      translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+      reverse(col("p_name")).as("name_rev"),
+      repeat(substring(col("p_brand"), 1, 2), 3).as("brand_rep"),
+      instr(col("p_type"), "ED").cast("long").as("ed_pos"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_digits"),
+      expr("split_part(p_type, ' ', 2)").as("type_mid"),
+      levenshtein(col("p_brand"), lit("Brand#00")).cast("long").as("lev_dist"))
+  }
+
   /** f03 — DATETIME SCALAR BATTERY: the calendar-function parity
     * surface (§2.8's date leg) pinned cross-engine, because calendar
     * functions are where engines silently disagree: DuckDB's
@@ -3595,8 +3745,12 @@ object Relational {
     "a41_changepoint" -> a41_changepoint,
     "p22_fd_audit" -> p22_fd_audit,
     "f03_datetime_suite" -> f03_datetime_suite,
+    "f04_string_suite" -> f04_string_suite,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
+    "j21_scd_audit" -> j21_scd_audit,
+    "a43_weekday_index" -> a43_weekday_index,
+    "w15_hot_streaks" -> w15_hot_streaks,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -4714,6 +4868,48 @@ object Relational {
                  n_det = n_pair AS fd_holds,
                  CAST(n_det * 1000 // n_rows AS BIGINT) AS det_key_pm
           FROM f, t""",
+    // w15: the same picked median, island key and >=3 floor
+    "w15_hot_streaks" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS rev_cents
+                        FROM orders GROUP BY 1),
+          d2 AS (SELECT dt, rev_cents,
+                        date_diff('day', DATE '1970-01-01', dt) AS ed,
+                        CAST(row_number() OVER (ORDER BY rev_cents, dt)
+                             AS BIGINT) AS r,
+                        CAST(COUNT(*) OVER () AS BIGINT) AS n
+                 FROM daily),
+          med AS (SELECT rev_cents AS med_cents FROM d2
+                  WHERE r = CAST(ceil(n / 2.0) AS BIGINT)),
+          ab AS (SELECT dt, rev_cents, ed,
+                        ed - row_number() OVER (ORDER BY ed) AS grp
+                 FROM d2, med WHERE rev_cents > med_cents)
+          SELECT strftime(MIN(dt), '%Y-%m-%d') AS start_dt,
+                 strftime(MAX(dt), '%Y-%m-%d') AS end_dt,
+                 CAST(COUNT(*) AS BIGINT) AS len_days,
+                 CAST(SUM(rev_cents) AS BIGINT) AS streak_cents
+          FROM ab GROUP BY grp HAVING COUNT(*) >= 3""",
+    // a43: the same cross-multiplied ratio; HUGEINT carries the scale
+    "a43_weekday_index" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS rev_cents
+                        FROM orders GROUP BY 1),
+          g AS (SELECT CAST(dayofweek(dt) + 1 AS BIGINT) AS dow1,
+                       CAST(COUNT(*) AS BIGINT) AS n_days,
+                       CAST(SUM(rev_cents) AS BIGINT) AS rev_sum
+                FROM daily GROUP BY 1),
+          t AS (SELECT CAST(SUM(n_days) AS BIGINT) AS n_total,
+                       CAST(SUM(rev_sum) AS BIGINT) AS rev_total FROM g),
+          i AS (SELECT dow1, n_days, rev_sum,
+                       CAST((CAST(rev_sum AS HUGEINT) * n_total * 1000)
+                            // (CAST(n_days AS HUGEINT) * rev_total)
+                            AS BIGINT) AS index_pm
+                FROM g, t)
+          SELECT i.*, (SELECT MAX(index_pm) - MIN(index_pm) FROM i)
+                        AS spread_pm
+          FROM i""",
     // p23: the same anti-join orphan counts per edge
     "p23_fk_audit" ->
       """WITH e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
@@ -4760,6 +4956,21 @@ object Relational {
                  CAST((CAST(MAX(prod) AS HUGEINT) * 1000) // SUM(prod)
                       AS BIGINT) AS top_share_pm
           FROM j""",
+    // f04: positions are 1-based on both engines; split_part/levenshtein
+    // by their native names
+    "f04_string_suite" ->
+      """SELECT p_partkey,
+                lpad(p_brand, 12, '#') AS brand_lpad,
+                rpad(p_brand, 12, '*') AS brand_rpad,
+                translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+                reverse(p_name) AS name_rev,
+                repeat(substr(p_brand, 1, 2), 3) AS brand_rep,
+                CAST(instr(p_type, 'ED') AS BIGINT) AS ed_pos,
+                COALESCE(regexp_extract(p_brand, '([0-9]+)', 1), '')
+                  AS brand_digits,
+                split_part(p_type, ' ', 2) AS type_mid,
+                CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS lev_dist
+         FROM part""",
     // f03: dayofweek re-based (DuckDB 0=Sunday -> +1), ISO week via
     // strftime %V, everything else the named calendar function
     "f03_datetime_suite" ->
@@ -4951,21 +5162,30 @@ object Relational {
            SELECT o_custkey, COUNT(*) AS n_orders,
                   SUM(ROUND(o_totalprice * 100)) / 100 AS user_spend
            FROM orders GROUP BY o_custkey) s ON user_id = s.o_custkey""",
-    "j11_scd2_history" ->
-      """WITH c AS (SELECT user_id, event_type, ts, event_id,
-                           lag(event_type) OVER
-                             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-                    FROM events),
-          ch AS (SELECT user_id, event_type, ts, event_id FROM c
-                 WHERE prev_type IS NULL OR prev_type <> event_type)
-          SELECT user_id, event_type,
-                 CAST(row_number() OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS version_n,
-                 ts AS valid_from,
-                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   AS is_current
-          FROM ch""",
+    "j11_scd2_history" -> duckScd2Sql,
+    // j21: j11's history with the same planted deletions/shifts, the
+    // same lag audit
+    "j21_scd_audit" ->
+      s"""WITH hist AS ($duckScd2Sql),
+          f AS (SELECT user_id, version_n, is_current,
+                       CASE WHEN version_n % 5 = 0
+                            THEN valid_from - INTERVAL 30 MINUTE
+                            ELSE valid_from END AS valid_from,
+                       valid_to
+                FROM hist WHERE version_n % 7 <> 3),
+          l AS (SELECT f.*, lag(valid_to) OVER
+                  (PARTITION BY user_id ORDER BY version_n) AS prev_to
+                FROM f)
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_versions,
+                 CAST(SUM(CASE WHEN prev_to IS NOT NULL
+                                AND valid_from < prev_to
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+                 CAST(SUM(CASE WHEN prev_to IS NOT NULL
+                                AND valid_from > prev_to
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+                 CAST(MAX(CASE WHEN is_current THEN 1 ELSE 0 END)
+                      AS BIGINT) AS has_current
+          FROM l GROUP BY 1""",
     // j16: structurally different correlated half-open interval join
     // over the same odd-version dim (checks semantics, not plan)
     "j16_point_in_time" ->

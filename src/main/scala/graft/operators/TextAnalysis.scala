@@ -1870,8 +1870,15 @@ object TextAnalysis {
     */
   val t36_term_lookup: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
-    val t = bucketedPostings(spark, dir)
-    spark.table(t)
+    termProbe(spark.table(bucketedPostings(spark, dir)))
+  }
+
+  /** [[t36_term_lookup]]'s probe tail over any (token, doc_id, tf)
+    * postings relation — shared with st79, where the postings are
+    * stream-maintained in the same bucketed layout.
+    */
+  private[graft] def termProbe(postings: DataFrame): DataFrame =
+    postings
       .where(col("token") === ProbeTerm)
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"),
@@ -1883,7 +1890,18 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("total_tf"),
         (col("pos") + 1).cast("long").as("rnk"),
         col("col.id").as("doc_id"), col("col.score").cast("long").as("tf"))
-  }
+
+  /** The per-batch postings projection st79 appends — row-local +
+    * batch-local (a document's text is ONE row, so its postings never
+    * span micro-batches; the within-batch rollup is complete for the
+    * docs it covers and the stream needs NO cross-batch state).
+    */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
 
   val queries: Map[String, Q] = Map(
     "t36_term_lookup" -> t36_term_lookup,

@@ -1650,6 +1650,44 @@ object StreamQueries {
     * right door-side investment. Sentinel pre-filtered. Oracle is
     * w12's verbatim.
     */
+  /** T-family streaming — STREAM-MAINTAINED INVERTED INDEX (streaming
+    * twin of t36, and [[graft.sinks.BucketedStreamTable]]'s first
+    * query-level consumer — the stream-maintains / nightly-compacts
+    * split the n22 docstring promises, realized for text): every
+    * arriving document explodes into its (token, doc_id, tf) postings
+    * WITHIN its micro-batch (a doc's text is one row, so postings
+    * never span batches — no cross-batch state, no watermark) and
+    * appends into the SAME token-bucketed layout the batch build
+    * lands, idempotently by batch id (an at-least-once redelivery
+    * re-writes nothing — the commit-marker contract `SinkSpec`
+    * kill/resume-locks). The t36 probe then runs ON READ against the
+    * maintained catalog table — same bucket pruning, same bounded
+    * TopK rank. Oracle is t36's verbatim: stream-maintained must
+    * serve exactly what the nightly build serves.
+    */
+  val st79_stream_postings: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val T = graft.operators.TextAnalysis
+    val path = graft.Tables.scratchDir("graft_bkt_spost_")
+    val tbl = "graft_spost_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "token")
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("doc_id"), col("text"))
+    val q = docs.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(T.postingsOf(b), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    T.termProbe(table.read())
+  }
+
   /** A-family streaming — CHANGEPOINT MONITOR OVER INGEST COUNTERS
     * (streaming twin of a41, the fourth consumer of the
     * count-at-ingest door): ONE update-mode daily-revenue aggregation
@@ -2420,6 +2458,47 @@ object StreamQueries {
     hittersOnRead(upsertServe(spark, base, Seq("event_type"), "n_items"))
   }
 
+  /** st80 — MISRA-GRIES AT INGEST IN ITS EXACT REGIME, hash-oracle-
+    * checked (a15x's regime run through the FULL streaming path:
+    * micro-batch reduce, state-store merge, upsert serve, read-back):
+    * k = 32 counters against a ≤25-user domain (`user_id < 25` —
+    * ids are dense from 0, SF-invariant), so capacity never binds
+    * under ANY batch/merge tree and the served summary IS the exact
+    * per-user count — DuckDB computes it as a plain groupBy. This
+    * pins the STREAMED sketch path cross-engine; st30 (k = 16,
+    * capacity binding) remains the genuinely merge-dependent residue.
+    */
+  val st80_stream_hitters_exact: Q = (spark, dir) => {
+    val base = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0 && col("user_id") < 25)
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(32)(col("uid")).as("s"))
+      .select(col("event_type"), col("s.n_items").as("n_items"),
+        col("s.hits").as("hits"))
+    hittersOnRead(upsertServe(spark, base, Seq("event_type"), "n_items"))
+  }
+
+  /** st81 — THE QUANTILE SKETCH AT INGEST IN ITS EXACT REGIME
+    * (a14x's no-compaction regime through the full streaming path —
+    * capacity 4096 vs the ≤4000-row `event_id < 4000` slice): the
+    * served digest holds the exact multiset whatever the micro-batch
+    * boundaries were, so finish() degenerates to the plain picked
+    * order statistic and a14x's DuckDB twin checks the whole
+    * encoder→reduce→state-merge→serve chain bit-for-bit. st29
+    * (capacity binding) remains the spec-bounded residue.
+    */
+  val st81_stream_quantile_exact: Q = (spark, dir) => {
+    val base = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0 && col("value").isNotNull &&
+        col("event_id") < 4000L)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.QuantileSketch.quantileSketch(4096)(col("value")).as("s"))
+      .select(col("event_type"), col("s.n_events").as("n_events"),
+        col("s.p50").as("p50"), col("s.p90").as("p90"), col("s.p99").as("p99"))
+    upsertServe(spark, base, Seq("event_type"), "n_events")
+  }
+
   /** st30's read-side: explode the served counter arrays into ranked
     * (event_type, item, est_cnt) rows (shared with the restart spec).
     */
@@ -3145,6 +3224,8 @@ object StreamQueries {
     "st24_stream_pivot_serve" -> st24_stream_pivot_serve,
     "st29_stream_quantile_serve" -> st29_stream_quantile_serve,
     "st30_stream_hitters_serve" -> st30_stream_hitters_serve,
+    "st80_stream_hitters_exact" -> st80_stream_hitters_exact,
+    "st81_stream_quantile_exact" -> st81_stream_quantile_exact,
     "st31_stream_semantic_decontam" -> st31_stream_semantic_decontam,
     "st32_stream_attribution" -> st32_stream_attribution,
     "st33_stream_range_join" -> st33_stream_range_join,
@@ -3179,6 +3260,7 @@ object StreamQueries {
     "st72_stream_zscore" -> st72_stream_zscore,
     "st76_stream_changepoint" -> st76_stream_changepoint,
     "st77_stream_period_report" -> st77_stream_period_report,
+    "st79_stream_postings" -> st79_stream_postings,
     "st73_stream_norm_groups" -> st73_stream_norm_groups,
     "st74_stream_session_paths" -> st74_stream_session_paths,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
@@ -3425,6 +3507,23 @@ object StreamQueries {
     // st77's served daily sums must report exactly w14's shifts
     "st77_stream_period_report" ->
       graft.operators.Relational.oracles("w14_period_over_period"),
+    // st79's stream-maintained postings must serve exactly t36's lookup
+    "st79_stream_postings" ->
+      graft.operators.TextAnalysis.oracles("t36_term_lookup"),
+    // st80: exact coupon regime ⇒ the served MG summary is a plain count
+    "st80_stream_hitters_exact" ->
+      """WITH f AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item
+                    FROM events WHERE user_id >= 0 AND user_id < 25),
+          c AS (SELECT event_type, item, CAST(COUNT(*) AS BIGINT) AS est_cnt
+                FROM f GROUP BY 1, 2),
+          t AS (SELECT event_type, CAST(SUM(est_cnt) AS BIGINT) AS n_items
+                FROM c GROUP BY 1)
+          SELECT c.event_type, n_items, item, est_cnt
+          FROM c JOIN t USING (event_type)""",
+    // st81: no-compaction regime ⇒ the served digest is a14x's exact
+    // picked order statistic
+    "st81_stream_quantile_exact" ->
+      graft.operators.Relational.oracles("a14x_quantile_exact"),
     "st72_stream_zscore" ->
       graft.operators.Relational.oracles("w12_rolling_zscore"),
     // st73's served group counts must shape to exactly t33's keys
