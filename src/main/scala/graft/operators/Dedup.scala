@@ -1890,6 +1890,62 @@ object Dedup {
         expr("n_near_dup * 1000 div n_docs").as("near_dup_pm"))
   }
 
+  /** d26 — CORPUS OVERLAP MATRIX: pairwise content overlap between
+    * sources at the SHINGLE level (exact doc-hash overlap misses
+    * near-copies and partial quotes entirely — this fixture has zero
+    * cross-source exact dups but hundreds of shared shingles): per
+    * unordered source pair, the common distinct-3-shingle count, both
+    * directed containments and the Jaccard, each in exact per-mille —
+    * the licensing/provenance audit ("how much of source B is already
+    * in A?") and the crawl-dedup prioritizer across feeds. Shingles
+    * project through the same codegen'd `word_shingles3` as the whole
+    * d-family.
+    *
+    * Scale shape: one (source, shingle) distinct exchange, then a
+    * self equi-join ON THE SHINGLE — a shingle shared by s sources
+    * emits s·(s−1)/2 pair rows, bounded by the source registry (a
+    * catalog, not data volume); the per-source size join broadcasts
+    * the |sources|-row rollup. Never all-pairs over docs.
+    */
+  val d26_source_overlap: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val sh = documents(spark, dir)
+      .select(col("source"), explode(shingles(col("text"))).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"), Seq("sh"))
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("n_sh").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        expr("n_common * 1000 div n_a").as("contain_a_pm"),
+        expr("n_common * 1000 div n_b").as("contain_b_pm"),
+        expr("n_common * 1000 div (n_a + n_b - n_common)").as("jaccard_pm"))
+  }
+
+  private def duckSourceOverlapSql: String =
+    s"""WITH sh0 AS (SELECT DISTINCT source, unnest($duckShingleExpr) AS sh
+                     FROM documents),
+        sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+               FROM sh0 GROUP BY 1),
+        j AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_common
+              FROM sh0 a JOIN sh0 b USING (sh)
+              WHERE a.source < b.source GROUP BY 1, 2)
+        SELECT src_a, src_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+               n_common * 1000 // ca.n_sh AS contain_a_pm,
+               n_common * 1000 // cb.n_sh AS contain_b_pm,
+               n_common * 1000 // (ca.n_sh + cb.n_sh - n_common)
+                 AS jaccard_pm
+        FROM j JOIN sz ca ON src_a = ca.source
+               JOIN sz cb ON src_b = cb.source"""
+
   private def duckSourceDupSql: String =
     s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
         base AS (SELECT doc_id, source, md5(text) AS h FROM documents),
@@ -1913,6 +1969,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "d25_source_dup_report" -> d25_source_dup_report,
+    "d26_source_overlap" -> d26_source_overlap,
     "d24_partition_agreement" -> d24_partition_agreement,
     "d22_triangle_count" -> d22_triangle_count,
     "d23_lpa_communities" -> d23_lpa_communities,
@@ -1940,6 +1997,7 @@ object Dedup {
     "d23_lpa_communities" -> duckLpaSql,
     "d24_partition_agreement" -> duckAgreementSql,
     "d25_source_dup_report" -> duckSourceDupSql,
+    "d26_source_overlap" -> duckSourceOverlapSql,
     "d01_exact_dedup" ->
       s"""WITH $duckExactCorpus
           SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,

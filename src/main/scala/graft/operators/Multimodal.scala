@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.functions.Portable
 
@@ -624,8 +625,87 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Peak-|amplitude| threshold splitting [[mm11_audio_segments]]'s
+    * loud/quiet frames — sits inside the int16 range the text-derived
+    * samples actually span, so BOTH classes occur and runs alternate.
+    */
+  private val LoudPeak = 29000L
+
+  /** mm11 — AUDIO SEGMENTATION BY ENERGY RUNS: mm06's per-frame
+    * amplitude stats chained into maximal runs of CONSECUTIVE frames
+    * on the same side of the [[LoudPeak]] peak threshold — the
+    * silence/voiced segmenter an audio curation pipeline uses to trim
+    * leading/trailing quiet, split on pauses, and price "how much of
+    * this clip is signal" (here: loud/quiet over the synthetic PCM —
+    * a real VAD swaps the threshold expression, not the plan). Runs
+    * form by the w15 island key scoped PER (doc, class): frame_id −
+    * row_number is constant exactly on consecutive frames of one
+    * class; a class flip breaks both runs. Each segment emits its
+    * frame span, length and exact integer energy sum.
+    *
+    * Scale shape: mm06's shuffle-free decode feeds a window
+    * PARTITIONED by (doc_id, loud) — per-doc frame counts bound every
+    * partition (clip length, not corpus size) — then one
+    * (doc, class, run) rollup. No unpartitioned window anywhere.
+    */
+  val mm11_audio_segments: Q = (spark, dir) => {
+    val fr = mm06_wav_features(spark, dir)
+      .select(col("doc_id"), col("frame_id"), col("sum_sq"),
+        (col("peak") >= LoudPeak).as("loud"))
+    val w = Window.partitionBy(col("doc_id"), col("loud"))
+      .orderBy(col("frame_id"))
+    fr.withColumn("grp", col("frame_id") - row_number().over(w))
+      .groupBy(col("doc_id"), col("loud"), col("grp"))
+      .agg(min(col("frame_id")).as("start_frame"),
+        max(col("frame_id")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("sum_sq")).as("seg_energy"))
+      .drop("grp")
+  }
+
+  /** mm06's DuckDB frame-stat CTE chain (hex decode → LE-int16 samples
+    * → frames → exact integer stats, ending in relation `st`) —
+    * factored so mm11's segmentation oracle chains it verbatim.
+    */
+  private lazy val duckWavFrameCtes: String = {
+    val F = SampleFrameLen
+    s"""b AS (SELECT doc_id, lower(hex(encode(text))) AS hx
+              FROM documents),
+          s AS (SELECT doc_id,
+                  list_transform(range(0, length(hx) // 4), i ->
+                    CASE WHEN ('0x' || substr(hx, (4*i+3)::INT, 2)
+                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT >= 32768
+                         THEN ('0x' || substr(hx, (4*i+3)::INT, 2)
+                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT - 65536
+                         ELSE ('0x' || substr(hx, (4*i+3)::INT, 2)
+                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT END)
+                    AS samples
+                FROM b),
+          f AS (SELECT doc_id,
+                       unnest(range(0, (len(samples) + ${F - 1}) // $F)) AS frame_id,
+                       samples
+                FROM s WHERE len(samples) > 0),
+          fr AS (SELECT doc_id, frame_id,
+                        samples[(frame_id*$F+1)::INT :
+                                least((frame_id+1)*$F, len(samples))::INT] AS fr
+                 FROM f),
+          st AS (SELECT doc_id, frame_id,
+                        CAST(len(fr) AS BIGINT) AS n_samples,
+                        CAST(list_aggregate(list_transform(fr, x -> x*x), 'sum')
+                             AS BIGINT) AS sum_sq,
+                        CAST(list_aggregate(list_transform(fr, x -> abs(x)), 'max')
+                             AS BIGINT) AS peak,
+                        CAST(coalesce(list_aggregate(
+                               list_transform(range(0, len(fr) - 1), i ->
+                                 CASE WHEN fr[(i+1)::INT] * fr[(i+2)::INT] < 0
+                                      THEN 1 ELSE 0 END), 'sum'), 0)
+                             AS BIGINT) AS n_cross
+                 FROM fr)"""
+  }
+
   val queries: Map[String, Q] = Map(
     "mm10_media_dhash" -> mm10_media_dhash,
+    "mm11_audio_segments" -> mm11_audio_segments,
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm05_media_dedup" -> mm05_media_dedup,
     "mm02_pixel_features" -> mm02_pixel_features,
@@ -898,47 +978,31 @@ object Multimodal {
             JOIN sig sb ON sb.doc_id = c.doc_b)
           WHERE hamming <= 3"""
     },
-    "mm06_wav_features" -> {
+    "mm06_wav_features" ->
       // same LE-int16 decode + exact integer frame stats over the text
       // bytes (== the payload's sample region by construction); RMS is
       // the one sqrt of an exact integer ratio on both engines
-      val F = SampleFrameLen
-      s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx
-                     FROM documents),
-          s AS (SELECT doc_id,
-                  list_transform(range(0, length(hx) // 4), i ->
-                    CASE WHEN ('0x' || substr(hx, (4*i+3)::INT, 2)
-                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT >= 32768
-                         THEN ('0x' || substr(hx, (4*i+3)::INT, 2)
-                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT - 65536
-                         ELSE ('0x' || substr(hx, (4*i+3)::INT, 2)
-                                     || substr(hx, (4*i+1)::INT, 2))::BIGINT END)
-                    AS samples
-                FROM b),
-          f AS (SELECT doc_id,
-                       unnest(range(0, (len(samples) + ${F - 1}) // $F)) AS frame_id,
-                       samples
-                FROM s WHERE len(samples) > 0),
-          fr AS (SELECT doc_id, frame_id,
-                        samples[(frame_id*$F+1)::INT :
-                                least((frame_id+1)*$F, len(samples))::INT] AS fr
-                 FROM f),
-          st AS (SELECT doc_id, frame_id,
-                        CAST(len(fr) AS BIGINT) AS n_samples,
-                        CAST(list_aggregate(list_transform(fr, x -> x*x), 'sum')
-                             AS BIGINT) AS sum_sq,
-                        CAST(list_aggregate(list_transform(fr, x -> abs(x)), 'max')
-                             AS BIGINT) AS peak,
-                        CAST(coalesce(list_aggregate(
-                               list_transform(range(0, len(fr) - 1), i ->
-                                 CASE WHEN fr[(i+1)::INT] * fr[(i+2)::INT] < 0
-                                      THEN 1 ELSE 0 END), 'sum'), 0)
-                             AS BIGINT) AS n_cross
-                 FROM fr)
+      s"""WITH $duckWavFrameCtes
           SELECT doc_id, frame_id, n_samples, sum_sq, peak, n_cross,
                  sqrt(CAST(sum_sq AS DOUBLE) / n_samples) AS rms
-          FROM st"""
-    },
+          FROM st""",
+    // mm11: mm06's frame stats chained into the loud/quiet island runs
+    "mm11_audio_segments" ->
+      s"""WITH $duckWavFrameCtes,
+          fl AS (SELECT doc_id, frame_id, sum_sq,
+                        peak >= $LoudPeak AS loud
+                 FROM st),
+          g AS (SELECT doc_id, frame_id, sum_sq, loud,
+                       frame_id - row_number() OVER
+                         (PARTITION BY doc_id, loud ORDER BY frame_id)
+                         AS grp
+                 FROM fl)
+          SELECT doc_id, loud,
+                 CAST(MIN(frame_id) AS BIGINT) AS start_frame,
+                 CAST(MAX(frame_id) AS BIGINT) AS end_frame,
+                 CAST(COUNT(*) AS BIGINT) AS n_frames,
+                 CAST(SUM(sum_sq) AS BIGINT) AS seg_energy
+          FROM g GROUP BY doc_id, loud, grp""",
     // mm09: per-tile twin of mm02's byte math — the same unsigned-byte
     // list, sliced per 64-byte tile, min/max/sum/distinct with the
     // identical normalizing divisions

@@ -2148,6 +2148,260 @@ object Relational {
     idx.join(broadcast(spread), lit(true), "inner")
   }
 
+  /** BUCKETED GLOBAL PREFIX — total-order `row_number` and inclusive
+    * prefix sum over a DATA-VOLUME relation without ever moving it to
+    * one partition (the scale-out replacement for the unpartitioned
+    * `Window.orderBy` the w-family only ever runs on bounded
+    * relations): (1) `percentile_approx` picks ≤ `nBuckets`−1 value
+    * boundaries in one pass (any monotone boundary set yields the SAME
+    * final ranks — the split only balances work, so the sketch's
+    * approximation is invisible to the result); (2) each row's bucket
+    * = boundaries strictly below its key (monotone in the key, ties
+    * co-bucketed); (3) per-bucket row/value totals roll into EXCLUSIVE
+    * offsets via one window over ≤ `nBuckets` rows; (4) the global
+    * rank/prefix is offset + the within-bucket window PARTITIONED by
+    * bucket. Net: two small exchanges plus one bucket-keyed window —
+    * a 1000-executor sort, not a single-partition drain. Heavy key
+    * skew (many rows sharing one value) collapses into one bucket;
+    * the dominant-value share bounds that partition exactly as it
+    * bounds any hash partition.
+    *
+    * Output adds `bkt`, `rnk` (1-based by (`sortKey`, `tie`) asc) and
+    * `cum_<value>` (inclusive prefix sum in that order).
+    */
+  private[graft] def bucketedPrefix(df: DataFrame, sortKey: String,
+      tie: String, value: String, nBuckets: Int = 32): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val bnds = df.agg(
+      expr(s"percentile_approx($sortKey, array(${fracs.mkString(",")}), 10000)")
+        .as("bnds"))
+    val bucketed = df.join(broadcast(bnds), lit(true), "inner")
+      .withColumn("bkt",
+        expr(s"cast(size(filter(bnds, x -> x < $sortKey)) as bigint)"))
+      .drop("bnds")
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = bucketed.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("b_n"), sum(col(value)).as("b_v"))
+      .select(col("bkt"),
+        coalesce(sum(col("b_n")).over(wOff), lit(0L)).as("off_n"),
+        coalesce(sum(col("b_v")).over(wOff), lit(0L)).as("off_v"))
+    val wIn = Window.partitionBy(col("bkt")).orderBy(col(sortKey), col(tie))
+    bucketed.join(broadcast(off), Seq("bkt"))
+      .withColumn("rnk",
+        (col("off_n") + row_number().over(wIn)).cast("long"))
+      .withColumn(s"cum_$value",
+        col("off_v") + sum(col(value))
+          .over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("off_n", "off_v")
+  }
+
+  /** w17 — GLOBAL SPEND RANK AT DATA VOLUME: every customer's exact
+    * global rank, cumulative-spend share (per-mille) and top-decile
+    * flag — the leaderboard/percentile relation that naively costs a
+    * single-partition `row_number() OVER (ORDER BY spend)` drain,
+    * computed here by [[bucketedPrefix]] so the sort scales out. The
+    * DuckDB twin IS the naive global window — the differential proves
+    * the bucketed decomposition reproduces the drain's answer row for
+    * row (boundary placement provably cancels out).
+    *
+    * Scale shape: one custkey rollup, one 1-row boundary broadcast,
+    * one bucket-keyed window; the only unpartitioned window rides the
+    * ≤32-row bucket-offset relation.
+    */
+  val w17_global_rank: Q = (spark, dir) => {
+    val spend = orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("spend_cents"))
+    val tot = spend.agg(sum(col("spend_cents")).as("tot_cents"),
+      count(lit(1)).as("n_total"))
+    bucketedPrefix(spend, "spend_cents", "custkey", "spend_cents")
+      .join(broadcast(tot), lit(true), "inner")
+      .select(col("custkey"), col("spend_cents"), col("rnk"),
+        (col("rnk") * 10 > col("n_total") * 9).as("is_top_decile"),
+        expr("cast(cast(cum_spend_cents as decimal(38,0)) * 1000" +
+          " div tot_cents as bigint)").as("cum_share_pm"))
+  }
+
+  /** a45 — PARETO/ABC CLASSIFICATION over part revenue: parts ranked
+    * by revenue descending, each carrying its exact cumulative revenue
+    * share (per-mille) and the classic warehouse class — A while the
+    * running share ≤ 800 ‰, B to 950 ‰, C after — the "20 % of SKUs
+    * carry 80 % of revenue" relation assortment and slotting decisions
+    * read. Parts scale with the catalog (TPC-H scales them with SF),
+    * so the descending cumulative sum runs through [[bucketedPrefix]]
+    * on the NEGATED revenue key (ascending negation ≡ descending
+    * revenue; partkey ties ascending on both engines) — no
+    * single-partition window at any size.
+    *
+    * Scale shape: one partkey rollup, then bucketedPrefix's two small
+    * exchanges; share arithmetic promotes to decimal before the ×1000.
+    */
+  val a45_pareto_abc: Q = (spark, dir) => {
+    val rev = lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(cents(col("l_extendedprice")).cast("long")).as("rev_cents"))
+      .withColumn("neg_rev", -col("rev_cents"))
+    val tot = rev.agg(sum(col("rev_cents")).as("tot_cents"))
+    bucketedPrefix(rev, "neg_rev", "partkey", "rev_cents")
+      .join(broadcast(tot), lit(true), "inner")
+      .withColumn("cum_share_pm",
+        expr("cast(cast(cum_rev_cents as decimal(38,0)) * 1000" +
+          " div tot_cents as bigint)"))
+      .select(col("partkey"), col("rev_cents"), col("rnk"),
+        col("cum_share_pm"),
+        when(col("cum_share_pm") <= 800, "A")
+          .when(col("cum_share_pm") <= 950, "B")
+          .otherwise("C").as("abc"))
+  }
+
+  /** j22 — SWEEP-LINE MAX CONCURRENCY: per calendar day, the peak
+    * number of simultaneously-open activity windows (each event opens
+    * a half-open 1-hour window [ts, ts+1h)) — the load-sizing relation
+    * capacity planning reads. The sweep line is THE textbook
+    * global-order computation: ±1 boundary deltas in (instant,
+    * end-before-start, event_id) order, running-summed — and the
+    * running sum rides [[bucketedPrefix]], so the data-volume prefix
+    * never drains to one partition. The tie key packs
+    * (delta, event_id) into one long (ends sort before starts at an
+    * instant — half-open semantics; the 2⁴⁰ shift leaves event_id
+    * headroom far past any SF). A day's max is taken over the
+    * concurrency level AT that day's boundary instants (a day with no
+    * boundaries has no row — missing stays missing).
+    *
+    * Scale shape: one union projection, bucketedPrefix's two small
+    * exchanges + bucket-keyed window, one dt rollup.
+    */
+  val j22_max_concurrency: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+      .select(unix_micros(col("ts")).as("tsu0"), col("event_id"))
+    val bounds = ev
+      .select(col("tsu0").as("tsu"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(ev.select((col("tsu0") + 3600000000L).as("tsu"),
+        lit(-1L).as("delta"), col("event_id")))
+      .withColumn("tie", (col("delta") + 1L) * lit(1L << 40) + col("event_id"))
+    bucketedPrefix(bounds, "tsu", "tie", "delta")
+      .groupBy(date_format(to_date(timestamp_micros(col("tsu"))), "yyyy-MM-dd")
+        .as("dt"))
+      .agg(max(col("cum_delta")).as("max_concurrent"),
+        count(lit(1)).as("n_bounds"))
+  }
+
+  /** a46 — EXACT GINI COEFFICIENT of customer spend, in per-mille —
+    * the one-number inequality/concentration metric revenue-risk and
+    * fairness dashboards ask for. Uses the sorted-vector identity
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending
+    * (spend, custkey) order; ties contribute identically under any
+    * tie order (equal x), so the custkey tie-break changes nothing.
+    * The global ranks come from [[bucketedPrefix]] — no
+    * single-partition sort — and every term is an integer/decimal
+    * cross-multiplication (the a33 discipline): no float forms until
+    * nothing is left to diverge.
+    *
+    * Scale shape: one custkey rollup, bucketedPrefix's exchanges, one
+    * 1-row final aggregate; Σ rnk·x promotes to decimal(38,0)
+    * (rnk·x ≤ 10²⁰ per row, 10³⁰ summed at 10 B customers — inside
+    * the 38-digit envelope).
+    */
+  val a46_gini: Q = (spark, dir) => {
+    val spend = orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("spend_cents"))
+    bucketedPrefix(spend, "spend_cents", "custkey", "spend_cents")
+      .agg(
+        sum(expr("cast(rnk as decimal(38,0)) * spend_cents")).as("srx"),
+        sum(col("spend_cents")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(
+        expr("cast((2 * srx - (cast(n as decimal(38,0)) + 1) * sx) * 1000" +
+          " div (cast(n as decimal(38,0)) * sx) as bigint)").as("gini_pm"),
+        col("n").cast("long").as("n_users"),
+        col("sx").as("total_cents"))
+  }
+
+  /** a44 — ORDERED FUNNEL CONVERSION: view → click → purchase, each
+    * step STRICTLY AFTER the user's previous step (a click before the
+    * first view does not count — the ordering constraint that
+    * separates a funnel from three independent counts, and that a
+    * naive per-type `min(ts)` silently violates). Step k's cohort:
+    * users with step k−1 satisfied and a step-k event strictly later
+    * than the step k−1 instant; output is the 3-row long form with
+    * per-step user counts and step-over-step conversion in exact
+    * per-mille. Same-instant events don't advance the funnel on
+    * either engine (strict `>` on the raw timestamp — deterministic
+    * cross-engine without any tie-break encoding).
+    *
+    * Scale shape: three user-keyed min-aggregations chained by
+    * user-keyed joins — the SAME key throughout, so after the first
+    * exchange the chain co-partitions; state per user is one
+    * timestamp per step. The final stack rides one broadcast row.
+    */
+  val a44_funnel_conversion: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val nv = v.agg(count(lit(1)).as("nv"))
+    val nc = c.agg(count(lit(1)).as("nc"))
+    val np = p.agg(count(lit(1)).as("np"))
+    funnelStack(nv.join(broadcast(nc), lit(true), "inner")
+      .join(broadcast(np), lit(true), "inner"))
+  }
+
+  /** a44's 3-row long-form conversion rollup over a 1-row
+    * (nv, nc, np) relation — shared with st82's read-side.
+    */
+  private[graft] def funnelStack(counts: DataFrame): DataFrame =
+    counts.select(expr(
+      """stack(3,
+           1L, 'view', nv, 1000L,
+           2L, 'click', nc, nc * 1000 div nv,
+           3L, 'purchase', np, np * 1000 div nc)
+         as (step_n, step, n_users, conv_pm)"""))
+
+  /** w16 — COHORT RETENTION TRIANGLE: customers grouped by
+    * first-order month; for each (cohort, month offset) the distinct
+    * customers active that month and retention vs the cohort's size in
+    * exact per-mille — THE subscription/repeat-purchase health
+    * relation. Offsets come from month-truncated calendar arithmetic
+    * (`months_between` on month starts is exactly integral), so a
+    * customer active in any day of month k lands in offset k; months
+    * with no activity simply have no row (the w14 missing-stays-
+    * missing discipline).
+    *
+    * Scale shape: one custkey rollup finds cohorts, one custkey join
+    * tags activity (same key — co-partitioned), one
+    * (cohort, offset) countDistinct exchange; the cohort-size join
+    * broadcasts the calendar-bounded cohort relation.
+    */
+  val w16_cohort_retention: Q = (spark, dir) => {
+    val om = orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("m"))
+    val cohort = om.groupBy(col("custkey")).agg(min(col("m")).as("cohort"))
+    val cells = om.distinct()
+      .join(cohort, Seq("custkey"))
+      .select(col("custkey"), col("cohort"),
+        months_between(col("m"), col("cohort")).cast("long").as("offset_m"))
+      .groupBy(col("cohort"), col("offset_m"))
+      .agg(countDistinct(col("custkey")).as("n_active"))
+    val base = cells.where(col("offset_m") === 0)
+      .select(col("cohort"), col("n_active").as("n_cohort"))
+    cells.join(broadcast(base), Seq("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM").as("cohort_m"),
+        col("offset_m"), col("n_active"), col("n_cohort"),
+        expr("n_active * 1000 div n_cohort").as("retention_pm"))
+  }
+
   /** p23 — REFERENTIAL-INTEGRITY AUDIT: orphan-FK rates across the
     * star schema's three load-bearing edges (lineitem→orders,
     * orders→customer, lineitem→part) in one relation — the ingest
@@ -3751,6 +4005,12 @@ object Relational {
     "j21_scd_audit" -> j21_scd_audit,
     "a43_weekday_index" -> a43_weekday_index,
     "w15_hot_streaks" -> w15_hot_streaks,
+    "w16_cohort_retention" -> w16_cohort_retention,
+    "w17_global_rank" -> w17_global_rank,
+    "a44_funnel_conversion" -> a44_funnel_conversion,
+    "a45_pareto_abc" -> a45_pareto_abc,
+    "a46_gini" -> a46_gini,
+    "j22_max_concurrency" -> j22_max_concurrency,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -4910,6 +5170,121 @@ object Relational {
           SELECT i.*, (SELECT MAX(index_pm) - MIN(index_pm) FROM i)
                         AS spread_pm
           FROM i""",
+    // w17: the naive single-window drain — proves the bucketed
+    // decomposition reproduces it exactly
+    "w17_global_rank" ->
+      """WITH s AS (SELECT o_custkey AS custkey,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                                AS BIGINT) AS spend_cents
+                    FROM orders GROUP BY 1),
+          r AS (SELECT custkey, spend_cents,
+                       CAST(row_number() OVER (ORDER BY spend_cents, custkey)
+                            AS BIGINT) AS rnk,
+                       CAST(SUM(spend_cents) OVER
+                              (ORDER BY spend_cents, custkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM s),
+          t AS (SELECT CAST(SUM(spend_cents) AS BIGINT) AS tot,
+                       CAST(COUNT(*) AS BIGINT) AS n FROM s)
+          SELECT custkey, spend_cents, rnk,
+                 rnk * 10 > n * 9 AS is_top_decile,
+                 CAST(CAST(cum AS HUGEINT) * 1000 // tot AS BIGINT)
+                   AS cum_share_pm
+          FROM r, t""",
+    // a45: the same descending cumulative share and class cuts via the
+    // naive window
+    "a45_pareto_abc" ->
+      """WITH s AS (SELECT l_partkey AS partkey,
+                           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                                AS BIGINT) AS rev_cents
+                    FROM lineitem GROUP BY 1),
+          r AS (SELECT partkey, rev_cents,
+                       CAST(row_number() OVER (ORDER BY rev_cents DESC, partkey)
+                            AS BIGINT) AS rnk,
+                       CAST(SUM(rev_cents) OVER
+                              (ORDER BY rev_cents DESC, partkey
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM s),
+          t AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM s),
+          i AS (SELECT partkey, rev_cents, rnk,
+                       CAST(CAST(cum AS HUGEINT) * 1000 // tot AS BIGINT)
+                         AS cum_share_pm
+                FROM r, t)
+          SELECT i.*, CASE WHEN cum_share_pm <= 800 THEN 'A'
+                           WHEN cum_share_pm <= 950 THEN 'B'
+                           ELSE 'C' END AS abc
+          FROM i""",
+    // j22: the naive single-window sweep line with the same packed tie
+    "j22_max_concurrency" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tsu0, event_id FROM events),
+          b AS (SELECT tsu0 AS tsu, CAST(1 AS BIGINT) AS delta, event_id
+                FROM e
+                UNION ALL
+                SELECT tsu0 + 3600000000, CAST(-1 AS BIGINT), event_id
+                FROM e),
+          c AS (SELECT tsu,
+                       CAST(SUM(delta) OVER
+                         (ORDER BY tsu,
+                                   (delta + 1) * 1099511627776 + event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM b)
+          SELECT strftime(CAST(make_timestamp(tsu) AS DATE), '%Y-%m-%d')
+                   AS dt,
+                 CAST(MAX(cum) AS BIGINT) AS max_concurrent,
+                 CAST(COUNT(*) AS BIGINT) AS n_bounds
+          FROM c GROUP BY 1""",
+    // a46: the same sorted-vector identity via the naive window ranks
+    "a46_gini" ->
+      """WITH s AS (SELECT o_custkey AS custkey,
+                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                                AS BIGINT) AS spend_cents
+                    FROM orders GROUP BY 1),
+          r AS (SELECT spend_cents,
+                       CAST(row_number() OVER (ORDER BY spend_cents, custkey)
+                            AS BIGINT) AS rnk
+                FROM s),
+          t AS (SELECT SUM(CAST(rnk AS HUGEINT) * spend_cents) AS srx,
+                       CAST(SUM(spend_cents) AS BIGINT) AS sx,
+                       CAST(COUNT(*) AS BIGINT) AS n FROM r)
+          SELECT CAST((2 * srx - (CAST(n AS HUGEINT) + 1) * sx) * 1000
+                      // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_pm,
+                 n AS n_users, sx AS total_cents
+          FROM t""",
+    // a44: the same strictly-after chained minima
+    "a44_funnel_conversion" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, MIN(ts) AS c_ts FROM events e
+                JOIN v USING (user_id)
+                WHERE event_type = 'click' AND ts > v_ts GROUP BY 1),
+          p AS (SELECT e.user_id, MIN(ts) AS p_ts FROM events e
+                JOIN c USING (user_id)
+                WHERE event_type = 'purchase' AND ts > c_ts GROUP BY 1),
+          n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS nv,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS nc,
+                       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS np)
+          SELECT CAST(1 AS BIGINT) AS step_n, 'view' AS step,
+                 nv AS n_users, CAST(1000 AS BIGINT) AS conv_pm FROM n
+          UNION ALL
+          SELECT CAST(2 AS BIGINT), 'click', nc, nc * 1000 // nv FROM n
+          UNION ALL
+          SELECT CAST(3 AS BIGINT), 'purchase', np, np * 1000 // nc FROM n""",
+    // w16: the same month-truncated offsets and per-cohort base
+    "w16_cohort_retention" ->
+      """WITH om AS (SELECT DISTINCT o_custkey AS custkey,
+                            date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+                     FROM orders),
+          ch AS (SELECT custkey, MIN(m) AS cohort FROM om GROUP BY 1),
+          cells AS (SELECT cohort,
+                           CAST(date_diff('month', cohort, m) AS BIGINT)
+                             AS offset_m,
+                           CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_active
+                    FROM om JOIN ch USING (custkey) GROUP BY 1, 2),
+          b AS (SELECT cohort, n_active AS n_cohort FROM cells
+                WHERE offset_m = 0)
+          SELECT strftime(cohort, '%Y-%m') AS cohort_m, offset_m, n_active,
+                 n_cohort, n_active * 1000 // n_cohort AS retention_pm
+          FROM cells JOIN b USING (cohort)""",
     // p23: the same anti-join orphan counts per edge
     "p23_fk_audit" ->
       """WITH e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,

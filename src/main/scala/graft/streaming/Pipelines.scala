@@ -117,6 +117,9 @@ case class TransOut(user_id: Long, from_type: String, to_type: String)
 /** One session's first-three-steps path signature (a40's row shape). */
 case class PathOut(user_id: Long, path: String)
 
+/** One user's deepest strictly-after funnel step (a44's semantics). */
+case class FunnelOut(user_id: Long, step_reached: Long)
+
 /** One buffered touchpoint/conversion in multi-touch state; `cents`
   * is the conversion value (0 for clicks).
   */
@@ -818,6 +821,62 @@ object Pipelines {
             hist.iterator.zip(hist.iterator.drop(1)).map { case (a, b) =>
               TransOut(uid, a.etype, b.etype)
             }
+          } else {
+            val prev = state.getOption.getOrElse(SeqState(Seq.empty, Long.MinValue))
+            val buf0 = prev.buf ++
+              rows.map(e => SeqBuf(e.tsu, e.event_id, e.etype))
+            val buf = if (buf0.size > maxEvents)
+              buf0.sortBy(b => (b.tsu, b.event_id)).take(maxEvents)
+            else buf0
+            val newestMs =
+              math.max(prev.newestMs, buf0.map(_.tsu / 1000L).max)
+            state.update(SeqState(buf, newestMs))
+            state.setTimeoutTimestamp(
+              math.max(newestMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
+  /** a44's ORDERED-FUNNEL sweep AT FLUSH TIME (the transitionPairs
+    * state discipline verbatim — capped buffer, monotone TTL anchor):
+    * when the watermark closes a user, the complete delivered history
+    * resolves the chained strictly-after minima — earliest view, then
+    * earliest click strictly after it, then earliest purchase strictly
+    * after that — and emits the deepest step reached (users with no
+    * view emit nothing; they are not in the funnel). Flush-time
+    * evaluation is what makes the ORDERING constraint safe under
+    * disorder: an eagerly-advanced funnel cannot retract when a
+    * late-arriving EARLIER view shifts the chain's anchor backwards
+    * (strictly-after against an earlier anchor can only admit MORE
+    * clicks — the eager answer is not monotone, the flushed one is
+    * simply correct). The 3-row conversion rollup runs ON READ.
+    */
+  def funnelReach(events: Dataset[SeqEvent],
+                  ttlMs: Long = FunnelTimeoutMs,
+                  maxEvents: Int = MaxScdEvents): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[SeqEvent], state: GroupState[SeqState]) =>
+          if (state.hasTimedOut) {
+            val hist = state.get.buf
+            state.remove()
+            val v = hist.collect { case b if b.etype == "view" => b.tsu }
+              .minOption
+            val c = v.flatMap(vt => hist.collect {
+              case b if b.etype == "click" && b.tsu > vt => b.tsu
+            }.minOption)
+            val p = c.flatMap(ct => hist.collect {
+              case b if b.etype == "purchase" && b.tsu > ct => b.tsu
+            }.minOption)
+            val step =
+              if (p.isDefined) 3L else if (c.isDefined) 2L
+              else if (v.isDefined) 1L else 0L
+            if (step == 0L) Iterator.empty
+            else Iterator.single(FunnelOut(uid, step))
           } else {
             val prev = state.getOption.getOrElse(SeqState(Seq.empty, Long.MinValue))
             val buf0 = prev.buf ++

@@ -1811,6 +1811,35 @@ object StreamQueries {
     }): Unit
   }
 
+  /** A-family streaming — THE ORDERED FUNNEL AT FLUSH TIME (streaming
+    * twin of a44, `Pipelines.funnelReach`): the strictly-after chain
+    * view → click → purchase is retraction-unsafe under eager
+    * evaluation (a late-arriving EARLIER view moves the chain's anchor
+    * backwards and can only widen later steps — an eager verdict is
+    * not monotone), so each user's deepest step emits only when the
+    * watermark closes the user; the 3-row conversion rollup (one
+    * sum-aggregate over the flushed per-user verdicts, then the shared
+    * [[graft.operators.Relational.funnelStack]]) runs ON READ. State:
+    * one capped buffer per user — rate-bounded, asserted per dir.
+    * Oracle is a44's verbatim.
+    */
+  val st82_stream_funnel: Q = (spark, dir) => {
+    import spark.implicits._
+    assertSeqRateBound(spark, dir)
+    val ev = Replay.eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("event_type").as("etype"), col("ts").as("event_time"))
+      .as[graft.streaming.SeqEvent]
+    val reach = Replay
+      .runAppend(spark, Pipelines.funnelReach(ev).toDF(), bigState = true)
+      .where(col("user_id") >= 0)
+    graft.operators.Relational.funnelStack(reach.agg(
+      sum(when(col("step_reached") >= 1, 1L).otherwise(0L)).as("nv"),
+      sum(when(col("step_reached") >= 2, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("step_reached") >= 3, 1L).otherwise(0L)).as("np")))
+  }
+
   val st74_stream_session_paths: Q = (spark, dir) => {
     import spark.implicits._
     assertSeqRateBound(spark, dir)
@@ -3263,6 +3292,7 @@ object StreamQueries {
     "st79_stream_postings" -> st79_stream_postings,
     "st73_stream_norm_groups" -> st73_stream_norm_groups,
     "st74_stream_session_paths" -> st74_stream_session_paths,
+    "st82_stream_funnel" -> st82_stream_funnel,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3532,6 +3562,10 @@ object StreamQueries {
     // st74's flush-time paths must roll up to exactly a40's shares
     "st74_stream_session_paths" ->
       graft.operators.Relational.oracles("a40_session_paths"),
+    // st82's flushed per-user verdicts must roll up to exactly a44's
+    // 3-row conversion relation
+    "st82_stream_funnel" ->
+      graft.operators.Relational.oracles("a44_funnel_conversion"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),

@@ -488,4 +488,27 @@ class PlanSpec extends SparkSpecBase {
       !w14.contains("SortMergeJoin"),
       s"w14's shifted self-joins must broadcast, never sort-merge:\n$w14")
   }
+
+  test("w17/a45: the data-volume window partitions by bucket; only the " +
+      "bucket-offset window is unpartitioned") {
+    for (q <- Seq(Relational.w17_global_rank, Relational.a45_pareto_abc)) {
+      val df = q(spark, sf)
+      df.collect()
+      val wins = flatten(df.queryExecution.executedPlan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "expected window operators in the plan")
+      val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+      // the ≤nBuckets-row offset rollup is the ONLY single-partition
+      // window; the per-row rank/prefix window must carry the bucket key
+      assert(unpart.size === 1,
+        s"exactly one bounded offsets window expected, saw ${unpart.size}")
+      assert(unpart.head.output.map(_.name).exists(Set("b_n", "b_v")),
+        "the unpartitioned window must be the bucket-offset rollup, " +
+          s"saw outputs ${unpart.head.output.map(_.name)}")
+      assert(part.nonEmpty &&
+        part.forall(_.partitionSpec.exists(_.toString.contains("bkt"))),
+        "the data-volume rank/prefix window must partition by bkt")
+    }
+  }
 }

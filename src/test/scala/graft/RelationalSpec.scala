@@ -339,4 +339,25 @@ class RelationalSpec extends SparkSpecBase {
         s"${r.getString(0)}: estimate $e vs exact $n out of envelope")
     }
   }
+
+  test("bucketedPrefix reproduces the naive global window at every bucket count") {
+    import spark.implicits._
+    // skewed values, heavy ties (incl. a dominant value), negatives
+    val rows = (1L to 500L).map(i => (i % 7, i, i % 13)) ++
+      (501L to 600L).map(i => (-3L, i, 1L)) ++ Seq((0L, 601L, 0L))
+    val df = rows.toDF("k", "id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("id"))
+    val naive = df
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_v", sum(col("v")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .select("k", "id", "v", "rnk", "cum_v")
+    for (nb <- Seq(2, 3, 32, 64)) {
+      val bucketed = Relational.bucketedPrefix(df, "k", "id", "v", nb)
+        .select("k", "id", "v", "rnk", "cum_v")
+      assert(bucketed.exceptAll(naive).count() === 0L &&
+        naive.exceptAll(bucketed).count() === 0L,
+        s"nBuckets=$nb diverges from the single-partition window")
+    }
+  }
 }
