@@ -2274,18 +2274,60 @@ object Relational {
     * exchanges + bucket-keyed window, one dt rollup.
     */
   val j22_max_concurrency: Q = (spark, dir) => {
-    val ev = events(spark, dir)
-      .select(unix_micros(col("ts")).as("tsu0"), col("event_id"))
-    val bounds = ev
-      .select(col("tsu0").as("tsu"), lit(1L).as("delta"), col("event_id"))
-      .unionAll(ev.select((col("tsu0") + 3600000000L).as("tsu"),
-        lit(-1L).as("delta"), col("event_id")))
-      .withColumn("tie", (col("delta") + 1L) * lit(1L << 40) + col("event_id"))
-    bucketedPrefix(bounds, "tsu", "tie", "delta")
+    bucketedPrefix(sweepBounds(spark, dir), "tsu", "tie", "delta")
       .groupBy(date_format(to_date(timestamp_micros(col("tsu"))), "yyyy-MM-dd")
         .as("dt"))
       .agg(max(col("cum_delta")).as("max_concurrent"),
         count(lit(1)).as("n_bounds"))
+  }
+
+  /** The ±1 sweep-line boundary relation j22/j23 share: each event
+    * opens [ts, ts+1h); the tie key packs (delta, event_id) so ends
+    * sort before starts at an instant (half-open semantics).
+    */
+  private def sweepBounds(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(unix_micros(col("ts")).as("tsu0"), col("event_id"))
+    ev.select(col("tsu0").as("tsu"), lit(1L).as("delta"), col("event_id"))
+      .unionAll(ev.select((col("tsu0") + 3600000000L).as("tsu"),
+        lit(-1L).as("delta"), col("event_id")))
+      .withColumn("tie", (col("delta") + 1L) * lit(1L << 40) + col("event_id"))
+  }
+
+  /** j23 — INTERVAL-UNION COVERAGE: per calendar day, the total time
+    * (micros) covered by AT LEAST ONE open activity window — the
+    * uptime/SLA/"how much of the day had traffic" relation, i.e. the
+    * measure of the interval UNION (overlaps counted once), which no
+    * per-interval sum can produce. On j22's sweep line a stretch is
+    * covered exactly while the running level is > 0, so coverage =
+    * Σ (next boundary − boundary) over positive-level stretches. The
+    * successor boundary comes from a RANK-KEYED SELF-JOIN on
+    * [[bucketedPrefix]]'s global rank (rnk+1 — an equi-join, the
+    * scale-safe `lead`), and a stretch spanning midnight splits by
+    * exploding its calendar days and clipping to each day's micro
+    * bounds — exact integer arithmetic throughout.
+    *
+    * Scale shape: bucketedPrefix's exchanges + one rnk equi-join
+    * (both sides already carry rnk) + one bounded per-stretch day
+    * explode (stretches are 1 h windows — ≤ 2 days each) + one dt
+    * rollup. No unpartitioned window, no lead over the data volume.
+    */
+  val j23_interval_coverage: Q = (spark, dir) => {
+    val pref = bucketedPrefix(sweepBounds(spark, dir), "tsu", "tie", "delta")
+      .select(col("tsu"), col("rnk"), col("cum_delta"))
+    val nxt = pref.select((col("rnk") - 1L).as("rnk"),
+      col("tsu").as("next_tsu"))
+    pref.join(nxt, Seq("rnk"))
+      .where(col("cum_delta") > 0 && col("next_tsu") > col("tsu"))
+      .select(col("tsu"), col("next_tsu"),
+        explode(expr("sequence(to_date(timestamp_micros(tsu))," +
+          " to_date(timestamp_micros(next_tsu - 1)))")).as("d"))
+      .withColumn("day_us", unix_micros(col("d").cast("timestamp")))
+      .select(col("d"),
+        (least(col("next_tsu"), col("day_us") + 86400000000L) -
+          greatest(col("tsu"), col("day_us"))).as("cov"))
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("dt"))
+      .agg(sum(col("cov")).as("covered_us"))
   }
 
   /** a46 — EXACT GINI COEFFICIENT of customer spend, in per-mille —
@@ -3233,6 +3275,30 @@ object Relational {
       (col("p_retailprice") > 1000).as("is_premium"))
   }
 
+  /** f05 — CONDITIONAL/NULL SCALAR BATTERY (§2.8's third leg): the
+    * null-propagation surface where engines classically diverge —
+    * `least`/`greatest` SKIP nulls on both Spark and DuckDB (pinned
+    * here by differential, not assumption), `nullif`-made nulls fall
+    * through `coalesce`, a NULL comparison falls to CASE's ELSE
+    * branch, and `if`/chained-`when` ladders agree. Pure projection;
+    * no shuffle.
+    */
+  val f05_conditional_suite: Q = (spark, dir) => {
+    val szn = nullif(col("p_size"), lit(1)).cast("long")
+    part(spark, dir).select(
+      col("p_partkey"),
+      szn.as("sz_n"),
+      coalesce(szn, lit(-1L)).as("sz_or_neg"),
+      least(szn, lit(25L)).as("least_skips_null"),
+      greatest(szn, lit(25L)).as("greatest_skips_null"),
+      when(col("p_size") > 25, "L").when(col("p_size") > 10, "M")
+        .otherwise("S").as("size_class"),
+      (szn > 25).as("null_gt"),
+      expr("case when nullif(p_size, 1) > 25 then 'big' else 'not-big' end")
+        .as("case_null_else"),
+      expr("if(p_size % 2 = 0, 'even', 'odd')").as("parity"))
+  }
+
   /** f04 — STRING SCALAR BATTERY II (the §2.8 surface f01 left
     * uncovered): pad/translate/repeat/reverse, positional search,
     * regex extraction, split_part and cross-engine `levenshtein` —
@@ -4000,6 +4066,7 @@ object Relational {
     "p22_fd_audit" -> p22_fd_audit,
     "f03_datetime_suite" -> f03_datetime_suite,
     "f04_string_suite" -> f04_string_suite,
+    "f05_conditional_suite" -> f05_conditional_suite,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "j21_scd_audit" -> j21_scd_audit,
@@ -4011,6 +4078,7 @@ object Relational {
     "a45_pareto_abc" -> a45_pareto_abc,
     "a46_gini" -> a46_gini,
     "j22_max_concurrency" -> j22_max_concurrency,
+    "j23_interval_coverage" -> j23_interval_coverage,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -5233,6 +5301,41 @@ object Relational {
                  CAST(MAX(cum) AS BIGINT) AS max_concurrent,
                  CAST(COUNT(*) AS BIGINT) AS n_bounds
           FROM c GROUP BY 1""",
+    // j23: the naive sweep (window lead + running sum), same day clip
+    "j23_interval_coverage" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tsu0, event_id FROM events),
+          b AS (SELECT tsu0 AS tsu, CAST(1 AS BIGINT) AS delta, event_id
+                FROM e
+                UNION ALL
+                SELECT tsu0 + 3600000000, CAST(-1 AS BIGINT), event_id
+                FROM e),
+          c AS (SELECT tsu,
+                       SUM(delta) OVER
+                         (ORDER BY tsu,
+                                   (delta + 1) * 1099511627776 + event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+                       lead(tsu) OVER
+                         (ORDER BY tsu,
+                                   (delta + 1) * 1099511627776 + event_id)
+                         AS next_tsu
+                FROM b),
+          seg AS (SELECT tsu, next_tsu FROM c
+                  WHERE cum > 0 AND next_tsu > tsu),
+          dys AS (SELECT tsu, next_tsu,
+                         unnest(generate_series(
+                           CAST(make_timestamp(tsu) AS DATE),
+                           CAST(make_timestamp(next_tsu - 1) AS DATE),
+                           INTERVAL 1 DAY)) AS dd
+                  FROM seg),
+          x AS (SELECT CAST(dd AS DATE) AS d,
+                       epoch_us(CAST(CAST(dd AS DATE) AS TIMESTAMP))
+                         AS day_us,
+                       tsu, next_tsu
+                FROM dys)
+          SELECT strftime(d, '%Y-%m-%d') AS dt,
+                 CAST(SUM(least(next_tsu, day_us + 86400000000) -
+                          greatest(tsu, day_us)) AS BIGINT) AS covered_us
+          FROM x GROUP BY 1""",
     // a46: the same sorted-vector identity via the naive window ranks
     "a46_gini" ->
       """WITH s AS (SELECT o_custkey AS custkey,
@@ -5331,6 +5434,23 @@ object Relational {
                  CAST((CAST(MAX(prod) AS HUGEINT) * 1000) // SUM(prod)
                       AS BIGINT) AS top_share_pm
           FROM j""",
+    // f05: least/greatest skip NULLs on both engines; NULL comparisons
+    // fall to ELSE
+    "f05_conditional_suite" ->
+      """SELECT p_partkey,
+                CAST(nullif(p_size, 1) AS BIGINT) AS sz_n,
+                CAST(coalesce(nullif(p_size, 1), -1) AS BIGINT) AS sz_or_neg,
+                CAST(least(nullif(p_size, 1), 25) AS BIGINT)
+                  AS least_skips_null,
+                CAST(greatest(nullif(p_size, 1), 25) AS BIGINT)
+                  AS greatest_skips_null,
+                CASE WHEN p_size > 25 THEN 'L'
+                     WHEN p_size > 10 THEN 'M' ELSE 'S' END AS size_class,
+                nullif(p_size, 1) > 25 AS null_gt,
+                CASE WHEN nullif(p_size, 1) > 25 THEN 'big'
+                     ELSE 'not-big' END AS case_null_else,
+                if(p_size % 2 = 0, 'even', 'odd') AS parity
+         FROM part""",
     // f04: positions are 1-based on both engines; split_part/levenshtein
     // by their native names
     "f04_string_suite" ->

@@ -1903,7 +1903,43 @@ object TextAnalysis {
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** t37 — CHARACTER-ENTROPY QUALITY SIGNAL: per document, the exact
+    * char count, distinct-char count, and Shannon entropy of the
+    * character distribution in milli-nats per char — the
+    * gibberish/boilerplate detector that catches what token-level
+    * gates miss (keyboard mash has high char entropy with zero valid
+    * tokens; repeated padding has near-zero entropy at any length).
+    * Cross-engine float risk is killed by the t35 discipline: each
+    * log is floor-quantized to integer milli-nats FIRST
+    * (⌊ln(x)·1000⌋ of an integer argument), and the entropy
+    * Σ c·(L(n) − L(c)) div n is pure integer arithmetic after that —
+    * no float sum ever forms, so aggregation order cannot matter.
+    *
+    * Scale shape: one (doc, char) exchange (the explode multiplies
+    * rows, not bytes — single chars), then two doc-keyed rollups on
+    * the same key. Alphabet size bounds the per-doc group count.
+    */
+  val t37_char_entropy: Q = (spark, dir) => {
+    val counts = documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, length(text) - 1)," +
+          " i -> substring(text, i + 1, 1))")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    counts.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        (col("c") * (floor(log(col("n").cast("double")) * 1000).cast("long") -
+          floor(log(col("c").cast("double")) * 1000).cast("long"))).as("t"))
+      .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+      .agg(sum(col("t")).as("tsum"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+        expr("tsum div n").as("ent_mn"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t37_char_entropy" -> t37_char_entropy,
     "t36_term_lookup" -> t36_term_lookup,
     "t35_zipf_fit" -> t35_zipf_fit,
     "t34_lang_fertility" -> t34_lang_fertility,
@@ -2651,6 +2687,26 @@ object TextAnalysis {
                 FROM p WHERE token = '$ProbeTerm')
           SELECT token, df, total_tf, rnk, doc_id, tf
           FROM t WHERE rnk <= 10""",
+    // t37: same per-value milli-nat floor quantization, then pure
+    // integer sums — aggregation order can't matter
+    "t37_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+                            unnest(list_transform(range(0, length(text)),
+                              i -> substr(text, (i + 1)::INT, 1))) AS ch
+                     FROM documents WHERE length(text) > 0),
+          c AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+                FROM ch GROUP BY 1, 2),
+          n AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct
+                FROM c GROUP BY 1),
+          t AS (SELECT c.doc_id, n, n_distinct,
+                       c * (CAST(floor(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT)
+                            - CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT))
+                         AS t
+                FROM c JOIN n USING (doc_id))
+          SELECT doc_id, n AS n_chars, n_distinct,
+                 CAST(SUM(t) AS BIGINT) // n AS ent_mn
+          FROM t GROUP BY doc_id, n, n_distinct""",
     // t35: same milli-nat floor quantization; rank ties break on token
     "t35_zipf_fit" ->
       """WITH tf AS (SELECT token, COUNT(*) AS c
