@@ -1908,15 +1908,28 @@ object Dedup {
     * the |sources|-row rollup. Never all-pairs over docs.
     */
   val d26_source_overlap: Q = (spark, dir) => {
-    graft.plans.GraftExtensions.register(spark)
-    val sh = documents(spark, dir)
-      .select(col("source"), explode(shingles(col("text"))).as("sh"))
-      .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val sh = sourceShingles(spark, dir)
     val pairs = sh.as("a").join(sh.as("b"), Seq("sh"))
       .where(col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
+    overlapTail(sh, pairs)
+  }
+
+  /** The distinct (source, 3-shingle) relation d26/st83 share. */
+  private[graft] def sourceShingles(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    documents(spark, dir)
+      .select(col("source"), explode(shingles(col("text"))).as("sh"))
+      .distinct()
+  }
+
+  /** d26's per-mille tail over any (src_a, src_b, n_common) pair
+    * relation — shared with st83, where the pairs are accumulated at
+    * ingest.
+    */
+  private[graft] def overlapTail(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     pairs
       .join(broadcast(sizes.select(col("source").as("src_a"),
         col("n_sh").as("n_a"))), Seq("src_a"))

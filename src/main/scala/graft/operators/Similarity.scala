@@ -2032,7 +2032,36 @@ object Similarity {
         expr(s"coalesce(n_matched, 0) * 1000 div $K").as("recall_pm"))
   }
 
+  /** n31 — INDEX CELL-BALANCE AUDIT: the quantizer-health scalars the
+    * retrain gate (n10) prices in one row — cell count, vector count,
+    * hottest-cell share, imbalance (max/mean as per-mille — 1000 is
+    * perfectly balanced) and the GINI of cell populations (a46's
+    * sorted-vector identity over the cell-count vector): a high Gini
+    * says probe cost concentrates on few cells even when max/mean
+    * looks tame, the exact regime where fixed-nprobe recall collapses.
+    * Pure integer arithmetic off the standing `cells` table.
+    *
+    * Scale shape: one cell_id rollup of the index table; the ranking
+    * window rides the K-cell relation (quantizer-bounded, not data
+    * volume — the w-family bound).
+    */
+  val n31_cell_balance: Q = (spark, dir) => {
+    val pops = idx(spark, dir, "cells")
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n"), col("cell_id"))
+    pops.withColumn("rnk", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("tot"),
+        max(col("n")).as("mx"), sum(col("rnk") * col("n")).as("srx"))
+      .select(col("k").as("n_cells"), col("tot").as("n_vectors"),
+        expr("mx * 1000 div tot").as("max_share_pm"),
+        expr("mx * k * 1000 div tot").as("imbalance_pm"),
+        expr("(2 * srx - (k + 1) * tot) * 1000 div (k * tot)")
+          .as("gini_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n31_cell_balance" -> n31_cell_balance,
     "n30_truncated_retrieval" -> n30_truncated_retrieval,
     "n27_knn_classify" -> n27_knn_classify,
     "n28_diversified_topk" -> n28_diversified_topk,
@@ -2736,6 +2765,26 @@ object Similarity {
                      FROM sp QUALIFY rnk <= $HybridLegK),
           $duckHybridLexCtes
           $duckHybridFusionTail""",
+    // n31: same unrolled assignment, same sorted-vector Gini identity
+    "n31_cell_balance" ->
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          c AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM a GROUP BY 1),
+          r AS (SELECT n, CAST(row_number() OVER (ORDER BY n, cell_id)
+                             AS BIGINT) AS rnk
+                FROM c),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(n) AS BIGINT) AS tot,
+                       CAST(MAX(n) AS BIGINT) AS mx,
+                       CAST(SUM(rnk * n) AS BIGINT) AS srx
+                FROM r)
+          SELECT k AS n_cells, tot AS n_vectors,
+                 mx * 1000 // tot AS max_share_pm,
+                 mx * k * 1000 // tot AS imbalance_pm,
+                 (2 * srx - (k + 1) * tot) * 1000 // (k * tot) AS gini_pm
+          FROM t""",
     "n14_cell_stats" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

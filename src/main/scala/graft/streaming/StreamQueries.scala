@@ -1688,6 +1688,41 @@ object StreamQueries {
     T.termProbe(table.read())
   }
 
+  /** D-family streaming — THE SOURCE-OVERLAP MATRIX AT INGEST
+    * (streaming twin of d26): each arriving document's distinct
+    * shingles probe the STANDING per-source shingle sets by a
+    * stateless stream-static equi-join (standing side is the batch
+    * artifact — the st16/st31 eval-side discipline applied to
+    * provenance), and every matched (src_a, src_b, shingle) marks ONE
+    * update-mode state row (an idempotent set-insert: re-deliveries
+    * and repeat matches overwrite, never double-count). The count and
+    * per-mille tail run ON READ through the shared
+    * [[graft.operators.Dedup.overlapTail]]. State is proportional to
+    * the OVERLAP being measured (Σ pairwise common shingles), not to
+    * the corpus — the quantity the relation reports is the quantity
+    * the state holds. Oracle is d26's verbatim.
+    */
+  val st83_stream_source_overlap: Q = (spark, dir) => {
+    val D = graft.operators.Dedup
+    val standing = D.sourceShingles(spark, dir)
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("source"),
+        explode(D.shingles(col("text"))).as("sh"))
+    val hits = docs
+      .join(standing.select(col("source").as("other"), col("sh")), Seq("sh"))
+      .where(col("source") =!= col("other"))
+      .select(least(col("source"), col("other")).as("src_a"),
+        greatest(col("source"), col("other")).as("src_b"), col("sh"))
+    val marks = hits.groupBy(col("src_a"), col("src_b"), col("sh"))
+      .agg(max(lit(1L)).as("one"))
+    val served = upsertServe(spark, marks, Seq("src_a", "src_b", "sh"), "one")
+    D.overlapTail(standing,
+      served.groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_common")))
+  }
+
   /** A-family streaming — CHANGEPOINT MONITOR OVER INGEST COUNTERS
     * (streaming twin of a41, the fourth consumer of the
     * count-at-ingest door): ONE update-mode daily-revenue aggregation
@@ -3293,6 +3328,7 @@ object StreamQueries {
     "st73_stream_norm_groups" -> st73_stream_norm_groups,
     "st74_stream_session_paths" -> st74_stream_session_paths,
     "st82_stream_funnel" -> st82_stream_funnel,
+    "st83_stream_source_overlap" -> st83_stream_source_overlap,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3566,6 +3602,10 @@ object StreamQueries {
     // 3-row conversion relation
     "st82_stream_funnel" ->
       graft.operators.Relational.oracles("a44_funnel_conversion"),
+    // st83's ingest-accumulated overlap marks must report exactly d26's
+    // matrix
+    "st83_stream_source_overlap" ->
+      graft.operators.Dedup.oracles("d26_source_overlap"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
