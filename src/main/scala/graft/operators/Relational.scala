@@ -2285,11 +2285,12 @@ object Relational {
     * opens [ts, ts+1h); the tie key packs (delta, event_id) so ends
     * sort before starts at an instant (half-open semantics).
     */
-  private def sweepBounds(spark: SparkSession, dir: String): DataFrame = {
+  private def sweepBounds(spark: SparkSession, dir: String,
+      windowUs: Long = 3600000000L): DataFrame = {
     val ev = events(spark, dir)
       .select(unix_micros(col("ts")).as("tsu0"), col("event_id"))
     ev.select(col("tsu0").as("tsu"), lit(1L).as("delta"), col("event_id"))
-      .unionAll(ev.select((col("tsu0") + 3600000000L).as("tsu"),
+      .unionAll(ev.select((col("tsu0") + windowUs).as("tsu"),
         lit(-1L).as("delta"), col("event_id")))
       .withColumn("tie", (col("delta") + 1L) * lit(1L << 40) + col("event_id"))
   }
@@ -2313,12 +2314,33 @@ object Relational {
     * rollup. No unpartitioned window, no lead over the data volume.
     */
   val j23_interval_coverage: Q = (spark, dir) => {
-    val pref = bucketedPrefix(sweepBounds(spark, dir), "tsu", "tie", "delta")
+    clipStretchDays(sweepStretches(spark, dir).where(col("cum_delta") > 0))
+      .groupBy(date_format(col("d"), "yyyy-MM-dd").as("dt"))
+      .agg(sum(col("cov")).as("covered_us"))
+  }
+
+  /** The (tsu, next_tsu, cum_delta) boundary-stretch relation j23/j24
+    * share: [[bucketedPrefix]]'s global rank + the rnk+1 equi-join as
+    * the scale-safe `lead`. Zero-length stretches (distinct boundary
+    * ties at one instant) drop; the relation covers only the span
+    * BETWEEN the first and last boundary — outside it, coverage is
+    * undefined, not zero.
+    */
+  private def sweepStretches(spark: SparkSession, dir: String,
+      windowUs: Long = 3600000000L): DataFrame = {
+    val pref = bucketedPrefix(sweepBounds(spark, dir, windowUs),
+      "tsu", "tie", "delta")
       .select(col("tsu"), col("rnk"), col("cum_delta"))
     val nxt = pref.select((col("rnk") - 1L).as("rnk"),
       col("tsu").as("next_tsu"))
-    pref.join(nxt, Seq("rnk"))
-      .where(col("cum_delta") > 0 && col("next_tsu") > col("tsu"))
+    pref.join(nxt, Seq("rnk")).where(col("next_tsu") > col("tsu"))
+  }
+
+  /** Explode a stretch across its calendar days and clip to each
+    * day's micro bounds (stretches are ≤ 1 h + a midnight — ≤ 2 days).
+    */
+  private def clipStretchDays(stretches: DataFrame): DataFrame =
+    stretches
       .select(col("tsu"), col("next_tsu"),
         explode(expr("sequence(to_date(timestamp_micros(tsu))," +
           " to_date(timestamp_micros(next_tsu - 1)))")).as("d"))
@@ -2326,8 +2348,60 @@ object Relational {
       .select(col("d"),
         (least(col("next_tsu"), col("day_us") + 86400000000L) -
           greatest(col("tsu"), col("day_us"))).as("cov"))
+
+  /** j24 — LONGEST QUIET GAP PER DAY: the dual of j23 on the same
+    * sweep line — per calendar day, the longest stretch with ZERO
+    * open activity windows and the count of quiet stretches touching
+    * the day — the "how long did ingest go dark" relation an
+    * availability postmortem reads next to j23's coverage. Quiet
+    * stretches exist only BETWEEN observed boundaries (before the
+    * first/after the last event the line isn't observed — undefined,
+    * not quiet), and a gap spanning midnight contributes its
+    * within-day portion to each side (clipped exactly like j23's
+    * covered stretches). The activity window is 60 s here (the
+    * liveness question), not j23's 1 h (the engagement question) —
+    * at the fixture's event density 1 h windows provably never close,
+    * which would verify a zero-row relation.
+    *
+    * Scale shape: identical to j23 — shared stretch relation, one dt
+    * rollup.
+    */
+  val j24_max_quiet_gap: Q = (spark, dir) => {
+    clipStretchDays(sweepStretches(spark, dir, windowUs = 60000000L)
+      .where(col("cum_delta") === 0))
       .groupBy(date_format(col("d"), "yyyy-MM-dd").as("dt"))
-      .agg(sum(col("cov")).as("covered_us"))
+      .agg(max(col("cov")).as("max_quiet_us"),
+        count(lit(1)).as("n_quiet"))
+  }
+
+  /** a47 — WEIGHTED QUARTILES AT DATA VOLUME: the quantity-weighted
+    * price quartiles over lineitem ("half the UNITS sold at or below
+    * what price?") — the weighted picked order statistic that
+    * classically needs a global sort over the fact table, here riding
+    * [[bucketedPrefix]]'s cumulative weight: quartile q's value is
+    * the price at the FIRST stretch where 4·cumWeight ≥ q·W (integer
+    * cross-multiplication — no W/4 float ever forms), picked by
+    * `min_by` over the strictly-increasing cum (quantities are ≥ 1,
+    * so cum is injective and the pick deterministic). Ties in price
+    * break on the packed (orderkey, linenumber) line id — unique at
+    * any SF inside the ×16 shift's headroom.
+    *
+    * Scale shape: one projection, bucketedPrefix's exchanges, a
+    * 3-row quartile broadcast (bounded nested-loop by construction)
+    * and a 3-group rollup. No global sort.
+    */
+  val a47_weighted_quartiles: Q = (spark, dir) => {
+    val li = lineitem(spark, dir).select(
+      cents(col("l_extendedprice")).cast("long").as("price_cents"),
+      col("l_quantity").cast("long").as("qty"),
+      (col("l_orderkey") * 16 + col("l_linenumber")).as("tie"))
+    val tot = li.agg(sum(col("qty")).as("w_total"))
+    val qs = spark.range(1, 4).select(col("id").as("quartile"))
+    bucketedPrefix(li, "price_cents", "tie", "qty")
+      .join(broadcast(tot), lit(true), "inner")
+      .join(broadcast(qs), expr("4 * cum_qty >= quartile * w_total"))
+      .groupBy(col("quartile"), col("w_total"))
+      .agg(expr("min_by(price_cents, cum_qty)").as("value_cents"))
   }
 
   /** a46 — EXACT GINI COEFFICIENT of customer spend, in per-mille —
@@ -4079,6 +4153,8 @@ object Relational {
     "a46_gini" -> a46_gini,
     "j22_max_concurrency" -> j22_max_concurrency,
     "j23_interval_coverage" -> j23_interval_coverage,
+    "j24_max_quiet_gap" -> j24_max_quiet_gap,
+    "a47_weighted_quartiles" -> a47_weighted_quartiles,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -5336,6 +5412,62 @@ object Relational {
                  CAST(SUM(least(next_tsu, day_us + 86400000000) -
                           greatest(tsu, day_us)) AS BIGINT) AS covered_us
           FROM x GROUP BY 1""",
+    // j24: the same naive sweep, quiet stretches, MAX per day
+    "j24_max_quiet_gap" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tsu0, event_id FROM events),
+          b AS (SELECT tsu0 AS tsu, CAST(1 AS BIGINT) AS delta, event_id
+                FROM e
+                UNION ALL
+                SELECT tsu0 + 60000000, CAST(-1 AS BIGINT), event_id
+                FROM e),
+          c AS (SELECT tsu,
+                       SUM(delta) OVER
+                         (ORDER BY tsu,
+                                   (delta + 1) * 1099511627776 + event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+                       lead(tsu) OVER
+                         (ORDER BY tsu,
+                                   (delta + 1) * 1099511627776 + event_id)
+                         AS next_tsu
+                FROM b),
+          seg AS (SELECT tsu, next_tsu FROM c
+                  WHERE cum = 0 AND next_tsu > tsu),
+          dys AS (SELECT tsu, next_tsu,
+                         unnest(generate_series(
+                           CAST(make_timestamp(tsu) AS DATE),
+                           CAST(make_timestamp(next_tsu - 1) AS DATE),
+                           INTERVAL 1 DAY)) AS dd
+                  FROM seg),
+          x AS (SELECT CAST(dd AS DATE) AS d,
+                       epoch_us(CAST(CAST(dd AS DATE) AS TIMESTAMP))
+                         AS day_us,
+                       tsu, next_tsu
+                FROM dys)
+          SELECT strftime(d, '%Y-%m-%d') AS dt,
+                 CAST(MAX(least(next_tsu, day_us + 86400000000) -
+                          greatest(tsu, day_us)) AS BIGINT) AS max_quiet_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_quiet
+          FROM x GROUP BY 1""",
+    // a47: the naive cumulative-weight window, same integer
+    // cross-multiplied pick
+    "a47_weighted_quartiles" ->
+      """WITH li AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                              AS price_cents,
+                            CAST(l_quantity AS BIGINT) AS qty,
+                            l_orderkey * 16 + l_linenumber AS tie
+                     FROM lineitem),
+          c AS (SELECT price_cents, qty,
+                       CAST(SUM(qty) OVER (ORDER BY price_cents, tie
+                                           ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum
+                FROM li),
+          t AS (SELECT CAST(SUM(qty) AS BIGINT) AS w_total FROM li),
+          q AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS quartile)
+          SELECT quartile, w_total,
+                 arg_min(price_cents, cum) AS value_cents
+          FROM q, t, c
+          WHERE 4 * cum >= quartile * w_total
+          GROUP BY 1, 2""",
     // a46: the same sorted-vector identity via the naive window ranks
     "a46_gini" ->
       """WITH s AS (SELECT o_custkey AS custkey,
