@@ -155,6 +155,23 @@ import java.nio.file.{Files, Paths}
   * split is what one JVM can do, and it unloads every state-store
   * provider, catalog and block-manager entry between families.)
   *
+  * Round-12 addendum (cont., new-query audit at sf0.1): builder-side
+  * full run 446.0 s / ~310 queries (r11: 376.1 / 275), failed 0,
+  * flaky 0 — the +70 s is the ~35 new queries. The round's additions
+  * all landed inside family norms: the bucketedPrefix consumers
+  * (w17 0.87 s, a45 1.04, a46 0.84, j22 1.62, j23 2.32, j24 1.69,
+  * a47 4.11 — a47's extra cost is the 3-row quartile nested-loop
+  * over the full cum relation, map-side only, no extra exchange),
+  * t37 2.32 (the per-char explode is the cost — rows, not bytes),
+  * d26 1.57, mm11 1.25, and the streamed twins st79–st82 0.9–3.2 s.
+  * The one new top-12 entrant is st83_stream_source_overlap 7.40 s:
+  * its update-mode state is one row per (source-pair, common
+  * shingle) — state ∝ the overlap being measured (docstring
+  * contract) — and the cost is that state exchange per micro-batch,
+  * the same shape as the st14/st18 state-bound band it sits in, not
+  * a plan defect. No prior query moved beyond the documented ambient
+  * band.
+  *
   * Optional args: query names to bench only those (local iteration).
   */
 object Bench {

@@ -2436,6 +2436,53 @@ object Relational {
         col("sx").as("total_cents"))
   }
 
+  /** a48 — DAILY-REVENUE AUTOCORRELATION at lags 1 and 7: Pearson r
+    * between the daily-revenue series and its own calendar-shifted
+    * self — lag-7 near 1 says the weekly cycle (a43's index) explains
+    * the variance; lag-1 prices day-to-day momentum for the a30/a41
+    * monitors. Pairs form by CALENDAR self-join (a missing day drops
+    * its pairs — the w14 discipline; no index arithmetic that would
+    * silently pair across gaps). Components are exact decimal(38,0)
+    * sums of dollar-rounded revenue (squares of production-scale
+    * daily revenue overflow BIGINT — the a21 lesson applied up
+    * front), and the one float is the a33-pinned derivation
+    * num / (√den_x · √den_y); only overflow-safe BIGINTs and that
+    * double are emitted.
+    *
+    * Scale shape: one dt rollup; both lag joins broadcast the
+    * calendar-bounded daily relation; output is 2 rows.
+    */
+  val a48_revenue_autocorr: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(round(col("o_totalprice")).cast("long")).as("rev_d"))
+    val pairs = Seq(1, 7).map { k =>
+      daily.as("a")
+        .join(broadcast(daily.as("b")),
+          col("a.dt") === date_add(col("b.dt"), k))
+        .select(lit(k.toLong).as("lag_d"),
+          col("a.rev_d").as("x"), col("b.rev_d").as("y"))
+    }.reduce(_.unionByName(_))
+    pairs.groupBy(col("lag_d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .select(col("lag_d"), col("n"), col("sx"), col("sy"),
+        (col("n") * col("sxy") -
+          expr("cast(sx as decimal(38,0)) * sy")).as("num"),
+        (col("n") * col("sxx") -
+          expr("cast(sx as decimal(38,0)) * sx")).as("den_x"),
+        (col("n") * col("syy") -
+          expr("cast(sy as decimal(38,0)) * sy")).as("den_y"))
+      .select(col("lag_d"), col("n"), col("sx"), col("sy"),
+        when(col("den_x") > 0 && col("den_y") > 0,
+          col("num").cast("double") /
+            (sqrt(col("den_x").cast("double")) *
+              sqrt(col("den_y").cast("double")))).as("pearson_r"))
+  }
+
   /** a44 — ORDERED FUNNEL CONVERSION: view → click → purchase, each
     * step STRICTLY AFTER the user's previous step (a click before the
     * first view does not count — the ordering constraint that
@@ -2517,6 +2564,54 @@ object Relational {
         col("offset_m"), col("n_active"), col("n_cohort"),
         expr("n_active * 1000 div n_cohort").as("retention_pm"))
   }
+
+  /** p24 — PRIMARY-KEY AUDIT across the whole star schema in one
+    * long-form relation: per table, row count, distinct key count, a
+    * uniqueness verdict, the key range, and key-space density in
+    * per-mille — the ingest contract check a CDC/backfill bug breaks
+    * FIRST (a double-applied batch shows as is_unique=false; a gapped
+    * id sequence shows as falling density), and the audit p22 (FDs)
+    * and p23 (FKs) both implicitly assume. Lineitem's composite key
+    * packs (orderkey, linenumber) into one long (×16 shift — TPC-H
+    * linenumbers are ≤ 7 at every SF).
+    *
+    * Scale shape: ten independent 1-row aggregates (each one
+    * count-distinct exchange over its own table), unioned — tables
+    * audit in parallel; output is 10 rows.
+    */
+  val p24_pk_audit: Q = (spark, dir) => {
+    def audit(name: String, df: DataFrame, id: Column): DataFrame =
+      df.select(id.cast("long").as("id"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("id")).as("n_ids"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("n_ids"),
+          (col("n_rows") === col("n_ids")).as("is_unique"),
+          col("min_id"), col("max_id"),
+          expr("n_ids * 1000 div (max_id - min_id + 1)").as("density_pm"))
+    Seq(
+      audit("region", region(spark, dir), col("r_regionkey")),
+      audit("nation", nation(spark, dir), col("n_nationkey")),
+      audit("customer", customer(spark, dir), col("c_custkey")),
+      audit("supplier", supplier(spark, dir), col("s_suppkey")),
+      audit("part", part(spark, dir), col("p_partkey")),
+      audit("orders", orders(spark, dir), col("o_orderkey")),
+      audit("lineitem", lineitem(spark, dir),
+        col("l_orderkey") * 16 + col("l_linenumber")),
+      audit("events", events(spark, dir), col("event_id")),
+      audit("documents", documents(spark, dir), col("doc_id")),
+      audit("embeddings", embeddings(spark, dir), col("vec_id")),
+    ).reduce(_.unionByName(_))
+  }
+
+  private def duckPk(name: String, idExpr: String): String =
+    s"""SELECT '$name' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids,
+              COUNT(*) = COUNT(DISTINCT id) AS is_unique,
+              CAST(MIN(id) AS BIGINT) AS min_id,
+              CAST(MAX(id) AS BIGINT) AS max_id,
+              CAST(COUNT(DISTINCT id) * 1000
+                   // (MAX(id) - MIN(id) + 1) AS BIGINT) AS density_pm
+       FROM (SELECT CAST($idExpr AS BIGINT) AS id FROM $name)"""
 
   /** p23 — REFERENTIAL-INTEGRITY AUDIT: orphan-FK rates across the
     * star schema's three load-bearing edges (lineitem→orders,
@@ -4143,6 +4238,7 @@ object Relational {
     "f05_conditional_suite" -> f05_conditional_suite,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
+    "p24_pk_audit" -> p24_pk_audit,
     "j21_scd_audit" -> j21_scd_audit,
     "a43_weekday_index" -> a43_weekday_index,
     "w15_hot_streaks" -> w15_hot_streaks,
@@ -4155,6 +4251,7 @@ object Relational {
     "j23_interval_coverage" -> j23_interval_coverage,
     "j24_max_quiet_gap" -> j24_max_quiet_gap,
     "a47_weighted_quartiles" -> a47_weighted_quartiles,
+    "a48_revenue_autocorr" -> a48_revenue_autocorr,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -5485,6 +5582,33 @@ object Relational {
                       // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_pm,
                  n AS n_users, sx AS total_cents
           FROM t""",
+    // a48: same calendar pairing, HUGEINT components, pinned derivation
+    "a48_revenue_autocorr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                          CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT))
+                               AS BIGINT) AS rev_d
+                        FROM orders GROUP BY 1),
+          k AS (SELECT CAST(unnest([1, 7]) AS BIGINT) AS lag_d),
+          l AS (SELECT lag_d, a.rev_d AS x, b.rev_d AS y
+                FROM k, daily a, daily b
+                WHERE a.dt = b.dt + CAST(lag_d AS INT)),
+          t AS (SELECT lag_d, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy
+                FROM l GROUP BY 1)
+          SELECT lag_d, n, sx, sy,
+                 CASE WHEN n * sxx - CAST(sx AS HUGEINT) * sx > 0
+                       AND n * syy - CAST(sy AS HUGEINT) * sy > 0
+                      THEN CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx
+                                        AS DOUBLE))
+                              * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy
+                                          AS DOUBLE)))
+                 END AS pearson_r
+          FROM t""",
     // a44: the same strictly-after chained minima
     "a44_funnel_conversion" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
@@ -5520,6 +5644,15 @@ object Relational {
           SELECT strftime(cohort, '%Y-%m') AS cohort_m, offset_m, n_active,
                  n_cohort, n_active * 1000 // n_cohort AS retention_pm
           FROM cells JOIN b USING (cohort)""",
+    // p24: the same per-table key audit, unioned
+    "p24_pk_audit" -> Seq(
+      "region" -> "r_regionkey", "nation" -> "n_nationkey",
+      "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+      "part" -> "p_partkey", "orders" -> "o_orderkey",
+      "lineitem" -> "l_orderkey * 16 + l_linenumber",
+      "events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id",
+    ).map { case (t, e) => duckPk(t, e) }.mkString("\nUNION ALL\n"),
     // p23: the same anti-join orphan counts per edge
     "p23_fk_audit" ->
       """WITH e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,

@@ -1938,7 +1938,47 @@ object TextAnalysis {
         expr("tsum div n").as("ent_mn"))
   }
 
+  /** t38 — VOCABULARY GROWTH CURVE (Heaps' law, measured): distinct
+    * vocabulary and token volume after ingesting the first 25/50/75/
+    * 100 % of the corpus (by doc_id — the generator's arrival order),
+    * with vocab-per-million-tokens as the growth ratio — the curve
+    * that prices "how much NEW vocabulary does the next crawl slice
+    * buy", the diminishing-returns question corpus acquisition asks.
+    * Each token charges its FIRST document (one min-aggregation), so
+    * a prefix's vocabulary is a count over first-seen ids — no
+    * per-prefix re-scan; thresholds derive from max(doc_id) in exact
+    * integer arithmetic, SF-invariant.
+    *
+    * Scale shape: one (token) shuffle for first-seen + one small
+    * (doc, count) rollup; the 4-row threshold relation joins by
+    * bounded broadcast nested loop (the a47 discipline). Output is 4
+    * rows.
+    */
+  val t38_vocab_growth: Q = (spark, dir) => {
+    val toks = documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val firstSeen = toks.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val thr = documents(spark, dir).agg(max(col("doc_id")).as("mx"))
+      .join(broadcast(spark.range(1, 5)
+        .select((col("id") * 25).as("pct"))), lit(true), "inner")
+      .select(col("pct"), expr("(mx + 1) * pct div 100").as("thr"))
+    val vocab = firstSeen.join(broadcast(thr), col("first_doc") < col("thr"))
+      .groupBy(col("pct"), col("thr")).agg(count(lit(1)).as("n_vocab"))
+    val volume = perDoc.join(broadcast(thr), col("doc_id") < col("thr"))
+      .groupBy(col("pct"), col("thr"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    vocab.join(volume, Seq("pct", "thr"))
+      .select(col("pct"), col("thr"), col("n_docs"), col("n_tokens"),
+        col("n_vocab"),
+        expr("cast(cast(n_vocab as decimal(38,0)) * 1000000" +
+          " div n_tokens as bigint)").as("vocab_per_mtok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t38_vocab_growth" -> t38_vocab_growth,
     "t37_char_entropy" -> t37_char_entropy,
     "t36_term_lookup" -> t36_term_lookup,
     "t35_zipf_fit" -> t35_zipf_fit,
@@ -2687,6 +2727,27 @@ object TextAnalysis {
                 FROM p WHERE token = '$ProbeTerm')
           SELECT token, df, total_tf, rnk, doc_id, tf
           FROM t WHERE rnk <= 10""",
+    // t38: the same first-seen charge and integer thresholds
+    "t38_vocab_growth" ->
+      """WITH tk AS (SELECT doc_id, token
+                     FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS token
+                           FROM documents)
+                     WHERE len(token) > 0),
+          fs AS (SELECT token, MIN(doc_id) AS first_doc FROM tk GROUP BY 1),
+          mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+          p AS (SELECT CAST(unnest([25, 50, 75, 100]) AS BIGINT) AS pct),
+          thr AS (SELECT pct, (mx + 1) * pct // 100 AS thr FROM p, mx),
+          v AS (SELECT pct, thr, CAST(COUNT(*) AS BIGINT) AS n_vocab
+                FROM thr JOIN fs ON first_doc < thr GROUP BY 1, 2),
+          d AS (SELECT pct, thr,
+                       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM thr JOIN tk ON doc_id < thr GROUP BY 1, 2)
+          SELECT v.pct, v.thr, n_docs, n_tokens, n_vocab,
+                 CAST(CAST(n_vocab AS HUGEINT) * 1000000 // n_tokens
+                      AS BIGINT) AS vocab_per_mtok
+          FROM v JOIN d USING (pct, thr)""",
     // t37: same per-value milli-nat floor quantization, then pure
     // integer sums — aggregation order can't matter
     "t37_char_entropy" ->
