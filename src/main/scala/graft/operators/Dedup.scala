@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables._
 import graft.functions.Portable
 
@@ -1042,6 +1043,55 @@ object Dedup {
         SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_keeper
         FROM l$ClusterIters"""
 
+  /** d27 — CLUSTER-SIZE DISTRIBUTION: the dedup graph's shape in one
+    * bounded relation — for each cluster SIZE s: how many d07
+    * clusters have exactly s members, total docs they hold, the share
+    * of the corpus in that size class (per-mille), and the running
+    * docs-in-clusters-≥s share — the histogram that tells a curation
+    * org whether dedup savings come from a long tail of pairs or a
+    * few mega-clusters (which is also where d15's block cap and d04's
+    * hot-bucket escape hatch start to matter). Singletons (size 1)
+    * stay in the relation: their share is the corpus fraction dedup
+    * cannot touch.
+    *
+    * Scale shape: d07's labels (shared edge artifact) → one
+    * cluster_id rollup → one size rollup; the running share rides the
+    * size-domain relation (bounded by the largest cluster, not the
+    * corpus — the w-family bound, stated).
+    */
+  val d27_cluster_sizes: Q = (spark, dir) => {
+    val sizes = d07_dedup_clusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("sz") * col("n_clusters"))
+    val tot = sizes.agg(sum(col("n_docs")).as("n_total"))
+    val w = Window.orderBy(col("sz").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    sizes.join(broadcast(tot), lit(true), "inner")
+      .withColumn("docs_ge", sum(col("n_docs")).over(w))
+      .select(col("sz"), col("n_clusters"), col("n_docs"),
+        expr("n_docs * 1000 div n_total").as("share_pm"),
+        expr("docs_ge * 1000 div n_total").as("ge_share_pm"))
+  }
+
+  private def duckClusterSizesSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+        $duckClusterRounds,
+        cs AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS sz
+               FROM l$ClusterIters GROUP BY 1),
+        sz AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                      sz * CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM cs GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM sz),
+        r AS (SELECT sz.*, CAST(SUM(n_docs) OVER (ORDER BY sz DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_ge
+              FROM sz)
+        SELECT sz, n_clusters, n_docs,
+               n_docs * 1000 // n_total AS share_pm,
+               docs_ge * 1000 // n_total AS ge_share_pm
+        FROM r, t"""
+
   /** d19 — LEAKAGE-FREE SPLIT ASSIGNMENT: train/val/test decided by
     * hashing the near-dup CLUSTER id, never the document id — the
     * split operator that makes d16's eval-leakage report come back
@@ -1983,6 +2033,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d25_source_dup_report" -> d25_source_dup_report,
     "d26_source_overlap" -> d26_source_overlap,
+    "d27_cluster_sizes" -> d27_cluster_sizes,
     "d24_partition_agreement" -> d24_partition_agreement,
     "d22_triangle_count" -> d22_triangle_count,
     "d23_lpa_communities" -> d23_lpa_communities,
@@ -2011,6 +2062,7 @@ object Dedup {
     "d24_partition_agreement" -> duckAgreementSql,
     "d25_source_dup_report" -> duckSourceDupSql,
     "d26_source_overlap" -> duckSourceOverlapSql,
+    "d27_cluster_sizes" -> duckClusterSizesSql,
     "d01_exact_dedup" ->
       s"""WITH $duckExactCorpus
           SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,

@@ -489,6 +489,57 @@ class PlanSpec extends SparkSpecBase {
       s"w14's shifted self-joins must broadcast, never sort-merge:\n$w14")
   }
 
+  /** Every BroadcastNestedLoopJoin must broadcast a provably bounded
+    * side: a 1-row aggregate (bnds/tot/mx), a bounded Range (quartile/
+    * pct grids), or their AQE-wrapped stages. Data-volume relations
+    * (scans, exchanges over scans) must never be a BNL side.
+    */
+  private def assertBnlSidesBounded(df: DataFrame, ctx: String): Unit = {
+    val plans = flatten(df.queryExecution.executedPlan)
+    assert(!plans.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      s"$ctx: no cartesian product allowed")
+    plans.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.foreach { b =>
+      val side = (if (b.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+        b.right else b.left).toString
+      // bounded: a literal Range grid, a 1-row aggregate, or a reused
+      // broadcast of one of the named bounded relations
+      val boundedCols = Seq("bnds", "w_total", "quartile", "pct", "mx", "tot")
+      assert(side.contains("Range (") ||
+        side.contains("HashAggregate") || side.contains("SortAggregate") ||
+        (side.contains("ReusedExchange") &&
+          boundedCols.exists(c => side.contains(s"[$c#"))),
+        s"$ctx: BNL broadcasts a non-bounded side:\n$side")
+    }
+  }
+
+  test("j22/j23/j24: no cartesian; BNLs broadcast only bounded sides; " +
+      "the successor lookup is an equi-join on rnk") {
+    for (q <- Seq(Relational.j22_max_concurrency,
+        Relational.j23_interval_coverage, Relational.j24_max_quiet_gap)) {
+      val df = q(spark, sf)
+      df.collect()
+      assertBnlSidesBounded(df, "sweep")
+    }
+    // the j23/j24 successor lookup must be an equi-join keyed on rnk
+    val plan = Relational.j23_interval_coverage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[rnk".r
+      .findFirstIn(plan).isDefined,
+      s"the scale-safe lead must be an equi-join on rnk:\n$plan")
+  }
+
+  test("a47/t38: no cartesian; nested loops broadcast only the bounded " +
+      "grids (1-row totals, 3-4-row threshold ranges)") {
+    for (df <- Seq(Relational.a47_weighted_quartiles(spark, sf),
+        graft.operators.TextAnalysis.t38_vocab_growth(spark, sf))) {
+      df.collect()
+      assertBnlSidesBounded(df, "grid-pick")
+    }
+  }
+
   test("w17/a45: the data-volume window partitions by bucket; only the " +
       "bucket-offset window is unpartitioned") {
     for (q <- Seq(Relational.w17_global_rank, Relational.a45_pareto_abc)) {
