@@ -3468,6 +3468,26 @@ object Relational {
       expr("if(p_size % 2 = 0, 'even', 'odd')").as("parity"))
   }
 
+  /** f06 — AGGREGATE-FUNCTION PARITY BATTERY (§2.8's aggregate leg):
+    * the exact-integer/boolean aggregate surface beyond sum/count —
+    * bitwise AND/OR/XOR folds (order-free by algebra), bool_and/
+    * bool_or, count_if, and min/max over VARCHAR (binary collation on
+    * both engines — the place a locale-collated engine would silently
+    * reorder). One brand-keyed exchange with map-side partials.
+    */
+  val f06_agg_suite: Q = (spark, dir) => {
+    part(spark, dir).groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(p_size)").cast("long").as("size_and"),
+        expr("bit_or(p_size)").cast("long").as("size_or"),
+        expr("bit_xor(p_size)").cast("long").as("size_xor"),
+        expr("bool_and(p_size > 5)").as("all_gt5"),
+        expr("bool_or(p_size > 45)").as("any_gt45"),
+        expr("count_if(p_size % 2 = 0)").cast("long").as("n_even"),
+        min(col("p_name")).as("name_min"),
+        max(col("p_name")).as("name_max"))
+  }
+
   /** f04 — STRING SCALAR BATTERY II (the §2.8 surface f01 left
     * uncovered): pad/translate/repeat/reverse, positional search,
     * regex extraction, split_part and cross-engine `levenshtein` —
@@ -4236,6 +4256,7 @@ object Relational {
     "f03_datetime_suite" -> f03_datetime_suite,
     "f04_string_suite" -> f04_string_suite,
     "f05_conditional_suite" -> f05_conditional_suite,
+    "f06_agg_suite" -> f06_agg_suite,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
@@ -5699,6 +5720,19 @@ object Relational {
                  CAST((CAST(MAX(prod) AS HUGEINT) * 1000) // SUM(prod)
                       AS BIGINT) AS top_share_pm
           FROM j""",
+    // f06: algebraic folds are merge-order-free; varchar min/max under
+    // binary collation
+    "f06_agg_suite" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(bit_and(p_size) AS BIGINT) AS size_and,
+                CAST(bit_or(p_size) AS BIGINT) AS size_or,
+                CAST(bit_xor(p_size) AS BIGINT) AS size_xor,
+                bool_and(p_size > 5) AS all_gt5,
+                bool_or(p_size > 45) AS any_gt45,
+                CAST(count_if(p_size % 2 = 0) AS BIGINT) AS n_even,
+                min(p_name) AS name_min,
+                max(p_name) AS name_max
+         FROM part GROUP BY 1""",
     // f05: least/greatest skip NULLs on both engines; NULL comparisons
     // fall to ELSE
     "f05_conditional_suite" ->

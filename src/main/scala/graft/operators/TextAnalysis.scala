@@ -1919,8 +1919,16 @@ object TextAnalysis {
     * rows, not bytes — single chars), then two doc-keyed rollups on
     * the same key. Alphabet size bounds the per-doc group count.
     */
-  val t37_char_entropy: Q = (spark, dir) => {
-    val counts = documents(spark, dir)
+  val t37_char_entropy: Q = (spark, dir) =>
+    entropyOf(documents(spark, dir))
+
+  /** t37's whole computation over any (doc_id, text) relation — a doc
+    * is ONE row, so the result is row-local at the document grain and
+    * st84 can run it batch-locally at ingest with zero cross-batch
+    * state.
+    */
+  private[graft] def entropyOf(docs: DataFrame): DataFrame = {
+    val counts = docs
       .where(length(col("text")) > 0)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, length(text) - 1)," +

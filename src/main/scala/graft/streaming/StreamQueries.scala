@@ -1723,6 +1723,38 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_common")))
   }
 
+  /** T-family streaming — CHAR-ENTROPY SCORING AT INGEST (streaming
+    * twin of t37, the st79 pattern for a per-document SCORE): a
+    * document is one row, so its entropy is batch-local — the whole
+    * t37 computation runs INSIDE each micro-batch (zero cross-batch
+    * state, no watermark) and appends idempotently by batch id into a
+    * doc_id-bucketed table; a quality gate then reads scores with
+    * doc_id bucket pruning for free. Oracle is t37's verbatim: the
+    * incrementally-scored table must equal the nightly scan.
+    */
+  val st84_stream_entropy: Q = (spark, dir) => {
+    val T = graft.operators.TextAnalysis
+    val path = graft.Tables.scratchDir("graft_bkt_sent_")
+    val tbl = "graft_sent_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "doc_id")
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("doc_id"), col("text"))
+    val q = docs.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(T.entropyOf(b), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read().select(col("doc_id"), col("n_chars"), col("n_distinct"),
+      col("ent_mn"))
+  }
+
   /** A-family streaming — CHANGEPOINT MONITOR OVER INGEST COUNTERS
     * (streaming twin of a41, the fourth consumer of the
     * count-at-ingest door): ONE update-mode daily-revenue aggregation
@@ -3329,6 +3361,7 @@ object StreamQueries {
     "st74_stream_session_paths" -> st74_stream_session_paths,
     "st82_stream_funnel" -> st82_stream_funnel,
     "st83_stream_source_overlap" -> st83_stream_source_overlap,
+    "st84_stream_entropy" -> st84_stream_entropy,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3606,6 +3639,9 @@ object StreamQueries {
     // matrix
     "st83_stream_source_overlap" ->
       graft.operators.Dedup.oracles("d26_source_overlap"),
+    // st84's incrementally-scored table must equal t37's nightly scan
+    "st84_stream_entropy" ->
+      graft.operators.TextAnalysis.oracles("t37_char_entropy"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
