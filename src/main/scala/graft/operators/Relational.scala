@@ -2436,6 +2436,36 @@ object Relational {
         col("sx").as("total_cents"))
   }
 
+  /** a49 — HIERARCHICAL ROLLUP over the snowflake (region → nation):
+    * revenue and order counts at all three grains — (region, nation),
+    * (region), () — in ONE pass via ROLLUP with the grouping-id
+    * disambiguating real NULLs from subtotal rows — the §2.6 rollup
+    * surface a11 covers for time, here for the dimension hierarchy,
+    * and the grouping-sets parity check (Spark `grouping_id` bitmask
+    * ≡ DuckDB `GROUPING`). Customer is data-volume so it joins by
+    * key exchange; nation/region broadcast (bounded dims).
+    *
+    * Scale shape: one custkey exchange + two broadcast joins + one
+    * rollup aggregation (Spark expands grouping sets BEFORE the
+    * exchange — partials combine map-side at every grain).
+    */
+  val a49_rollup_revenue: Q = (spark, dir) => {
+    val dims = customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"), col("n_name"))
+    orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).cast("long").as("c"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("rev_cents"),
+        grouping_id().cast("long").as("gid"))
+  }
+
   /** a48 — DAILY-REVENUE AUTOCORRELATION at lags 1 and 7: Pearson r
     * between the daily-revenue series and its own calendar-shifted
     * self — lag-7 near 1 says the weekly cycle (a43's index) explains
@@ -4273,6 +4303,7 @@ object Relational {
     "j24_max_quiet_gap" -> j24_max_quiet_gap,
     "a47_weighted_quartiles" -> a47_weighted_quartiles,
     "a48_revenue_autocorr" -> a48_revenue_autocorr,
+    "a49_rollup_revenue" -> a49_rollup_revenue,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -5603,6 +5634,17 @@ object Relational {
                       // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_pm,
                  n AS n_users, sx AS total_cents
           FROM t""",
+    // a49: same snowflake join, ROLLUP grains, GROUPING bitmask
+    "a49_rollup_revenue" ->
+      """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS rev_cents,
+                CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
     // a48: same calendar pairing, HUGEINT components, pinned derivation
     "a48_revenue_autocorr" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
