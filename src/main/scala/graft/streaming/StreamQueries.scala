@@ -1723,6 +1723,41 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_common")))
   }
 
+  /** A-family streaming — THE ROLLUP SERVED FROM ITS FINEST GRAIN
+    * (streaming twin of a49): grouping sets don't exist in streaming
+    * aggregation — and don't need to. The stream maintains ONE
+    * update-mode aggregation at the finest (region, nation) grain
+    * (orders enrich by a stream-static customer⋈nation⋈region join —
+    * stateless; state = |nations| rows), and every coarser grain is
+    * DERIVED ON READ by re-aggregating the served table (exact:
+    * subtotals of sums are sums — the rollup is a view, not state).
+    * Spark's batch ROLLUP over the ≤|nations|-row served relation
+    * reproduces a49's grouping-id bitmask bit-for-bit. Oracle is
+    * a49's verbatim.
+    */
+  val st85_stream_rollup_serve: Q = (spark, dir) => {
+    val T = graft.Tables
+    val dims = T.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(T.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(spark, dir)
+        .select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"), col("n_name"))
+    val base = Replay.ordersStream(spark, dir)
+      .where(col("o_custkey") >= 0)
+      .select(col("o_custkey"), T.cents(col("o_totalprice")).cast("long").as("c"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("rev_cents"))
+    upsertServe(spark, base, Seq("r_name", "n_name"), "n_orders")
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_cents")).as("rev_cents"),
+        grouping_id().cast("long").as("gid"))
+  }
+
   /** T-family streaming — CHAR-ENTROPY SCORING AT INGEST (streaming
     * twin of t37, the st79 pattern for a per-document SCORE): a
     * document is one row, so its entropy is batch-local — the whole
@@ -3362,6 +3397,7 @@ object StreamQueries {
     "st82_stream_funnel" -> st82_stream_funnel,
     "st83_stream_source_overlap" -> st83_stream_source_overlap,
     "st84_stream_entropy" -> st84_stream_entropy,
+    "st85_stream_rollup_serve" -> st85_stream_rollup_serve,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3642,6 +3678,10 @@ object StreamQueries {
     // st84's incrementally-scored table must equal t37's nightly scan
     "st84_stream_entropy" ->
       graft.operators.TextAnalysis.oracles("t37_char_entropy"),
+    // st85's on-read rollup of the served finest grain must equal the
+    // batch ROLLUP
+    "st85_stream_rollup_serve" ->
+      graft.operators.Relational.oracles("a49_rollup_revenue"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
