@@ -703,9 +703,96 @@ object Multimodal {
                  FROM fr)"""
   }
 
+  /** 16-bin byte histogram over a hex-encoded body column, row-local
+    * (`hx` must be a materialized hex column so the per-element substr
+    * reads a column, not a recomputed hex() per lambda element).
+    */
+  private def histOf(hx: String, body: String): Column = expr(
+    s"""transform(sequence(0, 15), bin ->
+          cast(size(filter(
+            transform(sequence(0, octet_length($body) - 1), i ->
+              cast(conv(substr($hx, 2*i + 1, 2), 16, 10) as bigint) div 16),
+            x -> x = bin)) as bigint))""")
+
+  /** mm12 — BYTE-HISTOGRAM χ² DISTANCE over the planted media copies:
+    * for every (original, planted copy) pair — the exact-copy cohort
+    * (+1M, %10=0) and the locally-patched cohort (+3M, %10=3, middle
+    * tenth shifted +50) — the χ² distance between their 16-bin byte
+    * histograms in exact micro-units (per-bin integer
+    * cross-multiplied divide, then an integer sum — deterministic
+    * under any order). The DISTRIBUTIONAL distance complements
+    * mm10's positional dHash: a heavy local edit moves few dHash
+    * bits (adjacent-stride reads) but shifts mass between histogram
+    * bins, so the two metrics disagree exactly when an edit is
+    * local-but-large — the triage signal c10-style admission wants.
+    * Exact copies measure 0 by construction; the patched cohort
+    * measures > 0 — both paths execute and hash-check.
+    *
+    * Scale shape: entirely row-local (each pair's two histograms and
+    * the χ² compute in one projection from the base row — planted
+    * copies are derived, not joined); no shuffle anywhere.
+    */
+  val mm12_hist_distance: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    documents(spark, dir)
+      .where(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 3)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("body"))
+      .withColumn("cbody",
+        when(col("doc_id") % 10 === 3, patchedBody(col("body")))
+          .otherwise(col("body")))
+      .withColumn("hxa", hex(col("body")))
+      .withColumn("hxb", hex(col("cbody")))
+      .withColumn("ha", histOf("hxa", "body"))
+      .withColumn("hb", histOf("hxb", "cbody"))
+      .select(col("doc_id"),
+        (col("doc_id") + when(col("doc_id") % 10 === 3, 3000000L)
+          .otherwise(1000000L)).as("copy_id"),
+        when(col("doc_id") % 10 === 3, "patched").otherwise("exact")
+          .as("pair_type"),
+        octet_length(col("body")).cast("long").as("n_bytes"),
+        expr("""aggregate(zip_with(ha, hb, (a, b) ->
+                  if(a + b = 0, 0L,
+                     ((a - b) * (a - b) * 1000000) div (a + b))),
+                0L, (acc, x) -> acc + x)""").as("chi2_micro"))
+  }
+
+  private def duckHistDistanceSql: String =
+    s"""WITH $duckDhashBytesCte,
+        pairs AS (
+          SELECT doc_id, doc_id + 1000000 AS copy_id, 'exact' AS pair_type,
+                 bytes, bytes AS cbytes
+          FROM by WHERE doc_id % 10 = 0
+          UNION ALL
+          SELECT doc_id, doc_id + 3000000, 'patched', bytes,
+                 bytes[1 : (len(bytes)//2 - 1)::INT]
+                   || list_transform(
+                        bytes[(len(bytes)//2)::INT :
+                              (len(bytes)//2 + len(bytes)//10 - 1)::INT],
+                        b -> (b + 50) % 256)
+                   || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
+                            len(bytes)::INT]
+          FROM by WHERE doc_id % 10 = 3),
+        h AS (SELECT doc_id, copy_id, pair_type,
+                     CAST(len(bytes) AS BIGINT) AS n_bytes,
+                     list_transform(range(0, 16), bin ->
+                       CAST(len(list_filter(bytes, x -> x // 16 = bin))
+                            AS BIGINT)) AS ha,
+                     list_transform(range(0, 16), bin ->
+                       CAST(len(list_filter(cbytes, x -> x // 16 = bin))
+                            AS BIGINT)) AS hb
+              FROM pairs)
+        SELECT doc_id, copy_id, pair_type, n_bytes,
+               CAST(list_sum(list_transform(list_zip(ha, hb), t ->
+                      CASE WHEN t[1] + t[2] = 0 THEN 0
+                           ELSE ((t[1] - t[2]) * (t[1] - t[2]) * 1000000)
+                                // (t[1] + t[2]) END)) AS BIGINT)
+                 AS chi2_micro
+        FROM h"""
+
   val queries: Map[String, Q] = Map(
     "mm10_media_dhash" -> mm10_media_dhash,
     "mm11_audio_segments" -> mm11_audio_segments,
+    "mm12_hist_distance" -> mm12_hist_distance,
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm05_media_dedup" -> mm05_media_dedup,
     "mm02_pixel_features" -> mm02_pixel_features,
@@ -830,6 +917,8 @@ object Multimodal {
         WHERE hamming <= 3"""
 
   val oracles: Map[String, String] = Map(
+    // mm12: same planted-pair derivation, same per-bin integer chi2
+    "mm12_hist_distance" -> duckHistDistanceSql,
     "mm05_media_dedup" -> duckMediaDedupSql,
     "mm10_media_dhash" -> {
       // same 65-stride mapping (stride of byte i = i*65 div n; stride s

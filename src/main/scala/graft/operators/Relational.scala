@@ -2436,6 +2436,37 @@ object Relational {
         col("sx").as("total_cents"))
   }
 
+  /** w19 — CALENDAR DENSIFY + LOCF: the daily-revenue series on the
+    * FULL calendar (min..max order date), missing days filled by
+    * last-observation-carried-forward — the step-function gap fill
+    * (w11 is the linear twin; LOCF is what balance-like and
+    * state-like series need, where interpolating invents values that
+    * never existed). Each row keeps the raw observation (null on a
+    * missing day), the filled value, and the observed flag, so
+    * downstream can tell measurement from carry. The fixture calendar
+    * HAS missing days (w10's gap relation is non-empty), so the carry
+    * path executes, not just compiles.
+    *
+    * Scale shape: one dt rollup; the densify explodes one 2-column
+    * row into the calendar; window and join ride the calendar-bounded
+    * daily relation (the w-family bound).
+    */
+  val w19_locf_fill: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+    val cal = daily.agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("dt"))
+    val w = Window.orderBy(col("dt"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cal.join(daily, Seq("dt"), "left")
+      .withColumn("rev_filled",
+        last(col("rev_cents"), ignoreNulls = true).over(w))
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+        col("rev_cents"), col("rev_filled"),
+        col("rev_cents").isNotNull.as("is_observed"))
+  }
+
   /** a49 — HIERARCHICAL ROLLUP over the snowflake (region → nation):
     * revenue and order counts at all three grains — (region, nation),
     * (region), () — in ONE pass via ROLLUP with the grouping-id
@@ -4304,6 +4335,7 @@ object Relational {
     "a47_weighted_quartiles" -> a47_weighted_quartiles,
     "a48_revenue_autocorr" -> a48_revenue_autocorr,
     "a49_rollup_revenue" -> a49_rollup_revenue,
+    "w19_locf_fill" -> w19_locf_fill,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -5634,6 +5666,26 @@ object Relational {
                       // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_pm,
                  n AS n_users, sx AS total_cents
           FROM t""",
+    // w19: same densify + IGNORE NULLS carry
+    "w19_locf_fill" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS rev_cents
+                        FROM orders GROUP BY 1),
+          cal AS (SELECT unnest(generate_series(MIN(dt), MAX(dt),
+                                INTERVAL 1 DAY)) AS dtt
+                  FROM daily),
+          j AS (SELECT CAST(dtt AS DATE) AS dt, rev_cents
+                FROM cal LEFT JOIN daily ON CAST(dtt AS DATE) = daily.dt),
+          f AS (SELECT dt, rev_cents,
+                       last_value(rev_cents IGNORE NULLS) OVER
+                         (ORDER BY dt ROWS UNBOUNDED PRECEDING)
+                         AS rev_filled
+                FROM j)
+          SELECT strftime(dt, '%Y-%m-%d') AS dt, rev_cents,
+                 CAST(rev_filled AS BIGINT) AS rev_filled,
+                 rev_cents IS NOT NULL AS is_observed
+          FROM f""",
     // a49: same snowflake join, ROLLUP grains, GROUPING bitmask
     "a49_rollup_revenue" ->
       """SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
