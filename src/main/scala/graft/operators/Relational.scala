@@ -2451,10 +2451,16 @@ object Relational {
     * row into the calendar; window and join ride the calendar-bounded
     * daily relation (the w-family bound).
     */
-  val w19_locf_fill: Q = (spark, dir) => {
-    val daily = orders(spark, dir)
+  val w19_locf_fill: Q = (spark, dir) =>
+    locfFill(orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("dt"))
-      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents")))
+
+  /** w19's densify + carry tail over any (dt, rev_cents) daily
+    * relation — shared with st86, where the daily sums are served
+    * from the ingest door.
+    */
+  private[graft] def locfFill(daily: DataFrame): DataFrame = {
     val cal = daily.agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
       .select(explode(expr("sequence(d0, d1)")).as("dt"))
     val w = Window.orderBy(col("dt"))

@@ -1833,6 +1833,27 @@ object StreamQueries {
       served.select(col("dt"), col("rev_cents")))
   }
 
+  /** W-family streaming — LOCF REPORT OFF THE DAILY-SUMS DOOR
+    * (streaming twin of w19, and the third consumer of the served
+    * daily-revenue relation st76/st77 maintain): ONE update-mode
+    * daily aggregation serves (dt, rev_cents); the calendar densify
+    * and last-observation carry run ON READ over the served
+    * calendar-bounded table — fill is a VIEW of the door, not state
+    * (a late-arriving day's revenue updates its key and every carry
+    * derived from it, with nothing to retract). Oracle is w19's
+    * verbatim.
+    */
+  val st86_stream_locf: Q = (spark, dir) => {
+    val daily = Replay.ordersStream(spark, dir)
+      .where(col("o_orderkey") >= 0)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(graft.Tables.cents(col("o_totalprice")).cast("long"))
+        .as("rev_cents"))
+    val served = upsertServe(spark, daily, Seq("dt"), "rev_cents")
+    graft.operators.Relational.locfFill(
+      served.select(col("dt"), col("rev_cents")))
+  }
+
   val st72_stream_zscore: Q = (spark, dir) => {
     val counts = Replay.eventsStream(spark, dir)
       .where(col("user_id") >= 0)
@@ -3398,6 +3419,7 @@ object StreamQueries {
     "st83_stream_source_overlap" -> st83_stream_source_overlap,
     "st84_stream_entropy" -> st84_stream_entropy,
     "st85_stream_rollup_serve" -> st85_stream_rollup_serve,
+    "st86_stream_locf" -> st86_stream_locf,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3682,6 +3704,9 @@ object StreamQueries {
     // batch ROLLUP
     "st85_stream_rollup_serve" ->
       graft.operators.Relational.oracles("a49_rollup_revenue"),
+    // st86's on-read carry over the served daily sums must equal w19
+    "st86_stream_locf" ->
+      graft.operators.Relational.oracles("w19_locf_fill"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
