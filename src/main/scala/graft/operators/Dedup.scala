@@ -1074,6 +1074,56 @@ object Dedup {
         expr("docs_ge * 1000 div n_total").as("ge_share_pm"))
   }
 
+  /** d28 — DEDUP SAVINGS REPORT: the one-row answer to "what does
+    * running dedup actually buy" — corpus bytes, bytes retained if
+    * only each d07 cluster's keeper (min doc_id) survives, bytes
+    * saved, and the savings in exact per-mille, plus the doc-count
+    * view of the same cut. This is the headline number that justifies
+    * the whole d-family's compute spend, priced in storage (and,
+    * downstream, in training tokens not wasted on near-copies).
+    *
+    * Scale shape: d07's labels (shared edge artifact) joined to the
+    * per-doc byte lengths ON doc_id (one key exchange), one 1-row
+    * rollup. Nothing scales with corpus².
+    */
+  val d28_dedup_savings: Q = (spark, dir) => {
+    val keepers = d07_dedup_clusters(spark, dir)
+      .select(col("doc_id"), col("is_keeper"))
+    documents(spark, dir)
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("nb"))
+      .join(keepers, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_keeper"), 1L).otherwise(0L)).as("n_keepers"),
+        sum(col("nb")).as("total_bytes"),
+        sum(when(col("is_keeper"), col("nb")).otherwise(0L))
+          .as("keeper_bytes"))
+      .select(col("n_docs"), col("n_keepers"), col("total_bytes"),
+        col("keeper_bytes"),
+        (col("total_bytes") - col("keeper_bytes")).as("saved_bytes"),
+        expr("(total_bytes - keeper_bytes) * 1000 div total_bytes")
+          .as("saved_pm"))
+  }
+
+  private def duckDedupSavingsSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+        $duckClusterRounds,
+        k AS (SELECT doc_id, doc_id = lbl AS is_keeper FROM l$ClusterIters),
+        b AS (SELECT d.doc_id, octet_length(encode(d.text)) AS nb,
+                     k.is_keeper
+              FROM documents d JOIN k USING (doc_id))
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_keepers,
+               CAST(SUM(nb) AS BIGINT) AS total_bytes,
+               CAST(SUM(CASE WHEN is_keeper THEN nb ELSE 0 END) AS BIGINT)
+                 AS keeper_bytes,
+               CAST(SUM(nb) - SUM(CASE WHEN is_keeper THEN nb ELSE 0 END)
+                    AS BIGINT) AS saved_bytes,
+               CAST((SUM(nb) - SUM(CASE WHEN is_keeper THEN nb ELSE 0 END))
+                    * 1000 // SUM(nb) AS BIGINT) AS saved_pm
+        FROM b"""
+
   private def duckClusterSizesSql: String =
     s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
         l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
@@ -2034,6 +2084,7 @@ object Dedup {
     "d25_source_dup_report" -> d25_source_dup_report,
     "d26_source_overlap" -> d26_source_overlap,
     "d27_cluster_sizes" -> d27_cluster_sizes,
+    "d28_dedup_savings" -> d28_dedup_savings,
     "d24_partition_agreement" -> d24_partition_agreement,
     "d22_triangle_count" -> d22_triangle_count,
     "d23_lpa_communities" -> d23_lpa_communities,
@@ -2063,6 +2114,7 @@ object Dedup {
     "d25_source_dup_report" -> duckSourceDupSql,
     "d26_source_overlap" -> duckSourceOverlapSql,
     "d27_cluster_sizes" -> duckClusterSizesSql,
+    "d28_dedup_savings" -> duckDedupSavingsSql,
     "d01_exact_dedup" ->
       s"""WITH $duckExactCorpus
           SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,
