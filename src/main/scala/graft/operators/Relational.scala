@@ -2436,6 +2436,29 @@ object Relational {
         col("sx").as("total_cents"))
   }
 
+  /** w20 — WEEKDAY×HOUR ACTIVITY HEATMAP in long form: event counts
+    * and exact per-mille share for every (day-of-week, hour) cell —
+    * the 168-cell traffic fingerprint capacity planning and anomaly
+    * baselines (a30/st66) read. Weekday numbering is pinned through
+    * the same rebase f03 locked (DuckDB 0=Sunday → +1 to Spark's
+    * 1=Sunday); share is cross-multiplied against the 1-row total.
+    *
+    * Scale shape: one (dow, hour) rollup with map-side partials into
+    * a ≤168-row relation; total broadcast. Output bounded by the
+    * clock, not the data.
+    */
+  val w20_weekly_heatmap: Q = (spark, dir) => {
+    val cells = events(spark, dir)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow1"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.agg(sum(col("n_events")).as("n_total"))
+    cells.join(broadcast(tot), lit(true), "inner")
+      .select(col("dow1"), col("hr"), col("n_events"),
+        expr("cast(cast(n_events as decimal(38,0)) * 1000 div n_total" +
+          " as bigint)").as("share_pm"))
+  }
+
   /** w19 — CALENDAR DENSIFY + LOCF: the daily-revenue series on the
     * FULL calendar (min..max order date), missing days filled by
     * last-observation-carried-forward — the step-function gap fill
@@ -4342,6 +4365,7 @@ object Relational {
     "a48_revenue_autocorr" -> a48_revenue_autocorr,
     "a49_rollup_revenue" -> a49_rollup_revenue,
     "w19_locf_fill" -> w19_locf_fill,
+    "w20_weekly_heatmap" -> w20_weekly_heatmap,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -5672,6 +5696,17 @@ object Relational {
                       // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_pm,
                  n AS n_users, sx AS total_cents
           FROM t""",
+    // w20: dayofweek rebased (f03's lock), cross-multiplied share
+    "w20_weekly_heatmap" ->
+      """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow1,
+                           CAST(hour(ts) AS BIGINT) AS hr,
+                           CAST(COUNT(*) AS BIGINT) AS n_events
+                    FROM events GROUP BY 1, 2),
+          t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_total FROM c)
+          SELECT dow1, hr, n_events,
+                 CAST(CAST(n_events AS HUGEINT) * 1000 // n_total
+                      AS BIGINT) AS share_pm
+          FROM c, t""",
     // w19: same densify + IGNORE NULLS carry
     "w19_locf_fill" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,

@@ -1985,7 +1985,33 @@ object TextAnalysis {
           " div n_tokens as bigint)").as("vocab_per_mtok"))
   }
 
+  /** t39 — HAPAX RATE PER SOURCE: for each source, token volume,
+    * type count (distinct tokens), hapax legomena (types occurring
+    * exactly once in that source), and the hapax and type-token
+    * ratios in exact per-mille — the Zipf-tail health check per feed:
+    * a source whose hapax rate collapses is templated/boilerplate
+    * (t21's repetition gate will fire next); one whose rate spikes is
+    * OCR noise or codeswitch (t29/t30 territory). Complements d26's
+    * cross-source overlap with a within-source diversity verdict.
+    *
+    * Scale shape: one (source, token) rollup, one |sources|-row
+    * re-aggregation. Nothing scales with corpus².
+    */
+  val t39_hapax_rate: Q = (spark, dir) => {
+    documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_hapax * 1000 div n_types").as("hapax_pm"),
+        expr("n_types * 1000 div n_tokens").as("ttr_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t39_hapax_rate" -> t39_hapax_rate,
     "t38_vocab_growth" -> t38_vocab_growth,
     "t37_char_entropy" -> t37_char_entropy,
     "t36_term_lookup" -> t36_term_lookup,
@@ -2735,6 +2761,22 @@ object TextAnalysis {
                 FROM p WHERE token = '$ProbeTerm')
           SELECT token, df, total_tf, rnk, doc_id, tf
           FROM t WHERE rnk <= 10""",
+    // t39: same two-level rollup, integer per-milles
+    "t39_hapax_rate" ->
+      """WITH tk AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM (SELECT source,
+                                  unnest(string_split(text, ' ')) AS token
+                           FROM documents)
+                     WHERE len(token) > 0 GROUP BY 1, 2),
+          s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS n_types,
+                       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hapax
+                FROM tk GROUP BY 1)
+          SELECT source, n_tokens, n_types, n_hapax,
+                 n_hapax * 1000 // n_types AS hapax_pm,
+                 n_types * 1000 // n_tokens AS ttr_pm
+          FROM s""",
     // t38: the same first-seen charge and integer thresholds
     "t38_vocab_growth" ->
       """WITH tk AS (SELECT doc_id, token
