@@ -172,6 +172,23 @@ import java.nio.file.{Files, Paths}
   * a plan defect. No prior query moved beyond the documented ambient
   * band.
   *
+  * Round-12 addendum (final, 324 queries at sf0.1): full run 477.7 s
+  * (batch 227.1 / streaming 250.6), failed 0, flaky 0. The late-wave
+  * additions sit in family norms (p24 1.89 s — ten count-distinct
+  * exchanges; d27 2.34 / d28 1.71 — each re-derives the d07 closure;
+  * st84 3.03 / st85 2.44 / st86 1.93 — standard serve-path costs;
+  * everything else < 1 s). ONE genuine defect was caught and fixed by
+  * this audit: mm12_hist_distance benched 22.2 s because its
+  * row-local histogram put the O(n) byte decode inside the per-bin
+  * lambda and CollapseProject re-inlined the withColumn'd array into
+  * every consumer (the decode ran 16×+ per body); restructured to
+  * explode→(doc, bin) map-side-combined counts, it runs 1.33 s
+  * (16.7×, hash-unchanged). Lesson recorded in the mm12 docstring:
+  * a withColumn'd expensive array is NOT materialization — Catalyst
+  * inlines it per reference; when an expensive derivation feeds
+  * multiple consumers, route it through an explode/aggregate or a
+  * persisted relation instead.
+  *
   * Optional args: query names to bench only those (local iteration).
   */
 object Bench {

@@ -703,16 +703,25 @@ object Multimodal {
                  FROM fr)"""
   }
 
-  /** 16-bin byte histogram over a hex-encoded body column, row-local
-    * (`hx` must be a materialized hex column so the per-element substr
-    * reads a column, not a recomputed hex() per lambda element).
+  /** The body's 4-bit-binned byte values, decoded ONCE per row.
+    * (The first cut computed the 16-bin histogram row-locally with
+    * the decode inside the per-bin lambda; CollapseProject re-inlines
+    * a withColumn'd array into every consumer, so the O(n) conv pass
+    * ran 16×+ per body — 22 s at sf0.1. The explode→groupBy shape
+    * below decodes each byte exactly once and combines map-side.)
     */
-  private def histOf(hx: String, body: String): Column = expr(
-    s"""transform(sequence(0, 15), bin ->
-          cast(size(filter(
-            transform(sequence(0, octet_length($body) - 1), i ->
-              cast(conv(substr($hx, 2*i + 1, 2), 16, 10) as bigint) div 16),
-            x -> x = bin)) as bigint))""")
+  private def binsOf(hx: String, body: String): Column = expr(
+    s"""transform(sequence(0, octet_length($body) - 1), i ->
+          cast(conv(substr($hx, 2*i + 1, 2), 16, 10) as bigint) div 16)""")
+
+  /** Per-(doc, bin) counts of one body column: hex → explode the
+    * binned bytes → count (partials combine before the exchange).
+    */
+  private def binCounts(df: DataFrame, body: String, as: String): DataFrame =
+    df.withColumn("hx", hex(col(body)))
+      .select(col("doc_id"), explode(binsOf("hx", body)).as("bin"))
+      .groupBy(col("doc_id"), col("bin"))
+      .agg(count(lit(1)).as(as))
 
   /** mm12 — BYTE-HISTOGRAM χ² DISTANCE over the planted media copies:
     * for every (original, planted copy) pair — the exact-copy cohort
@@ -728,32 +737,39 @@ object Multimodal {
     * Exact copies measure 0 by construction; the patched cohort
     * measures > 0 — both paths execute and hash-check.
     *
-    * Scale shape: entirely row-local (each pair's two histograms and
-    * the χ² compute in one projection from the base row — planted
-    * copies are derived, not joined); no shuffle anywhere.
+    * Scale shape: both bodies derive from the base row (planted
+    * copies are computed, not joined); each body decodes ONCE through
+    * an explode into (doc, bin) counts that combine map-side, then
+    * two doc/bin-keyed joins and a doc rollup — ≤16 rows per doc past
+    * the first aggregation. (The row-local formulation was rejected:
+    * CollapseProject re-inlines the decode into every per-bin lambda,
+    * 16×-ing the dominant cost — see [[binsOf]].)
     */
   val mm12_hist_distance: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
-    documents(spark, dir)
+    val base = documents(spark, dir)
       .where(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 3)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("body"))
       .withColumn("cbody",
         when(col("doc_id") % 10 === 3, patchedBody(col("body")))
           .otherwise(col("body")))
-      .withColumn("hxa", hex(col("body")))
-      .withColumn("hxb", hex(col("cbody")))
-      .withColumn("ha", histOf("hxa", "body"))
-      .withColumn("hb", histOf("hxb", "cbody"))
+    val meta = base.select(col("doc_id"),
+      (col("doc_id") + when(col("doc_id") % 10 === 3, 3000000L)
+        .otherwise(1000000L)).as("copy_id"),
+      when(col("doc_id") % 10 === 3, "patched").otherwise("exact")
+        .as("pair_type"),
+      octet_length(col("body")).cast("long").as("n_bytes"))
+    val perBin = binCounts(base, "body", "ca")
+      .join(binCounts(base, "cbody", "cb"), Seq("doc_id", "bin"), "full")
       .select(col("doc_id"),
-        (col("doc_id") + when(col("doc_id") % 10 === 3, 3000000L)
-          .otherwise(1000000L)).as("copy_id"),
-        when(col("doc_id") % 10 === 3, "patched").otherwise("exact")
-          .as("pair_type"),
-        octet_length(col("body")).cast("long").as("n_bytes"),
-        expr("""aggregate(zip_with(ha, hb, (a, b) ->
-                  if(a + b = 0, 0L,
-                     ((a - b) * (a - b) * 1000000) div (a + b))),
-                0L, (acc, x) -> acc + x)""").as("chi2_micro"))
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .select(col("doc_id"),
+        expr("((ca - cb) * (ca - cb) * 1000000) div (ca + cb)").as("term"))
+      .groupBy(col("doc_id")).agg(sum(col("term")).as("chi2_micro"))
+    meta.join(perBin, Seq("doc_id"))
+      .select(col("doc_id"), col("copy_id"), col("pair_type"),
+        col("n_bytes"), col("chi2_micro"))
   }
 
   private def duckHistDistanceSql: String =
