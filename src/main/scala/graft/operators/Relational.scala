@@ -2436,6 +2436,38 @@ object Relational {
         col("sx").as("total_cents"))
   }
 
+  /** j26 — ORDER FULFILLMENT LEAD TIME by month: per order month, how
+    * many orders, total line items, and the exact average days from
+    * order date to the order's LAST ship date (the fulfillment-
+    * complete instant — max over lines, not min: a 9-line order isn't
+    * fulfilled until its slowest line ships) — the ops-health series
+    * procurement reads next to a43's seasonal index. The average
+    * stays integral: total lead-days div orders (per-mille variant
+    * alongside), no float mean.
+    *
+    * Scale shape: one orderkey exchange shared by the max-rollup and
+    * the join (same key — co-partitioned), then a calendar-bounded
+    * month rollup.
+    */
+  val j26_lead_time: Q = (spark, dir) => {
+    val lastShip = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        max(to_date(col("l_shipdate"))).as("last_ship"))
+    orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("od"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(date_format(col("od"), "yyyy-MM").as("m"), col("n_lines"),
+        datediff(col("last_ship"), col("od")).cast("long").as("lead_d"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"),
+        sum(col("lead_d")).as("lead_days_sum"))
+      .select(col("m"), col("n_orders"), col("n_lines"),
+        col("lead_days_sum"),
+        expr("lead_days_sum div n_orders").as("avg_lead_d"),
+        expr("lead_days_sum * 1000 div n_orders").as("avg_lead_mpd"))
+  }
+
   /** w20 — WEEKDAY×HOUR ACTIVITY HEATMAP in long form: event counts
     * and exact per-mille share for every (day-of-week, hour) cell —
     * the 168-cell traffic fingerprint capacity planning and anomaly
@@ -4366,6 +4398,7 @@ object Relational {
     "a49_rollup_revenue" -> a49_rollup_revenue,
     "w19_locf_fill" -> w19_locf_fill,
     "w20_weekly_heatmap" -> w20_weekly_heatmap,
+    "j26_lead_time" -> j26_lead_time,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -5696,6 +5729,23 @@ object Relational {
                       // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_pm,
                  n AS n_users, sx AS total_cents
           FROM t""",
+    // j26: same max-over-lines completion instant, integral averages
+    "j26_lead_time" ->
+      """WITH ls AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                            MAX(CAST(l_shipdate AS DATE)) AS last_ship
+                     FROM lineitem GROUP BY 1),
+          j AS (SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m,
+                       n_lines,
+                       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                      last_ship) AS BIGINT) AS lead_d
+                FROM orders JOIN ls ON o_orderkey = l_orderkey)
+          SELECT m, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+                 CAST(SUM(lead_d) AS BIGINT) AS lead_days_sum,
+                 CAST(SUM(lead_d) AS BIGINT) // COUNT(*) AS avg_lead_d,
+                 CAST(SUM(lead_d) AS BIGINT) * 1000 // COUNT(*)
+                   AS avg_lead_mpd
+          FROM j GROUP BY 1""",
     // w20: dayofweek rebased (f03's lock), cross-multiplied share
     "w20_weekly_heatmap" ->
       """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow1,

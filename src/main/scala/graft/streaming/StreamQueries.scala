@@ -1854,6 +1854,29 @@ object StreamQueries {
       served.select(col("dt"), col("rev_cents")))
   }
 
+  /** W-family streaming — THE WEEKLY HEATMAP AT INGEST (streaming
+    * twin of w20): (dow, hour) derive row-locally at the door, ONE
+    * update-mode aggregation maintains the ≤168-cell counts (state
+    * bounded by the clock, not the rate), and the share arithmetic
+    * runs ON READ against the served total — the a49/w19 discipline:
+    * ratios are views of the door, never state. Oracle is w20's
+    * verbatim.
+    */
+  val st87_stream_heatmap: Q = (spark, dir) => {
+    val cells = Replay.eventsStream(spark, dir)
+      .where(col("user_id") >= 0)
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow1"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+    val served = upsertServe(spark, cells, Seq("dow1", "hr"), "n_events")
+      .select(col("dow1"), col("hr"), col("n_events"))
+    val tot = served.agg(sum(col("n_events")).as("n_total"))
+    served.join(broadcast(tot), lit(true), "inner")
+      .select(col("dow1"), col("hr"), col("n_events"),
+        expr("cast(cast(n_events as decimal(38,0)) * 1000 div n_total" +
+          " as bigint)").as("share_pm"))
+  }
+
   val st72_stream_zscore: Q = (spark, dir) => {
     val counts = Replay.eventsStream(spark, dir)
       .where(col("user_id") >= 0)
@@ -3420,6 +3443,7 @@ object StreamQueries {
     "st84_stream_entropy" -> st84_stream_entropy,
     "st85_stream_rollup_serve" -> st85_stream_rollup_serve,
     "st86_stream_locf" -> st86_stream_locf,
+    "st87_stream_heatmap" -> st87_stream_heatmap,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3707,6 +3731,9 @@ object StreamQueries {
     // st86's on-read carry over the served daily sums must equal w19
     "st86_stream_locf" ->
       graft.operators.Relational.oracles("w19_locf_fill"),
+    // st87's served cells + on-read shares must equal w20's heatmap
+    "st87_stream_heatmap" ->
+      graft.operators.Relational.oracles("w20_weekly_heatmap"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
