@@ -2436,6 +2436,38 @@ object Relational {
         col("sx").as("total_cents"))
   }
 
+  /** a50 — NEW vs RETURNING REVENUE SPLIT by month: every order
+    * classified by whether it falls in its customer's FIRST month
+    * (w16's cohort instant), with per-month order counts, revenue
+    * cents for each class, and the new-revenue share in exact
+    * per-mille — the acquisition-vs-retention decomposition every
+    * growth report opens with, and the denominator w16's retention
+    * triangle implies. Same-month repeat orders count as "new"
+    * (month grain — the cohort's own convention).
+    *
+    * Scale shape: one custkey rollup for cohorts, one custkey join
+    * (same key — co-partitioned), one calendar-bounded month rollup;
+    * share promotes to decimal before the ×1000.
+    */
+  val a50_new_vs_returning: Q = (spark, dir) => {
+    val om = orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("m"),
+        cents(col("o_totalprice")).cast("long").as("c"))
+    val cohort = om.groupBy(col("custkey")).agg(min(col("m")).as("m0"))
+    om.join(cohort, Seq("custkey"))
+      .withColumn("is_new", col("m") === col("m0"))
+      .groupBy(date_format(col("m"), "yyyy-MM").as("m"))
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_ret"),
+        sum(when(col("is_new"), col("c")).otherwise(0L)).as("rev_new"),
+        sum(when(!col("is_new"), col("c")).otherwise(0L)).as("rev_ret"))
+      .select(col("m"), col("n_new"), col("n_ret"), col("rev_new"),
+        col("rev_ret"),
+        expr("cast(cast(rev_new as decimal(38,0)) * 1000" +
+          " div (rev_new + rev_ret) as bigint)").as("new_share_pm"))
+  }
+
   /** j26 — ORDER FULFILLMENT LEAD TIME by month: per order month, how
     * many orders, total line items, and the exact average days from
     * order date to the order's LAST ship date (the fulfillment-
@@ -4399,6 +4431,7 @@ object Relational {
     "w19_locf_fill" -> w19_locf_fill,
     "w20_weekly_heatmap" -> w20_weekly_heatmap,
     "j26_lead_time" -> j26_lead_time,
+    "a50_new_vs_returning" -> a50_new_vs_returning,
     "w14_period_over_period" -> w14_period_over_period,
     "a21_skew_report" -> a21_skew_report,
     "a23_count_min" -> a23_count_min,
@@ -5729,6 +5762,32 @@ object Relational {
                       // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_pm,
                  n AS n_users, sx AS total_cents
           FROM t""",
+    // a50: same first-month classification, HUGEINT share
+    "a50_new_vs_returning" ->
+      """WITH om AS (SELECT o_custkey AS custkey,
+                            date_trunc('month', CAST(o_orderdate AS DATE))
+                              AS m,
+                            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+                     FROM orders),
+          ch AS (SELECT custkey, MIN(m) AS m0 FROM om GROUP BY 1),
+          j AS (SELECT strftime(om.m, '%Y-%m') AS m, om.m = ch.m0 AS is_new,
+                       c
+                FROM om JOIN ch USING (custkey))
+          SELECT m,
+                 CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+                 CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_ret,
+                 CAST(SUM(CASE WHEN is_new THEN c ELSE 0 END) AS BIGINT)
+                   AS rev_new,
+                 CAST(SUM(CASE WHEN is_new THEN 0 ELSE c END) AS BIGINT)
+                   AS rev_ret,
+                 CAST(CAST(SUM(CASE WHEN is_new THEN c ELSE 0 END)
+                           AS HUGEINT) * 1000
+                      // (SUM(CASE WHEN is_new THEN c ELSE 0 END)
+                         + SUM(CASE WHEN is_new THEN 0 ELSE c END))
+                      AS BIGINT) AS new_share_pm
+          FROM j GROUP BY 1""",
     // j26: same max-over-lines completion instant, integral averages
     "j26_lead_time" ->
       """WITH ls AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
