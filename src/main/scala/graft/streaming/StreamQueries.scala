@@ -1854,6 +1854,41 @@ object StreamQueries {
       served.select(col("dt"), col("rev_cents")))
   }
 
+  /** A-family streaming — NEW-vs-RETURNING SPLIT AT INGEST (streaming
+    * twin of a50, st83's standing-artifact discipline on the cohort
+    * axis): each arriving order classifies against the STANDING
+    * cohort relation (the batch min-month per customer) by a
+    * stateless stream-static equi-join — a replayed order's verdict
+    * equals the batch rule because the standing relation derives from
+    * the same corpus the stream replays — then ONE update-mode
+    * monthly aggregation maintains the four split sums
+    * (calendar-bounded state) and the share derives ON READ. Oracle
+    * is a50's verbatim.
+    */
+  val st88_stream_new_vs_ret: Q = (spark, dir) => {
+    val T = graft.Tables
+    val cohort = T.orders(spark, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(min(trunc(to_date(col("o_orderdate")), "month")).as("m0"))
+    val base = Replay.ordersStream(spark, dir)
+      .where(col("o_custkey") >= 0)
+      .select(col("o_custkey").as("custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("m"),
+        T.cents(col("o_totalprice")).cast("long").as("c"))
+      .join(cohort, Seq("custkey"))
+      .withColumn("is_new", col("m") === col("m0"))
+      .groupBy(date_format(col("m"), "yyyy-MM").as("m"))
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_ret"),
+        sum(when(col("is_new"), col("c")).otherwise(0L)).as("rev_new"),
+        sum(when(!col("is_new"), col("c")).otherwise(0L)).as("rev_ret"))
+    upsertServe(spark, base, Seq("m"), "n_new")
+      .select(col("m"), col("n_new"), col("n_ret"), col("rev_new"),
+        col("rev_ret"),
+        expr("cast(cast(rev_new as decimal(38,0)) * 1000" +
+          " div (rev_new + rev_ret) as bigint)").as("new_share_pm"))
+  }
+
   /** W-family streaming — THE WEEKLY HEATMAP AT INGEST (streaming
     * twin of w20): (dow, hour) derive row-locally at the door, ONE
     * update-mode aggregation maintains the ≤168-cell counts (state
@@ -3444,6 +3479,7 @@ object StreamQueries {
     "st85_stream_rollup_serve" -> st85_stream_rollup_serve,
     "st86_stream_locf" -> st86_stream_locf,
     "st87_stream_heatmap" -> st87_stream_heatmap,
+    "st88_stream_new_vs_ret" -> st88_stream_new_vs_ret,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -3734,6 +3770,9 @@ object StreamQueries {
     // st87's served cells + on-read shares must equal w20's heatmap
     "st87_stream_heatmap" ->
       graft.operators.Relational.oracles("w20_weekly_heatmap"),
+    // st88's at-door classification + served sums must equal a50
+    "st88_stream_new_vs_ret" ->
+      graft.operators.Relational.oracles("a50_new_vs_returning"),
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),
