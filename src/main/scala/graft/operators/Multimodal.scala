@@ -574,10 +574,15 @@ object Multimodal {
     val n = octet_length(body)
     val off = (n / 2).cast("int") // 1-based patch start = n div 2
     val len = (n / 10).cast("int") // patch covers [off, off+len)
-    concat(
+    // The slice arithmetic assumes n ≥ 10 (off ≥ 1 and a non-empty
+    // patch); shorter bodies pass through UNPATCHED rather than feeding
+    // substr positions 0/negative — the guard makes the function total
+    // and the DuckDB twins mirror the same CASE floor.
+    when(n >= 10, concat(
       body.substr(lit(1), off - 1),
       call_function("byte_shift", body.substr(off, len), lit(50)),
-      body.substr(off + len, n - off - len + 1))
+      body.substr(off + len, n - off - len + 1)))
+      .otherwise(body)
   }
 
   val mm10_media_dhash: Q = (spark, dir) => {
@@ -772,6 +777,21 @@ object Multimodal {
         col("n_bytes"), col("chi2_micro"))
   }
 
+  /** The DuckDB twin of [[patchedBody]]: the middle-tenth +50 patch as
+    * 1-based list slices, with the same n ≥ 10 floor (shorter bodies
+    * pass through unpatched).
+    */
+  private def duckPatchedBytes: String =
+    """CASE WHEN len(bytes) >= 10 THEN
+         bytes[1 : (len(bytes)//2 - 1)::INT]
+           || list_transform(
+                bytes[(len(bytes)//2)::INT :
+                      (len(bytes)//2 + len(bytes)//10 - 1)::INT],
+                b -> (b + 50) % 256)
+           || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
+                    len(bytes)::INT]
+       ELSE bytes END"""
+
   private def duckHistDistanceSql: String =
     s"""WITH $duckDhashBytesCte,
         pairs AS (
@@ -780,13 +800,7 @@ object Multimodal {
           FROM by WHERE doc_id % 10 = 0
           UNION ALL
           SELECT doc_id, doc_id + 3000000, 'patched', bytes,
-                 bytes[1 : (len(bytes)//2 - 1)::INT]
-                   || list_transform(
-                        bytes[(len(bytes)//2)::INT :
-                              (len(bytes)//2 + len(bytes)//10 - 1)::INT],
-                        b -> (b + 50) % 256)
-                   || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
-                            len(bytes)::INT]
+                 $duckPatchedBytes
           FROM by WHERE doc_id % 10 = 3),
         h AS (SELECT doc_id, copy_id, pair_type,
                      CAST(len(bytes) AS BIGINT) AS n_bytes,
@@ -905,13 +919,7 @@ object Multimodal {
           SELECT doc_id + 1000000, bytes FROM by WHERE doc_id % 10 = 0
           UNION ALL
           SELECT doc_id + 3000000,
-                 bytes[1 : (len(bytes)//2 - 1)::INT]
-                   || list_transform(
-                        bytes[(len(bytes)//2)::INT :
-                              (len(bytes)//2 + len(bytes)//10 - 1)::INT],
-                        b -> (b + 50) % 256)
-                   || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
-                            len(bytes)::INT]
+                 $duckPatchedBytes
           FROM by WHERE doc_id % 10 = 3),
         $duckDhashBitsCtes,
         stand AS (SELECT doc_id, band_id, band FROM bits
@@ -949,13 +957,7 @@ object Multimodal {
             SELECT doc_id + 1000000, bytes FROM by WHERE doc_id % 10 = 0
             UNION ALL
             SELECT doc_id + 3000000,
-                   bytes[1 : (len(bytes)//2 - 1)::INT]
-                     || list_transform(
-                          bytes[(len(bytes)//2)::INT :
-                                (len(bytes)//2 + len(bytes)//10 - 1)::INT],
-                          b -> (b + 50) % 256)
-                     || bytes[(len(bytes)//2 + len(bytes)//10)::INT :
-                              len(bytes)::INT]
+                   $duckPatchedBytes
             FROM by WHERE doc_id % 10 = 3),
           $duckDhashBitsCtes,
           capped AS (SELECT doc_id, band_id, band FROM bits

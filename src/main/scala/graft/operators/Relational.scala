@@ -2061,16 +2061,28 @@ object Relational {
       .agg(count(lit(1)).as("ce"))
     val oc = orders(spark, dir).groupBy(col("o_custkey").as("k"))
       .agg(count(lit(1)).as("co"))
+    // prod and its sum ride decimal(38,0) so the explosive-join regime
+    // this forecast exists to detect can never silently wrap (ANSI
+    // long×long would throw mid-agg; non-ANSI would wrap — both worse
+    // than a wide accumulator). The BIGINT output casts are loud on
+    // both engines: a forecast past 9.2e18 rows fails the cast rather
+    // than lying, and at that magnitude the verdict is "don't run the
+    // join" regardless of the exact count.
     ec.join(oc, Seq("k"))
-      .select(col("k"), (col("ce") * col("co")).as("prod"), col("ce"), col("co"))
+      .select(col("k"),
+        (col("ce").cast("decimal(19,0)") * col("co")).as("prod"),
+        col("ce"), col("co"))
       .agg(count(lit(1)).as("n_keys_common"),
         sum(col("ce")).as("left_rows"),
         sum(col("co")).as("right_rows"),
-        sum(col("prod")).as("join_rows"),
-        max(col("prod")).as("top_key_rows"))
+        sum(col("prod")).as("join_rows_dec"),
+        max(col("prod")).as("top_key_rows_dec"))
       .withColumn("top_share_pm",
-        expr("cast(cast(top_key_rows as decimal(38,0)) * 1000" +
-          " div join_rows as bigint)"))
+        expr("cast(top_key_rows_dec * 1000 div join_rows_dec as bigint)"))
+      .select(col("n_keys_common"), col("left_rows"), col("right_rows"),
+        col("join_rows_dec").cast("bigint").as("join_rows"),
+        col("top_key_rows_dec").cast("bigint").as("top_key_rows"),
+        col("top_share_pm"))
   }
 
   /** w15 — HOT-STREAK ISLANDS: maximal runs of CONSECUTIVE calendar
@@ -2678,11 +2690,15 @@ object Relational {
     * (nv, nc, np) relation — shared with st82's read-side.
     */
   private[graft] def funnelStack(counts: DataFrame): DataFrame =
+    // Empty funnel steps (nv or nc = 0) must yield a NULL conversion,
+    // not a division result — the guard makes the empty-step semantics
+    // explicit instead of resting on Spark's NULL-on-div-0 vs the
+    // oracle's `//` behavior agreeing.
     counts.select(expr(
       """stack(3,
-           1L, 'view', nv, 1000L,
-           2L, 'click', nc, nc * 1000 div nv,
-           3L, 'purchase', np, np * 1000 div nc)
+           1L, 'view', nv, if(nv > 0, 1000L, null),
+           2L, 'click', nc, if(nv > 0, nc * 1000 div nv, null),
+           3L, 'purchase', np, if(nc > 0, np * 1000 div nc, null))
          as (step_n, step, n_users, conv_pm)"""))
 
   /** w16 — COHORT RETENTION TRIANGLE: customers grouped by
@@ -4475,7 +4491,8 @@ object Relational {
                 FROM h
                 WINDOW w AS (ORDER BY hr
                              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-          g AS (SELECT strftime(hr, '%Y-%m-%d %H') AS hr, x, y, cnt,
+          g AS (SELECT strftime(hr, '%Y-%m-%d %H') AS hr,
+                       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, cnt,
                        cnt * sxy - sx * sy AS num,
                        cnt * sxx - sx * sx AS den_x,
                        cnt * syy - sy * sy AS den_y
@@ -5888,11 +5905,15 @@ object Relational {
                        (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS nc,
                        (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS np)
           SELECT CAST(1 AS BIGINT) AS step_n, 'view' AS step,
-                 nv AS n_users, CAST(1000 AS BIGINT) AS conv_pm FROM n
+                 nv AS n_users,
+                 CASE WHEN nv > 0 THEN CAST(1000 AS BIGINT) END AS conv_pm
+          FROM n
           UNION ALL
-          SELECT CAST(2 AS BIGINT), 'click', nc, nc * 1000 // nv FROM n
+          SELECT CAST(2 AS BIGINT), 'click', nc,
+                 CASE WHEN nv > 0 THEN nc * 1000 // nv END FROM n
           UNION ALL
-          SELECT CAST(3 AS BIGINT), 'purchase', np, np * 1000 // nc FROM n""",
+          SELECT CAST(3 AS BIGINT), 'purchase', np,
+                 CASE WHEN nc > 0 THEN np * 1000 // nc END FROM n""",
     // w16: the same month-truncated offsets and per-cohort base
     "w16_cohort_retention" ->
       """WITH om AS (SELECT DISTINCT o_custkey AS custkey,
@@ -5954,7 +5975,7 @@ object Relational {
                      FROM events GROUP BY 1),
           oc AS (SELECT o_custkey AS k, COUNT(*) AS co
                  FROM orders GROUP BY 1),
-          j AS (SELECT ec.k, ce * co AS prod, ce, co
+          j AS (SELECT ec.k, CAST(ce AS HUGEINT) * co AS prod, ce, co
                 FROM ec JOIN oc USING (k))
           SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_common,
                  CAST(SUM(ce) AS BIGINT) AS left_rows,
