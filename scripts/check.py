@@ -15,6 +15,20 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# DuckDB logical types whose pandas/driver fetch renders identically to
+# the Spark parquet read of the same value. HUGEINT/DECIMAL are NOT in
+# the set: they fetch as floats ('12.0' vs Spark's '12') and the DBAPI
+# .description check can't see them (all numerics collapse to 'NUMBER')
+# — the w13 r12 lesson. Oracles must CAST their outputs into this set.
+PORTABLE = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+            "DATE", "TIMESTAMP", "TIMESTAMP_NS", "BLOB"}
+
+def is_portable(t):
+    return t[:-2] in PORTABLE if t.endswith("[]") else t in PORTABLE
+
+def describe_types(con, sql):
+    return {c: t for c, t, *_ in con.execute(f"DESCRIBE {sql}").fetchall()}
+
 def norm(v):
     if isinstance(v, float):
         return repr(v)  # full precision
@@ -45,7 +59,6 @@ def main(out_dir, sf_dir):
             continue
         got = con.execute(f"SELECT * FROM '{res_dir}/*.parquet'")
         g_cols = [d[0] for d in got.description]
-        g_types = {d[0]: str(d[1]) for d in got.description}
         g_rows = got.fetchall()
         try:
             exp = con.execute(oracle[name])
@@ -54,9 +67,16 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: oracle sql error: {e}")
             continue
         e_cols = [d[0] for d in exp.description]
-        e_types = {d[0]: str(d[1]) for d in exp.description}
         e_rows = exp.fetchall()
         errs = []
+        # DESCRIBE-level logical types: the DBAPI .description collapses
+        # all numerics to 'NUMBER', which is how w13's HUGEINT shipped
+        # red for a round — compare the real types, and gate portability.
+        g_types = describe_types(con, f"SELECT * FROM '{res_dir}/*.parquet'")
+        e_types = describe_types(con, f"({oracle[name]})")
+        bad_port = {c: t for c, t in e_types.items() if not is_portable(t)}
+        if bad_port:
+            errs.append(f"non-portable oracle output types {bad_port}")
         if sorted(g_cols) != sorted(e_cols):
             errs.append(f"cols {sorted(g_cols)} != {sorted(e_cols)}")
         else:

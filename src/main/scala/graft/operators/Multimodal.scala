@@ -80,16 +80,22 @@ object Multimodal {
     * (dimensions hash-derived — the testdata ships no real media)
     * followed by the text bytes as pixel data.
     */
-  private[graft] def payloadFor(docs: DataFrame): DataFrame = {
-    val digest = sha2(col("text"), 256)
-    val h = Portable.hash60(digest)
-    val body = encode(col("text"), "utf-8")
+  private[graft] def payloadFor(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       col("text"),
-      digest.as("digest"),
-      concat(bmpHeader(h % 640, h % 480, h % 3 + 1, octet_length(body).cast("long")),
-        body).as("payload"))
+      sha2(col("text"), 256).as("digest"),
+      payloadCol(col("text")).as("payload"))
+
+  /** The payload construction as a single column — shared between
+    * [[payloadFor]] and st51's composed front door (which builds the
+    * payload from the ARRIVING text inside one laned projection).
+    */
+  private[graft] def payloadCol(text: Column): Column = {
+    val h = Portable.hash60(sha2(text, 256))
+    val body = encode(text, "utf-8")
+    concat(bmpHeader(h % 640, h % 480, h % 3 + 1,
+      octet_length(body).cast("long")), body)
   }
 
   private def withPayload(spark: SparkSession, dir: String): DataFrame =
@@ -142,23 +148,38 @@ object Multimodal {
     */
   private[graft] def mediaGate(docs: DataFrame): DataFrame = {
     val corrupted = payloadFor(docs).select(col("doc_id"),
-      when(col("doc_id") % 9 === 2,
-        expr("substring(payload, 1, 40)"))
-        .when(col("doc_id") % 9 === 5,
-          concat(lit("XX").cast("binary"),
-            expr("substring(payload, 3, octet_length(payload) - 2)")))
-        .when(col("doc_id") % 9 === 7,
-          expr("substring(payload, 1, octet_length(payload) - 10)"))
-        .otherwise(col("payload")).as("payload"))
+      corruptPayload(col("doc_id"), col("payload")).as("payload"))
     val len = octet_length(col("payload")).cast("long")
-    val magicOk = substring(col("payload"), 1, 2) === lit("BM").cast("binary")
-    val declared = leUInt(col("payload"), 3, 4)
     corrupted.select(col("doc_id"), len.as("byte_len"),
-      when(len < 54, "truncated")
-        .when(!magicOk, "bad_magic")
-        .when(declared =!= len, "size_mismatch")
-        .otherwise("ok").as("lane"),
-      when(len >= 54, declared).as("declared_size"))
+      mediaByteLane(col("payload")).as("lane"),
+      when(len >= 54, leUInt(col("payload"), 3, 4)).as("declared_size"))
+  }
+
+  /** The mm08 fixture's deterministic payload corruption cohorts
+    * (head-torn / magic-flipped / body-truncated by doc_id mod 9) as a
+    * column — shared verbatim with st51's composed front door.
+    */
+  private[graft] def corruptPayload(docId: Column, payload: Column): Column =
+    when(docId % 9 === 2, payload.substr(lit(1), lit(40)))
+      .when(docId % 9 === 5,
+        concat(lit("XX").cast("binary"),
+          payload.substr(lit(3), octet_length(payload) - 2)))
+      .when(docId % 9 === 7,
+        payload.substr(lit(1), octet_length(payload) - 10))
+      .otherwise(payload)
+
+  /** mm08's ORDERED parse-based byte verdict over any payload column —
+    * no branch reads bytes a prior branch hasn't proven present.
+    * Shared verbatim with st51's media admission lane.
+    */
+  private[graft] def mediaByteLane(payload: Column): Column = {
+    val len = octet_length(payload).cast("long")
+    val magicOk = substring(payload, 1, 2) === lit("BM").cast("binary")
+    val declared = leUInt(payload, 3, 4)
+    when(len < 54, "truncated")
+      .when(!magicOk, "bad_magic")
+      .when(declared =!= len, "size_mismatch")
+      .otherwise("ok")
   }
 
   private val NumFeatures = graft.functions.ByteStatsUtil.NumFeatures
@@ -863,14 +884,16 @@ object Multimodal {
               >= $MediaDupJaccard"""
   }
 
+  /** UTF-8 bytes of `text` as a BIGINT list — the raw material every
+    * byte-level oracle shares (dHash strides, st51's media-dup probe).
+    */
+  private[graft] val duckBytesExpr: String =
+    """list_transform(range(0, octet_length(encode(text))),
+         i -> ('0x' || substr(hex(encode(text)), (2*i + 1)::INT, 2))::BIGINT)"""
+
   /** The per-doc bytes CTE (`by`) every dHash oracle starts from. */
   private[graft] val duckDhashBytesCte: String =
-    """by AS (
-         SELECT doc_id,
-                list_transform(range(0, octet_length(encode(text))),
-                  i -> ('0x' || substr(hex(encode(text)), (2*i + 1)::INT, 2))::BIGINT)
-                  AS bytes
-         FROM documents)"""
+    s"""by AS (SELECT doc_id, $duckBytesExpr AS bytes FROM documents)"""
 
   /** The shared dHash bit arithmetic as chainable CTE text — expects a
     * preceding CTE named `corpus(doc_id, bytes)` and ends with
@@ -1024,9 +1047,9 @@ object Multimodal {
       val h = Portable.duckHash60("sha256(text)")
       s"""SELECT doc_id,
                  ($h) % 2 + 1 AS channels,
-                 CASE ($h) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-                      ELSE 44100 END AS sample_rate,
-                 16 AS bits,
+                 CAST(CASE ($h) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      ELSE 44100 END AS BIGINT) AS sample_rate,
+                 CAST(16 AS BIGINT) AS bits,
                  CAST(floor(octet_length(encode(text))
                             / ((($h) % 2 + 1) * 2.0)) AS BIGINT) AS n_samples
           FROM documents"""

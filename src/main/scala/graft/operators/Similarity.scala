@@ -317,6 +317,10 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("code"), col("cell_id"))
     indexRows(spark, dir).where(col("vec_id") % UpsertMod =!= 0)
       .unionAll(dRows)
+      // oracle-portable output typing: the artifact stores m as int32;
+      // the DuckDB twin derives it from range() (int64)
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("code"), col("cell_id"))
   }
 
   private[graft] def duckIndexUpsertSql: String =
@@ -522,6 +526,9 @@ object Similarity {
       .where(col("vec_id") === ProbeVecId)
       .groupBy(col("vec_id"), col("m"))
       .agg(max(col("code")).as("code"), max(col("cell_id")).as("cell_id"))
+      // oracle-portable output typing (the twin's m comes from range())
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("code"), col("cell_id"))
   }
 
   /** Probe depths measured by [[n06_ivf_recall]] / [[n11_multiprobe_ivfadc]]. */

@@ -385,7 +385,8 @@ object StreamQueries {
     Replay.runAppend(spark, enc)
       .join(Replay.runAppend(spark, cells), "vec_id")
       .where(col("vec_id") >= 0)
-      .select(col("vec_id"), col("m"), col("code"), col("cell_id"))
+      .select(col("vec_id"), col("m").cast("long").as("m"),
+        col("code"), col("cell_id"))
   }
 
   /** T-family streaming — CORPUS PREP AT INGEST (streaming twin of
@@ -1688,39 +1689,70 @@ object StreamQueries {
     T.termProbe(table.read())
   }
 
-  /** D-family streaming — THE SOURCE-OVERLAP MATRIX AT INGEST
-    * (streaming twin of d26): each arriving document's distinct
-    * shingles probe the STANDING per-source shingle sets by a
-    * stateless stream-static equi-join (standing side is the batch
-    * artifact — the st16/st31 eval-side discipline applied to
-    * provenance), and every matched (src_a, src_b, shingle) marks ONE
-    * update-mode state row (an idempotent set-insert: re-deliveries
-    * and repeat matches overwrite, never double-count). The count and
-    * per-mille tail run ON READ through the shared
-    * [[graft.operators.Dedup.overlapTail]]. State is proportional to
-    * the OVERLAP being measured (Σ pairwise common shingles), not to
-    * the corpus — the quantity the relation reports is the quantity
-    * the state holds. Oracle is d26's verbatim.
+  /** D-family streaming — THE SOURCE-OVERLAP MATRIX AT INGEST from
+    * BOUNDED per-source KMV sketches (streaming twin of d26's
+    * quantities, served sketch-first): each source's state is ONE
+    * MinK bottom-k buffer over its distinct shingle hashes (set
+    * semantics — repeats and re-deliveries absorb; min-k ∘ union is
+    * order-free, idempotent and mergeable), so state is
+    * O(|sources| · k) — ingest-rate- and overlap-INDEPENDENT. The r12
+    * shape kept one state row per common shingle, which at 100 TB is
+    * the overlap itself (two mirrored sources ⇒ corpus-sized state);
+    * here the served summaries are k-row regardless, and the ENTIRE
+    * pairwise algebra (merge, re-rank, common-survivor count →
+    * union/Jaccard/intersection estimates, a39's
+    * [[graft.operators.Relational.kmvOverlap]]) plus per-source size
+    * estimates and the d26 containment per-milles run ON READ. Exact
+    * regime (every source under k distinct shingles) short-circuits
+    * to exact counts — the a17/a20x discipline; at scale the exact
+    * nightly d26 stays the anchor and this serves the live estimate.
+    * Oracle replicates the full hash-derived arithmetic, so the row
+    * is hash-checked in EVERY regime, not no_oracle.
     */
   val st83_stream_source_overlap: Q = (spark, dir) => {
     val D = graft.operators.Dedup
-    val standing = D.sourceShingles(spark, dir)
+    val R = graft.operators.Relational
+    val P = graft.functions.Portable
+    val k = R.KmvK
     val docs = Replay
       .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
       .where(col("doc_id") >= 0)
+      .select(col("source"), explode(D.shingles(col("text"))).as("sh"))
+      .select(col("source"), P.hash60(concat(lit("sov:"), col("sh"))).as("h"))
+    val build = docs.groupBy(col("source"))
+      .agg(graft.functions.MinK.minK(k)(col("h"), col("h")).as("s"))
+      .select(col("source"), col("s.items").as("items"),
+        size(col("s.items")).cast("long").as("n_kept_src"))
+    val served = upsertServe(spark, build, Seq("source"), "n_kept_src")
+    // per-source set-size estimate from the sketch's own kth order
+    // statistic (exact below k — the a17 short-circuit)
+    val sz = served.select(col("source"), col("n_kept_src"),
+      element_at(col("items"), -1).getField("h").as("kth_s"))
       .select(col("source"),
-        explode(D.shingles(col("text"))).as("sh"))
-    val hits = docs
-      .join(standing.select(col("source").as("other"), col("sh")), Seq("sh"))
-      .where(col("source") =!= col("other"))
-      .select(least(col("source"), col("other")).as("src_a"),
-        greatest(col("source"), col("other")).as("src_b"), col("sh"))
-    val marks = hits.groupBy(col("src_a"), col("src_b"), col("sh"))
-      .agg(max(lit(1L)).as("one"))
-    val served = upsertServe(spark, marks, Seq("src_a", "src_b", "sh"), "one")
-    D.overlapTail(standing,
-      served.groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("n_common")))
+        when(col("n_kept_src") < k, col("n_kept_src")).otherwise(
+          floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            col("kth_s").cast("double")).cast("long")).as("size_est"))
+    val pairs = R.kmvOverlap(
+      served.select(col("source").as("event_type"),
+        explode(col("items")).as("it"))
+        .select(col("event_type"), col("it.h").as("h")).distinct())
+    pairs
+      .select(col("ta").as("src_a"), col("tb").as("src_b"), col("n_kept"),
+        col("n_common"), col("union_est"), col("jaccard_pm"),
+        col("inter_est"))
+      .join(broadcast(sz.select(col("source").as("src_a"),
+        col("size_est").as("size_a_est"))), Seq("src_a"))
+      .join(broadcast(sz.select(col("source").as("src_b"),
+        col("size_est").as("size_b_est"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_kept"), col("n_common"),
+        col("union_est"), col("jaccard_pm"), col("inter_est"),
+        col("size_a_est"), col("size_b_est"),
+        // decimal-promoted per-milles: inter_est · 1000 would overflow
+        // long at extreme union estimates (the a42 discipline)
+        expr("cast(cast(inter_est as decimal(38,0)) * 1000" +
+          " div size_a_est as bigint)").as("contain_a_pm"),
+        expr("cast(cast(inter_est as decimal(38,0)) * 1000" +
+          " div size_b_est as bigint)").as("contain_b_pm"))
   }
 
   /** A-family streaming — THE ROLLUP SERVED FROM ITS FINEST GRAIN
@@ -3265,8 +3297,24 @@ object StreamQueries {
     *   5. PASSAGE SCRUB (st42, survivors only): the nightly
     *      boilerplate list scrubs each admitted doc's ≥2-doc passages
     *      in-row through the same two-tier Bloom+exact probe.
+    *   6. MEDIA BYTE GATE (mm08 ∘ st61): the payload constructed from
+    *      what arrived is genuinely PARSED (length sniff, magic,
+    *      declared-vs-actual size — ordered so no branch reads bytes a
+    *      prior branch hasn't proven present); corrupt bytes lane
+    *      'media_truncated' / 'media_bad_magic' / 'media_size_mismatch'.
+    *   7. PERCEPTUAL DEDUP (mm10 ∘ c10, the media admission capstone
+    *      IN the door): the arriving dHash probes the STANDING
+    *      corpus's banded signature buckets (capped, mm10's LSH
+    *      discipline) via FOUR unique-keyed stream-static left joins —
+    *      one per band, against one row per bucket — so the stream
+    *      never needs a regroup; an exact hamming ≤ 3 verify against
+    *      the ≤cap bucket members lanes 'media_dup'. The fixture
+    *      plants locally-EDITED re-uploads (+4M: middle tenth
+    *      uppercased — byte-local, so dHash holds while md5 escapes
+    *      the exact gate) — the edited-re-upload traffic that
+    *      dominates media dedup at 100 TB.
     *
-    * Gates 1-5 are ALL stateless and ride ONE scan — broadcast joins
+    * Gates 1-7 are ALL stateless and ride ONE scan — broadcast joins
     * + per-row expressions; the single stateful step is the final
     * update-mode aggregation keyed (lane, content_hash): d11's
     * min-id keeper + copy count per lane, served from the keyed
@@ -3290,12 +3338,32 @@ object StreamQueries {
   /** st51's pipeline against an explicit table + checkpoint, so the
     * kill/resume spec drives the exact production path.
     */
+  /** st51's fixture cohort of locally-EDITED media re-uploads: the
+    * middle tenth of the characters uppercased (+4M ids) — a byte-local
+    * edit (letters shift −32, non-letters unchanged), so the dHash
+    * partner stays inside the hamming-3 pigeonhole while the md5
+    * changes (escapes the exact-dup gate) — mm10's patch fixture moved
+    * onto text. Bodies shorter than 10 chars pass through unedited
+    * (the mm10 patch floor; the DuckDB twin mirrors the CASE).
+    */
+  private[graft] def mediaEditText(text: Column): Column = {
+    val n = length(text)
+    val off = (n / 2).cast("int")
+    val len1 = (n / 10).cast("int")
+    when(n >= 10, concat(
+      text.substr(lit(1), off - 1),
+      upper(text.substr(off, len1)),
+      text.substr(off + len1, n - off - len1 + 1)))
+      .otherwise(text)
+  }
+
   private[graft] def frontDoorServe(spark: SparkSession, dir: String,
                                     cp: String,
                                     table: graft.sinks.KeyedUpsertTable): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     val T = graft.operators.TextAnalysis
     val D = graft.operators.Dedup
+    val M = graft.operators.Multimodal
     val B = graft.functions.BloomFilters
     val P = graft.functions.Portable
     val W = D.PassageW
@@ -3314,6 +3382,10 @@ object StreamQueries {
         .select((col("doc_id") + 1000000L).as("doc_id") +: pay: _*))
       .unionAll(standingB.where(col("doc_id") % 7 === 1)
         .select((col("doc_id") + 2000000L).as("doc_id") +: pay: _*))
+      .unionAll(standingB.where(col("doc_id") % 10 === 4)
+        .select(Seq((col("doc_id") + 4000000L).as("doc_id"),
+          mediaEditText(col("text")).as("text")) ++
+          Seq("lang", "n_chars", "source").map(col): _*))
     val nQuar = T.driftFeatures(
         deltaB.select(col("doc_id"), col("lang"), col("n_chars"), col("source")))
       .join(broadcast(tripped), Seq("feature", "bucket"))
@@ -3334,6 +3406,28 @@ object StreamQueries {
     val oneRow = armedRel
       .join(ebf, lit(true), "left")
       .join(bkeys, lit(true), "left")
+    // gates 6-7's standing artifact: the corpus's perceptual dHash
+    // signatures, banded and capped (mm10's LSH discipline — over-cap
+    // buckets dropped whole, so every bucket list is ≤ PhashBandCap
+    // structs). Grouped per (band_id, band) into ONE row per bucket:
+    // the arriving side left-joins each of its 4 band values against a
+    // UNIQUE-KEYED relation, so the stream keeps exactly one row per
+    // doc (no stream-side regroup — the door's single stateful step
+    // stays the final rollup). persist(): the stream replays
+    // micro-batches and stream-static joins re-evaluate the static
+    // side each batch; at 100 TB this relation is the nightly
+    // signature artifact, not a per-batch recompute.
+    val sBuckets = standingB
+      .select(col("doc_id").as("sid"),
+        call_function("dhash64", encode(col("text"), "utf-8")).as("sbands"))
+      .where(col("sbands").isNotNull)
+      .select(col("sid"), col("sbands"), posexplode(col("sbands")))
+      .groupBy(col("pos"), col("col"))
+      .agg(collect_list(struct(col("sid"), col("sbands"))).as("cands"))
+      .where(size(col("cands")) <= M.PhashBandCap)
+      .persist()
+    def bk(i: Int) = sBuckets.where(col("pos") === i)
+      .select(col("col").as(s"band_$i"), col("cands").as(s"cands_$i"))
 
     // ---- the firehose: the d11/c06 delta built from the stream ----
     def docs() = Replay
@@ -3347,7 +3441,12 @@ object StreamQueries {
       .where(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 1
         && col("doc_id") >= 0)
       .select((col("doc_id") + 2000000L).as("doc_id") +: pay: _*)
-    val arriving = delta0.unionAll(replant).unionAll(stale)
+    val mediaRe = docs() // the locally-edited media re-uploads (gate 7)
+      .where(col("doc_id") % 10 === 4 && col("doc_id") >= 0)
+      .select(Seq((col("doc_id") + 4000000L).as("doc_id"),
+        mediaEditText(col("text")).as("text")) ++
+        Seq("lang", "n_chars", "source").map(col): _*)
+    val arriving = delta0.unionAll(replant).unionAll(stale).unionAll(mediaRe)
       .withColumn("n_chars", // the planted metadata corruption (gate 1)
         when(pmod(col("doc_id"), lit(13L)) === 3, lit(-1L))
           .otherwise(col("n_chars")))
@@ -3382,6 +3481,30 @@ object StreamQueries {
       .join(broadcast(oneRow), lit(true), "left")
       .withColumn("content_hash", md5(col("text")))
       .join(ehB.withColumn("in_corpus", lit(1)), Seq("content_hash"), "left")
+      // gates 6-7 inputs: the media payload constructed+corrupted from
+      // what arrived (mm08's fixture at the door — parse-based verdict
+      // below), and the arriving perceptual signature probing the
+      // standing buckets by 4 unique-keyed left joins (one per band —
+      // no explode, so no stream-side regroup is ever needed)
+      .withColumn("payload",
+        M.corruptPayload(col("doc_id"), M.payloadCol(col("text"))))
+      .withColumn("media_lane", M.mediaByteLane(col("payload")))
+      .withColumn("bands",
+        call_function("dhash64", encode(col("text"), "utf-8")))
+      .join(bk(0), element_at(col("bands"), 1) === col("band_0"), "left")
+      .join(bk(1), element_at(col("bands"), 2) === col("band_1"), "left")
+      .join(bk(2), element_at(col("bands"), 3) === col("band_2"), "left")
+      .join(bk(3), element_at(col("bands"), 4) === col("band_3"), "left")
+      .withColumn("media_dup", {
+        def ham(c: Column) = aggregate(
+          zip_with(col("bands"), c.getField("sbands"),
+            (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        def hitIn(i: Int) = col(s"cands_$i").isNotNull &&
+          exists(col(s"cands_$i"), c => ham(c) <= 3)
+        col("bands").isNotNull &&
+          (hitIn(0) || hitIn(1) || hitIn(2) || hitIn(3))
+      })
       .withColumn("mix_pass",
         col("rate_micro").isNotNull && mixH < col("rate_micro"))
       .withColumn("n_trips", when(col("armed"),
@@ -3394,6 +3517,11 @@ object StreamQueries {
           .when(!col("mix_pass"), "mixture")
           .when(col("n_trips") > 0, "drift")
           .when(bloomDup && col("in_corpus").isNotNull, "dup")
+          // c10 composed in: byte verdict first (cheap, ordered), then
+          // the perceptual keeper rule — text verdicts take precedence
+          .when(col("media_lane") =!= "ok",
+            concat(lit("media_"), col("media_lane")))
+          .when(col("media_dup"), "media_dup")
           .otherwise("admitted"))
       .withColumn("toks", toks)
       .withColumn("chunks", transform(
@@ -3520,10 +3648,20 @@ object StreamQueries {
   private def duckFrontDoorSql: String = {
     val T = graft.operators.TextAnalysis
     val D = graft.operators.Dedup
+    val M = graft.operators.Multimodal
     val P = graft.functions.Portable
     val W = D.PassageW
     val mixH = P.duckHash60("concat('mix:', CAST(l.doc_id AS VARCHAR))")
     val ckH = P.duckHash60("chunk")
+    // the mediaEditText mirror: middle tenth of the chars uppercased,
+    // bodies under 10 chars pass through (the mm10 patch floor)
+    val editedText =
+      """CASE WHEN length(text) >= 10 THEN
+              substr(text, 1, length(text)//2 - 1) ||
+              upper(substr(text, length(text)//2, length(text)//10)) ||
+              substr(text, length(text)//2 + length(text)//10,
+                     length(text) - length(text)//2 - length(text)//10 + 1)
+            ELSE text END"""
     s"""WITH standing AS (SELECT doc_id, text, lang, n_chars, source
                           FROM documents WHERE doc_id % 10 <> 0),
         delta AS (SELECT doc_id, text, lang, n_chars, source FROM documents
@@ -3533,7 +3671,11 @@ object StreamQueries {
                   FROM documents WHERE doc_id % 10 = 0 AND doc_id % 40 = 0
                   UNION ALL
                   SELECT doc_id + 2000000, text, lang, n_chars, source
-                  FROM standing WHERE doc_id % 7 = 1),
+                  FROM standing WHERE doc_id % 7 = 1
+                  UNION ALL
+                  SELECT doc_id + 4000000, $editedText AS text,
+                         lang, n_chars, source
+                  FROM standing WHERE doc_id % 10 = 4),
         planted AS (SELECT doc_id,
                            text ||
                            CASE WHEN doc_id % 19 = 6
@@ -3571,6 +3713,24 @@ object StreamQueries {
                      OR (v.feature = 'source' AND v.bucket = p.source))
                    GROUP BY 1),
         eh AS (SELECT DISTINCT md5(text) AS h FROM standing),
+        corpus AS (SELECT doc_id, ${M.duckBytesExpr} AS bytes FROM standing
+                   UNION ALL
+                   SELECT doc_id, ${M.duckBytesExpr} AS bytes FROM planted),
+        ${M.duckDhashBitsCtes},
+        standb AS (SELECT doc_id, band_id, band FROM bits
+                   WHERE doc_id % 10 <> 0 AND doc_id < 1000000
+                   QUALIFY COUNT(*) OVER (PARTITION BY band_id, band)
+                             <= ${M.PhashBandCap}),
+        arrb AS (SELECT doc_id, band_id, band FROM bits
+                 WHERE doc_id % 10 = 0 OR doc_id >= 1000000),
+        mdup AS (SELECT DISTINCT d.doc_id
+                 FROM arrb d JOIN standb s
+                   ON d.band_id = s.band_id AND d.band = s.band
+                 JOIN sig sa ON sa.doc_id = d.doc_id
+                 JOIN sig sb ON sb.doc_id = s.doc_id
+                 WHERE CAST(list_sum(list_transform(
+                         list_zip(sa.bands, sb.bands),
+                         t -> bit_count(xor(t[1], t[2])))) AS BIGINT) <= 3),
         laned AS (SELECT l.doc_id, l.text, md5(l.text) AS content_hash,
                          CASE WHEN l.n_chars < 0 THEN 'corrupt'
                               WHEN len(regexp_extract_all(l.text,
@@ -3583,6 +3743,11 @@ object StreamQueries {
                               WHEN (SELECT armed FROM armedrel)
                                    AND COALESCE(t.n_trips, 0) > 0 THEN 'drift'
                               WHEN md5(l.text) IN (SELECT h FROM eh) THEN 'dup'
+                              WHEN l.doc_id % 9 = 2 THEN 'media_truncated'
+                              WHEN l.doc_id % 9 = 5 THEN 'media_bad_magic'
+                              WHEN l.doc_id % 9 = 7 THEN 'media_size_mismatch'
+                              WHEN l.doc_id IN (SELECT doc_id FROM mdup)
+                                THEN 'media_dup'
                               ELSE 'admitted' END AS lane
                   FROM planted l
                   LEFT JOIN mixrates r
@@ -3753,10 +3918,73 @@ object StreamQueries {
     // 3-row conversion relation
     "st82_stream_funnel" ->
       graft.operators.Relational.oracles("a44_funnel_conversion"),
-    // st83's ingest-accumulated overlap marks must report exactly d26's
-    // matrix
-    "st83_stream_source_overlap" ->
-      graft.operators.Dedup.oracles("d26_source_overlap"),
+    // st83's served per-source KMV sketches must reproduce the full
+    // hash-derived overlap algebra (a39's oracle shape over source
+    // shingles, plus per-source size estimates and d26's containment
+    // per-milles) — hash-checked in every regime
+    "st83_stream_source_overlap" -> {
+      val k = graft.operators.Relational.KmvK
+      val shExpr = graft.operators.Dedup.duckShingleExpr
+      s"""WITH uh AS (SELECT DISTINCT source,
+                        ${graft.functions.Portable.duckHash60(
+                          "concat('sov:', sh)")} AS h
+                      FROM (SELECT source, unnest($shExpr) AS sh
+                            FROM documents)),
+          btm AS (SELECT source, h FROM (
+                    SELECT source, h,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY h) AS rn
+                    FROM uh) WHERE rn <= $k),
+          sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept_src,
+                        MAX(h) AS kth_s
+                 FROM btm GROUP BY 1),
+          sze AS (SELECT source,
+                         CASE WHEN n_kept_src < $k THEN n_kept_src
+                              ELSE CAST(floor(${k - 1}.0 * pow(2.0, 60.0) /
+                                     CAST(kth_s AS DOUBLE)) AS BIGINT)
+                         END AS size_est
+                  FROM sz),
+          ty AS (SELECT DISTINCT source FROM btm),
+          tp AS (SELECT a.source AS ta, b.source AS tb
+                 FROM ty a JOIN ty b ON a.source < b.source),
+          mm AS (SELECT tp.ta, tp.tb, s.h,
+                        CAST(MAX(CASE WHEN s.source = tp.ta
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+                        CAST(MAX(CASE WHEN s.source = tp.tb
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+                 FROM tp JOIN btm s
+                   ON s.source = tp.ta OR s.source = tp.tb
+                 GROUP BY 1, 2, 3),
+          r AS (SELECT mm.*, CAST(row_number() OVER (PARTITION BY ta, tb
+                               ORDER BY h) AS BIGINT) AS rn
+                FROM mm),
+          kept AS (SELECT * FROM r WHERE rn <= $k),
+          agg AS (SELECT ta, tb, CAST(MAX(rn) AS BIGINT) AS n_kept,
+                         MAX(h) AS kth,
+                         CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+                  FROM kept GROUP BY 1, 2),
+          est AS (SELECT agg.*,
+                         CASE WHEN n_kept < $k THEN n_kept
+                              ELSE CAST(floor(${k - 1}.0 * pow(2.0, 60.0) /
+                                     CAST(kth AS DOUBLE)) AS BIGINT)
+                         END AS union_est
+                  FROM agg),
+          fin AS (SELECT ta, tb, n_kept, n_common, union_est,
+                         CAST((n_common * 1000) // n_kept AS BIGINT)
+                           AS jaccard_pm,
+                         CAST((n_common * union_est) // n_kept AS BIGINT)
+                           AS inter_est
+                  FROM est)
+          SELECT ta AS src_a, tb AS src_b, n_kept, n_common, union_est,
+                 jaccard_pm, inter_est,
+                 sa.size_est AS size_a_est, sb.size_est AS size_b_est,
+                 CAST((CAST(inter_est AS HUGEINT) * 1000) // sa.size_est
+                      AS BIGINT) AS contain_a_pm,
+                 CAST((CAST(inter_est AS HUGEINT) * 1000) // sb.size_est
+                      AS BIGINT) AS contain_b_pm
+          FROM fin JOIN sze sa ON fin.ta = sa.source
+                   JOIN sze sb ON fin.tb = sb.source"""
+    },
     // st84's incrementally-scored table must equal t37's nightly scan
     "st84_stream_entropy" ->
       graft.operators.TextAnalysis.oracles("t37_char_entropy"),

@@ -15,6 +15,8 @@ case class WsDoc(doc_id: Long, pri: Double)
 
 case class StratDoc(lang: String, doc_id: Long, h: Long)
 
+case class SrcSh(source: String, h: Long)
+
 case class ScoredDoc(query_id: Long, doc_id: Long, score: Double, leg: String)
 
 case class LanedDoc(doc_id: Long, lane: String, content_hash: String,
@@ -202,6 +204,40 @@ class StateCapSpec extends SparkSpecBase {
       s"recovered quota buffer wrong: $got (10<20<30 must survive, 40/50 out)")
     assert(served.head().getAs[Long]("n_stratum") === 5L,
       "n_stratum must count across the restart")
+  }
+
+  test("st83's source sketches: state caps at k regardless of shingle volume and survives a kill/resume") {
+    // st83's shape: ONE MinK buffer per source over shingle hashes —
+    // the r13 rework that replaced the per-common-shingle state rows
+    // (state ∝ overlap, corpus-sized for mirrored sources at 100 TB)
+    // with O(|sources|·k). Feed 6 distinct hashes into a k=4 buffer:
+    // it must hold exactly the 4 smallest; after a kill/resume a
+    // smaller hash must enter the RECOVERED buffer and evict its
+    // largest member — proving both the cap and that the aggregation
+    // state came back from the checkpoint.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[SrcSh]
+    val cp = tmpDir("cp_st83_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_st83_restart_"), Seq("source"), "n_kept_src")
+    def base = ms.toDF().groupBy(col("source"))
+      .agg(graft.functions.MinK.minK(4)(col("h"), col("h")).as("s"))
+      .select(col("source"), col("s.items").as("items"),
+        size(col("s.items")).cast("long").as("n_kept_src"))
+    ms.addData(SrcSh("web", 40L), SrcSh("web", 20L), SrcSh("web", 60L),
+      SrcSh("web", 30L), SrcSh("web", 50L), SrcSh("web", 10L),
+      SrcSh("web", 20L)) // repeat absorbs — set semantics
+    SQ.upsertServeWith(spark, base, table, cp) // pass 1, writer dies
+    ms.addData(SrcSh("web", 5L))
+    val served = SQ.upsertServeWith(spark, base, table, cp) // resumed
+    val got = served.select(explode(col("items")))
+      .select(col("col.h")).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(5L, 10L, 20L, 30L),
+      s"recovered source sketch wrong: $got (cap 4, 5 must evict 40)")
+    assert(served.head().getAs[Long]("n_kept_src") === 4L,
+      "n_kept_src must report the capped buffer size")
   }
 
   test("st55's CDC serving: state survives a kill/resume; a post-restart delete tombstones a pre-restart insert") {

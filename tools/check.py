@@ -18,6 +18,16 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# DuckDB logical types whose pandas fetch renders identically to the
+# Spark parquet read of the same value; HUGEINT/DECIMAL fetch as floats
+# and must be CAST in the oracle SQL itself.
+PORTABLE = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+            "DATE", "TIMESTAMP", "TIMESTAMP_NS", "BLOB"}
+
+
+def is_portable(t):
+    return t[:-2] in PORTABLE if t.endswith("[]") else t in PORTABLE
+
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -55,20 +65,28 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_rel = con.execute(f"SELECT * FROM read_parquet({files!r})")
-            spark_types = dict(zip(spark_rel.description and
-                                   [d[0] for d in spark_rel.description] or [],
-                                   [str(d[1]) for d in spark_rel.description]))
-            spark_df = spark_rel.fetchdf()
-            ora_rel = con.execute(oracles[name])
-            ora_types = {d[0]: str(d[1]) for d in ora_rel.description}
-            ora_df = ora_rel.fetchdf()
+            # DESCRIBE-level logical types: the DBAPI .description
+            # collapses every numeric to 'NUMBER' (w13's HUGEINT shipped
+            # a round red unseen) — take the real types and gate oracle
+            # output portability before hashing anything.
+            spark_types = {c: t for c, t, *_ in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+            ora_types = {c: t for c, t, *_ in con.execute(
+                f"DESCRIBE ({oracles[name]})").fetchall()}
+            spark_df = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            ora_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         rows = len(spark_df) == len(ora_df)
         schema = sorted(spark_df.columns) == sorted(ora_df.columns)
+        bad_port = {c: t for c, t in ora_types.items()
+                    if not is_portable(t)}
+        if bad_port:
+            print(f"  NON-PORTABLE oracle output types {name}: {bad_port}")
+            schema = False
         if schema and spark_types != ora_types:
             print(f"  TYPE mismatch {name}: spark={spark_types} oracle={ora_types}")
             schema = False
