@@ -32,6 +32,36 @@ object Pcm16FramesUtil {
   /** Samples per analysis frame. */
   final val FrameLen = 64
 
+  /** Samples per peak window for [[Pcm16Peaks]] — much finer than
+    * [[FrameLen]]: the constellation fingerprint (mm13) needs a dense
+    * landmark series (tens of points per clip), where the analysis
+    * frames give a corpus document only 2-5 points.
+    */
+  final val PeakWin = 8
+
+  /** Per-[[PeakWin]]-sample-window peak |amplitude| series, one pass. */
+  def pcm16Peaks(buf: Array[Byte]): ArrayData = {
+    val nSamp = buf.length / 2
+    val nWin = (nSamp + PeakWin - 1) / PeakWin
+    val out = new Array[Any](nWin)
+    var w = 0
+    while (w < nWin) {
+      val start = w * PeakWin
+      val end = math.min(start + PeakWin, nSamp)
+      var peak = 0L
+      var i = start
+      while (i < end) {
+        val s = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        i += 1
+      }
+      out(w) = peak
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def pcm16Frames(buf: Array[Byte]): ArrayData = {
     val nSamp = buf.length / 2
     val nFrames = (nSamp + FrameLen - 1) / FrameLen
@@ -102,5 +132,43 @@ case class Pcm16Frames(child: Expression) extends UnaryExpression {
       }""")
 
   override protected def withNewChildInternal(newChild: Expression): Pcm16Frames =
+    copy(child = newChild)
+}
+
+/** `pcm16_peaks(binary) -> array<bigint>`: peak |amplitude| per
+  * [[Pcm16FramesUtil.PeakWin]]-sample window in one codegen'd byte pass
+  * — the dense landmark series the constellation fingerprint pairs
+  * over. Inputs with fewer than 2 bytes yield null (the
+  * [[Pcm16Frames]] contract).
+  */
+case class Pcm16Peaks(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "pcm16_peaks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val buf = input.asInstanceOf[Array[Byte]]
+    if (buf.length < 2) null
+    else Pcm16FramesUtil.pcm16Peaks(buf)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      if ($a.length < 2) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.Pcm16FramesUtil.pcm16Peaks($a);
+      }""")
+
+  override protected def withNewChildInternal(newChild: Expression): Pcm16Peaks =
     copy(child = newChild)
 }

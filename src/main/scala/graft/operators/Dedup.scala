@@ -1104,6 +1104,57 @@ object Dedup {
           .as("saved_pm"))
   }
 
+  /** d29 — CLUSTER REPRESENTATIVE BY CONTENT, not by id: per ≥2-member
+    * d07 cluster, the keeper a production pipeline actually wants —
+    * the member with the MOST content (char length, tie → min id;
+    * "keep the most complete copy" — the head-truncated planted
+    * near-copies are exactly the rows this policy must NOT pick) —
+    * beside the structural min-id keeper and a `policy_differs` flag,
+    * so the report prices how often the cheap id rule keeps a worse
+    * copy. Complements d27 (how big are clusters) and d28 (what does
+    * dedup save) with WHICH copy survives.
+    *
+    * Scale shape: d07's labels (shared edge artifact) join the corpus
+    * lengths on doc_id (one key exchange), then ONE cluster_id rollup
+    * — the argmax rides `max(struct(len, -id))` with map-side
+    * partials; nothing scales with cluster².
+    */
+  val d29_cluster_representative: Q = (spark, dir) => {
+    val labels = clusterLabels(spark, dir, ClusterIters)
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+    nearDupCorpus(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("nch"))
+      .join(labels, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("minid_keeper"),
+        max(struct(col("nch"), (-col("doc_id")).as("nid"))).as("m"))
+      .where(col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"),
+        (-col("m.nid")).as("keeper_id"), col("m.nch").as("keeper_chars"),
+        col("minid_keeper"),
+        ((-col("m.nid")) =!= col("minid_keeper")).as("policy_differs"))
+  }
+
+  private def duckClusterRepSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
+        $duckClusterRounds,
+        mem AS (SELECT l.doc_id, l.lbl, CAST(length(c.text) AS BIGINT) AS nch
+                FROM l$ClusterIters l JOIN corpus c USING (doc_id)),
+        rep AS (SELECT lbl, doc_id AS keeper_id, nch AS keeper_chars
+                FROM mem
+                QUALIFY row_number() OVER (PARTITION BY lbl
+                          ORDER BY nch DESC, doc_id) = 1),
+        agg AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_members,
+                       MIN(doc_id) AS minid_keeper
+                FROM mem GROUP BY lbl)
+        SELECT a.lbl AS cluster_id, a.n_members, r.keeper_id,
+               r.keeper_chars, a.minid_keeper,
+               r.keeper_id <> a.minid_keeper AS policy_differs
+        FROM agg a JOIN rep r USING (lbl)
+        WHERE a.n_members >= 2"""
+
   private def duckDedupSavingsSql: String =
     s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
         l0 AS (SELECT doc_id, doc_id AS lbl FROM corpus),
@@ -2085,6 +2136,7 @@ object Dedup {
     "d26_source_overlap" -> d26_source_overlap,
     "d27_cluster_sizes" -> d27_cluster_sizes,
     "d28_dedup_savings" -> d28_dedup_savings,
+    "d29_cluster_representative" -> d29_cluster_representative,
     "d24_partition_agreement" -> d24_partition_agreement,
     "d22_triangle_count" -> d22_triangle_count,
     "d23_lpa_communities" -> d23_lpa_communities,
@@ -2115,6 +2167,7 @@ object Dedup {
     "d26_source_overlap" -> duckSourceOverlapSql,
     "d27_cluster_sizes" -> duckClusterSizesSql,
     "d28_dedup_savings" -> duckDedupSavingsSql,
+    "d29_cluster_representative" -> duckClusterRepSql,
     "d01_exact_dedup" ->
       s"""WITH $duckExactCorpus
           SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_id,

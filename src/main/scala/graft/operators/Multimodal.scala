@@ -382,22 +382,28 @@ object Multimodal {
     * row multiplication, so only the final stats ride the generator —
     * never the sample arrays.
     */
-  val mm06_wav_features: Q = (spark, dir) => {
-    graft.plans.GraftExtensions.register(spark)
-    val digest = sha2(col("text"), 256)
-    val h = Portable.hash60(digest)
-    val body = encode(col("text"), "utf-8")
+  /** The corpus WAV payload (hash-derived shape over the text bytes as
+    * samples) as a single column — shared by mm06/mm13 and the ingest
+    * twins.
+    */
+  private[graft] def wavPayloadCol(text: Column): Column = {
+    val h = Portable.hash60(sha2(text, 256))
+    val body = encode(text, "utf-8")
     val sampleRate = element_at(
       array(lit(8000L), lit(16000L), lit(44100L)), (h % 3 + 1).cast("int"))
-    val payload = concat(
+    concat(
       wavHeader(h % 2 + 1, sampleRate, lit(16L), octet_length(body).cast("long")),
       body)
+  }
+
+  val mm06_wav_features: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
     // sample region sliced by the PARSED data-chunk length, then ONE
     // codegen'd pass computes every frame's integer stats (a per-sample
     // higher-order decode was quadratic: substr on a long string
     // re-counts chars per call)
     documents(spark, dir)
-      .select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"), wavPayloadCol(col("text")).as("payload"))
       .select(col("doc_id"),
         call_function("pcm16_frames",
           col("payload").substr(lit(45), leUInt(col("payload"), 41, 4).cast("int")))
@@ -689,6 +695,121 @@ object Multimodal {
       .drop("grp")
   }
 
+  /** mm13's constellation geometry: the landmark series is the peak
+    * |amplitude| per [[graft.functions.Pcm16FramesUtil.PeakWin]]-sample
+    * window (the dense series — analysis FRAMES give a corpus doc only
+    * 2-5 points); each window's peak pairs with its next [[FpFanout]]
+    * windows' into packed hashes; the query clip is windows
+    * [[[ClipStart]], [[ClipStart]]+[[ClipLen]]) of every mod-17 ≡ 5
+    * document; corpus hash keys held by more than [[FpDfCap]] pair
+    * rows are dropped whole (too common to be discriminative — the
+    * d02 df-cap on landmarks); a match needs [[FpMinAligned]]
+    * co-aligned hashes.
+    */
+  private[graft] val FpFanout = 3
+  private[graft] val FpDfCap = 64
+  private[graft] val ClipStart = 4
+  private[graft] val ClipLen = 16
+  private[graft] val FpMinAligned = 4
+
+  /** All (anchor frame f, packed hash) landmark pairs of a peaks
+    * array, computed ROW-LOCALLY inside the array (mm06's
+    * inside-the-array discipline — no per-doc window, no shuffle
+    * before the explode): hash = peak_a·2¹⁷ + peak_b·4 + d for target
+    * distance d ∈ [1, FpFanout] (peaks < 2¹⁵ ⇒ the packing is
+    * injective and < 2³², long-safe).
+    */
+  private[graft] def peakPairs(peaks: Column): Column = flatten(
+    transform(peaks, (p, i) =>
+      filter(
+        transform(sequence(lit(1), lit(FpFanout)), d =>
+          when(i + d <= size(peaks) - 1,
+            struct(i.cast("long").as("f"),
+              (p * 131072L + element_at(peaks, i + d + 1) * 4L +
+                d.cast("long")).as("hkey")))),
+        s => s.isNotNull)))
+
+  /** mm13 — AUDIO CONSTELLATION FINGERPRINT MATCH (the Shazam shape:
+    * Wang 2003, "An Industrial-Strength Audio Search Algorithm"):
+    * per-window peak landmarks pair with their next few windows into
+    * packed (peak_a, peak_b, Δwindow) hashes; a 16-window QUERY CLIP cut
+    * from the middle of every 17th document probes the corpus hash
+    * index by ONE equi-join, and the offset histogram — count per
+    * (clip, doc, corpus_frame − clip_frame) — is the verdict: a true
+    * match piles its hits on ONE offset (the clip's cut point), while
+    * collision noise scatters. Emits per (clip, candidate doc) the
+    * best-aligned offset, its aligned count and the total hit count,
+    * thresholded at [[FpMinAligned]]; the positive control is each
+    * clip finding its own source at offset [[ClipStart]]. All integer
+    * arithmetic end-to-end.
+    *
+    * Scale shape: pair generation rides the scan inside the frames
+    * array (no pre-explode shuffle); the df-cap drops degenerate
+    * landmark keys so the probe join's fan-out is bounded
+    * (≤ FpDfCap per key — the d02/d04 hot-bucket discipline); the
+    * histogram is one (clip, doc, offset) rollup with map-side
+    * partials. At 100 TB the corpus landmark table is the standing
+    * index artifact; clips probe it — exactly this plan's join side.
+    */
+  /** The per-doc window-peak series over any documents-shaped relation
+    * — the landmark raw material (stateless projection; the ingest
+    * twin st89 runs it on the firehose verbatim).
+    */
+  private[graft] def peakSeries(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), wavPayloadCol(col("text")).as("payload"))
+    .select(col("doc_id"),
+      call_function("pcm16_peaks",
+        col("payload").substr(lit(45), leUInt(col("payload"), 41, 4).cast("int")))
+        .as("peaks"))
+    .where(col("peaks").isNotNull)
+
+  /** The corpus landmark-hash index (df-capped) — mm13's join side and
+    * the STANDING artifact st89's ingest probe joins against.
+    */
+  private[graft] def fingerprintIndex(spark: SparkSession, dir: String): DataFrame =
+    peakSeries(documents(spark, dir))
+      .select(col("doc_id"), explode(peakPairs(col("peaks"))).as("p"))
+      .select(col("doc_id"), col("p.f").as("f"), col("p.hkey").as("hkey"))
+      .withColumn("dfc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hkey"))))
+      .where(col("dfc") <= FpDfCap)
+      .drop("dfc")
+
+  /** A clip-owner relation's landmark pairs, clipped to the query
+    * window — shared by mm13's batch probe and st89's ingest probe.
+    */
+  private[graft] def clipPairs(series: DataFrame): DataFrame = series
+    .select((col("doc_id") + 5000000L).as("clip_id"),
+      explode(peakPairs(slice(col("peaks"), ClipStart + 1, ClipLen))).as("p"))
+    .select(col("clip_id"), col("p.f").as("q"), col("p.hkey").as("hkey"))
+
+  /** The offset-histogram verdict tail over a served (clip_id, doc_id,
+    * off, n_aligned) relation — (n_aligned desc, offset) argmax, total
+    * hits, [[FpMinAligned]] threshold. Shared verbatim with st89's
+    * judge-on-read.
+    */
+  private[graft] def fingerprintVerdict(counts: DataFrame): DataFrame = {
+    val tot = counts.groupBy(col("clip_id"), col("doc_id"))
+      .agg(sum(col("n_aligned")).as("n_hits"))
+    counts.groupBy(col("clip_id"), col("doc_id"))
+      .agg(max(struct(col("n_aligned"), (-col("off")).as("no"))).as("m"))
+      .select(col("clip_id"), col("doc_id"),
+        (-col("m.no")).as("best_offset"), col("m.n_aligned").as("n_aligned"))
+      .join(tot, Seq("clip_id", "doc_id"))
+      .where(col("n_aligned") >= FpMinAligned)
+  }
+
+  val mm13_audio_fingerprint: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val series = peakSeries(documents(spark, dir))
+    val hits = clipPairs(series.where(col("doc_id") % 17 === 5))
+      .join(fingerprintIndex(spark, dir), Seq("hkey"))
+      .select(col("clip_id"), col("doc_id"), (col("f") - col("q")).as("off"))
+    fingerprintVerdict(
+      hits.groupBy(col("clip_id"), col("doc_id"), col("off"))
+        .agg(count(lit(1)).as("n_aligned")))
+  }
+
   /** mm06's DuckDB frame-stat CTE chain (hex decode → LE-int16 samples
     * → frames → exact integer stats, ending in relation `st`) —
     * factored so mm11's segmentation oracle chains it verbatim.
@@ -841,6 +962,7 @@ object Multimodal {
         FROM h"""
 
   val queries: Map[String, Q] = Map(
+    "mm13_audio_fingerprint" -> mm13_audio_fingerprint,
     "mm10_media_dhash" -> mm10_media_dhash,
     "mm11_audio_segments" -> mm11_audio_segments,
     "mm12_hist_distance" -> mm12_hist_distance,
@@ -964,6 +1086,61 @@ object Multimodal {
         WHERE hamming <= 3"""
 
   val oracles: Map[String, String] = Map(
+    // mm13: same 8-sample-window peak series (pcm16_peaks' arithmetic
+    // over mm06's decoded sample list), same packed landmark hashes
+    // via the window-distance join (≡ the array formulation — window
+    // ids are contiguous), same df-cap, same offset histogram and
+    // (n_aligned desc, offset) argmax
+    "mm13_audio_fingerprint" -> {
+      val W = graft.functions.Pcm16FramesUtil.PeakWin
+      s"""WITH $duckWavFrameCtes,
+          pw AS (SELECT doc_id,
+                        list_transform(range(0, (len(samples) + ${W - 1}) // $W),
+                          w -> CAST(list_aggregate(list_transform(
+                                 samples[(w*$W+1)::INT :
+                                         least((w+1)*$W, len(samples))::INT],
+                                 x -> abs(x)), 'max') AS BIGINT)) AS peaks
+                 FROM s WHERE len(samples) > 0),
+          pk AS (SELECT doc_id, frame_id,
+                        peaks[(frame_id+1)::INT] AS peak
+                 FROM (SELECT doc_id, peaks,
+                              unnest(range(0, len(peaks))) AS frame_id
+                       FROM pw)),
+          cp AS (SELECT a.doc_id, a.frame_id AS f,
+                        a.peak * 131072 + b.peak * 4
+                          + (b.frame_id - a.frame_id) AS hkey
+                 FROM pk a JOIN pk b ON a.doc_id = b.doc_id
+                   AND b.frame_id - a.frame_id BETWEEN 1 AND $FpFanout),
+          corp AS (SELECT doc_id, f, hkey FROM (
+                     SELECT doc_id, f, hkey,
+                            COUNT(*) OVER (PARTITION BY hkey) AS dfc
+                     FROM cp)
+                   WHERE dfc <= $FpDfCap),
+          cl AS (SELECT doc_id, frame_id, peak FROM pk
+                 WHERE doc_id % 17 = 5
+                   AND frame_id BETWEEN $ClipStart
+                                AND ${ClipStart + ClipLen - 1}),
+          cpq AS (SELECT a.doc_id + 5000000 AS clip_id,
+                         a.frame_id - $ClipStart AS q,
+                         a.peak * 131072 + b.peak * 4
+                           + (b.frame_id - a.frame_id) AS hkey
+                  FROM cl a JOIN cl b ON a.doc_id = b.doc_id
+                    AND b.frame_id - a.frame_id BETWEEN 1 AND $FpFanout),
+          hits AS (SELECT c.clip_id, k.doc_id, k.f - c.q AS off
+                   FROM cpq c JOIN corp k USING (hkey)),
+          tot AS (SELECT clip_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                  FROM hits GROUP BY 1, 2),
+          hist AS (SELECT clip_id, doc_id, off,
+                          CAST(COUNT(*) AS BIGINT) AS n_aligned
+                   FROM hits GROUP BY 1, 2, 3),
+          best AS (SELECT clip_id, doc_id, off AS best_offset, n_aligned
+                   FROM hist
+                   QUALIFY row_number() OVER (PARTITION BY clip_id, doc_id
+                             ORDER BY n_aligned DESC, off) = 1)
+          SELECT b.clip_id, b.doc_id, b.best_offset, b.n_aligned, t.n_hits
+          FROM best b JOIN tot t USING (clip_id, doc_id)
+          WHERE b.n_aligned >= $FpMinAligned"""
+    },
     // mm12: same planted-pair derivation, same per-bin integer chi2
     "mm12_hist_distance" -> duckHistDistanceSql,
     "mm05_media_dedup" -> duckMediaDedupSql,

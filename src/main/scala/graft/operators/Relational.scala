@@ -2773,6 +2773,94 @@ object Relational {
     ).reduce(_.unionByName(_))
   }
 
+  /** p25 — DISTRIBUTION-DRIFT AUDIT between the arriving delta and the
+    * standing corpus (the d11 split convention): per profiled column
+    * (lang, source, and the length decile the drift gate already
+    * buckets on), the exact TOTAL-VARIATION DISTANCE between the two
+    * splits' value distributions in per-mille — Σ|pm_s − pm_d| div 2
+    * over the value union, every per-mille an exact floored integer —
+    * plus the single value that moved most. One number per column
+    * answers "did tonight's delta change shape", the audit that
+    * decides whether c06's incremental manifest can ship or the
+    * drift-gate verdicts (st45/c08) need a human; T.driftVerdicts
+    * flags per-bucket trips, this prices the whole column.
+    *
+    * Scale shape: one explode-to-long-form pass over the scan (p21's
+    * one-scan discipline), ONE (column, value) rollup with conditional
+    * partial sums, a 3-row column rollup; totals broadcast as a 1-row
+    * aggregate. Value-domain-bounded, never corpus².
+    */
+  val p25_distribution_drift: Q = (spark, dir) => {
+    val base = documents(spark, dir)
+      .select((col("doc_id") % 10 === 0).as("is_delta"),
+        coalesce(col("lang"), lit("<null>")).as("lang"),
+        coalesce(col("source"), lit("<null>")).as("source"),
+        least(expr("n_chars div 200"), lit(9L)).cast("string").as("len_b"))
+    val tot = base.agg(
+      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_s"),
+      sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_d"))
+    base
+      .select(col("is_delta"), explode(array(
+        struct(lit("lang").as("c"), col("lang").as("value")),
+        struct(lit("source").as("c"), col("source").as("value")),
+        struct(lit("len").as("c"), col("len_b").as("value")))).as("e"))
+      .groupBy(col("e.c").as("col_name"), col("e.value").as("value"))
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("cnt_s"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("cnt_d"))
+      .join(broadcast(tot), lit(true), "inner")
+      .select(col("col_name"), col("value"),
+        expr("cnt_s * 1000 div n_s").as("pm_s"),
+        expr("cnt_d * 1000 div n_d").as("pm_d"),
+        col("n_s"), col("n_d"))
+      .withColumn("diff", abs(col("pm_s") - col("pm_d")))
+      .groupBy(col("col_name"))
+      .agg(first(col("n_s")).as("n_standing"), first(col("n_d")).as("n_delta"),
+        count(lit(1)).as("n_values"), sum(col("diff")).as("sum_diff"),
+        max(struct(col("diff"), col("value"))).as("m"))
+      .select(col("col_name"), col("n_standing"), col("n_delta"),
+        col("n_values"), expr("sum_diff div 2").as("tvd_pm"),
+        col("m.value").as("top_value"), col("m.diff").as("top_diff_pm"))
+  }
+
+  private def duckDriftAuditSql: String =
+    s"""WITH base AS (SELECT doc_id % 10 = 0 AS is_delta,
+                             COALESCE(lang, '<null>') AS lang,
+                             COALESCE(source, '<null>') AS source,
+                             CAST(least(n_chars // 200, 9) AS VARCHAR) AS len_b
+                      FROM documents),
+        tot AS (SELECT CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END)
+                            AS BIGINT) AS n_s,
+                       CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_d
+                FROM base),
+        u AS (SELECT 'lang' AS col_name, lang AS value, is_delta FROM base
+              UNION ALL
+              SELECT 'source', source, is_delta FROM base
+              UNION ALL
+              SELECT 'len', len_b, is_delta FROM base),
+        c AS (SELECT col_name, value,
+                     CAST(SUM(CASE WHEN is_delta THEN 0 ELSE 1 END)
+                          AS BIGINT) AS cnt_s,
+                     CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END)
+                          AS BIGINT) AS cnt_d
+              FROM u GROUP BY 1, 2),
+        p AS (SELECT col_name, value, n_s, n_d,
+                     abs(cnt_s * 1000 // n_s - cnt_d * 1000 // n_d) AS diff
+              FROM c, tot),
+        r AS (SELECT col_name, value AS top_value, diff AS top_diff_pm
+              FROM p
+              QUALIFY row_number() OVER (PARTITION BY col_name
+                        ORDER BY diff DESC, value DESC) = 1),
+        a AS (SELECT col_name,
+                     CAST(MIN(n_s) AS BIGINT) AS n_standing,
+                     CAST(MIN(n_d) AS BIGINT) AS n_delta,
+                     CAST(COUNT(*) AS BIGINT) AS n_values,
+                     CAST(SUM(diff) // 2 AS BIGINT) AS tvd_pm
+              FROM p GROUP BY 1)
+        SELECT a.col_name, a.n_standing, a.n_delta, a.n_values, a.tvd_pm,
+               r.top_value, CAST(r.top_diff_pm AS BIGINT) AS top_diff_pm
+        FROM a JOIN r USING (col_name)"""
+
   private def duckPk(name: String, idExpr: String): String =
     s"""SELECT '$name' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
               CAST(COUNT(DISTINCT id) AS BIGINT) AS n_ids,
@@ -4430,6 +4518,7 @@ object Relational {
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
+    "p25_distribution_drift" -> p25_distribution_drift,
     "j21_scd_audit" -> j21_scd_audit,
     "a43_weekday_index" -> a43_weekday_index,
     "w15_hot_streaks" -> w15_hot_streaks,
@@ -5939,6 +6028,9 @@ object Relational {
       "events" -> "event_id", "documents" -> "doc_id",
       "embeddings" -> "vec_id",
     ).map { case (t, e) => duckPk(t, e) }.mkString("\nUNION ALL\n"),
+    // p25: same long-form explode, same floored per-milles, same TVD
+    // and (diff desc, value desc) top pick
+    "p25_distribution_drift" -> duckDriftAuditSql,
     // p23: the same anti-join orphan counts per edge
     "p23_fk_audit" ->
       """WITH e1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_child,

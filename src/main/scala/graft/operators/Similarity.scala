@@ -38,7 +38,7 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val K = 10
+  private[graft] val K = 10
   private[graft] val NumQueries = 5 // vec_id < 5 form the query set
 
   /** cosine (codegen'd) rounded to 6 dp — stable across engines. */
@@ -2067,7 +2067,104 @@ object Similarity {
           .as("gini_pm"))
   }
 
+  /** Embedding width the SQ8 codebook spans (the fixture's dim). */
+  private[graft] val SqDims = 64
+
+  /** n33 — INT8 SCALAR-QUANTIZATION RETRIEVAL EVAL (the OTHER standard
+    * embedding-compression ladder beside n30's Matryoshka truncation;
+    * FAISS's SQ8, every vector DB's "quantized" tier): per dimension,
+    * the corpus [min, max] trains a 2-double codebook; every value
+    * quantizes to ⌊(x−mn)·255/(mx−mn)⌋ ∈ [0, 255] (exact-rounded IEEE
+    * with identical parenthesization on both engines, then floor —
+    * the cos6 discipline); search ranks by the EXACT INTEGER uint8
+    * dot product (≤ 64·255² per pair — long-safe by construction), so
+    * ranking carries no float at all. Per query: top-K overlap with
+    * n01's full-precision exact set as integer per-mille — what 4×
+    * smaller vectors and integer SIMD kernels cost in recall, priced
+    * PER QUERY (n30's SLO framing). Degenerate dims (mx = mn) encode
+    * 0 — the quantizer's contract, not a corpus assumption.
+    *
+    * Scale shape: the codebook is ONE 64-struct row (broadcast); the
+    * encode rides the scan; the scoring join broadcasts the bounded
+    * query set (n01's contract) and the bounded [[TopK]] aggregator
+    * collapses map-side. The encoded corpus is persisted once and
+    * shared by the query-set extraction (caller clears cache — the
+    * d02/d04 contract). Nothing scales with corpus².
+    */
+  /** The SQ8 codebook over a (vec_id, v) corpus: ONE row holding the
+    * per-dim [min, max] structs in dim order — broadcast into the
+    * encode of both the batch eval (n33) and the ingest serving twin
+    * (st90).
+    */
+  private[graft] def sq8Codebook(e: DataFrame): DataFrame =
+    e.select(posexplode(col("v")))
+      .select(col("pos"), col("col").cast("double").as("x"))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))),
+        s => struct(s.getField("mn").as("mn"), s.getField("mx").as("mx")))
+        .as("lims"))
+
+  /** ⌊(x−mn)·255/(mx−mn)⌋ per dim against a `lims` column (degenerate
+    * dims encode 0) — the quantizer both engines mirror bit-for-bit.
+    */
+  private[graft] def sq8Col(v: Column): Column = zip_with(
+    transform(v, x => x.cast("double")), col("lims"),
+    (x, l) => when(l.getField("mx") === l.getField("mn"), lit(0L))
+      .otherwise(floor((x - l.getField("mn")) * 255.0 /
+        (l.getField("mx") - l.getField("mn"))).cast("long")))
+
+  /** The exact integer uint8 dot product of two encoded vectors. */
+  private[graft] def sq8Dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  val n33_sq8_recall: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    import org.apache.spark.storage.StorageLevel
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val enc = e.join(broadcast(sq8Codebook(e)), lit(true), "inner")
+      .select(col("vec_id"), col("v"), sq8Col(col("v")).as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qq = enc.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val sqTop = enc.join(broadcast(qq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        sq8Dot(col("qq"), col("q")).cast("double").as("s"))
+      .groupBy("query_id")
+      .agg(TopK.topK(K)(col("s"), col("vec_id")).as("tk"))
+      .select(col("query_id"), explode(col("tk.items")).as("it"))
+      .select(col("query_id"), col("it.id").as("neighbor_id"))
+    val qv = enc.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = explodeTopK(
+      enc.join(broadcast(qv), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), cos6(col("qv"), col("v")).as("c6"))
+        .groupBy("query_id")
+        .agg(TopK.topK(K)(col("c6"), col("vec_id")).as("tk")))
+      .select(col("query_id"), col("neighbor_id"))
+    val matched = sqTop.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matched"))
+    qq.select(col("query_id"))
+      .join(matched, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        expr(s"coalesce(n_matched, 0) * 1000 div $K").as("recall_pm"))
+  }
+
+  /** st90's oracle: the SQ8 integer-dot top-K ranking itself (the
+    * serving artifact), from the same CTE chain as n33's eval.
+    */
+  private[graft] def duckSq8TopSql: String =
+    s"""WITH $duckSq8Ctes
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk,
+               vec_id AS neighbor_id, dot
+        FROM dots QUALIFY rnk <= $K"""
+
   val queries: Map[String, Q] = Map(
+    "n33_sq8_recall" -> n33_sq8_recall,
     "n31_cell_balance" -> n31_cell_balance,
     "n30_truncated_retrieval" -> n30_truncated_retrieval,
     "n27_knn_classify" -> n27_knn_classify,
@@ -2117,6 +2214,32 @@ object Similarity {
 
   private val duckCos =
     "round(list_sum(list_transform(list_zip(qv, v), t -> t[1] * t[2])) / (qn * nrm) * 1000000) / 1000000"
+
+  /** The SQ8 CTE chain (codebook → encode → integer query dots, ending
+    * in `dots(query_id, vec_id, dot)` with `qq`/`q8` in scope) —
+    * shared by the n33 eval oracle and st90's serving oracle.
+    */
+  private def duckSq8Ctes: String =
+    s"""$duckVecs,
+        dim AS (SELECT unnest(range(0, $SqDims)) AS i),
+        mm AS (SELECT i, MIN(v[(i+1)::INT]) AS mn, MAX(v[(i+1)::INT]) AS mx
+               FROM n, dim GROUP BY i),
+        lims AS (SELECT list(mn ORDER BY i) AS mns,
+                        list(mx ORDER BY i) AS mxs
+                 FROM mm),
+        q8 AS (SELECT vec_id, v, nrm,
+                      list_transform(range(0, $SqDims), i ->
+                        CASE WHEN mxs[(i+1)::INT] = mns[(i+1)::INT] THEN 0
+                             ELSE CAST(floor((v[(i+1)::INT] - mns[(i+1)::INT])
+                                    * 255.0 / (mxs[(i+1)::INT] - mns[(i+1)::INT]))
+                                  AS BIGINT) END) AS q
+               FROM n, lims),
+        qq AS (SELECT vec_id AS query_id, q AS cq, v AS qv, nrm AS qn
+               FROM q8 WHERE vec_id < $NumQueries),
+        dots AS (SELECT query_id, vec_id,
+                        CAST(list_sum(list_transform(list_zip(cq, q),
+                               t -> t[1] * t[2])) AS BIGINT) AS dot
+                 FROM q8, qq WHERE vec_id <> query_id)"""
 
   /** The lexical-leg CTE chain shared by the n18/n19 oracles
     * ([[hybridLexTop]]'s DuckDB twin — ends with `lextop`, expects a
@@ -2773,6 +2896,30 @@ object Similarity {
           $duckHybridLexCtes
           $duckHybridFusionTail""",
     // n31: same unrolled assignment, same sorted-vector Gini identity
+    "n33_sq8_recall" -> {
+      // same per-dim [min,max] codebook, same ⌊(x−mn)·255/(mx−mn)⌋
+      // quantize (identical IEEE parenthesization), same exact integer
+      // dot ranking, same (dot desc, id) ties, recall vs the same
+      // full-precision exact set
+      s"""WITH $duckSq8Ctes,
+          sqtop AS (SELECT query_id, vec_id FROM dots
+                    QUALIFY row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, vec_id) <= $K),
+          ex AS (SELECT query_id, vec_id FROM (
+                   SELECT query_id, vec_id, $duckCos AS cos6
+                   FROM q8 JOIN qq ON vec_id <> query_id)
+                 QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos6 DESC, vec_id) <= $K),
+          m AS (SELECT s.query_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+                FROM sqtop s JOIN ex USING (query_id, vec_id)
+                GROUP BY 1)
+          SELECT q.query_id,
+                 COALESCE(m.n_matched, 0) AS n_matched,
+                 CAST(COALESCE(m.n_matched, 0) * 1000 // $K AS BIGINT)
+                   AS recall_pm
+          FROM (SELECT DISTINCT query_id FROM qq) q
+          LEFT JOIN m USING (query_id)"""
+    },
     "n31_cell_balance" ->
       s"""WITH $duckVecs,
           $duckTrainedCoarse,

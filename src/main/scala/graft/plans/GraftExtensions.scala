@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Pcm16Frames, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, Pcm16Frames, Pcm16Peaks, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.gramKeys)
     ext.injectFunction(GraftExtensions.bloomContains)
     ext.injectFunction(GraftExtensions.pcm16Frames)
+    ext.injectFunction(GraftExtensions.pcm16Peaks)
     ext.injectFunction(GraftExtensions.blockhash64)
     ext.injectFunction(GraftExtensions.dhash64)
     ext.injectFunction(GraftExtensions.byteShift)
@@ -134,6 +135,14 @@ object GraftExtensions {
       Pcm16Frames(args.head)
     })
 
+  val pcm16Peaks: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("pcm16_peaks"),
+    new ExpressionInfo(classOf[Pcm16Peaks].getName, "pcm16_peaks"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"pcm16_peaks expects 1 argument, got ${args.length}")
+      Pcm16Peaks(args.head)
+    })
+
   val blockhash64: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("blockhash64"),
     new ExpressionInfo(classOf[Blockhash64].getName, "blockhash64"),
@@ -169,7 +178,7 @@ object GraftExtensions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
         wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
-        bloomContains, pcm16Frames, blockhash64, dhash64,
+        bloomContains, pcm16Frames, pcm16Peaks, blockhash64, dhash64,
         byteShift).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)

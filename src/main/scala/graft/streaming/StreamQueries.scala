@@ -1921,6 +1921,90 @@ object StreamQueries {
           " div (rev_new + rev_ret) as bigint)").as("new_share_pm"))
   }
 
+  /** MM-family streaming — THE CONSTELLATION FINGERPRINT PROBE AT
+    * INGEST (streaming twin of mm13, the Shazam serving shape): each
+    * arriving clip-owner document fingerprints STATELESSLY (payload →
+    * window-peak series → packed landmark pairs, all row-local inside
+    * the array — [[graft.operators.Multimodal.peakSeries]]/`clipPairs`
+    * verbatim), probes the STANDING df-capped corpus landmark index by
+    * one stream-static equi-join on the hash, and ONE update-mode
+    * aggregation counts hits per (clip, candidate, offset) — the
+    * count-at-ingest/judge-on-read discipline: the argmax over offsets,
+    * the total-hit rollup and the [[graft.operators.Multimodal
+    * .FpMinAligned]] threshold all run ON READ through the shared
+    * [[graft.operators.Multimodal.fingerprintVerdict]]. Oracle is
+    * mm13's verbatim.
+    *
+    * Scale shape: state is one counter per MATCHED (clip, doc, offset)
+    * triple — bounded by |arriving clips| · the df-capped probe
+    * fan-out (≤ [[graft.operators.Multimodal.FpDfCap]] per landmark),
+    * delta-bounded and corpus-independent; the standing index is the
+    * nightly artifact the batch side already prices.
+    */
+  val st89_stream_fingerprint: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val M = graft.operators.Multimodal
+    val standing = M.fingerprintIndex(spark, dir)
+    val series = M.peakSeries(Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0 && col("doc_id") % 17 === 5))
+    val hits = M.clipPairs(series)
+      .join(standing, Seq("hkey"))
+      .select(col("clip_id"), col("doc_id"), (col("f") - col("q")).as("off"))
+    val counts = hits
+      .groupBy(col("clip_id"), col("doc_id"), col("off"))
+      .agg(count(lit(1)).as("n_aligned"))
+    M.fingerprintVerdict(
+      upsertServe(spark, counts, Seq("clip_id", "doc_id", "off"), "n_aligned"))
+  }
+
+  /** N-family streaming — SQ8 QUANTIZED ANN SERVED AT INGEST
+    * (streaming twin of n33's ranking leg; the quantized tier of
+    * st27/st35's serving family): the standing SQ8 codebook (ONE
+    * 64-struct row, trained on the corpus the stream replays) and the
+    * encoded query set both broadcast; each arriving vector encodes
+    * STATELESSLY (⌊(x−mn)·255/(mx−mn)⌋ per dim riding the scan) and
+    * scores every query by the EXACT INTEGER uint8 dot — so state and
+    * serving never touch a float — and ONE update-mode aggregation
+    * maintains per-query top-K in the bounded [[graft.functions.TopK]]
+    * buffer (incremental top-k ≡ batch top-k: take-k of a totally
+    * ordered multiset is merge-order-free, the st35 argument). Served
+    * exploded as (query, rank, neighbor, dot); oracle is the same
+    * ranking derived from n33's CTE chain.
+    *
+    * Scale shape: state is |queries| buffers of K entries —
+    * ingest-rate- and corpus-independent; the codebook artifact is 64
+    * structs however large the corpus.
+    */
+  val st90_stream_sq8_serve: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val S = graft.operators.Similarity
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val book = S.sq8Codebook(e)
+    val qq = e.where(col("vec_id") < S.NumQueries)
+      .join(broadcast(book), lit(true), "inner")
+      .select(col("vec_id").as("query_id"), S.sq8Col(col("v")).as("cq"))
+    val scored = Replay
+      .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
+      .where(col("vec_id") >= 0)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .join(broadcast(book), lit(true), "inner")
+      .select(col("vec_id"), S.sq8Col(col("v")).as("q"))
+      .join(broadcast(qq), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        S.sq8Dot(col("cq"), col("q")).cast("double").as("s"))
+    val top = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topK(S.K)(col("s"), col("vec_id")).as("tk"))
+      .select(col("query_id"), col("tk.items").as("items"),
+        size(col("tk.items")).cast("long").as("n"))
+    upsertServe(spark, top, Seq("query_id"), "n")
+      .select(col("query_id"), posexplode(col("items")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").cast("long").as("dot"))
+  }
+
   /** W-family streaming — THE WEEKLY HEATMAP AT INGEST (streaming
     * twin of w20): (dow, hour) derive row-locally at the door, ONE
     * update-mode aggregation maintains the ≤168-cell counts (state
@@ -3608,6 +3692,8 @@ object StreamQueries {
     "st86_stream_locf" -> st86_stream_locf,
     "st87_stream_heatmap" -> st87_stream_heatmap,
     "st88_stream_new_vs_ret" -> st88_stream_new_vs_ret,
+    "st89_stream_fingerprint" -> st89_stream_fingerprint,
+    "st90_stream_sq8_serve" -> st90_stream_sq8_serve,
     "st67_stream_gap_audit" -> st67_stream_gap_audit,
     "st45_stream_drift_gate" -> st45_stream_drift_gate,
     "st46_stream_cube_serve" -> st46_stream_cube_serve,
@@ -4001,6 +4087,14 @@ object StreamQueries {
     // st88's at-door classification + served sums must equal a50
     "st88_stream_new_vs_ret" ->
       graft.operators.Relational.oracles("a50_new_vs_returning"),
+    // st89's ingest-counted offset histogram, judged on read, must
+    // report exactly mm13's batch constellation matches
+    "st89_stream_fingerprint" ->
+      graft.operators.Multimodal.oracles("mm13_audio_fingerprint"),
+    // st90's incrementally-maintained quantized top-K must equal the
+    // batch SQ8 ranking (n33's CTE chain, ranking tail)
+    "st90_stream_sq8_serve" ->
+      graft.operators.Similarity.duckSq8TopSql,
     // st64's stateless resolution must equal the batch fallback join
     "st64_stream_fallback_resolve" ->
       graft.operators.Relational.oracles("j18_fallback_join"),

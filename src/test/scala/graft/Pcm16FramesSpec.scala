@@ -79,4 +79,37 @@ class Pcm16FramesSpec extends SparkSpecBase {
       assert(got === model(buf), s"mismatch on ${r.getString(0).take(40)}")
     }
   }
+
+  /** Independent per-window peak model for `pcm16_peaks`. */
+  private def peakModel(buf: Array[Byte]): Seq[Long] = {
+    val samples = buf.grouped(2).filter(_.length == 2)
+      .map(p => (((p(0) & 0xff) | (p(1) << 8)).toShort.toInt)).toArray
+    samples.grouped(Pcm16FramesUtil.PeakWin)
+      .map(w => if (w.isEmpty) 0L else w.map(s => math.abs(s.toLong)).max)
+      .toSeq
+  }
+
+  test("pcm16_peaks matches the per-window model on real document bytes; <2 bytes yields null") {
+    GraftExtensions.register(spark)
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("text"),
+        call_function("pcm16_peaks", encode(col("text"), "utf-8")).as("peaks"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val buf = r.getString(0).getBytes("UTF-8")
+      assert(r.getSeq[Long](1) === peakModel(buf),
+        s"peak mismatch on ${r.getString(0).take(40)}")
+    }
+    val short = Seq(Tuple1(Array[Byte](7)))
+      .toDF("b").select(call_function("pcm16_peaks", col("b"))).collect()
+    assert(short.head.isNullAt(0), "sub-sample input must yield null")
+  }
+
+  test("pcm16_peaks negative-peak fixture: |-32768| wins its window") {
+    GraftExtensions.register(spark)
+    val got = Seq(Tuple1(le16(100, -32768, 5, -6)))
+      .toDF("b").select(call_function("pcm16_peaks", col("b"))).collect()
+    assert(got.head.getSeq[Long](0) === Seq(32768L))
+  }
 }
