@@ -801,9 +801,20 @@ object Multimodal {
 
   val mm13_audio_fingerprint: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
+    // the decode pass feeds both the index and the clip legs — persist
+    // so the payload construction + sample decode runs once (caller
+    // clears cache — the d02/d04 contract)
     val series = peakSeries(documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corp = series
+      .select(col("doc_id"), explode(peakPairs(col("peaks"))).as("p"))
+      .select(col("doc_id"), col("p.f").as("f"), col("p.hkey").as("hkey"))
+      .withColumn("dfc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("hkey"))))
+      .where(col("dfc") <= FpDfCap)
+      .drop("dfc")
     val hits = clipPairs(series.where(col("doc_id") % 17 === 5))
-      .join(fingerprintIndex(spark, dir), Seq("hkey"))
+      .join(corp, Seq("hkey"))
       .select(col("clip_id"), col("doc_id"), (col("f") - col("q")).as("off"))
     fingerprintVerdict(
       hits.groupBy(col("clip_id"), col("doc_id"), col("off"))

@@ -1803,6 +1803,85 @@ object Relational {
         (col("tsu") - col("click_tsu")).as("gap_us"))
   }
 
+  /** a51 — ROBUST OUTLIER DAYS BY MAD (the median-absolute-deviation
+    * rule; Hampel's identifier with an exact-integer threshold): w12's
+    * rolling z-score breaks exactly when it's needed most — one huge
+    * day inflates the mean AND the variance, masking itself — while
+    * the median and MAD are 50%-breakdown robust. Both statistics are
+    * PICKED lower-median order statistics (the a13/c05 exact-pick
+    * discipline — no interpolation, no float), and the flag is the
+    * exact integer compare |x − med| > 3·MAD. Emits every day with
+    * its deviation and verdict (the audit shape, not a bare filter).
+    *
+    * Scale shape: one date rollup; the two ranking windows ride the
+    * DAILY relation (calendar-bounded, not data volume — the w-family
+    * bound); the three 1-row statistics broadcast.
+    */
+  val a51_mad_outliers: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(cents(col("o_totalprice")).cast("long")).as("rev_cents"))
+    val n1 = daily.agg(count(lit(1)).as("n"))
+    val med = daily
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rev_cents"), col("dt"))).cast("long"))
+      .join(broadcast(n1), lit(true), "inner")
+      .where(col("rnk") === expr("(n + 1) div 2"))
+      .select(col("rev_cents").as("med"))
+    val dev = daily.join(broadcast(med), lit(true), "inner")
+      .withColumn("adev", abs(col("rev_cents") - col("med")))
+    val mad = dev
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("adev"), col("dt"))).cast("long"))
+      .join(broadcast(n1), lit(true), "inner")
+      .where(col("rnk") === expr("(n + 1) div 2"))
+      .select(col("adev").as("mad"))
+    dev.join(broadcast(mad), lit(true), "inner")
+      .select(date_format(col("dt"), "yyyy-MM-dd").as("dt"),
+        col("rev_cents"), col("med"), col("adev"), col("mad"),
+        (col("adev") > lit(3L) * col("mad")).as("is_outlier"))
+  }
+
+  /** Attribution window for [[j27_asof_tolerance]] (1 hour in µs). */
+  private val AsofTolUs = 3600000000L
+
+  /** j27 — AS-OF JOIN WITH TOLERANCE (pandas `merge_asof(tolerance=)`
+    * / kdb `wj` semantics — the variant j12 deliberately leaves
+    * unbounded): each purchase attributes to the user's latest
+    * at-or-before click ONLY if it falls within [[AsofTolUs]];
+    * staler matches null out but the purchase row survives — a
+    * marketing attribution window, a sensor-reading staleness bound,
+    * the difference between "last touch ever" and "last touch that
+    * plausibly caused this". Same ONE-shuffle union+window
+    * formulation as j12 (the tolerance is a row-local predicate on
+    * the picked gap — being the LATEST match, any older match is
+    * staler still, so filter-after-pick ≡ pick-within-window); the
+    * DuckDB twin runs the structurally different correlated
+    * bounded top-1, so the differential checks semantics, not plan.
+    */
+  val j27_asof_tolerance: Q = (spark, dir) => {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    def side(t: String, tag: Int) = ev.where(col("event_type") === t)
+      .select(col("user_id"), col("tsu"), lit(tag).as("tag"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    side("click", 0).unionAll(side("purchase", 1))
+      .withColumn("click_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_tsu",
+        last(when(col("tag") === 0, col("tsu")), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .withColumn("in_tol", col("click_tsu").isNotNull &&
+        col("tsu") - col("click_tsu") <= AsofTolUs)
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        when(col("in_tol"), col("click_id")).as("click_id"),
+        when(col("in_tol"), col("click_tsu")).as("click_tsu"),
+        when(col("in_tol"), col("tsu") - col("click_tsu")).as("gap_us"))
+  }
+
   /** J13 — BLOOM-PRUNED JOIN: revenue per urgent order, with the
     * fact-side shuffle cut by a broadcast Bloom summary of the
     * dimension subset (the explicit form of Spark's own injected
@@ -2790,24 +2869,30 @@ object Relational {
     * partial sums, a 3-row column rollup; totals broadcast as a 1-row
     * aggregate. Value-domain-bounded, never corpus².
     */
-  val p25_distribution_drift: Q = (spark, dir) => {
-    val base = documents(spark, dir)
-      .select((col("doc_id") % 10 === 0).as("is_delta"),
-        coalesce(col("lang"), lit("<null>")).as("lang"),
-        coalesce(col("source"), lit("<null>")).as("source"),
-        least(expr("n_chars div 200"), lit(9L)).cast("string").as("len_b"))
-    val tot = base.agg(
-      sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_s"),
-      sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_d"))
-    base
-      .select(col("is_delta"), explode(array(
-        struct(lit("lang").as("c"), col("lang").as("value")),
-        struct(lit("source").as("c"), col("source").as("value")),
-        struct(lit("len").as("c"), col("len_b").as("value")))).as("e"))
-      .groupBy(col("e.c").as("col_name"), col("e.value").as("value"))
-      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("cnt_s"),
-        sum(when(col("is_delta"), 1L).otherwise(0L)).as("cnt_d"))
-      .join(broadcast(tot), lit(true), "inner")
+  /** p25's profile explode over any documents-shaped relation — shared
+    * verbatim with st91, which runs it on the firehose.
+    */
+  private[graft] def driftProfileLongForm(docs: DataFrame): DataFrame = docs
+    .select((col("doc_id") % 10 === 0).as("is_delta"),
+      coalesce(col("lang"), lit("<null>")).as("lang"),
+      coalesce(col("source"), lit("<null>")).as("source"),
+      least(expr("n_chars div 200"), lit(9L)).cast("string").as("len_b"))
+    .select(col("is_delta"), explode(array(
+      struct(lit("lang").as("c"), col("lang").as("value")),
+      struct(lit("source").as("c"), col("source").as("value")),
+      struct(lit("len").as("c"), col("len_b").as("value")))).as("e"))
+    .select(col("is_delta"), col("e.c").as("col_name"), col("e.value").as("value"))
+
+  /** p25's verdict tail over a (col_name, value, cnt_s, cnt_d) counter
+    * relation — per-column totals (every doc carries exactly one value
+    * per column, so Σ within a column IS the split size), floored
+    * per-milles, TVD, top-moved value. Shared verbatim with st91's
+    * judge-on-read.
+    */
+  private[graft] def driftAuditTail(counts: DataFrame): DataFrame = {
+    val tot = counts.groupBy(col("col_name"))
+      .agg(sum(col("cnt_s")).as("n_s"), sum(col("cnt_d")).as("n_d"))
+    counts.join(tot, Seq("col_name"))
       .select(col("col_name"), col("value"),
         expr("cnt_s * 1000 div n_s").as("pm_s"),
         expr("cnt_d * 1000 div n_d").as("pm_d"),
@@ -2822,7 +2907,14 @@ object Relational {
         col("m.value").as("top_value"), col("m.diff").as("top_diff_pm"))
   }
 
-  private def duckDriftAuditSql: String =
+  val p25_distribution_drift: Q = (spark, dir) =>
+    driftAuditTail(
+      driftProfileLongForm(documents(spark, dir))
+        .groupBy(col("col_name"), col("value"))
+        .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("cnt_s"),
+          sum(when(col("is_delta"), 1L).otherwise(0L)).as("cnt_d")))
+
+  private[graft] def duckDriftAuditSql: String =
     s"""WITH base AS (SELECT doc_id % 10 = 0 AS is_delta,
                              COALESCE(lang, '<null>') AS lang,
                              COALESCE(source, '<null>') AS source,
@@ -4494,6 +4586,7 @@ object Relational {
     "j17_cdc_apply" -> j17_cdc_apply,
     "j18_fallback_join" -> j18_fallback_join,
     "j12_attribution_asof" -> j12_attribution_asof,
+    "j27_asof_tolerance" -> j27_asof_tolerance,
     "j13_bloom_prune_join" -> j13_bloom_prune_join,
     "j15_bucketed_join" -> j15_bucketed_join,
     "p12_quarantine" -> p12_quarantine,
@@ -4510,6 +4603,7 @@ object Relational {
     "a20_sketch_reagg" -> a20_sketch_reagg,
     "a20x_sketch_reagg_exact" -> a20x_sketch_reagg_exact,
     "a41_changepoint" -> a41_changepoint,
+    "a51_mad_outliers" -> a51_mad_outliers,
     "p22_fd_audit" -> p22_fd_audit,
     "f03_datetime_suite" -> f03_datetime_suite,
     "f04_string_suite" -> f04_string_suite,
@@ -6163,6 +6257,27 @@ object Relational {
           LEFT JOIN daily y ON y.dt = d.dt - INTERVAL 364 DAY""",
     // a41: the same cross-multiplied split statistic; HUGEINT carries
     // the micro scaling where Spark promotes to decimal(38,0)
+    "a51_mad_outliers" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+                          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                               AS BIGINT) AS rev_cents
+                        FROM orders GROUP BY 1),
+          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+          med AS (SELECT rev_cents AS med FROM (
+                    SELECT rev_cents,
+                           row_number() OVER (ORDER BY rev_cents, dt) AS rnk
+                    FROM daily), t
+                  WHERE rnk = (n + 1) // 2),
+          dev AS (SELECT dt, rev_cents, med,
+                         abs(rev_cents - med) AS adev
+                  FROM daily, med),
+          mad AS (SELECT adev AS mad FROM (
+                    SELECT adev, row_number() OVER (ORDER BY adev, dt) AS rnk
+                    FROM dev), t
+                  WHERE rnk = (n + 1) // 2)
+          SELECT strftime(dt, '%Y-%m-%d') AS dt, rev_cents, med, adev, mad,
+                 adev > 3 * mad AS is_outlier
+          FROM dev, mad""",
     "a41_changepoint" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt,
                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
@@ -6287,6 +6402,20 @@ object Relational {
                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
           FROM ev JOIN f USING (user_id)
           GROUP BY 1, 2""",
+    "j27_asof_tolerance" ->
+      s"""WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+                     WHERE event_type = 'click'),
+          p AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+                WHERE event_type = 'purchase'),
+          att AS (SELECT p.event_id, p.user_id, p.tsu,
+                    (SELECT c.event_id FROM c
+                     WHERE c.user_id = p.user_id AND c.tsu <= p.tsu
+                       AND c.tsu >= p.tsu - $AsofTolUs
+                     ORDER BY c.tsu DESC, c.event_id DESC LIMIT 1) AS click_id
+                  FROM p)
+          SELECT a.event_id, a.user_id, a.tsu, a.click_id,
+                 c.tsu AS click_tsu, a.tsu - c.tsu AS gap_us
+          FROM att a LEFT JOIN c ON c.event_id = a.click_id""",
     "j12_attribution_asof" ->
       """WITH c AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
                     WHERE event_type = 'click'),

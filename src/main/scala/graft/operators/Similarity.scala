@@ -2152,6 +2152,40 @@ object Similarity {
         expr(s"coalesce(n_matched, 0) * 1000 div $K").as("recall_pm"))
   }
 
+  /** n34 — PQ QUANTIZATION-DISTORTION AUDIT (FAISS's
+    * `imbalance`/reconstruction-error diagnostics, per IVF cell): each
+    * indexed vector's distance to its OWN code — Σ over subspaces of
+    * the exact micro-unit squared-L2 between the stored subvector and
+    * its assigned codebook centroid — rolled up per cell (count /
+    * mean / max). High-distortion cells are where n12's rerank buys
+    * the most and where n10's retrain should spend its rounds; n31
+    * prices cell POPULATION balance, this prices cell QUALITY — an
+    * index-health pair. All integer after the shared l2micro floor.
+    *
+    * Scale shape: one broadcast codebook join over the standing index
+    * rows (M narrow rows per vector, the pqEncodeL shape), one
+    * (vec_id) rollup riding the same key, one cell rollup. Never
+    * corpus².
+    */
+  val n34_pq_distortion: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val books = idx(spark, dir, "books")
+      .select(col("m"), col("cid").as("code"), col("bv"))
+    indexRows(spark, dir)
+      .join(e, "vec_id")
+      .join(broadcast(books), Seq("m", "code"))
+      .select(col("vec_id"), col("cell_id"),
+        l2micro(subM(col("v")), col("bv")).as("dmicro"))
+      .groupBy(col("vec_id"), col("cell_id"))
+      .agg(sum(col("dmicro")).as("dist_micro"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("dist_micro")).as("s"),
+        max(col("dist_micro")).as("max_micro"))
+      .select(col("cell_id"), col("n_vectors"),
+        expr("s div n_vectors").as("mean_micro"), col("max_micro"))
+  }
+
   /** st90's oracle: the SQ8 integer-dot top-K ranking itself (the
     * serving artifact), from the same CTE chain as n33's eval.
     */
@@ -2165,6 +2199,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "n33_sq8_recall" -> n33_sq8_recall,
+    "n34_pq_distortion" -> n34_pq_distortion,
     "n31_cell_balance" -> n31_cell_balance,
     "n30_truncated_retrieval" -> n30_truncated_retrieval,
     "n27_knn_classify" -> n27_knn_classify,
@@ -2896,6 +2931,29 @@ object Similarity {
           $duckHybridLexCtes
           $duckHybridFusionTail""",
     // n31: same unrolled assignment, same sorted-vector Gini identity
+    "n34_pq_distortion" -> {
+      // same trained books + coarse assignment (the n07/n15 CTE
+      // chain), same per-subspace micro-unit squared-L2 to the OWN
+      // code, same integer cell rollup
+      s"""WITH $duckVecs,
+          $duckTrainedCoarse,
+          $duckCtAssign,
+          $duckPqTrain,
+          dm AS (SELECT enc.vec_id, a.cell_id,
+                        ${l2mD(duckSubB("e.v"), "b.bv")} AS dmicro
+                 FROM enc
+                 JOIN e ON e.vec_id = enc.vec_id
+                 JOIN bt b ON b.m = enc.m AND b.cid = enc.code
+                 JOIN a ON a.vec_id = enc.vec_id),
+          pv AS (SELECT vec_id, cell_id,
+                        CAST(SUM(dmicro) AS BIGINT) AS dist_micro
+                 FROM dm GROUP BY 1, 2)
+          SELECT cell_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                 CAST(SUM(dist_micro) // COUNT(*) AS BIGINT) AS mean_micro,
+                 CAST(MAX(dist_micro) AS BIGINT) AS max_micro
+          FROM pv GROUP BY 1"""
+    },
     "n33_sq8_recall" -> {
       // same per-dim [min,max] codebook, same ⌊(x−mn)·255/(mx−mn)⌋
       // quantize (identical IEEE parenthesization), same exact integer

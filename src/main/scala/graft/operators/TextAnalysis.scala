@@ -2010,7 +2010,39 @@ object TextAnalysis {
         expr("n_types * 1000 div n_tokens").as("ttr_pm"))
   }
 
+  /** t40 — N-GRAM NOVELTY PER DOCUMENT (the data-valuation curve
+    * behind curriculum ordering and dataset pruning; the
+    * D4/SemDeDup-adjacent question "how much of this document has the
+    * corpus already seen"): per document, the share of its distinct
+    * 3-gram shingles whose FIRST corpus occurrence (min doc_id — the
+    * ingestion-order convention d01/d11 already use) is this document,
+    * in exact per-mille. A near-zero novelty doc is redundant even
+    * when no single partner crosses d02's pair threshold — DIFFUSE
+    * redundancy, the case pairwise dedup structurally misses; the
+    * high-novelty tail is what a data-mixture buyer actually pays for.
+    * Shingle-less docs (< 3 tokens) carry no rows, stated.
+    *
+    * Scale shape: one (shingle) first-seen rollup + one join-back on
+    * the same key, then a doc_id rollup — two exchanges on the
+    * shingle hash, the d01 shape. Nothing scales with corpus².
+    */
+  val t40_ngram_novelty: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val sh = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+    val firsts = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000 div n_shingles").as("novelty_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t40_ngram_novelty" -> t40_ngram_novelty,
     "t39_hapax_rate" -> t39_hapax_rate,
     "t38_vocab_growth" -> t38_vocab_growth,
     "t37_char_entropy" -> t37_char_entropy,
@@ -2761,6 +2793,19 @@ object TextAnalysis {
                 FROM p WHERE token = '$ProbeTerm')
           SELECT token, df, total_tf, rnk, doc_id, tf
           FROM t WHERE rnk <= 10""",
+    // t40: same shingle first-seen rollup + join-back, per-mille floor
+    "t40_ngram_novelty" -> {
+      val shExpr = graft.operators.Dedup.duckShingleExpr
+      s"""WITH sh AS (SELECT doc_id, unnest($shExpr) AS sh FROM documents),
+          f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_novel,
+                 CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                      * 1000 // COUNT(*) AS BIGINT) AS novelty_pm
+          FROM sh JOIN f USING (sh) GROUP BY 1"""
+    },
     // t39: same two-level rollup, integer per-milles
     "t39_hapax_rate" ->
       """WITH tk AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
