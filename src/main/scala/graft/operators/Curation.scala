@@ -681,7 +681,36 @@ object Curation {
         (col("lane") === "ok" && col("dup_of").isNull).as("admitted"))
   }
 
+  /** c11 — THE CURATION YIELD FUNNEL: c03's per-doc first-reject
+    * verdicts rolled into the ordered stage report — per stage, how
+    * many documents die THERE, what share of the corpus that is, and
+    * how many survive past it (the `kept` row's n_remaining equals
+    * its own count by construction — the funnel's internal audit).
+    * c03 answers "why did doc X drop", c05 profiles each verdict
+    * class; this is the one-page yield curve a curation org tracks
+    * release-over-release — where a gate suddenly eating 3× its usual
+    * share shows up first.
+    *
+    * Scale shape: one stage rollup; the cumulative rides the ≤8-row
+    * stage relation (pipeline-bounded — the w-family bound). Stage
+    * labels are 1-7-prefixed so lexical order IS pipeline order.
+    */
+  val c11_stage_funnel: Q = (spark, dir) => {
+    val counts = c03_curation_audit(spark, dir)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.join(broadcast(tot), lit(true), "inner")
+      .withColumn("cum", sum(
+        when(col("stage") =!= "kept", col("n_docs")).otherwise(0L)).over(w))
+      .select(col("stage"), col("n_docs"), col("n_total"),
+        (col("n_total") - col("cum")).as("n_remaining"),
+        expr("n_docs * 1000 div n_total").as("stage_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c11_stage_funnel" -> c11_stage_funnel,
     "c10_media_admission" -> c10_media_admission,
     "c01_curation_pipeline" -> c01_curation_pipeline,
     "c02_curated_manifest" -> c02_curated_manifest,
@@ -1008,6 +1037,20 @@ object Curation {
     "c04_manifest_table" ->
       s"""SELECT * FROM ($duckC02Sql)
           WHERE split = 'train' AND shard < 8""",
+    "c11_stage_funnel" ->
+      s"""WITH audit AS ($duckC03Sql),
+          counts AS (SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+                     FROM audit GROUP BY 1),
+          tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts)
+          SELECT stage, n_docs, n_total,
+                 CAST(n_total - SUM(CASE WHEN stage <> 'kept'
+                                         THEN n_docs ELSE 0 END)
+                        OVER (ORDER BY stage
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+                   AS n_remaining,
+                 CAST(n_docs * 1000 // n_total AS BIGINT) AS stage_pm
+          FROM counts, tot""",
     "c05_curation_profile" ->
       s"""WITH audit AS ($duckC03Sql),
           tk AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -3838,6 +3838,37 @@ object Relational {
         max(col("p_name")).as("name_max"))
   }
 
+  /** f07 — WINDOW-FUNCTION PARITY BATTERY (§2.8's ranking leg): the
+    * full ranking/navigation surface over one per-user event ordering
+    * — row_number/rank (≡ here: the (tsu, event_id) key is unique),
+    * lead/lag with defaulted nulls, ntile(4) (the standard
+    * front-loaded split), percent_rank and cume_dist (exact integer
+    * rationals through one IEEE division — identical operands ⇒
+    * identical doubles), nth_value under an EXPLICIT running frame and
+    * first/last over the EXPLICIT full frame (default frames are
+    * where engines quietly disagree — pinned, not assumed, on both
+    * sides). Every function rides ONE user-keyed window spec — one
+    * exchange, no second sort.
+    */
+  val f07_window_suite: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsu"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tsu"))
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("rnk"),
+        lead(col("event_id"), 1).over(w).as("next_id"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("event_id"), 3).over(wRun).as("third_id"),
+        first(col("event_id")).over(wFull).as("first_id"),
+        last(col("event_id")).over(wFull).as("last_id"))
+  }
+
   /** f04 — STRING SCALAR BATTERY II (the §2.8 surface f01 left
     * uncovered): pad/translate/repeat/reverse, positional search,
     * regex extraction, split_part and cross-engine `levenshtein` —
@@ -4609,6 +4640,7 @@ object Relational {
     "f04_string_suite" -> f04_string_suite,
     "f05_conditional_suite" -> f05_conditional_suite,
     "f06_agg_suite" -> f06_agg_suite,
+    "f07_window_suite" -> f07_window_suite,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
@@ -6173,6 +6205,30 @@ object Relational {
           FROM j""",
     // f06: algebraic folds are merge-order-free; varchar min/max under
     // binary collation
+    // f07: one shared ordering, explicit frames where defaults could
+    // diverge; rationals exact through one IEEE division
+    "f07_window_suite" ->
+      """SELECT user_id, event_id,
+                CAST(row_number() OVER w AS BIGINT) AS rnk,
+                lead(event_id, 1) OVER w AS next_id,
+                lag(event_id, 1) OVER w AS prev_id,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cume,
+                nth_value(event_id, 3) OVER
+                  (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS third_id,
+                first_value(event_id) OVER
+                  (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS first_id,
+                last_value(event_id) OVER
+                  (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_id
+         FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)""",
     "f06_agg_suite" ->
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(bit_and(p_size) AS BIGINT) AS size_and,
