@@ -1043,6 +1043,76 @@ object Dedup {
         SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_keeper
         FROM l$ClusterIters"""
 
+  /** Power-iteration rounds for [[d30_pagerank]] — fixed K, same
+    * contract as [[ClusterIters]]: both engines run EXACTLY this many
+    * rounds, so parity holds whatever the spectral gap.
+    */
+  val PrIters = 8
+
+  /** d30 — PAGERANK CENTRALITY over the near-dup graph (fixed-point
+    * integer power iteration): a structural canonical-selection
+    * signal complementing d14 — d14 ranks within a cluster by local
+    * quality, PageRank ranks by GRAPH position (a template hub that
+    * near-matches fifty variants out-scores every leaf), which is the
+    * standard centrality prior for picking the representative of a
+    * dup neighborhood. Ranks live in integer MICRO-UNITS: every node
+    * starts at 10⁶; each round r' = 0.15·10⁶ + 0.85·Σᵤ→ᵥ (rᵤ div
+    * outdegᵤ), computed as `150000 + (850·Σ) div 1000` — pure BIGINT
+    * arithmetic, so both engines truncate identically at every step
+    * and the differential is hash-exact (the a13/t23 no-floats
+    * discipline applied to an iterative algorithm; float PageRank
+    * would drift per-engine in the last ulp each round). The
+    * symmetric edge list has no dangling nodes by construction
+    * (every endpoint appears as a source), so no dangling-mass term.
+    *
+    * Scale shape: the shared [[simhashEdges]] artifact (built once,
+    * parquet) feeds each round's ONE equi-join shuffle on the source
+    * key + ONE min-width agg shuffle on the destination — |V|+|E|
+    * rows per round, map-side partial sums, K a fixed constant.
+    * Lineage is cut per round ([[clusterLabelsFrom]]'s
+    * localCheckpoint contract); the DuckDB twin unrolls the same K
+    * rounds as MATERIALIZED CTEs for the same 2^K-inlining reason.
+    */
+  val d30_pagerank: Q = (spark, dir) => {
+    val edges = simhashEdges(spark, dir)
+    val deg = edges.groupBy(col("doc_a")).agg(count(lit(1)).as("outdeg"))
+      .select(col("doc_a").as("doc_id"), col("outdeg"))
+    var r = deg.select(col("doc_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      val inSum = edges
+        .join(r.join(deg, Seq("doc_id"))
+            .select(col("doc_id").as("src"), expr("r div outdeg").as("c")),
+          col("doc_a") === col("src"))
+        .groupBy(col("doc_b").as("doc_id")).agg(sum(col("c")).as("s"))
+      r = deg.select(col("doc_id")).join(inSum, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          expr("150000 + (850 * coalesce(s, 0)) div 1000").as("r"))
+        .localCheckpoint(false)
+    }
+    r.select(col("doc_id"), col("r").as("rank_micro"))
+  }
+
+  private def duckPagerankRounds: String =
+    (1 to PrIters).map { i =>
+      s"""pr$i AS MATERIALIZED (
+            SELECT d.doc_id,
+                   150000 + (850 * COALESCE(m.s, 0)) // 1000 AS r
+            FROM deg d LEFT JOIN (
+              SELECT e.doc_b AS doc_id, SUM(p.r // g.outdeg) AS s
+              FROM edges e
+              JOIN pr${i - 1} p ON p.doc_id = e.doc_a
+              JOIN deg g ON g.doc_id = e.doc_a
+              GROUP BY 1) m USING (doc_id))"""
+    }.mkString(",\n")
+
+  private def duckPagerankSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        deg AS MATERIALIZED (
+          SELECT doc_a AS doc_id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        pr0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM deg),
+        $duckPagerankRounds
+        SELECT doc_id, CAST(r AS BIGINT) AS rank_micro FROM pr$PrIters"""
+
   /** d27 — CLUSTER-SIZE DISTRIBUTION: the dedup graph's shape in one
     * bounded relation — for each cluster SIZE s: how many d07
     * clusters have exactly s members, total docs they hold, the share
@@ -2135,6 +2205,7 @@ object Dedup {
     "d25_source_dup_report" -> d25_source_dup_report,
     "d26_source_overlap" -> d26_source_overlap,
     "d27_cluster_sizes" -> d27_cluster_sizes,
+    "d30_pagerank" -> d30_pagerank,
     "d28_dedup_savings" -> d28_dedup_savings,
     "d29_cluster_representative" -> d29_cluster_representative,
     "d24_partition_agreement" -> d24_partition_agreement,
@@ -2183,6 +2254,7 @@ object Dedup {
     "d18_containment" -> duckContainmentSql,
     "d21_incremental_containment" -> duckIncContainmentSql,
     "d07_dedup_clusters" -> duckClusterSql,
+    "d30_pagerank" -> duckPagerankSql,
     "d19_cluster_split" -> duckClusterSplitSql,
     "d08_decontam" -> duckDecontamSql,
     "d16_eval_leakage" -> duckEvalLeakageSql,

@@ -3869,6 +3869,58 @@ object Relational {
         last(col("event_id")).over(wFull).as("last_id"))
   }
 
+  /** f08 — HIGHER-ORDER COLLECTION BATTERY (§2.8's array/lambda leg):
+    * the lambda-function surface over a real array column (the 64-dim
+    * embedding vectors) — transform/filter/exists/forall/aggregate,
+    * zip_with against the reversed vector, sort/slice/distinct/
+    * position/min/max, flatten, sequence folds, containment and
+    * intersection — every site where engine semantics plausibly
+    * diverge (1- vs 0-based list indexing, inclusive vs exclusive
+    * slicing, distinct-on-intersect, negative element_at) pinned on
+    * both sides. Floats are quantized ONCE to milli-unit BIGINTs via
+    * the portable floor(x·1000) (double widening is exact; floor has
+    * no tie, unlike round) so every downstream fold is associative
+    * integer math — order-independent, hash-exact. Array-typed
+    * outputs (low5/top5) are sorted slices, so their element order is
+    * deterministic by construction. DuckDB's list_sum on BIGINT
+    * returns HUGEINT — every oracle fold re-casts (the w13 lesson).
+    *
+    * Scale shape: embarrassingly row-local — zero exchanges, one
+    * projection over the scan; CollapseProject re-inlines the `q`
+    * transform per consumer, which is acceptable here (64 integer
+    * floors per copy, element-wise — NOT the mm12 decode class) and
+    * keeps the whole battery in one WholeStageCodegen span.
+    */
+  val f08_collection_suite: Q = (spark, dir) => {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000.0)))
+    embeddings(spark, dir)
+      .select(col("vec_id"), q.as("q"))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("sum_fold"),
+        size(filter(col("q"), x => x > 0)).cast("long").as("n_pos"),
+        exists(col("q"), x => x > 400).as("any_gt"),
+        forall(col("q"), x => x > -500).as("all_gt"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("sumsq"),
+        aggregate(zip_with(col("q"), reverse(col("q")), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("palindot"),
+        slice(sort_array(col("q")), 1, 5).as("low5"),
+        slice(sort_array(col("q"), asc = false), 1, 5).as("top5"),
+        size(array_distinct(col("q"))).cast("long").as("n_distinct"),
+        array_position(col("q"), array_max(col("q"))).as("argmax1"),
+        array_max(col("q")).as("qmax"),
+        array_min(col("q")).as("qmin"),
+        size(flatten(array(slice(col("q"), 1, 3), slice(col("q"), 62, 3))))
+          .cast("long").as("n_ends"),
+        aggregate(sequence(lit(1L), pmod(col("vec_id"), lit(7L)) + 1),
+          lit(0L), (acc, x) => acc + x).as("tri"),
+        array_contains(col("q"), lit(0L)).as("has_zero"),
+        size(array_intersect(slice(sort_array(col("q")), 1, 10),
+          slice(sort_array(col("q")), 6, 10))).cast("long").as("n_olap"),
+        element_at(col("q"), 7).as("seventh"),
+        element_at(col("q"), -1).as("lastq"))
+  }
+
   /** f04 — STRING SCALAR BATTERY II (the §2.8 surface f01 left
     * uncovered): pad/translate/repeat/reverse, positional search,
     * regex extraction, split_part and cross-engine `levenshtein` —
@@ -4641,6 +4693,7 @@ object Relational {
     "f05_conditional_suite" -> f05_conditional_suite,
     "f06_agg_suite" -> f06_agg_suite,
     "f07_window_suite" -> f07_window_suite,
+    "f08_collection_suite" -> f08_collection_suite,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
@@ -6205,6 +6258,39 @@ object Relational {
           FROM j""",
     // f06: algebraic folds are merge-order-free; varchar min/max under
     // binary collation
+    // f08: floats quantized once to milli-BIGINTs (floor — no tie);
+    // every DuckDB list_sum re-cast from HUGEINT; intersect spelled as
+    // distinct-filter to pin Spark's array_intersect semantics
+    "f08_collection_suite" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+                        AS q
+                    FROM embeddings)
+         SELECT vec_id,
+                CAST(list_sum(q) AS BIGINT) AS sum_fold,
+                CAST(len(list_filter(q, x -> x > 0)) AS BIGINT) AS n_pos,
+                len(list_filter(q, x -> x > 400)) > 0 AS any_gt,
+                len(list_filter(q, x -> NOT (x > -500))) = 0 AS all_gt,
+                CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                  AS sumsq,
+                CAST(list_sum(list_transform(range(1, len(q) + 1),
+                       i -> q[i] * q[len(q) - i + 1])) AS BIGINT) AS palindot,
+                list_sort(q)[1:5] AS low5,
+                list_sort(q, 'DESC')[1:5] AS top5,
+                CAST(len(list_distinct(q)) AS BIGINT) AS n_distinct,
+                CAST(list_position(q, list_max(q)) AS BIGINT) AS argmax1,
+                list_max(q) AS qmax,
+                list_min(q) AS qmin,
+                CAST(len(flatten([q[1:3], q[62:64]])) AS BIGINT) AS n_ends,
+                CAST(list_sum(range(1, (vec_id % 7) + 2)) AS BIGINT) AS tri,
+                list_contains(q, 0) AS has_zero,
+                CAST(len(list_distinct(list_filter(list_sort(q)[1:10],
+                       x -> list_contains(list_sort(q)[6:15], x)))) AS BIGINT)
+                  AS n_olap,
+                q[7] AS seventh,
+                q[-1] AS lastq
+         FROM e""",
     // f07: one shared ordering, explicit frames where defaults could
     // diverge; rationals exact through one IEEE division
     "f07_window_suite" ->

@@ -2197,7 +2197,44 @@ object Similarity {
                vec_id AS neighbor_id, dot
         FROM dots QUALIFY rnk <= $K"""
 
+  /** n35 — EMBEDDING CO-MOMENT (GRAM) MATRIX: the Σxᵢxⱼ upper
+    * triangle plus per-dim linear sums — the sufficient statistics
+    * for covariance / whitening / OPQ rotation training (the moment
+    * pass every PQ/IVF pipeline runs before n10's k-means). Values
+    * are milli-quantized BIGINTs (f08's portable floor(x·1000)), so
+    * every sum is associative integer math — hash-exact across
+    * engines and partition orders.
+    *
+    * Scale shape: NO join — each vector row laterally expands to its
+    * own d(d+1)/2 = 2080 index pairs (two chained posexplodes, j ≥ i)
+    * and the single hash aggregate's MAP-SIDE PARTIALS collapse every
+    * partition to ≤2080 groups before the one tiny shuffle; this is
+    * the flatMap-outer-product-with-combiner plan, the distributed
+    * X^T X idiom. Only the LINEAR sums are emitted (each O(n·milli²)
+    * — Long-safe to ~10¹³ vectors); the n·s_ij − s_i·s_j covariance
+    * numerator is left to the consumer because it is quadratic in n
+    * and belongs in decimal(38,0) there (the a41/a48 promotion
+    * discipline).
+    */
+  val n35_embedding_gram: Q = (spark, dir) => {
+    val e = embeddings(spark, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000.0))).as("q"))
+    e.select(col("q"), posexplode(col("q")))
+      .select(col("q"), col("pos").as("i"), col("col").as("qi"))
+      .select(col("i"), col("qi"), posexplode(col("q")))
+      .select(col("i"), col("qi"), col("pos").as("j"), col("col").as("qj"))
+      .where(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("dim_i"),
+        col("j").cast("long").as("dim_j"))
+      .agg(count(lit(1)).as("n_vec"),
+        sum(col("qi") * col("qj")).as("s_ij"),
+        sum(col("qi")).as("s_i"),
+        sum(col("qj")).as("s_j"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "n35_embedding_gram" -> n35_embedding_gram,
     "n33_sq8_recall" -> n33_sq8_recall,
     "n34_pq_distortion" -> n34_pq_distortion,
     "n31_cell_balance" -> n31_cell_balance,
@@ -2458,6 +2495,25 @@ object Similarity {
         $duckAdcRank"""
 
   val oracles: Map[String, String] = Map(
+    // n35: positional double-unnest (DuckDB zips parallel unnests),
+    // self-join on vec_id replaces Spark's lateral re-explode; all
+    // folds re-cast from HUGEINT
+    "n35_embedding_gram" ->
+      """WITH e AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))
+                        AS q
+                    FROM embeddings),
+          x AS (SELECT vec_id, unnest(range(0, len(q))) AS i,
+                       unnest(q) AS qi
+                FROM e)
+          SELECT a.i AS dim_i, b.i AS dim_j,
+                 CAST(COUNT(*) AS BIGINT) AS n_vec,
+                 CAST(SUM(a.qi * b.qi) AS BIGINT) AS s_ij,
+                 CAST(SUM(a.qi) AS BIGINT) AS s_i,
+                 CAST(SUM(b.qi) AS BIGINT) AS s_j
+          FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+          GROUP BY 1, 2""",
     "n27_knn_classify" ->
       s"""WITH $duckVecs,
           q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS true_label,
