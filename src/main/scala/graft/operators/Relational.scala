@@ -748,6 +748,41 @@ object Relational {
         length(col("text")).cast("long").as("text_len"))
   }
 
+  private val orcCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def orcCopy(spark: SparkSession, dir: String): String =
+    orcCache.computeIfAbsent(dir, _ => {
+      val p = graft.Tables.scratchDir("graft_orc_")
+      documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").orc(p)
+      p
+    })
+
+  /** s15 — ORC source: the OTHER splittable columnar format
+    * (completing the source matrix: parquet = the tables, JSON-lines
+    * = s10, quoted CSV = s12, ORC = this) — the format a Hive-era
+    * warehouse hands an ingest pipeline. Same pinned-schema
+    * discipline as s10/s12, and the same text-length re-derivation:
+    * ORC round-trips types natively (no quoting layer), so what this
+    * proves is the reader's predicate/projection path — `.explain`
+    * shows the n_chars filter PUSHED into the ORC scan (ORC carries
+    * stripe-level min/max, so the pushdown prunes stripes at scale
+    * exactly like parquet row groups) and a 5-column ReadSchema, not
+    * the full table.
+    */
+  val s15_orc_source: Q = (spark, dir) => {
+    val p = orcCopy(spark, dir)
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .orc(p)
+      .where(col("n_chars") >= 400)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
+  }
+
   /** s14 — TIME-TRAVEL READ (snapshot versioning over a diff log):
     * reconstruct a table AS OF version k from an append-only version
     * LOG — the lakehouse primitive (Delta/Iceberg "VERSION AS OF")
@@ -4623,6 +4658,7 @@ object Relational {
     "s06_dim_scan" -> s06_dim_scan,
     "s10_json_source" -> s10_json_source,
     "s12_csv_source" -> s12_csv_source,
+    "s15_orc_source" -> s15_orc_source,
     "s11_bucket_pruned_scan" -> s11_bucket_pruned_scan,
     "p02_cdc_route" -> p02_cdc_route,
     "p03_date_hour" -> p03_date_hour,
@@ -5124,6 +5160,11 @@ object Relational {
     // s12: the text column rides the quoted CSV round trip; its length
     // re-derivation makes a mis-parse unable to hash-match
     "s12_csv_source" ->
+      """SELECT doc_id, lang, source, n_chars,
+                CAST(len(text) AS BIGINT) AS text_len
+         FROM documents WHERE n_chars >= 400""",
+    // s15: native-typed columnar round trip; same re-derivation gate
+    "s15_orc_source" ->
       """SELECT doc_id, lang, source, n_chars,
                 CAST(len(text) AS BIGINT) AS text_len
          FROM documents WHERE n_chars >= 400""",

@@ -2360,6 +2360,45 @@ object StreamQueries {
     Replay.runAppend(spark, S.centerApply(arriving, S.dimMeans(batch)))
   }
 
+  /** N-family streaming — CO-MOMENT SUFFICIENT STATISTICS AT INGEST
+    * (streaming twin of n35; st62's family, one moment higher): each
+    * arriving vector laterally expands to its d(d+1)/2 = 2080 index
+    * pairs (n35's flatMap-outer-product, stateless) and ONE
+    * update-mode aggregation maintains the running integer sums
+    * (n, Σxᵢxⱼ, Σxᵢ, Σxⱼ) per pair — count and sums of
+    * milli-quantized BIGINTs, all order-free, so the served table is
+    * exact under any replay order. State is HARD-BOUNDED at 2080
+    * rows (the dimension grid, corpus-independent — the st07
+    * ≤|brands| contract, not a rate bound); n_vec strictly grows per
+    * key (every vector touches every pair), so it is the monotone
+    * upsert order. This is how a whitening/OPQ trainer stays CURRENT
+    * against a firehose: the nightly consumes the served sufficient
+    * statistics instead of re-scanning the corpus. Sentinel rides
+    * `vec_id < 0`. Oracle is n35's verbatim.
+    */
+  val st92_stream_gram_serve: Q = (spark, dir) => {
+    val pairs = Replay
+      .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
+      .where(col("vec_id") >= 0)
+      .select(transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1000.0))).as("q"))
+      .select(col("q"), posexplode(col("q")))
+      .select(col("q"), col("pos").as("i"), col("col").as("qi"))
+      .select(col("i"), col("qi"), posexplode(col("q")))
+      .select(col("i"), col("qi"), col("pos").as("j"), col("col").as("qj"))
+      .where(col("j") >= col("i"))
+    val agg = pairs
+      .groupBy(col("i").cast("long").as("dim_i"),
+        col("j").cast("long").as("dim_j"))
+      .agg(count(lit(1)).as("n_vec"),
+        sum(col("qi") * col("qj")).as("s_ij"),
+        sum(col("qi")).as("s_i"),
+        sum(col("qj")).as("s_j"))
+    upsertServe(spark, agg, Seq("dim_i", "dim_j"), "n_vec")
+      .select(col("dim_i"), col("dim_j"), col("n_vec"),
+        col("s_ij"), col("s_i"), col("s_j"))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -3700,6 +3739,7 @@ object StreamQueries {
     "st61_stream_media_gate" -> st61_stream_media_gate,
     "st75_stream_dhash" -> st75_stream_dhash,
     "st62_stream_center" -> st62_stream_center,
+    "st92_stream_gram_serve" -> st92_stream_gram_serve,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4141,6 +4181,9 @@ object StreamQueries {
     // st62's stateless centering must equal the batch transform
     "st62_stream_center" ->
       graft.operators.Similarity.oracles("n26_embedding_center"),
+    // st92's served co-moment sums must equal n35's batch pass
+    "st92_stream_gram_serve" ->
+      graft.operators.Similarity.oracles("n35_embedding_gram"),
     // st61's streamed byte verdicts must equal mm08's batch gate
     // st75's streamed probe must equal mm10's arithmetic on the
     // (standing, delta) slice with the standing-side band cap
