@@ -478,6 +478,48 @@ object Relational {
         r("r_name").as("region_name"))
   }
 
+  /** j28 — THE FULL STAR JOIN (TPC-H Q5 shape on this schema): fact
+    * (lineitem) against BOTH dimension arms at once — the order arm
+    * (orders→customer) and the supply arm (supplier), closed by the
+    * local-supplier correlation c_nationkey = s_nationkey, rolled up
+    * to per-nation revenue inside one region and date slice. This is
+    * the query shape that exercises everything the join section
+    * builds piecewise: the date and region predicates PUSH DOWN into
+    * the fact and dim scans, bounded dims (nation/region) carry
+    * explicit broadcast hints, SF-scaling dims (orders, customer,
+    * supplier) are left to the auto-broadcast threshold + AQE
+    * (j01's rule), and Catalyst's cost-based reorder is free to
+    * rotate the SF-scaling joins because the plan is declarative.
+    * The local-supplier predicate is applied POST-join (it correlates
+    * two dims that meet only through the fact row).
+    *
+    * Scale shape: at 100 TB the fact shuffles at most twice (orders
+    * arm, supplier arm — AQE converts either to broadcast when the
+    * filtered dim fits); the rollup is 25 groups with map-side
+    * partials. Revenue rides the integer-cents contract.
+    */
+  val j28_star_revenue: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val o = orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = customer(spark, dir)
+    val s = supplier(spark, dir)
+    val n = nation(spark, dir)
+    val r = region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .where(c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(r("r_name") === "ASIA")
+      .groupBy(n("n_name").as("n_name"))
+      .agg(graft.Tables.moneySum(
+        col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -4730,6 +4772,7 @@ object Relational {
     "f06_agg_suite" -> f06_agg_suite,
     "f07_window_suite" -> f07_window_suite,
     "f08_collection_suite" -> f08_collection_suite,
+    "j28_star_revenue" -> j28_star_revenue,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
@@ -6299,6 +6342,23 @@ object Relational {
           FROM j""",
     // f06: algebraic folds are merge-order-free; varchar min/max under
     // binary collation
+    // j28: Q5 shape; revenue through the integer-cents contract
+    "j28_star_revenue" ->
+      """SELECT n_name,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100
+                  AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND c_nationkey = s_nationkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name""",
     // f08: floats quantized once to milli-BIGINTs (floor — no tie);
     // every DuckDB list_sum re-cast from HUGEINT; intersect spelled as
     // distinct-filter to pin Spark's array_intersect semantics
