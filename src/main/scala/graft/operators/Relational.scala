@@ -520,6 +520,92 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** j29 — SMALL-QUANTITY REVENUE GATE (TPC-H Q17 shape): revenue from
+    * lineitems whose quantity is below 20% of that part's average
+    * quantity, rolled up per brand. The reference expresses this class
+    * as a correlated scalar subquery (per-row "avg for MY part"); the
+    * Spark-first form is the DE-CORRELATION Catalyst would produce:
+    * one per-part aggregate, then an equi-join back to the fact — and
+    * the DuckDB twin deliberately keeps the correlated form, so the
+    * differential proves the de-correlation preserves semantics.
+    *
+    * Float parity: the gate is evaluated as `qty·cnt·5 < Σqty` — all
+    * integer-valued doubles (quantities are integral, sums exact below
+    * 2^53), so the comparison is EXACT on both engines; no avg-division
+    * boundary ulps can flip a row. Revenue rides the integer-cents
+    * contract.
+    *
+    * Scale shape: two shuffles on l_partkey (the aggregate and the
+    * join are co-partitioned — AQE reuses the exchange), then a 25-group
+    * rollup with map-side partials. No window, no correlation at run
+    * time.
+    */
+  val j29_small_qty_revenue: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val p = part(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    li.join(perPart, col("l_partkey") === col("ap_partkey"))
+      .where(col("l_quantity") * col("cnt_qty") * 5 < col("sum_qty"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(graft.Tables.moneySum(col("l_extendedprice")).as("small_rev"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** j30 — ORDER-COUNT DISTRIBUTION (TPC-H Q13 shape): how many
+    * customers placed exactly k qualifying orders, including k = 0 —
+    * the left-outer-join + COUNT(col) idiom where the count of a
+    * NULL-extended column yields the zero bucket (count(*) would not).
+    * Two chained aggregations: per-customer order count, then the
+    * histogram over counts.
+    *
+    * Scale shape: one shuffle on o_custkey for the outer join + count
+    * (co-partitioned, exchange reused), then a tiny histogram shuffle
+    * over ≤ dozens of distinct counts. The priority filter pushes into
+    * the orders scan.
+    */
+  val j30_order_count_distribution: Q = (spark, dir) => {
+    val c = customer(spark, dir)
+    val o = orders(spark, dir).where(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** j31 — ABOVE-AVERAGE SILENT CUSTOMERS (TPC-H Q22 shape): customers
+    * whose balance beats the positive-balance average (a scalar
+    * subquery → 1-row broadcast join) and who never placed an urgent
+    * order (anti-join), grouped per nation. Composes the two
+    * subquery decorrelations Q22 needs: scalar-agg → broadcast-1-row,
+    * NOT EXISTS → left_anti.
+    *
+    * Float parity: the threshold is avg over integer-valued cents
+    * (exact sum, one IEEE division — bit-identical cross-engine); the
+    * comparison side is exact cents. Totals ride the integer-cents
+    * contract.
+    *
+    * Scale shape: the threshold is ONE broadcast row; the anti-join
+    * shuffles both sides on custkey once (orders pre-filtered to the
+    * urgent slice); final rollup is ≤25 nations.
+    */
+  val j31_above_avg_silent: Q = (spark, dir) => {
+    val c = customer(spark, dir)
+    val urgent = orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+    val threshold = c.where(col("c_acctbal") > 0)
+      .agg(avg(graft.Tables.cents(col("c_acctbal"))).as("avg_cents"))
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+      .join(broadcast(threshold), lit(true))
+      .where(graft.Tables.cents(col("c_acctbal")) > col("avg_cents"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        graft.Tables.moneySum(col("c_acctbal")).as("totacctbal"))
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -4773,6 +4859,9 @@ object Relational {
     "f07_window_suite" -> f07_window_suite,
     "f08_collection_suite" -> f08_collection_suite,
     "j28_star_revenue" -> j28_star_revenue,
+    "j29_small_qty_revenue" -> j29_small_qty_revenue,
+    "j30_order_count_distribution" -> j30_order_count_distribution,
+    "j31_above_avg_silent" -> j31_above_avg_silent,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
@@ -6359,6 +6448,44 @@ object Relational {
            AND c_nationkey = s_nationkey
            AND r_name = 'ASIA'
          GROUP BY n_name""",
+    // j29: the oracle deliberately keeps the CORRELATED scalar-subquery
+    // form the Spark side de-correlates — the differential proves the
+    // aggregate+join rewrite. Gate in exact integer-valued doubles.
+    "j29_small_qty_revenue" ->
+      """SELECT p_brand,
+                SUM(ROUND(l.l_extendedprice * 100)) / 100 AS small_rev,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+         WHERE l.l_quantity
+                 * (SELECT COUNT(*) FROM lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey) * 5
+               < (SELECT SUM(l3.l_quantity) FROM lineitem l3
+                  WHERE l3.l_partkey = l.l_partkey)
+         GROUP BY p_brand""",
+    // j30: Q13 — COUNT(o_orderkey) over the NULL-extended side yields
+    // the zero bucket
+    "j30_order_count_distribution" ->
+      """WITH pc AS (
+           SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+         FROM pc GROUP BY c_count""",
+    // j31: Q22 — scalar subquery kept scalar here (Spark broadcasts the
+    // 1-row agg); NOT EXISTS vs the urgent slice = Spark's left_anti
+    "j31_above_avg_silent" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                CAST(COUNT(*) AS BIGINT) AS numcust,
+                SUM(ROUND(c_acctbal * 100)) / 100 AS totacctbal
+         FROM customer c
+         WHERE ROUND(c_acctbal * 100) >
+               (SELECT AVG(ROUND(c2.c_acctbal * 100)) FROM customer c2
+                WHERE c2.c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey""",
     // f08: floats quantized once to milli-BIGINTs (floor — no tie);
     // every DuckDB list_sum re-cast from HUGEINT; intersect spelled as
     // distinct-filter to pin Spark's array_intersect semantics
