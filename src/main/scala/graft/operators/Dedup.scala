@@ -1916,6 +1916,73 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy(col("community"))))
   }
 
+  /** d31 — K-CORE DECOMPOSITION (k=2, bounded peel) over the simhash
+    * dup graph: iteratively remove nodes with fewer than k neighbors
+    * still in the set; survivors form the 2-core — the cyclically
+    * connected heart of each dup cluster (pendant chains and isolated
+    * pairs peel away). The curation use: a 2-core member is
+    * REDUNDANTLY duplicated (≥2 independent near-dup witnesses), the
+    * strongest drop signal; pendant nodes have only one witness and
+    * deserve a second look before dropping.
+    *
+    * Both engines run the SAME fixed peel depth ([[KcoreRounds]]
+    * rounds, each one degree-count over edges restricted to the
+    * current set), so the differential is exact whether or not the
+    * peel has converged; the docstring bound is the d07/d23
+    * discipline — at 100 TB the loop runs to convergence with each
+    * round materialized and its predecessor unpersisted, and
+    * localCheckpoint cuts the per-round lineage here for the same
+    * 2^K-analysis reason as [[clusterLabelsFrom]].
+    *
+    * Scale shape: each round is one equi-join pair + one groupBy on
+    * doc_a — edges stay put (partitioned by doc_a), only the
+    * shrinking membership relation reshuffles. No all-pairs anywhere.
+    */
+  val d31_kcore: Q = (spark, dir) => {
+    val edges = simhashEdges(spark, dir)
+    var keep = edges.select(col("doc_a").as("doc_id")).distinct()
+    for (_ <- 1 to KcoreRounds) {
+      keep = edges
+        .join(keep.select(col("doc_id").as("ka")), col("doc_a") === col("ka"))
+        .join(keep.select(col("doc_id").as("kb")), col("doc_b") === col("kb"))
+        .groupBy(col("doc_a")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= KcoreK)
+        .select(col("doc_a").as("doc_id"))
+        .localCheckpoint(false)
+    }
+    edges
+      .join(keep.select(col("doc_id").as("ka")), col("doc_a") === col("ka"))
+      .join(keep.select(col("doc_id").as("kb")), col("doc_b") === col("kb"))
+      .groupBy(col("doc_a"))
+      .agg(count(lit(1)).as("core_deg"))
+      .select(col("doc_a").as("doc_id"), col("core_deg"))
+  }
+
+  private val KcoreK = 2
+  private val KcoreRounds = 6
+
+  /** d31's oracle: the same [[KcoreRounds]] peel rounds unrolled as
+    * chained MATERIALIZED CTEs (each round reads its predecessor twice
+    * — endpoint membership — so inlining would expand 2^K-fold, the
+    * duckClusterRounds reason). */
+  private def duckKcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+            SELECT e.doc_a AS doc_id FROM edges e
+            JOIN s${i - 1} a ON a.doc_id = e.doc_a
+            JOIN s${i - 1} b ON b.doc_id = e.doc_b
+            GROUP BY 1 HAVING COUNT(*) >= $KcoreK)"""
+    }.mkString(",\n")
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        s0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        $rounds
+        SELECT e.doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+        FROM edges e
+        JOIN s$KcoreRounds a ON a.doc_id = e.doc_a
+        JOIN s$KcoreRounds b ON b.doc_id = e.doc_b
+        GROUP BY 1"""
+  }
+
   /** d22's oracle: same orientation, same three equi-joins, the
     * per-node rollup via UNION ALL + GROUP BY. */
   private def duckTriangleSql: String =
@@ -2203,6 +2270,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "d25_source_dup_report" -> d25_source_dup_report,
+    "d31_kcore" -> d31_kcore,
     "d26_source_overlap" -> d26_source_overlap,
     "d27_cluster_sizes" -> d27_cluster_sizes,
     "d30_pagerank" -> d30_pagerank,
@@ -2232,6 +2300,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d22_triangle_count" -> duckTriangleSql,
+    "d31_kcore" -> duckKcoreSql,
     "d23_lpa_communities" -> duckLpaSql,
     "d24_partition_agreement" -> duckAgreementSql,
     "d25_source_dup_report" -> duckSourceDupSql,

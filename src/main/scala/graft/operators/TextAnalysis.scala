@@ -2041,7 +2041,62 @@ object TextAnalysis {
         expr("n_novel * 1000 div n_shingles").as("novelty_pm"))
   }
 
+  /** t41 — PMI COLLOCATIONS: adjacent-bigram pointwise mutual
+    * information over the corpus — which word pairs co-occur far more
+    * than their unigram frequencies predict. The curation use:
+    * high-lift collocations are multi-word terms ("new york"-class)
+    * that token-level dedup/quality stats undercount; the lift table
+    * feeds phrase-aware tokenization.
+    *
+    * Cross-engine float discipline: NO logarithm (libm `ln` differs in
+    * the last ulp across engines). The score is the raw lift
+    * p(w1,w2)/(p(w1)·p(w2)) = (cb·TT·TT)/(TB·c1·c2), computed as ONE
+    * double expression over exact integer-valued doubles with the
+    * multiplication order pinned identically in both engines
+    * (left-assoc numerator, parenthesized left-assoc denominator) —
+    * IEEE multiply/divide are deterministic, so the doubles match
+    * bit-for-bit even past 2^53. Consumers wanting log-PMI apply
+    * `ln` downstream.
+    *
+    * All marginals are measured over the SAME relation (docs with ≥2
+    * tokens), so probabilities are consistent; `cb ≥ 5` is the
+    * standard sparse-pair floor, applied AFTER the totals (which must
+    * count every bigram) but before the marginal joins.
+    *
+    * Scale shape: one (doc → bigram) explode + one (doc → token)
+    * explode, each a single groupBy shuffle; the two marginal joins
+    * are vocabulary-sized (AQE broadcasts them when small — no hint,
+    * since at 100 TB a web-scale vocab outgrows a broadcast); the two
+    * totals are 1-row broadcasts. No all-pairs anywhere.
+    */
+  val t41_pmi_collocations: Q = (spark, dir) => {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val base = documents(spark, dir)
+      .select(toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+    val bigrams = base.select(explode(expr(
+      "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+      .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tt = uni.agg(sum(col("cw")).as("tt"))
+    val tb = cb.agg(sum(col("cb")).as("tb"))
+    cb.where(col("cb") >= 5)
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .join(broadcast(tt), lit(true))
+      .join(broadcast(tb), lit(true))
+      .select(col("w1"), col("w2"), col("cb"), col("c1"), col("c2"),
+        (col("cb").cast("double") * col("tt").cast("double")
+          * col("tt").cast("double")
+          / (col("tb").cast("double") * col("c1").cast("double")
+            * col("c2").cast("double"))).as("lift"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t41_pmi_collocations" -> t41_pmi_collocations,
     "t40_ngram_novelty" -> t40_ngram_novelty,
     "t39_hapax_rate" -> t39_hapax_rate,
     "t38_vocab_growth" -> t38_vocab_growth,
@@ -2794,6 +2849,33 @@ object TextAnalysis {
           SELECT token, df, total_tf, rnk, doc_id, tf
           FROM t WHERE rnk <= 10""",
     // t40: same shingle first-seen rollup + join-back, per-mille floor
+    // t41: lift (no log — libm ulp divergence); multiplication order
+    // pinned left-assoc on both engines so the doubles match bitwise
+    "t41_pmi_collocations" ->
+      """WITH base AS (
+           SELECT list_filter(string_split(text, ' '), w -> len(w) > 0)
+                    AS toks
+           FROM documents
+           WHERE len(list_filter(string_split(text, ' '),
+                                 w -> len(w) > 0)) >= 2),
+         bg AS (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                       unnest(toks[2:len(toks)]) AS w2
+                FROM base),
+         cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+                FROM bg GROUP BY 1, 2),
+         uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+                 FROM (SELECT unnest(toks) AS w FROM base) GROUP BY 1),
+         tt AS (SELECT CAST(SUM(cw) AS BIGINT) AS tt FROM uni),
+         tb AS (SELECT CAST(SUM(cb) AS BIGINT) AS tb FROM cb)
+         SELECT c.w1, c.w2, c.cb, u1.cw AS c1, u2.cw AS c2,
+                CAST(c.cb AS DOUBLE) * CAST(tt.tt AS DOUBLE)
+                  * CAST(tt.tt AS DOUBLE)
+                  / (CAST(tb.tb AS DOUBLE) * CAST(u1.cw AS DOUBLE)
+                     * CAST(u2.cw AS DOUBLE)) AS lift
+         FROM cb c
+         JOIN uni u1 ON u1.w = c.w1
+         JOIN uni u2 ON u2.w = c.w2, tt, tb
+         WHERE c.cb >= 5""",
     "t40_ngram_novelty" -> {
       val shExpr = graft.operators.Dedup.duckShingleExpr
       s"""WITH sh AS (SELECT doc_id, unnest($shExpr) AS sh FROM documents),
