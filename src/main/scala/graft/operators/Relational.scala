@@ -4084,6 +4084,34 @@ object Relational {
         element_at(col("q"), -1).as("lastq"))
   }
 
+  /** f09 — SET-OPERATION BATTERY: all six SQL set operators over two
+    * overlapping MULTISETS (custkeys of urgent orders vs custkeys of
+    * completed orders — a customer with 3 urgent and 1 completed order
+    * exercises real multiplicity arithmetic), labeled and unioned into
+    * one relation. Pins cross-engine: Spark `union` = UNION ALL (the
+    * classic trap — SQL UNION dedups, Dataset.union does not),
+    * `intersectAll`/`exceptAll` = SQL INTERSECT ALL / EXCEPT ALL
+    * multiplicity algebra (min(m_a, m_b) and m_a − m_b clamped at 0),
+    * and the distinct variants. Spark plans INTERSECT/EXCEPT as
+    * left-semi/anti joins after distinct and the ALL forms via
+    * count-replicate generate — all shuffle-on-key shapes that scale;
+    * the differential proves the rewrites match the standard.
+    */
+  val f09_setop_battery: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+    val a = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k"))
+    val b = o.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionAll(a.union(b).withColumn("op", lit("union_all")))
+      .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionAll(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+      .unionAll(a.except(b).withColumn("op", lit("except")))
+      .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+      .select(col("op"), col("k"))
+  }
+
   /** f04 — STRING SCALAR BATTERY II (the §2.8 surface f01 left
     * uncovered): pad/translate/repeat/reverse, positional search,
     * regex extraction, split_part and cross-engine `levenshtein` —
@@ -4858,6 +4886,7 @@ object Relational {
     "f06_agg_suite" -> f06_agg_suite,
     "f07_window_suite" -> f07_window_suite,
     "f08_collection_suite" -> f08_collection_suite,
+    "f09_setop_battery" -> f09_setop_battery,
     "j28_star_revenue" -> j28_star_revenue,
     "j29_small_qty_revenue" -> j29_small_qty_revenue,
     "j30_order_count_distribution" -> j30_order_count_distribution,
@@ -6448,6 +6477,25 @@ object Relational {
            AND c_nationkey = s_nationkey
            AND r_name = 'ASIA'
          GROUP BY n_name""",
+    // f09: the six set operators with explicit multiplicity semantics
+    "f09_setop_battery" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+          b AS (SELECT o_custkey AS k FROM orders
+                WHERE o_orderstatus = 'F')
+         SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+         UNION ALL
+         SELECT 'union_all', k FROM (SELECT k FROM a UNION ALL SELECT k FROM b)
+         UNION ALL
+         SELECT 'intersect', k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+         UNION ALL
+         SELECT 'intersect_all', k
+         FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+         UNION ALL
+         SELECT 'except', k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+         UNION ALL
+         SELECT 'except_all', k
+         FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)""",
     // j29: the oracle deliberately keeps the CORRELATED scalar-subquery
     // form the Spark side de-correlates — the differential proves the
     // aggregate+join rewrite. Gate in exact integer-valued doubles.

@@ -2399,6 +2399,34 @@ object StreamQueries {
         col("s_ij"), col("s_i"), col("s_j"))
   }
 
+  /** J-family streaming — ORDER-COUNT DISTRIBUTION SERVED FROM ITS
+    * FINEST GRAIN (streaming twin of j30, the st85 discipline): the
+    * Q13 histogram is a two-level aggregate, and only the FIRST level
+    * (per-customer qualifying-order count) is maintained as streaming
+    * state — update-mode, one row per customer who has ordered, the
+    * standard keyed-agg state shape. The histogram, INCLUDING the
+    * zero bucket, is derived ON READ: a static-customer left join
+    * coalesces never-ordered customers to count 0, then the ≤dozens-
+    * bucket rollup runs over the served table. Maintaining the
+    * histogram itself as state would be wrong twice over — a
+    * customer's +1 moves it BETWEEN buckets (a non-monotone
+    * transition requiring read-modify-write of two rows), and the
+    * zero bucket shrinks as silent customers first appear; deriving
+    * on read makes both exact for free. Oracle is j30's verbatim.
+    */
+  val st93_stream_custdist: Q = (spark, dir) => {
+    val base = Replay.ordersStream(spark, dir)
+      .where(col("o_custkey") >= 0 &&
+        col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c_count"))
+    val served = upsertServe(spark, base, Seq("o_custkey"), "c_count")
+    graft.Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(served, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -3740,6 +3768,7 @@ object StreamQueries {
     "st75_stream_dhash" -> st75_stream_dhash,
     "st62_stream_center" -> st62_stream_center,
     "st92_stream_gram_serve" -> st92_stream_gram_serve,
+    "st93_stream_custdist" -> st93_stream_custdist,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4148,6 +4177,10 @@ object StreamQueries {
     // batch ROLLUP
     "st85_stream_rollup_serve" ->
       graft.operators.Relational.oracles("a49_rollup_revenue"),
+    // st93's served per-customer counts + on-read zero-bucket
+    // histogram must equal the batch Q13
+    "st93_stream_custdist" ->
+      graft.operators.Relational.oracles("j30_order_count_distribution"),
     // st86's on-read carry over the served daily sums must equal w19
     "st86_stream_locf" ->
       graft.operators.Relational.oracles("w19_locf_fill"),
