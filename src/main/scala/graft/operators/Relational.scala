@@ -2991,6 +2991,37 @@ object Relational {
     * count-distinct exchange over its own table), unioned — tables
     * audit in parallel; output is 10 rows.
     */
+  /** p26 — IN-FLIGHT QUALITY METRICS via `observe`/CollectMetrics: the
+    * production pattern for data-quality counters that must NOT cost a
+    * second scan — the metrics expressions ride the SAME pass as the
+    * main query (here a noop-sunk materialization standing in for any
+    * real write) and surface as one driver-side row. This is the
+    * mechanism for "reject the batch if >x% nulls" circuit breakers in
+    * both batch and streaming (`observe` works under `writeStream`
+    * too, via QueryProgressEvent). The driver-side read is ONE bounded
+    * metrics row (the documented ≤64-row decision-read contract — no
+    * data rows ever reach the driver); the oracle recomputes the same
+    * aggregates relationally, proving the in-flight counters equal the
+    * nightly scan.
+    */
+  val p26_observe_metrics: Q = (spark, dir) => {
+    val obs = org.apache.spark.sql.Observation()
+    lineitem(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L))
+          .as("n_high_disc"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"),
+        graft.Tables.moneySum(col("l_extendedprice")).as("rev"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_high_disc").asInstanceOf[Long],
+      m("n_returned").asInstanceOf[Long], m("rev").asInstanceOf[Double]))
+      .toDF("n_rows", "n_high_disc", "n_returned", "rev")
+  }
+
   val p24_pk_audit: Q = (spark, dir) => {
     def audit(name: String, df: DataFrame, id: Column): DataFrame =
       df.select(id.cast("long").as("id"))
@@ -4895,6 +4926,7 @@ object Relational {
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
     "p25_distribution_drift" -> p25_distribution_drift,
+    "p26_observe_metrics" -> p26_observe_metrics,
     "j21_scd_audit" -> j21_scd_audit,
     "a43_weekday_index" -> a43_weekday_index,
     "w15_hot_streaks" -> w15_hot_streaks,
@@ -6477,6 +6509,16 @@ object Relational {
            AND c_nationkey = s_nationkey
            AND r_name = 'ASIA'
          GROUP BY n_name""",
+    // p26: the in-flight observe counters must equal the relational
+    // aggregates over the same scan
+    "p26_observe_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_high_disc,
+                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_returned,
+                SUM(ROUND(l_extendedprice * 100)) / 100 AS rev
+         FROM lineitem""",
     // f09: the six set operators with explicit multiplicity semantics
     "f09_setop_battery" ->
       """WITH a AS (SELECT o_custkey AS k FROM orders

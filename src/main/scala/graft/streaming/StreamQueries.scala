@@ -2427,6 +2427,43 @@ object StreamQueries {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** J-family streaming — THE CORRELATED-AVERAGE GATE SERVED FROM ITS
+    * FINEST SUFFICIENT GRAIN (streaming twin of j29): a line's verdict
+    * ("below 20% of my part's average quantity") is NON-MONOTONE — it
+    * can flip either way as later arrivals move the average — so no
+    * at-ingest verdict can be final, and per-line state would be
+    * fact-sized. The sufficient statistic is smaller: quantity is a
+    * bounded integer domain (1..50), so ONE update-mode aggregation at
+    * (part, quantity) grain — n_lines + revenue cents — captures
+    * everything the gate needs, with state ∝ |parts|·|qty domain|
+    * (dimension-sized, never fact-sized). ON READ, the per-part
+    * totals re-derive from the served grain (Σ qty·n, Σ n — sums of
+    * sums), the exact-integer gate `qty·cnt·5 < Σqty` re-judges every
+    * cell against the FINAL average, and the brand rollup joins the
+    * static part dim. Oracle is j29's verbatim — including its
+    * correlated-subquery form, so the stream must reproduce the batch
+    * de-correlation bit-for-bit.
+    */
+  val st94_stream_small_qty: Q = (spark, dir) => {
+    val T = graft.Tables
+    val base = Replay.lineitemStream(spark, dir)
+      .where(col("l_partkey") >= 0)
+      .groupBy(col("l_partkey"), col("l_quantity"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(T.cents(col("l_extendedprice")).cast("long")).as("rev_cents"))
+    val served =
+      upsertServe(spark, base, Seq("l_partkey", "l_quantity"), "n_lines")
+    val perPart = served.groupBy(col("l_partkey").as("pp"))
+      .agg(sum(col("l_quantity") * col("n_lines")).as("sum_qty"),
+        sum(col("n_lines")).as("cnt"))
+    served.join(perPart, col("l_partkey") === col("pp"))
+      .where(col("l_quantity") * col("cnt") * 5 < col("sum_qty"))
+      .join(T.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg((sum(col("rev_cents")) / 100).as("small_rev"),
+        sum(col("n_lines")).as("n_lines"))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -3769,6 +3806,7 @@ object StreamQueries {
     "st62_stream_center" -> st62_stream_center,
     "st92_stream_gram_serve" -> st92_stream_gram_serve,
     "st93_stream_custdist" -> st93_stream_custdist,
+    "st94_stream_small_qty" -> st94_stream_small_qty,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4181,6 +4219,10 @@ object StreamQueries {
     // histogram must equal the batch Q13
     "st93_stream_custdist" ->
       graft.operators.Relational.oracles("j30_order_count_distribution"),
+    // st94's served (part, qty) grain re-judged on read must equal
+    // the batch Q17 gate (j29's correlated oracle verbatim)
+    "st94_stream_small_qty" ->
+      graft.operators.Relational.oracles("j29_small_qty_revenue"),
     // st86's on-read carry over the served daily sums must equal w19
     "st86_stream_locf" ->
       graft.operators.Relational.oracles("w19_locf_fill"),
