@@ -2765,6 +2765,58 @@ object Relational {
     * a ≤168-row relation; total broadcast. Output bounded by the
     * clock, not the data.
     */
+  /** w21 — EWMA WITH EXACT DYADIC WEIGHTS (α = 1/2, truncated at
+    * [[EwmaDepth]] terms): the time-series smoother, made hash-exact
+    * cross-engine by arithmetic design rather than tolerance. A
+    * general EWMA is a float recurrence whose `pow(1-α, k)` weights
+    * diverge across libm implementations; with α = 1/2 every weight is
+    * a POWER OF TWO, so each term `lag(cents,i)/2^(i+1)` is an exact
+    * dyadic rational (integer cents < 2^40 shifted ≤ 2^-16: every term
+    * and every partial sum fits the 53-bit mantissa exactly), making
+    * the sum associative — bit-identical on any engine, in any
+    * summation order. The truncation at 16 terms bounds both the
+    * arithmetic (the exactness argument above) and the plan (16 lags
+    * over one window, one pass); the dropped tail weight is 2^-16 of
+    * the signal — below the cents resolution at this scale.
+    *
+    * Scale shape: daily grain per priority — the window partitions by
+    * priority and orders by a CALENDAR-bounded axis (the w19/w20
+    * discipline): partition size = |days|, never data-volume.
+    */
+  val w21_ewma: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(graft.Tables.cents(col("o_totalprice")).cast("long"))
+        .as("rev_cents"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("dt"))
+    val ewma = (0 until EwmaDepth).map { i =>
+      coalesce(lag(col("rev_cents"), i).over(w), lit(0L)).cast("double") /
+        lit(1L << (i + 1))
+    }.reduce(_ + _)
+    daily.select(col("priority"), col("dt"), col("rev_cents"),
+      ewma.as("ewma16"))
+  }
+
+  private[graft] val EwmaDepth = 16
+
+  /** w21's oracle: the same 16 dyadic terms spelled out — `/ 2^k` on
+    * BIGINT is float division in DuckDB, exact for these magnitudes
+    * (the docstring argument), so the doubles match bitwise. */
+  private[graft] def duckEwmaSql: String = {
+    val terms = (0 until EwmaDepth).map { i =>
+      s"COALESCE(LAG(rev_cents, $i) OVER w, 0) / ${1L << (i + 1)}"
+    }.mkString("\n                  + ")
+    s"""WITH d AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(o_orderdate AS DATE) AS dt,
+                 CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1, 2)
+        SELECT priority, dt, rev_cents,
+               $terms AS ewma16
+        FROM d WINDOW w AS (PARTITION BY priority ORDER BY dt)"""
+  }
+
   val w20_weekly_heatmap: Q = (spark, dir) => {
     val cells = events(spark, dir)
       .groupBy(dayofweek(col("ts")).cast("long").as("dow1"),
@@ -4943,6 +4995,7 @@ object Relational {
     "a49_rollup_revenue" -> a49_rollup_revenue,
     "w19_locf_fill" -> w19_locf_fill,
     "w20_weekly_heatmap" -> w20_weekly_heatmap,
+    "w21_ewma" -> w21_ewma,
     "j26_lead_time" -> j26_lead_time,
     "a50_new_vs_returning" -> a50_new_vs_returning,
     "w14_period_over_period" -> w14_period_over_period,
@@ -6509,6 +6562,7 @@ object Relational {
            AND c_nationkey = s_nationkey
            AND r_name = 'ASIA'
          GROUP BY n_name""",
+    "w21_ewma" -> duckEwmaSql,
     // p26: the in-flight observe counters must equal the relational
     // aggregates over the same scan
     "p26_observe_metrics" ->

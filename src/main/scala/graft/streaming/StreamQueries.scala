@@ -2464,6 +2464,35 @@ object StreamQueries {
         sum(col("n_lines")).as("n_lines"))
   }
 
+  /** W-family streaming — EWMA SERVED FROM STREAMED DAILY SUMS
+    * (streaming twin of w21, the st86-on-read discipline): the
+    * recurrence itself is the wrong thing to stream — a late-arriving
+    * order changes ONE day's sum but EVERY subsequent day's EWMA, so
+    * streamed smoothed values could never be final. The stream
+    * maintains only the finest additive grain (per priority×day sums,
+    * update mode, calendar-bounded state) and the 16-term dyadic
+    * smoother — exact in any order, w21's argument — is a VIEW over
+    * the served table. Oracle is w21's verbatim.
+    */
+  val st95_stream_ewma: Q = (spark, dir) => {
+    val R = graft.operators.Relational
+    val base = Replay.ordersStream(spark, dir)
+      .where(col("o_custkey") >= 0)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(graft.Tables.cents(col("o_totalprice")).cast("long"))
+        .as("rev_cents"))
+    val served = upsertServe(spark, base, Seq("priority", "dt"), "rev_cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("dt"))
+    val ewma = (0 until R.EwmaDepth).map { i =>
+      coalesce(lag(col("rev_cents"), i).over(w), lit(0L)).cast("double") /
+        lit(1L << (i + 1))
+    }.reduce(_ + _)
+    served.select(col("priority"), col("dt"), col("rev_cents"),
+      ewma.as("ewma16"))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -3807,6 +3836,7 @@ object StreamQueries {
     "st92_stream_gram_serve" -> st92_stream_gram_serve,
     "st93_stream_custdist" -> st93_stream_custdist,
     "st94_stream_small_qty" -> st94_stream_small_qty,
+    "st95_stream_ewma" -> st95_stream_ewma,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4223,6 +4253,9 @@ object StreamQueries {
     // the batch Q17 gate (j29's correlated oracle verbatim)
     "st94_stream_small_qty" ->
       graft.operators.Relational.oracles("j29_small_qty_revenue"),
+    // st95's on-read smoother over served daily sums must equal w21
+    "st95_stream_ewma" ->
+      graft.operators.Relational.oracles("w21_ewma"),
     // st86's on-read carry over the served daily sums must equal w19
     "st86_stream_locf" ->
       graft.operators.Relational.oracles("w19_locf_fill"),
