@@ -606,6 +606,33 @@ object Relational {
         graft.Tables.moneySum(col("c_acctbal")).as("totacctbal"))
   }
 
+  /** j32 — CORRELATED LATERAL TOP-K: per-nation top-3 customers by
+    * balance via a LATERAL subquery with correlated ORDER BY + LIMIT —
+    * the SQL-standard spelling of "grouped top-k" (a08's window form,
+    * re-expressed the way an analyst ports it from Postgres/DuckDB).
+    * No DataFrame API exists for LATERAL, so this is a deliberate
+    * `spark.sql` query over per-query temp views; Catalyst
+    * DE-CORRELATES the lateral into a DomainJoin → window-rank plan —
+    * the differential (DuckDB executes the lateral natively,
+    * per-driving-row) proves the rewrite. Ties broken by c_custkey, so
+    * the LIMIT cut is deterministic on both engines.
+    *
+    * Scale shape: after decorrelation this is a08's shape — one
+    * shuffle on the correlation key, rank within group, no
+    * per-driving-row execution anywhere.
+    */
+  val j32_lateral_topk: Q = (spark, dir) => {
+    nation(spark, dir).createOrReplaceTempView("j32_nation")
+    customer(spark, dir).createOrReplaceTempView("j32_customer")
+    spark.sql(
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name,
+                t.c_custkey, t.c_name, t.c_acctbal AS acctbal
+         FROM j32_nation,
+         LATERAL (SELECT c_custkey, c_name, c_acctbal FROM j32_customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""")
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -4974,6 +5001,7 @@ object Relational {
     "j29_small_qty_revenue" -> j29_small_qty_revenue,
     "j30_order_count_distribution" -> j30_order_count_distribution,
     "j31_above_avg_silent" -> j31_above_avg_silent,
+    "j32_lateral_topk" -> j32_lateral_topk,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
@@ -6563,6 +6591,15 @@ object Relational {
            AND r_name = 'ASIA'
          GROUP BY n_name""",
     "w21_ewma" -> duckEwmaSql,
+    // j32: DuckDB executes the lateral natively per driving row; Spark
+    // must decorrelate to the same rows
+    "j32_lateral_topk" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name,
+                t.c_custkey, t.c_name, t.c_acctbal AS acctbal
+         FROM nation,
+         LATERAL (SELECT c_custkey, c_name, c_acctbal FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""",
     // p26: the in-flight observe counters must equal the relational
     // aggregates over the same scan
     "p26_observe_metrics" ->
