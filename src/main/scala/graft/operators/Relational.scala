@@ -633,6 +633,88 @@ object Relational {
                   ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t""")
   }
 
+  /** j33 — WAITING-SUPPLIER AUDIT (TPC-H Q21 shape): for each
+    * supplier, count completed orders where THIS supplier shipped
+    * late (> 90 days after the order date), at least one OTHER
+    * supplier participated, and NO other supplier was late — the
+    * double correlated EXISTS / NOT EXISTS. The Spark-first form
+    * de-correlates both quantifiers into per-order aggregates over
+    * one (order, supplier) rollup: `n_supp ≥ 2` ≡ the EXISTS,
+    * `n_late = 1` (and this supplier late) ≡ the NOT EXISTS — two
+    * groupBys replace two correlated sub-scans. The DuckDB twin keeps
+    * the quantifier form verbatim, so the differential proves the
+    * rewrite. Late-ness is timestamp arithmetic (+ INTERVAL 90 days),
+    * exact on both engines.
+    *
+    * Scale shape: everything shuffles on l_orderkey once (the
+    * (order, supplier) rollup, the per-order rollup, and the
+    * join-back are co-partitioned — AQE reuses the exchange), then a
+    * |suppliers|-group rollup. The correlated form would be two extra
+    * fact self-scans; this is why engines decorrelate.
+    */
+  val j33_waiting_supplier: Q = (spark, dir) => {
+    val o = orders(spark, dir).where(col("o_orderstatus") === "F")
+    val perSupp = lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
+        .as("supp_late"))
+    val perOrder = perSupp.groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
+    perSupp.where(col("supp_late") === 1L)
+      .join(perOrder, Seq("ok"))
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("sk").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** a53 — REVENUE-SHARE GATE (TPC-H Q11 shape): suppliers whose
+    * revenue exceeds a fraction of the GLOBAL total — the scalar
+    * subquery in HAVING position, de-correlated into a 1-row
+    * broadcast against the per-supplier rollup (which Spark computes
+    * once and reuses for the total via the exchange). The gate is
+    * cross-multiplied in exact integer-valued doubles
+    * (`rev·2000 > tot·21`, both < 2^53 — no division before the
+    * comparison), and the share surfaces as a floored ppm through
+    * decimal(38,0) integral division (the a42/st83 overflow
+    * discipline: cents·10^6 exceeds a long at production revenue).
+    */
+  val a53_revenue_share_having: Q = (spark, dir) => {
+    val per = lineitem(spark, dir)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(graft.Tables.cents(col("l_extendedprice"))).as("rev_cents"))
+    val tot = per.agg(sum(col("rev_cents")).as("tot_cents"))
+    per.join(broadcast(tot), lit(true))
+      .where(col("rev_cents") * 2000 > col("tot_cents") * 21)
+      .select(col("s_suppkey"), (col("rev_cents") / 100).as("rev"),
+        expr("cast(cast(rev_cents as decimal(38,0)) * 1000000" +
+          " div cast(tot_cents as decimal(38,0)) as bigint)")
+          .as("share_ppm"))
+  }
+
+  /** a54 — EXPLICIT GROUPING SETS (the §2.6 leg rollup/cube can't
+    * express): an ARBITRARY set list — both single-dimension margins
+    * and the full grain, but NO grand total — via SQL `GROUPING SETS`
+    * (no DataFrame API exists; rollup/cube are the only typed
+    * entries). Membership markers ride `grouping()` per column
+    * (portable — DuckDB's GROUPING_ID bit order is its own; per-column
+    * grouping flags are engine-neutral). NULL grouping keys vs
+    * grouped-out positions are disambiguated by exactly those flags.
+    */
+  val a54_grouping_sets: Q = (spark, dir) => {
+    lineitem(spark, dir).createOrReplaceTempView("a54_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+                SUM(ROUND(l_extendedprice * 100)) / 100 AS rev,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+         FROM a54_lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))""")
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -5002,6 +5084,9 @@ object Relational {
     "j30_order_count_distribution" -> j30_order_count_distribution,
     "j31_above_avg_silent" -> j31_above_avg_silent,
     "j32_lateral_topk" -> j32_lateral_topk,
+    "j33_waiting_supplier" -> j33_waiting_supplier,
+    "a53_revenue_share_having" -> a53_revenue_share_having,
+    "a54_grouping_sets" -> a54_grouping_sets,
     "a42_join_size_forecast" -> a42_join_size_forecast,
     "p23_fk_audit" -> p23_fk_audit,
     "p24_pk_audit" -> p24_pk_audit,
@@ -6591,6 +6676,49 @@ object Relational {
            AND r_name = 'ASIA'
          GROUP BY n_name""",
     "w21_ewma" -> duckEwmaSql,
+    // j33: the oracle keeps BOTH correlated quantifiers the Spark side
+    // de-correlates into per-order aggregates
+    "j33_waiting_supplier" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate,
+                  o_orderstatus
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+         SELECT l1.l_suppkey AS s_suppkey,
+                CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+         FROM l l1
+         WHERE l1.o_orderstatus = 'F'
+           AND l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM l l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM l l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate >
+                                 l3.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY 1""",
+    // a53: scalar subquery kept scalar; cross-multiplied gate in exact
+    // integer-valued doubles; ppm through HUGEINT floor division
+    "a53_revenue_share_having" ->
+      """WITH s AS (SELECT l_suppkey AS s_suppkey,
+                           SUM(ROUND(l_extendedprice * 100)) AS rev_cents
+                    FROM lineitem GROUP BY 1),
+          t AS (SELECT SUM(rev_cents) AS tot_cents FROM s)
+         SELECT s_suppkey, rev_cents / 100 AS rev,
+                CAST(CAST(rev_cents AS HUGEINT) * 1000000
+                     // CAST(tot_cents AS HUGEINT) AS BIGINT) AS share_ppm
+         FROM s, t WHERE rev_cents * 2000 > tot_cents * 21""",
+    // a54: arbitrary set list; per-column grouping flags (portable,
+    // unlike GROUPING_ID bit order)
+    "a54_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                SUM(ROUND(l_extendedprice * 100)) / 100 AS rev,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                 (l_returnflag, l_linestatus))""",
     // j32: DuckDB executes the lateral natively per driving row; Spark
     // must decorrelate to the same rows
     "j32_lateral_topk" ->
