@@ -715,6 +715,65 @@ object Relational {
                                  (l_returnflag, l_linestatus))""")
   }
 
+  /** j34 — ORDER PRIORITY CHECK (TPC-H Q4 shape): orders in one
+    * quarter with AT LEAST ONE late line, counted per priority — the
+    * correlated EXISTS whose decorrelation is a LEFT SEMI join with a
+    * non-equi residual (the lateness compare references BOTH sides:
+    * `l_shipdate > o_orderdate + 30 days`). Semi joins never duplicate
+    * the probe side, so the count is per-order however many late lines
+    * exist — the property a plain inner join + distinct would need an
+    * extra shuffle to recover. Oracle keeps the EXISTS form.
+    *
+    * Scale shape: the quarter predicate pushes into the orders scan;
+    * one shuffle pair on the order key; the residual evaluates inside
+    * the join. At 100 TB the semi join's build side is the filtered
+    * quarter — AQE broadcasts it when it fits.
+    */
+  val j34_order_priority_check: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val li = lineitem(spark, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"),
+      "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** j35 — NOT-IN THREE-VALUED-LOGIC BATTERY: `NOT IN (subquery)` is
+    * the SQL construct engines most famously mis-rewrite — one NULL in
+    * the subquery makes EVERY row's predicate UNKNOWN, so the result
+    * is EMPTY, not "everything except the non-null matches". Three
+    * labeled legs pin the algebra cross-engine: `no_null` (null-free
+    * subquery — Spark plans a null-aware anti join that degrades to a
+    * plain anti), `with_null` (one planted NULL via `nullif` on a key
+    * KNOWN to be in the subquery — must yield ZERO rows on both
+    * engines; Spark's NAAJ must detect the null build row), and
+    * `in_with_null` (IN over the same nulled subquery — found keys
+    * stay TRUE, absent keys fall from FALSE to UNKNOWN, both filtered:
+    * IN is null-robust exactly where NOT IN is not). No DataFrame API
+    * spells NOT IN (isin takes literals), so this is deliberate
+    * spark.sql over per-query temp views.
+    */
+  val j35_not_in_nulls: Q = (spark, dir) => {
+    customer(spark, dir).createOrReplaceTempView("j35_customer")
+    orders(spark, dir).createOrReplaceTempView("j35_orders")
+    spark.sql(
+      """SELECT 'no_null' AS leg, c_custkey FROM j35_customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM j35_orders
+                                 WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT 'with_null', c_custkey FROM j35_customer
+         WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7)
+                                 FROM j35_orders
+                                 WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT 'in_with_null', c_custkey FROM j35_customer
+         WHERE c_custkey IN (SELECT nullif(o_custkey, 7) FROM j35_orders
+                             WHERE o_orderpriority = '1-URGENT')""")
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -5085,6 +5144,8 @@ object Relational {
     "j31_above_avg_silent" -> j31_above_avg_silent,
     "j32_lateral_topk" -> j32_lateral_topk,
     "j33_waiting_supplier" -> j33_waiting_supplier,
+    "j34_order_priority_check" -> j34_order_priority_check,
+    "j35_not_in_nulls" -> j35_not_in_nulls,
     "a53_revenue_share_having" -> a53_revenue_share_having,
     "a54_grouping_sets" -> a54_grouping_sets,
     "a42_join_size_forecast" -> a42_join_size_forecast,
@@ -6676,6 +6737,31 @@ object Relational {
            AND r_name = 'ASIA'
          GROUP BY n_name""",
     "w21_ewma" -> duckEwmaSql,
+    // j34: the oracle keeps the EXISTS the Spark side plans as a
+    // residual-condition left semi join
+    "j34_order_priority_check" ->
+      """SELECT o_orderpriority,
+                CAST(COUNT(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY 1""",
+    // j35: the same three-valued-logic legs; with_null MUST be empty
+    "j35_not_in_nulls" ->
+      """SELECT 'no_null' AS leg, c_custkey FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT 'with_null', c_custkey FROM customer
+         WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+         UNION ALL
+         SELECT 'in_with_null', c_custkey FROM customer
+         WHERE c_custkey IN (SELECT nullif(o_custkey, 7) FROM orders
+                             WHERE o_orderpriority = '1-URGENT')""",
     // j33: the oracle keeps BOTH correlated quantifiers the Spark side
     // de-correlates into per-order aggregates
     "j33_waiting_supplier" ->
