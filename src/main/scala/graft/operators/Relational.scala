@@ -2968,6 +2968,59 @@ object Relational {
 
   private[graft] val EwmaDepth = 16
 
+  /** w22 — EXACT 7-DAY ROLLING MEDIAN: the robust rolling smoother
+    * beside w21's EWMA (a single outlier day saturates a mean; the
+    * median shrugs it off) — and a window ORDER STATISTIC, which no
+    * built-in window aggregate computes exactly. The trailing
+    * neighborhood is materialized by a 7-row broadcast offset grid
+    * (each day CONTRIBUTES to dt..dt+6, then an inner join back to
+    * real days keeps only targets that exist — missing calendar days
+    * shrink the window rather than injecting zeros), and the median is
+    * the PICKED lower order statistic `sorted[(n+1) div 2]` over the
+    * ≤7-element sorted collect — the a51 pick discipline: an element
+    * of the data, no interpolation, no float. The DuckDB twin runs the
+    * structurally different correlated BETWEEN form.
+    *
+    * Scale shape: the grid join is a broadcast fan-out of 7 (no
+    * shuffle), then ONE groupBy on (priority, day) with ≤7-element
+    * bounded collects; state never exceeds |priorities|·|days|·7.
+    */
+  val w22_rolling_median: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("dt"))
+      .agg(sum(graft.Tables.cents(col("o_totalprice")).cast("long"))
+        .as("rev_cents"))
+    val offsets = spark.range(0, 7).select(col("id").cast("int").as("off"))
+    val contrib = daily.join(broadcast(offsets), lit(true))
+      .select(col("priority").as("cp"), date_add(col("dt"), col("off")).as("tdt"),
+        col("rev_cents").as("cv"))
+    daily.join(contrib, col("priority") === col("cp") && col("dt") === col("tdt"))
+      .groupBy(col("priority"), col("dt"))
+      .agg(max(col("rev_cents")).as("rev_cents"), // 1 value per (p,dt) key
+        count(lit(1)).as("n_window"),
+        array_sort(collect_list(col("cv"))).as("arr"))
+      .select(col("priority"), col("dt"), col("rev_cents"), col("n_window"),
+        element_at(col("arr"),
+          ((col("n_window") + 1) / 2).cast("int")).as("med_cents"))
+  }
+
+  /** w22's oracle: the correlated trailing-BETWEEN form with the same
+    * lower-order-statistic pick. */
+  private def duckRollingMedianSql: String =
+    """WITH d AS (
+         SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS dt,
+                CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS rev_cents
+         FROM orders GROUP BY 1, 2)
+       SELECT t.priority, t.dt, t.rev_cents,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM d w
+               WHERE w.priority = t.priority
+                 AND w.dt BETWEEN t.dt - 6 AND t.dt) AS n_window,
+              (SELECT list_sort(list(w.rev_cents))[(COUNT(*) + 1) // 2]
+               FROM d w WHERE w.priority = t.priority
+                 AND w.dt BETWEEN t.dt - 6 AND t.dt) AS med_cents
+       FROM d t"""
+
   /** w21's oracle: the same 16 dyadic terms spelled out — `/ 2^k` on
     * BIGINT is float division in DuckDB, exact for these magnitudes
     * (the docstring argument), so the doubles match bitwise. */
@@ -5170,6 +5223,7 @@ object Relational {
     "w19_locf_fill" -> w19_locf_fill,
     "w20_weekly_heatmap" -> w20_weekly_heatmap,
     "w21_ewma" -> w21_ewma,
+    "w22_rolling_median" -> w22_rolling_median,
     "j26_lead_time" -> j26_lead_time,
     "a50_new_vs_returning" -> a50_new_vs_returning,
     "w14_period_over_period" -> w14_period_over_period,
@@ -6737,6 +6791,7 @@ object Relational {
            AND r_name = 'ASIA'
          GROUP BY n_name""",
     "w21_ewma" -> duckEwmaSql,
+    "w22_rolling_median" -> duckRollingMedianSql,
     // j34: the oracle keeps the EXISTS the Spark side plans as a
     // residual-condition left semi join
     "j34_order_priority_check" ->
