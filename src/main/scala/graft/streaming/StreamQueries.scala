@@ -2493,6 +2493,36 @@ object StreamQueries {
       ewma.as("ewma16"))
   }
 
+  /** J-family streaming — THE MONOTONE EXISTS FINALIZED AT INGEST
+    * (streaming twin of j34, and the deliberate CONTRAST to st94):
+    * "this order has at least one late line" only ever flips
+    * false→true as lines arrive — the quantifier is MONOTONE — so the
+    * at-ingest verdict IS final and no on-read re-judging is needed
+    * (st94's average-gate had to re-judge because its predicate moves
+    * both ways). Each arriving line joins the static quarter slice of
+    * orders (stream-static inner with the same non-equi lateness
+    * residual as the batch semi join), and one update-mode aggregation
+    * keyed by order holds the verdict; the per-priority count is a
+    * ≤5-group read over the served table. State ∝ orders in the
+    * quarter slice with ≥1 late line — the predicate-bounded subset,
+    * never the fact. Oracle is j34's correlated EXISTS verbatim.
+    */
+  val st96_stream_priority_check: Q = (spark, dir) => {
+    val o = graft.Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Replay.lineitemStream(spark, dir).where(col("l_partkey") >= 0)
+    val late = li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+    upsertServe(spark, late, Seq("ok"), "n_late")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -3837,6 +3867,7 @@ object StreamQueries {
     "st93_stream_custdist" -> st93_stream_custdist,
     "st94_stream_small_qty" -> st94_stream_small_qty,
     "st95_stream_ewma" -> st95_stream_ewma,
+    "st96_stream_priority_check" -> st96_stream_priority_check,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4256,6 +4287,9 @@ object StreamQueries {
     // st95's on-read smoother over served daily sums must equal w21
     "st95_stream_ewma" ->
       graft.operators.Relational.oracles("w21_ewma"),
+    // st96's at-ingest monotone verdicts must equal the batch Q4
+    "st96_stream_priority_check" ->
+      graft.operators.Relational.oracles("j34_order_priority_check"),
     // st86's on-read carry over the served daily sums must equal w19
     "st86_stream_locf" ->
       graft.operators.Relational.oracles("w19_locf_fill"),
