@@ -2939,10 +2939,13 @@ object Relational {
     * general EWMA is a float recurrence whose `pow(1-α, k)` weights
     * diverge across libm implementations; with α = 1/2 every weight is
     * a POWER OF TWO, so each term `lag(cents,i)/2^(i+1)` is an exact
-    * dyadic rational (integer cents < 2^40 shifted ≤ 2^-16: every term
-    * and every partial sum fits the 53-bit mantissa exactly), making
-    * the sum associative — bit-identical on any engine, in any
-    * summation order. The truncation at 16 terms bounds both the
+    * dyadic rational — a multiple of 2^-16 — and for cents < 2^37
+    * every partial sum fits the 53-bit mantissa exactly, making the
+    * sum associative: bit-identical on any engine in any summation
+    * order (property-locked in SmootherSpec, which REFUTED the first
+    * draft's 2^40 bound at the 1-ulp level; beyond 2^37 parity still
+    * holds because both sides evaluate the same pinned left-assoc
+    * chain). The truncation at 16 terms bounds both the
     * arithmetic (the exactness argument above) and the plan (16 lags
     * over one window, one pass); the dropped tail weight is 2^-16 of
     * the signal — below the cents resolution at this scale.
