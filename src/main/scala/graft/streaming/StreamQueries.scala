@@ -2523,6 +2523,41 @@ object StreamQueries {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** J-family streaming — THE REVOCABLE QUANTIFIER (streaming twin of
+    * j33, completing the verdict-dynamics trilogy): st96's EXISTS was
+    * monotone (verdicts final at ingest), st94's average gate was
+    * non-monotone through a dimension-sized statistic — Q21's
+    * NOT-EXISTS leg is REVOCABLE through the fact itself: another
+    * supplier's late line arriving later REVOKES this supplier's
+    * waiting verdict, and a new supplier on the order can CREATE the
+    * n_supp ≥ 2 witness. The irreducible sufficient statistic is the
+    * per-(order, supplier) lateness flag — no coarser grain can
+    * answer "exactly one late supplier" — so that is what the stream
+    * maintains (update mode, keyed by the pair, bounded by the
+    * completed-order slice's pair count), and BOTH order-level
+    * quantifiers plus the supplier rollup are derived on read.
+    * Oracle is j33's double-quantifier form verbatim.
+    */
+  val st97_stream_waiting_supplier: Q = (spark, dir) => {
+    val o = graft.Tables.orders(spark, dir)
+      .where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = Replay.lineitemStream(spark, dir).where(col("l_partkey") >= 0)
+    val perSupp = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
+        .as("supp_late"))
+    val served = upsertServe(spark, perSupp, Seq("ok", "sk"), "supp_late")
+    val perOrder = served.groupBy(col("ok").as("ok2"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
+    served.where(col("supp_late") === 1L)
+      .join(perOrder, col("ok") === col("ok2"))
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("sk").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -3868,6 +3903,7 @@ object StreamQueries {
     "st94_stream_small_qty" -> st94_stream_small_qty,
     "st95_stream_ewma" -> st95_stream_ewma,
     "st96_stream_priority_check" -> st96_stream_priority_check,
+    "st97_stream_waiting_supplier" -> st97_stream_waiting_supplier,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4290,6 +4326,10 @@ object StreamQueries {
     // st96's at-ingest monotone verdicts must equal the batch Q4
     "st96_stream_priority_check" ->
       graft.operators.Relational.oracles("j34_order_priority_check"),
+    // st97's served pair flags + on-read quantifiers must equal the
+    // batch Q21
+    "st97_stream_waiting_supplier" ->
+      graft.operators.Relational.oracles("j33_waiting_supplier"),
     // st86's on-read carry over the served daily sums must equal w19
     "st86_stream_locf" ->
       graft.operators.Relational.oracles("w19_locf_fill"),
