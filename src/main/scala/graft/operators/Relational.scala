@@ -524,9 +524,13 @@ object Relational {
     * lineitems whose quantity is below 20% of that part's average
     * quantity, rolled up per brand. The reference expresses this class
     * as a correlated scalar subquery (per-row "avg for MY part"); the
-    * Spark-first form is the DE-CORRELATION Catalyst would produce:
-    * one per-part aggregate, then an equi-join back to the fact — and
-    * the DuckDB twin deliberately keeps the correlated form, so the
+    * Spark-first form is the SINGLE-PASS de-correlation: the per-part
+    * totals ride a window partitioned by l_partkey over the SAME scan
+    * that evaluates the gate. (The aggregate+join-back alternative
+    * reads the fact TWICE — Catalyst has no automatic shared-subplan
+    * materialization, so the self-join's branches each re-scan and
+    * re-aggregate; plan-audited before this shape was chosen.) The
+    * DuckDB twin deliberately keeps the correlated form, so the
     * differential proves the de-correlation preserves semantics.
     *
     * Float parity: the gate is evaluated as `qty·cnt·5 < Σqty` — all
@@ -535,18 +539,16 @@ object Relational {
     * boundary ulps can flip a row. Revenue rides the integer-cents
     * contract.
     *
-    * Scale shape: two shuffles on l_partkey (the aggregate and the
-    * join are co-partitioned — AQE reuses the exchange), then a 25-group
-    * rollup with map-side partials. No window, no correlation at run
-    * time.
+    * Scale shape: ONE fact scan, one exchange on l_partkey for the
+    * window (partition size = lines per part, bounded by part
+    * popularity), then a 25-group rollup with map-side partials.
     */
   val j29_small_qty_revenue: Q = (spark, dir) => {
     val li = lineitem(spark, dir)
     val p = part(spark, dir)
-    val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg(sum(col("l_quantity")).as("sum_qty"),
-        count(lit(1)).as("cnt_qty"))
-    li.join(perPart, col("l_partkey") === col("ap_partkey"))
+    val w = Window.partitionBy(col("l_partkey"))
+    li.withColumn("sum_qty", sum(col("l_quantity")).over(w))
+      .withColumn("cnt_qty", count(lit(1)).over(w))
       .where(col("l_quantity") * col("cnt_qty") * 5 < col("sum_qty"))
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
@@ -638,19 +640,22 @@ object Relational {
     * late (> 90 days after the order date), at least one OTHER
     * supplier participated, and NO other supplier was late — the
     * double correlated EXISTS / NOT EXISTS. The Spark-first form
-    * de-correlates both quantifiers into per-order aggregates over
-    * one (order, supplier) rollup: `n_supp ≥ 2` ≡ the EXISTS,
-    * `n_late = 1` (and this supplier late) ≡ the NOT EXISTS — two
-    * groupBys replace two correlated sub-scans. The DuckDB twin keeps
-    * the quantifier form verbatim, so the differential proves the
-    * rewrite. Late-ness is timestamp arithmetic (+ INTERVAL 90 days),
-    * exact on both engines.
+    * de-correlates both quantifiers into ORDER-PARTITIONED WINDOW
+    * aggregates over one (order, supplier) rollup: `n_supp ≥ 2` ≡ the
+    * EXISTS, `n_late = 1` (and this supplier late) ≡ the NOT EXISTS.
+    * The windows — not a groupBy + join-back — are deliberate: the
+    * self-join form reads and aggregates the FACT TWICE (Catalyst has
+    * no automatic shared-subplan materialization; plan-audited before
+    * this shape was chosen), while the windows ride the rollup's own
+    * partitioning. The DuckDB twin keeps the quantifier form verbatim,
+    * so the differential proves the rewrite. Late-ness is timestamp
+    * arithmetic (+ INTERVAL 90 days), exact on both engines.
     *
-    * Scale shape: everything shuffles on l_orderkey once (the
-    * (order, supplier) rollup, the per-order rollup, and the
-    * join-back are co-partitioned — AQE reuses the exchange), then a
-    * |suppliers|-group rollup. The correlated form would be two extra
-    * fact self-scans; this is why engines decorrelate.
+    * Scale shape: ONE fact scan → one exchange on (order, supplier)
+    * for the rollup → one exchange on order for the two windows
+    * (partition size = suppliers per order, bounded by order width) →
+    * a |suppliers|-group rollup. The correlated form would be two
+    * extra fact self-scans; this is why engines decorrelate.
     */
   val j33_waiting_supplier: Q = (spark, dir) => {
     val o = orders(spark, dir).where(col("o_orderstatus") === "F")
@@ -660,11 +665,12 @@ object Relational {
       .agg(max(when(col("l_shipdate") >
         col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L).otherwise(0L))
         .as("supp_late"))
-    val perOrder = perSupp.groupBy(col("ok"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("supp_late")).as("n_late"))
-    perSupp.where(col("supp_late") === 1L)
-      .join(perOrder, Seq("ok"))
-      .where(col("n_supp") >= 2 && col("n_late") === 1)
+    val w = Window.partitionBy(col("ok"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("supp_late")).over(w))
+      .where(col("supp_late") === 1L && col("n_supp") >= 2 &&
+        col("n_late") === 1)
       .groupBy(col("sk").as("s_suppkey"))
       .agg(count(lit(1)).as("numwait"))
   }
