@@ -2078,9 +2078,16 @@ object TextAnalysis {
       "transform(sequence(0, size(toks)-2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
       .as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // lineage-cut the two vocab-sized count relations: FOUR consumers
+    // read them (totals legs + the marginal joins + the filtered main
+    // path), and without the cut each re-derives its own corpus scan —
+    // the plan audit showed 5 document scans where 2 suffice (one per
+    // explode). Vocab-sized, so the checkpoint is cheap at any SF.
     val cb = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(false)
     val uni = base.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .localCheckpoint(false)
     val tt = uni.agg(sum(col("cw")).as("tt"))
     val tb = cb.agg(sum(col("cb")).as("tb"))
     cb.where(col("cb") >= 5)
