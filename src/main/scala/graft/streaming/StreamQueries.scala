@@ -2558,6 +2558,38 @@ object StreamQueries {
       .agg(count(lit(1)).as("numwait"))
   }
 
+  /** J-family streaming — THE MONOTONE REVOCATION SET (streaming twin
+    * of j31, the fourth verdict dynamic after st96/st94/st97): Q22's
+    * "silent customer" verdict is REVOCABLE — an arriving urgent order
+    * silences the silence — but the revocation itself is MONOTONE
+    * (once revoked, never un-revoked) and the balance threshold is a
+    * property of the STATIC dim, fixed for the whole run. So the only
+    * state worth keeping is the revocation set: one update-mode row
+    * per customer seen with an urgent order (predicate-bounded — the
+    * urgent slice, never all orders), and the read side applies the
+    * static threshold and SUBTRACTS the revocations (a left_anti
+    * against served state — the batch j31's anti-join with the stream
+    * as the build side). Oracle is j31's scalar-subquery + NOT EXISTS
+    * form verbatim.
+    */
+  val st98_stream_silent_rich: Q = (spark, dir) => {
+    val revoked = Replay.ordersStream(spark, dir)
+      .where(col("o_custkey") >= 0 &&
+        col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_urgent"))
+    val served = upsertServe(spark, revoked, Seq("o_custkey"), "n_urgent")
+    val c = graft.Tables.customer(spark, dir)
+    val threshold = c.where(col("c_acctbal") > 0)
+      .agg(avg(graft.Tables.cents(col("c_acctbal"))).as("avg_cents"))
+    c.join(served, c("c_custkey") === served("o_custkey"), "left_anti")
+      .join(broadcast(threshold), lit(true))
+      .where(graft.Tables.cents(col("c_acctbal")) > col("avg_cents"))
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        graft.Tables.moneySum(col("c_acctbal")).as("totacctbal"))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -3904,6 +3936,7 @@ object StreamQueries {
     "st95_stream_ewma" -> st95_stream_ewma,
     "st96_stream_priority_check" -> st96_stream_priority_check,
     "st97_stream_waiting_supplier" -> st97_stream_waiting_supplier,
+    "st98_stream_silent_rich" -> st98_stream_silent_rich,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4330,6 +4363,9 @@ object StreamQueries {
     // batch Q21
     "st97_stream_waiting_supplier" ->
       graft.operators.Relational.oracles("j33_waiting_supplier"),
+    // st98's revocation set + static threshold must equal the batch Q22
+    "st98_stream_silent_rich" ->
+      graft.operators.Relational.oracles("j31_above_avg_silent"),
     // st86's on-read carry over the served daily sums must equal w19
     "st86_stream_locf" ->
       graft.operators.Relational.oracles("w19_locf_fill"),
