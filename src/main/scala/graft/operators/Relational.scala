@@ -780,6 +780,46 @@ object Relational {
                              WHERE o_orderpriority = '1-URGENT')""")
   }
 
+  /** j36 — CHEAPEST SUPPLIER PER PART (TPC-H Q2 shape): for each
+    * small part, the supplier offering the minimum observed price,
+    * then the dim join-back for display — the correlated
+    * SCALAR-EQUALITY subquery (`cost = (SELECT MIN(cost) WHERE same
+    * part)`), the last member of the TPC-H correlation taxonomy
+    * (j29 avg-gate, j31/a53 global scalars, j33/j34 quantifiers, j32
+    * lateral). De-correlated as a part-partitioned window min over
+    * the offers relation — SINGLE PASS (the j29/j33 audit lesson
+    * applied from the start: no aggregate+join-back double scan) —
+    * with ties broken by MIN(suppkey) so the pick is deterministic.
+    * Costs ride integer cents; the only division is the final /100
+    * display step, one IEEE op on both engines.
+    *
+    * Scale shape: the p_size predicate pushes into the part scan and
+    * prunes offers at the join; one exchange on l_partkey for the
+    * window; the supplier/nation joins ride the picked (one row per
+    * part) relation — dim-sized. |
+    */
+  val j36_cheapest_supplier: Q = (spark, dir) => {
+    val offers = lineitem(spark, dir)
+      .join(part(spark, dir).where(col("p_size") <= 5),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        graft.Tables.cents(col("l_extendedprice")).cast("long")
+          .as("cost_cents"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val best = offers
+      .withColumn("min_cents", min(col("cost_cents")).over(w))
+      .where(col("cost_cents") === col("min_cents"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(min(col("l_suppkey")).as("best_suppkey"),
+        (min(col("min_cents")) / 100).as("best_cost"))
+    best.join(supplier(spark, dir),
+        col("best_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("best_suppkey"), col("s_name"),
+        col("n_name"), col("best_cost"))
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -5208,6 +5248,7 @@ object Relational {
     "j33_waiting_supplier" -> j33_waiting_supplier,
     "j34_order_priority_check" -> j34_order_priority_check,
     "j35_not_in_nulls" -> j35_not_in_nulls,
+    "j36_cheapest_supplier" -> j36_cheapest_supplier,
     "a53_revenue_share_having" -> a53_revenue_share_having,
     "a54_grouping_sets" -> a54_grouping_sets,
     "a42_join_size_forecast" -> a42_join_size_forecast,
@@ -6801,6 +6842,25 @@ object Relational {
          GROUP BY n_name""",
     "w21_ewma" -> duckEwmaSql,
     "w22_rolling_median" -> duckRollingMedianSql,
+    // j36: the oracle keeps the correlated scalar-equality form the
+    // Spark side de-correlates into a part-partitioned window min
+    "j36_cheapest_supplier" ->
+      """WITH offers AS (
+           SELECT l_partkey, l_suppkey,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cost_cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size <= 5),
+          b AS (
+           SELECT o.l_partkey AS p_partkey,
+                  MIN(o.l_suppkey) AS best_suppkey,
+                  MIN(o.cost_cents) / 100 AS best_cost
+           FROM offers o
+           WHERE o.cost_cents = (SELECT MIN(o2.cost_cents) FROM offers o2
+                                 WHERE o2.l_partkey = o.l_partkey)
+           GROUP BY 1)
+         SELECT p_partkey, best_suppkey, s_name, n_name, best_cost
+         FROM b JOIN supplier ON best_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey""",
     // j34: the oracle keeps the EXISTS the Spark side plans as a
     // residual-condition left semi join
     "j34_order_priority_check" ->
