@@ -17,6 +17,8 @@ case class StratDoc(lang: String, doc_id: Long, h: Long)
 
 case class SrcSh(source: String, h: Long)
 
+case class PairLine(pk: Long, qty: Double, cents: Long)
+
 case class ScoredDoc(query_id: Long, doc_id: Long, score: Double, leg: String)
 
 case class LanedDoc(doc_id: Long, lane: String, content_hash: String,
@@ -395,5 +397,37 @@ class StateCapSpec extends SparkSpecBase {
     assert(h1.length === 1 && h1.head.getAs[Long]("keeper_id") === 10L &&
       h1.head.getAs[Long]("n_copies") === 3L,
       "the post-restart smaller id must take the keeper role over recovered state")
+  }
+
+  test("composite-key upsert (st94/st97's grain) survives a kill/resume; counts accumulate per pair, not per first key") {
+    // Every other upsert test keys by ONE column; st94 keys state by
+    // (part, qty) and st97 by (order, supplier). This locks the
+    // composite contract across a restart: a post-restart row for the
+    // SAME pair must merge into the recovered pair row (count goes up),
+    // a row sharing only the FIRST key component must create a NEW
+    // row — a table that keyed on the first column alone would pass
+    // every single-key test and corrupt both queries.
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val SQ = graft.streaming.StreamQueries
+    val ms = MemoryStream[PairLine]
+    val cp = tmpDir("cp_pair_restart_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_pair_restart_"), Seq("pk", "qty"), "n_lines")
+    def base = ms.toDF().groupBy(col("pk"), col("qty"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("rev_cents"))
+    ms.addData(PairLine(1L, 5.0, 100L), PairLine(1L, 5.0, 50L),
+      PairLine(1L, 7.0, 30L))
+    SQ.upsertServeWith(spark, base, table, cp) // pass 1, writer dies
+    ms.addData(PairLine(1L, 5.0, 25L), PairLine(2L, 5.0, 10L))
+    val served = SQ.upsertServeWith(spark, base, table, cp) // resumed
+    val got = served.collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      (1L, 5.0) -> (3L, 175L),
+      (1L, 7.0) -> (1L, 30L),
+      (2L, 5.0) -> (1L, 10L)),
+      s"composite-grain state wrong after restart: $got")
   }
 }
