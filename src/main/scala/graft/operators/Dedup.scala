@@ -1961,6 +1961,102 @@ object Dedup {
   private val KcoreK = 2
   private val KcoreRounds = 6
 
+  /** d32 — MINHASH ERROR AUDIT: for every LSH candidate pair, the
+    * signature-agreement ESTIMATE of Jaccard (matching xor-mixed
+    * minima / [[NumHashes]] — the classic unbiased estimator the
+    * banding scheme is built on) side by side with the EXACT
+    * hashed-shingle Jaccard, both as floored per-milles, plus the
+    * signed error. d09 prices the banding's candidate-generation
+    * recall; THIS prices the estimator itself — the "measure, don't
+    * guess" audit that says how far a 12-hash signature is from truth
+    * before anyone raises NumHashes. All-integer outputs (matches and
+    * intersection counts per-milled by integer division) — nothing to
+    * diverge cross-engine.
+    *
+    * Scale shape: d02's exact shapes re-used — banded equi-join for
+    * candidates, signature join is NumHashes-long arrays, exact verify
+    * over hashed shingle sets; the audit adds one zip_with fold per
+    * pair. Never all-pairs.
+    */
+  val d32_minhash_error: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val sh = nearDupCorpus(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+    val hs = sh.select(col("doc_id"), Portable.hash60Array(col("shd")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedsCsv = Portable.xorSeeds.take(NumHashes).mkString(",")
+    val mh = hs.select(col("doc_id"),
+      call_function("minhash_mins", col("hs"), lit(seedsCsv)).as("mh"))
+    val bands = pickedBandRows(hs, "doc_id", Nil)
+    val cand = bands.alias("a").join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSig = cand
+      .join(mh.select(col("doc_id").as("doc_a"), col("mh").as("mha")), Seq("doc_a"))
+      .join(mh.select(col("doc_id").as("doc_b"), col("mh").as("mhb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("mha"), col("mhb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_match"))
+    withSig
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("sha")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(array_union(col("sha"), col("shb"))).cast("long").as("uni"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        expr(s"n_match * 1000 div $NumHashes").as("est_pm"),
+        expr("inter * 1000 div uni").as("exact_pm"),
+        expr(s"n_match * 1000 div $NumHashes - inter * 1000 div uni")
+          .as("err_pm"))
+  }
+
+  /** d32's oracle: the d02 chain with the signature-agreement fold and
+    * the exact verify carried to the same integer per-milles. */
+  private def duckMinhashErrorSql: String = {
+    val (nBands, nRows) = PickedBanding
+    val mhs = (0 until NumHashes).map(i =>
+      s"list_min(list_transform(hs, h -> ${Portable.duckXorMix(i, "h")}))").mkString("[", ", ", "]")
+    val bandKeys = (0 until nBands).map(b =>
+      (1 to nRows).map(r => s"mhs[${nRows * b + r}]")
+        .mkString("concat_ws('_', ", ", ", ")"))
+    s"""WITH $duckNearCorpus, $duckShingles,
+        shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+        hsx AS (SELECT doc_id,
+                       list_transform(shd, s -> ${Portable.duckHash60("s")}) AS hs
+                FROM shn),
+        mh AS MATERIALIZED (SELECT doc_id, $mhs AS mhs FROM hsx),
+        bands AS (
+          SELECT doc_id, t.band,
+                 CASE ${bandKeys.zipWithIndex.map { case (k, b) => s"WHEN t.band = $b THEN $k" }.mkString(" ")} END AS bkey
+          FROM mh, (SELECT unnest([${(0 until nBands).mkString(",")}]) AS band) t),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(range(1, ${NumHashes + 1}),
+                    i -> xa.mhs[i] = yb.mhs[i])) AS BIGINT) AS n_match,
+               CAST(len(list_filter(range(1, ${NumHashes + 1}),
+                    i -> xa.mhs[i] = yb.mhs[i])) * 1000 // $NumHashes
+                    AS BIGINT) AS est_pm,
+               CAST(len(list_intersect(x.hs, y.hs)) * 1000
+                    // len(list_distinct(list_concat(x.hs, y.hs)))
+                    AS BIGINT) AS exact_pm,
+               CAST(len(list_filter(range(1, ${NumHashes + 1}),
+                    i -> xa.mhs[i] = yb.mhs[i])) * 1000 // $NumHashes
+                  - len(list_intersect(x.hs, y.hs)) * 1000
+                    // len(list_distinct(list_concat(x.hs, y.hs)))
+                    AS BIGINT) AS err_pm
+        FROM cand JOIN hsx x ON x.doc_id = doc_a
+                  JOIN hsx y ON y.doc_id = doc_b
+                  JOIN mh xa ON xa.doc_id = doc_a
+                  JOIN mh yb ON yb.doc_id = doc_b"""
+  }
+
   /** d31's oracle: the same [[KcoreRounds]] peel rounds unrolled as
     * chained MATERIALIZED CTEs (each round reads its predecessor twice
     * — endpoint membership — so inlining would expand 2^K-fold, the
@@ -2271,6 +2367,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d25_source_dup_report" -> d25_source_dup_report,
     "d31_kcore" -> d31_kcore,
+    "d32_minhash_error" -> d32_minhash_error,
     "d26_source_overlap" -> d26_source_overlap,
     "d27_cluster_sizes" -> d27_cluster_sizes,
     "d30_pagerank" -> d30_pagerank,
@@ -2301,6 +2398,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "d22_triangle_count" -> duckTriangleSql,
     "d31_kcore" -> duckKcoreSql,
+    "d32_minhash_error" -> duckMinhashErrorSql,
     "d23_lpa_communities" -> duckLpaSql,
     "d24_partition_agreement" -> duckAgreementSql,
     "d25_source_dup_report" -> duckSourceDupSql,
