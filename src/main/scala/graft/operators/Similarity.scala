@@ -2119,6 +2119,50 @@ object Similarity {
   private[graft] def sq8Dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** n36 — SQ8 QUANTIZATION-DISTORTION AUDIT (the n34 complement for
+    * the scalar quantizer; together with n30/n33 the compression
+    * ladder is priced end-to-end: truncation recall, SQ8 recall, PQ
+    * cell distortion, SQ8 reconstruction error): per vector, the
+    * squared L2 between the value and its DEQUANTIZED code
+    * (mn + (q+0.5)·step — the cell midpoint), in exact micro-units:
+    * each per-dim error is floored to an integer BEFORE summing (the
+    * t37 discipline — aggregation order cannot matter), and the
+    * worst dim is picked via an injective packed max (err·64 + dim).
+    * High-error vectors are the ones n33's integer ranking misplaces
+    * first — the audit tells a capacity planner whether to spend on
+    * more bits or accept the recall from n33.
+    *
+    * All float steps (quantize, dequantize, squared error) use
+    * IDENTICAL parenthesization on both engines — deterministic IEEE,
+    * then floor; no tolerance anywhere.
+    *
+    * Scale shape: codebook is one broadcast row; the per-dim long
+    * form rides the scan (posexplode, 64 rows per vector), one
+    * groupBy on vec_id with map-side partials. Nothing pairwise.
+    */
+  val n36_sq8_distortion: Q = (spark, dir) => {
+    GraftExtensions.register(spark)
+    val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val lf = e.join(broadcast(sq8Codebook(e)), lit(true), "inner")
+      .select(col("vec_id"), col("lims"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").cast("long").as("i"),
+        col("col").cast("double").as("x"),
+        element_at(col("lims"), (col("pos") + 1).cast("int")).as("lim"))
+    val mn = col("lim").getField("mn")
+    val mx = col("lim").getField("mx")
+    val qd = when(mx === mn, lit(0L)).otherwise(
+      floor((col("x") - mn) * 255.0 / (mx - mn)).cast("long")).cast("double")
+    val deq = when(mx === mn, mn)
+      .otherwise(mn + (qd + lit(0.5)) * (mx - mn) / lit(255.0))
+    val errU = floor((col("x") - deq) * (col("x") - deq) * lit(1e12))
+      .cast("long")
+    lf.select(col("vec_id"), col("i"), errU.as("err_u"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("err_u")).as("sq_err_u"),
+        max(col("err_u")).as("max_err_u"),
+        (max(col("err_u") * 64 + col("i")) % 64).as("worst_dim"))
+  }
+
   val n33_sq8_recall: Q = (spark, dir) => {
     GraftExtensions.register(spark)
     import org.apache.spark.storage.StorageLevel
@@ -2236,6 +2280,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "n35_embedding_gram" -> n35_embedding_gram,
     "n33_sq8_recall" -> n33_sq8_recall,
+    "n36_sq8_distortion" -> n36_sq8_distortion,
     "n34_pq_distortion" -> n34_pq_distortion,
     "n31_cell_balance" -> n31_cell_balance,
     "n30_truncated_retrieval" -> n30_truncated_retrieval,
@@ -3010,6 +3055,38 @@ object Similarity {
                  CAST(MAX(dist_micro) AS BIGINT) AS max_micro
           FROM pv GROUP BY 1"""
     },
+    "n36_sq8_distortion" ->
+      // same codebook CTEs, same quantize, midpoint dequantize and
+      // squared error with identical parenthesization; per-dim floor
+      // THEN integer sum; worst dim via the injective packed max
+      s"""WITH $duckVecs,
+          dim AS (SELECT unnest(range(0, $SqDims)) AS i),
+          mm AS (SELECT i, MIN(v[(i+1)::INT]) AS mn, MAX(v[(i+1)::INT]) AS mx
+                 FROM n, dim GROUP BY i),
+          lims AS (SELECT list(mn ORDER BY i) AS mns,
+                          list(mx ORDER BY i) AS mxs
+                   FROM mm),
+          lf AS (SELECT vec_id, i, v[(i+1)::INT] AS x,
+                        mns[(i+1)::INT] AS mn, mxs[(i+1)::INT] AS mx
+                 FROM n, lims, dim),
+          qd AS (SELECT vec_id, i, x, mn, mx,
+                        CASE WHEN mx = mn THEN 0.0
+                             ELSE CAST(CAST(floor((x - mn) * 255.0 / (mx - mn))
+                                       AS BIGINT) AS DOUBLE) END AS qd
+                 FROM lf),
+          dq AS (SELECT vec_id, i, x,
+                        CASE WHEN mx = mn THEN mn
+                             ELSE mn + (qd + 0.5) * (mx - mn) / 255.0
+                        END AS deq
+                 FROM qd),
+          er AS (SELECT vec_id, i,
+                        CAST(floor((x - deq) * (x - deq)
+                                   * 1000000000000.0) AS BIGINT) AS err_u
+                 FROM dq)
+          SELECT vec_id, CAST(SUM(err_u) AS BIGINT) AS sq_err_u,
+                 MAX(err_u) AS max_err_u,
+                 CAST(MAX(err_u * 64 + i) % 64 AS BIGINT) AS worst_dim
+          FROM er GROUP BY 1""",
     "n33_sq8_recall" -> {
       // same per-dim [min,max] codebook, same ⌊(x−mn)·255/(mx−mn)⌋
       // quantize (identical IEEE parenthesization), same exact integer
