@@ -156,7 +156,7 @@ object Dedup {
   // d02 — MinHash + LSH near-dup
   // ------------------------------------------------------------------
 
-  private val NumHashes = 12
+  private[graft] val NumHashes = 12
 
   /** Recall target the dedup lifecycle tunes for: the banding must
     * capture ≥ this fraction of the exact-Jaccard (J ≥ 0.5) pairs.

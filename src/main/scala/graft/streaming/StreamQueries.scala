@@ -2912,6 +2912,73 @@ object StreamQueries {
     * tonight's stream probes; nothing here scans standing text.
     * Oracle is d12's.
     */
+  /** D-family streaming — THE ESTIMATOR-ERROR MONITOR AT INGEST
+    * (streaming twin of d32, on st38's probe-the-standing-bands
+    * discipline): every arriving document signs row-locally
+    * (codegen'd minhash over its hashed shingles), probes the
+    * standing banded signature table, and for each candidate pair
+    * emits the signature-agreement ESTIMATE beside the EXACT
+    * hashed-shingle Jaccard and the signed error — the live answer to
+    * "is the 12-hash signature still good enough on TODAY'S data", so
+    * estimator drift (e.g. a new source with systematically shorter
+    * docs) is seen at the door, not at the nightly d32. Stateless
+    * except the multi-band-hit collapse (delta-pair-bounded
+    * dropDuplicatesWithinWatermark, st38's contract); the standing
+    * side is hashed ONCE and persisted (stream-static statics
+    * re-evaluate per micro-batch — the sBuckets discipline). Oracle:
+    * d32's integer arithmetic restricted to (standing, delta) pairs.
+    */
+  val st99_stream_minhash_error: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val D = graft.operators.Dedup
+    val P = graft.functions.Portable
+    val seedsCsv = P.xorSeeds.take(D.NumHashes).mkString(",")
+
+    val standing = graft.Tables.documents(spark, dir)
+      .where(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+    val hsS = standing.select(col("doc_id"), D.shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("doc_id"), P.hash60Array(col("shd")).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhS = hsS.select(col("doc_id").as("standing_id"),
+      call_function("minhash_mins", col("hs"), lit(seedsCsv)).as("mhb"),
+      col("hs").as("shb"))
+    val bandsS = D.pickedBandRows(hsS, "doc_id", Nil)
+      .select(col("doc_id").as("standing_id"), col("band"), col("bkey"))
+
+    val delta = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 10 === 0 && col("doc_id") >= 0)
+    val prepped = delta
+      .withColumn("event_time", lit("2024-01-01 00:00:00").cast("timestamp"))
+      .withWatermark("event_time", "1 hour")
+      .select(col("doc_id").as("delta_id"), col("event_time"),
+        D.shingles(col("text")).as("shd"))
+      .where(size(col("shd")) > 0)
+      .select(col("delta_id"), col("event_time"),
+        P.hash60Array(col("shd")).as("hs"))
+    val cand = D.pickedBandRows(prepped, "delta_id", Seq("event_time", "hs"))
+      .join(broadcast(bandsS), Seq("band", "bkey"))
+      .select(col("delta_id"), col("standing_id"), col("event_time"), col("hs"))
+      .dropDuplicatesWithinWatermark("delta_id", "standing_id")
+    val out = cand
+      .join(mhS, Seq("standing_id"))
+      .select(col("delta_id"), col("standing_id"),
+        aggregate(zip_with(
+          call_function("minhash_mins", col("hs"), lit(seedsCsv)), col("mhb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, v) => acc + v).as("n_match"),
+        size(array_intersect(col("hs"), col("shb"))).cast("long").as("inter"),
+        size(array_union(col("hs"), col("shb"))).cast("long").as("uni"))
+      .select(col("delta_id"), col("standing_id"), col("n_match"),
+        expr(s"n_match * 1000 div ${D.NumHashes}").as("est_pm"),
+        expr("inter * 1000 div uni").as("exact_pm"),
+        expr(s"n_match * 1000 div ${D.NumHashes} - inter * 1000 div uni")
+          .as("err_pm"))
+    Replay.runAppend(spark, out)
+  }
+
   val st38_stream_incremental_neardup: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
     val D = graft.operators.Dedup
@@ -3937,6 +4004,7 @@ object StreamQueries {
     "st96_stream_priority_check" -> st96_stream_priority_check,
     "st97_stream_waiting_supplier" -> st97_stream_waiting_supplier,
     "st98_stream_silent_rich" -> st98_stream_silent_rich,
+    "st99_stream_minhash_error" -> st99_stream_minhash_error,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4366,6 +4434,56 @@ object StreamQueries {
     // st98's revocation set + static threshold must equal the batch Q22
     "st98_stream_silent_rich" ->
       graft.operators.Relational.oracles("j31_above_avg_silent"),
+    // st99: d32's estimator-error arithmetic restricted to the
+    // (standing, delta) split over the raw corpus
+    "st99_stream_minhash_error" -> {
+      val D = graft.operators.Dedup
+      val P = graft.functions.Portable
+      val (nBands, nRows) = D.PickedBanding
+      val nh = D.NumHashes
+      val mhs = (0 until nh).map(i =>
+        s"list_min(list_transform(hs, h -> ${P.duckXorMix(i, "h")}))")
+        .mkString("[", ", ", "]")
+      val bandKeys = (0 until nBands).map(b =>
+        (1 to nRows).map(r => s"mhs[${nRows * b + r}]")
+          .mkString("concat_ws('_', ", ", ", ")"))
+      s"""WITH sh AS (SELECT doc_id, ${D.duckShingleExpr} AS shd
+                      FROM documents),
+          shn AS (SELECT doc_id, shd FROM sh WHERE len(shd) > 0),
+          hsx AS (SELECT doc_id,
+                         list_transform(shd, s -> ${P.duckHash60("s")}) AS hs
+                  FROM shn),
+          mh AS MATERIALIZED (SELECT doc_id, $mhs AS mhs FROM hsx),
+          bands AS (
+            SELECT doc_id, t.band,
+                   CASE ${bandKeys.zipWithIndex.map { case (k, b) =>
+                     s"WHEN t.band = $b THEN $k" }.mkString(" ")} END AS bkey
+            FROM mh, (SELECT unnest([${(0 until nBands).mkString(",")}])
+                      AS band) t),
+          cand AS (
+            SELECT DISTINCT d.doc_id AS delta_id, s.doc_id AS standing_id
+            FROM bands d JOIN bands s
+              ON d.band = s.band AND d.bkey = s.bkey
+             AND d.doc_id % 10 = 0 AND s.doc_id % 10 <> 0)
+          SELECT delta_id, standing_id,
+                 CAST(len(list_filter(range(1, ${nh + 1}),
+                      i -> xd.mhs[i] = xs.mhs[i])) AS BIGINT) AS n_match,
+                 CAST(len(list_filter(range(1, ${nh + 1}),
+                      i -> xd.mhs[i] = xs.mhs[i])) * 1000 // $nh
+                      AS BIGINT) AS est_pm,
+                 CAST(len(list_intersect(x.hs, y.hs)) * 1000
+                      // len(list_distinct(list_concat(x.hs, y.hs)))
+                      AS BIGINT) AS exact_pm,
+                 CAST(len(list_filter(range(1, ${nh + 1}),
+                      i -> xd.mhs[i] = xs.mhs[i])) * 1000 // $nh
+                    - len(list_intersect(x.hs, y.hs)) * 1000
+                      // len(list_distinct(list_concat(x.hs, y.hs)))
+                      AS BIGINT) AS err_pm
+          FROM cand JOIN hsx x ON x.doc_id = delta_id
+                    JOIN hsx y ON y.doc_id = standing_id
+                    JOIN mh xd ON xd.doc_id = delta_id
+                    JOIN mh xs ON xs.doc_id = standing_id"""
+    },
     // st86's on-read carry over the served daily sums must equal w19
     "st86_stream_locf" ->
       graft.operators.Relational.oracles("w19_locf_fill"),
