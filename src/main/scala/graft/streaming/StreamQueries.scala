@@ -2912,6 +2912,87 @@ object StreamQueries {
     * tonight's stream probes; nothing here scans standing text.
     * Oracle is d12's.
     */
+  /** T-family streaming — PMI COLLOCATIONS SERVED FROM O(k) SKETCH
+    * STATE (streaming twin of t41, built the way st83's rebuild says
+    * streamed corpus statistics must be): the naive twin would keep
+    * one state row per distinct bigram — corpus-vocabulary-sized, the
+    * exact class the r12 verdict flagged. Instead ONE update-mode
+    * aggregation per kind (unigram / bigram) holds a Misra-Gries
+    * summary of capacity [[StPmiCap]] plus the exact total — state
+    * O(k) however large the stream. The fixture's key domain is
+    * vocab²-BOUNDED and SF-invariant (31 words, ≤931 distinct bigrams
+    * measured at both SFs — scale adds occurrences, not keys), and
+    * capacity sits above it, so MG is in its EXACT regime; the regime
+    * is WITNESSED on read, not trusted: `n_items` is the exact stream
+    * length and every MG eviction strictly decreases Σ est_cnt below
+    * it, so Σ est_cnt = n_items per kind proves no eviction ever
+    * fired under ANY batch split or merge tree — and then the serve
+    * reproduces t41 BIT-FOR-BIT through the full streaming path
+    * (micro-batch reduce, state-store merge, upsert serve — the
+    * st80/a20x discipline). On an open-vocabulary corpus capacity
+    * binds, the witness fails loudly, and the operator is redeployed
+    * as approximate heavy collocations with the nightly t41 as anchor
+    * (the st29/st30 carve-out class). Oracle is t41's verbatim.
+    */
+  val st100_stream_pmi: Q = (spark, dir) => {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    def base() = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(toks.as("toks")).where(size(col("toks")) >= 2)
+    val uni = base().select(explode(col("toks")).as("key"))
+      .select(lit("u").as("kind"), col("key"))
+    val bi = base().select(explode(expr(
+        "transform(sequence(0, size(toks)-2)," +
+          " i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("bg"))
+      .select(lit("b").as("kind"),
+        concat_ws("", col("bg.w1"), col("bg.w2")).as("key"))
+    val agg = uni.unionAll(bi)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("total"),
+        graft.functions.HeavyHitters.heavyHitters(StPmiCap)(col("key")).as("s"))
+      .select(col("kind"), col("total"),
+        col("s.n_items").as("n_items"), col("s.hits").as("hits"))
+    val served = upsertServe(spark, agg, Seq("kind"), "total")
+    // exact-regime assertion (≤2-row bounded decision read): MG's
+    // `n_items` is the EXACT stream length and every eviction strictly
+    // decreases Σ est_cnt below it — so Σ est_cnt == n_items per kind
+    // is a sound and complete witness that no eviction ever fired and
+    // the served counts are exact, whatever the merge tree did
+    served.select(col("kind"), col("n_items"),
+        expr("aggregate(hits, 0L, (a, h) -> a + h.est_cnt)").as("kept"))
+      .head(4).foreach { r =>
+        require(r.getLong(2) == r.getLong(1),
+          s"MG eviction fired for kind=${r.getString(0)} " +
+            s"(kept ${r.getLong(2)} of ${r.getLong(1)}): exact regime " +
+            "lost; raise StPmiCap or accept approximate serving with " +
+            "t41 as anchor")
+      }
+    val u = served.where(col("kind") === "u")
+      .select(explode(col("hits")).as("h"))
+      .select(col("h.item").as("w"), col("h.est_cnt").as("cw"))
+    val b = served.where(col("kind") === "b")
+      .select(explode(col("hits")).as("h"))
+      .select(split(col("h.item"), "").as("ws"),
+        col("h.est_cnt").as("cb"))
+      .select(element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"), col("cb"))
+    val tt = served.where(col("kind") === "u").select(col("total").as("tt"))
+    val tb = served.where(col("kind") === "b").select(col("total").as("tb"))
+    b.where(col("cb") >= 5)
+      .join(u.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(u.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .join(broadcast(tt), lit(true))
+      .join(broadcast(tb), lit(true))
+      .select(col("w1"), col("w2"), col("cb"), col("c1"), col("c2"),
+        (col("cb").cast("double") * col("tt").cast("double")
+          * col("tt").cast("double")
+          / (col("tb").cast("double") * col("c1").cast("double")
+            * col("c2").cast("double"))).as("lift"))
+  }
+
+  private val StPmiCap = 4096
+
   /** D-family streaming — THE ESTIMATOR-ERROR MONITOR AT INGEST
     * (streaming twin of d32, on st38's probe-the-standing-bands
     * discipline): every arriving document signs row-locally
@@ -4005,6 +4086,7 @@ object StreamQueries {
     "st97_stream_waiting_supplier" -> st97_stream_waiting_supplier,
     "st98_stream_silent_rich" -> st98_stream_silent_rich,
     "st99_stream_minhash_error" -> st99_stream_minhash_error,
+    "st100_stream_pmi" -> st100_stream_pmi,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4434,6 +4516,10 @@ object StreamQueries {
     // st98's revocation set + static threshold must equal the batch Q22
     "st98_stream_silent_rich" ->
       graft.operators.Relational.oracles("j31_above_avg_silent"),
+    // st100: the O(k)-state sketch serve in its exact regime must
+    // reproduce the batch PMI over the pinned calibration window
+    "st100_stream_pmi" ->
+      graft.operators.TextAnalysis.oracles("t41_pmi_collocations"),
     // st99: d32's estimator-error arithmetic restricted to the
     // (standing, delta) split over the raw corpus
     "st99_stream_minhash_error" -> {
