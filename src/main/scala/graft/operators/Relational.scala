@@ -780,6 +780,44 @@ object Relational {
                              WHERE o_orderpriority = '1-URGENT')""")
   }
 
+  /** a55 — INTER-ORDER SURVIVAL CURVE (discrete churn analytics): the
+    * distribution of gaps between a customer's consecutive orders,
+    * expressed as the EMPIRICAL survival and hazard functions over
+    * whole-day gap buckets — "of customers who hadn't reordered by
+    * day g, how many reordered exactly then" — the re-engagement
+    * curve a retention team reads before defining a churn cutoff.
+    * Everything stays integer-exact: gaps are whole days (timestamp
+    * difference of day-granular dates), at-risk counts are SUFFIX
+    * sums over the gap-day domain (a descending-cumulative window on
+    * a domain-bounded relation — the value-compressed-CDF
+    * discipline), and survival/hazard surface as floored per-milles;
+    * no product chain, no float (the empirical S(g) = at_risk(g+…)/N
+    * form needs no Kaplan-Meier product because there is no
+    * censoring in a closed fixture).
+    *
+    * Scale shape: one window on o_custkey (per-customer lag), one
+    * groupBy on gap days (domain ≤ |calendar|), one window over that
+    * bounded domain. Fact-sized work is the lag pass only.
+    */
+  val a55_survival_curve: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = orders(spark, dir)
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(datediff(to_date(col("o_orderdate")), to_date(col("prev")))
+        .cast("long").as("gap_days"))
+    val hist = gaps.groupBy(col("gap_days")).agg(count(lit(1)).as("n_gaps"))
+    val dw = Window.orderBy(col("gap_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n_at_risk", sum(col("n_gaps")).over(dw))
+      .join(broadcast(gaps.agg(count(lit(1)).as("n_total"))), lit(true))
+      .select(col("gap_days"), col("n_gaps"), col("n_at_risk"),
+        expr("n_gaps * 1000 div n_at_risk").as("hazard_pm"),
+        expr("(n_at_risk - n_gaps) * 1000 div n_total").as("survival_pm"))
+  }
+
   /** j36 — CHEAPEST SUPPLIER PER PART (TPC-H Q2 shape): for each
     * small part, the supplier offering the minimum observed price,
     * then the dim join-back for display — the correlated
@@ -5249,6 +5287,7 @@ object Relational {
     "j34_order_priority_check" -> j34_order_priority_check,
     "j35_not_in_nulls" -> j35_not_in_nulls,
     "j36_cheapest_supplier" -> j36_cheapest_supplier,
+    "a55_survival_curve" -> a55_survival_curve,
     "a53_revenue_share_having" -> a53_revenue_share_having,
     "a54_grouping_sets" -> a54_grouping_sets,
     "a42_join_size_forecast" -> a42_join_size_forecast,
@@ -6842,6 +6881,25 @@ object Relational {
          GROUP BY n_name""",
     "w21_ewma" -> duckEwmaSql,
     "w22_rolling_median" -> duckRollingMedianSql,
+    // a55: whole-day gaps, suffix-sum at-risk, floored per-milles
+    "a55_survival_curve" ->
+      """WITH g AS (
+           SELECT CAST(CAST(o_orderdate AS DATE)
+                     - CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS DATE)
+                  AS BIGINT) AS gap_days
+           FROM orders QUALIFY gap_days IS NOT NULL),
+          h AS (SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n_gaps
+                FROM g GROUP BY 1),
+          r AS (SELECT *, CAST(SUM(n_gaps) OVER (ORDER BY gap_days DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS n_at_risk
+                FROM h),
+          t AS (SELECT CAST(SUM(n_gaps) AS BIGINT) AS n_total FROM h)
+         SELECT gap_days, n_gaps, n_at_risk,
+                n_gaps * 1000 // n_at_risk AS hazard_pm,
+                (n_at_risk - n_gaps) * 1000 // n_total AS survival_pm
+         FROM r, t""",
     // j36: the oracle keeps the correlated scalar-equality form the
     // Spark side de-correlates into a part-partitioned window min
     "j36_cheapest_supplier" ->
