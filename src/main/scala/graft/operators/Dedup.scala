@@ -2014,6 +2014,82 @@ object Dedup {
           .as("err_pm"))
   }
 
+  /** d33 — HARMONIC CENTRALITY (bounded radius) over the simhash dup
+    * graph: Σ 1/dist to every node within [[HcRounds]] hops — the
+    * distance-based centrality that complements degree (d22), label
+    * communities (d23), PageRank (d30) and the k-core (d31): a node
+    * bridging two dup clusters scores high here while its degree and
+    * core number stay low, which is exactly the "template document
+    * stitching families together" signal a curation pass wants.
+    * Computed as textbook BFS LAYERS — the frontier (pairs first
+    * reached this round) expands through the edge list, an anti-join
+    * removes pairs already reached at a smaller distance, and each
+    * layer contributes `1000 div dist` milli-units (integer — the sum
+    * is exact, no float harmonics). Both engines run the SAME fixed
+    * radius; the oracle unrolls the layers as MATERIALIZED CTEs with
+    * NOT-EXISTS de-duplication (the duckClusterRounds discipline).
+    *
+    * Scale shape: per round one equi-join frontier×edges + one
+    * anti-join against the reached set — all equi-shuffles on node
+    * ids; reached-set size is Σ |r-hop neighborhoods|, bounded in a
+    * banded dup graph (components are band-capped, never corpus-wide);
+    * localCheckpoint cuts the per-round lineage (the clusterLabelsFrom
+    * reason).
+    */
+  val d33_harmonic_centrality: Q = (spark, dir) => {
+    val edges = simhashEdges(spark, dir)
+    var reach = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .withColumn("dist", lit(1L))
+    var frontier = reach
+    for (r <- 2 to HcRounds) {
+      val expanded = frontier
+        .join(edges.select(col("doc_a").as("dst"), col("doc_b").as("nxt")),
+          Seq("dst"))
+        .where(col("nxt") =!= col("src"))
+        .select(col("src"), col("nxt").as("dst")).distinct()
+        .withColumn("dist", lit(r.toLong))
+      val fresh = expanded
+        .join(reach.select(col("src"), col("dst")), Seq("src", "dst"),
+          "left_anti")
+        .localCheckpoint(false)
+      reach = reach.unionAll(fresh).localCheckpoint(false)
+      frontier = fresh
+    }
+    reach.groupBy(col("src").as("doc_id"))
+      .agg(count(lit(1)).as("n_reach"),
+        sum(expr("1000 div dist")).as("harmonic_milli"))
+  }
+
+  private val HcRounds = 3
+
+  /** d33's oracle: the BFS layers unrolled (frontier-only expansion,
+    * NOT-EXISTS against earlier layers). */
+  private def duckHarmonicSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        p1 AS MATERIALIZED (
+          SELECT doc_a AS src, doc_b AS dst, 1 AS dist FROM edges),
+        x2 AS (SELECT DISTINCT p1.src, e.doc_b AS dst
+               FROM p1 JOIN edges e ON e.doc_a = p1.dst
+               WHERE e.doc_b <> p1.src),
+        p2 AS MATERIALIZED (
+          SELECT src, dst, 2 AS dist FROM x2
+          WHERE NOT EXISTS (SELECT 1 FROM p1
+                            WHERE p1.src = x2.src AND p1.dst = x2.dst)),
+        x3 AS (SELECT DISTINCT p2.src, e.doc_b AS dst
+               FROM p2 JOIN edges e ON e.doc_a = p2.dst
+               WHERE e.doc_b <> p2.src),
+        p3 AS MATERIALIZED (
+          SELECT src, dst, 3 AS dist FROM x3
+          WHERE NOT EXISTS (SELECT 1 FROM p1
+                            WHERE p1.src = x3.src AND p1.dst = x3.dst)
+            AND NOT EXISTS (SELECT 1 FROM p2
+                            WHERE p2.src = x3.src AND p2.dst = x3.dst)),
+        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p3)
+        SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_reach,
+               CAST(SUM(1000 // dist) AS BIGINT) AS harmonic_milli
+        FROM allp GROUP BY 1"""
+
   /** d32's oracle: the d02 chain with the signature-agreement fold and
     * the exact verify carried to the same integer per-milles. */
   private def duckMinhashErrorSql: String = {
@@ -2368,6 +2444,7 @@ object Dedup {
     "d25_source_dup_report" -> d25_source_dup_report,
     "d31_kcore" -> d31_kcore,
     "d32_minhash_error" -> d32_minhash_error,
+    "d33_harmonic_centrality" -> d33_harmonic_centrality,
     "d26_source_overlap" -> d26_source_overlap,
     "d27_cluster_sizes" -> d27_cluster_sizes,
     "d30_pagerank" -> d30_pagerank,
@@ -2399,6 +2476,7 @@ object Dedup {
     "d22_triangle_count" -> duckTriangleSql,
     "d31_kcore" -> duckKcoreSql,
     "d32_minhash_error" -> duckMinhashErrorSql,
+    "d33_harmonic_centrality" -> duckHarmonicSql,
     "d23_lpa_communities" -> duckLpaSql,
     "d24_partition_agreement" -> duckAgreementSql,
     "d25_source_dup_report" -> duckSourceDupSql,
