@@ -972,7 +972,96 @@ object Multimodal {
                  AS chi2_micro
         FROM h"""
 
+  /** mm14 — PAYLOAD BYTE-ENTROPY GATE (the compressed/encrypted-blob
+    * detector): Shannon entropy of each payload's 16-bin byte
+    * histogram in milli-nats, with the opaque/structured verdict —
+    * text-like payloads concentrate in few nibble classes while
+    * compressed or encrypted bytes are near-uniform (ln 16 ≈ 2.773
+    * nats). Measured at sf0.01 the [[EntropyOpaqueMn]] cut splits
+    * structured (max 2597 mn — long uniform-ish docs approach it;
+    * 16 nibble bins are a coarse feature) from planted opaque (min
+    * 2603 mn); production would widen the margin with 256-value bins
+    * at 16× histogram state. The verdict arithmetic is identical on
+    * both engines, so the differential is exact wherever the cut
+    * falls. A curation front door uses this lane to
+    * route blobs that LOOK like media but carry no parseable header
+    * (mm08's gate) into the opaque lane instead of the corrupt lane.
+    * Both verdicts execute on the fixture: real documents are
+    * structured; a planted cohort (+5M, doc_id % 10 = 4) carries 64
+    * deterministic md5-chain bytes — the high-entropy stand-in for a
+    * compressed payload (this container ships no codecs; the
+    * construction is the mm05/mm12 planted-bytes discipline).
+    *
+    * Arithmetic: t37's entropy discipline over byte bins — per-VALUE
+    * `⌊ln(k)·1000⌋` quantize of the two integer logs, then pure
+    * integer cross-multiplied sums and one integral division; the
+    * only floats are `ln` of identical integers on both engines.
+    *
+    * Scale shape: histogram via one (doc, bin) explode-aggregate
+    * (mm12's CollapseProject-proof shape), one join to per-doc
+    * totals, no shuffle beyond the doc-grain groupBys.
+    */
+  val mm14_payload_entropy: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val real = documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("body"))
+    val opaque = documents(spark, dir).where(col("doc_id") % 10 === 4)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        unhex(concat(md5(col("text")),
+          md5(concat(col("text"), lit("x"))),
+          md5(concat(col("text"), lit("y"))),
+          md5(concat(col("text"), lit("z"))))).as("body"))
+    val counts = binCounts(real.unionAll(opaque), "body", "c")
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_bins"))
+    counts.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("n_bins"),
+        (col("c") *
+          (floor(log(col("n").cast("double")) * 1000).cast("long") -
+            floor(log(col("c").cast("double")) * 1000).cast("long"))).as("t"))
+      .groupBy(col("doc_id"), col("n"), col("n_bins"))
+      .agg(sum(col("t")).as("tsum"))
+      .select(col("doc_id"), col("n").as("n_bytes"), col("n_bins"),
+        expr("tsum div n").as("ent_mn"),
+        (expr("tsum div n") >= EntropyOpaqueMn).as("is_opaque"))
+  }
+
+  /** Opaque-verdict cut in milli-nats: uniform 16 bins = ln 16 ≈ 2773;
+    * the fixture's text payloads measure far below (few nibble
+    * classes dominate). */
+  private val EntropyOpaqueMn = 2600L
+
+  private def duckPayloadEntropySql: String =
+    s"""WITH $duckDhashBytesCte,
+        op AS (SELECT doc_id + 5000000 AS doc_id,
+                      md5(text) || md5(text || 'x') || md5(text || 'y')
+                        || md5(text || 'z') AS hx
+               FROM documents WHERE doc_id % 10 = 4),
+        opb AS (SELECT doc_id,
+                       list_transform(range(0, 64), i ->
+                         ('0x' || substr(hx, (2*i + 1)::INT, 2))::BIGINT)
+                         AS bytes
+                FROM op),
+        allb AS (SELECT doc_id, bytes FROM by
+                 UNION ALL SELECT doc_id, bytes FROM opb),
+        bc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT doc_id, unnest(list_transform(bytes,
+                       x -> x // 16)) AS b FROM allb)
+               GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS n_bins
+                FROM bc GROUP BY 1),
+        tm AS (SELECT bc.doc_id, n, n_bins,
+                      c * (CAST(floor(ln(n) * 1000) AS BIGINT)
+                         - CAST(floor(ln(c) * 1000) AS BIGINT)) AS t
+               FROM bc JOIN tot USING (doc_id))
+        SELECT doc_id, n AS n_bytes, n_bins,
+               CAST(SUM(t) // n AS BIGINT) AS ent_mn,
+               CAST(SUM(t) // n AS BIGINT) >= $EntropyOpaqueMn AS is_opaque
+        FROM tm GROUP BY doc_id, n, n_bins"""
+
   val queries: Map[String, Q] = Map(
+    "mm14_payload_entropy" -> mm14_payload_entropy,
     "mm13_audio_fingerprint" -> mm13_audio_fingerprint,
     "mm10_media_dhash" -> mm10_media_dhash,
     "mm11_audio_segments" -> mm11_audio_segments,
@@ -1102,6 +1191,7 @@ object Multimodal {
     // via the window-distance join (≡ the array formulation — window
     // ids are contiguous), same df-cap, same offset histogram and
     // (n_aligned desc, offset) argmax
+    "mm14_payload_entropy" -> duckPayloadEntropySql,
     "mm13_audio_fingerprint" -> {
       val W = graft.functions.Pcm16FramesUtil.PeakWin
       s"""WITH $duckWavFrameCtes,
