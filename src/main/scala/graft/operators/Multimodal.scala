@@ -1001,11 +1001,19 @@ object Multimodal {
     * (mm12's CollapseProject-proof shape), one join to per-doc
     * totals, no shuffle beyond the doc-grain groupBys.
     */
-  val mm14_payload_entropy: Q = (spark, dir) => {
-    graft.plans.GraftExtensions.register(spark)
-    val real = documents(spark, dir)
+  val mm14_payload_entropy: Q = (spark, dir) =>
+    payloadEntropyOf(documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** mm14's whole computation over any (doc_id, text) relation — the
+    * histogram and verdict are row-local at the document grain (the
+    * entropyOf precedent), so st101 runs it batch-locally at ingest
+    * with zero cross-batch state. The planted opaque cohort derives
+    * row-locally from the same relation.
+    */
+  private[graft] def payloadEntropyOf(docs: DataFrame): DataFrame = {
+    val real = docs
       .select(col("doc_id"), encode(col("text"), "utf-8").as("body"))
-    val opaque = documents(spark, dir).where(col("doc_id") % 10 === 4)
+    val opaque = docs.where(col("doc_id") % 10 === 4)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         unhex(concat(md5(col("text")),
           md5(concat(col("text"), lit("x"))),

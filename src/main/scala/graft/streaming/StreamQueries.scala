@@ -2993,6 +2993,39 @@ object StreamQueries {
 
   private val StPmiCap = 4096
 
+  /** MM-family streaming — THE ENTROPY GATE AT INGEST (streaming twin
+    * of mm14, st61's stateless-byte-lane discipline): a payload's
+    * byte histogram and entropy verdict are ROW-LOCAL, so the
+    * opaque/structured routing runs fully statelessly on the firehose
+    * — the synthesized opaque cohort included (its md5-chain bytes
+    * derive from the arriving row). Per micro-batch the mm12-shaped
+    * explode-aggregate histogram is batch-local (doc grain never
+    * crosses batches); no state, no watermark. Oracle is mm14's
+    * verbatim — the incremental verdicts must equal the nightly scan.
+    */
+  val st101_stream_entropy_gate: Q = (spark, dir) => {
+    val M = graft.operators.Multimodal
+    val path = graft.Tables.scratchDir("graft_bkt_pent_")
+    val tbl = "graft_pent_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "doc_id")
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("doc_id"), col("text"))
+    val q = docs.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(M.payloadEntropyOf(b), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read().select(col("doc_id"), col("n_bytes"), col("n_bins"),
+      col("ent_mn"), col("is_opaque"))
+  }
+
   /** D-family streaming — THE ESTIMATOR-ERROR MONITOR AT INGEST
     * (streaming twin of d32, on st38's probe-the-standing-bands
     * discipline): every arriving document signs row-locally
@@ -4087,6 +4120,7 @@ object StreamQueries {
     "st98_stream_silent_rich" -> st98_stream_silent_rich,
     "st99_stream_minhash_error" -> st99_stream_minhash_error,
     "st100_stream_pmi" -> st100_stream_pmi,
+    "st101_stream_entropy_gate" -> st101_stream_entropy_gate,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4520,6 +4554,9 @@ object StreamQueries {
     // reproduce the batch PMI over the pinned calibration window
     "st100_stream_pmi" ->
       graft.operators.TextAnalysis.oracles("t41_pmi_collocations"),
+    // st101's at-door entropy verdicts must equal mm14's nightly scan
+    "st101_stream_entropy_gate" ->
+      graft.operators.Multimodal.oracles("mm14_payload_entropy"),
     // st99: d32's estimator-error arithmetic restricted to the
     // (standing, delta) split over the raw corpus
     "st99_stream_minhash_error" -> {
