@@ -3092,6 +3092,45 @@ object Relational {
           ((col("n_window") + 1) / 2).cast("int")).as("med_cents"))
   }
 
+  /** w23 — THEIL–SEN ROBUST TREND: the median of all pairwise daily
+    * slopes per priority — the robust-regression counterpart to a34's
+    * OLS (one crazy day drags a least-squares slope; the median of
+    * pairwise slopes has a 29% breakdown point). Exactness: each
+    * slope is quantized ONCE to integer micro-cents/day
+    * (`(Δcents·10^6) div Δdays` — exact integer arithmetic, products
+    * < 2^53-safe by the daily-cents envelope), and the median is the
+    * PICKED lower order statistic via row_number over an injective
+    * ordering (slope, day_a, day_b) — no float sort of rationals, no
+    * interpolation (the a47/a51 pick discipline).
+    *
+    * Scale shape: the pairwise-slope relation is |days|²-BOUNDED per
+    * priority (calendar², SF-INVARIANT — more data changes the daily
+    * sums, not the pair count), so the self-join and the per-priority
+    * rank window cost the same at any corpus size; the only
+    * fact-sized work is the daily rollup.
+    */
+  val w23_theil_sen: Q = (spark, dir) => {
+    val daily = orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("x"))
+      .agg(sum(graft.Tables.cents(col("o_totalprice")).cast("long")).as("y"))
+    val a = daily.select(col("priority"), col("x").as("xa"), col("y").as("ya"))
+    val b = daily.select(col("priority").as("pb"), col("x").as("xb"),
+      col("y").as("yb"))
+    val slopes = a.join(b, col("priority") === col("pb") && col("xa") < col("xb"))
+      .select(col("priority"), col("xa"), col("xb"),
+        expr("(yb - ya) * 1000000 div (xb - xa)").as("slope_micro"))
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("slope_micro"), col("xa"), col("xb"))
+    slopes
+      .withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("priority"))))
+      .where(col("rn") === expr("(np + 1) div 2"))
+      .select(col("priority"), col("np").as("n_pairs"),
+        col("slope_micro").as("ts_slope_micro"))
+  }
+
   /** w22's oracle: the correlated trailing-BETWEEN form with the same
     * lower-order-statistic pick. */
   private def duckRollingMedianSql: String =
@@ -5313,6 +5352,7 @@ object Relational {
     "w20_weekly_heatmap" -> w20_weekly_heatmap,
     "w21_ewma" -> w21_ewma,
     "w22_rolling_median" -> w22_rolling_median,
+    "w23_theil_sen" -> w23_theil_sen,
     "j26_lead_time" -> j26_lead_time,
     "a50_new_vs_returning" -> a50_new_vs_returning,
     "w14_period_over_period" -> w14_period_over_period,
@@ -6881,6 +6921,26 @@ object Relational {
          GROUP BY n_name""",
     "w21_ewma" -> duckEwmaSql,
     "w22_rolling_median" -> duckRollingMedianSql,
+    // w23: same micro-slope quantize, same injective pick
+    "w23_theil_sen" ->
+      """WITH d AS (
+           SELECT o_orderpriority AS priority,
+                  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS x,
+                  CAST(SUM(ROUND(o_totalprice * 100)) AS BIGINT) AS y
+           FROM orders GROUP BY 1, 2),
+          s AS (
+           SELECT a.priority, a.x AS xa, b.x AS xb,
+                  (b.y - a.y) * 1000000 // (b.x - a.x) AS slope_micro
+           FROM d a JOIN d b ON a.priority = b.priority AND a.x < b.x),
+          r AS (
+           SELECT priority, slope_micro,
+                  CAST(row_number() OVER (PARTITION BY priority
+                         ORDER BY slope_micro, xa, xb) AS BIGINT) AS rn,
+                  CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS np
+           FROM s)
+         SELECT priority, np AS n_pairs, slope_micro AS ts_slope_micro
+         FROM r WHERE rn = (np + 1) // 2""",
     // a55: whole-day gaps, suffix-sum at-risk, floored per-milles
     "a55_survival_curve" ->
       """WITH g AS (
