@@ -16,9 +16,14 @@ statically, before any Spark run.
 Portable = types whose DuckDB->pandas fetch renders identically to the
 Spark parquet read of the same logical value:
   BIGINT INTEGER DOUBLE VARCHAR BOOLEAN DATE TIMESTAMP TIMESTAMP_NS BLOB
-  and LIST (T[]) of those.
-Everything else (HUGEINT, DECIMAL(p,s), UBIGINT, FLOAT, SMALLINT, ...)
-must be CAST in the oracle SQL itself.
+SCALARS ONLY — LIST (T[]) is explicitly REJECTED (the r14
+driver-sortability clause): the driver's checker canonicalizes row
+order with pandas sort_values over every output column, and a LIST
+cell fetches as an unhashable numpy ndarray, crashing the comparison
+before it compares anything (f08 shipped r13's only red row this way).
+Everything else (HUGEINT, DECIMAL(p,s), UBIGINT, FLOAT, SMALLINT,
+LIST, STRUCT, MAP, ...) must be CAST/scalarized in the oracle SQL
+itself — comma-joined VARCHAR via array_to_string for lists.
 
 Dev-only tooling (not part of the engine library).
 """
@@ -32,8 +37,6 @@ PORTABLE = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
 
 
 def is_portable(t: str) -> bool:
-    if t.endswith("[]"):
-        return is_portable(t[:-2])
     return t in PORTABLE
 
 

@@ -4480,10 +4480,14 @@ object Relational {
     * both sides. Floats are quantized ONCE to milli-unit BIGINTs via
     * the portable floor(x·1000) (double widening is exact; floor has
     * no tie, unlike round) so every downstream fold is associative
-    * integer math — order-independent, hash-exact. Array-typed
-    * outputs (low5/top5) are sorted slices, so their element order is
-    * deterministic by construction. DuckDB's list_sum on BIGINT
-    * returns HUGEINT — every oracle fold re-casts (the w13 lesson).
+    * integer math — order-independent, hash-exact. The sorted-slice
+    * outputs (low5/top5) are SCALARIZED to comma-joined VARCHAR: the
+    * driver's checker canonicalizes row order with a pandas
+    * sort_values over every output column, and ARRAY-typed cells are
+    * unhashable there (the r13 red row) — element order is
+    * deterministic by construction, so the join loses nothing.
+    * DuckDB's list_sum on BIGINT returns HUGEINT — every oracle fold
+    * re-casts (the w13 lesson).
     *
     * Scale shape: embarrassingly row-local — zero exchanges, one
     * projection over the scan; CollapseProject re-inlines the `q`
@@ -4504,8 +4508,10 @@ object Relational {
         aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("sumsq"),
         aggregate(zip_with(col("q"), reverse(col("q")), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("palindot"),
-        slice(sort_array(col("q")), 1, 5).as("low5"),
-        slice(sort_array(col("q"), asc = false), 1, 5).as("top5"),
+        concat_ws(",", slice(sort_array(col("q")), 1, 5)
+          .cast("array<string>")).as("low5"),
+        concat_ws(",", slice(sort_array(col("q"), asc = false), 1, 5)
+          .cast("array<string>")).as("top5"),
         size(array_distinct(col("q"))).cast("long").as("n_distinct"),
         array_position(col("q"), array_max(col("q"))).as("argmax1"),
         array_max(col("q")).as("qmax"),
@@ -7151,8 +7157,8 @@ object Relational {
                   AS sumsq,
                 CAST(list_sum(list_transform(range(1, len(q) + 1),
                        i -> q[i] * q[len(q) - i + 1])) AS BIGINT) AS palindot,
-                list_sort(q)[1:5] AS low5,
-                list_sort(q, 'DESC')[1:5] AS top5,
+                array_to_string(list_sort(q)[1:5], ',') AS low5,
+                array_to_string(list_sort(q, 'DESC')[1:5], ',') AS top5,
                 CAST(len(list_distinct(q)) AS BIGINT) AS n_distinct,
                 CAST(list_position(q, list_max(q)) AS BIGINT) AS argmax1,
                 list_max(q) AS qmax,

@@ -93,12 +93,21 @@ class PlanLockSpec extends SparkSpecBase {
     * identically through DuckDB's reader and the driver's normalizer.
     * A DecimalType/FloatType/ShortType output means the query (or its
     * oracle) needs an explicit cast before it can hash-match.
+    *
+    * SCALARS ONLY — no ArrayType (the r14 driver-sortability clause).
+    * The driver's checker canonicalizes row order with a pandas
+    * sort_values over ALL output columns; an ARRAY cell arrives as a
+    * numpy ndarray, which is unhashable there, and the comparison
+    * crashes before comparing anything (f08 shipped r13's only red
+    * row this way; w13's HUGEINT in r12 was the same builder-lenient/
+    * driver-strict class). Array-valued RESULTS are fine internally —
+    * registered queries must scalarize them (sorted `concat_ws`
+    * VARCHAR / `array_to_string` on the DuckDB side) at the output.
     */
   private def portable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | StringType | BooleanType |
          DateType | BinaryType => true
     case _: TimestampType | _: TimestampNTZType => true
-    case ArrayType(e, _) => portable(e)
     case _ => false
   }
 
