@@ -4555,6 +4555,67 @@ object Relational {
       .select(col("op"), col("k"))
   }
 
+  /** f10 — MAP-FUNCTION BATTERY (the nested-type surface f08 opened,
+    * completed for MapType): per document a (token → count) frequency
+    * map built with pure higher-order functions — distinct-key probe
+    * plus count-filter feeding `map_from_entries`, no explode /
+    * re-aggregate round trip — then every core map operation
+    * exercised: key/value extraction, `transform_values`,
+    * `map_filter`, `map_zip_with` (including the absent-key NULL lane:
+    * keys present only in the left map see NULL from the right),
+    * `map_concat` with a guaranteed-fresh sentinel key (the default
+    * `mapKeyDedupPolicy=EXCEPTION` makes a colliding key a loud
+    * error, so the sentinel also pins that policy), `map_entries`,
+    * `element_at`-on-missing-key (NULL, not error) and
+    * `map_contains_key`. EVERY output column is a scalar — sorted
+    * `concat_ws` VARCHAR or BIGINT/BOOLEAN — per the r14
+    * driver-sortability clause: MAP/ARRAY types never reach a
+    * registered output schema.
+    *
+    * The DuckDB twin never builds a map at all — it derives the same
+    * scalars straight from token LISTS (len / list_distinct /
+    * list_filter), so the differential proves Spark's map algebra
+    * against an independent formulation rather than mirroring it.
+    *
+    * Scale shape: embarrassingly row-local — one projection over the
+    * documents scan, zero exchanges; per-row cost O(distinct·len),
+    * bounded by the corpus vocabulary and document length, both
+    * SF-invariant here.
+    */
+  val f10_map_suite: Q = (spark, dir) => {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        map_from_entries(transform(array_distinct(col("toks")),
+          t => struct(t.as("k"),
+            size(filter(col("toks"), x => x === t)).cast("long").as("v"))))
+          .as("m"))
+      .select(col("doc_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x)
+          .as("total"),
+        concat_ws(",", sort_array(map_keys(col("m")))).as("keys_csv"),
+        concat_ws(",", sort_array(map_keys(
+          map_filter(col("m"), (_, v) => v >= 2)))).as("rep_keys_csv"),
+        aggregate(map_values(transform_values(col("m"), (_, v) => v * v)),
+          lit(0L), (a, x) => a + x).as("sumsq"),
+        element_at(col("m"), lit("the")).as("n_the"),
+        aggregate(map_values(map_zip_with(col("m"),
+            map_filter(col("m"), (_, v) => v >= 2),
+            (_, a, b) => coalesce(b, lit(0L)) - a)),
+          lit(0L), (a, x) => a + x).as("zip_delta"),
+        size(map_concat(col("m"),
+          map(lit("#sentinel#"), lit(-1L)))).cast("long")
+          .as("n_after_concat"),
+        element_at(map_concat(col("m"), map(lit("#sentinel#"), lit(-1L))),
+          lit("#sentinel#")).as("sentinel_val"),
+        map_contains_key(col("m"), lit("data")).as("has_data"),
+        concat_ws(",", transform(sort_array(map_entries(col("m"))),
+          e => concat(e.getField("key"), lit(":"),
+            e.getField("value").cast("string")))).as("entries_csv"))
+  }
+
   /** f04 — STRING SCALAR BATTERY II (the §2.8 surface f01 left
     * uncovered): pad/translate/repeat/reverse, positional search,
     * regex extraction, split_part and cross-engine `levenshtein` —
@@ -5330,6 +5391,7 @@ object Relational {
     "f07_window_suite" -> f07_window_suite,
     "f08_collection_suite" -> f08_collection_suite,
     "f09_setop_battery" -> f09_setop_battery,
+    "f10_map_suite" -> f10_map_suite,
     "j28_star_revenue" -> j28_star_revenue,
     "j29_small_qty_revenue" -> j29_small_qty_revenue,
     "j30_order_count_distribution" -> j30_order_count_distribution,
@@ -7172,6 +7234,46 @@ object Relational {
                 q[7] AS seventh,
                 q[-1] AS lastq
          FROM e""",
+    // f10: the map algebra re-derived from token LISTS — no DuckDB
+    // MAP anywhere, so the differential is structurally independent;
+    // empty-fold lanes COALESCE to 0 (DuckDB list_sum([]) is NULL
+    // where Spark's aggregate init is 0) and empty-join lanes to ''
+    // (array_to_string([]) is NULL where concat_ws([]) is '')
+    "f10_map_suite" ->
+      """WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  t -> len(t) > 0) AS toks
+                    FROM documents),
+         e AS (SELECT doc_id, toks,
+                      list_sort(list_distinct(toks)) AS ks
+               FROM d),
+         f AS (SELECT doc_id, toks, ks,
+                      list_transform(ks,
+                        k -> len(list_filter(toks, x -> x = k))) AS cnts
+               FROM e)
+         SELECT doc_id,
+                CAST(len(ks) AS BIGINT) AS n_keys,
+                CAST(len(toks) AS BIGINT) AS total,
+                array_to_string(ks, ',') AS keys_csv,
+                COALESCE(array_to_string(
+                  list_filter(ks,
+                    k -> len(list_filter(toks, x -> x = k)) >= 2), ','), '')
+                  AS rep_keys_csv,
+                CAST(COALESCE(list_sum(list_transform(cnts, c -> c * c)), 0)
+                  AS BIGINT) AS sumsq,
+                CAST(CASE WHEN list_contains(toks, 'the')
+                          THEN len(list_filter(toks, x -> x = 'the'))
+                     END AS BIGINT) AS n_the,
+                CAST(-len(list_filter(cnts, c -> c = 1)) AS BIGINT)
+                  AS zip_delta,
+                CAST(len(ks) + 1 AS BIGINT) AS n_after_concat,
+                CAST(-1 AS BIGINT) AS sentinel_val,
+                list_contains(toks, 'data') AS has_data,
+                array_to_string(list_transform(ks,
+                  k -> k || ':' ||
+                       CAST(len(list_filter(toks, x -> x = k)) AS VARCHAR)),
+                  ',') AS entries_csv
+         FROM f""",
     // f07: one shared ordering, explicit frames where defaults could
     // diverge; rationals exact through one IEEE division
     "f07_window_suite" ->
