@@ -858,6 +858,382 @@ object Relational {
         col("n_name"), col("best_cost"))
   }
 
+  // --------------------------------------------------------------------
+  // j37–j47 — TPC-H completion (r14): every remaining classic query
+  // shape the schema can express, closing the family j28–j36 opened.
+  // Q9/Q12 need partsupp/shipmode columns the fixture lacks; Q20 is
+  // re-based on lineitem-as-supply-evidence (noted per query).
+  // --------------------------------------------------------------------
+
+  /** j37 — PRICING SUMMARY (TPC-H Q1): the canonical full-scan
+    * aggregate battery — per (returnflag, linestatus), quantity /
+    * price / discounted / discounted+taxed sums plus three averages
+    * and the row count. All money lanes ride EXACT integer
+    * arithmetic: cents = round(x·100) once per factor, then
+    * `e100·(100−d100)` (10⁻⁴ dollars) and `e100·(100−d100)·(100+t100)`
+    * (10⁻⁶ dollars) are integer products, summed as decimal(38,0)
+    * (the a48 ANSI-overflow discipline — at SF1000 these sums pass
+    * 2^63) and emitted as integer CENTS via `div` — NOT via a
+    * decimal→double division, whose rounding could diverge from
+    * DuckDB's HUGEINT→double path past 2^53. The averages are exact
+    * integer sums through identical division chains on both engines
+    * (the f07 one-IEEE-op discipline).
+    *
+    * Scale shape: one fact scan, map-side partial aggregation into 6
+    * groups; the shipdate predicate pushes to the parquet scan.
+    */
+  val j37_pricing_summary: Q = (spark, dir) => {
+    val e100 = cents(col("l_extendedprice")).cast("long")
+    val d100 = round(col("l_discount") * 100).cast("long")
+    val t100 = round(col("l_tax") * 100).cast("long")
+    lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), e100.as("e100"), d100.as("d100"),
+        (e100 * (lit(100L) - d100)).cast("decimal(38,0)").as("disc4"),
+        (e100 * (lit(100L) - d100) * (lit(100L) + t100))
+          .cast("decimal(38,0)").as("charge6"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        (sum(col("e100")) / 100).as("sum_base_price"),
+        sum(col("disc4")).as("disc_sum"),
+        sum(col("charge6")).as("charge_sum"),
+        sum(col("e100")).as("se100"),
+        sum(col("d100")).as("sd100"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"),
+        expr("cast(disc_sum div 100 as bigint)").as("disc_price_cents"),
+        expr("cast(charge_sum div 10000 as bigint)").as("charge_cents"),
+        (col("sum_qty").cast("double") / col("count_order")).as("avg_qty"),
+        ((col("se100").cast("double") / col("count_order")) / 100)
+          .as("avg_price"),
+        ((col("sd100").cast("double") / col("count_order")) / 100)
+          .as("avg_disc"),
+        col("count_order"))
+  }
+
+  /** j38 — SHIPPING-PRIORITY TOP ORDERS (TPC-H Q3): the ten
+    * highest-revenue orders from one market segment, ordered before a
+    * cutoff but (partly) shipped after it — the classic
+    * filter-join-agg-topk pipeline. The top-k rides revenue CENTS
+    * with the orderkey as an explicit tie-break, so the picked SET is
+    * deterministic cross-engine (the a05 discipline); Spark plans the
+    * sort+limit as TakeOrderedAndProject (no global sort).
+    *
+    * Scale shape: both date predicates and the segment predicate push
+    * into their scans; the fact shuffles once per join arm (AQE may
+    * broadcast the filtered orders arm); top-k is per-partition heads
+    * merged on the driver — no full sort at any SF.
+    */
+  val j38_shipping_priority: Q = (spark, dir) => {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val c = customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val o = orders(spark, dir).where(col("o_orderdate") < cutoff)
+    val li = lineitem(spark, dir).where(col("l_shipdate") > cutoff)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("long")).as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey").as("order_id"),
+        (col("rev_cents") / 100).as("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_dt"))
+  }
+
+  /** j39 — FORECAST REVENUE CHANGE (TPC-H Q6): what additional
+    * revenue would have accrued had small-quantity discounts in a
+    * window been revoked — one predicate-heavy scan into ONE row.
+    * The discount band is matched on round(d·100) ∈ {5,6,7} (exact
+    * integer — a float BETWEEN on the raw double would be
+    * representation-dependent); forfeited revenue is the integer
+    * product e100·d100 (10⁻⁴ dollars), summed exactly.
+    *
+    * Scale shape: all three predicates push to the parquet scan
+    * (shipdate via min/max stats prunes whole row groups); the
+    * aggregate is a map-side partial into a single group.
+    */
+  val j39_forecast_revenue: Q = (spark, dir) => {
+    val e100 = cents(col("l_extendedprice")).cast("long")
+    val d100 = round(col("l_discount") * 100).cast("long")
+    lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .select(e100.as("e100"), d100.as("d100"))
+      .where(col("d100").between(5, 7))
+      .agg(expr("cast(sum(e100 * d100) div 100 as bigint)")
+        .as("forfeit_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** j40 — VOLUME SHIPPING BETWEEN TWO NATIONS (TPC-H Q7): revenue
+    * shipped between a nation pair in BOTH directions, per direction
+    * and ship year — the two-sided dim correlation (supplier nation ×
+    * customer nation) that meets only through the fact row. The pair
+    * predicate is applied post-join as the symmetric disjunction,
+    * exactly as the standard writes it.
+    *
+    * Scale shape: the fact joins supplier and the orders→customer arm
+    * (each one shuffle, AQE-broadcastable); nation is broadcast
+    * twice under two aliases. The nation-pair filter cuts the result
+    * to 4 groups; the year comes from the pushed-down shipdate band.
+    */
+  val j40_volume_shipping: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val n1 = nation(spark, dir)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = nation(spark, dir)
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    li.join(supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .where((col("supp_nation") === "NATION_1" &&
+        col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" &&
+          col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** j41 — NATIONAL MARKET SHARE (TPC-H Q8): within one region's
+    * customers and one part type, the share of yearly revenue
+    * supplied by one nation — the CASE-sum-over-sum share shape,
+    * emitted as exact per-mille (`1000·nat div tot`) instead of a
+    * float ratio (the a44 integer-share discipline).
+    *
+    * Scale shape: part-type and region predicates prune their dim
+    * scans before the fact joins; supplier-nation attribution rides a
+    * broadcast nation; 7 year-groups roll up with map-side partials.
+    */
+  val j41_market_share: Q = (spark, dir) => {
+    val li = lineitem(spark, dir)
+    val rc = customer(spark, dir)
+      .join(broadcast(nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .select(col("c_custkey"))
+    val sn = supplier(spark, dir)
+      .join(broadcast(nation(spark, dir)
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    li.join(part(spark, dir).where(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(rc, col("o_custkey") === col("c_custkey"))
+      .join(sn, col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("long").as("rev_cents"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("rev_cents")).as("total_cents"),
+        sum(when(col("supp_nation") === "NATION_5", col("rev_cents"))
+          .otherwise(0L)).as("nation_cents"))
+      .select(col("o_year"),
+        (col("total_cents") / 100).as("total_rev"),
+        (col("nation_cents") / 100).as("nation_rev"),
+        expr("nation_cents * 1000 div total_cents").as("share_pm"))
+  }
+
+  /** j42 — RETURNED-ITEM REPORTING (TPC-H Q10): the 20 customers who
+    * returned the most revenue in a quarter — lost-revenue triage.
+    * Top-k on revenue CENTS with custkey tie-break (deterministic
+    * set); the nation join-back rides the 20-row picked relation.
+    *
+    * Scale shape: the returnflag and quarter predicates push to their
+    * scans; one custkey rollup; TakeOrderedAndProject for the top-20;
+    * dims join AFTER the pick — 20 rows, not fact-sized.
+    */
+  val j42_returned_items: Q = (spark, dir) => {
+    val o = orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val li = lineitem(spark, dir).where(col("l_returnflag") === "R")
+    val picked = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("long")).as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("o_custkey"))
+      .limit(20)
+    picked.join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        (col("rev_cents") / 100).as("returned_rev"), col("n_name"))
+  }
+
+  /** j43 — PROMOTION EFFECT (TPC-H Q14): per month, the share of
+    * revenue from PROMO-type parts, as exact per-mille of integer
+    * cents — the monthly promotional-lift report. (The fixture's
+    * p_type is the single word the standard prefixes with 'PROMO',
+    * so the match is equality, not LIKE.)
+    *
+    * Scale shape: the year predicate pushes to the fact scan; one
+    * broadcast-able part join (type column pruned to 2 columns); 12
+    * month-groups with map-side CASE partials.
+    */
+  val j43_promo_effect: Q = (spark, dir) => {
+    lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .select(month(col("l_shipdate")).cast("long").as("m"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("long").as("rev_cents"),
+        (col("p_type") === "PROMO").as("is_promo"))
+      .groupBy(col("m"))
+      .agg(sum(when(col("is_promo"), col("rev_cents")).otherwise(0L))
+        .as("promo_cents"),
+        sum(col("rev_cents")).as("total_cents"))
+      .select(col("m"), (col("promo_cents") / 100).as("promo_rev"),
+        (col("total_cents") / 100).as("total_rev"),
+        expr("promo_cents * 1000 div total_cents").as("promo_pm"))
+  }
+
+  /** j44 — TOP SUPPLIER (TPC-H Q15): the supplier(s) with maximum
+    * revenue in a quarter. The standard phrases it as a VIEW plus a
+    * scalar `= (SELECT MAX(...))` subquery; the Spark-first
+    * de-correlation aggregates ONCE to supplier grain, broadcasts the
+    * 1-row max back onto that (dim-sized) relation, and keeps every
+    * tied supplier — the oracle retains the view+scalar-subquery form
+    * verbatim, so the differential proves the rewrite. Revenue
+    * compares in integer CENTS (a float max boundary could split
+    * ties differently per engine).
+    *
+    * Scale shape: ONE fact scan into a supplier-grain rollup; the max
+    * join-back touches only that rollup (|suppliers| rows), never the
+    * fact. No unpartitioned window — suppliers scale with SF (the
+    * w-family bound honored by the broadcast-max shape instead).
+    */
+  val j44_top_supplier: Q = (spark, dir) => {
+    val revs = lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("long")).as("rev_cents"))
+    revs.join(broadcast(revs.agg(max(col("rev_cents")).as("max_cents"))),
+        col("rev_cents") === col("max_cents"))
+      .join(supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        (col("rev_cents") / 100).as("total_revenue"))
+  }
+
+  /** j45 — LARGE-VOLUME CUSTOMERS (TPC-H Q18): orders whose total
+    * quantity exceeds a threshold, with their customers — the
+    * `IN (GROUP BY … HAVING)` membership test. De-correlated as the
+    * aggregate-then-inner-join (the HAVING relation IS the join
+    * input, so no semi-join re-scan); the oracle keeps the quantifier
+    * form verbatim. Quantities are integral doubles — the sum and
+    * threshold compare exactly on both engines.
+    *
+    * Scale shape: one orderkey rollup of the fact (map-side partials
+    * collapse the ~4 lines/order early); the surviving-order relation
+    * is tiny and AQE broadcasts it into the orders join; customer
+    * joins after, at surviving-order grain.
+    */
+  val j45_large_volume: Q = (spark, dir) => {
+    val big = lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .where(col("sum_qty") > 300)
+    big.join(orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_dt"),
+        (cents(col("o_totalprice")).cast("long") / 100).as("total_price"),
+        col("sum_qty"))
+  }
+
+  /** j46 — DISJUNCTIVE-PREDICATE REVENUE (TPC-H Q19): revenue from
+    * three OR-ed (brand, size-band, quantity-band) branches over the
+    * part join — the classic disjunction Catalyst cannot factor by
+    * itself: no single conjunct spans all branches, so nothing pushes
+    * down unaided. The HOISTED IMPLIED PREDICATES (brand ∈ {3
+    * brands}, size ≤ 15, qty ≤ 30 — each the union of its branch
+    * bands) are therefore stated explicitly on each side BEFORE the
+    * join; they prune both scans while the exact disjunction filters
+    * post-join. Emits one row per branch (labeled CASE) rather than
+    * the standard's single row, so the differential pins each
+    * branch's membership, not just the grand total.
+    *
+    * Scale shape: with the hoisted predicates the part side shrinks
+    * to the 3-brand slice (broadcast-able) and the fact scan drops
+    * every row with qty > 30 at the scan; the OR evaluates on the
+    * joined slice only.
+    */
+  val j46_disjunctive_revenue: Q = (spark, dir) => {
+    val b1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val b2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val b3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    val p = part(spark, dir)
+      .where(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+        col("p_size").between(1, 15))
+    lineitem(spark, dir)
+      .where(col("l_quantity").between(1, 30))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .where(b1 || b2 || b3)
+      .select(when(b1, 1L).when(b2, 2L).otherwise(3L).as("branch"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("long").as("rev_cents"))
+      .groupBy(col("branch"))
+      .agg((sum(col("rev_cents")) / 100).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** j47 — DOMINANT SUPPLIERS OF A PART FAMILY (TPC-H Q20 shape,
+    * re-based): suppliers who shipped MORE THAN HALF of a part's
+    * total shipped quantity in a year, over the 'red …' part family —
+    * the standard's partsupp availability test re-grounded in
+    * lineitem as supply evidence (the fixture has no partsupp table).
+    * The correlated comparison ("my quantity vs MY part's total") is
+    * de-correlated as a part-partitioned window sum over the
+    * (part, supplier) rollup — the j29/j36 single-pass discipline;
+    * the oracle keeps the correlated scalar subquery verbatim.
+    * Dominance compares `2·supp_qty > part_total` in integers — no
+    * 0.5 float factor.
+    *
+    * Scale shape: the name-prefix predicate prunes part before the
+    * fact join; one (part, supplier) rollup, one partkey window over
+    * part-bounded groups, then dim joins at surviving-supplier grain.
+    */
+  val j47_dominant_supplier: Q = (spark, dir) => {
+    val ps = lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(part(spark, dir).where(col("p_name").startsWith("red ")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("q"))
+    val w = Window.partitionBy(col("l_partkey"))
+    ps.withColumn("part_total", sum(col("q")).over(w))
+      .where(col("q") * 2 > col("part_total"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dom"))
+      .join(supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        col("n_name"), col("n_dom"))
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -5401,6 +5777,17 @@ object Relational {
     "j34_order_priority_check" -> j34_order_priority_check,
     "j35_not_in_nulls" -> j35_not_in_nulls,
     "j36_cheapest_supplier" -> j36_cheapest_supplier,
+    "j37_pricing_summary" -> j37_pricing_summary,
+    "j38_shipping_priority" -> j38_shipping_priority,
+    "j39_forecast_revenue" -> j39_forecast_revenue,
+    "j40_volume_shipping" -> j40_volume_shipping,
+    "j41_market_share" -> j41_market_share,
+    "j42_returned_items" -> j42_returned_items,
+    "j43_promo_effect" -> j43_promo_effect,
+    "j44_top_supplier" -> j44_top_supplier,
+    "j45_large_volume" -> j45_large_volume,
+    "j46_disjunctive_revenue" -> j46_disjunctive_revenue,
+    "j47_dominant_supplier" -> j47_dominant_supplier,
     "a55_survival_curve" -> a55_survival_curve,
     "a53_revenue_share_having" -> a53_revenue_share_having,
     "a54_grouping_sets" -> a54_grouping_sets,
@@ -7056,6 +7443,197 @@ object Relational {
            GROUP BY 1)
          SELECT p_partkey, best_suppkey, s_name, n_name, best_cost
          FROM b JOIN supplier ON best_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey""",
+    // j37: Q1 with the same exact integer money lanes; DuckDB's
+    // integer sums go HUGEINT, so every cents output re-casts through
+    // `//` (the w13 lesson); averages divide the same exact integers
+    "j37_pricing_summary" ->
+      """WITH b AS (
+           SELECT l_returnflag, l_linestatus, l_quantity,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS e100,
+                  CAST(ROUND(l_discount * 100) AS BIGINT) AS d100,
+                  CAST(ROUND(l_tax * 100) AS BIGINT) AS t100
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '2001-09-01')
+         SELECT l_returnflag, l_linestatus,
+                CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+                CAST(SUM(e100) AS BIGINT) / 100 AS sum_base_price,
+                CAST(SUM(e100 * (100 - d100)) // 100 AS BIGINT)
+                  AS disc_price_cents,
+                CAST(SUM(e100 * (100 - d100) * (100 + t100)) // 10000
+                  AS BIGINT) AS charge_cents,
+                CAST(SUM(l_quantity) AS BIGINT) / COUNT(*) AS avg_qty,
+                (CAST(SUM(e100) AS BIGINT) / COUNT(*)) / 100 AS avg_price,
+                (CAST(SUM(d100) AS BIGINT) / COUNT(*)) / 100 AS avg_disc,
+                CAST(COUNT(*) AS BIGINT) AS count_order
+         FROM b GROUP BY 1, 2""",
+    // j38: Q3 verbatim; the ORDER BY carries the orderkey tie-break so
+    // the LIMIT picks the same SET on both engines
+    "j38_shipping_priority" ->
+      """WITH r AS (
+           SELECT l_orderkey, o_orderdate,
+                  CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100))
+                    AS BIGINT) AS rev_cents
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+             AND l_shipdate > TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2)
+         SELECT l_orderkey AS order_id, rev_cents / 100 AS revenue,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_dt
+         FROM r ORDER BY rev_cents DESC, l_orderkey LIMIT 10""",
+    // j39: Q6; the discount band matches on round(d*100) integers
+    "j39_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                          CAST(ROUND(l_discount * 100) AS BIGINT)) // 100
+                  AS BIGINT) AS forfeit_cents,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_quantity < 24
+           AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""",
+    // j40: Q7 verbatim with the symmetric nation-pair disjunction
+    "j40_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100
+                  AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2, 3""",
+    // j41: Q8 as CASE-sum-over-sum, share in exact per-mille
+    "j41_market_share" ->
+      """WITH v AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                  CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS rev_cents,
+                  sn.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN region ON cn.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
+         SELECT o_year,
+                CAST(SUM(rev_cents) AS BIGINT) / 100 AS total_rev,
+                CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                              THEN rev_cents ELSE 0 END) AS BIGINT) / 100
+                  AS nation_rev,
+                CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                              THEN rev_cents ELSE 0 END) * 1000
+                     // SUM(rev_cents) AS BIGINT) AS share_pm
+         FROM v GROUP BY 1""",
+    // j42: Q10 with the custkey tie-break inside the LIMIT CTE
+    "j42_returned_items" ->
+      """WITH r AS (
+           SELECT o_custkey,
+                  CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100))
+                    AS BIGINT) AS rev_cents
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1
+           ORDER BY rev_cents DESC, o_custkey LIMIT 20)
+         SELECT c_custkey, c_name, rev_cents / 100 AS returned_rev, n_name
+         FROM r JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey""",
+    // j43: Q14; fixture p_type is the bare word, so equality not LIKE
+    "j43_promo_effect" ->
+      """WITH v AS (
+           SELECT CAST(month(l_shipdate) AS BIGINT) AS m,
+                  CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS rev_cents,
+                  p_type = 'PROMO' AS is_promo
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01')
+         SELECT m,
+                CAST(SUM(CASE WHEN is_promo THEN rev_cents ELSE 0 END)
+                  AS BIGINT) / 100 AS promo_rev,
+                CAST(SUM(rev_cents) AS BIGINT) / 100 AS total_rev,
+                CAST(SUM(CASE WHEN is_promo THEN rev_cents ELSE 0 END) * 1000
+                     // SUM(rev_cents) AS BIGINT) AS promo_pm
+         FROM v GROUP BY 1""",
+    // j44: the oracle keeps Q15's view + scalar MAX subquery form the
+    // Spark side de-correlates into a broadcast 1-row max join-back
+    "j44_top_supplier" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100))
+                    AS BIGINT) AS rev_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, rev_cents / 100 AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE rev_cents = (SELECT MAX(rev_cents) FROM revenue)""",
+    // j45: the oracle keeps Q18's IN (GROUP BY .. HAVING) quantifier
+    // and a correlated scalar for the quantity readback
+    "j45_large_volume" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_dt,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100
+                  AS total_price,
+                (SELECT CAST(SUM(l_quantity) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS sum_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY 1 HAVING SUM(l_quantity) > 300)""",
+    // j46: Q19's raw disjunction with NO hoisted predicates — the
+    // Spark side's explicit pre-join pruning must not change results
+    "j46_disjunctive_revenue" ->
+      """SELECT CAST(CASE
+                  WHEN p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                       AND l_quantity BETWEEN 1 AND 11 THEN 1
+                  WHEN p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                       AND l_quantity BETWEEN 10 AND 20 THEN 2
+                  ELSE 3 END AS BIGINT) AS branch,
+                SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) / 100
+                  AS revenue,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)
+         GROUP BY 1""",
+    // j47: the oracle keeps the correlated "my quantity vs MY part's
+    // total" scalar subquery the Spark side windows away
+    "j47_dominant_supplier" ->
+      """WITH ps AS (
+           SELECT l_suppkey, l_partkey, CAST(SUM(l_quantity) AS BIGINT) AS q
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red %'
+             AND l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1, 2),
+          d AS (
+           SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_dom
+           FROM ps a
+           WHERE a.q * 2 > (SELECT SUM(b.q) FROM ps b
+                            WHERE b.l_partkey = a.l_partkey)
+           GROUP BY 1)
+         SELECT l_suppkey AS s_suppkey, s_name, n_name, n_dom
+         FROM d JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation ON s_nationkey = n_nationkey""",
     // j34: the oracle keeps the EXISTS the Spark side plans as a
     // residual-condition left semi join
