@@ -2590,6 +2590,147 @@ object StreamQueries {
         graft.Tables.moneySum(col("c_acctbal")).as("totacctbal"))
   }
 
+  /** J-family streaming — THE REVOCABLE ARGMAX SERVED FROM SUPPLIER
+    * GRAIN (streaming twin of j44/Q15, the st85 finest-grain
+    * discipline applied to a leader election): "current top supplier"
+    * is REVOCABLE — any micro-batch can crown a different leader and
+    * even re-tie the old one — so no at-ingest verdict can stand.
+    * The stream maintains only the additive sufficient statistic
+    * (per-supplier quarter revenue cents, update mode, predicate-
+    * bounded to the quarter slice), and the read side re-runs the
+    * batch de-correlation verbatim: broadcast 1-row MAX join-back
+    * over the served (supplier-grain) table, static supplier dim
+    * after the pick. Oracle is j44's view + scalar-MAX subquery
+    * verbatim.
+    */
+  val st102_stream_top_supplier: Q = (spark, dir) => {
+    val T = graft.Tables
+    val revs = Replay.lineitemStream(spark, dir)
+      .where(col("l_partkey") >= 0 &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(T.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("long")).as("rev_cents"))
+    val served = upsertServe(spark, revs, Seq("l_suppkey"), "rev_cents")
+    served.join(
+        broadcast(served.agg(max(col("rev_cents")).as("max_cents"))),
+        col("rev_cents") === col("max_cents"))
+      .join(T.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+        (col("rev_cents") / 100).as("total_revenue"))
+  }
+
+  /** J-family streaming — MONOTONE THRESHOLD OVER A GROWING
+    * ACCUMULATOR (streaming twin of j45/Q18): the VERDICT ("this
+    * order exceeds 300 units") is monotone — lines only add — but the
+    * READBACK VALUE (the final sum) keeps moving after the crossing,
+    * so unlike st96 the at-ingest verdict cannot carry the output:
+    * the stream maintains the per-order quantity sum (update mode,
+    * keyed by order) and the threshold judges ON READ against the
+    * final state, with the orders/customer dims joined at
+    * surviving-order grain. State here is order-grain for the replay
+    * (every key has a row); at 100 TB the same pipeline bounds it
+    * with event-time eviction — an order's ship window closes, the
+    * watermark finalizes its sum, and only crossers persist — while
+    * the monotone verdict additionally supports an early-alert
+    * append stream (fire at first crossing) that this serve table
+    * does not need. Oracle is j45's IN (GROUP BY .. HAVING) +
+    * correlated-readback form verbatim.
+    */
+  val st103_stream_large_volume: Q = (spark, dir) => {
+    val T = graft.Tables
+    val sums = Replay.lineitemStream(spark, dir)
+      .where(col("l_partkey") >= 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+    upsertServe(spark, sums, Seq("l_orderkey"), "sum_qty")
+      .where(col("sum_qty") > 300)
+      .join(T.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(T.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_dt"),
+        (T.cents(col("o_totalprice")).cast("long") / 100).as("total_price"),
+        col("sum_qty"))
+  }
+
+  /** J-family streaming — A NON-MONOTONE RATIO OVER A BOUNDED
+    * CALENDAR DOMAIN (streaming twin of j43/Q14, st94's
+    * dimension-sized-grain discipline at its smallest): the promo
+    * share moves both ways with every arrival, but its sufficient
+    * statistic is two additive cents-sums per ship month — 12 rows of
+    * state for the whole year, SF-invariant — so the stream maintains
+    * exactly that grain and the per-mille division happens only on
+    * read, against final sums (integer `div`, never a running float
+    * ratio whose intermediate values would be unreplayable). Oracle
+    * is j43's verbatim.
+    */
+  val st104_stream_promo_share: Q = (spark, dir) => {
+    val T = graft.Tables
+    val p = T.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val base = Replay.lineitemStream(spark, dir)
+      .where(col("l_partkey") >= 0 &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).cast("long").as("m"))
+      .agg(sum(when(col("p_type") === "PROMO",
+        T.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("long")).otherwise(0L)).as("promo_cents"),
+        sum(T.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("long")).as("total_cents"))
+    upsertServe(spark, base, Seq("m"), "total_cents")
+      .select(col("m"), (col("promo_cents") / 100).as("promo_rev"),
+        (col("total_cents") / 100).as("total_rev"),
+        expr("promo_cents * 1000 div total_cents").as("promo_pm"))
+  }
+
+  /** J-family streaming — THE PRICING SUMMARY AS PURE ADDITIVE STATE
+    * (streaming twin of j37/Q1): the canonical case where the finest
+    * sufficient grain IS the output grain — every Q1 column is either
+    * an exact-integer sum (quantity, cents, the 10⁻⁴/10⁻⁶ decimal
+    * lanes, the count) or a ratio of two of them, over SIX
+    * (returnflag, linestatus) groups. So the streaming state is six
+    * rows of decimal-promoted accumulators (update mode — the a48
+    * overflow discipline holds under accumulation exactly as it does
+    * at rest), and every division — the cents `div`s and the three
+    * averages — happens on read against final sums, reproducing
+    * j37's arithmetic bit for bit. Oracle is j37's verbatim.
+    */
+  val st105_stream_pricing: Q = (spark, dir) => {
+    val T = graft.Tables
+    val e100 = T.cents(col("l_extendedprice")).cast("long")
+    val d100 = round(col("l_discount") * 100).cast("long")
+    val t100 = round(col("l_tax") * 100).cast("long")
+    val base = Replay.lineitemStream(spark, dir)
+      .where(col("l_partkey") >= 0 &&
+        col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), e100.as("e100"), d100.as("d100"),
+        (e100 * (lit(100L) - d100)).cast("decimal(38,0)").as("disc4"),
+        (e100 * (lit(100L) - d100) * (lit(100L) + t100))
+          .cast("decimal(38,0)").as("charge6"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(col("disc4")).as("disc_sum"),
+        sum(col("charge6")).as("charge_sum"),
+        sum(col("e100")).as("se100"),
+        sum(col("d100")).as("sd100"),
+        count(lit(1)).as("count_order"))
+    upsertServe(spark, base, Seq("l_returnflag", "l_linestatus"),
+        "count_order")
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        (col("se100") / 100).as("sum_base_price"),
+        expr("cast(disc_sum div 100 as bigint)").as("disc_price_cents"),
+        expr("cast(charge_sum div 10000 as bigint)").as("charge_cents"),
+        (col("sum_qty").cast("double") / col("count_order")).as("avg_qty"),
+        ((col("se100").cast("double") / col("count_order")) / 100)
+          .as("avg_price"),
+        ((col("sd100").cast("double") / col("count_order")) / 100)
+          .as("avg_disc"),
+        col("count_order"))
+  }
+
   /** MM-family streaming — THE MEDIA GATE AT INGEST (streaming twin
     * of mm08): payload synthesis, fault injection and the ordered
     * header checks are all row-local, so the binary front door runs
@@ -4121,6 +4262,10 @@ object StreamQueries {
     "st99_stream_minhash_error" -> st99_stream_minhash_error,
     "st100_stream_pmi" -> st100_stream_pmi,
     "st101_stream_entropy_gate" -> st101_stream_entropy_gate,
+    "st102_stream_top_supplier" -> st102_stream_top_supplier,
+    "st103_stream_large_volume" -> st103_stream_large_volume,
+    "st104_stream_promo_share" -> st104_stream_promo_share,
+    "st105_stream_pricing" -> st105_stream_pricing,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4557,6 +4702,22 @@ object StreamQueries {
     // st101's at-door entropy verdicts must equal mm14's nightly scan
     "st101_stream_entropy_gate" ->
       graft.operators.Multimodal.oracles("mm14_payload_entropy"),
+    // st102's served supplier grain + on-read max join-back must
+    // equal the batch Q15 (j44's scalar-MAX view form verbatim)
+    "st102_stream_top_supplier" ->
+      graft.operators.Relational.oracles("j44_top_supplier"),
+    // st103's served order sums judged on read must equal the batch
+    // Q18 quantifier
+    "st103_stream_large_volume" ->
+      graft.operators.Relational.oracles("j45_large_volume"),
+    // st104's 12-row calendar grain + on-read per-mille must equal
+    // the batch Q14
+    "st104_stream_promo_share" ->
+      graft.operators.Relational.oracles("j43_promo_effect"),
+    // st105's six additive accumulators + on-read divisions must
+    // equal the batch Q1
+    "st105_stream_pricing" ->
+      graft.operators.Relational.oracles("j37_pricing_summary"),
     // st99: d32's estimator-error arithmetic restricted to the
     // (standing, delta) split over the raw corpus
     "st99_stream_minhash_error" -> {
