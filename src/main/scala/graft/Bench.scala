@@ -275,9 +275,22 @@ object Bench {
     val fams = s"""{"batch":$batchTotal,"streaming":$streamTotal}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}"""
-    println(line)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
+    // The driver records only a 2000-char TAIL of stdout; with 390+
+    // per-query timings the full line is ~13 KB, so its tail cuts
+    // mid-JSON and the driver logs `parsed: null` (rounds 9-13). Emit
+    // the full line FIRST for logs, then a guaranteed-parseable
+    // compact line LAST: same metric/value/unit/sf contract, queries
+    // trimmed to the slowest 15 with an explicit elision count; the
+    // complete per-query map lives in SPARK_GRAFT_BENCH_OUT.
+    if (line.length <= 1800) println(line)
+    else {
+      println(line)
+      val top = good.sortBy(-_._2).take(15)
+        .map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 15},"families":$fams,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}""")
+    }
   }
 }
