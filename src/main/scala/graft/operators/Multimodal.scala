@@ -1001,6 +1001,51 @@ object Multimodal {
     * (mm12's CollapseProject-proof shape), one join to per-doc
     * totals, no shuffle beyond the doc-grain groupBys.
     */
+  /** mm15 — RESOLUTION / ASPECT ADMISSION GATE: the dimension gate a
+    * multimodal curation pass runs right after the byte-level door
+    * (mm08 rejects what the decoder would choke on; this rejects what
+    * the TRAINER shouldn't see): parse width/height from the payload
+    * header with the REAL [[decodeBmp]] byte decode, then route
+    * through ordered lanes — 'degenerate' (a zero dimension: the
+    * aspect ratio is undefined and every downstream resize divides by
+    * it), 'too_small' (min side under 32 px — below any patch size),
+    * 'extreme_aspect' (beyond 3:1 either way — the banner/sliver
+    * class that crops to noise), else 'ok' — the standard
+    * resolution/aspect filters of public image-text corpus builds
+    * (LAION-style), with the c03 first-reject lane convention. The
+    * aspect ratio is exact integer per-mille (`w·1000 div h`), NULL
+    * exactly on the degenerate lane.
+    *
+    * The oracle mirrors the CONSTRUCTION (hash-derived dims, mm01's
+    * discipline) while Spark genuinely parses the bytes — the
+    * differential proves construct∘parse∘gate = gate∘construct.
+    * Row-local projection, zero exchanges; st106 runs it at ingest.
+    */
+  val mm15_resolution_gate: Q = (spark, dir) =>
+    resolutionGateOf(documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** mm15's whole computation over any (doc_id, text) relation —
+    * payload synthesis, header parse and lane verdict are row-local
+    * at the document grain, so st106 runs it batch-locally at ingest
+    * with zero cross-batch state (the payloadEntropyOf precedent).
+    */
+  private[graft] def resolutionGateOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), payloadCol(col("text")).as("payload"))
+      .select(col("doc_id"), decodeBmp(col("payload")).as("dims"))
+      .select(col("doc_id"),
+        col("dims").getField("width").as("width"),
+        col("dims").getField("height").as("height"))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("height") > 0, expr("width * 1000 div height"))
+          .as("aspect_pm"),
+        (col("width") * col("height")).as("n_pixels"),
+        when(col("width") === 0 || col("height") === 0, "degenerate")
+          .when(least(col("width"), col("height")) < 32, "too_small")
+          .when(col("width") * lit(1000L) > col("height") * lit(3000L) ||
+            col("height") * lit(1000L) > col("width") * lit(3000L),
+            "extreme_aspect")
+          .otherwise("ok").as("lane"))
+
   val mm14_payload_entropy: Q = (spark, dir) =>
     payloadEntropyOf(documents(spark, dir).select(col("doc_id"), col("text")))
 
@@ -1070,6 +1115,7 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "mm14_payload_entropy" -> mm14_payload_entropy,
+    "mm15_resolution_gate" -> mm15_resolution_gate,
     "mm13_audio_fingerprint" -> mm13_audio_fingerprint,
     "mm10_media_dhash" -> mm10_media_dhash,
     "mm11_audio_segments" -> mm11_audio_segments,
@@ -1200,6 +1246,23 @@ object Multimodal {
     // ids are contiguous), same df-cap, same offset histogram and
     // (n_aligned desc, offset) argmax
     "mm14_payload_entropy" -> duckPayloadEntropySql,
+    "mm15_resolution_gate" -> {
+      // mirrors the CONSTRUCTION (hash-derived dims); Spark parses
+      // the real bytes, so a match proves gate∘parse = gate∘construct
+      val h = Portable.duckHash60("sha256(text)")
+      s"""WITH d AS (SELECT doc_id, ($h) % 640 AS w, ($h) % 480 AS hh
+                     FROM documents)
+          SELECT doc_id, w AS width, hh AS height,
+                 CAST(CASE WHEN hh > 0 THEN w * 1000 // hh END AS BIGINT)
+                   AS aspect_pm,
+                 w * hh AS n_pixels,
+                 CASE WHEN w = 0 OR hh = 0 THEN 'degenerate'
+                      WHEN least(w, hh) < 32 THEN 'too_small'
+                      WHEN w * 1000 > hh * 3000 OR hh * 1000 > w * 3000
+                        THEN 'extreme_aspect'
+                      ELSE 'ok' END AS lane
+          FROM d"""
+    },
     "mm13_audio_fingerprint" -> {
       val W = graft.functions.Pcm16FramesUtil.PeakWin
       s"""WITH $duckWavFrameCtes,

@@ -2748,6 +2748,21 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** MM-family streaming — THE RESOLUTION/ASPECT GATE AT INGEST
+    * (streaming twin of mm15, st61's stateless-door discipline one
+    * stage later): payload synthesis, the header byte-parse and the
+    * ordered dimension lanes are all row-local, so every arriving
+    * image routes with its verdict inside its own row — no state, no
+    * watermark; sentinel rides `doc_id < 0`. Oracle is mm15's
+    * construction-mirror verbatim.
+    */
+  val st106_stream_resolution_gate: Q = (spark, dir) => {
+    val out = graft.operators.Multimodal.resolutionGateOf(
+      Replay.tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+        .where(col("doc_id") >= 0))
+    Replay.runAppend(spark, out)
+  }
+
   /** MM-family streaming — PERCEPTUAL NEAR-DUP AT INGEST (streaming
     * twin of mm10; st38's probe-the-standing-index discipline moved
     * onto the dHash bands): the standing corpus signs ONCE into a
@@ -4266,6 +4281,7 @@ object StreamQueries {
     "st103_stream_large_volume" -> st103_stream_large_volume,
     "st104_stream_promo_share" -> st104_stream_promo_share,
     "st105_stream_pricing" -> st105_stream_pricing,
+    "st106_stream_resolution_gate" -> st106_stream_resolution_gate,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4718,6 +4734,10 @@ object StreamQueries {
     // equal the batch Q1
     "st105_stream_pricing" ->
       graft.operators.Relational.oracles("j37_pricing_summary"),
+    // st106's at-door dimension verdicts must equal mm15's nightly
+    // scan (the construction-mirror oracle judges the stream parse)
+    "st106_stream_resolution_gate" ->
+      graft.operators.Multimodal.oracles("mm15_resolution_gate"),
     // st99: d32's estimator-error arithmetic restricted to the
     // (standing, delta) split over the raw corpus
     "st99_stream_minhash_error" -> {
