@@ -112,6 +112,31 @@ class DedupSpec extends SparkSpecBase {
       s"unexpected round count $rounds")
   }
 
+  test("d34: alternating stars land exactly on the converged propagation labels") {
+    val stars = Dedup.d34_star_components(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (fixDf, _) = Dedup.clusterLabelsFixpoint(spark, sf)
+    val fix = fixDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars === fix,
+      "star-forest labels must equal the fixpoint propagation labels")
+    // the keeper flag marks exactly the component minima
+    val keepers = Dedup.d34_star_components(spark, sf)
+      .where(col("is_keeper")).collect().map(_.getLong(0)).toSet
+    assert(keepers === fix.values.toSet,
+      "keepers must be exactly the component-min labels")
+  }
+
+  test("d34 fixpoint driver loop: converges inside the fixed budget, matches the fixed-round form") {
+    val (starFixDf, rounds) = Dedup.starComponentsFixpoint(spark, sf)
+    val starFix = starFixDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixedR = Dedup.d34_star_components(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(starFix === fixedR,
+      "fixpoint star labels must equal the registered fixed-round labels")
+    assert(rounds >= 1 && rounds <= Dedup.StarRounds,
+      s"star alternation took $rounds rounds, budget ${Dedup.StarRounds}")
+  }
+
   test("d08: leaked eval item contaminates exactly its source doc") {
     // fixture doc 0 is the only id % 50 == 0 → one planted eval item
     // (head-truncated copy, id 2000000) sharing 23 rare shingles with
