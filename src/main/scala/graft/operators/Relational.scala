@@ -1234,6 +1234,75 @@ object Relational {
         col("n_name"), col("n_dom"))
   }
 
+  /** j48 — PRODUCT-TYPE PROFIT (TPC-H Q9 shape): profit per supplier
+    * nation per order year over one part family. The fixture has no
+    * partsupp, so supply cost is proxied by the part's retail price
+    * (`p_retailprice × l_quantity`) — the Q9 SHAPE is the five-table
+    * star with an expression aggregate mixing two money sources, and
+    * that survives the proxy. All lanes integer-exact: revenue in the
+    * 10⁻⁴-dollar lane (e100·(100−d100)), cost lifted into the same
+    * lane (r100·qty·100), the difference summed as decimal(38,0) (the
+    * a48 overflow discipline — profits are fact-sized sums of ~10⁹
+    * terms) and floored to cents only on read.
+    *
+    * Scale shape: the p_name prefix predicate pushes to the part scan
+    * and shrinks it broadcast-able; orders joins on the fact's key;
+    * the nation join-back is dim-sized. One fact scan, one shuffle to
+    * the (nation, year) grain — 175 groups.
+    */
+  val j48_product_profit: Q = (spark, dir) => {
+    val e100 = cents(col("l_extendedprice")).cast("long")
+    val d100 = round(col("l_discount") * 100).cast("long")
+    val r100 = cents(col("p_retailprice")).cast("long")
+    lineitem(spark, dir)
+      .join(part(spark, dir).where(col("p_name").startsWith("blue "))
+        .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (e100 * (lit(100L) - d100) -
+          r100 * col("l_quantity").cast("long") * lit(100L))
+          .cast("decimal(38,0)").as("profit4"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("profit4")).as("profit4"))
+      .select(col("n_name"), col("o_year"),
+        expr("cast(profit4 div 10000 as bigint)").as("profit"))
+  }
+
+  /** j49 — SHIPPING-PRIORITY CLASSIFICATION (TPC-H Q12 shape): per
+    * lateness bucket, how many lines belong to critical-priority
+    * orders vs the rest. The fixture has no l_shipmode/commitdate/
+    * receiptdate, so the grouping dimension is DERIVED lateness
+    * (shipped >45 days after order) — Q12's essence, the two
+    * conditional CASE-counts over a priority predicate, is verbatim.
+    *
+    * Scale shape: the ship-year predicate pushes to the fact scan;
+    * the orders join carries only (key, date, priority); two groups
+    * with map-side CASE partials — the aggregate output is 2 rows no
+    * matter the SF.
+    */
+  val j49_ship_priority_class: Q = (spark, dir) => {
+    lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+          "LATE").otherwise("ONTIME").as("lateness"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_high"))
+      .groupBy(col("lateness"))
+      .agg(sum(when(col("is_high"), 1L).otherwise(0L)).as("high_lines"),
+        sum(when(!col("is_high"), 1L).otherwise(0L)).as("low_lines"))
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -5788,6 +5857,8 @@ object Relational {
     "j45_large_volume" -> j45_large_volume,
     "j46_disjunctive_revenue" -> j46_disjunctive_revenue,
     "j47_dominant_supplier" -> j47_dominant_supplier,
+    "j48_product_profit" -> j48_product_profit,
+    "j49_ship_priority_class" -> j49_ship_priority_class,
     "a55_survival_curve" -> a55_survival_curve,
     "a53_revenue_share_having" -> a53_revenue_share_having,
     "a54_grouping_sets" -> a54_grouping_sets,
@@ -7635,6 +7706,34 @@ object Relational {
          SELECT l_suppkey AS s_suppkey, s_name, n_name, n_dom
          FROM d JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation ON s_nationkey = n_nationkey""",
+    // j48: Q9's star with the retail-price cost proxy; the 10⁻⁴ lane
+    // sums go HUGEINT in DuckDB, so the cents floor re-casts via //
+    "j48_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                         - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                           * CAST(l_quantity AS BIGINT) * 100) // 10000
+                  AS BIGINT) AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE 'blue %'
+         GROUP BY 1, 2""",
+    // j49: Q12's two conditional counts over the derived lateness
+    "j49_ship_priority_class" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                     THEN 'LATE' ELSE 'ONTIME' END AS lateness,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
     // j34: the oracle keeps the EXISTS the Spark side plans as a
     // residual-condition left semi join
     "j34_order_priority_check" ->

@@ -2102,8 +2102,45 @@ object TextAnalysis {
             * col("c2").cast("double"))).as("lift"))
   }
 
+  /** t42 — SEQUENCE PACKING (concat-and-chunk): the pretraining
+    * batcher's view of the corpus — documents concatenated in a
+    * pinned global order (doc_id) and sliced into fixed 512-token
+    * context windows; each document is attributed to the window where
+    * it STARTS, and a window reports how many documents start in it,
+    * their token mass, and whether its last document spills across
+    * the boundary (the truncation/continuation decision downstream
+    * packers make). Deterministic: order, budget and the whitespace
+    * token count (t05's raw-split lane) are all pinned, so the
+    * packing layout is reproducible run to run — the property a
+    * training-data lineage audit needs.
+    *
+    * Scale shape: the global token prefix sum is [[graft.operators
+    * .Relational.bucketedPrefix]] (two small exchanges + one
+    * bucket-keyed window — never a single-partition drain), then one
+    * window-id rollup; the DuckDB twin IS the naive global-window
+    * cumsum, so the differential re-proves the bucketed decomposition
+    * on a second consumer shape.
+    */
+  val t42_sequence_packing: Q = (spark, dir) => {
+    val perDoc = documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    graft.operators.Relational.bucketedPrefix(perDoc, "doc_id", "doc_id", "n_tok")
+      .select(col("doc_id"), col("n_tok"), col("cum_n_tok"),
+        expr("(cum_n_tok - n_tok) div 512").as("win_id"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("doc_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("cum_n_tok")).as("max_cum"))
+      .select(col("win_id"), col("n_docs"), col("doc_tokens"),
+        col("first_doc"),
+        (col("max_cum") > (col("win_id") + 1) * 512).as("spans_next"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t41_pmi_collocations" -> t41_pmi_collocations,
+    "t42_sequence_packing" -> t42_sequence_packing,
     "t40_ngram_novelty" -> t40_ngram_novelty,
     "t39_hapax_rate" -> t39_hapax_rate,
     "t38_vocab_growth" -> t38_vocab_growth,
@@ -2883,6 +2920,27 @@ object TextAnalysis {
          JOIN uni u1 ON u1.w = c.w1
          JOIN uni u2 ON u2.w = c.w2, tt, tb
          WHERE c.cb >= 5""",
+    // t42: the oracle is the naive single-window global cumsum the
+    // Spark side decomposes via bucketedPrefix
+    "t42_sequence_packing" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tok
+                    FROM documents),
+          c AS (SELECT doc_id, n_tok,
+                       SUM(n_tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+                FROM d),
+          w AS (SELECT CAST((cum - n_tok) // 512 AS BIGINT) AS win_id,
+                       doc_id, n_tok, cum
+                FROM c)
+          SELECT win_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS doc_tokens,
+                 MIN(doc_id) AS first_doc,
+                 MAX(cum) > (win_id + 1) * 512 AS spans_next
+          FROM w GROUP BY 1""",
     "t40_ngram_novelty" -> {
       val shExpr = graft.operators.Dedup.duckShingleExpr
       s"""WITH sh AS (SELECT doc_id, unnest($shExpr) AS sh FROM documents),

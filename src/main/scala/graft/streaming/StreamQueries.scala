@@ -2763,6 +2763,86 @@ object StreamQueries {
     Replay.runAppend(spark, out)
   }
 
+  /** J-family streaming — ADDITIVE DECIMAL STATE WITH IN-STREAM DIM
+    * ENRICHMENT (streaming twin of j48/Q9, st105's pure-additive
+    * discipline plus st96's stream-static join): the profit grain
+    * (supplier nation × order year) is not on the arriving line, so
+    * every micro-batch enriches through THREE static dims before
+    * folding — the filtered part slice and supplier⋈nation broadcast,
+    * the orders date map persist()-pinned (the stream-static
+    * re-evaluation trap: without the pin each micro-batch re-scans
+    * the orders parquet). State is 175 rows of decimal(38,0)
+    * accumulators in the exact 10⁻⁴ lane; the cents floor happens
+    * only on read against final sums. Oracle is j48's verbatim.
+    */
+  val st107_stream_profit: Q = (spark, dir) => {
+    val T = graft.Tables
+    val e100 = T.cents(col("l_extendedprice")).cast("long")
+    val d100 = round(col("l_discount") * 100).cast("long")
+    val r100 = T.cents(col("p_retailprice")).cast("long")
+    val oMap = T.orders(spark, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val profits = Replay.lineitemStream(spark, dir)
+      .where(col("l_partkey") >= 0)
+      .join(broadcast(T.part(spark, dir)
+        .where(col("p_name").startsWith("blue "))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(oMap, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.supplier(spark, dir)
+        .join(T.nation(spark, dir),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), col("o_year"),
+        (e100 * (lit(100L) - d100) -
+          r100 * col("l_quantity").cast("long") * lit(100L))
+          .cast("decimal(38,0)").as("profit4"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("profit4")).as("profit4"),
+        count(lit(1)).as("n_lines"))
+    val served = upsertServe(spark, profits, Seq("n_name", "o_year"),
+      "n_lines")
+    oMap.unpersist() // upsertServe awaits termination; the serve table owns the rows now
+    served.select(col("n_name"), col("o_year"),
+      expr("cast(profit4 div 10000 as bigint)").as("profit"))
+  }
+
+  /** J-family streaming — THE TWO-ROW CASE-COUNT ACCUMULATOR
+    * (streaming twin of j49/Q12, the additive-state discipline at its
+    * smallest possible grain): lateness is row-local once the line
+    * meets its order header, the priority predicate is a static dim
+    * property, and both outputs are plain conditional counts — so the
+    * whole query's state is TWO rows of two additive counters, and
+    * the read side is the identity. The orders (date, priority) map
+    * is persist()-pinned across micro-batches like st107's. Oracle is
+    * j49's verbatim.
+    */
+  val st108_stream_priority_class: Q = (spark, dir) => {
+    val T = graft.Tables
+    val oMap = T.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = Replay.lineitemStream(spark, dir)
+      .where(col("l_partkey") >= 0 &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(oMap, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"),
+          "LATE").otherwise("ONTIME").as("lateness"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_high"))
+      .groupBy(col("lateness"))
+      .agg(sum(when(col("is_high"), 1L).otherwise(0L)).as("high_lines"),
+        sum(when(!col("is_high"), 1L).otherwise(0L)).as("low_lines"),
+        count(lit(1)).as("n_lines"))
+    val served = upsertServe(spark, counts, Seq("lateness"), "n_lines")
+    oMap.unpersist()
+    served.select(col("lateness"), col("high_lines"), col("low_lines"))
+  }
+
   /** MM-family streaming — PERCEPTUAL NEAR-DUP AT INGEST (streaming
     * twin of mm10; st38's probe-the-standing-index discipline moved
     * onto the dHash bands): the standing corpus signs ONCE into a
@@ -4282,6 +4362,8 @@ object StreamQueries {
     "st104_stream_promo_share" -> st104_stream_promo_share,
     "st105_stream_pricing" -> st105_stream_pricing,
     "st106_stream_resolution_gate" -> st106_stream_resolution_gate,
+    "st107_stream_profit" -> st107_stream_profit,
+    "st108_stream_priority_class" -> st108_stream_priority_class,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4738,6 +4820,13 @@ object StreamQueries {
     // scan (the construction-mirror oracle judges the stream parse)
     "st106_stream_resolution_gate" ->
       graft.operators.Multimodal.oracles("mm15_resolution_gate"),
+    // st107's 175 decimal accumulators + on-read cents floor must
+    // equal the batch Q9 star
+    "st107_stream_profit" ->
+      graft.operators.Relational.oracles("j48_product_profit"),
+    // st108's two-row CASE-count state must equal the batch Q12
+    "st108_stream_priority_class" ->
+      graft.operators.Relational.oracles("j49_ship_priority_class"),
     // st99: d32's estimator-error arithmetic restricted to the
     // (standing, delta) split over the raw corpus
     "st99_stream_minhash_error" -> {
