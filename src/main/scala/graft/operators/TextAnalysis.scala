@@ -2138,9 +2138,44 @@ object TextAnalysis {
         (col("max_cum") > (col("win_id") + 1) * 512).as("spans_next"))
   }
 
+  /** t43 — SPLIT-LEAKAGE AUDIT: for every validation document under
+    * t09's deterministic split, what fraction of its 3-word shingles
+    * also appears somewhere in the train split — the
+    * decontamination check applied to a pipeline's OWN split (random
+    * document-level splits leak heavily through boilerplate and
+    * near-dups; this measures exactly how much, per val doc, so the
+    * eval-integrity gate downstream has a number to threshold on).
+    * Composes three existing disciplines: t09's engine-portable
+    * salted hash split, the d01 shingle lane, and t40's
+    * first-seen join-back shape. Documents with fewer than three
+    * tokens carry no shingles and drop out on both engines.
+    *
+    * Scale shape: one distinct rollup of the train side's shingles,
+    * one equi-join from the val side on the shingle hash, one doc_id
+    * rollup — two shuffles on the shingle key, nothing corpus².
+    */
+  val t43_split_leakage: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val h = Portable.hash60(concat(lit("split:"), col("doc_id").cast("string")))
+    val base = documents(spark, dir)
+      .select(col("doc_id"), (h % 100 < TrainPct).as("is_train"),
+        explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+    val trainSh = base.where(col("is_train"))
+      .select(col("sh")).distinct()
+      .withColumn("leak", lit(1L))
+    base.where(!col("is_train"))
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("leak"), lit(0L))).as("n_leaked"))
+      .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
+        expr("n_leaked * 1000 div n_shingles").as("leak_pm"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t41_pmi_collocations" -> t41_pmi_collocations,
     "t42_sequence_packing" -> t42_sequence_packing,
+    "t43_split_leakage" -> t43_split_leakage,
     "t40_ngram_novelty" -> t40_ngram_novelty,
     "t39_hapax_rate" -> t39_hapax_rate,
     "t38_vocab_growth" -> t38_vocab_growth,
@@ -2941,6 +2976,25 @@ object TextAnalysis {
                  MIN(doc_id) AS first_doc,
                  MAX(cum) > (win_id + 1) * 512 AS spans_next
           FROM w GROUP BY 1""",
+    // t43: t09's portable hash split + the d01 shingle lane, leakage
+    // judged by the same distinct-train-set left join
+    "t43_split_leakage" -> {
+      val shExpr = graft.operators.Dedup.duckShingleExpr
+      val h = graft.functions.Portable
+        .duckHash60("concat('split:', CAST(doc_id AS VARCHAR))")
+      s"""WITH s AS (SELECT doc_id, ($h) % 100 < $TrainPct AS is_train,
+                            unnest($shExpr) AS sh
+                     FROM documents),
+          tr AS (SELECT DISTINCT sh FROM s WHERE is_train)
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                 CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_leaked,
+                 CAST(SUM(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)
+                      * 1000 // COUNT(*) AS BIGINT) AS leak_pm
+          FROM s LEFT JOIN tr ON s.sh = tr.sh
+          WHERE NOT is_train GROUP BY 1"""
+    },
     "t40_ngram_novelty" -> {
       val shExpr = graft.operators.Dedup.duckShingleExpr
       s"""WITH sh AS (SELECT doc_id, unnest($shExpr) AS sh FROM documents),
