@@ -2112,7 +2112,12 @@ object TextAnalysis {
     * packers make). Deterministic: order, budget and the whitespace
     * token count (t05's raw-split lane) are all pinned, so the
     * packing layout is reproducible run to run — the property a
-    * training-data lineage audit needs.
+    * training-data lineage audit needs. Complements [[t14_pack]]:
+    * t14 assigns docs to sequences WITHIN hash shards (the writer's
+    * per-shard view, window partitioned by shard); t42 is the
+    * GLOBAL-order layout at window grain — the reader's view of one
+    * corpus-wide concatenation — which is exactly the case the
+    * per-shard window cannot express and bucketedPrefix exists for.
     *
     * Scale shape: the global token prefix sum is [[graft.operators
     * .Relational.bucketedPrefix]] (two small exchanges + one
