@@ -2161,21 +2161,41 @@ object TextAnalysis {
     */
   val t43_split_leakage: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
-    val h = Portable.hash60(concat(lit("split:"), col("doc_id").cast("string")))
-    val base = documents(spark, dir)
-      .select(col("doc_id"), (h % 100 < TrainPct).as("is_train"),
-        explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
-    val trainSh = base.where(col("is_train"))
-      .select(col("sh")).distinct()
+    val docs = documents(spark, dir)
+    leakageOf(docs.where(!isTrainSplit(col("doc_id"))), trainShinglesOf(docs))
+  }
+
+  /** t09's split predicate as a reusable column — TRUE iff the doc
+    * lands in the train split under the salted portable hash.
+    */
+  private[graft] def isTrainSplit(docId: Column): Column =
+    Portable.hash60(concat(lit("split:"), docId.cast("string"))) % 100 < TrainPct
+
+  /** The standing train-split shingle set (distinct, with the join
+    * marker) — t43 derives it per run; st109 persists it once and
+    * probes it per micro-batch.
+    */
+  private[graft] def trainShinglesOf(docs: DataFrame): DataFrame =
+    docs.where(isTrainSplit(col("doc_id")))
+      .select(explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+      .distinct()
       .withColumn("leak", lit(1L))
-    base.where(!col("is_train"))
+
+  /** t43's per-val-doc leakage scores GIVEN the standing train set —
+    * batch-local at the doc grain (one explode, one equi-join to the
+    * standing set, one doc rollup), so st109 runs it inside each
+    * micro-batch with zero cross-batch state.
+    */
+  private[graft] def leakageOf(valDocs: DataFrame, trainSh: DataFrame): DataFrame =
+    valDocs
+      .select(col("doc_id"),
+        explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
       .join(trainSh, Seq("sh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("leak"), lit(0L))).as("n_leaked"))
       .select(col("doc_id"), col("n_shingles"), col("n_leaked"),
         expr("n_leaked * 1000 div n_shingles").as("leak_pm"))
-  }
 
   val queries: Map[String, Q] = Map(
     "t41_pmi_collocations" -> t41_pmi_collocations,

@@ -2843,6 +2843,48 @@ object StreamQueries {
     served.select(col("lateness"), col("high_lines"), col("low_lines"))
   }
 
+  /** T-family streaming — SPLIT-LEAKAGE AUDIT AT INGEST (streaming
+    * twin of t43; the st38/st89/st99 probe-the-standing-index
+    * discipline on the decontamination lane): the train split's
+    * shingle set signs ONCE into a persisted standing relation (the
+    * stream-static re-evaluation trap priced — without the pin every
+    * micro-batch re-derives the whole train explode), every arriving
+    * document routes by the SAME portable hash split at the door, and
+    * each val doc's leakage score is batch-local given the standing
+    * set (one explode, one equi-join, one doc rollup inside the
+    * micro-batch — zero cross-batch state, the st84 append pattern,
+    * idempotent by batch id into a doc_id-bucketed table). This is
+    * eval-set integrity AT ARRIVAL: a val document that leaks through
+    * boilerplate shared with train is flagged before it ever reaches
+    * an eval manifest. Oracle is t43's verbatim.
+    */
+  val st109_stream_split_leakage: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val T = graft.operators.TextAnalysis
+    val trainSh = T.trainShinglesOf(graft.Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val path = graft.Tables.scratchDir("graft_bkt_sleak_")
+    val tbl = "graft_sleak_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "doc_id")
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0 && !T.isTrainSplit(col("doc_id")))
+      .select(col("doc_id"), col("text"))
+    val q = docs.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(T.leakageOf(b, trainSh), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    trainSh.unpersist()
+    table.read().select(col("doc_id"), col("n_shingles"), col("n_leaked"),
+      col("leak_pm"))
+  }
+
   /** MM-family streaming — PERCEPTUAL NEAR-DUP AT INGEST (streaming
     * twin of mm10; st38's probe-the-standing-index discipline moved
     * onto the dHash bands): the standing corpus signs ONCE into a
@@ -4364,6 +4406,7 @@ object StreamQueries {
     "st106_stream_resolution_gate" -> st106_stream_resolution_gate,
     "st107_stream_profit" -> st107_stream_profit,
     "st108_stream_priority_class" -> st108_stream_priority_class,
+    "st109_stream_split_leakage" -> st109_stream_split_leakage,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4827,6 +4870,10 @@ object StreamQueries {
     // st108's two-row CASE-count state must equal the batch Q12
     "st108_stream_priority_class" ->
       graft.operators.Relational.oracles("j49_ship_priority_class"),
+    // st109's at-ingest probes of the standing train set must equal
+    // t43's nightly scan
+    "st109_stream_split_leakage" ->
+      graft.operators.TextAnalysis.oracles("t43_split_leakage"),
     // st99: d32's estimator-error arithmetic restricted to the
     // (standing, delta) split over the raw corpus
     "st99_stream_minhash_error" -> {
