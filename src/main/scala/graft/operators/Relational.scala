@@ -3175,42 +3175,7 @@ object Relational {
           " div tot_cents as bigint)").as("cum_share_pm"))
   }
 
-  /** a56 — GINI COEFFICIENT of customer spend, exact per-mille: the
-    * one-number inequality summary (0 = uniform, 1000‰ = one customer
-    * holds everything) a revenue-concentration monitor tracks over
-    * time. Computed by the rank formula G = Σ(2·rnk − n − 1)·xᵢ /
-    * (n·Σx) over spend sorted ascending with the custkey tie-break —
-    * tie groups contribute order-invariantly since their x are equal,
-    * so the deterministic tie-break changes nothing while pinning
-    * both engines to one rank assignment. Terms promote to
-    * decimal(38,0) before the sum (rnk·x products are fact-scale ×
-    * rank-scale — the a48 discipline; DuckDB's side goes HUGEINT).
-    *
-    * Scale shape: the global sort is [[bucketedPrefix]] (third
-    * consumer shape after w17/a45 — two small exchanges, one
-    * bucket-keyed window, never a single-partition drain); the DuckDB
-    * twin IS the naive global ROW_NUMBER drain, so the differential
-    * re-proves the decomposition under a rank-weighted (not prefix-
-    * sum) consumer.
-    */
-  val a56_gini: Q = (spark, dir) => {
-    val spend = orders(spark, dir)
-      .groupBy(col("o_custkey").as("custkey"))
-      .agg(sum(cents(col("o_totalprice")).cast("long")).as("spend_cents"))
-    val tot = spend.agg(count(lit(1)).as("n_customers"),
-      sum(col("spend_cents")).as("tot_cents"))
-    bucketedPrefix(spend, "spend_cents", "custkey", "spend_cents")
-      .join(broadcast(tot), lit(true), "inner")
-      .select(col("n_customers"), col("tot_cents"),
-        ((col("rnk") * 2 - col("n_customers") - 1).cast("decimal(38,0)") *
-          col("spend_cents").cast("decimal(38,0)")).as("term"))
-      .groupBy(col("n_customers"), col("tot_cents"))
-      .agg(sum(col("term")).as("num"))
-      .select(col("n_customers"),
-        (col("tot_cents") / 100).as("total_spend"),
-        expr("cast(num * 1000 div (cast(n_customers as decimal(38,0))" +
-          " * tot_cents) as bigint)").as("gini_pm"))
-  }
+
 
   /** a45 — PARETO/ABC CLASSIFICATION over part revenue: parts ranked
     * by revenue descending, each carrying its exact cumulative revenue
@@ -5897,7 +5862,6 @@ object Relational {
     "j48_product_profit" -> j48_product_profit,
     "j49_ship_priority_class" -> j49_ship_priority_class,
     "a55_survival_curve" -> a55_survival_curve,
-    "a56_gini" -> a56_gini,
     "a53_revenue_share_having" -> a53_revenue_share_having,
     "a54_grouping_sets" -> a54_grouping_sets,
     "a42_join_size_forecast" -> a42_join_size_forecast,
@@ -7112,24 +7076,6 @@ object Relational {
                  CAST(CAST(cum AS HUGEINT) * 1000 // tot AS BIGINT)
                    AS cum_share_pm
           FROM r, t""",
-    // a56: the naive global ROW_NUMBER drain the Spark side
-    // decomposes via bucketedPrefix; rank-weighted sums go HUGEINT
-    "a56_gini" ->
-      """WITH s AS (SELECT o_custkey AS custkey,
-                           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
-                                AS BIGINT) AS spend_cents
-                    FROM orders GROUP BY 1),
-          r AS (SELECT spend_cents,
-                       CAST(row_number() OVER (ORDER BY spend_cents, custkey)
-                            AS BIGINT) AS rnk
-                FROM s),
-          t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                       CAST(SUM(spend_cents) AS BIGINT) AS tot FROM s)
-          SELECT n AS n_customers, tot / 100 AS total_spend,
-                 CAST(SUM(CAST(2 * rnk - n - 1 AS HUGEINT) * spend_cents)
-                      * 1000 // (CAST(n AS HUGEINT) * tot) AS BIGINT)
-                   AS gini_pm
-          FROM r, t GROUP BY n, tot""",
     // a45: the same descending cumulative share and class cuts via the
     // naive window
     "a45_pareto_abc" ->
