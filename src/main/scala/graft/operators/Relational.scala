@@ -3120,9 +3120,19 @@ object Relational {
     * Output adds `bkt`, `rnk` (1-based by (`sortKey`, `tie`) asc) and
     * `cum_<value>` (inclusive prefix sum in that order).
     */
-  private[graft] def bucketedPrefix(df: DataFrame, sortKey: String,
+  private[graft] def bucketedPrefix(df0: DataFrame, sortKey: String,
       tie: String, value: String, nBuckets: Int = 32): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    // Lineage-cut the input ONCE (the t41 discipline, applied at the
+    // primitive): four consumers read `df` (the boundary sketch, the
+    // bucketed main path, the offset rollup, and — through them — the
+    // caller's joins), and without the cut each re-derives the whole
+    // upstream rollup from its fact scan (the whole-surface scan audit
+    // measured w17/a45/a47 at 5 fact scans apiece, t42 at 4; all are
+    // 1 post-cut). Every caller feeds a KEY-GRAIN rollup — dim-sized
+    // at any SF — so the checkpoint is kilobytes where the re-scans
+    // were the fact.
+    val df = df0.localCheckpoint(false)
     val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val bnds = df.agg(
       expr(s"percentile_approx($sortKey, array(${fracs.mkString(",")}), 10000)")
