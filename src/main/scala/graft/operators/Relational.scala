@@ -1120,12 +1120,16 @@ object Relational {
     * w-family bound honored by the broadcast-max shape instead).
     */
   val j44_top_supplier: Q = (spark, dir) => {
+    // supplier-grain rollup lineage-cut: both the 1-row MAX leg and
+    // the equality join read it, and without the cut each re-derives
+    // it from its own fact scan (the scan audit measured 2)
     val revs = lineitem(spark, dir)
       .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("long")).as("rev_cents"))
+      .localCheckpoint(false)
     revs.join(broadcast(revs.agg(max(col("rev_cents")).as("max_cents"))),
         col("rev_cents") === col("max_cents"))
       .join(supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
