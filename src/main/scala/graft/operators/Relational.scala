@@ -3125,18 +3125,27 @@ object Relational {
     * `cum_<value>` (inclusive prefix sum in that order).
     */
   private[graft] def bucketedPrefix(df0: DataFrame, sortKey: String,
-      tie: String, value: String, nBuckets: Int = 32): DataFrame = {
+      tie: String, value: String, nBuckets: Int = 32,
+      cut: Boolean = true): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     // Lineage-cut the input ONCE (the t41 discipline, applied at the
     // primitive): four consumers read `df` (the boundary sketch, the
     // bucketed main path, the offset rollup, and — through them — the
     // caller's joins), and without the cut each re-derives the whole
-    // upstream rollup from its fact scan (the whole-surface scan audit
-    // measured w17/a45/a47 at 5 fact scans apiece, t42 at 4; all are
-    // 1 post-cut). Every caller feeds a KEY-GRAIN rollup — dim-sized
-    // at any SF — so the checkpoint is kilobytes where the re-scans
-    // were the fact.
-    val df = df0.localCheckpoint(false)
+    // upstream relation from its own fact scan (the whole-surface scan
+    // audit measured w17/a45/a47 at 5 fact scans apiece, t42 at 4; all
+    // are 1 post-cut, 8-19% faster at sf0.1). The cut is CLEARLY right
+    // only when the input is a KEY-GRAIN ROLLUP (dim-sized at any
+    // SF — kilobytes checkpointed where the re-scans were the fact).
+    // A FACT-SCALE input trades differently: the checkpoint pins the
+    // whole relation in executor storage (2·|events| boundary rows —
+    // at 100 TB that is a second copy of the fact living in the
+    // cluster for the query's lifetime) against stateless re-scans
+    // that parquet pushdown prunes to two columns; sf0.1 timings of
+    // the two variants sit inside the ambient noise band, so the
+    // sweep-line family opts out (`cut = false`) on the storage
+    // argument and keeps its adjudicated multi-scan shape.
+    val df = if (cut) df0.localCheckpoint(false) else df0
     val fracs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val bnds = df.agg(
       expr(s"percentile_approx($sortKey, array(${fracs.mkString(",")}), 10000)")
@@ -3241,7 +3250,8 @@ object Relational {
     * exchanges + bucket-keyed window, one dt rollup.
     */
   val j22_max_concurrency: Q = (spark, dir) => {
-    bucketedPrefix(sweepBounds(spark, dir), "tsu", "tie", "delta")
+    bucketedPrefix(sweepBounds(spark, dir), "tsu", "tie", "delta",
+        cut = false) // fact-scale input: see bucketedPrefix's cut note
       .groupBy(date_format(to_date(timestamp_micros(col("tsu"))), "yyyy-MM-dd")
         .as("dt"))
       .agg(max(col("cum_delta")).as("max_concurrent"),
@@ -3296,7 +3306,8 @@ object Relational {
   private def sweepStretches(spark: SparkSession, dir: String,
       windowUs: Long = 3600000000L): DataFrame = {
     val pref = bucketedPrefix(sweepBounds(spark, dir, windowUs),
-      "tsu", "tie", "delta")
+      "tsu", "tie", "delta",
+      cut = false) // fact-scale input: see bucketedPrefix's cut note
       .select(col("tsu"), col("rnk"), col("cum_delta"))
     val nxt = pref.select((col("rnk") - 1L).as("rnk"),
       col("tsu").as("next_tsu"))
