@@ -1612,6 +1612,71 @@ object Relational {
         length(col("text")).cast("long").as("text_len"))
   }
 
+  private val binObjCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One-object-per-file scratch export for [[s16_binaryfile_source]]:
+    * every mod-10 ≡ 7 document's synthesized BMP payload written as
+    * `doc_<id>.bin` through [[graft.sinks.Sinks.binaryObjects]] (the
+    * executor-side object sink — no driver collect). Keyed by appId
+    * so a fresh session re-exports rather than trusting a stale /tmp.
+    */
+  private def binObjectsDir(spark: SparkSession, dir: String): String =
+    binObjCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + dir, _ => {
+        val p = graft.Tables.scratchDir("graft_obj_")
+        val M = graft.operators.Multimodal
+        graft.sinks.Sinks.binaryObjects(
+          documents(spark, dir)
+            .where(col("doc_id") % 10 === 7)
+            .select(concat(lit("doc_"), col("doc_id").cast("string")).as("name"),
+              M.payloadCol(col("text")).as("content")),
+          p)
+        p
+      })
+
+  /** s16 — BINARY-OBJECT source (`binaryFile`): the lake layout
+    * multimodal corpora actually land in — one image per object —
+    * read back through Spark's binaryFile source and pushed straight
+    * through mm15's REAL byte decode: the object key parses to
+    * doc_id, the header parses to dimensions, and the
+    * resolution/aspect lanes route exactly as the nightly gate. This
+    * closes the ingest loop the mm-family synthesized in-plan:
+    * export via the executor-side object sink
+    * ([[graft.sinks.Sinks.binaryObjects]]), ingest via binaryFile,
+    * and the construction-mirror oracle proves
+    * export∘ingest∘parse∘gate = gate∘construct.
+    *
+    * Scale shape: binaryFile lists and reads objects in parallel
+    * (partitioned by file), prunes on path/length metadata before
+    * content IO, and everything after the scan is one row-local
+    * projection. At 100 TB the listing cost dominates tiny objects —
+    * production batches them (the maxPartitionBytes knob) or lands a
+    * manifest; both change the scan, not this plan.
+    */
+  val s16_binaryfile_source: Q = (spark, dir) => {
+    val M = graft.operators.Multimodal
+    val raw = spark.read.format("binaryFile")
+      .load(binObjectsDir(spark, dir) + "/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length").cast("long").as("byte_len"),
+        col("content"))
+    raw.select(col("doc_id"), col("byte_len"),
+        M.decodeBmp(col("content")).as("dims"))
+      .select(col("doc_id"), col("byte_len"),
+        col("dims").getField("width").as("width"),
+        col("dims").getField("height").as("height"))
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        when(col("width") === 0 || col("height") === 0, "degenerate")
+          .when(least(col("width"), col("height")) < 32, "too_small")
+          .when(col("width") * lit(1000L) > col("height") * lit(3000L) ||
+            col("height") * lit(1000L) > col("width") * lit(3000L),
+            "extreme_aspect")
+          .otherwise("ok").as("lane"))
+  }
+
   /** s14 — TIME-TRAVEL READ (snapshot versioning over a diff log):
     * reconstruct a table AS OF version k from an append-only version
     * LOG — the lakehouse primitive (Delta/Iceberg "VERSION AS OF")
@@ -5791,6 +5856,7 @@ object Relational {
     "s10_json_source" -> s10_json_source,
     "s12_csv_source" -> s12_csv_source,
     "s15_orc_source" -> s15_orc_source,
+    "s16_binaryfile_source" -> s16_binaryfile_source,
     "s11_bucket_pruned_scan" -> s11_bucket_pruned_scan,
     "p02_cdc_route" -> p02_cdc_route,
     "p03_date_hour" -> p03_date_hour,
@@ -6331,6 +6397,24 @@ object Relational {
       """SELECT doc_id, lang, source, n_chars,
                 CAST(len(text) AS BIGINT) AS text_len
          FROM documents WHERE n_chars >= 400""",
+    // s16: the construction mirror (mm15's hash dims + the 54-byte BMP
+    // header length) restricted to the exported mod-10 ≡ 7 cohort; a
+    // match proves export∘binaryFile-ingest∘parse∘gate = gate∘construct
+    "s16_binaryfile_source" -> {
+      val h = graft.functions.Portable.duckHash60("sha256(text)")
+      s"""WITH d AS (SELECT doc_id,
+                            54 + octet_length(encode(text)) AS byte_len,
+                            ($h) % 640 AS w, ($h) % 480 AS hh
+                     FROM documents WHERE doc_id % 10 = 7)
+          SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+                 w AS width, hh AS height,
+                 CASE WHEN w = 0 OR hh = 0 THEN 'degenerate'
+                      WHEN least(w, hh) < 32 THEN 'too_small'
+                      WHEN w * 1000 > hh * 3000 OR hh * 1000 > w * 3000
+                        THEN 'extreme_aspect'
+                      ELSE 'ok' END AS lane
+          FROM d"""
+    },
     "s11_bucket_pruned_scan" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
                 SUM(ROUND(o_totalprice * 100)) / 100 AS user_spend

@@ -55,6 +55,36 @@ object Sinks {
     * directories scanned, and file counts equal the partition count
     * (one compacted file each) for the fixture volume.
     */
+  /** OBJECT-STORE EXPORT — one raw binary file per row, written
+    * EXECUTOR-SIDE (`foreachPartition` + NIO; there is no declarative
+    * Spark writer for one-object-per-file layouts, and collecting
+    * payloads to the driver is the anti-pattern this sink exists to
+    * avoid). This is the lake layout multimodal corpora actually land
+    * in — one image/audio object per key — and the write is
+    * idempotent by construction: the name is the key, the bytes are a
+    * pure function of the row, and re-running overwrites the same
+    * file with the same content (crash-replay safe without markers).
+    * Expects exactly (name STRING, content BINARY).
+    *
+    * At 100 TB the files fan out across executors with no driver
+    * bottleneck and no shuffle; the companion read path is Spark's
+    * `binaryFile` source (see `s16_binaryfile_source`), whose
+    * pushdown prunes on path/length before any content is read.
+    */
+  def binaryObjects(df: DataFrame, path: String): Unit = {
+    val base = path
+    df.select(org.apache.spark.sql.functions.col("name"),
+        org.apache.spark.sql.functions.col("content"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val dir = Paths.get(base)
+        Files.createDirectories(dir)
+        rows.foreach { r =>
+          Files.write(dir.resolve(r.getString(0) + ".bin"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
   def partitionedParquet(df: DataFrame, path: String,
                          partitionCols: Seq[String],
                          sortCols: Seq[String] = Nil,

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.sinks.{IdempotentBatchAppend, KeyedUpsertTable}
+import graft.sinks.{IdempotentBatchAppend, KeyedUpsertTable, Sinks}
 
 /** Exactly-once sink contract: idempotent replay, crash-replay
   * rebuild, and checkpointed restart with no duplicates and no loss
@@ -108,6 +108,26 @@ class SinkSpec extends SparkSpecBase {
     // restart with nothing new: no extra batch, same state
     runOnce()
     assert(table.committedBatches === Seq(0L, 1L))
+  }
+
+  test("binaryObjects: export round-trips byte-exactly through the binaryFile source, idempotently") {
+    import org.apache.spark.sql.functions._
+    val path = tmpDir("objects_")
+    val src = Tables.documents(spark, sf).where(col("doc_id") % 10 === 7)
+      .select(concat(lit("doc_"), col("doc_id").cast("string")).as("name"),
+        operators.Multimodal.payloadCol(col("text")).as("content"))
+    Sinks.binaryObjects(src, path)
+    Sinks.binaryObjects(src, path) // replay: same names, same bytes — overwrite, no dups
+    val back = spark.read.format("binaryFile").load(path + "/*.bin")
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("did"),
+        col("content").as("got"))
+    val expect = Tables.documents(spark, sf).where(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("did"),
+        operators.Multimodal.payloadCol(col("text")).as("want"))
+    val joined = back.join(expect, "did")
+    assert(back.count() === expect.count(), "one object per exported doc, no dups")
+    assert(joined.where(col("got") =!= col("want")).count() === 0,
+      "every payload byte-identical after export + binaryFile ingest")
   }
 
   test("IdempotentBatchAppend: replaying a batch does not duplicate rows") {
