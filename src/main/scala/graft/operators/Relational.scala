@@ -1621,7 +1621,7 @@ object Relational {
     * executor-side object sink — no driver collect). Keyed by appId
     * so a fresh session re-exports rather than trusting a stale /tmp.
     */
-  private def binObjectsDir(spark: SparkSession, dir: String): String =
+  private[graft] def binObjectsDir(spark: SparkSession, dir: String): String =
     binObjCache.computeIfAbsent(
       spark.sparkContext.applicationId + "#" + dir, _ => {
         val p = graft.Tables.scratchDir("graft_obj_")

@@ -2885,6 +2885,46 @@ object StreamQueries {
       col("leak_pm"))
   }
 
+  /** S-family streaming — BINARY OBJECTS AS A STREAMING SOURCE (the
+    * watch-folder media ingest: st106's stateless door fed by the
+    * `binaryFile` FILE-STREAM source instead of the parquet replay):
+    * objects exported one-per-file by [[graft.sinks.Sinks
+    * .binaryObjects]] arrive as (path, length, content) rows —
+    * `maxFilesPerTrigger` slices the directory into real micro-
+    * batches — and every object parses and routes row-locally (key →
+    * doc_id, header → dimensions, mm15's ordered lanes). No state, no
+    * watermark, no sentinel needed: a stateless append's correctness
+    * is per-row. At 100 TB this IS the production shape for media
+    * landing zones: listing is incremental (the file-source log
+    * remembers seen objects), content IO happens once per object, and
+    * everything downstream of the scan is one codegen'd projection.
+    * Oracle is s16's construction mirror verbatim.
+    */
+  val st110_stream_binary_ingest: Q = (spark, dir) => {
+    val M = graft.operators.Multimodal
+    val path = graft.operators.Relational.binObjectsDir(spark, dir)
+    val raw = spark.readStream.format("binaryFile")
+      .option("maxFilesPerTrigger", 20)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(path + "/*.bin")
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length").cast("long").as("byte_len"),
+        M.decodeBmp(col("content")).as("dims"))
+      .select(col("doc_id"), col("byte_len"),
+        col("dims").getField("width").as("width"),
+        col("dims").getField("height").as("height"))
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        when(col("width") === 0 || col("height") === 0, "degenerate")
+          .when(least(col("width"), col("height")) < 32, "too_small")
+          .when(col("width") * lit(1000L) > col("height") * lit(3000L) ||
+            col("height") * lit(1000L) > col("width") * lit(3000L),
+            "extreme_aspect")
+          .otherwise("ok").as("lane"))
+    Replay.runAppend(spark, raw)
+  }
+
   /** MM-family streaming — PERCEPTUAL NEAR-DUP AT INGEST (streaming
     * twin of mm10; st38's probe-the-standing-index discipline moved
     * onto the dHash bands): the standing corpus signs ONCE into a
@@ -4407,6 +4447,7 @@ object StreamQueries {
     "st107_stream_profit" -> st107_stream_profit,
     "st108_stream_priority_class" -> st108_stream_priority_class,
     "st109_stream_split_leakage" -> st109_stream_split_leakage,
+    "st110_stream_binary_ingest" -> st110_stream_binary_ingest,
     "st63_stream_first_seen" -> st63_stream_first_seen,
     "st64_stream_fallback_resolve" -> st64_stream_fallback_resolve,
     "st65_stream_masking" -> st65_stream_masking,
@@ -4874,6 +4915,10 @@ object StreamQueries {
     // t43's nightly scan
     "st109_stream_split_leakage" ->
       graft.operators.TextAnalysis.oracles("t43_split_leakage"),
+    // st110's per-object ingest verdicts must equal s16's batch scan
+    // of the same exported objects
+    "st110_stream_binary_ingest" ->
+      graft.operators.Relational.oracles("s16_binaryfile_source"),
     // st99: d32's estimator-error arithmetic restricted to the
     // (standing, delta) split over the raw corpus
     "st99_stream_minhash_error" -> {
