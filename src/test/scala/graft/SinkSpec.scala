@@ -130,6 +130,38 @@ class SinkSpec extends SparkSpecBase {
       "every payload byte-identical after export + binaryFile ingest")
   }
 
+  test("binaryFile file-stream: checkpointed restart ingests only NEW objects — no re-read, no loss") {
+    // st110's source contract: the file-source log owns seen-object
+    // offsets, so a killed-and-resumed ingest must pick up exactly
+    // the objects that landed while it was down.
+    val objDir = tmpDir("objs_")
+    val outDir = tmpDir("objout_")
+    val cp = tmpDir("cp_objs_")
+    def land(id: Long): Unit =
+      Files.write(Paths.get(objDir, s"doc_$id.bin"),
+        Array[Byte](id.toByte, 1, 2, 3))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .load(objDir + "/*.bin")
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"), col("length"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    land(1); land(2)
+    runOnce() // pass 1, then the writer "dies"
+    assert(spark.read.parquet(outDir).count() === 2)
+    land(3)
+    runOnce() // resumed from the same checkpoint
+    val ids = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L),
+      s"exactly-once object ingest: old not re-read, new not lost — got $ids")
+  }
+
   test("IdempotentBatchAppend: replaying a batch does not duplicate rows") {
     val path = tmpDir("append_")
     val sink = new IdempotentBatchAppend(spark, path)
