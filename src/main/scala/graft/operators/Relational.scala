@@ -1307,6 +1307,42 @@ object Relational {
         sum(when(!col("is_high"), 1L).otherwise(0L)).as("low_lines"))
   }
 
+  /** j50 — Q15 IN ITS NATIVE SQL FORM (the CATALYST-decorrelated
+    * scalar subquery, the deliberate counterpart to [[j44_top_supplier]]'s
+    * MANUAL broadcast-max rewrite): the user-facing SQL a warehouse
+    * migration actually ships — a view-shaped CTE plus
+    * `WHERE rev = (SELECT MAX(rev) …)` — handed to `spark.sql`
+    * untouched, so the plan lock pins what Catalyst's
+    * RewriteCorrelatedScalarSubquery does with it (an aggregate-
+    * then-join under the hood) and the differential proves BOTH
+    * paths land on j44's answer. Together with j32's native LATERAL
+    * and j35's native NOT IN, this closes the "does the engine run
+    * the SQL users write, not just the rewrites its author prefers"
+    * column of the correlated family.
+    *
+    * Scale shape: Catalyst's own decorrelation — the revenue CTE is
+    * aggregated once per reference (two scans of the quarter slice;
+    * j44's docstring prices the manually-shared alternative), the
+    * 1-row MAX broadcast-joins back. Fact predicates push to both
+    * scans.
+    */
+  val j50_native_scalar_subquery: Q = (spark, dir) => {
+    lineitem(spark, dir).createOrReplaceTempView("j50_lineitem")
+    supplier(spark, dir).createOrReplaceTempView("j50_supplier")
+    spark.sql(
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100))
+                    AS BIGINT) AS rev_cents
+           FROM j50_lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, rev_cents / 100 AS total_revenue
+         FROM j50_supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE rev_cents = (SELECT MAX(rev_cents) FROM revenue)""")
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -5952,6 +5988,7 @@ object Relational {
     "j47_dominant_supplier" -> j47_dominant_supplier,
     "j48_product_profit" -> j48_product_profit,
     "j49_ship_priority_class" -> j49_ship_priority_class,
+    "j50_native_scalar_subquery" -> j50_native_scalar_subquery,
     "a55_survival_curve" -> a55_survival_curve,
     "a53_revenue_share_having" -> a53_revenue_share_having,
     "a54_grouping_sets" -> a54_grouping_sets,
@@ -7817,6 +7854,20 @@ object Relational {
          SELECT l_suppkey AS s_suppkey, s_name, n_name, n_dom
          FROM d JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation ON s_nationkey = n_nationkey""",
+    // j50: the same SQL text Spark runs, modulo DuckDB's // floor div
+    // — both engines plan the scalar subquery natively
+    "j50_native_scalar_subquery" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100))
+                    AS BIGINT) AS rev_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, rev_cents / 100 AS total_revenue
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE rev_cents = (SELECT MAX(rev_cents) FROM revenue)""",
     // j48: Q9's star with the retail-price cost proxy; the 10⁻⁴ lane
     // sums go HUGEINT in DuckDB, so the cents floor re-casts via //
     "j48_product_profit" ->
