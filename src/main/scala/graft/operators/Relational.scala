@@ -1343,6 +1343,36 @@ object Relational {
          WHERE rev_cents = (SELECT MAX(rev_cents) FROM revenue)""")
   }
 
+  /** j51 — Q18 IN ITS NATIVE SQL FORM (the last quantifier kind of
+    * the manual-vs-native column): the membership test
+    * `o_orderkey IN (SELECT … GROUP BY … HAVING SUM(qty) > 300)` AND
+    * a correlated scalar readback of the same sum, both handed to
+    * `spark.sql` untouched — Catalyst plans the IN as a left-semi
+    * over the HAVING aggregate (RewritePredicateSubquery) and the
+    * scalar as an aggregate-join (RewriteCorrelatedScalarSubquery),
+    * where [[j45_large_volume]] fuses both by hand into ONE rollup
+    * that is simultaneously the filter and the readback. The plan
+    * lock pins Catalyst's two-subquery plan; the differential proves
+    * it equals j45's fused one. The honest cost note: the native form
+    * aggregates lineitem TWICE (once per subquery — Catalyst does not
+    * share them), which is exactly why j45's manual fusion exists.
+    */
+  val j51_native_in_having: Q = (spark, dir) => {
+    lineitem(spark, dir).createOrReplaceTempView("j51_lineitem")
+    orders(spark, dir).createOrReplaceTempView("j51_orders")
+    customer(spark, dir).createOrReplaceTempView("j51_customer")
+    spark.sql(
+      """SELECT c_custkey, c_name, o_orderkey,
+                date_format(o_orderdate, 'yyyy-MM-dd') AS order_dt,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100
+                  AS total_price,
+                (SELECT CAST(SUM(l_quantity) AS BIGINT) FROM j51_lineitem
+                 WHERE l_orderkey = o_orderkey) AS sum_qty
+         FROM j51_customer JOIN j51_orders ON c_custkey = o_custkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM j51_lineitem
+                              GROUP BY 1 HAVING SUM(l_quantity) > 300)""")
+  }
+
   /** J3 — existence anti-lookup (first-order flag,
     * dwd/Ods_to_DWD_order_info.scala:83-104): left-anti join — keys
     * with no match in the accumulated state table. The state table is
@@ -5989,6 +6019,7 @@ object Relational {
     "j48_product_profit" -> j48_product_profit,
     "j49_ship_priority_class" -> j49_ship_priority_class,
     "j50_native_scalar_subquery" -> j50_native_scalar_subquery,
+    "j51_native_in_having" -> j51_native_in_having,
     "a55_survival_curve" -> a55_survival_curve,
     "a53_revenue_share_having" -> a53_revenue_share_having,
     "a54_grouping_sets" -> a54_grouping_sets,
@@ -7868,6 +7899,18 @@ object Relational {
          SELECT s_suppkey, s_name, rev_cents / 100 AS total_revenue
          FROM supplier JOIN revenue ON s_suppkey = supplier_no
          WHERE rev_cents = (SELECT MAX(rev_cents) FROM revenue)""",
+    // j51: j45's oracle verbatim — DuckDB also plans both subqueries
+    // natively, so the differential compares native-to-native
+    "j51_native_in_having" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_dt,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) / 100
+                  AS total_price,
+                (SELECT CAST(SUM(l_quantity) AS BIGINT) FROM lineitem
+                 WHERE l_orderkey = o_orderkey) AS sum_qty
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY 1 HAVING SUM(l_quantity) > 300)""",
     // j48: Q9's star with the retail-price cost proxy; the 10⁻⁴ lane
     // sums go HUGEINT in DuckDB, so the cents floor re-casts via //
     "j48_product_profit" ->
