@@ -263,6 +263,34 @@ object Bench {
     val (streaming, batch) = all.partition(_._1.startsWith("st"))
 
     val results = runFamily(batch) ++ runFamily(streaming)
+
+    // ISOLATED re-run addendum (round-15): the state-store family's
+    // IN-SUITE numbers drift ±8-25% with suite position (documented
+    // r7-r14; st35 read 8.6 in-suite vs 6.9 isolated in r14), so every
+    // round-over-round adjudication of a heavy query has started with
+    // a manual isolated re-run. Automated here: each query whose
+    // in-suite min exceeds SPARK_GRAFT_ISOLATE_SECS (default 5 s) is
+    // re-run min-of-two in its OWN fresh SparkContext (sf0.001 warmup
+    // first; pass 1 additionally pays any per-session trained-artifact
+    // build, so the min is the artifact-warm number — the r11 lesson
+    // that bare isolation over-charges artifact-sharing queries).
+    // Results land in a separate "isolated" map; the suite totals and
+    // "queries" stay the in-suite numbers, so the two views are never
+    // mixed. SPARK_GRAFT_ISOLATE=0 skips (local iteration).
+    val isoThresh = sys.env.get("SPARK_GRAFT_ISOLATE_SECS").map(_.toDouble).getOrElse(5.0)
+    val isolated: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "1") == "0") Seq.empty
+      else results.filter(r => r._3 && r._2 > isoThresh).map(_._1).map { name =>
+        val fn = SparkEntry.queries(name)
+        val spark = newSession()
+        try {
+          if (Files.exists(Paths.get(WarmupDir))) exec(spark, name, fn, WarmupDir)
+          val ts = (1 to 2).map(_ => exec(spark, name, fn, sfDir))
+          val okTs = ts.filter(_._2).map(_._1)
+          name -> (if (okTs.nonEmpty) okTs.min else ts.map(_._1).min)
+        } finally spark.stop()
+      }
+
     val good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
     val flaky = results.filter(_._4).map(_._1)
@@ -273,8 +301,9 @@ object Bench {
     val batchTotal = good.filterNot(_._1.startsWith("st")).map(_._2).sum
     val streamTotal = good.filter(_._1.startsWith("st")).map(_._2).sum
     val fams = s"""{"batch":$batchTotal,"streaming":$streamTotal}"""
+    val iso = isolated.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"isolated":$iso,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
@@ -290,7 +319,7 @@ object Bench {
       println(line)
       val top = good.sortBy(-_._2).take(15)
         .map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 15},"families":$fams,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 15},"families":$fams,"isolated":$iso,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}""")
     }
   }
 }

@@ -115,6 +115,27 @@ object Tables {
     scratchHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
     scratchPaths.add(p)
+    Option(scratchRecord.get()).foreach(_ += p.toString)
     p.toString
+  }
+
+  /** Per-thread scratch-dir recording, for `StateLockSpec`: a spec
+    * thread that wants to discover which checkpoints a streaming
+    * query created (every checkpoint routes through [[scratchDir]],
+    * always on the caller's thread — only sink/table dirs are ever
+    * allocated from streaming-execution threads) begins a recording,
+    * runs the query, and drains the capture. Thread-local so parallel
+    * suites sharing the JVM-wide session can't cross-pollute.
+    */
+  private val scratchRecord =
+    new ThreadLocal[scala.collection.mutable.ListBuffer[String]]
+
+  private[graft] def beginScratchRecording(): Unit =
+    scratchRecord.set(scala.collection.mutable.ListBuffer.empty[String])
+
+  private[graft] def drainScratchRecording(): Seq[String] = {
+    val r = Option(scratchRecord.get()).map(_.toList).getOrElse(Nil)
+    scratchRecord.remove()
+    r
   }
 }

@@ -1014,7 +1014,8 @@ object Multimodal {
     * resolution/aspect filters of public image-text corpus builds
     * (LAION-style), with the c03 first-reject lane convention. The
     * aspect ratio is exact integer per-mille (`w·1000 div h`), NULL
-    * exactly on the degenerate lane.
+    * exactly when height=0 (a width=0/height>0 row is degenerate with
+    * aspect_pm=0 — both engines agree on that value).
     *
     * The oracle mirrors the CONSTRUCTION (hash-derived dims, mm01's
     * discipline) while Spark genuinely parses the bytes — the

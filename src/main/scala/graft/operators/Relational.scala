@@ -8136,7 +8136,7 @@ object Relational {
          SELECT doc_id,
                 CAST(len(ks) AS BIGINT) AS n_keys,
                 CAST(len(toks) AS BIGINT) AS total,
-                array_to_string(ks, ',') AS keys_csv,
+                COALESCE(array_to_string(ks, ','), '') AS keys_csv,
                 COALESCE(array_to_string(
                   list_filter(ks,
                     k -> len(list_filter(toks, x -> x = k)) >= 2), ','), '')
@@ -8151,10 +8151,10 @@ object Relational {
                 CAST(len(ks) + 1 AS BIGINT) AS n_after_concat,
                 CAST(-1 AS BIGINT) AS sentinel_val,
                 list_contains(toks, 'data') AS has_data,
-                array_to_string(list_transform(ks,
+                COALESCE(array_to_string(list_transform(ks,
                   k -> k || ':' ||
                        CAST(len(list_filter(toks, x -> x = k)) AS VARCHAR)),
-                  ',') AS entries_csv
+                  ','), '') AS entries_csv
          FROM f""",
     // f07: one shared ordering, explicit frames where defaults could
     // diverge; rationals exact through one IEEE division

@@ -56,31 +56,45 @@ object Sinks {
     * (one compacted file each) for the fixture volume.
     */
   /** OBJECT-STORE EXPORT — one raw binary file per row, written
-    * EXECUTOR-SIDE (`foreachPartition` + NIO; there is no declarative
-    * Spark writer for one-object-per-file layouts, and collecting
-    * payloads to the driver is the anti-pattern this sink exists to
-    * avoid). This is the lake layout multimodal corpora actually land
-    * in — one image/audio object per key — and the write is
-    * idempotent by construction: the name is the key, the bytes are a
-    * pure function of the row, and re-running overwrites the same
-    * file with the same content (crash-replay safe without markers).
-    * Expects exactly (name STRING, content BINARY).
+    * EXECUTOR-SIDE (`foreachPartition` + the Hadoop FileSystem API;
+    * there is no declarative Spark writer for one-object-per-file
+    * layouts, and collecting payloads to the driver is the
+    * anti-pattern this sink exists to avoid). This is the lake layout
+    * multimodal corpora actually land in — one image/audio object per
+    * key — and the write is idempotent by construction: the name is
+    * the key, the bytes are a pure function of the row, and re-running
+    * overwrites the same file with the same content (crash-replay safe
+    * without markers). Expects exactly (name STRING, content BINARY).
     *
-    * At 100 TB the files fan out across executors with no driver
-    * bottleneck and no shuffle; the companion read path is Spark's
-    * `binaryFile` source (see `s16_binaryfile_source`), whose
-    * pushdown prunes on path/length before any content is read.
+    * The writes go through `Path.getFileSystem(hadoopConf)` — the
+    * session's Hadoop configuration is broadcast so each executor
+    * resolves the SAME filesystem the driver would (HDFS, S3A, or
+    * local URI alike). That is what makes the 100 TB claim true on a
+    * real cluster: with an `hdfs://`/`s3a://` path the objects fan
+    * out from every executor into shared storage with no driver
+    * bottleneck and no shuffle (a bare local path only works when
+    * executors share the driver's filesystem, i.e. local mode or a
+    * shared mount). The companion read path is Spark's `binaryFile`
+    * source (see `s16_binaryfile_source`), whose pushdown prunes on
+    * path/length before any content is read.
     */
   def binaryObjects(df: DataFrame, path: String): Unit = {
-    val base = path
+    val confBc = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sessionState.newHadoopConf()))
     df.select(org.apache.spark.sql.functions.col("name"),
         org.apache.spark.sql.functions.col("content"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val dir = Paths.get(base)
-        Files.createDirectories(dir)
-        rows.foreach { r =>
-          Files.write(dir.resolve(r.getString(0) + ".bin"),
-            r.getAs[Array[Byte]](1))
+        if (rows.hasNext) {
+          val dir = new org.apache.hadoop.fs.Path(path)
+          val fs = dir.getFileSystem(confBc.value.value)
+          fs.mkdirs(dir)
+          rows.foreach { r =>
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(dir, r.getString(0) + ".bin"),
+              true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
         }
       }
   }

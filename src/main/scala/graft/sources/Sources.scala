@@ -17,6 +17,20 @@ import org.apache.spark.sql.types.StructType
   * `spark-sql-kafka` connector on the deploy classpath (not shipped in
   * this container, so the Kafka paths are config-only here, while the
   * file and rate sources run end-to-end in the replay harness/tests).
+  *
+  * Embedded-broker attempt (round 15, recorded per the r14 brief): an
+  * in-process loopback round trip (`kafkaSink` options → broker →
+  * `kafkaLatest`) needs `spark-sql-kafka-0-10` + `kafka-clients` +
+  * `kafka` (server) as test deps. All three were attempted against
+  * the offline coursier cache (COURSIER_MODE=offline) in a scratch
+  * sbt project on 2026-08-15 and all three fail resolution —
+  * "Not found" for every coordinate (the cache holds only
+  * scalatest/scalacheck + sbt internals; /opt/spark/jars ships no
+  * kafka connector either). The executed-contract coverage therefore
+  * remains the file-source replay harness, which exercises the same
+  * checkpoint offset-tracking/restart semantics the Kafka source
+  * shares (SinkSpec's restart contracts); the Kafka rows stay
+  * config+spec by container constraint, not by omission.
   */
 object Sources {
 
