@@ -4394,7 +4394,73 @@ object StreamQueries {
       .groupBy(col("lane"), col("content_hash"), col("clean_text"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** §2.10 on the NEW stateful API — per-user lifetime profile via
+    * `transformWithState` ([[Tws.UserProfileProcessor]]: ValueState
+    * accumulators + MapState per-type counts, the reference's per-key
+    * Redis hash re-expressed on Spark 4's arbitrary-state surface).
+    * Each batch emits the touched keys' CUMULATIVE profiles in update
+    * mode; the KeyedUpsertTable keeps the last, so the final row per
+    * user equals the full-corpus profile under any micro-batch
+    * slicing (the st07 upsert-last discipline). RocksDB provider is a
+    * transformWithState requirement, not a choice. The DuckDB oracle
+    * is the plain GROUP BY — the differential proves the incremental
+    * state machine converges to the batch aggregate.
+    */
+  val st111_tws_profile: Q = (spark, dir) => {
+    import spark.implicits._
+    Replay.stateProvider(spark, bigState = true)
+    val events = Replay.eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"),
+        graft.Tables.cents(col("value")).cast("long").as("cents"))
+      .as[Tws.ProfileEvent]
+    val profiles = events.groupByKey(_.user_id)
+      .transformWithState(new Tws.UserProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val table = new graft.sinks.KeyedUpsertTable(spark,
+      graft.Tables.scratchDir("graft_twsprof_"), Seq("user_id"), "user_id")
+    val q = profiles.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read().where(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"), col("sum_cents"),
+        col("first_us"), col("last_us"), col("n_types"), col("n_purchase"))
+  }
+
+  /** §2.10 — event-time TIMERS over ListState via `transformWithState`
+    * ([[Tws.OrderTimerProcessor]]): every order registers a timer at
+    * its +30-day horizon; the fire handler judges the customer ledger
+    * exactly when the watermark proves the answer final. The oracle
+    * keeps the equivalent RANGE-window form, so the differential
+    * proves timer-at-watermark ≡ range-window (the r13 correlated-
+    * family discipline applied to time). Append mode: timer emissions
+    * are final by construction.
+    */
+  val st112_tws_timers: Q = (spark, dir) => {
+    import spark.implicits._
+    Replay.stateProvider(spark, bigState = true)
+    val orders = Replay.ordersStream(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[Tws.OrderArrival]
+    val out = orders.groupByKey(_.o_custkey)
+      .transformWithState(new Tws.OrderTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    Replay.runAppend(spark, out.toDF(), bigState = true)
+      .where(col("o_custkey") >= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("n_within"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st111_tws_profile" -> st111_tws_profile,
+    "st112_tws_timers" -> st112_tws_timers,
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
     "st19_stream_lm_gate" -> st19_stream_lm_gate,
@@ -4660,6 +4726,31 @@ object StreamQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // st111's incremental ValueState/MapState machine must converge
+    // to the plain batch GROUP BY (upsert-last keeps the final
+    // cumulative profile per user)
+    "st111_tws_profile" ->
+      """SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                min(epoch_us(ts)) AS first_us,
+                max(epoch_us(ts)) AS last_us,
+                CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                  AS BIGINT) AS n_purchase
+         FROM events GROUP BY user_id""",
+    // st112's timer-at-watermark emission must equal the RANGE window
+    // over the batch table — the oracle keeps the window form, the
+    // differential proves the timer machine computes it
+    "st112_tws_timers" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(count(*) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate
+                  RANGE BETWEEN UNBOUNDED PRECEDING
+                            AND INTERVAL 30 DAYS FOLLOWING) AS BIGINT)
+                  AS n_within
+         FROM orders""",
     // st17 must return EXACTLY n09's batch answer — the oracle is n09's
     "st17_stream_ann_serve" -> graft.operators.Similarity.oracles("n09_ivfadc_topk"),
     // st19 must assign EXACTLY t18's scores — the oracle is t18's

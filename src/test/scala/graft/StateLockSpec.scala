@@ -57,18 +57,42 @@ class StateLockSpec extends SparkSpecBase {
     */
   private def checkpointLines(cp: String): Seq[String] = {
     val stores = spark.read.format("state-metadata").load(cp)
-      .select("operatorId", "operatorName", "stateStoreName")
+      .select("operatorId", "operatorName", "stateStoreName", "operatorProperties")
       .collect()
       .map(r => (r.getAs[Number]("operatorId").longValue(),
-        r.getAs[String]("operatorName"), r.getAs[String]("stateStoreName")))
+        r.getAs[String]("operatorName"), r.getAs[String]("stateStoreName"),
+        r.getAs[String]("operatorProperties")))
       .sortBy(t => (t._1, t._3)).toSeq
-    stores.map { case (opId, opName, store) =>
-      val st = spark.read.format("statestore")
-        .option("operatorId", opId)
-        .option("storeName", store)
-        .load(cp)
-      s"op$opId:$opName/$store key=${st.schema("key").dataType.sql} " +
-        s"value=${st.schema("value").dataType.sql}"
+    stores.flatMap { case (opId, opName, store, props) =>
+      if (props != null && props.contains("stateVariables")) {
+        // transformWithState: each named state variable is its own
+        // column family, addressed by stateVarName (storeName reads
+        // are rejected for this operator). The variable list — with
+        // its type and TTL flag — is itself part of the restore
+        // contract, so the names come from the checkpoint's own
+        // operator properties, sorted for determinism.
+        val vars = """"stateName":"([^"]+)"""".r
+          .findAllMatchIn(props).map(_.group(1)).toSeq.sorted
+        vars.map { v =>
+          val st = spark.read.format("statestore")
+            .option("operatorId", opId)
+            .option("stateVarName", v)
+            .load(cp)
+          // MapState exposes (key, user_map_key, user_map_value);
+          // Value/ListState expose (key, value) — digest whatever
+          // schema the variable's type family presents.
+          val cols = st.schema.fields.filter(_.name != "partition_id")
+            .map(f => s"${f.name}=${f.dataType.sql}").mkString(" ")
+          s"op$opId:$opName/var:$v $cols"
+        }
+      } else {
+        val st = spark.read.format("statestore")
+          .option("operatorId", opId)
+          .option("storeName", store)
+          .load(cp)
+        Seq(s"op$opId:$opName/$store key=${st.schema("key").dataType.sql} " +
+          s"value=${st.schema("value").dataType.sql}")
+      }
     }
   }
 

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+import graft.streaming.{Replay, Tws}
+
+/** Restart contracts for the `transformWithState` path (st111/st112):
+  * the new API's named state variables (ValueState/MapState/ListState
+  * column families) and its event-time TIMER registry must all come
+  * back from the checkpoint — the same kill/resume discipline every
+  * serving twin in `StateCapSpec` carries, applied to the new API
+  * surface. Timers are the novel part: a timer registered in run 1
+  * must FIRE in run 2 once the recovered watermark passes it, with
+  * emission content drawn from the recovered ListState.
+  */
+class TwsSpec extends SparkSpecBase {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def runUpsert(out: DataFrame, table: graft.sinks.KeyedUpsertTable,
+                        cp: String): Unit = {
+    val q = out.writeStream
+      .outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("tws profile: ValueState + MapState survive a kill/resume; accumulators continue") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Replay.RocksDbProvider) // TWS requires RocksDB
+    val ms = MemoryStream[Tws.ProfileEvent]
+    val cp = tmpDir("cp_tws_prof_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_tws_prof_"), Seq("user_id"), "user_id")
+    def out = ms.toDF().as[Tws.ProfileEvent].groupByKey(_.user_id)
+      .transformWithState(new Tws.UserProfileProcessor,
+        TimeMode.None(), OutputMode.Update()).toDF()
+
+    ms.addData(Tws.ProfileEvent(1L, 100L, "click", 5L),
+      Tws.ProfileEvent(1L, 200L, "purchase", 7L))
+    runUpsert(out, table, cp) // pass 1, writer dies
+    ms.addData(Tws.ProfileEvent(1L, 300L, "purchase", 3L))
+    runUpsert(out, table, cp) // resumed pass 2
+
+    val r = table.read().where(col("user_id") === 1L).head()
+    assert(r.getAs[Long]("n_events") === 3L, "count must continue across restart")
+    assert(r.getAs[Long]("sum_cents") === 15L, "sum must continue across restart")
+    assert(r.getAs[Long]("first_us") === 100L, "pre-restart min must survive")
+    assert(r.getAs[Long]("last_us") === 300L, "post-restart max must land")
+    assert(r.getAs[Long]("n_types") === 2L, "MapState keys must survive")
+    assert(r.getAs[Long]("n_purchase") === 2L,
+      "MapState count must continue across restart (1 before + 1 after)")
+  }
+
+  test("tws timers: a timer registered before the kill fires after the resume, judging the recovered ledger") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Replay.RocksDbProvider)
+    val ms = MemoryStream[Tws.OrderArrival]
+    val cp = tmpDir("cp_tws_timer_")
+    val outDir = tmpDir("out_tws_timer_")
+    def out = ms.toDF().withWatermark("ts", "0 seconds").as[Tws.OrderArrival]
+      .groupByKey(_.o_custkey)
+      .transformWithState(new Tws.OrderTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append()).toDF()
+    def run(): Unit = {
+      val q = out.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // Run 1: two orders, 10 days apart — the watermark reaches day 10,
+    // so neither +30d horizon (day 30 / day 40) can fire yet.
+    ms.addData(Tws.OrderArrival(7L, 101L, t("2024-01-01 00:00:00")),
+      Tws.OrderArrival(7L, 102L, t("2024-01-11 00:00:00")))
+    run() // pass 1, writer dies — timers live only in the checkpoint
+    // Run 2: one far-future order pushes the recovered watermark past
+    // both horizons; both recovered timers must fire, each counting
+    // the recovered 2-entry ledger (the new order is beyond both
+    // horizons, so n_within stays 2 for both).
+    ms.addData(Tws.OrderArrival(7L, 103L, t("2024-06-01 00:00:00")))
+    run() // resumed pass 2
+
+    val got = spark.read.parquet(outDir)
+      .select(col("o_orderkey"), col("n_within"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(101L -> 2L, 102L -> 2L),
+      s"recovered timers must fire post-restart over the recovered ledger: $got")
+  }
+}
