@@ -5041,6 +5041,82 @@ object Relational {
         max(col("p_name")).as("name_max"))
   }
 
+  /** f12 — TRY_* ANSI-SAFE ARITHMETIC BATTERY (§2.8's error-handling
+    * leg): the sessions run ANSI mode, where overflow/bad-cast/
+    * zero-division THROW (the a48 lesson) — `try_add`/`try_multiply`/
+    * `try_divide`/`try_cast`/`try_element_at`/`try_to_number` are the
+    * per-row error-to-NULL escape hatch a pipeline uses for columns
+    * it cannot pre-validate, and every lane here is MIXED (some rows
+    * NULL, some valued, derived from p_size) so the differential
+    * proves the error boundary, not just the happy path. Construction
+    * care: a TRY function only catches ITS OWN operation, so the
+    * overflow operand `k = p_size % 12 - 6` is sized to keep every
+    * INNER expression in int64 range — only the outer try-op
+    * overflows. DuckDB has no try-arithmetic, so the oracle derives
+    * the same lanes structurally: HUGEINT range-check CASE for the
+    * overflow lanes, TRY_CAST (which DuckDB does have) for the cast
+    * lanes, native out-of-range list indexing for element_at.
+    * Row-local projection, zero exchanges.
+    */
+  val f12_try_suite: Q = (spark, dir) =>
+    part(spark, dir).selectExpr(
+      "p_partkey",
+      "try_add((p_size % 12 - 6) * 400000000000000000L, 8000000000000000000L) AS ta",
+      "try_multiply(cast(p_size % 12 - 6 AS long), 2000000000000000000L) AS tm",
+      "try_divide(100, p_size % 3 - 1) AS td",
+      "try_cast(concat(CASE WHEN p_size % 2 = 0 THEN '' ELSE 'x' END, " +
+        "cast(p_size AS string)) AS int) AS tc_int",
+      "try_cast(concat('2024-02-', lpad(cast(p_size AS string), 2, '0')) AS date) AS tc_date",
+      "try_element_at(array(10, 20, 30), p_size % 5 + 1) AS tea",
+      "cast(try_to_number(CASE WHEN p_size % 2 = 0 THEN '1,234' " +
+        "ELSE concat('x', cast(p_size AS string)) END, '9,999') AS long) AS ttn")
+
+  /** f11 — ORDERED-SET AGGREGATE BATTERY (§2.8's remaining aggregate
+    * leg, new in Spark 4's ANSI WITHIN GROUP surface): `listagg`
+    * (plain and DISTINCT, both under an explicit WITHIN GROUP order —
+    * an UNORDERED listagg is nondeterministic by definition and
+    * banned from this suite), `percentile_cont` at the three dyadic
+    * quartiles (exact: integer operands through one interpolation
+    * `a + (b-a)·q` with q a power-of-two sum — both engines evaluate
+    * the identical IEEE expression), `percentile_disc` (both engines
+    * define it as the smallest value with cume_dist ≥ q; cast to
+    * DOUBLE on both sides because Spark returns DOUBLE where DuckDB
+    * keeps the input type), `median` (even-count groups average two
+    * ints — exact halves), and `max_by`/`min_by` over a UNIQUIFIED
+    * ordering key (size·100000 + partkey — max_by on a tied key is
+    * nondeterministic in both engines, the `mode()` problem; the
+    * unique composite makes the winner well-defined: largest size,
+    * partkey tiebreak). DuckDB spells the same functions
+    * string_agg/quantile_cont/quantile_disc/arg_max/arg_min — the
+    * names differ, the ANSI semantics match, which is exactly what
+    * the battery proves. Native `mode()` is deliberately ABSENT: on
+    * tied multiplicities both engines return an arbitrary winner, so
+    * no deterministic oracle exists (a53's count+order decomposition
+    * is the deterministic form).
+    *
+    * One hash-partition exchange on p_brand; the sort each ordered
+    * aggregate needs happens inside the per-group aggregation, not as
+    * a plan-level global sort.
+    */
+  val f11_ordered_agg_suite: Q = (spark, dir) => {
+    part(spark, dir)
+      .withColumn("szkey", col("p_size") * 100000L + col("p_partkey") % 100000L)
+      .groupBy(col("p_brand"))
+      .agg(
+        expr("listagg(p_type, '|') WITHIN GROUP (ORDER BY p_type)")
+          .as("types_all"),
+        expr("listagg(DISTINCT p_type, '|') WITHIN GROUP (ORDER BY p_type)")
+          .as("types_distinct"),
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY p_size)").as("p25"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY p_size)").as("p50"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY p_size)").as("p75"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY p_size)")
+          .cast("double").as("pd25"),
+        expr("median(p_size)").cast("double").as("med"),
+        expr("max_by(p_name, szkey)").as("name_of_max"),
+        expr("min_by(p_name, szkey)").as("name_of_min"))
+  }
+
   /** f07 — WINDOW-FUNCTION PARITY BATTERY (§2.8's ranking leg): the
     * full ranking/navigation surface over one per-user event ordering
     * — row_number/rank (≡ here: the (tsu, event_id) key is unique),
@@ -5992,6 +6068,8 @@ object Relational {
     "f04_string_suite" -> f04_string_suite,
     "f05_conditional_suite" -> f05_conditional_suite,
     "f06_agg_suite" -> f06_agg_suite,
+    "f11_ordered_agg_suite" -> f11_ordered_agg_suite,
+    "f12_try_suite" -> f12_try_suite,
     "f07_window_suite" -> f07_window_suite,
     "f08_collection_suite" -> f08_collection_suite,
     "f09_setop_battery" -> f09_setop_battery,
@@ -8180,6 +8258,53 @@ object Relational {
                             AND UNBOUNDED FOLLOWING) AS last_id
          FROM (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events)
          WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)""",
+    // f12: DuckDB has no try-arithmetic — the overflow lanes re-derive
+    // through HUGEINT range checks, the cast lanes through TRY_CAST,
+    // element_at through native out-of-range list indexing
+    "f12_try_suite" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+                           p_size % 12 - 6 AS k FROM part)
+         SELECT p_partkey,
+                CASE WHEN CAST(k AS HUGEINT) * 400000000000000000
+                          + 8000000000000000000
+                       BETWEEN -9223372036854775808 AND 9223372036854775807
+                     THEN CAST(CAST(k AS HUGEINT) * 400000000000000000
+                          + 8000000000000000000 AS BIGINT) END AS ta,
+                CASE WHEN CAST(k AS HUGEINT) * 2000000000000000000
+                       BETWEEN -9223372036854775808 AND 9223372036854775807
+                     THEN CAST(CAST(k AS HUGEINT) * 2000000000000000000
+                          AS BIGINT) END AS tm,
+                CASE WHEN p_size % 3 - 1 = 0 THEN NULL
+                     ELSE 100 / (p_size % 3 - 1) END AS td,
+                TRY_CAST(CASE WHEN p_size % 2 = 0
+                              THEN CAST(p_size AS VARCHAR)
+                              ELSE 'x' || p_size END AS INTEGER) AS tc_int,
+                TRY_CAST('2024-02-' || lpad(CAST(p_size AS VARCHAR), 2, '0')
+                  AS DATE) AS tc_date,
+                ([10, 20, 30])[p_size % 5 + 1] AS tea,
+                CASE WHEN p_size % 2 = 0
+                     THEN CAST(1234 AS BIGINT) END AS ttn
+         FROM p""",
+    // f11: same ANSI ordered-set semantics under different surface
+    // names (listagg/percentile_* vs string_agg/quantile_*); the
+    // uniquified szkey makes arg_max/arg_min well-defined
+    "f11_ordered_agg_suite" ->
+      """WITH p AS (SELECT p_brand, p_type, p_size, p_name,
+                           p_size * 100000 + p_partkey % 100000 AS szkey
+                    FROM part)
+         SELECT p_brand,
+                string_agg(p_type, '|' ORDER BY p_type)
+                  AS types_all,
+                string_agg(DISTINCT p_type, '|' ORDER BY p_type)
+                  AS types_distinct,
+                quantile_cont(p_size, 0.25) AS p25,
+                quantile_cont(p_size, 0.5) AS p50,
+                quantile_cont(p_size, 0.75) AS p75,
+                CAST(quantile_disc(p_size, 0.25) AS DOUBLE) AS pd25,
+                CAST(median(p_size) AS DOUBLE) AS med,
+                arg_max(p_name, szkey) AS name_of_max,
+                arg_min(p_name, szkey) AS name_of_min
+         FROM p GROUP BY 1""",
     "f06_agg_suite" ->
       """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
                 CAST(bit_and(p_size) AS BIGINT) AS size_and,

@@ -241,6 +241,26 @@ object Pipelines {
         col("o_totalprice").as("final_total_amount"),
         col("o_custkey").as("user_id"))
 
+  /** J3/J6 streaming — dual-stream LEFT SEMI join: orders emit once
+    * their first in-range line arrives, carrying ONLY order columns
+    * (the existence-check shape of the reference's "has this order
+    * any detail yet" probes, without materializing the wide row).
+    * Semi is the one stream-stream join type with ASYMMETRIC state
+    * semantics: the right side buffers for the range window like an
+    * inner join, but a matched LEFT row is emitted once and dropped —
+    * it never waits for more partners — so left-side state is
+    * strictly smaller than the inner join's (left anti is the type
+    * Spark does NOT support on two streams; the anti shapes ride
+    * stream-static j03/st16 instead).
+    */
+  def orderSemi(orders: DataFrame, lineitem: DataFrame,
+                range: String = DefaultJoinRange): DataFrame =
+    joinOrderWide(orders, lineitem, "left_semi", range)
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("user_id"),
+        col("o_orderstatus").as("order_status"))
+
   /** J6 streaming — dual-stream LEFT OUTER join + completion defaults
     * (ref dws/OrderWiderApp.scala:63-115: unmatched rows parked in a
     * Redis cache awaiting the partner; Spark emits the null-completed

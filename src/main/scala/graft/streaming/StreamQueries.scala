@@ -4458,9 +4458,29 @@ object StreamQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("n_within"))
   }
 
+  /** J3/J6 streaming — the LEFT SEMI stream-stream join, the one
+    * watermarked dual-stream join type the suite didn't yet run
+    * end-to-end (st02 inner, st05 left outer, st10 full outer; left
+    * anti is unsupported on two streams by Spark itself). Orders emit
+    * exactly once when their first in-range line arrives; the oracle
+    * keeps the correlated EXISTS form, so the differential proves
+    * semi-join ≡ existence quantifier (the r13 correlated-family
+    * discipline). The ~1.7% of orders with no lineitem at all stay
+    * unmatched — the lanes are genuinely mixed.
+    */
+  val st113_semi_join: Q = (spark, dir) => {
+    val out = Replay.runAppend(spark,
+      Pipelines.orderSemi(
+        Replay.ordersStream(spark, dir), Replay.lineitemStream(spark, dir),
+        Pipelines.ReplayJoinRange),
+      bigState = true)
+    out.where(col("order_id") >= 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "st111_tws_profile" -> st111_tws_profile,
     "st112_tws_timers" -> st112_tws_timers,
+    "st113_semi_join" -> st113_semi_join,
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
     "st19_stream_lm_gate" -> st19_stream_lm_gate,
@@ -4751,6 +4771,17 @@ object StreamQueries {
                             AND INTERVAL 30 DAYS FOLLOWING) AS BIGINT)
                   AS n_within
          FROM orders""",
+    // st113's semi-join emissions must equal the correlated existence
+    // quantifier over the batch tables
+    "st113_semi_join" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS user_id,
+                o_orderstatus AS order_status
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate
+                           BETWEEN o.o_orderdate - INTERVAL 3650 DAYS
+                               AND o.o_orderdate + INTERVAL 3650 DAYS)""",
     // st17 must return EXACTLY n09's batch answer — the oracle is n09's
     "st17_stream_ann_serve" -> graft.operators.Similarity.oracles("n09_ivfadc_topk"),
     // st19 must assign EXACTLY t18's scores — the oracle is t18's
