@@ -54,9 +54,23 @@ object Replay {
   val DefaultProvider =
     "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
 
-  private[streaming] def stateProvider(spark: SparkSession, bigState: Boolean): Unit =
+  private[streaming] def stateProvider(spark: SparkSession, bigState: Boolean): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       if (bigState) RocksDbProvider else DefaultProvider)
+    // Changelog checkpointing MEASURED AND REJECTED for this harness
+    // (round 15): committing only the batch's changes instead of a
+    // full RocksDB snapshot per micro-batch is the production setting
+    // when the checkpoint lives on a REMOTE store (S3/HDFS), where the
+    // snapshot upload is the commit bottleneck. Here the checkpoint is
+    // local disk — the "upload" is a cheap local copy — and enabling
+    // it made every big-state heavy SLOWER (targeted min-of-two at
+    // sf0.1, back-to-back: st02 11.3→13.2 s, st10 11.9→14.2 s,
+    // st18 14.5→17.3 s, st28 9.4→10.6 s; the changelog write is pure
+    // added work when snapshots are already local). A real cluster
+    // deployment checkpointing to object storage SHOULD flip
+    // spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
+    // .enabled=true; this harness correctly leaves it default-off.
+  }
 
   /** Temp dir holding the data as `a_data_NNNN.parquet` symlinks + the
     * sentinel as `z_sentinel.parquet`, with increasing mtimes so the
