@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Curation, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Layout, Multimodal, Quality, Relational, Similarity, TextAnalysis}
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,10 +23,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ TextAnalysis.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamQueries.queries ++
-      Curation.queries
+      Curation.queries ++ Layout.queries ++ Quality.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Dedup.oracles ++ TextAnalysis.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ StreamQueries.oracles ++
-      Curation.oracles
+      Curation.oracles ++ Layout.oracles ++ Quality.oracles
 }

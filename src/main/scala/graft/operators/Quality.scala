@@ -1,0 +1,318 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** DATA-QUALITY AUDITS — the nightly checks a training-data pipeline
+  * runs BEFORE shipping a snapshot to consumers: per-column profiles
+  * (the statistics a reviewer eyeballs and a drift monitor diffs),
+  * a declarative constraint suite (completeness / uniqueness /
+  * referential integrity / domain / range — the Deequ-style contract
+  * a table publishes), and the constraint trend over time (the same
+  * metrics per ingest month, so a regression names the month it
+  * arrived). The reference validates nothing — malformed payloads
+  * flow until a consumer throws (its fastjson parses are bare
+  * `JSON.parseObject`, e.g. ods/KafkaToODS_M.scala:47); this family
+  * is the missing admission control, built table-level where p12's
+  * quarantine is row-level.
+  *
+  * Design rule shared by all three queries: every metric that can
+  * ride ONE scan of its fact table does — violations are conditional
+  * aggregates over a single pass, never one query per constraint
+  * (at 100 TB, N constraint queries = N scans is the difference
+  * between a nightly audit and a weekly one). Cross-table
+  * constraints (FK orphans) ride the SAME pass via cardinality-
+  * preserving left joins against the unique-key side, so adding a
+  * referential check never adds a scan of the probe side.
+  */
+object Quality {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Money as integer cents (exact cross-engine; the w-family rule). */
+  private def centsStr(c: Column): Column = cents(c).cast("long").cast("string")
+
+  // --------------------------------------------------------------------
+  // q01 — per-column profile
+  // --------------------------------------------------------------------
+
+  /** q01 — COLUMN PROFILE of the orders table, long format: one row
+    * per column with (n_rows, n_nonnull, n_distinct, min, max) — the
+    * table "describe" a curation reviewer reads and q03's trend diffs.
+    * Min/max are rendered to engine-neutral VARCHAR at the type level
+    * (longs verbatim, money as integer cents, timestamps as ISO
+    * dates) so one schema carries every column.
+    *
+    * Scale shape: ONE scan, one aggregate row, then a 6-way inline
+    * unpivot of that single row — the row count of the output is the
+    * column count, not the data. The six exact COUNT(DISTINCT)s in
+    * one aggregate expand the shuffle 6× (RewriteDistinctAggregates'
+    * Expand — visible in the plan and priced here deliberately: the
+    * differential needs exact counts; a 100 TB deployment flips the
+    * same query to approx_count_distinct and drops the Expand, the
+    * a03/a07 exact-vs-HLL pairing already in this library).
+    */
+  val q01_column_profile: Q = (spark, dir) => {
+    val a = orders(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      // o_orderkey
+      count(col("o_orderkey")).as("nn_ok"),
+      countDistinct(col("o_orderkey")).as("nd_ok"),
+      min(col("o_orderkey")).cast("string").as("mn_ok"),
+      max(col("o_orderkey")).cast("string").as("mx_ok"),
+      // o_custkey
+      count(col("o_custkey")).as("nn_ck"),
+      countDistinct(col("o_custkey")).as("nd_ck"),
+      min(col("o_custkey")).cast("string").as("mn_ck"),
+      max(col("o_custkey")).cast("string").as("mx_ck"),
+      // o_orderstatus
+      count(col("o_orderstatus")).as("nn_os"),
+      countDistinct(col("o_orderstatus")).as("nd_os"),
+      min(col("o_orderstatus")).as("mn_os"),
+      max(col("o_orderstatus")).as("mx_os"),
+      // o_totalprice (cents)
+      count(col("o_totalprice")).as("nn_tp"),
+      countDistinct(col("o_totalprice")).as("nd_tp"),
+      centsStr(min(col("o_totalprice"))).as("mn_tp"),
+      centsStr(max(col("o_totalprice"))).as("mx_tp"),
+      // o_orderdate (ISO day)
+      count(col("o_orderdate")).as("nn_od"),
+      countDistinct(col("o_orderdate")).as("nd_od"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("mn_od"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("mx_od"),
+      // o_orderpriority
+      count(col("o_orderpriority")).as("nn_op"),
+      countDistinct(col("o_orderpriority")).as("nd_op"),
+      min(col("o_orderpriority")).as("mn_op"),
+      max(col("o_orderpriority")).as("mx_op"))
+    def row(name: String, sfx: String) =
+      struct(lit(name).as("col_name"), col("n_rows"),
+        col(s"nn_$sfx").as("n_nonnull"), col(s"nd_$sfx").as("n_distinct"),
+        col(s"mn_$sfx").as("min_val"), col(s"mx_$sfx").as("max_val"))
+    a.select(inline(array(
+      row("o_orderkey", "ok"), row("o_custkey", "ck"),
+      row("o_orderstatus", "os"), row("o_totalprice", "tp"),
+      row("o_orderdate", "od"), row("o_orderpriority", "op"))))
+  }
+
+  // --------------------------------------------------------------------
+  // q02 — the constraint suite
+  // --------------------------------------------------------------------
+
+  /** q02 — CONSTRAINT AUDIT: the declarative suite over orders and
+    * lineitem, one output row per constraint with (checked,
+    * violations, passed). The battery: column completeness, key
+    * uniqueness, value domain, value range, two referential checks
+    * (orders→customer, lineitem→orders), and one CROSS-ROW business
+    * rule (ship-before-order: l_shipdate >= o_orderdate — which this
+    * synthetic generation violates massively, exactly the kind of
+    * fact an audit states rather than assumes). The FK legs are
+    * [[Relational.p23_fk_audit]]'s orphan measurement reduced to
+    * suite membership: p23 reports the orphan RATE per edge for
+    * investigation; this row answers the publish/block question —
+    * and does it without p23's dedicated anti-join pass, see below.
+    *
+    * Scale shape: TWO fact scans total for eight constraints. The
+    * orders-side five ride one scan through a cardinality-preserving
+    * left join onto broadcast customer keys (c_custkey is unique, so
+    * the join cannot duplicate; FK violations are null probes); the
+    * lineitem-side three ride one scan through a left join onto the
+    * orders key+date projection (o_orderkey unique — same
+    * cardinality argument; that second orders read IS the second
+    * fact scan, shared by the FK check and the date rule). Uniqueness
+    * is COUNT(*) − COUNT(DISTINCT key) in the same aggregate.
+    */
+  val q02_constraint_audit: Q = (spark, dir) => {
+    val cust = customer(spark, dir).select(col("c_custkey"))
+    val o = orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+    val oAgg = o.agg(
+      count(lit(1)).as("n_o"),
+      (count(lit(1)) - count(col("o_custkey"))).as("v_complete"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L)).as("v_domain"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_range"),
+      sum(when(col("c_custkey").isNull && col("o_custkey").isNotNull, 1L)
+        .otherwise(0L)).as("v_fk_cust"))
+    val okeys = orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val l = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+      .join(okeys, col("l_orderkey") === col("o_orderkey"), "left")
+    val lAgg = l.agg(
+      count(lit(1)).as("n_l"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk_ord"),
+      sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+        .otherwise(0L)).as("v_ship"))
+    def rows(checked: Column, pairs: (String, String)*) = pairs.map {
+      case (name, vcol) => struct(lit(name).as("check_name"),
+        checked.as("checked"), col(vcol).as("violations"),
+        when(col(vcol) === 0L, 1L).otherwise(0L).as("passed"))
+    }
+    val oOut = oAgg.select(inline(array(rows(col("n_o"),
+      "completeness_o_custkey" -> "v_complete",
+      "unique_o_orderkey" -> "v_unique",
+      "domain_o_orderstatus" -> "v_domain",
+      "range_o_totalprice_pos" -> "v_range",
+      "fk_orders_customer" -> "v_fk_cust"): _*)))
+    val lOut = lAgg.select(inline(array(rows(col("n_l"),
+      "fk_lineitem_orders" -> "v_fk_ord",
+      "range_l_quantity_pos" -> "v_qty",
+      "rule_ship_after_order" -> "v_ship"): _*)))
+    oOut.unionAll(lOut)
+  }
+
+  // --------------------------------------------------------------------
+  // q03 — the constraint trend
+  // --------------------------------------------------------------------
+
+  /** q03 — CONSTRAINT TREND: q02's audit grain crossed with TIME —
+    * per order month: row volume, completeness violations, FK
+    * orphans, range violations, and the ship-date rule's violation
+    * count and checked denominator. The output a quality dashboard
+    * plots; a metric that moves names the ingest month that moved it
+    * (the t24/st40 drift discipline applied to CONSTRAINTS rather
+    * than content distributions).
+    *
+    * Scale shape: identical to q02's lineitem leg — one fact scan
+    * through the cardinality-preserving join, then ONE keyed shuffle
+    * on the month grain (map-side partial aggregation makes the
+    * exchange |months| rows per task); the orders-side metrics ride
+    * the same month groups off the orders scan. Two scans, two
+    * grid-bounded exchanges, any table size.
+    */
+  val q03_constraint_trend: Q = (spark, dir) => {
+    val cust = customer(spark, dir).select(col("c_custkey"))
+    val om = orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_fk_cust"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_range"))
+    val okeys = orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
+    val lm = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(okeys, col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("v_ship"))
+    om.join(lm, Seq("month"), "left")
+      .select(col("month"), col("n_orders"), col("v_fk_cust"),
+        col("v_range"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("v_ship"), lit(0L)).as("v_ship"))
+  }
+
+  // --------------------------------------------------------------------
+  // Registry + DuckDB twins
+  // --------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "q01_column_profile" -> q01_column_profile,
+    "q02_constraint_audit" -> q02_constraint_audit,
+    "q03_constraint_trend" -> q03_constraint_trend,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_column_profile" ->
+      """WITH a AS (SELECT
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS nn_ok,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS mn_ok,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS mx_ok,
+           CAST(COUNT(o_custkey) AS BIGINT) AS nn_ck,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+           CAST(MIN(o_custkey) AS VARCHAR) AS mn_ck,
+           CAST(MAX(o_custkey) AS VARCHAR) AS mx_ck,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_os,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_os,
+           MIN(o_orderstatus) AS mn_os,
+           MAX(o_orderstatus) AS mx_os,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS nn_tp,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+           CAST(CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mn_tp,
+           CAST(CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mx_tp,
+           CAST(COUNT(o_orderdate) AS BIGINT) AS nn_od,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_od,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS mn_od,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS mx_od,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_op,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_op,
+           MIN(o_orderpriority) AS mn_op,
+           MAX(o_orderpriority) AS mx_op
+         FROM orders)
+         SELECT 'o_orderkey' AS col_name, n_rows, nn_ok AS n_nonnull,
+                nd_ok AS n_distinct, mn_ok AS min_val, mx_ok AS max_val FROM a
+         UNION ALL SELECT 'o_custkey', n_rows, nn_ck, nd_ck, mn_ck, mx_ck FROM a
+         UNION ALL SELECT 'o_orderstatus', n_rows, nn_os, nd_os, mn_os, mx_os FROM a
+         UNION ALL SELECT 'o_totalprice', n_rows, nn_tp, nd_tp, mn_tp, mx_tp FROM a
+         UNION ALL SELECT 'o_orderdate', n_rows, nn_od, nd_od, mn_od, mx_od FROM a
+         UNION ALL SELECT 'o_orderpriority', n_rows, nn_op, nd_op, mn_op, mx_op FROM a""",
+    "q02_constraint_audit" ->
+      """WITH o AS (SELECT o.*, c.c_custkey AS ck
+                    FROM orders o LEFT JOIN customer c
+                      ON o.o_custkey = c.c_custkey),
+         oa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_o,
+                  CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS v_complete,
+                  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_unique,
+                  CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_domain,
+                  CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range,
+                  CAST(COALESCE(SUM(CASE WHEN ck IS NULL AND o_custkey IS NOT NULL
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_fk_cust
+                FROM o),
+         l AS (SELECT l.l_quantity, l.l_shipdate, o.o_orderkey, o.o_orderdate
+               FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey),
+         la AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_l,
+                  CAST(COALESCE(SUM(CASE WHEN o_orderkey IS NULL
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_fk_ord,
+                  CAST(COALESCE(SUM(CASE WHEN l_quantity <= 0
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_qty,
+                  CAST(COALESCE(SUM(CASE WHEN l_shipdate < o_orderdate
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_ship
+                FROM l)
+         SELECT 'completeness_o_custkey' AS check_name, n_o AS checked,
+                v_complete AS violations,
+                CAST(CASE WHEN v_complete = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM oa
+         UNION ALL SELECT 'unique_o_orderkey', n_o, v_unique,
+                CAST(CASE WHEN v_unique = 0 THEN 1 ELSE 0 END AS BIGINT) FROM oa
+         UNION ALL SELECT 'domain_o_orderstatus', n_o, v_domain,
+                CAST(CASE WHEN v_domain = 0 THEN 1 ELSE 0 END AS BIGINT) FROM oa
+         UNION ALL SELECT 'range_o_totalprice_pos', n_o, v_range,
+                CAST(CASE WHEN v_range = 0 THEN 1 ELSE 0 END AS BIGINT) FROM oa
+         UNION ALL SELECT 'fk_orders_customer', n_o, v_fk_cust,
+                CAST(CASE WHEN v_fk_cust = 0 THEN 1 ELSE 0 END AS BIGINT) FROM oa
+         UNION ALL SELECT 'fk_lineitem_orders', n_l, v_fk_ord,
+                CAST(CASE WHEN v_fk_ord = 0 THEN 1 ELSE 0 END AS BIGINT) FROM la
+         UNION ALL SELECT 'range_l_quantity_pos', n_l, v_qty,
+                CAST(CASE WHEN v_qty = 0 THEN 1 ELSE 0 END AS BIGINT) FROM la
+         UNION ALL SELECT 'rule_ship_after_order', n_l, v_ship,
+                CAST(CASE WHEN v_ship = 0 THEN 1 ELSE 0 END AS BIGINT) FROM la""",
+    "q03_constraint_trend" ->
+      """WITH om AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_fk_cust,
+                  CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range
+                FROM orders o LEFT JOIN customer c
+                  ON o.o_custkey = c.c_custkey
+                GROUP BY 1),
+         lm AS (SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+                  CAST(COUNT(*) AS BIGINT) AS n_lines,
+                  CAST(COALESCE(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_ship
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1)
+         SELECT om.month, om.n_orders, om.v_fk_cust, om.v_range,
+                COALESCE(lm.n_lines, 0) AS n_lines,
+                COALESCE(lm.v_ship, 0) AS v_ship
+         FROM om LEFT JOIN lm USING (month)""",
+  )
+}
