@@ -238,6 +238,75 @@ object Layout {
   }
 
   // --------------------------------------------------------------------
+  // z04 — the physical round trip
+  // --------------------------------------------------------------------
+
+  /** Driver-side Morton reference for aligned-tile literals (the same
+    * cascade as [[morton16]], evaluated at plan-construction time).
+    */
+  private[graft] def mortonLong(x: Long, y: Long): Long = {
+    def spread(v: Long): Long = {
+      var w = v & 0xFFFFL
+      w = (w | (w << 8)) & 0x00FF00FFL
+      w = (w | (w << 4)) & 0x0F0F0F0FL
+      w = (w | (w << 2)) & 0x33333333L
+      (w | (w << 1)) & 0x55555555L
+    }
+    spread(x) | (spread(y) << 1)
+  }
+
+  /** One z-ordered physical copy of lineitem per sfDir (scratch, GC'd
+    * at JVM exit) — the c04/s10 write-once fixture pattern.
+    */
+  private val zorderCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** z04 — THE Z-ORDERED TABLE round trip: actually LAND lineitem in
+    * z-order (16 range-partitioned files sorted by the Morton key of
+    * the 64×64 hash-grid coords — [[graft.sinks.Sinks.zorderedParquet]],
+    * the writer z01 derives the key for), then read it back under an
+    * ALIGNED-TILE predicate expressed as a single zkey interval.
+    * Alignment is the point: an 8×8 tile at offsets divisible by 8
+    * occupies one CONTIGUOUS Morton range [morton(24,40),
+    * morton(31,47)] (the hierarchical-prefix property LayoutSpec pins),
+    * so the rectangle becomes a between-predicate the parquet reader
+    * prunes with ordinary column min/max statistics — no reader-side
+    * z-decoding at all. Non-aligned rectangles decompose into a few
+    * aligned tiles (the BIGMIN refinement real readers add); the
+    * aligned case is the primitive and carries the full physical
+    * contract, which LayoutSpec asserts on THIS table: the pruned
+    * read touches a strict subset of the 16 files.
+    *
+    * The output is the tile's rows (values are layout-independent, so
+    * the differential oracle is the plain rectangle filter over the
+    * original table — proving the round trip loses and invents
+    * nothing); the LAYOUT is asserted by spec because file boundaries
+    * come from `repartitionByRange`'s reservoir sampling, which is
+    * deliberately not value-deterministic.
+    *
+    * Scale shape: the write is one range exchange + per-partition
+    * sort (the standard sorted-write cost, amortized over every
+    * future scan); the read is a file-pruned scan with the zkey
+    * interval pushed to parquet row-group stats.
+    */
+  val z04_zordered_table: Q = (spark, dir) => {
+    val p = zorderCache.computeIfAbsent(dir, _ => {
+      val out = graft.Tables.scratchDir("graft_zorder_")
+      val px = col("l_partkey").bitwiseAND(lit(63L))
+      val py = col("l_suppkey").bitwiseAND(lit(63L))
+      val keyed = lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        px.as("px"), py.as("py"), morton16(px, py).as("zkey"))
+      graft.sinks.Sinks.zorderedParquet(keyed, out, "zkey", nFiles = 16)
+      out
+    })
+    spark.read.parquet(p)
+      .where(col("zkey") >= lit(mortonLong(24L, 40L)) &&
+             col("zkey") <= lit(mortonLong(31L, 47L)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("px"), col("py"))
+  }
+
+  // --------------------------------------------------------------------
   // Registry + DuckDB twins
   // --------------------------------------------------------------------
 
@@ -245,6 +314,7 @@ object Layout {
     "z01_zorder_key" -> z01_zorder_key,
     "z02_zorder_pruning" -> z02_zorder_pruning,
     "z03_compaction_plan" -> z03_compaction_plan,
+    "z04_zordered_table" -> z04_zordered_table,
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,6 +360,16 @@ object Layout {
           SELECT s.pred_id, s.layout, s.files_scanned, s.rows_scanned,
                  m.rows_matched
           FROM scanned s JOIN matched m USING (pred_id)""",
+    // z04's oracle is the LOGICAL rectangle over the original table —
+    // the round trip must return exactly the tile's rows whatever the
+    // physical layout (the layout itself is spec-asserted, not hashed:
+    // range-partition boundaries are sampled, deliberately unlocked).
+    "z04_zordered_table" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_partkey & 63 AS px, l_suppkey & 63 AS py
+         FROM lineitem
+         WHERE (l_partkey & 63) BETWEEN 24 AND 31
+           AND (l_suppkey & 63) BETWEEN 40 AND 47""",
     "z03_compaction_plan" ->
       """WITH inv AS (SELECT doc_id % 503 AS file_id,
                              CAST(SUM(n_chars) AS BIGINT) AS bytes,

@@ -99,6 +99,28 @@ object Sinks {
       }
   }
 
+  /** K9 — Z-ORDERED (clustered) PARQUET WRITER: range-partition on a
+    * precomputed clustering key (e.g. [[graft.operators.Layout
+    * .morton16]]'s Morton interleave) and sort within each partition,
+    * so consecutive files own DISJOINT key intervals and every file's
+    * per-column min/max statistics are tight on all clustered
+    * dimensions at once — the write-side half of OPTIMIZE ZORDER,
+    * whose read-side payoff z02 measures and z04 exercises end to
+    * end. `repartitionByRange` samples boundaries (value-
+    * NONdeterministic file contents by design — only the interval
+    * disjointness is contractual); the in-file sort additionally
+    * tightens parquet ROW-GROUP stats, so pruning survives even when
+    * files are large enough to hold many row groups. One exchange +
+    * per-partition sort, any table size; `nFiles` maps 1:1 to range
+    * partitions so file sizing is explicit rather than left to task
+    * parallelism.
+    */
+  def zorderedParquet(df: DataFrame, path: String, zkeyCol: String,
+                      nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(zkeyCol))
+      .sortWithinPartitions(zkeyCol)
+      .write.mode("overwrite").parquet(path)
+
   def partitionedParquet(df: DataFrame, path: String,
                          partitionCols: Seq[String],
                          sortCols: Seq[String] = Nil,

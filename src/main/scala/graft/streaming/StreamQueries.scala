@@ -4477,10 +4477,49 @@ object StreamQueries {
     out.where(col("order_id") >= 0)
   }
 
+  /** Q-family streaming — THE QUALITY TREND AT INGEST (streaming twin
+    * of the q03/q02 audit family): per event-time day, the constraint
+    * counters a data-quality dashboard plots — volume, the error-event
+    * SLO counter, and three violation gates (null value, non-positive
+    * value, out-of-domain type). One watermarked daily tumbling-window
+    * aggregation in append mode: each day's audit row emits exactly
+    * once, when the watermark proves the day complete — which is
+    * precisely when a quality gate may judge it (an early row would
+    * report violations on a PARTIAL day; the q02 batch audit has no
+    * such cutoff problem because its input is a closed snapshot).
+    *
+    * Scale shape: stateless per-row flag arithmetic rides the ingest
+    * scan; the only state is the open windows' partial counters —
+    * O(days-in-watermark × 1 row), rate-independent. The violation
+    * flags are the same expressions q02/q03 evaluate, so batch and
+    * ingest audits alert on the same algebra (the t24/st40 two-mode
+    * drift discipline applied to constraints).
+    */
+  val st114_stream_quality_trend: Q = (spark, dir) => {
+    val ev = Replay.eventsStream(spark, dir)
+    val out = Replay.runAppend(spark,
+      ev.withWatermark("ts", "25 hours")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_error"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_null_value"),
+          sum(when(col("value") <= 0.0, 1L).otherwise(0L)).as("v_nonpos_value"),
+          sum(when(!col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"), 1L)
+            .otherwise(0L)).as("v_unknown_type"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("dt"),
+          col("n_events"), col("n_error"), col("v_null_value"),
+          col("v_nonpos_value"), col("v_unknown_type")))
+    out.where(col("dt") < "2090-01-01")
+  }
+
   val queries: Map[String, Q] = Map(
     "st111_tws_profile" -> st111_tws_profile,
     "st112_tws_timers" -> st112_tws_timers,
     "st113_semi_join" -> st113_semi_join,
+    "st114_stream_quality_trend" -> st114_stream_quality_trend,
     "st01_stream_dau" -> st01_stream_dau,
     "st18_stream_curation" -> st18_stream_curation,
     "st19_stream_lm_gate" -> st19_stream_lm_gate,
@@ -4782,6 +4821,21 @@ object StreamQueries {
                          AND l.l_shipdate
                            BETWEEN o.o_orderdate - INTERVAL 3650 DAYS
                                AND o.o_orderdate + INTERVAL 3650 DAYS)""",
+    // st114's per-day audit rows must equal the batch trend over the
+    // closed events table — same counter algebra as q02/q03
+    "st114_stream_quality_trend" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(SUM(CASE WHEN event_type = 'error'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                CAST(SUM(CASE WHEN value IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_null_value,
+                CAST(SUM(CASE WHEN value <= 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_nonpos_value,
+                CAST(SUM(CASE WHEN event_type NOT IN
+                              ('click','view','purchase','signup','error')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_unknown_type
+         FROM events GROUP BY 1""",
     // st17 must return EXACTLY n09's batch answer — the oracle is n09's
     "st17_stream_ann_serve" -> graft.operators.Similarity.oracles("n09_ivfadc_topk"),
     // st19 must assign EXACTLY t18's scores — the oracle is t18's

@@ -83,6 +83,37 @@ class LayoutSpec extends SparkSpecBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("z04 physical contract: pruned tile read touches a strict subset of the 16 files") {
+    val q = Layout.z04_zordered_table(spark, sf)
+    // The zkey interval must reach the parquet scan as pushed filters.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(zkey), GreaterThanOrEqual(zkey") ||
+           plan.contains("GreaterThanOrEqual(zkey"),
+      s"zkey interval not pushed to the scan:\n$plan")
+    val touched = q.select(input_file_name().as("f")).distinct().count()
+    // The table root holds 16 range files; an aligned 8x8 tile is
+    // 1/64 of the key space, so the pruned read must touch only a
+    // strict subset (sampled boundaries make the exact count vary).
+    val table = spark.read.parquet(
+      q.queryExecution.analyzed.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+        .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.head.toString)
+    val total = table.select(input_file_name().as("f")).distinct().count()
+    assert(total >= 8, s"expected ~16 range files, found $total")
+    assert(touched < total,
+      s"pruning bought nothing: touched $touched of $total files")
+    // Disjoint intervals: per-file (min,max) zkey ranges must not overlap.
+    val ranges = table.groupBy(input_file_name().as("f"))
+      .agg(min(col("zkey")).as("lo"), max(col("zkey")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file zkey intervals overlap: hi=$hi1 lo=$lo2")
+      case _ =>
+    }
+  }
+
   test("z03 groups are equal-mass: every group lands within one max-file of target") {
     val rows = Layout.z03_compaction_plan(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("group_bytes")).sum
