@@ -206,6 +206,28 @@ object Quality {
   }
 
   // --------------------------------------------------------------------
+  // q04 — the publish decision
+  // --------------------------------------------------------------------
+
+  /** q04 — PUBLISH GATE: q02's suite reduced to the one row a pipeline
+    * orchestrator branches on — go/no-go, how many checks failed, and
+    * WHICH (sorted CSV, so the blocking alert is self-describing).
+    * This is the table-level analog of c06's refusal circuit breaker:
+    * the audit decides; the decision is data a downstream job reads,
+    * not a log line a human greps. Rides q02's plan unchanged (same
+    * two fact scans) plus one single-row reduction.
+    */
+  val q04_publish_gate: Q = (spark, dir) =>
+    q02_constraint_audit(spark, dir).agg(
+      count(lit(1)).as("n_checks"),
+      sum(lit(1L) - col("passed")).as("n_failed"),
+      concat_ws(",", sort_array(collect_list(
+        when(col("passed") === 0L, col("check_name"))))).as("failed_csv"))
+      .select(col("n_checks"), col("n_failed"),
+        when(col("n_failed") === 0L, 1L).otherwise(0L).as("go"),
+        col("failed_csv"))
+
+  // --------------------------------------------------------------------
   // Registry + DuckDB twins
   // --------------------------------------------------------------------
 
@@ -213,46 +235,13 @@ object Quality {
     "q01_column_profile" -> q01_column_profile,
     "q02_constraint_audit" -> q02_constraint_audit,
     "q03_constraint_trend" -> q03_constraint_trend,
+    "q04_publish_gate" -> q04_publish_gate,
   )
 
-  val oracles: Map[String, String] = Map(
-    "q01_column_profile" ->
-      """WITH a AS (SELECT
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(COUNT(o_orderkey) AS BIGINT) AS nn_ok,
-           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
-           CAST(MIN(o_orderkey) AS VARCHAR) AS mn_ok,
-           CAST(MAX(o_orderkey) AS VARCHAR) AS mx_ok,
-           CAST(COUNT(o_custkey) AS BIGINT) AS nn_ck,
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
-           CAST(MIN(o_custkey) AS VARCHAR) AS mn_ck,
-           CAST(MAX(o_custkey) AS VARCHAR) AS mx_ck,
-           CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_os,
-           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_os,
-           MIN(o_orderstatus) AS mn_os,
-           MAX(o_orderstatus) AS mx_os,
-           CAST(COUNT(o_totalprice) AS BIGINT) AS nn_tp,
-           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
-           CAST(CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mn_tp,
-           CAST(CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mx_tp,
-           CAST(COUNT(o_orderdate) AS BIGINT) AS nn_od,
-           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_od,
-           strftime(MIN(o_orderdate), '%Y-%m-%d') AS mn_od,
-           strftime(MAX(o_orderdate), '%Y-%m-%d') AS mx_od,
-           CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_op,
-           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_op,
-           MIN(o_orderpriority) AS mn_op,
-           MAX(o_orderpriority) AS mx_op
-         FROM orders)
-         SELECT 'o_orderkey' AS col_name, n_rows, nn_ok AS n_nonnull,
-                nd_ok AS n_distinct, mn_ok AS min_val, mx_ok AS max_val FROM a
-         UNION ALL SELECT 'o_custkey', n_rows, nn_ck, nd_ck, mn_ck, mx_ck FROM a
-         UNION ALL SELECT 'o_orderstatus', n_rows, nn_os, nd_os, mn_os, mx_os FROM a
-         UNION ALL SELECT 'o_totalprice', n_rows, nn_tp, nd_tp, mn_tp, mx_tp FROM a
-         UNION ALL SELECT 'o_orderdate', n_rows, nn_od, nd_od, mn_od, mx_od FROM a
-         UNION ALL SELECT 'o_orderpriority', n_rows, nn_op, nd_op, mn_op, mx_op FROM a""",
-    "q02_constraint_audit" ->
-      """WITH o AS (SELECT o.*, c.c_custkey AS ck
+
+  /** q02's DuckDB twin, shared verbatim by q04's wrapper. */
+  private val duckQ02Sql: String =
+    """WITH o AS (SELECT o.*, c.c_custkey AS ck
                     FROM orders o LEFT JOIN customer c
                       ON o.o_custkey = c.c_custkey),
          oa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_o,
@@ -292,7 +281,56 @@ object Quality {
          UNION ALL SELECT 'range_l_quantity_pos', n_l, v_qty,
                 CAST(CASE WHEN v_qty = 0 THEN 1 ELSE 0 END AS BIGINT) FROM la
          UNION ALL SELECT 'rule_ship_after_order', n_l, v_ship,
-                CAST(CASE WHEN v_ship = 0 THEN 1 ELSE 0 END AS BIGINT) FROM la""",
+                CAST(CASE WHEN v_ship = 0 THEN 1 ELSE 0 END AS BIGINT) FROM la"""
+
+  val oracles: Map[String, String] = Map(
+    "q01_column_profile" ->
+      """WITH a AS (SELECT
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS nn_ok,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS mn_ok,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS mx_ok,
+           CAST(COUNT(o_custkey) AS BIGINT) AS nn_ck,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+           CAST(MIN(o_custkey) AS VARCHAR) AS mn_ck,
+           CAST(MAX(o_custkey) AS VARCHAR) AS mx_ck,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_os,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_os,
+           MIN(o_orderstatus) AS mn_os,
+           MAX(o_orderstatus) AS mx_os,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS nn_tp,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+           CAST(CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mn_tp,
+           CAST(CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS VARCHAR) AS mx_tp,
+           CAST(COUNT(o_orderdate) AS BIGINT) AS nn_od,
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_od,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS mn_od,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS mx_od,
+           CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_op,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_op,
+           MIN(o_orderpriority) AS mn_op,
+           MAX(o_orderpriority) AS mx_op
+         FROM orders)
+         SELECT 'o_orderkey' AS col_name, n_rows, nn_ok AS n_nonnull,
+                nd_ok AS n_distinct, mn_ok AS min_val, mx_ok AS max_val FROM a
+         UNION ALL SELECT 'o_custkey', n_rows, nn_ck, nd_ck, mn_ck, mx_ck FROM a
+         UNION ALL SELECT 'o_orderstatus', n_rows, nn_os, nd_os, mn_os, mx_os FROM a
+         UNION ALL SELECT 'o_totalprice', n_rows, nn_tp, nd_tp, mn_tp, mx_tp FROM a
+         UNION ALL SELECT 'o_orderdate', n_rows, nn_od, nd_od, mn_od, mx_od FROM a
+         UNION ALL SELECT 'o_orderpriority', n_rows, nn_op, nd_op, mn_op, mx_op FROM a""",
+    "q02_constraint_audit" -> duckQ02Sql,
+    // q04 wraps q02's full oracle as a derived table — the reduction
+    // must agree with the audit it summarizes, row for row
+    "q04_publish_gate" -> {
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_checks,
+                 CAST(COUNT(*) FILTER (WHERE passed = 0) AS BIGINT) AS n_failed,
+                 CAST(CASE WHEN COUNT(*) FILTER (WHERE passed = 0) = 0
+                           THEN 1 ELSE 0 END AS BIGINT) AS go,
+                 COALESCE(string_agg(check_name, ',' ORDER BY check_name)
+                            FILTER (WHERE passed = 0), '') AS failed_csv
+          FROM ($duckQ02Sql) a"""
+    },
     "q03_constraint_trend" ->
       """WITH om AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
                   CAST(COUNT(*) AS BIGINT) AS n_orders,

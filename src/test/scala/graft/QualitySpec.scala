@@ -40,6 +40,17 @@ class QualitySpec extends SparkSpecBase {
     assert(ok.getAs[String]("min_val").toLong <= ok.getAs[String]("max_val").toLong)
   }
 
+  test("q04 gate reconciles with the audit it summarizes") {
+    val gate = Quality.q04_publish_gate(spark, sf).head()
+    val audit = Quality.q02_constraint_audit(spark, sf).collect()
+    val failed = audit.filter(_.getAs[Long]("passed") == 0L)
+      .map(_.getAs[String]("check_name")).sorted
+    assert(gate.getAs[Long]("n_checks") == audit.length)
+    assert(gate.getAs[Long]("n_failed") == failed.length)
+    assert(gate.getAs[Long]("go") == (if (failed.isEmpty) 1L else 0L))
+    assert(gate.getAs[String]("failed_csv") == failed.mkString(","))
+  }
+
   test("q03 trend reconciles with q02 totals on the shared metrics") {
     val trend = Quality.q03_constraint_trend(spark, sf).collect()
     val audit = Quality.q02_constraint_audit(spark, sf).collect()
