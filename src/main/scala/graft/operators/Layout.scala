@@ -307,6 +307,54 @@ object Layout {
   }
 
   // --------------------------------------------------------------------
+  // z05 — incremental re-clustering under ingest
+  // --------------------------------------------------------------------
+
+  /** z05 — INCREMENTAL RE-CLUSTER PLAN: the decision OPTIMIZE makes
+    * under continuous ingest — for each Morton tile of the clustered
+    * table, weigh tonight's arrivals against the standing rows and
+    * choose `rewrite` (delta ≥ 10% of standing — folding it in now
+    * amortizes; per-mille arithmetic keeps the threshold exact
+    * cross-engine), `append` (delta too small to justify rewriting
+    * the tile's files — land it as a small delta file and let a later
+    * pass fold it), or `new` (no standing rows — the tile is born
+    * from the delta). The z03 planner packs a cold inventory; this is
+    * its warm-path complement: re-clustering a 100 TB table is only
+    * affordable as the sum of per-tile decisions, never a global
+    * rewrite. The arriving slice is carved deterministically from the
+    * fixture (l_orderkey ≡ 0 mod 10, the p25 standing/delta
+    * convention, RESTRICTED to the low-partkey stripe px < 16 —
+    * real ingest is key-skewed, and a delta spread uniformly over
+    * every tile would make one global decision, which is exactly not
+    * the point), so both engines see the identical split: the two
+    * hot-stripe tile columns rewrite, the cold majority appends.
+    *
+    * Scale shape: ONE fact scan; the standing/delta tag and tile key
+    * are per-row expressions; one tile-bounded aggregation (≤64
+    * groups whatever the table size). The output IS the work list a
+    * rewrite job consumes — rows_rewritten prices it.
+    */
+  val z05_incremental_recluster: Q = (spark, dir) => {
+    val px = col("l_partkey").bitwiseAND(lit(63L))
+    val py = col("l_suppkey").bitwiseAND(lit(63L))
+    val tiled = lineitem(spark, dir).select(
+      morton16(shiftright(px, 3), shiftright(py, 3)).as("tile"),
+      when(pmod(col("l_orderkey"), lit(10L)) === 0L && px < 16L, 1L)
+        .otherwise(0L).as("is_delta"))
+    tiled.groupBy(col("tile"))
+      .agg(sum(lit(1L) - col("is_delta")).as("n_standing"),
+           sum(col("is_delta")).as("n_delta"))
+      .select(col("tile"), col("n_standing"), col("n_delta"),
+        when(col("n_standing") === 0L && col("n_delta") > 0L, "new")
+          .when(col("n_delta") * 1000L >= col("n_standing") * 100L, "rewrite")
+          .otherwise("append").as("action"),
+        when(col("n_standing") === 0L && col("n_delta") > 0L, col("n_delta"))
+          .when(col("n_delta") * 1000L >= col("n_standing") * 100L,
+            col("n_standing") + col("n_delta"))
+          .otherwise(lit(0L)).as("rows_rewritten"))
+  }
+
+  // --------------------------------------------------------------------
   // Registry + DuckDB twins
   // --------------------------------------------------------------------
 
@@ -315,6 +363,7 @@ object Layout {
     "z02_zorder_pruning" -> z02_zorder_pruning,
     "z03_compaction_plan" -> z03_compaction_plan,
     "z04_zordered_table" -> z04_zordered_table,
+    "z05_incremental_recluster" -> z05_incremental_recluster,
   )
 
   val oracles: Map[String, String] = Map(
@@ -360,6 +409,29 @@ object Layout {
           SELECT s.pred_id, s.layout, s.files_scanned, s.rows_scanned,
                  m.rows_matched
           FROM scanned s JOIN matched m USING (pred_id)""",
+    // z05: the per-tile decision mirrored with the same per-mille
+    // threshold arithmetic; the morton CTEs run over the 8x8 tile grid
+    "z05_incremental_recluster" ->
+      s"""WITH b AS (SELECT (l_partkey & 63) >> 3 AS tx,
+                            (l_suppkey & 63) >> 3 AS ty,
+                            CASE WHEN l_orderkey % 10 = 0
+                                  AND (l_partkey & 63) < 16
+                                 THEN 1 ELSE 0 END AS is_delta
+                     FROM lineitem),
+          ${duckMortonCtes("b", "is_delta", "tx", "ty", "zc")},
+          t AS (SELECT zkey AS tile,
+                       CAST(SUM(1 - is_delta) AS BIGINT) AS n_standing,
+                       CAST(SUM(is_delta) AS BIGINT) AS n_delta
+                FROM zc GROUP BY 1)
+          SELECT tile, n_standing, n_delta,
+                 CASE WHEN n_standing = 0 AND n_delta > 0 THEN 'new'
+                      WHEN n_delta * 1000 >= n_standing * 100 THEN 'rewrite'
+                      ELSE 'append' END AS action,
+                 CASE WHEN n_standing = 0 AND n_delta > 0 THEN n_delta
+                      WHEN n_delta * 1000 >= n_standing * 100
+                        THEN n_standing + n_delta
+                      ELSE 0 END AS rows_rewritten
+          FROM t""",
     // z04's oracle is the LOGICAL rectangle over the original table —
     // the round trip must return exactly the tile's rows whatever the
     // physical layout (the layout itself is spec-asserted, not hashed:

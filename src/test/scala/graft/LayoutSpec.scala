@@ -114,6 +114,31 @@ class LayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("z05 plan is a partition of the tiles and prices rewrites consistently") {
+    val rows = Layout.z05_incremental_recluster(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("tile")).distinct.length == rows.length)
+    rows.foreach { r =>
+      val (s, d) = (r.getAs[Long]("n_standing"), r.getAs[Long]("n_delta"))
+      val action = r.getAs[String]("action")
+      val rew = r.getAs[Long]("rows_rewritten")
+      val expected =
+        if (s == 0L && d > 0L) "new"
+        else if (d * 1000L >= s * 100L) "rewrite"
+        else "append"
+      assert(action == expected, s"tile ${r.getAs[Long]("tile")}: s=$s d=$d")
+      assert(rew == (expected match {
+        case "new" => d
+        case "rewrite" => s + d
+        case _ => 0L
+      }))
+    }
+    // The skewed-ingest fixture must produce BOTH warm and cold tiles —
+    // a one-action plan would mean the fixture stopped discriminating.
+    val actions = rows.map(_.getAs[String]("action")).toSet
+    assert(actions.contains("append") &&
+      (actions.contains("rewrite") || actions.contains("new")), actions.toString)
+  }
+
   test("z03 groups are equal-mass: every group lands within one max-file of target") {
     val rows = Layout.z03_compaction_plan(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("group_bytes")).sum
