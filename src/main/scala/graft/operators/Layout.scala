@@ -151,7 +151,7 @@ object Layout {
     val li = lineitem(spark, dir).select("l_partkey", "l_suppkey")
     val mx = li.agg(max(col("l_partkey")).as("maxpk"),
                     max(col("l_suppkey")).as("maxsk"))
-    val cells = li.crossJoin(broadcast(mx))
+    val cells = li.join(broadcast(mx), lit(true), "inner")
       .select(
         expr("(l_partkey * 64) div (maxpk + 1)").as("px"),
         expr("(l_suppkey * 64) div (maxsk + 1)").as("py"))
