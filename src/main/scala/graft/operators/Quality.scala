@@ -112,15 +112,18 @@ object Quality {
     * investigation; this row answers the publish/block question —
     * and does it without p23's dedicated anti-join pass, see below.
     *
-    * Scale shape: TWO fact scans total for eight constraints. The
-    * orders-side five ride one scan through a cardinality-preserving
-    * left join onto broadcast customer keys (c_custkey is unique, so
-    * the join cannot duplicate; FK violations are null probes); the
-    * lineitem-side three ride one scan through a left join onto the
-    * orders key+date projection (o_orderkey unique — same
-    * cardinality argument; that second orders read IS the second
-    * fact scan, shared by the FK check and the date rule). Uniqueness
-    * is COUNT(*) − COUNT(DISTINCT key) in the same aggregate.
+    * Scale shape: THREE fact-table scans total for eight constraints
+    * (orders twice, lineitem once) — the point is that no single
+    * constraint adds a pass: the orders-side five ride one scan
+    * through a cardinality-preserving left join onto broadcast
+    * customer keys (c_custkey is unique, so the join cannot
+    * duplicate; FK violations are null probes); the lineitem-side
+    * three ride one lineitem scan through a left join onto the orders
+    * key+date projection (o_orderkey unique — same cardinality
+    * argument; that projected second orders read is shared by the FK
+    * check and the date rule, and prunes to two columns at the scan).
+    * Uniqueness is COUNT(*) − COUNT(DISTINCT key) in the same
+    * aggregate. Scan counts are budget-locked (ScanAuditSpec).
     */
   val q02_constraint_audit: Q = (spark, dir) => {
     val cust = customer(spark, dir).select(col("c_custkey"))
@@ -179,7 +182,9 @@ object Quality {
     * through the cardinality-preserving join, then ONE keyed shuffle
     * on the month grain (map-side partial aggregation makes the
     * exchange |months| rows per task); the orders-side metrics ride
-    * the same month groups off the orders scan. Two scans, two
+    * the same month groups off the orders scan. Three fact scans
+    * (orders twice — the lineitem leg re-reads the two-column
+    * key+date projection, budget-locked — lineitem once), two
     * grid-bounded exchanges, any table size.
     */
   val q03_constraint_trend: Q = (spark, dir) => {
