@@ -4515,7 +4515,46 @@ object StreamQueries {
     out.where(col("dt") < "2090-01-01")
   }
 
+  /** Z-family streaming — THE RE-CLUSTER DECISION AT INGEST (streaming
+    * twin of z05, the st41 count-at-ingest / judge-on-read dynamic):
+    * per Morton tile, ONE update-mode aggregation maintains the two
+    * counters the OPTIMIZE planner needs — rows arrived, delta-rule
+    * rows arrived — in a keyed upsert table (state and table are both
+    * ≤64 rows whatever the ingest volume; the cumulative counts are
+    * monotone per key, so last-batch-wins serving is slicing-
+    * independent). The DECISION is computed on read, because "is 10%
+    * of the standing rows delta" is a judgement about the table NOW —
+    * re-deriving it from served counters at read time means one
+    * micro-batch never holds a stale verdict (the same reasoning st41
+    * documents for count-vs-judge separation). Oracle is z05's
+    * verbatim: the ingest-maintained counters must reproduce the
+    * batch planner's work list exactly.
+    */
+  val st115_stream_recluster_plan: Q = (spark, dir) => {
+    val L = graft.operators.Layout
+    val px = col("l_partkey").bitwiseAND(lit(63L))
+    val py = col("l_suppkey").bitwiseAND(lit(63L))
+    val build = Replay.lineitemStream(spark, dir)
+      .where(col("l_orderkey") >= 0)
+      .select(
+        L.morton16(shiftright(px, 3), shiftright(py, 3)).as("tile"),
+        when(pmod(col("l_orderkey"), lit(10L)) === 0L && px < 16L, 1L)
+          .otherwise(0L).as("is_delta"))
+      .groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_total"), sum(col("is_delta")).as("n_delta"))
+    val served = upsertServe(spark, build, Seq("tile"), "n_total")
+    val s = col("n_total") - col("n_delta")
+    served.select(col("tile"), s.as("n_standing"), col("n_delta"),
+      when(s === 0L && col("n_delta") > 0L, "new")
+        .when(col("n_delta") * 1000L >= s * 100L, "rewrite")
+        .otherwise("append").as("action"),
+      when(s === 0L && col("n_delta") > 0L, col("n_delta"))
+        .when(col("n_delta") * 1000L >= s * 100L, col("n_total"))
+        .otherwise(lit(0L)).as("rows_rewritten"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st115_stream_recluster_plan" -> st115_stream_recluster_plan,
     "st111_tws_profile" -> st111_tws_profile,
     "st112_tws_timers" -> st112_tws_timers,
     "st113_semi_join" -> st113_semi_join,
@@ -4836,6 +4875,9 @@ object StreamQueries {
                               ('click','view','purchase','signup','error')
                               THEN 1 ELSE 0 END) AS BIGINT) AS v_unknown_type
          FROM events GROUP BY 1""",
+    // st115's served counters must reproduce z05's batch work list
+    "st115_stream_recluster_plan" ->
+      graft.operators.Layout.oracles("z05_incremental_recluster"),
     // st17 must return EXACTLY n09's batch answer — the oracle is n09's
     "st17_stream_ann_serve" -> graft.operators.Similarity.oracles("n09_ivfadc_topk"),
     // st19 must assign EXACTLY t18's scores — the oracle is t18's
