@@ -3717,6 +3717,42 @@ object Relational {
     * rejected; a multi-year robust trend belongs on yearly windows
     * composed downstream.)
     */
+  /** w24 — THE ANALYTIC-RANK BATTERY (the §2.6 rank surface in one
+    * window pass): per nation, customers ranked by account balance
+    * under all five ANSI rank forms — `rank` (gaps after ties),
+    * `dense_rank` (no gaps), `percent_rank` ((rank−1)/(n−1)),
+    * `cume_dist` (rows ≤ current / n), and `ntile(4)` (quartile
+    * buckets). One ordering detail carries ALL the portability:
+    * ntile ignores peers — its assignment depends on physical row
+    * order within ties — so the ORDER BY is made injective
+    * ((c_acctbal, c_custkey)), which pins every one of the five
+    * outputs to one engine-independent answer (rank/cume_dist tie
+    * semantics then never fire, deliberately: a tie-SENSITIVE
+    * battery is a13's quantile territory; this one locks the rank
+    * algebra itself). The two fractional forms divide small exact
+    * integers, so the doubles are bit-identical cross-engine.
+    *
+    * Scale shape: one hash exchange on the 25-nation grain, then a
+    * partition-local sort of |customers|/25 per group — the a13
+    * bounded-group window regime (at 100 TB the same battery runs
+    * per bounded dimension key; an unpartitioned rank is the
+    * bucketedPrefix case, not this one).
+    */
+  val w24_rank_battery: Q = (spark, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(spark, dir)
+      .where(col("c_custkey") % 5 === 0)
+      .select(col("c_nationkey"), col("c_custkey"),
+        graft.Tables.cents(col("c_acctbal")).cast("long").as("bal_cents"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+  }
+
   val w23_theil_sen: Q = (spark, dir) => {
     val daily = orders(spark, dir)
       .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -6125,6 +6161,7 @@ object Relational {
     "w21_ewma" -> w21_ewma,
     "w22_rolling_median" -> w22_rolling_median,
     "w23_theil_sen" -> w23_theil_sen,
+    "w24_rank_battery" -> w24_rank_battery,
     "j26_lead_time" -> j26_lead_time,
     "a50_new_vs_returning" -> a50_new_vs_returning,
     "w14_period_over_period" -> w14_period_over_period,
@@ -7712,6 +7749,17 @@ object Relational {
     "w21_ewma" -> duckEwmaSql,
     "w22_rolling_median" -> duckRollingMedianSql,
     // w23: same micro-slope quantize, same injective pick
+    "w24_rank_battery" ->
+      """SELECT c_nationkey, c_custkey,
+                CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                CAST(RANK() OVER w AS INTEGER) AS rnk,
+                CAST(DENSE_RANK() OVER w AS INTEGER) AS drnk,
+                PERCENT_RANK() OVER w AS prnk,
+                CUME_DIST() OVER w AS cd,
+                CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+         FROM customer WHERE c_custkey % 5 = 0
+         WINDOW w AS (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal, c_custkey)""",
     "w23_theil_sen" ->
       """WITH d AS (
            SELECT o_orderpriority AS priority,
