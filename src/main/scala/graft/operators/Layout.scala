@@ -189,10 +189,14 @@ object Layout {
       .agg(sum(col("cnt")).as("rows_matched"))
     // `matched` is <= |preds| rows by construction, but it sits behind
     // a non-equi BNL join whose output Catalyst won't estimate small —
-    // hint it, or the 12x6-row final join plans as a sort-merge.
-    scanned.join(broadcast(matched), Seq("pred_id"))
+    // hint it, or the 12x6-row final join plans as a sort-merge. LEFT
+    // join: a rectangle can overlap file min/max envelopes while
+    // containing zero populated cells — the audit must still report
+    // that predicate's scan cost (with rows_matched = 0), not drop it.
+    scanned.join(broadcast(matched), Seq("pred_id"), "left")
       .select(col("pred_id"), col("layout"), col("files_scanned"),
-              col("rows_scanned"), col("rows_matched"))
+              col("rows_scanned"),
+              coalesce(col("rows_matched"), lit(0L)).as("rows_matched"))
   }
 
   // --------------------------------------------------------------------
@@ -407,8 +411,8 @@ object Layout {
                        AND c.py BETWEEN p.ylo AND p.yhi
                       GROUP BY 1)
           SELECT s.pred_id, s.layout, s.files_scanned, s.rows_scanned,
-                 m.rows_matched
-          FROM scanned s JOIN matched m USING (pred_id)""",
+                 COALESCE(m.rows_matched, 0) AS rows_matched
+          FROM scanned s LEFT JOIN matched m USING (pred_id)""",
     // z05: the per-tile decision mirrored with the same per-mille
     // threshold arithmetic; the morton CTEs run over the 8x8 tile grid
     "z05_incremental_recluster" ->

@@ -95,6 +95,56 @@ object Quality {
       row("o_orderdate", "od"), row("o_orderpriority", "op"))))
   }
 
+  /** q01x — THE PROFILE'S DISTINCT COUNTS AT 100 TB GRAIN: q01's
+    * six exact COUNT(DISTINCT)s re-expressed as one KMV bottom-k
+    * sketch per column ([[graft.functions.MinK]] — a17's order
+    * statistic, a07's estimator arithmetic verbatim), and STILL
+    * hash-oracle-checked — the property that picked KMV over the
+    * built-in HLL for this library's portable sketch lane. The
+    * adjudication the pair encodes: q01 keeps exact multi-distinct
+    * because an audit's profile is a published contract (a drift
+    * monitor diffing n_distinct must not chase estimator noise) and
+    * its 6-way Expand is priced at the audit's nightly grain; q01x is
+    * what the same profile flips to when the table is the 100 TB
+    * fact itself — the unpivot rotates the row into 6 thin
+    * (col_name, value) pairs whose per-column sketch partials
+    * collapse map-side to ≤ k items, so the one exchange carries
+    * 6·partitions·k items instead of Expand's 6× row replication.
+    * Values are canonicalized to the profile's own VARCHAR rendering
+    * (longs verbatim, money as integer cents, dates ISO) before
+    * hashing, and nulls are excluded exactly as COUNT(DISTINCT)
+    * excludes them; est = (k−1)·2⁶⁰ / h₍ₖ₎, exact below k.
+    */
+  val q01x_profile_kmv: Q = (spark, dir) => {
+    val k = Relational.KmvK
+    import graft.functions.{MinK, Portable}
+    val pairs = orders(spark, dir).select(inline(array(
+      struct(lit("o_orderkey").as("col_name"),
+        col("o_orderkey").cast("string").as("v")),
+      struct(lit("o_custkey").as("col_name"),
+        col("o_custkey").cast("string").as("v")),
+      struct(lit("o_orderstatus").as("col_name"),
+        col("o_orderstatus").as("v")),
+      struct(lit("o_totalprice").as("col_name"),
+        centsStr(col("o_totalprice")).as("v")),
+      struct(lit("o_orderdate").as("col_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("v")),
+      struct(lit("o_orderpriority").as("col_name"),
+        col("o_orderpriority").as("v")))))
+      .where(col("v").isNotNull)
+    val h = Portable.hash60(concat(lit("kmv:"), col("v")))
+    val kth = element_at(col("s.items"), size(col("s.items"))).getField("h")
+    pairs.select(col("col_name"), h.as("h"))
+      .groupBy(col("col_name"))
+      .agg(MinK.minK(k)(col("h"), col("h")).as("s"))
+      .select(col("col_name"),
+        size(col("s.items")).cast("long").as("n_kept"),
+        kth.as("kth"),
+        when(size(col("s.items")) < k, size(col("s.items")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            kth.cast("double")).cast("long")).as("n_distinct_est"))
+  }
+
   // --------------------------------------------------------------------
   // q02 — the constraint suite
   // --------------------------------------------------------------------
@@ -193,7 +243,10 @@ object Quality {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
-        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_fk_cust"),
+        // same constraint as q02's fk_orders_customer: a null o_custkey
+        // is a completeness violation, not an FK orphan
+        sum(when(col("c_custkey").isNull && col("o_custkey").isNotNull, 1L)
+          .otherwise(0L)).as("v_fk_cust"),
         sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_range"))
     val okeys = orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"))
     val lm = lineitem(spark, dir)
@@ -238,6 +291,7 @@ object Quality {
 
   val queries: Map[String, Q] = Map(
     "q01_column_profile" -> q01_column_profile,
+    "q01x_profile_kmv" -> q01x_profile_kmv,
     "q02_constraint_audit" -> q02_constraint_audit,
     "q03_constraint_trend" -> q03_constraint_trend,
     "q04_publish_gate" -> q04_publish_gate,
@@ -324,6 +378,34 @@ object Quality {
          UNION ALL SELECT 'o_totalprice', n_rows, nn_tp, nd_tp, mn_tp, mx_tp FROM a
          UNION ALL SELECT 'o_orderdate', n_rows, nn_od, nd_od, mn_od, mx_od FROM a
          UNION ALL SELECT 'o_orderpriority', n_rows, nn_op, nd_op, mn_op, mx_op FROM a""",
+    "q01x_profile_kmv" -> {
+      val k = Relational.KmvK
+      val h = graft.functions.Portable.duckHash60("concat('kmv:', v)")
+      s"""WITH pairs AS (
+            SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v
+            FROM orders
+            UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+            UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+            UNION ALL SELECT 'o_totalprice',
+              CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+            FROM orders
+            UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d')
+            FROM orders
+            UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+          uh AS (SELECT DISTINCT col_name, $h AS h
+                 FROM pairs WHERE v IS NOT NULL),
+          r AS (SELECT col_name, h,
+                       CAST(row_number() OVER (PARTITION BY col_name
+                                               ORDER BY h) AS BIGINT) AS rank
+                FROM uh)
+          SELECT col_name, CAST(MAX(rank) AS BIGINT) AS n_kept,
+                 MAX(h) AS kth,
+                 CASE WHEN MAX(rank) < $k THEN MAX(rank)
+                      ELSE CAST(floor(${k - 1}.0 * pow(2.0, 60.0) /
+                             CAST(MAX(h) AS DOUBLE)) AS BIGINT) END
+                   AS n_distinct_est
+          FROM r WHERE rank <= $k GROUP BY col_name"""
+    },
     "q02_constraint_audit" -> duckQ02Sql,
     // q04 wraps q02's full oracle as a derived table — the reduction
     // must agree with the audit it summarizes, row for row
@@ -340,6 +422,7 @@ object Quality {
       """WITH om AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
                   CAST(COUNT(*) AS BIGINT) AS n_orders,
                   CAST(COALESCE(SUM(CASE WHEN c.c_custkey IS NULL
+                                          AND o.o_custkey IS NOT NULL
                                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_fk_cust,
                   CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0
                                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range

@@ -52,6 +52,43 @@ object Relational {
       .select(col("event_id"), col("event_type"), col("route"), col("user_id"))
   }
 
+  /** p27 — p02's CDC ROUTING OVER A VARIANT ENVELOPE (ods/KafkaToODS_M
+    * .scala:49-52 routes on the fastjson envelope's (table, type)
+    * pair): the envelope is parsed ONCE with `parse_json` into a
+    * shredded variant and both the allow-list predicate and the
+    * routed projection read typed paths out of it — the open-schema
+    * ingest front door, where p02 assumes the fields are already
+    * relational columns and p01's `from_json` declares a closed
+    * StructType. The type allow-list keeps `insert`/`update` and
+    * drops `bootstrap-insert` (the reference's historical-dump tag,
+    * same file line 55). Shuffle-free: parse + filter + extraction
+    * are one codegen'd projection over the scan; at 100 TB the win
+    * over re-parsing text per consumer is that every downstream
+    * route reads sub-columnar shredded paths from the SAME parse
+    * (see f13's adjudication).
+    */
+  val p27_variant_route: Q = (spark, dir) => {
+    val op = when(col("event_id") % 3 === 0, lit("insert"))
+      .when(col("event_id") % 3 === 1, lit("update"))
+      .otherwise(lit("bootstrap-insert"))
+    val env = concat(lit("{\"table\": \""), col("event_type"),
+      lit("\", \"type\": \""), op,
+      lit("\", \"data\": {\"id\": "), col("user_id").cast("string"),
+      lit("}}"))
+    events(spark, dir)
+      .select(col("event_id"), env.as("envelope"))
+      .withColumn("v", parse_json(col("envelope")))
+      .where(variant_get(col("v"), "$.table", "string")
+          .isin("purchase", "signup", "click") &&
+        variant_get(col("v"), "$.type", "string").isin("insert", "update"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.table", "string").as("tbl"),
+        variant_get(col("v"), "$.type", "string").as("op"),
+        concat(lit("ods_"),
+          variant_get(col("v"), "$.table", "string")).as("route"),
+        variant_get(col("v"), "$.data.id", "long").as("row_id"))
+  }
+
   /** P3 — date + hour derivation from a timestamp
     * (dwd/Ods_to_DWD_order_info.scala:59-64, string split in the
     * reference; declarative date functions here).
@@ -3041,19 +3078,40 @@ object Relational {
         sum(col("part_n")).as("n_lines"))
   }
 
-  /** A7 — approximate DAU via HyperLogLog++ (`approx_count_distinct`):
-    * the sketch path for per-day distincts at 100 TB, where the exact
-    * per-day shuffle of (dt, user) pairs (a03) is the bottleneck.
-    * Sketches merge map-side, so the shuffle carries one ~kB sketch
-    * per (partition, day). No cross-engine oracle (DuckDB's HLL is a
-    * different sketch) — the driver records the weaker rows-only
-    * check; the exact twin a03 anchors correctness.
+  /** A7 — approximate DAU via a KMV bottom-k sketch
+    * ([[graft.functions.MinK]] — a17's order statistic at a03's
+    * grain): the sketch path for per-day distincts at 100 TB, where
+    * the exact per-day shuffle of (dt, user) pairs (a03) is the
+    * bottleneck. The udaf's partial buffers absorb repeated users and
+    * collapse map-side to ≤ k (hash, id) pairs per (partition, day) —
+    * the same wire profile as an HLL register bank — and min-k ∘ union
+    * is associative, commutative and idempotent, so the merged sketch
+    * and its estimate ((k−1)·2⁶⁰ / h₍ₖ₎, exact below k — a17's IEEE
+    * parenthesization verbatim) are MERGE-TREE INDEPENDENT and
+    * engine-portable. That is what buys this family's default
+    * approx-distinct path a full cross-engine HASH oracle (r15 carried
+    * it rows-only): DuckDB computes the identical order statistic.
+    * Spark's built-in `approx_count_distinct` (HLL++, rsd 1% — the
+    * tighter estimator at equal summary bytes) remains the documented
+    * one-line alternative for deployments that don't need
+    * engine-portable audits; its engine-private sketch is exercised
+    * with an exact-regime oracle twin by the a20/a20x pair, and the
+    * exact twin a03 anchors both lanes.
     */
   val a07_dau_approx: Q = (spark, dir) => {
+    val k = KmvK
+    val h = graft.functions.Portable.hash60(
+      concat(lit("kmv:"), col("user_id").cast("string")))
+    val kth = element_at(col("s.items"), size(col("s.items"))).getField("h")
     events(spark, dir)
-      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        col("user_id"), h.as("h"))
       .groupBy(col("dt"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("dau_approx"))
+      .agg(graft.functions.MinK.minK(k)(col("h"), col("user_id")).as("s"))
+      .select(col("dt"),
+        when(size(col("s.items")) < k, size(col("s.items")).cast("long"))
+          .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            kth.cast("double")).cast("long")).as("dau_approx"))
   }
 
   /** a20 — SKETCH REAGGREGATION: weekly approximate distinct users
@@ -5107,6 +5165,62 @@ object Relational {
       "cast(try_to_number(CASE WHEN p_size % 2 = 0 THEN '1,234' " +
         "ELSE concat('x', cast(p_size AS string)) END, '9,999') AS long) AS ttn")
 
+  /** f13 — VARIANT (SEMI-STRUCTURED) BATTERY: Spark 4's VariantType
+    * surface — `try_parse_json` → binary-shredded variant,
+    * `variant_get` / `try_variant_get` typed extraction (including a
+    * nested path), and `is_variant_null` (JSON null is a VALUE, not
+    * SQL NULL — the distinction fastjson callers get wrong, e.g. the
+    * reference's bare `JSON.parseObject` chain ods/KafkaToODS_M
+    * .scala:47). The corpus plants four deterministic payload lanes
+    * off the events scan: a full envelope with a nested object, a
+    * JSON-null field, a wrong-typed (string) field, and a TRUNCATED
+    * payload — so every extraction column exercises its miss path
+    * (parse failure → SQL NULL envelope; JSON null → extraction NULL
+    * but is_variant_null TRUE; type mismatch → try_variant_get NULL).
+    * DuckDB has no variant type; the oracle derives the same verdicts
+    * from its JSON primitives (json_valid / json_type / typed
+    * json_extract), which is the point — the VERDICTS are
+    * engine-portable even though the encoding is not. Every output
+    * column is scalarized (bool/long/varchar); no variant reaches the
+    * sink.
+    *
+    * 100 TB adjudication (variant vs the declared-schema `from_json`
+    * p01 uses): parse ONCE into shredded binary variant when the
+    * envelope schema is open or drifting — sub-columnar shredding
+    * lets later readers extract paths without re-parsing text, and
+    * schema evolution is free because no StructType is declared.
+    * Keep `from_json` + StructType when the schema is a closed
+    * contract: Catalyst prunes unrequested fields at parse time and
+    * the plan carries real column-level types end-to-end. Row-local
+    * projection either way — zero exchanges in this battery.
+    */
+  val f13_variant_suite: Q = (spark, dir) => {
+    val payload =
+      when(col("event_id") % 4 === 0,
+        concat(lit("{\"k\": "), col("user_id").cast("string"),
+          lit(", \"tag\": \""), col("event_type"),
+          lit("\", \"nested\": {\"v\": "),
+          (col("event_id") % 100).cast("string"), lit("}}")))
+      .when(col("event_id") % 4 === 1,
+        concat(lit("{\"k\": null, \"tag\": \""), col("event_type"),
+          lit("\"}")))
+      .when(col("event_id") % 4 === 2,
+        concat(lit("{\"k\": \"s"), col("user_id").cast("string"),
+          lit("\", \"tag\": \""), col("event_type"), lit("\"}")))
+      .otherwise(concat(lit("{\"k\": "), col("user_id").cast("string")))
+    events(spark, dir)
+      .select(col("event_id"), payload.as("payload"))
+      .withColumn("v", try_parse_json(col("payload")))
+      .select(
+        col("event_id"),
+        col("v").isNotNull.as("parsed_ok"),
+        try_variant_get(col("v"), "$.k", "long").as("k_long"),
+        when(col("v").isNotNull,
+          expr("is_variant_null(variant_get(v, '$.k'))")).as("k_is_json_null"),
+        try_variant_get(col("v"), "$.tag", "string").as("tag"),
+        try_variant_get(col("v"), "$.nested.v", "long").as("nested_v"))
+  }
+
   /** f11 — ORDERED-SET AGGREGATE BATTERY (§2.8's remaining aggregate
     * leg, new in Spark 4's ANSI WITHIN GROUP surface): `listagg`
     * (plain and DISTINCT, both under an explicit WITHIN GROUP order —
@@ -6037,6 +6151,8 @@ object Relational {
     "s16_binaryfile_source" -> s16_binaryfile_source,
     "s11_bucket_pruned_scan" -> s11_bucket_pruned_scan,
     "p02_cdc_route" -> p02_cdc_route,
+    "p27_variant_route" -> p27_variant_route,
+    "f13_variant_suite" -> f13_variant_suite,
     "p03_date_hour" -> p03_date_hour,
     "p04_epoch_derive" -> p04_epoch_derive,
     "p05_age_bucket" -> p05_age_bucket,
@@ -6964,6 +7080,50 @@ object Relational {
     "p02_cdc_route" ->
       """SELECT event_id, event_type, 'ods_' || event_type AS route, user_id
          FROM events WHERE event_type IN ('purchase','signup','click')""",
+    "p27_variant_route" ->
+      """WITH p AS (SELECT event_id,
+              '{"table": "' || event_type || '", "type": "' ||
+              CASE CAST(event_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+                   ELSE 'bootstrap-insert' END ||
+              '", "data": {"id": ' || CAST(user_id AS VARCHAR) || '}}' AS env
+            FROM events)
+         SELECT event_id,
+                json_extract_string(env, '$.table') AS tbl,
+                json_extract_string(env, '$.type') AS op,
+                'ods_' || json_extract_string(env, '$.table') AS route,
+                CAST(json_extract(env, '$.data.id') AS BIGINT) AS row_id
+         FROM p
+         WHERE json_extract_string(env, '$.table')
+                 IN ('purchase','signup','click')
+           AND json_extract_string(env, '$.type') IN ('insert','update')""",
+    // f13: DuckDB has no variant — the oracle re-derives the same
+    // scalar verdicts from json_valid/json_type/typed extraction
+    "f13_variant_suite" ->
+      """WITH p AS (SELECT event_id,
+              CASE CAST(event_id % 4 AS INTEGER)
+                   WHEN 0 THEN '{"k": ' || CAST(user_id AS VARCHAR) ||
+                     ', "tag": "' || event_type || '", "nested": {"v": ' ||
+                     CAST(event_id % 100 AS VARCHAR) || '}}'
+                   WHEN 1 THEN '{"k": null, "tag": "' || event_type || '"}'
+                   WHEN 2 THEN '{"k": "s' || CAST(user_id AS VARCHAR) ||
+                     '", "tag": "' || event_type || '"}'
+                   ELSE '{"k": ' || CAST(user_id AS VARCHAR) END AS payload
+            FROM events),
+          -- TRY_CAST to JSON, not json_valid + CASE: DuckDB's
+          -- vectorized json_type still touches malformed rows inside
+          -- an untaken CASE branch and throws; a NULL JSON propagates
+          v AS (SELECT event_id, TRY_CAST(payload AS JSON) AS j FROM p)
+         SELECT event_id, j IS NOT NULL AS parsed_ok,
+                CASE WHEN json_type(j, '$.k') IN ('BIGINT','UBIGINT')
+                     THEN CAST(json_extract(j, '$.k') AS BIGINT)
+                END AS k_long,
+                CASE WHEN j IS NOT NULL
+                     THEN json_type(j, '$.k') = 'NULL'
+                END AS k_is_json_null,
+                json_extract_string(j, '$.tag') AS tag,
+                TRY_CAST(json_extract(j, '$.nested.v') AS BIGINT) AS nested_v
+         FROM v""",
     "p03_date_hour" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hr
          FROM events""",
@@ -8728,8 +8888,24 @@ object Relational {
           FROM k
           GROUP BY user_id
           HAVING MAX(op) FILTER (op IN ('insert','delete')) = 'insert'""",
-    // a07_dau_approx: no oracle — HLL sketches differ across engines;
-    // the driver records a rows-only check and a03 anchors exactness.
+    // a07: the KMV order statistic is engine-portable — full hash
+    // oracle (r16; the r15 HLL lane was rows-only, see the docstring)
+    "a07_dau_approx" ->
+      s"""WITH uh AS (
+            SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt, user_id,
+                   ${graft.functions.Portable.duckHash60(
+                     "concat('kmv:', CAST(user_id AS VARCHAR))")} AS h
+            FROM events),
+          r AS (
+            SELECT dt, h,
+                   CAST(row_number() OVER (PARTITION BY dt
+                                           ORDER BY h, user_id) AS BIGINT) AS rank
+            FROM uh)
+          SELECT dt,
+                 CASE WHEN MAX(rank) < $KmvK THEN MAX(rank)
+                      ELSE CAST(floor(${KmvK - 1}.0 * pow(2.0, 60.0) /
+                             CAST(MAX(h) AS DOUBLE)) AS BIGINT) END AS dau_approx
+          FROM r WHERE rank <= $KmvK GROUP BY dt""",
     // a14_quantile_sketch: no oracle — the sketch depends on the merge
     // tree (partitioning); QuantileSketchSpec bounds it against the
     // exact twin a13 (rank-error envelope) and asserts the merge laws.

@@ -26,16 +26,18 @@ class RelationalSpec extends SparkSpecBase {
     assert(dau.where(col("dau") <= 0).count() === 0)
   }
 
-  test("a07: HLL sketch stays within 10% of the exact per-day DAU") {
+  test("a07: KMV DAU is exact below k, within 2/sqrt(k) of exact above") {
     val exact = Relational.a03_dau(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val approx = Relational.a07_dau_approx(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet === exact.keySet)
+    val k = Relational.KmvK
     approx.foreach { case (dt, a) =>
       val e = exact(dt)
-      assert(math.abs(a - e).toDouble / e <= 0.10,
-        s"$dt: approx $a vs exact $e exceeds 10%")
+      if (e < k) assert(a === e, s"$dt: sub-k regime must be exact ($a vs $e)")
+      else assert(math.abs(a - e).toDouble / e <= 2.0 / math.sqrt(k.toDouble),
+        s"$dt: approx $a vs exact $e exceeds 2/sqrt($k)")
     }
   }
 
