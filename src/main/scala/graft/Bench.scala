@@ -276,11 +276,51 @@ object Bench {
     // that bare isolation over-charges artifact-sharing queries).
     // Results land in a separate "isolated" map; the suite totals and
     // "queries" stay the in-suite numbers, so the two views are never
-    // mixed. SPARK_GRAFT_ISOLATE=0 skips (local iteration).
+    // mixed. SPARK_GRAFT_ISOLATE=0 skips (local iteration). Round 16
+    // adds round-over-round DRIFT triggers (see below) and the
+    // "isolated_trigger" map naming which rule fired per re-run.
     val isoThresh = sys.env.get("SPARK_GRAFT_ISOLATE_SECS").map(_.toDouble).getOrElse(5.0)
+    // Round-16 extension (the r15 verdict's auto-adjudication ask):
+    // besides the absolute >5 s trigger, a query is re-run isolated
+    // when it DRIFTED against the previous round — in-suite ≥1.4× its
+    // r−1 in-suite time, or ≥1.5× its r−1 ISOLATED time — so
+    // c11/d33-style suite-position noise is adjudicated in this JSON,
+    // not by judge archaeology. The r−1 numbers come from
+    // SPARK_GRAFT_BENCH_PREV (default: the latest BENCH_r*.json in
+    // the cwd). Sub-2 s queries are exempt (the documented ambient
+    // ±10-25% band on short CPU-bound queries would spam re-runs).
+    def jsonMap(line: String, key: String): Map[String, Double] = {
+      val start = line.indexOf("\"" + key + "\":{")
+      if (start < 0) return Map.empty
+      val open = line.indexOf('{', start)
+      val close = line.indexOf('}', open)
+      if (close < 0) return Map.empty
+      val body = line.substring(open + 1, close)
+      """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+      val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(n => n.matches("BENCH_r\\d+\\.json")).sorted
+      rs.lastOption
+    }
+    val prevLine = prevPath.flatMap { p =>
+      try Some(Files.readString(Paths.get(p))) catch { case _: Throwable => None }
+    }.getOrElse("")
+    val prevSuite = jsonMap(prevLine, "queries")
+    val prevIso = jsonMap(prevLine, "isolated")
+    val trigger: Map[String, String] = results.filter(_._3).flatMap {
+      case (n, t, _, _) =>
+        if (t > isoThresh) Some(n -> "gt_thresh")
+        else if (t > 2.0 && prevSuite.get(n).exists(p => t >= 1.4 * p))
+          Some(n -> "1.4x_prev_suite")
+        else if (t > 2.0 && prevIso.get(n).exists(p => t >= 1.5 * p))
+          Some(n -> "1.5x_prev_isolated")
+        else None
+    }.toMap
     val isolated: Seq[(String, Double)] =
       if (sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "1") == "0") Seq.empty
-      else results.filter(r => r._3 && r._2 > isoThresh).map(_._1).map { name =>
+      else results.filter(r => r._3 && trigger.contains(r._1)).map(_._1).map { name =>
         val fn = SparkEntry.queries(name)
         val spark = newSession()
         try {
@@ -302,8 +342,10 @@ object Bench {
     val streamTotal = good.filter(_._1.startsWith("st")).map(_._2).sum
     val fams = s"""{"batch":$batchTotal,"streaming":$streamTotal}"""
     val iso = isolated.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val trig = isolated.map { case (k, _) => s"\"$k\":\"${trigger(k)}\"" }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"isolated":$iso,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"isolated":$iso,"isolated_trigger":$trig,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
@@ -319,7 +361,7 @@ object Bench {
       println(line)
       val top = good.sortBy(-_._2).take(15)
         .map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 15},"families":$fams,"isolated":$iso,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 15},"families":$fams,"isolated":$iso,"isolated_trigger":$trig,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}""")
     }
   }
 }

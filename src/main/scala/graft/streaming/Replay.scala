@@ -182,6 +182,42 @@ object Replay {
     spark.read.parquet(outDir)
   }
 
+  /** Stop rule for PROCESSING-TIME-mode `transformWithState` replays
+    * (st116's TTL cache): in that time mode the operator requests a
+    * follow-up batch after EVERY batch so TTL/timer horizons can
+    * advance, which makes both `Trigger.AvailableNow` and
+    * `processAllAvailable()` spin on empty batches forever (observed:
+    * 1000+ empty commits). The finite-replay termination condition is
+    * the SOURCE's, not the engine's: poll the query's progress until
+    * every source reports endOffset == latestOffset — all available
+    * input is committed; empty TTL-advance batches cannot add input —
+    * then stop. Restart-safe: the check reads offsets, so a resumed
+    * run that first re-executes a pending empty batch still waits for
+    * the new data to commit.
+    */
+  def runUntilDrained(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    // Drained = this run has consumed at least one input row (every
+    // replay has data — the sentinel guarantees it — and a resumed run
+    // may first re-execute a pending EMPTY batch from the offset log,
+    // so a bare zero-row progress is not proof the new data was read),
+    // the latest completed batch read zero rows, and any source that
+    // reports a latestOffset is caught up to it (MemoryStream reports
+    // null; the file source reports real offsets).
+    var drained = false
+    while (!drained) {
+      Thread.sleep(100)
+      val ps = q.recentProgress
+      if (ps.nonEmpty) {
+        val sawData = ps.exists(_.numInputRows > 0)
+        val caughtUp = ps.last.sources.forall(s =>
+          s.latestOffset == null || s.endOffset == s.latestOffset)
+        drained = sawData && ps.last.numInputRows == 0 && caughtUp
+      }
+    }
+    q.stop()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion through `foreachBatch`
     * (the reference's per-batch sink shape — SURVEY §2 K2/K5); the
     * caller's function receives every micro-batch.

@@ -4458,6 +4458,49 @@ object StreamQueries {
       .select(col("o_orderkey"), col("o_custkey"), col("n_within"))
   }
 
+  /** §2.10 — the TTL'd state variable via `transformWithState`
+    * ([[Tws.TtlActivityProcessor]]: a per-user activity cache whose
+    * ValueState carries a real `TTLConfig` — the jedis-EXPIRE
+    * re-expression; see the processor's docstring for the state-bound
+    * and determinism adjudication). The replay's 1-hour TTL cannot
+    * elapse mid-run, so the upserted result equals the plain batch
+    * aggregate and hash-checks; eviction is TwsSpec's short-TTL
+    * kill/sleep/resume pair.
+    */
+  val st116_tws_ttl_cache: Q = (spark, dir) => {
+    import spark.implicits._
+    Replay.stateProvider(spark, bigState = true)
+    val events = Replay.eventsStream(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        graft.Tables.cents(col("value")).cast("long").as("cents"))
+      .as[Tws.ActivityEvent]
+    val cached = events.groupByKey(_.user_id)
+      .transformWithState(
+        new Tws.TtlActivityProcessor(java.time.Duration.ofHours(1)),
+        // TTL is processing-time by definition — Spark rejects
+        // TTLConfig under TimeMode.None
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val table = new graft.sinks.KeyedUpsertTable(spark,
+      graft.Tables.scratchDir("graft_twsttl_"), Seq("user_id"), "user_id")
+    // NOT Trigger.AvailableNow: in ProcessingTime mode the operator
+    // requests a follow-up batch after every batch (TTL advancement),
+    // so AvailableNow — and processAllAvailable — never see "no work
+    // left" and spin on empty batches. Replay.runUntilDrained stops
+    // on the SOURCE's termination condition (endOffset == latest);
+    // the upsert-last table is slicing-independent, so the result is
+    // identical.
+    val q = cached.toDF().writeStream
+      .outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .start()
+    Replay.runUntilDrained(q)
+    table.read().where(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"), col("sum_cents"),
+        col("last_us"))
+  }
+
   /** J3/J6 streaming — the LEFT SEMI stream-stream join, the one
     * watermarked dual-stream join type the suite didn't yet run
     * end-to-end (st02 inner, st05 left outer, st10 full outer; left
@@ -4557,6 +4600,7 @@ object StreamQueries {
     "st115_stream_recluster_plan" -> st115_stream_recluster_plan,
     "st111_tws_profile" -> st111_tws_profile,
     "st112_tws_timers" -> st112_tws_timers,
+    "st116_tws_ttl_cache" -> st116_tws_ttl_cache,
     "st113_semi_join" -> st113_semi_join,
     "st114_stream_quality_trend" -> st114_stream_quality_trend,
     "st01_stream_dau" -> st01_stream_dau,
@@ -4837,6 +4881,15 @@ object StreamQueries {
                 CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
                 CAST(count(*) FILTER (WHERE event_type = 'purchase')
                   AS BIGINT) AS n_purchase
+         FROM events GROUP BY user_id""",
+    // st116: no eviction can occur inside the replay (1 h TTL), so
+    // the TTL'd cache must converge to the plain batch aggregate
+    "st116_tws_ttl_cache" ->
+      """SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                max(epoch_us(ts)) AS last_us
          FROM events GROUP BY user_id""",
     // st112's timer-at-watermark emission must equal the RANGE window
     // over the batch table — the oracle keeps the window form, the

@@ -6,7 +6,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState,
 
 /** `transformWithState` processors — Spark 4's arbitrary-stateful API
   * (SPARK-46815, the successor to `mapGroupsWithState`), exercised as
-  * first-class registered queries (`st111`/`st112`). The reference
+  * first-class registered queries (`st111`/`st112`/`st116` — multi-
+  * variable state, event-time timers, and per-variable TTL
+  * respectively). The reference
   * hand-rolls exactly this shape of per-key mutable state in Redis —
   * running accumulators keyed by user (dws/OrderWiderApp.scala:163-191)
   * and per-day first-seen sets (app/Dau.scala:109-118); `GroupState`
@@ -83,6 +85,62 @@ object Tws {
                         typeCounts.getValue("purchase") else 0L
       Iterator.single(ProfileOut(key, p.n_events, p.sum_cents,
         p.first_us, p.last_us, nTypes, nPurchase))
+    }
+  }
+
+  /** One event for the TTL'd activity cache, pre-projected. */
+  case class ActivityEvent(user_id: Long, tsu: Long, cents: Long)
+
+  /** The TTL'd per-user cache entry. */
+  case class Activity(n_events: Long, sum_cents: Long, last_us: Long)
+
+  /** Emitted per key per batch touched (upsert-last, st111's rule). */
+  case class ActivityOut(user_id: Long, n_events: Long, sum_cents: Long,
+                         last_us: Long)
+
+  /** st116 — the TTL'd serving cache: one ValueState carrying a REAL
+    * `TTLConfig`, the API's third leg after st111's multi-variable
+    * state and st112's timers. The reference's analog is jedis
+    * `expire` on the DAU first-seen keys (app/Dau.scala:109-118 sets
+    * the key, the day-scoped expiry makes yesterday's set vanish) —
+    * per-key state that SELF-EVICTS after an idle horizon instead of
+    * accumulating forever. That is the 100 TB state-bound argument:
+    * an un-TTL'd per-user cache grows with the key DOMAIN (every user
+    * ever seen); a TTL'd one is bounded by the active working set,
+    * and the store reclaims idle keys without a compaction job.
+    * `update()` restarts the entry's TTL clock, so a key stays live
+    * exactly while traffic keeps touching it — the Redis EXPIRE-on-
+    * write idiom verbatim.
+    *
+    * Determinism contract: TTL expiry is PROCESSING-time — inherently
+    * wall-clock — so the registered query ([[graft.streaming
+    * .StreamQueries.st116_tws_ttl_cache]]) runs with a TTL (1 h) far
+    * beyond any replay's runtime: no eviction can occur mid-run and
+    * the upserted result equals the batch aggregate (hash-checked).
+    * Eviction itself is proven where wall-clock belongs — in
+    * `TwsSpec`, with a short TTL and a real sleep across restarts:
+    * the value written in run 1 is gone in run 2 and the cache
+    * restarts from zero, while the long-TTL twin test shows the same
+    * kill/resume CONTINUING. One state variable, O(1) per row.
+    */
+  class TtlActivityProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, ActivityEvent, ActivityOut] {
+    @transient private var activity: ValueState[Activity] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      activity = getHandle.getValueState[Activity](
+        "activity", Encoders.product[Activity], TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[ActivityEvent],
+                                 timerValues: TimerValues): Iterator[ActivityOut] = {
+      var a = if (activity.exists()) activity.get()
+              else Activity(0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        a = Activity(a.n_events + 1, a.sum_cents + e.cents,
+          math.max(a.last_us, e.tsu))
+      }
+      activity.update(a) // restarts this entry's TTL clock
+      Iterator.single(ActivityOut(key, a.n_events, a.sum_cents, a.last_us))
     }
   }
 

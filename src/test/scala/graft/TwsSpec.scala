@@ -31,6 +31,21 @@ class TwsSpec extends SparkSpecBase {
     q.awaitTermination()
   }
 
+  /** The TTL tests' runner: in ProcessingTime mode the TTL machinery
+    * keeps scheduling batches, so AvailableNow (and
+    * processAllAvailable) never terminate — stop on the source's
+    * drained condition instead ([[Replay.runUntilDrained]]).
+    */
+  private def runUpsertPAA(out: DataFrame, table: graft.sinks.KeyedUpsertTable,
+                           cp: String): Unit = {
+    val q = out.writeStream
+      .outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) => table.upsert(b, id))
+      .option("checkpointLocation", cp)
+      .start()
+    Replay.runUntilDrained(q)
+  }
+
   test("tws profile: ValueState + MapState survive a kill/resume; accumulators continue") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
@@ -58,6 +73,70 @@ class TwsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("n_types") === 2L, "MapState keys must survive")
     assert(r.getAs[Long]("n_purchase") === 2L,
       "MapState count must continue across restart (1 before + 1 after)")
+  }
+
+  test("tws ttl: a value written in run 1 is evicted once the TTL horizon passes; the cache restarts from zero") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Replay.RocksDbProvider)
+    val ms = MemoryStream[Tws.ActivityEvent]
+    val cp = tmpDir("cp_tws_ttl_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_tws_ttl_"), Seq("user_id"), "user_id")
+    // 5 s, not milliseconds: the TTL machinery keeps running during
+    // the drain spin and the post-stop store read, so the margin must
+    // cover run 2's own batches or the FRESH entry evicts too
+    val ttl = java.time.Duration.ofSeconds(5)
+    def out = ms.toDF().as[Tws.ActivityEvent].groupByKey(_.user_id)
+      .transformWithState(new Tws.TtlActivityProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update()).toDF()
+
+    ms.addData(Tws.ActivityEvent(1L, 100L, 5L), Tws.ActivityEvent(1L, 200L, 7L))
+    runUpsertPAA(out, table, cp) // run 1 writes the entry, TTL clock starts
+    Thread.sleep(7000)        // processing time passes the 5 s horizon
+    ms.addData(Tws.ActivityEvent(1L, 300L, 3L))
+    runUpsertPAA(out, table, cp) // resumed run 2: the entry must be GONE
+
+    val r = table.read().where(col("user_id") === 1L).head()
+    assert(r.getAs[Long]("n_events") === 1L,
+      "run-1 state must be evicted at the TTL horizon — the cache restarts at 1, not 3")
+    assert(r.getAs[Long]("sum_cents") === 3L,
+      "run-1 cents must not leak into the post-eviction entry")
+    // the store itself holds only the restarted value (the state data
+    // source reads the surviving row for the TTL'd variable; a TTL'd
+    // value nests as value.value + value.ttlExpirationMs)
+    val live = spark.read.format("statestore")
+      .option("operatorId", 0).option("stateVarName", "activity").load(cp)
+      .selectExpr("value.value.n_events").collect().map(_.getLong(0)).toSeq
+    assert(live === Seq(1L),
+      s"surviving store content must be the restarted entry, got $live")
+  }
+
+  test("tws ttl: within the TTL window the same kill/resume CONTINUES the accumulators") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      Replay.RocksDbProvider)
+    val ms = MemoryStream[Tws.ActivityEvent]
+    val cp = tmpDir("cp_tws_ttl2_")
+    val table = new graft.sinks.KeyedUpsertTable(
+      spark, tmpDir("tbl_tws_ttl2_"), Seq("user_id"), "user_id")
+    def out = ms.toDF().as[Tws.ActivityEvent].groupByKey(_.user_id)
+      .transformWithState(
+        new Tws.TtlActivityProcessor(java.time.Duration.ofHours(1)),
+        TimeMode.ProcessingTime(), OutputMode.Update()).toDF()
+
+    ms.addData(Tws.ActivityEvent(1L, 100L, 5L), Tws.ActivityEvent(1L, 200L, 7L))
+    runUpsertPAA(out, table, cp) // run 1, writer dies
+    ms.addData(Tws.ActivityEvent(1L, 300L, 3L))
+    runUpsertPAA(out, table, cp) // resumed run 2: same entry, still live
+
+    val r = table.read().where(col("user_id") === 1L).head()
+    assert(r.getAs[Long]("n_events") === 3L,
+      "inside the TTL window the recovered entry must continue across restart")
+    assert(r.getAs[Long]("sum_cents") === 15L)
+    assert(r.getAs[Long]("last_us") === 300L)
   }
 
   test("tws timers: a timer registered before the kill fires after the resume, judging the recovered ledger") {
