@@ -67,7 +67,15 @@ object Relational {
     * route reads sub-columnar shredded paths from the SAME parse
     * (see f13's adjudication).
     */
-  val p27_variant_route: Q = (spark, dir) => {
+  val p27_variant_route: Q = (spark, dir) => variantRoute(events(spark, dir))
+
+  /** The variant-route transform itself, source-agnostic (the
+    * `Pipelines` discipline): p27 runs it over the batch table,
+    * st117 over the replayed stream — same codegen'd projection, no
+    * stateful operator, so the streamed twin is the batch plan on a
+    * micro-batched scan.
+    */
+  private[graft] def variantRoute(src: DataFrame): DataFrame = {
     val op = when(col("event_id") % 3 === 0, lit("insert"))
       .when(col("event_id") % 3 === 1, lit("update"))
       .otherwise(lit("bootstrap-insert"))
@@ -75,7 +83,7 @@ object Relational {
       lit("\", \"type\": \""), op,
       lit("\", \"data\": {\"id\": "), col("user_id").cast("string"),
       lit("}}"))
-    events(spark, dir)
+    src
       .select(col("event_id"), env.as("envelope"))
       .withColumn("v", parse_json(col("envelope")))
       .where(variant_get(col("v"), "$.table", "string")

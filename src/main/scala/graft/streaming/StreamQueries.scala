@@ -4501,6 +4501,24 @@ object StreamQueries {
         col("last_us"))
   }
 
+  /** p27 AT INGEST — the variant CDC route on the streaming front
+    * door, which is where the reference actually runs it
+    * (ods/KafkaToODS_M.scala:49-69 is a DStream job): the envelope is
+    * `parse_json`'d ONCE per arriving record into a shredded variant
+    * and both the (table, type) allow-list and the routed projection
+    * read typed paths out of it — [[graft.operators.Relational
+    * .variantRoute]], the SAME transform p27 proves in batch, here on
+    * a micro-batched scan. Stateless (one codegen'd projection, no
+    * watermark, no state store): the streaming cost is the source
+    * micro-batching only, which is why the oracle is p27's verbatim —
+    * route(stream) ≡ route(batch) row for row (the sentinel's
+    * `__sentinel` table name fails the allow-list, so no read-back
+    * filter is needed).
+    */
+  val st117_variant_route: Q = (spark, dir) =>
+    Replay.runAppend(spark,
+      graft.operators.Relational.variantRoute(Replay.eventsStream(spark, dir)))
+
   /** J3/J6 streaming — the LEFT SEMI stream-stream join, the one
     * watermarked dual-stream join type the suite didn't yet run
     * end-to-end (st02 inner, st05 left outer, st10 full outer; left
@@ -4601,6 +4619,7 @@ object StreamQueries {
     "st111_tws_profile" -> st111_tws_profile,
     "st112_tws_timers" -> st112_tws_timers,
     "st116_tws_ttl_cache" -> st116_tws_ttl_cache,
+    "st117_variant_route" -> st117_variant_route,
     "st113_semi_join" -> st113_semi_join,
     "st114_stream_quality_trend" -> st114_stream_quality_trend,
     "st01_stream_dau" -> st01_stream_dau,
@@ -4891,6 +4910,25 @@ object StreamQueries {
                   AS sum_cents,
                 max(epoch_us(ts)) AS last_us
          FROM events GROUP BY user_id""",
+    // st117: stateless route — the stream must equal the batch route
+    // row for row (p27's oracle verbatim; sentinel fails the allow-list)
+    "st117_variant_route" ->
+      """WITH p AS (SELECT event_id,
+              '{"table": "' || event_type || '", "type": "' ||
+              CASE CAST(event_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+                   ELSE 'bootstrap-insert' END ||
+              '", "data": {"id": ' || CAST(user_id AS VARCHAR) || '}}' AS env
+            FROM events)
+         SELECT event_id,
+                json_extract_string(env, '$.table') AS tbl,
+                json_extract_string(env, '$.type') AS op,
+                'ods_' || json_extract_string(env, '$.table') AS route,
+                CAST(json_extract(env, '$.data.id') AS BIGINT) AS row_id
+         FROM p
+         WHERE json_extract_string(env, '$.table')
+                 IN ('purchase','signup','click')
+           AND json_extract_string(env, '$.type') IN ('insert','update')""",
     // st112's timer-at-watermark emission must equal the RANGE window
     // over the batch table — the oracle keeps the window form, the
     // differential proves the timer machine computes it
