@@ -5229,6 +5229,113 @@ object Relational {
         try_variant_get(col("v"), "$.nested.v", "long").as("nested_v"))
   }
 
+  /** f14 — NATIVE UNPIVOT (melt): the built-in wide→long rotation
+    * (`Dataset.unpivot`, Spark 3.4+'s ANSI UNPIVOT surface) over
+    * lineitem's four measure columns — the operator q01's profile
+    * hand-rolls with `inline(array(struct...))` (kept there because
+    * its per-column structs carry heterogeneous renderings; this is
+    * the homogeneous-measure case the built-in exists for). Values
+    * pass through UNTOUCHED — both engines emit the stored IEEE
+    * doubles and the column NAMES as the variable — so the melt is
+    * hash-exact with zero arithmetic. Shuffle-free: unpivot is a
+    * row-local Expand (4× thin rows), the long-format feed a measure
+    * store or a per-measure profiler reads; at 100 TB the flip side
+    * is priced exactly like q01's Expand — 4× the rows through the
+    * exchange IF an aggregation follows, which is why q01x's
+    * sketch-per-column exists.
+    */
+  val f14_unpivot_melt: Q = (spark, dir) =>
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "val")
+
+  /** f15 — LATERAL JOIN (correlated subquery decorrelation): each
+    * order joined laterally to an aggregate over ITS lines — the ANSI
+    * LATERAL keyword, which Catalyst decorrelates into a plain
+    * aggregate + equi-join (visible in the locked plan: no per-row
+    * subquery execution survives, `DecorrelateInnerQuery` rewrites
+    * the correlation into a group-by on the correlation key). That
+    * rewrite is the scale story: a naive per-outer-row subquery is
+    * O(|orders|) scans; the decorrelated form is ONE lineitem
+    * aggregate joined back ONCE, any table size. The exact plan
+    * (scan-budget-locked at orders=2): Catalyst builds the
+    * correlation DOMAIN — a second, single-column pruned orders scan
+    * feeding DISTINCT o_orderkey — left-joins the lineitem aggregate
+    * onto it so empty groups exist as rows (the classic COUNT-bug
+    * handling: COUNT over no lines must surface as 0, not vanish),
+    * then joins the domain back to the full orders scan. LEFT LATERAL
+    * so the ~1.7% line-less orders survive (the j06 completion
+    * discipline); COUNT comes back 0 via COALESCE on both engines.
+    */
+  val f15_lateral_join: Q = (spark, dir) => {
+    lineitem(spark, dir).createOrReplaceTempView("f15_lineitem")
+    orders(spark, dir).createOrReplaceTempView("f15_orders")
+    spark.sql(
+      """SELECT o.o_orderkey, o.o_custkey,
+                t.n_lines, t.max_price_c, t.sum_qty
+         FROM f15_orders o
+         LEFT JOIN LATERAL (
+           SELECT COUNT(*) AS n_lines,
+                  CAST(MAX(ROUND(l.l_extendedprice * 100)) AS BIGINT)
+                    AS max_price_c,
+                  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                    AS sum_qty
+           FROM f15_lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+         ) t""")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        col("max_price_c"), col("sum_qty"))
+  }
+
+  /** Write-once variant-storage fixture for [[f16_variant_storage]]:
+    * one parquet table per (session, sfDir) carrying a REAL
+    * VariantType column (s16's appId-keyed scratch pattern).
+    */
+  private val variantTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def variantTableDir(spark: SparkSession, dir: String): String =
+    variantTableCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "#" + dir, _ => {
+        val p = graft.Tables.scratchDir("graft_variant_")
+        events(spark, dir)
+          .select(col("event_id"),
+            parse_json(concat(lit("{\"k\": "),
+              get_json_object(col("props"), "$.k"),
+              lit(", \"et\": \""), col("event_type"),
+              lit("\", \"uid\": "), col("user_id").cast("string"),
+              lit("}"))).as("v"))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+
+  /** f16 — VARIANT PHYSICAL STORAGE round trip (the z04 discipline
+    * applied to the f13/p27 compute story): the parsed variant is
+    * actually LANDED in parquet — Spark 4 writes VariantType as the
+    * two-binary (metadata, value) group — and read back by a second
+    * scan that extracts typed paths from the STORED binary without
+    * any re-parse of JSON text. That is the claim f13's adjudication
+    * makes ("parse once, every later reader extracts paths"): here it
+    * is physically true — the docstring plan shows the round-trip
+    * scan reading the variant group, and the differential proves the
+    * stored encoding decodes to the same values the original text
+    * carried (DuckDB oracle re-derives them from the source JSON).
+    * One write + one scan; extraction is row-local.
+    */
+  val f16_variant_storage: Q = (spark, dir) => {
+    val table = spark.read.parquet(variantTableDir(spark, dir))
+    table.select(col("event_id"),
+      try_variant_get(col("v"), "$.k", "long").as("k_long"),
+      try_variant_get(col("v"), "$.et", "string").as("et"),
+      try_variant_get(col("v"), "$.uid", "long").as("uid"))
+  }
+
   /** f11 — ORDERED-SET AGGREGATE BATTERY (§2.8's remaining aggregate
     * leg, new in Spark 4's ANSI WITHIN GROUP surface): `listagg`
     * (plain and DISTINCT, both under an explicit WITHIN GROUP order —
@@ -6161,6 +6268,9 @@ object Relational {
     "p02_cdc_route" -> p02_cdc_route,
     "p27_variant_route" -> p27_variant_route,
     "f13_variant_suite" -> f13_variant_suite,
+    "f14_unpivot_melt" -> f14_unpivot_melt,
+    "f15_lateral_join" -> f15_lateral_join,
+    "f16_variant_storage" -> f16_variant_storage,
     "p03_date_hour" -> p03_date_hour,
     "p04_epoch_derive" -> p04_epoch_derive,
     "p05_age_bucket" -> p05_age_bucket,
@@ -7105,6 +7215,29 @@ object Relational {
          WHERE json_extract_string(env, '$.table')
                  IN ('purchase','signup','click')
            AND json_extract_string(env, '$.type') IN ('insert','update')""",
+    "f14_unpivot_melt" ->
+      """SELECT l_orderkey, l_linenumber, measure, val
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount, l_tax FROM lineitem)
+         UNPIVOT (val FOR measure
+                  IN (l_quantity, l_extendedprice, l_discount, l_tax))""",
+    "f15_lateral_join" ->
+      """SELECT o.o_orderkey, o.o_custkey,
+                COALESCE(t.n_lines, 0) AS n_lines, t.max_price_c, t.sum_qty
+         FROM orders o LEFT JOIN LATERAL (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                  CAST(MAX(ROUND(l.l_extendedprice * 100)) AS BIGINT)
+                    AS max_price_c,
+                  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                    AS sum_qty
+           FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t ON true""",
+    // f16: the oracle re-derives the stored variant's content from the
+    // SOURCE json — the round trip must decode to what the text said
+    "f16_variant_storage" ->
+      """SELECT event_id,
+                TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+                event_type AS et, user_id AS uid
+         FROM events""",
     // f13: DuckDB has no variant — the oracle re-derives the same
     // scalar verdicts from json_valid/json_type/typed extraction
     "f13_variant_suite" ->
