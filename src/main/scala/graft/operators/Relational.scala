@@ -5336,6 +5336,57 @@ object Relational {
       try_variant_get(col("v"), "$.uid", "long").as("uid"))
   }
 
+  /** f17 — OBSERVED METRICS (`Dataset.observe` + `Observation`): the
+    * pipeline-SLA counters the reference logs by hand (per-batch
+    * count prints scattered through its apps) as Spark's built-in
+    * observation surface — AccumulatorV2-backed aggregates that ride
+    * an EXISTING action's pass and surface as one metrics row, no
+    * second scan of the data. Here the action is a noop write (this
+    * registry has no real sink); in production the observe() clause
+    * attaches to the job's actual write and the metrics are free —
+    * that is the 100 TB point: a monitoring query that re-scans the
+    * fact table to count rows costs a full pass; an observation
+    * costs nothing. The returned relation is the one metrics row
+    * (driver-side by the API's design — a fixed-size aggregate
+    * result, not row data); money lands as integer cents and dates
+    * as ISO strings, the usual portability renderings.
+    */
+  val f17_observed_metrics: Q = (spark, dir) => {
+    import spark.implicits._
+    val obs = org.apache.spark.sql.Observation("f17")
+    lineitem(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(cents(col("l_extendedprice"))).cast("long").as("sum_price_c"),
+        min(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("min_ship"),
+        max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("max_ship"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_price_c").asInstanceOf[Long],
+      m("min_ship").asInstanceOf[String], m("max_ship").asInstanceOf[String]))
+      .toDF("n_rows", "sum_price_c", "min_ship", "max_ship")
+  }
+
+  /** f18 — FILE-METADATA (lineage) COLUMNS: the hidden `_metadata`
+    * struct every file source exposes (SPARK-37273), projected and
+    * rolled up into a per-file audit — which physical file carries
+    * which id range and how many rows. This is data lineage at the
+    * scan, not a catalog lookup: at 100 TB the same query over a
+    * multi-thousand-file table is the reconciliation audit that
+    * answers "which file did this row come from" without a manifest
+    * (and the grain z03's compaction planner consumes). The driver
+    * fixture is one file per table, so the output is a 1-row audit —
+    * the SURFACE under test is the metadata column resolution and
+    * its pushdown-compatibility (the scan still prunes to doc_id +
+    * metadata), not the file count.
+    */
+  val f18_file_metadata: Q = (spark, dir) =>
+    documents(spark, dir)
+      .select(col("_metadata.file_name").as("file_name"), col("doc_id"))
+      .groupBy(col("file_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
   /** f11 — ORDERED-SET AGGREGATE BATTERY (§2.8's remaining aggregate
     * leg, new in Spark 4's ANSI WITHIN GROUP surface): `listagg`
     * (plain and DISTINCT, both under an explicit WITHIN GROUP order —
@@ -6271,6 +6322,8 @@ object Relational {
     "f14_unpivot_melt" -> f14_unpivot_melt,
     "f15_lateral_join" -> f15_lateral_join,
     "f16_variant_storage" -> f16_variant_storage,
+    "f17_observed_metrics" -> f17_observed_metrics,
+    "f18_file_metadata" -> f18_file_metadata,
     "p03_date_hour" -> p03_date_hour,
     "p04_epoch_derive" -> p04_epoch_derive,
     "p05_age_bucket" -> p05_age_bucket,
@@ -7231,6 +7284,20 @@ object Relational {
                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
                     AS sum_qty
            FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t ON true""",
+    "f17_observed_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT)
+                  AS sum_price_c,
+                strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
+                strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship
+         FROM lineitem""",
+    // f18: the driver fixture is one file per table, so the per-file
+    // audit reduces to the table aggregate under that constant name
+    "f18_file_metadata" ->
+      """SELECT 'documents.parquet' AS file_name,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM documents""",
     // f16: the oracle re-derives the stored variant's content from the
     // SOURCE json — the round trip must decode to what the text said
     "f16_variant_storage" ->
