@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -5387,6 +5389,118 @@ object Relational {
       .agg(count(lit(1)).as("n_rows"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
 
+  /** f19 — XML PARSING (`from_xml`, Spark 4's built-in XML surface —
+    * the third envelope format after JSON p01/f13 and variant p27):
+    * four planted lanes off the events scan — full record, missing
+    * field, wrong-typed field, truncated document — parsed against a
+    * declared schema in PERMISSIVE mode with a corrupt-record column,
+    * so every extraction exercises its miss path: absent → NULL field
+    * only; type mismatch and truncation → FULL-RECORD corruption (the
+    * XML parser, unlike the CSV one, keeps no partial fields on a
+    * cast failure — measured, encoded in the oracle). DuckDB has no
+    * XML type; the oracle derives the same
+    * verdicts from the lane construction — which is the point, the
+    * VERDICTS are format-independent. Row-local projection, zero
+    * exchanges; the 100 TB adjudication is f13's verbatim (declared
+    * schema when the contract is closed, variant when it drifts —
+    * XML gets no variant lane, so the declared form is the only one).
+    */
+  val f19_xml_suite: Q = (spark, dir) => {
+    import org.apache.spark.sql.types._
+    val xml =
+      when(col("event_id") % 4 === 0,
+        concat(lit("<r><k>"), col("user_id").cast("string"),
+          lit("</k><tag>"), col("event_type"), lit("</tag></r>")))
+      .when(col("event_id") % 4 === 1,
+        concat(lit("<r><tag>"), col("event_type"), lit("</tag></r>")))
+      .when(col("event_id") % 4 === 2,
+        concat(lit("<r><k>x"), col("user_id").cast("string"),
+          lit("</k><tag>"), col("event_type"), lit("</tag></r>")))
+      .otherwise(concat(lit("<r><k>"), col("user_id").cast("string")))
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("tag", StringType),
+      StructField("_corrupt_record", StringType)))
+    events(spark, dir)
+      .select(col("event_id"), xml.as("xml"))
+      .withColumn("p", from_xml(col("xml"), schema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record").asJava))
+      .select(col("event_id"),
+        col("p._corrupt_record").isNotNull.as("corrupt"),
+        col("p.k").as("k_long"),
+        col("p.tag").as("tag"))
+  }
+
+  /** f20 — CSV LINE PARSING (`from_csv`/`to_csv` — the delimited
+    * twin of p01's JSON envelope; the reference's TSV-ish log lines,
+    * e.g. app/Dau.scala's split-on-delimiter start logs): a
+    * deterministic 3-field line synthesized per event, parsed against
+    * a declared schema (typed extraction + corrupt-record lane for a
+    * non-numeric field), and the struct serialized BACK with `to_csv`
+    * — the round trip pins both directions of the codec. Lanes:
+    * clean line / wrong-typed numeric / short line — BOTH defect
+    * lanes flag the corrupt-record column while keeping the fields
+    * that did parse (measured: unlike XML's full-record corruption,
+    * CSV retains eid/et beside a null uid). Row-local, zero
+    * exchanges.
+    */
+  val f20_csv_suite: Q = (spark, dir) => {
+    val line =
+      when(col("event_id") % 3 === 0,
+        concat_ws(",", col("event_id").cast("string"), col("event_type"),
+          col("user_id").cast("string")))
+      .when(col("event_id") % 3 === 1,
+        concat_ws(",", col("event_id").cast("string"), col("event_type"),
+          concat(lit("x"), col("user_id").cast("string"))))
+      .otherwise(concat_ws(",", col("event_id").cast("string"),
+        col("event_type")))
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "_corrupt_record")
+    events(spark, dir)
+      .select(col("event_id"), line.as("line"))
+      .withColumn("p", from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "eid BIGINT, et STRING, uid BIGINT, _corrupt_record STRING"),
+        opts))
+      .select(col("event_id"),
+        col("p.eid").as("eid"), col("p.et").as("et"),
+        col("p.uid").as("uid"),
+        col("p._corrupt_record").isNotNull.as("corrupt"),
+        to_csv(struct(col("p.eid"), col("p.et"))).as("round_trip"))
+  }
+
+  /** f21 — URL ANALYSIS (`parse_url` + percent codecs): referrer /
+    * landing-page decomposition — HOST, PATH, full QUERY and one
+    * keyed QUERY parameter — over a deterministic URL synthesized per
+    * event, plus `url_encode` of a reserved-character value and
+    * `try_url_decode` on a PLANTED malformed percent-escape (null,
+    * not a crash — the try-function discipline of f12). DuckDB has
+    * no parse_url; its twin derives the same pieces with regexps,
+    * which is the portability claim: URL STRUCTURE is regular. The
+    * encode input avoids the one cross-codec divergence (space:
+    * java's form-encoding emits '+', RFC percent-encoding %20) —
+    * pinned to reserved chars both sides emit as uppercase %XX.
+    * Row-local, zero exchanges.
+    */
+  val f21_url_suite: Q = (spark, dir) => {
+    val url = concat(lit("https://ex.com/cat/"), col("event_type"),
+      lit("/item?uid="), col("user_id").cast("string"),
+      lit("&src=ads&eid="), col("event_id").cast("string"))
+    val bad = when(col("event_id") % 5 === 0, lit("%zz"))
+      .otherwise(lit("a%2Fb"))
+    events(spark, dir)
+      .select(col("event_id"), url.as("url"), bad.as("bad"),
+        url_encode(concat(lit("v/"), col("event_type"), lit(":1")))
+          .as("enc"))
+      .select(col("event_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("qstring"),
+        parse_url(col("url"), lit("QUERY"), lit("uid")).as("q_uid"),
+        col("enc"),
+        try_url_decode(col("bad")).as("decoded"))
+  }
+
   /** f11 — ORDERED-SET AGGREGATE BATTERY (§2.8's remaining aggregate
     * leg, new in Spark 4's ANSI WITHIN GROUP surface): `listagg`
     * (plain and DISTINCT, both under an explicit WITHIN GROUP order —
@@ -6324,6 +6438,9 @@ object Relational {
     "f16_variant_storage" -> f16_variant_storage,
     "f17_observed_metrics" -> f17_observed_metrics,
     "f18_file_metadata" -> f18_file_metadata,
+    "f19_xml_suite" -> f19_xml_suite,
+    "f20_csv_suite" -> f20_csv_suite,
+    "f21_url_suite" -> f21_url_suite,
     "p03_date_hour" -> p03_date_hour,
     "p04_epoch_derive" -> p04_epoch_derive,
     "p05_age_bucket" -> p05_age_bucket,
@@ -7284,6 +7401,35 @@ object Relational {
                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
                     AS sum_qty
            FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t ON true""",
+    // f19/f20: no XML/CSV codec in the oracle — the expected verdicts
+    // derive from the planted lane construction (the f13 discipline);
+    // the corrupted-lane shapes encode MEASURED Spark parser semantics
+    "f19_xml_suite" ->
+      """SELECT event_id,
+                CAST(event_id % 4 AS INTEGER) IN (2, 3) AS corrupt,
+                CASE WHEN CAST(event_id % 4 AS INTEGER) = 0
+                     THEN user_id END AS k_long,
+                CASE WHEN CAST(event_id % 4 AS INTEGER) IN (0, 1)
+                     THEN event_type END AS tag
+         FROM events""",
+    "f20_csv_suite" ->
+      """SELECT event_id, event_id AS eid, event_type AS et,
+                CASE WHEN CAST(event_id % 3 AS INTEGER) = 0
+                     THEN user_id END AS uid,
+                CAST(event_id % 3 AS INTEGER) <> 0 AS corrupt,
+                CAST(event_id AS VARCHAR) || ',' || event_type
+                  AS round_trip
+         FROM events""",
+    "f21_url_suite" ->
+      """SELECT event_id, 'ex.com' AS host,
+                '/cat/' || event_type || '/item' AS path,
+                'uid=' || CAST(user_id AS VARCHAR) || '&src=ads&eid=' ||
+                  CAST(event_id AS VARCHAR) AS qstring,
+                CAST(user_id AS VARCHAR) AS q_uid,
+                'v%2F' || event_type || '%3A1' AS enc,
+                CASE WHEN CAST(event_id % 5 AS INTEGER) = 0 THEN NULL
+                     ELSE 'a/b' END AS decoded
+         FROM events""",
     "f17_observed_metrics" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                 CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT)
