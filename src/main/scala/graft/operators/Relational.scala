@@ -5501,6 +5501,65 @@ object Relational {
         try_url_decode(col("bad")).as("decoded"))
   }
 
+  /** f22 — SQL PIPE SYNTAX (Spark 4's `|>` operator chain,
+    * SPARK-49555): the brand-revenue star join written as a linear
+    * pipeline — FROM … |> JOIN |> WHERE |> AGGREGATE … GROUP BY |>
+    * WHERE (post-aggregation, the HAVING position) |> ORDER BY |>
+    * LIMIT — proving the new surface end-to-end against a classic-SQL
+    * DuckDB twin. Same Catalyst plan as the nested form (pipe is
+    * pure syntax), so the scale shape is a01/a05's: one broadcast-or-
+    * shuffle dim join, map-side partial aggregation, a TopK sort.
+    */
+  val f22_pipe_syntax: Q = (spark, dir) => {
+    lineitem(spark, dir).createOrReplaceTempView("f22_lineitem")
+    part(spark, dir).createOrReplaceTempView("f22_part")
+    spark.sql(
+      """FROM f22_lineitem
+         |> JOIN f22_part ON l_partkey = p_partkey
+         |> WHERE p_size <= 25
+         |> AGGREGATE CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT)
+              AS cents, COUNT(*) AS n_lines
+            GROUP BY p_brand
+         |> WHERE n_lines > 50
+         |> ORDER BY cents DESC, p_brand
+         |> LIMIT 10""")
+  }
+
+  /** f23 — RECURSIVE CTE (Spark 4's `WITH RECURSIVE`): subtree
+    * rollup over a category HIERARCHY — the reference's 3-level
+    * category dims (GMALL's base_category1/2/3 chain its ADS queries
+    * climb) generalized to a depth-6 binary tree: each part hangs off
+    * leaf 32 + (p_partkey % 32), internal node n parents n÷2, and the
+    * recursion walks every leaf's revenue up its ancestor PATH; the
+    * final GROUP BY yields each node's SUBTREE total (a node receives
+    * exactly its descendants' leaf values — the category-rollup
+    * answer a rollup()/cube() cannot give on a parent-POINTER
+    * encoding). Termination is structural (node halves each step,
+    * depth 6); both engines run the identical iteration, and integer
+    * cents keep every partial exact. Scale shape: the recursive step
+    * multiplies rows by tree DEPTH (×6 here — log |nodes|), each
+    * iteration a map-side projection; one final grid-bounded (63-row)
+    * aggregate.
+    */
+  val f23_recursive_cte: Q = (spark, dir) => {
+    lineitem(spark, dir).createOrReplaceTempView("f23_lineitem")
+    part(spark, dir).createOrReplaceTempView("f23_part")
+    spark.sql(
+      """WITH RECURSIVE leaf AS (
+           SELECT 32 + p_partkey % 32 AS node,
+                  CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT)
+                    AS cents
+           FROM f23_lineitem JOIN f23_part ON l_partkey = p_partkey
+           GROUP BY 1),
+         up(node, cents) AS (
+           SELECT node, cents FROM leaf
+           UNION ALL
+           SELECT node DIV 2, cents FROM up WHERE node > 1)
+         SELECT node, CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+                CAST(COUNT(*) AS BIGINT) AS n_leaves
+         FROM up GROUP BY node""")
+  }
+
   /** f11 — ORDERED-SET AGGREGATE BATTERY (§2.8's remaining aggregate
     * leg, new in Spark 4's ANSI WITHIN GROUP surface): `listagg`
     * (plain and DISTINCT, both under an explicit WITHIN GROUP order —
@@ -6441,6 +6500,8 @@ object Relational {
     "f19_xml_suite" -> f19_xml_suite,
     "f20_csv_suite" -> f20_csv_suite,
     "f21_url_suite" -> f21_url_suite,
+    "f22_pipe_syntax" -> f22_pipe_syntax,
+    "f23_recursive_cte" -> f23_recursive_cte,
     "p03_date_hour" -> p03_date_hour,
     "p04_epoch_derive" -> p04_epoch_derive,
     "p05_age_bucket" -> p05_age_bucket,
@@ -7401,6 +7462,28 @@ object Relational {
                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
                     AS sum_qty
            FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t ON true""",
+    // f22: the pipe chain must equal the classic nested form
+    "f22_pipe_syntax" ->
+      """SELECT p_brand,
+                CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS cents,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 25
+         GROUP BY p_brand HAVING COUNT(*) > 50
+         ORDER BY cents DESC, p_brand LIMIT 10""",
+    "f23_recursive_cte" ->
+      """WITH RECURSIVE leaf AS (
+           SELECT 32 + p_partkey % 32 AS node,
+                  CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS cents
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1),
+         up(node, cents) AS (
+           SELECT node, cents FROM leaf
+           UNION ALL
+           SELECT node // 2, cents FROM up WHERE node > 1)
+         SELECT node, CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+                CAST(COUNT(*) AS BIGINT) AS n_leaves
+         FROM up GROUP BY node""",
     // f19/f20: no XML/CSV codec in the oracle — the expected verdicts
     // derive from the planted lane construction (the f13 discipline);
     // the corrupted-lane shapes encode MEASURED Spark parser semantics
