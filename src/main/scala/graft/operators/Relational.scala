@@ -2384,6 +2384,21 @@ object Relational {
             col("kth").cast("double"))).as("est_distinct"))
   }
 
+  /** a56 — DYNAMIC-GAP SESSIONIZATION (`session_window` with a gap
+    * EXPRESSION — the overload a16/st08's fixed 30-minute rule can't
+    * reach): a purchase closes its session after 10 idle minutes,
+    * anything else after 30 ([[graft.streaming.Pipelines
+    * .dynamicSessionActivity]], shared verbatim with the streamed
+    * twin st118). The oracle is the gaps-and-islands RUNNING-MAX
+    * construction — an event opens a session iff its time is ≥ the
+    * max (ts+gap) of every earlier event (with per-event gaps a
+    * simple lag compare is WRONG: a long-gap event can bridge over a
+    * short-gap successor); session end = max member (ts+gap), the
+    * half-open [start, end) rule. One user-keyed exchange either way.
+    */
+  val a56_dynamic_session: Q = (spark, dir) =>
+    graft.streaming.Pipelines.dynamicSessionActivity(events(spark, dir))
+
   /** a16 — BATCH SESSIONIZATION (the batch twin of st08's
     * `session_window`, same 30-minute gap rule and output shape): the
     * classic gap-and-island construction — a lag window flags every
@@ -6502,6 +6517,7 @@ object Relational {
     "f21_url_suite" -> f21_url_suite,
     "f22_pipe_syntax" -> f22_pipe_syntax,
     "f23_recursive_cte" -> f23_recursive_cte,
+    "a56_dynamic_session" -> a56_dynamic_session,
     "p03_date_hour" -> p03_date_hour,
     "p04_epoch_derive" -> p04_epoch_derive,
     "p05_age_bucket" -> p05_age_bucket,
@@ -7462,6 +7478,31 @@ object Relational {
                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT)
                     AS sum_qty
            FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) t ON true""",
+    // a56: gaps-and-islands with a RUNNING MAX of per-event session
+    // ends (a lag compare is wrong under per-event gaps); half-open
+    // [start, end) — an event at exactly prev_max opens a new session
+    "a56_dynamic_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+                  CASE WHEN event_type = 'purchase'
+                       THEN 600000000 ELSE 1800000000 END AS gap_us
+           FROM events),
+         w AS (SELECT user_id, tsu, tsu + gap_us AS end_us,
+                 MAX(tsu + gap_us) OVER (PARTITION BY user_id ORDER BY tsu
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+               FROM e),
+         s AS (SELECT user_id, tsu, end_us,
+                 SUM(CASE WHEN prev_max IS NULL OR tsu >= prev_max
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY tsu
+                         ROWS UNBOUNDED PRECEDING) AS sid
+               FROM w)
+         SELECT strftime(make_timestamp(MIN(tsu)), '%Y-%m-%d %H:%M:%S')
+                  AS session_start,
+                strftime(make_timestamp(MAX(end_us)), '%Y-%m-%d %H:%M:%S')
+                  AS session_end,
+                user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid""",
     // f22: the pipe chain must equal the classic nested form
     "f22_pipe_syntax" ->
       """SELECT p_brand,

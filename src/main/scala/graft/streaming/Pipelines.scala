@@ -1002,6 +1002,34 @@ object Pipelines {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** a56/st118 — session windows with a DYNAMIC (per-event) gap: a
+    * purchase closes its session after 10 idle minutes, anything else
+    * after 30 — the engagement-dependent session rule `session_window`'s
+    * gap-EXPRESSION overload exists for (a fixed gap treats a
+    * checkout ping and an idle browse identically). Sessions are
+    * half-open [start, end): an event landing exactly at a session's
+    * end opens a new one; a session's end is the MAX over member
+    * events of (ts + that event's gap). Shared by the batch query and
+    * the streamed twin — identical aggregation, the watermark is a
+    * no-op in batch.
+    */
+  def dynamicSessionActivity(events: DataFrame): DataFrame = {
+    // gap strings, not INTERVAL literals: session_window requires
+    // CalendarIntervalType and DayTimeInterval is rejected
+    val gap = when(col("event_type") === "purchase",
+      lit("10 minutes")).otherwise(lit("30 minutes"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("user_id"), col("n_events"))
+  }
+
   /** Default dedup window for [[simhashBandClaims]]: how long a band
     * bucket's owner is remembered (the ingest-dedup analog of the
     * known-customers TTL).

@@ -4501,6 +4501,20 @@ object StreamQueries {
         col("last_us"))
   }
 
+  /** W1 — DYNAMIC-GAP SESSION WINDOWS at ingest (the streamed twin of
+    * batch a56, same [[Pipelines.dynamicSessionActivity]] verbatim):
+    * `session_window` with a per-event gap expression under a
+    * watermark — a session emits in append mode once the watermark
+    * proves no event can extend it. State per open session, merged by
+    * the engine as events arrive (the session-merge state machine the
+    * fixed-gap st08 also exercises; the dynamic gap adds per-row gap
+    * arithmetic to the merge rule, not state).
+    */
+  val st118_dynamic_session: Q = (spark, dir) =>
+    Replay.runAppend(spark,
+      Pipelines.dynamicSessionActivity(Replay.eventsStream(spark, dir)))
+      .where(col("user_id") >= 0)
+
   /** p27 AT INGEST — the variant CDC route on the streaming front
     * door, which is where the reference actually runs it
     * (ods/KafkaToODS_M.scala:49-69 is a DStream job): the envelope is
@@ -4620,6 +4634,7 @@ object StreamQueries {
     "st112_tws_timers" -> st112_tws_timers,
     "st116_tws_ttl_cache" -> st116_tws_ttl_cache,
     "st117_variant_route" -> st117_variant_route,
+    "st118_dynamic_session" -> st118_dynamic_session,
     "st113_semi_join" -> st113_semi_join,
     "st114_stream_quality_trend" -> st114_stream_quality_trend,
     "st01_stream_dau" -> st01_stream_dau,
@@ -4929,6 +4944,30 @@ object StreamQueries {
          WHERE json_extract_string(env, '$.table')
                  IN ('purchase','signup','click')
            AND json_extract_string(env, '$.type') IN ('insert','update')""",
+    // st118: a56's running-max islands oracle verbatim — the streamed
+    // session-merge state machine must equal the batch construction
+    "st118_dynamic_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+                  CASE WHEN event_type = 'purchase'
+                       THEN 600000000 ELSE 1800000000 END AS gap_us
+           FROM events),
+         w AS (SELECT user_id, tsu, tsu + gap_us AS end_us,
+                 MAX(tsu + gap_us) OVER (PARTITION BY user_id ORDER BY tsu
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+               FROM e),
+         s AS (SELECT user_id, tsu, end_us,
+                 SUM(CASE WHEN prev_max IS NULL OR tsu >= prev_max
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY tsu
+                         ROWS UNBOUNDED PRECEDING) AS sid
+               FROM w)
+         SELECT strftime(make_timestamp(MIN(tsu)), '%Y-%m-%d %H:%M:%S')
+                  AS session_start,
+                strftime(make_timestamp(MAX(end_us)), '%Y-%m-%d %H:%M:%S')
+                  AS session_end,
+                user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM s GROUP BY user_id, sid""",
     // st112's timer-at-watermark emission must equal the RANGE window
     // over the batch table — the oracle keeps the window form, the
     // differential proves the timer machine computes it
