@@ -194,10 +194,60 @@ import java.nio.file.{Files, Paths}
 object Bench {
   private val WarmupDir = "/root/testdata/sf0.001"
 
+  /** One host-load snapshot: 1-minute loadavg, aggregate /proc/stat
+    * cpu jiffies (total and busy = total − idle − iowait), and this
+    * JVM's own utime+stime jiffies from /proc/self/stat. Two
+    * snapshots bracketing the run give the round-16 verdict's ask:
+    * how busy the HOST was during the bench, and how much of that
+    * was us — (busy − self) / total is the AMBIENT load that has
+    * contaminated past rounds' totals (r16: +25% on unchanged,
+    * lock-verified queries). All fields 0 on non-Linux/parse failure.
+    */
+  private case class LoadSnap(loadavg: Double, totalJiffies: Long,
+                              busyJiffies: Long, selfJiffies: Long)
+
+  private def loadSnap(): LoadSnap = {
+    def slurp(p: String): Option[String] =
+      try Some(Files.readString(Paths.get(p))) catch { case _: Throwable => None }
+    val la = slurp("/proc/loadavg").flatMap(_.split("\\s+").headOption)
+      .flatMap(s => s.toDoubleOption).getOrElse(0.0)
+    val (tot, busy) = slurp("/proc/stat").flatMap(_.linesIterator.find(_.startsWith("cpu "))) match {
+      case Some(cpu) =>
+        val f = cpu.split("\\s+").drop(1).flatMap(_.toLongOption)
+        val total = f.sum
+        // field order: user nice system idle iowait irq softirq steal ...
+        val idle = (if (f.length > 3) f(3) else 0L) + (if (f.length > 4) f(4) else 0L)
+        (total, total - idle)
+      case None => (0L, 0L)
+    }
+    // /proc/self/stat: fields 14/15 (1-based) are utime/stime; field 2
+    // is "(comm)" which can contain spaces, so split after the ')'.
+    val self = slurp("/proc/self/stat").flatMap { s =>
+      val after = s.substring(s.lastIndexOf(')') + 1).trim.split("\\s+")
+      // after() starts at field 3 (state), so utime/stime are idx 11/12
+      if (after.length > 12)
+        for (u <- after(11).toLongOption; t <- after(12).toLongOption) yield u + t
+      else None
+    }.getOrElse(0L)
+    LoadSnap(la, tot, busy, self)
+  }
+
   def main(args: Array[String]): Unit = {
     val only = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val load0 = loadSnap()
+    // The shutdown-hook StateStore maintenance thread logs a WARN +
+    // stacktrace AFTER main's final println ("SparkEnv not active,
+    // cannot do maintenance") — harmless, but the driver records only
+    // a 2000-char stdout TAIL, and nine rounds running that trace has
+    // clipped the metrics JSON out of it. Silence exactly that logger
+    // (state-store package, ERROR threshold) so the JSON line stays
+    // the last thing on stdout.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
 
     def newSession(): SparkSession = {
       val spark = SparkSession.builder()
@@ -289,7 +339,13 @@ object Bench {
     // SPARK_GRAFT_BENCH_PREV (default: the latest BENCH_r*.json in
     // the cwd). Sub-2 s queries are exempt (the documented ambient
     // ±10-25% band on short CPU-bound queries would spam re-runs).
-    def jsonMap(line: String, key: String): Map[String, Double] = {
+    def jsonMap(text: String, key: String): Map[String, Double] = {
+      // Anchor the scrape to the metrics line itself (the last line
+      // containing "metric"), not the whole file — the driver-side
+      // BENCH_r*.json wraps a stdout tail where the key could appear
+      // inside an unrelated string (the r16 ADVICE finding).
+      val line = text.linesIterator.toSeq.reverse
+        .find(_.contains("\"metric\"")).getOrElse(text)
       val start = line.indexOf("\"" + key + "\":{")
       if (start < 0) return Map.empty
       val open = line.indexOf('{', start)
@@ -299,11 +355,21 @@ object Bench {
       """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
-    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+    // Baseline preference order: explicit env override, then the
+    // builder-side full archives (BENCH_out_r*.json — complete
+    // per-query maps), then the driver wrappers (BENCH_r*.json —
+    // clipped tails). Rounds sort NUMERICALLY: lexicographic order
+    // breaks the day zero-padding does (BENCH_r9 vs BENCH_r10, or
+    // round 100) — the r16 ADVICE finding.
+    def latestByRound(pattern: String): Option[String] = {
       val rs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .map(_.getName).filter(n => n.matches("BENCH_r\\d+\\.json")).sorted
-      rs.lastOption
+        .map(_.getName).filter(_.matches(pattern))
+      if (rs.isEmpty) None
+      else Some(rs.maxBy(n => n.replaceAll("\\D", "").toInt))
     }
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .orElse(latestByRound("BENCH_out_r\\d+\\.json"))
+      .orElse(latestByRound("BENCH_r\\d+\\.json"))
     val prevLine = prevPath.flatMap { p =>
       try Some(Files.readString(Paths.get(p))) catch { case _: Throwable => None }
     }.getOrElse("")
@@ -318,18 +384,31 @@ object Bench {
           Some(n -> "1.5x_prev_isolated")
         else None
     }.toMap
-    val isolated: Seq[(String, Double)] =
+    // Round-17 change (the r16 verdict's task 2): the sf0.001 warmup
+    // warms JVM/codegen but builds the WRONG-dir shared artifacts, so
+    // in a fresh JVM pass 1 at sfDir paid the LM/NB/BPE/index builds
+    // and — when pass 2 inherited its GC debris — even min-of-two
+    // could read artifact-COLD (c06 26.7 s isolated vs 10.4 in-suite
+    // in r16, inverting the addendum's meaning). Now an UNTIMED
+    // pass at sfDir precedes the timed pair, so both timed passes are
+    // artifact-warm, and BOTH pass times land in "isolated_passes" so
+    // the adjudication is in the artifact, not archaeology.
+    val isolatedFull: Seq[(String, Double, Seq[Double])] =
       if (sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "1") == "0") Seq.empty
       else results.filter(r => r._3 && trigger.contains(r._1)).map(_._1).map { name =>
         val fn = SparkEntry.queries(name)
         val spark = newSession()
         try {
           if (Files.exists(Paths.get(WarmupDir))) exec(spark, name, fn, WarmupDir)
+          exec(spark, name, fn, sfDir) // artifact-warm pre-pass, untimed
           val ts = (1 to 2).map(_ => exec(spark, name, fn, sfDir))
           val okTs = ts.filter(_._2).map(_._1)
-          name -> (if (okTs.nonEmpty) okTs.min else ts.map(_._1).min)
+          (name,
+            if (okTs.nonEmpty) okTs.min else ts.map(_._1).min,
+            ts.map(_._1))
         } finally spark.stop()
       }
+    val isolated: Seq[(String, Double)] = isolatedFull.map(r => r._1 -> r._2)
 
     val good = results.filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
@@ -342,10 +421,25 @@ object Bench {
     val streamTotal = good.filter(_._1.startsWith("st")).map(_._2).sum
     val fams = s"""{"batch":$batchTotal,"streaming":$streamTotal}"""
     val iso = isolated.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val isoPasses = isolatedFull.map { case (k, _, ts) =>
+      s"\"$k\":[${ts.mkString(",")}]" }.mkString("{", ",", "}")
     val trig = isolated.map { case (k, _) => s"\"$k\":\"${trigger(k)}\"" }
       .mkString("{", ",", "}")
+    // Host-load telemetry over the whole run (r16 verdict task 1):
+    // ambient_cpu_pct is the share of all host CPU jiffies burned by
+    // OTHER processes while we benched — the number that adjudicates
+    // "unchanged queries drifted because the box was busy".
+    val load1 = loadSnap()
+    val dTot = math.max(1L, load1.totalJiffies - load0.totalJiffies)
+    val dBusy = math.max(0L, load1.busyJiffies - load0.busyJiffies)
+    val dSelf = math.max(0L, load1.selfJiffies - load0.selfJiffies)
+    def pct(n: Long): Double = math.rint(10000.0 * n / dTot) / 100.0
+    val loadJ =
+      s"""{"loadavg_start":${load0.loadavg},"loadavg_end":${load1.loadavg},""" +
+      s""""host_cpu_pct":${pct(dBusy)},"self_cpu_pct":${pct(dSelf)},""" +
+      s""""ambient_cpu_pct":${pct(math.max(0L, dBusy - dSelf))}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"isolated":$iso,"isolated_trigger":$trig,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"families":$fams,"isolated":$iso,"isolated_passes":$isoPasses,"isolated_trigger":$trig,"failed":$fj,"flaky":$fl,"load":$loadJ,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_out.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
@@ -356,12 +450,21 @@ object Bench {
     // compact line LAST: same metric/value/unit/sf contract, queries
     // trimmed to the slowest 15 with an explicit elision count; the
     // complete per-query map lives in SPARK_GRAFT_BENCH_OUT.
+    // Re-assert the state-store logger silence right before the final
+    // print: SparkContext startup re-initializes log4j2 config, which
+    // can drop the level set at main() entry, and the shutdown-hook
+    // maintenance WARN is exactly what has clipped the driver's
+    // 2000-char tail for nine rounds.
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.state",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     if (line.length <= 1800) println(line)
     else {
       println(line)
       val top = good.sortBy(-_._2).take(15)
         .map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 15},"families":$fams,"isolated":$iso,"isolated_trigger":$trig,"failed":$fj,"flaky":$fl,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 15},"families":$fams,"isolated":$iso,"isolated_trigger":$trig,"failed":$fj,"flaky":$fl,"load":$loadJ,"sf":"$sfDir"}""")
     }
   }
 }

@@ -5321,13 +5321,19 @@ object Relational {
     variantTableCache.computeIfAbsent(
       spark.sparkContext.applicationId + "#" + dir, _ => {
         val p = graft.Tables.scratchDir("graft_variant_")
+        // to_json(struct(...)) instead of string concat: a string-typed
+        // or absent props.k can no longer produce invalid JSON (strict
+        // parse_json would throw) or null-propagate the whole envelope
+        // (the oracle emits et/uid unconditionally) — try_cast mirrors
+        // the oracle's TRY_CAST, and to_json drops a null k field,
+        // which the variant reads back as the same null.
         events(spark, dir)
           .select(col("event_id"),
-            parse_json(concat(lit("{\"k\": "),
-              get_json_object(col("props"), "$.k"),
-              lit(", \"et\": \""), col("event_type"),
-              lit("\", \"uid\": "), col("user_id").cast("string"),
-              lit("}"))).as("v"))
+            parse_json(to_json(struct(
+              expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+                .as("k"),
+              col("event_type").as("et"),
+              col("user_id").as("uid")))).as("v"))
           .write.mode("overwrite").parquet(p)
         p
       })

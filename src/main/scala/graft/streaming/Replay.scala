@@ -195,7 +195,8 @@ object Replay {
     * run that first re-executes a pending empty batch still waits for
     * the new data to commit.
     */
-  def runUntilDrained(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+  def runUntilDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
+                      timeoutMs: Long = 600000L): Unit = {
     // Drained = this run has consumed at least one input row (every
     // replay has data — the sentinel guarantees it — and a resumed run
     // may first re-execute a pending EMPTY batch from the offset log,
@@ -203,12 +204,29 @@ object Replay {
     // the latest completed batch read zero rows, and any source that
     // reports a latestOffset is caught up to it (MemoryStream reports
     // null; the file source reports real offsets).
+    //
+    // `sawData` LATCHES across polls: recentProgress is a bounded ring
+    // (default 100 entries), so under ProcessingTime's continuous
+    // empty TTL-advance batches the one data-bearing entry can be
+    // evicted between polls — re-scanning the ring each iteration
+    // would then never observe it and the loop would spin forever.
+    // A hard wall-clock deadline turns any residual hang into a loud
+    // failure instead of a stuck Verify/Bench run.
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var sawData = false
     var drained = false
     while (!drained) {
+      if (System.nanoTime() > deadline) {
+        val last = Option(q.lastProgress).map(_.json).getOrElse("null")
+        q.stop()
+        throw new IllegalStateException(
+          s"runUntilDrained: query not drained after ${timeoutMs}ms " +
+          s"(sawData=$sawData, lastProgress=$last)")
+      }
       Thread.sleep(100)
       val ps = q.recentProgress
       if (ps.nonEmpty) {
-        val sawData = ps.exists(_.numInputRows > 0)
+        if (ps.exists(_.numInputRows > 0)) sawData = true
         val caughtUp = ps.last.sources.forall(s =>
           s.latestOffset == null || s.endOffset == s.latestOffset)
         drained = sawData && ps.last.numInputRows == 0 && caughtUp

@@ -84,17 +84,21 @@ class TwsSpec extends SparkSpecBase {
     val cp = tmpDir("cp_tws_ttl_")
     val table = new graft.sinks.KeyedUpsertTable(
       spark, tmpDir("tbl_tws_ttl_"), Seq("user_id"), "user_id")
-    // 5 s, not milliseconds: the TTL machinery keeps running during
+    // 30 s, not milliseconds: the TTL machinery keeps running during
     // the drain spin and the post-stop store read, so the margin must
-    // cover run 2's own batches or the FRESH entry evicts too
-    val ttl = java.time.Duration.ofSeconds(5)
+    // cover run 2's own batches or the FRESH entry evicts too. 30 s
+    // (vs the r16 5 s) keeps the headroom an order of magnitude above
+    // a loaded-CI batch drain while still far below the 1 h
+    // production config the sibling test contrasts — the 5 s margin
+    // was measured flaky-adjacent (r16 ADVICE).
+    val ttl = java.time.Duration.ofSeconds(30)
     def out = ms.toDF().as[Tws.ActivityEvent].groupByKey(_.user_id)
       .transformWithState(new Tws.TtlActivityProcessor(ttl),
         TimeMode.ProcessingTime(), OutputMode.Update()).toDF()
 
     ms.addData(Tws.ActivityEvent(1L, 100L, 5L), Tws.ActivityEvent(1L, 200L, 7L))
     runUpsertPAA(out, table, cp) // run 1 writes the entry, TTL clock starts
-    Thread.sleep(7000)        // processing time passes the 5 s horizon
+    Thread.sleep(33000)       // processing time passes the 30 s horizon
     ms.addData(Tws.ActivityEvent(1L, 300L, 3L))
     runUpsertPAA(out, table, cp) // resumed run 2: the entry must be GONE
 

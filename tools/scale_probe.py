@@ -39,8 +39,12 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1"
-REPLICAS = 10
+# Env-overridable so the same machinery derives the 100x decade
+# (GRAFT_PROBE_REPLICAS=100 GRAFT_PROBE_DST=/tmp/sf10 ...), the r16
+# verdict's task-5 spot-probe; offsets scale linearly with i, so the
+# headroom assertion below covers any replica count.
+DST = os.environ.get("GRAFT_PROBE_DST", "/tmp/sf1")
+REPLICAS = int(os.environ.get("GRAFT_PROBE_REPLICAS", "10"))
 
 # per-replica key offsets (> max key at sf0.1, round numbers)
 OFF = {
@@ -73,13 +77,54 @@ QUERIES = [
     "st113_semi_join", "st116_tws_ttl_cache",
 ]
 
-OUT_SMALL = "/tmp/scale_probe_sf01.json"
-OUT_BIG = "/tmp/scale_probe_sf1.json"
+OUT_SMALL = os.environ.get("GRAFT_PROBE_OUT_SMALL", "/tmp/scale_probe_sf01.json")
+OUT_BIG = os.environ.get("GRAFT_PROBE_OUT_BIG", "/tmp/scale_probe_sf1.json")
+
+# Optional subset (comma-separated names): the sf10 decade only
+# re-probes the worst sf1 ratios, not all 24.
+_sel = os.environ.get("GRAFT_PROBE_QUERIES", "")
+if _sel:
+    _want = set(_sel.split(","))
+    QUERIES = [q for q in QUERIES if q in _want]
+
+# The per-replica decade for the ratio denominator in report(): sf1
+# is 10 replicas of sf0.1, sf10 is 100 — report() divides big/small
+# directly, so the caller interprets the ratio against REPLICAS.
+
+
+def assert_headroom(con):
+    """The per-replica offsets MUST exceed every key they shift in the
+    source generation, or replicas alias (e.g. orders of replica i
+    referencing customers of replica i+1) and the probe's referential
+    integrity silently corrupts. Assert against the actual parquet,
+    mirroring Tables.assertIdHeadroom — a comment is not a check.
+    """
+    checks = [
+        ("customer", "c_custkey", "custkey"),
+        ("supplier", "s_suppkey", "suppkey"),
+        ("part", "p_partkey", "partkey"),
+        ("orders", "o_orderkey", "orderkey"),
+        ("orders", "o_custkey", "custkey"),
+        ("lineitem", "l_orderkey", "orderkey"),
+        ("lineitem", "l_partkey", "partkey"),
+        ("lineitem", "l_suppkey", "suppkey"),
+        ("events", "event_id", "event_id"),
+        ("events", "user_id", "user_id"),
+        ("documents", "doc_id", "doc_id"),
+        ("embeddings", "vec_id", "vec_id"),
+    ]
+    for tbl, col, off in checks:
+        mx = con.execute(
+            f"SELECT max({col}) FROM '{SRC}/{tbl}.parquet'").fetchone()[0]
+        assert mx < OFF[off], (
+            f"{tbl}.{col} max {mx} >= per-replica offset {OFF[off]}"
+            f" ({off}): replicas would alias")
 
 
 def derive():
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
+    assert_headroom(con)
     con.execute(f"CREATE VIEW r AS SELECT i FROM range({REPLICAS}) t(i)")
 
     def copy(sql, name):
