@@ -220,13 +220,18 @@ object Bench {
         (total, total - idle)
       case None => (0L, 0L)
     }
-    // /proc/self/stat: fields 14/15 (1-based) are utime/stime; field 2
-    // is "(comm)" which can contain spaces, so split after the ')'.
+    // /proc/self/stat: fields 14-17 (1-based) are utime/stime/cutime/
+    // cstime; field 2 is "(comm)" which can contain spaces, so split
+    // after the ')'. cutime/cstime fold in REAPED children — under
+    // local-cluster the executor JVMs are our children and their CPU
+    // must count as self, not ambient (they are dead and waited-for
+    // by the time the closing snapshot runs).
     val self = slurp("/proc/self/stat").flatMap { s =>
       val after = s.substring(s.lastIndexOf(')') + 1).trim.split("\\s+")
-      // after() starts at field 3 (state), so utime/stime are idx 11/12
-      if (after.length > 12)
-        for (u <- after(11).toLongOption; t <- after(12).toLongOption) yield u + t
+      // after() starts at field 3 (state): utime/stime/cutime/cstime
+      // are idx 11/12/13/14
+      if (after.length > 14)
+        Some(Seq(11, 12, 13, 14).flatMap(i => after(i).toLongOption).sum)
       else None
     }.getOrElse(0L)
     LoadSnap(la, tot, busy, self)
@@ -249,16 +254,36 @@ object Bench {
       org.apache.logging.log4j.Level.ERROR)
     catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_MASTER overrides the in-process master — the scale
+    // probe's multi-executor leg runs `local-cluster[4,8,8192]`:
+    // a real standalone master + workers + SEPARATE executor JVMs,
+    // i.e. genuine serialization, network shuffle and per-executor
+    // state-store instances, which plain local[n] never exercises
+    // (SCALE_PROBE.md caveat #1). Executor JVMs need the graft
+    // classes shipped explicitly: SPARK_GRAFT_JAR points at the
+    // `sbt package` artifact.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
     def newSession(): SparkSession = {
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
+      val b0 = SparkSession.builder()
+        .master(master)
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         // events.ts is parquet TIMESTAMP(NANOS); see graft.Tables.events
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
+      val b1 =
+        if (!master.startsWith("local-cluster")) b0
+        else {
+          val withMem = b0.config("spark.executor.memory",
+            sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
+          sys.env.get("SPARK_GRAFT_JAR") match {
+            case Some(j) => withMem.config("spark.jars", j)
+            case None => withMem
+          }
+        }
+      val spark = b1.getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       spark
     }
@@ -291,8 +316,13 @@ object Bench {
         // differs), so codegen + JIT are hot before anything is timed.
         if (Files.exists(Paths.get(WarmupDir)))
           queries.foreach { case (name, fn) => exec(spark, name, fn, WarmupDir) }
-        // two timed passes, min per query (see methodology above)
-        val passes = (1 to 2).map { _ =>
+        // two timed passes, min per query (see methodology above);
+        // SPARK_GRAFT_PASSES=1 for runs where a single pass costs
+        // tens of minutes (the sf10 decade probe) and the ±noise a
+        // second pass removes cannot flip the verdict being made
+        val nPasses = math.max(1,
+          sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2))
+        val passes = (1 to nPasses).map { _ =>
           queries.map { case (name, fn) =>
             val (sec, ok) = exec(spark, name, fn, sfDir)
             (name, sec, ok)
