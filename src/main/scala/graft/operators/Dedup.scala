@@ -406,12 +406,69 @@ object Dedup {
       .withColumn("bkey", col("bb.bkey"))
       .drop("bb")
 
+  /** d35's blocking geometry: 16 ROTATIONS of the 48-bit fingerprint
+    * (stride 3), each keyed on its TOP 16 BITS. Chosen against d03's
+    * 6×8-bit pigeonhole banding for the candidate-volume envelope:
+    * expected random-collision candidates are n²·T/2^bits — 16/2^16
+    * here vs 6/2^8 there, a 96× smaller constant — which is what the
+    * sf10 scale probe showed matters (see [[d35_simhash_rotblock]]).
+    * Recall geometry: a pair at hamming h collides iff some rotation's
+    * 16-bit window avoids all h flipped bits; each bit position lies
+    * in ≤6 of the 16 stride-3 windows, so h ≤ 2 is GUARANTEED (≤12 of
+    * 16 windows blocked) and h = 3..5 is probabilistic — measured
+    * exactly by [[d36_rotblock_recall]] since d35 ⊆ d03 by
+    * construction (every surviving pair passes the same hamming ≤ 5
+    * verify, and any such pair is in d03's exact output by its
+    * pigeonhole). Geometry picked by a DuckDB sweep at sf0.01
+    * (recorded in SCALE_PROBE.md): denser rotations plateau — T=8/
+    * stride-6 reads 0.783 overall on the fixture's pair mix, T=16/
+    * stride-3 0.828, T=24/stride-2 only 0.846 (contiguous windows
+    * over one bit order correlate) — while prefix width moves recall
+    * AND cost an order of magnitude each way (12 bits: 0.975 recall
+    * at only 6× under d03's constant; 20 bits: 0.535 at 2500×). 16
+    * bits at T=16 is the knee.
+    */
+  private[graft] val RotCount = 16
+  private[graft] val RotPrefixBits = 16
+  private val Mask48 = (1L << 48) - 1
+
+  /** Explode a relation carrying a SimHash `fp` into its (rot, bkey)
+    * rows — [[RotCount]] rotations keyed on the top [[RotPrefixBits]]
+    * bits. All other columns are carried through (the simhashBands
+    * shape, different geometry).
+    */
+  private[graft] def rotBlocks(fps: DataFrame): DataFrame =
+    fps
+      .withColumn("rb", explode(array((0 until RotCount).map { r =>
+        val s = 3 * r
+        val rot =
+          if (s == 0) col("fp")
+          else shiftleft(col("fp"), s).bitwiseAND(lit(Mask48))
+            .bitwiseOR(shiftrightunsigned(col("fp"), 48 - s))
+        struct(lit(r).as("rot"),
+          shiftrightunsigned(rot, 48 - RotPrefixBits).as("bkey"))
+      }: _*)))
+      .withColumn("rot", col("rb.rot"))
+      .withColumn("bkey", col("rb.bkey"))
+      .drop("rb")
+
   /** SimHash near-dup pairs: fingerprint → 6 bands of 8 bits → bucket
     * join on (band, byte) → hamming ≤ 5 filter. The banding is exact
     * for hamming ≤ 5 (pigeonhole: 5 differing bits across 6 bands leave
     * one band identical), approximate beyond. Bucket join = equi-join,
     * no cross product; fingerprints are 8 bytes so the shuffle carries
     * ids + longs only.
+    *
+    * Scale envelope (measured by the r17 sf10 probe): the 8-bit band
+    * keys make random bucket population n/256, so the candidate join
+    * carries an n²·6/2^8 term that is LATENT at the oracle SFs
+    * (sf0.1: ~3·10⁵ candidates) and catastrophic two decades up
+    * (sf10, 550k docs: ~3.5·10⁹ candidates — measured as a spill
+    * past the probe host's 77 GB disk via [[d33x]]'s failed first
+    * run). d03 stays the exact-recall regime — pigeonhole for the
+    * full hamming ≤ 5 radius — and [[d35_simhash_rotblock]] is the
+    * corpus-scale candidate path (96× smaller collision constant,
+    * guaranteed only to hamming ≤ 2, recall measured by d36).
     */
   val d03_simhash: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
@@ -455,6 +512,98 @@ object Dedup {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
         SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= $MaxHamming"""
+
+  /** d35 — SIMHASH CANDIDATES AT CORPUS SCALE (rotation + wide-prefix
+    * blocking): the 100 TB candidate path the r17 sf10 probe forced
+    * into existence. The probe measured d03's latent quadratic —
+    * 8-bit band keys saturate at ~10⁵ docs and the candidate join
+    * grows n²·6/2^8 (at sf10 it spilled past the probe host's disk) —
+    * so this operator re-keys the SAME fingerprints on [[RotCount]]
+    * rotations × top-[[RotPrefixBits]] bits: a 96× smaller random-
+    * collision constant (n²·16/2^16), the Manku-Charikar rotate-and-
+    * block family re-expressed as one explode + equi-join. Verify is
+    * unchanged (exact hamming ≤ [[MaxHamming]] on the 48-bit fp), so
+    * output ⊆ d03 provably; recall is pigeonhole-GUARANTEED to
+    * hamming ≤ 2 (each bit sits in ≤6 of 16 stride-3 windows) and
+    * measured for 3..5 by [[d36_rotblock_recall]]. At 10⁹+ docs the
+    * documented next notch is RotPrefixBits 16→24 (same plan, 256×
+    * fewer random collisions again, recall re-measured by d36).
+    *
+    * Cites the reference's dedup intent (realtime/app/Dau.scala's
+    * jedis-SADD distinct discipline applied corpus-wide); the
+    * geometry is public simhash-blocking practice.
+    */
+  val d35_simhash_rotblock: Q = (spark, dir) => {
+    graft.plans.GraftExtensions.register(spark)
+    val blocks = rotBlocks(simhashFp(nearDupCorpus(spark, dir)))
+    val a = blocks.alias("a")
+    val b = blocks.alias("b")
+    a.join(b,
+        col("a.rot") === col("b.rot") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= MaxHamming)
+  }
+
+  /** d36 — the ROTATION-BLOCK RECALL REPORT: one row — |d03's exact
+    * pair set|, |d35's blocked pair set| (a subset by construction),
+    * and the recall in exact per-mille. This is the number that
+    * makes d35's probabilistic regime honest: the docstring claim
+    * ("guaranteed to hamming ≤ 2, measured beyond") is an oracled
+    * query, not prose — rerun it after any geometry change
+    * (RotCount/RotPrefixBits) to re-price the recall side of the
+    * 96× candidate-volume saving. Both counts ride the shared
+    * fingerprint artifact chain; the splice is a 1-row broadcast
+    * (the lit(true) scalar-join discipline, not a cross product).
+    */
+  val d36_rotblock_recall: Q = (spark, dir) => {
+    val nE = d03_simhash(spark, dir)
+      .agg(count(lit(1)).as("n_exact"))
+    val nB = d35_simhash_rotblock(spark, dir)
+      .agg(count(lit(1)).as("n_blocked"))
+    nE.join(broadcast(nB), lit(true), "inner")
+      .select(col("n_exact"), col("n_blocked"),
+        expr("n_blocked * 1000 div n_exact").as("recall_pm"))
+  }
+
+  /** DuckDB twin of [[rotBlocks]] + the candidate join: per rotation
+    * the left-shift is computed as ((fp & low) << s) | (fp >> 48-s)
+    * with the low-mask applied FIRST — fp < 2^48 but fp << 42 would
+    * overflow DuckDB's BIGINT (Spark's shiftleft wraps silently and
+    * the 48-bit mask cleans up; DuckDB errors), so both engines get
+    * the same overflow-free arithmetic.
+    */
+  private def duckRotCandSql: String = {
+    val arms = (0 until RotCount).map { r =>
+      val s = 3 * r
+      val low = (1L << (48 - s)) - 1
+      s"""SELECT doc_id, fp, $r AS rot,
+                 (((fp & $low) << $s) | (fp >> ${48 - s}))
+                   >> ${48 - RotPrefixBits} AS bkey FROM fp"""
+    }.mkString(" UNION ALL ")
+    s"""rblocks AS ($arms),
+        rcand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          FROM rblocks a JOIN rblocks b
+            ON a.rot = b.rot AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
+  }
+
+  private def duckRotBlockSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckRotCandSql
+        SELECT doc_a, doc_b, hamming FROM rcand
+        WHERE hamming <= $MaxHamming"""
+
+  private def duckRotRecallSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+        $duckRotCandSql,
+        rp AS (SELECT doc_a, doc_b FROM rcand WHERE hamming <= $MaxHamming)
+        SELECT CAST((SELECT COUNT(*) FROM prs) AS BIGINT) AS n_exact,
+               CAST((SELECT COUNT(*) FROM rp) AS BIGINT) AS n_blocked,
+               CAST((SELECT COUNT(*) FROM rp) * 1000
+                    // (SELECT COUNT(*) FROM prs) AS BIGINT) AS recall_pm"""
 
   // ------------------------------------------------------------------
   // d04 — exact n-gram Jaccard via inverted index
@@ -796,6 +945,24 @@ object Dedup {
     val p = edgeCache.computeIfAbsent(dir, _ => {
       val path = graft.Tables.scratchDir("graft_edges_")
       val prs = d03_simhash(spark, dir).select(col("doc_a"), col("doc_b"))
+      prs.unionAll(prs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .write.parquet(s"$path/edges")
+      path
+    })
+    spark.read.parquet(s"$p/edges")
+  }
+
+  /** d33x's edge artifact: [[d35_simhash_rotblock]] pairs, both
+    * directions, written once per corpus dir (the simhashEdges
+    * amortization with the rotation-blocked candidate path).
+    */
+  private val rotEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def rotBlockEdges(spark: SparkSession, dir: String): DataFrame = {
+    val p = rotEdgeCache.computeIfAbsent(dir, _ => {
+      val path = graft.Tables.scratchDir("graft_rotedges_")
+      val prs = d35_simhash_rotblock(spark, dir).select(col("doc_a"), col("doc_b"))
       prs.unionAll(prs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .write.parquet(s"$path/edges")
       path
@@ -2051,8 +2218,84 @@ object Dedup {
     * list, and the final rollup — the clusterLabelsFrom lineage
     * reason).
     */
-  val d33_harmonic_centrality: Q = (spark, dir) => {
-    val edges = simhashEdges(spark, dir)
+  val d33_harmonic_centrality: Q = (spark, dir) =>
+    harmonicFrom(simhashEdges(spark, dir))
+
+  /** d33x — d33's layered harmonic centrality over [[d35_simhash_rotblock]]'s
+    * rotation-blocked edge artifact instead of d03's banded one: the
+    * sf10-capable twin. The r17 probe could not run d33 at sf10 —
+    * its EDGE ARTIFACT (d03's 8-bit-band candidate join) spilled past
+    * the host's disk, the measured form of the n²·6/2^8 latent term —
+    * while this twin's candidate volume is 96× smaller by geometry
+    * (d35's envelope) with the BFS itself unchanged. Exact oracle:
+    * the same unrolled-layer SQL over the rotation-blocked edge CTEs;
+    * on any corpus where d35's recall is total the two relations are
+    * identical, and where it is not, the differential still proves
+    * the layered semantics over exactly the edges d35 admits.
+    */
+  val d33x_harmonic_rotblock: Q = (spark, dir) =>
+    harmonicFrom(rotBlockEdges(spark, dir))
+
+  /** KMV sketch width for [[d37_harmonic_kmvball]]. */
+  private[graft] val HbK = 32
+
+  /** d37 — SKETCHED HARMONIC CENTRALITY (the HyperBall recursion with
+    * KMV sketches): the operator that still RUNS where d33/d33x's
+    * exact BFS is disk-bound. The r17 sf10 probe measured the exact
+    * form's cost precisely: its per-round expansion ships
+    * Σ deg(u)·|layer(u)| longs — linear in data but ~11.6 GiB of
+    * transient spill at sf1 (measured), i.e. ~100 GiB-class at sf10,
+    * past this host's disk. This twin replaces per-node MEMBER ARRAYS
+    * with k-minimum-value sketches of the r-hop ball: per round every
+    * edge carries exactly [[HbK]] longs, so round volume is |E|·k —
+    * independent of component size, the Boldi–Vigna HyperBall shape
+    * with a07's proven-oracled KMV estimator instead of HLL. The
+    * merge is associative-exact (k smallest of a union of k-smallest
+    * sets = k smallest of the union), so the iterated sketch EQUALS
+    * the sketch of the exact ball — which is why a cross-engine
+    * differential exists at all: the DuckDB oracle computes exact
+    * balls from the unrolled layer CTEs, takes the same k minima and
+    * the same a07 estimator arithmetic, and must match to the bit.
+    * Counts below k are exact; above k the estimator's error is the
+    * standard KMV ±1/√(k−2) ≈ 18% per ball — the documented trade
+    * for a 100 TB-capable volume envelope (d36's pricing discipline
+    * applied to centrality).
+    */
+  val d37_harmonic_kmvball: Q = (spark, dir) => {
+    val edges = rotBlockEdges(spark, dir)
+    val nodes = edges.select(col("doc_a").as("v")).distinct()
+    val h = graft.functions.Portable.hash60(
+      concat(lit("hb:"), col("v").cast("string")))
+    var sk = nodes.select(col("v"), array(h).as("sk")).localCheckpoint(false)
+    var rounds = List.empty[(Int, DataFrame)]
+    for (r <- 1 to HcRounds) {
+      val contrib = edges.select(col("doc_a").as("v"), col("doc_b").as("u"))
+        .join(sk.select(col("v").as("u"), col("sk")), Seq("u"))
+        .select(col("v"), col("sk"))
+        .unionAll(sk)
+      sk = contrib.groupBy(col("v"))
+        .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+          1, HbK).as("sk"))
+        .localCheckpoint(false)
+      rounds = rounds :+ ((r, sk))
+    }
+    val ests = rounds.map { case (r, df) =>
+      df.select(col("v"), lit(r.toLong).as("dist"),
+        when(size(col("sk")) < HbK, size(col("sk")).cast("long"))
+          .otherwise(floor(lit((HbK - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            element_at(col("sk"), HbK).cast("double")).cast("long")).as("est"))
+    }.reduce(_.unionAll(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("dist"))
+    ests
+      .withColumn("prev", lag(col("est"), 1, 1L).over(w))
+      .withColumn("cnt", greatest(col("est") - col("prev"), lit(0L)))
+      .groupBy(col("v").as("doc_id"))
+      .agg(sum(col("cnt")).as("n_reach_est"),
+        sum(expr("cnt * (1000 div dist)")).as("harmonic_milli_est"))
+  }
+
+  private def harmonicFrom(edges: DataFrame): DataFrame = {
     val adj = edges.groupBy(col("doc_a").as("v"))
       .agg(collect_set(col("doc_b")).as("nk"))
       .localCheckpoint(false)
@@ -2206,7 +2449,74 @@ object Dedup {
     * NOT-EXISTS against earlier layers). */
   private def duckHarmonicSql: String =
     s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
-        p1 AS MATERIALIZED (
+        $duckHarmonicBody"""
+
+  /** d33x's oracle: the identical unrolled layers over the
+    * rotation-blocked edge CTEs (same `edges` name, d35's geometry).
+    */
+  private def duckHarmonicRotSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckRotCandSql,
+        rprs AS (SELECT doc_a, doc_b FROM rcand WHERE hamming <= $MaxHamming),
+        edges AS MATERIALIZED (SELECT doc_a, doc_b FROM rprs
+                  UNION ALL SELECT doc_b, doc_a FROM rprs),
+        $duckHarmonicBody"""
+
+  /** d37's oracle: exact balls from the unrolled layer CTEs over the
+    * rotation-blocked edges, the same k minima (KMV merge is
+    * associative-exact, so the Spark side's iterated sketch equals
+    * the sketch of the exact ball), and a07's estimator arithmetic.
+    */
+  private def duckKmvBallSql: String =
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckRotCandSql,
+        rprs AS (SELECT doc_a, doc_b FROM rcand WHERE hamming <= $MaxHamming),
+        edges AS MATERIALIZED (SELECT doc_a, doc_b FROM rprs
+                  UNION ALL SELECT doc_b, doc_a FROM rprs),
+        $duckLayerCtes,
+        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p3),
+        nodes AS (SELECT DISTINCT doc_a AS v FROM edges),
+        rr AS (SELECT unnest([1, 2, 3]) AS dist),
+        mem AS (
+          SELECT rr.dist, n.v AS src, n.v AS m FROM rr, nodes n
+          UNION
+          SELECT rr.dist, a.src, a.dst AS m FROM rr JOIN allp a
+            ON a.dist <= rr.dist),
+        hm AS (SELECT DISTINCT dist, src,
+                      ${graft.functions.Portable.duckHash60(
+                        "concat('hb:', CAST(m AS VARCHAR))")} AS h
+               FROM mem),
+        sk AS (SELECT dist, src, CAST(COUNT(*) AS BIGINT) AS n,
+                      (list_sort(list(h)))[$HbK] AS hk
+               FROM hm GROUP BY 1, 2),
+        est AS (SELECT dist, src,
+                       CASE WHEN n < $HbK THEN n
+                            ELSE CAST(FLOOR(${HbK - 1}.0 * 1152921504606846976.0
+                                            / CAST(hk AS DOUBLE)) AS BIGINT)
+                       END AS est
+                FROM sk),
+        lay AS (SELECT src, dist, est,
+                       COALESCE(LAG(est) OVER (PARTITION BY src ORDER BY dist),
+                                1) AS prev
+                FROM est)
+        SELECT src AS doc_id,
+               CAST(SUM(GREATEST(est - prev, 0)) AS BIGINT) AS n_reach_est,
+               CAST(SUM(GREATEST(est - prev, 0) * (1000 // dist)) AS BIGINT)
+                 AS harmonic_milli_est
+        FROM lay GROUP BY 1"""
+
+  private def duckHarmonicBody: String =
+    s"""$duckLayerCtes,
+        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                 UNION ALL SELECT * FROM p3)
+        SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_reach,
+               CAST(SUM(1000 // dist) AS BIGINT) AS harmonic_milli
+        FROM allp GROUP BY 1"""
+
+  /** The unrolled shortest-path layer CTEs p1..p3 over an `edges`
+    * CTE — shared by d33/d33x's rollup and d37's exact-ball oracle.
+    */
+  private def duckLayerCtes: String =
+    s"""p1 AS MATERIALIZED (
           SELECT doc_a AS src, doc_b AS dst, 1 AS dist FROM edges),
         x2 AS (SELECT DISTINCT p1.src, e.doc_b AS dst
                FROM p1 JOIN edges e ON e.doc_a = p1.dst
@@ -2223,12 +2533,7 @@ object Dedup {
           WHERE NOT EXISTS (SELECT 1 FROM p1
                             WHERE p1.src = x3.src AND p1.dst = x3.dst)
             AND NOT EXISTS (SELECT 1 FROM p2
-                            WHERE p2.src = x3.src AND p2.dst = x3.dst)),
-        allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
-                 UNION ALL SELECT * FROM p3)
-        SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_reach,
-               CAST(SUM(1000 // dist) AS BIGINT) AS harmonic_milli
-        FROM allp GROUP BY 1"""
+                            WHERE p2.src = x3.src AND p2.dst = x3.dst))"""
 
   /** d32's oracle: the d02 chain with the signature-agreement fold and
     * the exact verify carried to the same integer per-milles. */
@@ -2585,7 +2890,11 @@ object Dedup {
     "d31_kcore" -> d31_kcore,
     "d32_minhash_error" -> d32_minhash_error,
     "d33_harmonic_centrality" -> d33_harmonic_centrality,
+    "d33x_harmonic_rotblock" -> d33x_harmonic_rotblock,
+    "d37_harmonic_kmvball" -> d37_harmonic_kmvball,
     "d34_star_components" -> d34_star_components,
+    "d35_simhash_rotblock" -> d35_simhash_rotblock,
+    "d36_rotblock_recall" -> d36_rotblock_recall,
     "d26_source_overlap" -> d26_source_overlap,
     "d27_cluster_sizes" -> d27_cluster_sizes,
     "d30_pagerank" -> d30_pagerank,
@@ -2618,6 +2927,10 @@ object Dedup {
     "d31_kcore" -> duckKcoreSql,
     "d32_minhash_error" -> duckMinhashErrorSql,
     "d33_harmonic_centrality" -> duckHarmonicSql,
+    "d33x_harmonic_rotblock" -> duckHarmonicRotSql,
+    "d37_harmonic_kmvball" -> duckKmvBallSql,
+    "d35_simhash_rotblock" -> duckRotBlockSql,
+    "d36_rotblock_recall" -> duckRotRecallSql,
     // d34: the star algorithm must land exactly on d07's (converged)
     // K-round propagation labels — an independent-algorithm oracle
     "d34_star_components" -> duckClusterSql,
