@@ -69,6 +69,10 @@ QUERIES = [
     "q01x_profile_kmv", "c09_gate_ablation", "c11_stage_funnel",
     "d02_minhash_lsh", "d07_dedup_clusters", "d09_lsh_tuning",
     "d13_passage_dedup", "d33_harmonic_centrality",
+    # r17 additions: the corpus-scale candidate path and the sketched
+    # centrality that replace d03/d33's latent-quadratic/disk-bound
+    # stages past ~1e5 docs (see SCALE_PROBE.md r17 addendum)
+    "d35_simhash_rotblock", "d37_harmonic_kmvball",
     "n11_multiprobe_ivfadc",
     # streaming
     "st05_outer_wide_join", "st10_full_outer_join", "st14_stream_index",
