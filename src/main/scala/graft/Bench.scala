@@ -248,9 +248,13 @@ object Bench {
     // /proc/self/stat: fields 14-17 (1-based) are utime/stime/cutime/
     // cstime; field 2 is "(comm)" which can contain spaces, so split
     // after the ')'. cutime/cstime fold in REAPED children — under
-    // local-cluster the executor JVMs are our children and their CPU
-    // must count as self, not ambient (they are dead and waited-for
-    // by the time the closing snapshot runs).
+    // local-cluster this catches executor JVMs reaped before the
+    // closing snapshot, but the LAST family's executors die in
+    // shutdown hooks after it, so ambient_cpu_pct is only a foreign-
+    // load signal under local[*] masters (the driver's mode);
+    // cluster-mode runs establish quietness from loadavg instead
+    // (measured r17: the quiet lc re-run still read ambient 21.7%
+    // from its own unreaped executors).
     val self = slurp("/proc/self/stat").flatMap { s =>
       val after = s.substring(s.lastIndexOf(')') + 1).trim.split("\\s+")
       // after() starts at field 3 (state): utime/stime/cutime/cstime
