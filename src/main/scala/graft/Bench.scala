@@ -521,9 +521,22 @@ object Bench {
     if (line.length <= 1800) println(line)
     else {
       println(line)
-      val top = good.sortBy(-_._2).take(15)
+      // The compact line must stay parseable inside the driver's
+      // 2000-char stdout TAIL no matter how large the isolated maps
+      // grow (r17: 39 isolated entries blew the old top-15 variant
+      // past 4 KB — clipped mid-JSON exactly like the r9-r16
+      // "parsed": null rounds). Budget: top-10 queries, top-5
+      // isolated, counts for everything elided; the COMPLETE maps
+      // live in SPARK_GRAFT_BENCH_OUT.
+      val top = good.sortBy(-_._2).take(10)
         .map { case (k, v, _, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 15},"families":$fams,"isolated":$iso,"isolated_trigger":$trig,"failed":$fj,"flaky":$fl,"load":$loadJ,"sf":"$sfDir"}""")
+      val isoTop = isolated.sortBy(-_._2).take(5)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      val fjTop = failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val flTop = flaky.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+      val compact =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,"queries_elided":${good.size - 10},"families":$fams,"isolated":$isoTop,"isolated_elided":${math.max(0, isolated.size - 5)},"failed":$fjTop,"failed_n":${failed.size},"flaky":$flTop,"flaky_n":${flaky.size},"load":$loadJ,"sf":"$sfDir"}"""
+      println(compact)
     }
   }
 }
