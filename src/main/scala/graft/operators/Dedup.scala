@@ -532,6 +532,11 @@ object Dedup {
     * Cites the reference's dedup intent (realtime/app/Dau.scala's
     * jedis-SADD distinct discipline applied corpus-wide); the
     * geometry is public simhash-blocking practice.
+    *
+    * Since r18 this candidate path KEYS the shared [[simhashEdges]]
+    * artifact, so every graph consumer (d07/d14/d19/d22/d23/d24/d25/
+    * d27/d28/d29/d30/d31/d33x/d34/d37) inherits its envelope; d03's
+    * exact-recall banding survives as [[bandEdges]] (d33's anchor).
     */
   val d35_simhash_rotblock: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
@@ -565,7 +570,11 @@ object Dedup {
       .agg(count(lit(1)).as("n_blocked"))
     nE.join(broadcast(nB), lit(true), "inner")
       .select(col("n_exact"), col("n_blocked"),
-        expr("n_blocked * 1000 div n_exact").as("recall_pm"))
+        // greatest-guard: on a degenerate corpus with zero exact pairs
+        // Spark's `div` yields NULL while DuckDB's `//` errors — both
+        // engines divide by max(n_exact, 1) so the differential holds
+        // on every corpus (recall_pm = 0 when there is nothing to miss)
+        expr("n_blocked * 1000 div greatest(n_exact, 1)").as("recall_pm"))
   }
 
   /** DuckDB twin of [[rotBlocks]] + the candidate join: per rotation
@@ -597,13 +606,14 @@ object Dedup {
         WHERE hamming <= $MaxHamming"""
 
   private def duckRotRecallSql: String =
-    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckBandPairCtes,
         $duckRotCandSql,
         rp AS (SELECT doc_a, doc_b FROM rcand WHERE hamming <= $MaxHamming)
         SELECT CAST((SELECT COUNT(*) FROM prs) AS BIGINT) AS n_exact,
                CAST((SELECT COUNT(*) FROM rp) AS BIGINT) AS n_blocked,
                CAST((SELECT COUNT(*) FROM rp) * 1000
-                    // (SELECT COUNT(*) FROM prs) AS BIGINT) AS recall_pm"""
+                    // GREATEST((SELECT COUNT(*) FROM prs), 1)
+                    AS BIGINT) AS recall_pm"""
 
   // ------------------------------------------------------------------
   // d04 — exact n-gram Jaccard via inverted index
@@ -895,8 +905,13 @@ object Dedup {
     * components; `DedupSpec` proves round k+1 changes nothing on the
     * fixture corpus. Both engines run EXACTLY this many rounds, so
     * oracle parity holds by construction whatever the diameter.
+    * 8 → 10 with the r18 edge migration: the rot-block edge set is a
+    * subset of the banded one (791–828‰ recall), so a component can
+    * stay connected through a LONGER path — the fixture's measured
+    * convergence moved from 8 to 10 changing rounds
+    * (clusterLabelsFixpoint = 11 with its confirming round).
     */
-  val ClusterIters = 8
+  val ClusterIters = 10
 
   /** Near-dup CLUSTERS: the transitive closure of d03's pair relation
     * — pairs say "these two are dups", but a dedup pipeline keeps one
@@ -910,8 +925,9 @@ object Dedup {
     * on the doc id). Emits (doc_id, cluster_id, is_keeper): keeper =
     * the component's min doc id.
     *
-    * Scale shape: the edge list (d03's banded candidate join, both
-    * directions) is persisted once and re-read by every round; each
+    * Scale shape: the edge list (d35's rotation-blocked candidate
+    * join since r18 — see [[simhashEdges]] for the measured envelope,
+    * both directions) is persisted once and re-read by every round; each
     * round shuffles |V|+|E| rows on the doc key with map-side partial
     * mins. K is a fixed constant — the production fixpoint loop with
     * its per-round convergence count EXISTS as
@@ -932,19 +948,32 @@ object Dedup {
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The symmetric edge list of d03's pair relation, materialized ONCE
+  /** THE shared symmetric near-dup edge artifact, materialized ONCE
     * per corpus dir to scratch parquet — the bpeIdx/indexPath
-    * amortization applied to the dedup graph: the banded candidate
-    * join is the dominant cost of every graph consumer (d07's
-    * closure, d14's centrality, the fixpoint variant), and each round
-    * of each consumer re-reads the edges, so the artifact pays for
-    * itself within one query. Parquet round-trips the id pairs
-    * exactly; reading is value-identical to recomputing.
+    * amortization applied to the dedup graph: the candidate join is
+    * the dominant cost of every graph consumer (d07's closure, d14/
+    * d30/d33x/d37's centralities, d22/d23/d31/d34's analytics), and
+    * each round of each consumer re-reads the edges, so the artifact
+    * pays for itself within one query. Parquet round-trips the id
+    * pairs exactly; reading is value-identical to recomputing.
+    *
+    * KEYING (r18 migration): built from [[d35_simhash_rotblock]]'s
+    * rotation-block candidate path, NOT d03's 8-bit banding. The r17
+    * sf10 probe measured d03's banding as the family's scale ceiling —
+    * random bucket collisions grow n²·6/2⁸ (≈3.5·10⁹ candidates at
+    * 550k docs, spilling past the probe host's disk) — while the
+    * rot-block geometry carries a 96× smaller constant (n²·16/2¹⁶)
+    * with recall pigeonhole-GUARANTEED to hamming ≤ 2 and priced at
+    * 791–828‰ of the exact pair set beyond ([[d36_rotblock_recall]],
+    * the standing recall oracle; re-run it after any geometry change).
+    * Every graph consumer therefore inherits the 100 TB-capable
+    * candidate envelope; the exact-recall banded edge set survives as
+    * [[bandEdges]] — the ≤sf1 oracle-anchor regime ([[d33]]'s).
     */
   private[graft] def simhashEdges(spark: SparkSession, dir: String): DataFrame = {
     val p = edgeCache.computeIfAbsent(dir, _ => {
       val path = graft.Tables.scratchDir("graft_edges_")
-      val prs = d03_simhash(spark, dir).select(col("doc_a"), col("doc_b"))
+      val prs = d35_simhash_rotblock(spark, dir).select(col("doc_a"), col("doc_b"))
       prs.unionAll(prs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .write.parquet(s"$path/edges")
       path
@@ -952,17 +981,23 @@ object Dedup {
     spark.read.parquet(s"$p/edges")
   }
 
-  /** d33x's edge artifact: [[d35_simhash_rotblock]] pairs, both
-    * directions, written once per corpus dir (the simhashEdges
-    * amortization with the rotation-blocked candidate path).
+  /** The EXACT-RECALL edge twin: d03's banded pairs, both directions,
+    * written once per corpus dir (the [[simhashEdges]] amortization
+    * with the pigeonhole-exact hamming ≤ 5 candidate path). This is
+    * the ≤sf1 ORACLE-ANCHOR regime — the banding's n²·6/2⁸ collision
+    * term makes it single-host-disk-dead at sf10 (measured, r17
+    * probe), so nothing at-scale may depend on it: its only consumer
+    * is [[d33_harmonic_centrality]], the exact-recall BFS anchor that
+    * [[d33x_harmonic_rotblock]] and [[d37_harmonic_kmvball]] are
+    * differentially positioned against.
     */
-  private val rotEdgeCache =
+  private val bandEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def rotBlockEdges(spark: SparkSession, dir: String): DataFrame = {
-    val p = rotEdgeCache.computeIfAbsent(dir, _ => {
-      val path = graft.Tables.scratchDir("graft_rotedges_")
-      val prs = d35_simhash_rotblock(spark, dir).select(col("doc_a"), col("doc_b"))
+  private[graft] def bandEdges(spark: SparkSession, dir: String): DataFrame = {
+    val p = bandEdgeCache.computeIfAbsent(dir, _ => {
+      val path = graft.Tables.scratchDir("graft_bandedges_")
+      val prs = d03_simhash(spark, dir).select(col("doc_a"), col("doc_b"))
       prs.unionAll(prs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .write.parquet(s"$path/edges")
       path
@@ -1173,19 +1208,37 @@ object Dedup {
     (lbl, rounds)
   }
 
-  /** The symmetric simhash edge CTEs (cand → prs → edges) — the SQL
-    * twin of [[simhashEdges]], shared by the cluster and centrality
-    * oracles.
+  /** d03's banded pair CTEs (cand → prs) — the exact-recall pair set,
+    * kept for [[bandEdges]]' oracle twin (d33's anchor) and d36's
+    * recall denominator. Assumes the `bands` CTE from
+    * [[duckSimhashBandsSql]] is in scope.
     */
-  private def duckEdgeCtes: String =
+  private def duckBandPairCtes: String =
     s"""cand AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        prs AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= $MaxHamming),
+        prs AS (SELECT doc_a, doc_b FROM cand WHERE hamming <= $MaxHamming)"""
+
+  /** The symmetric banded edge CTEs — the SQL twin of [[bandEdges]]
+    * (the ≤sf1 exact-recall anchor regime, d33's oracle only).
+    */
+  private def duckBandEdgeCtes: String =
+    s"""$duckBandPairCtes,
         edges AS MATERIALIZED (SELECT doc_a, doc_b FROM prs
                   UNION ALL SELECT doc_b, doc_a FROM prs)"""
+
+  /** The symmetric simhash edge CTEs (rblocks → rcand → rprs → edges)
+    * — the SQL twin of [[simhashEdges]] (rotation-block keyed since
+    * r18), shared by every graph-consumer oracle. Assumes the `fp`
+    * CTE from [[duckSimhashBandsSql]] is in scope.
+    */
+  private def duckEdgeCtes: String =
+    s"""$duckRotCandSql,
+        rprs AS (SELECT doc_a, doc_b FROM rcand WHERE hamming <= $MaxHamming),
+        edges AS MATERIALIZED (SELECT doc_a, doc_b FROM rprs
+                  UNION ALL SELECT doc_b, doc_a FROM rprs)"""
 
   /** The K unrolled min-label propagation rounds (l1..lK). Each round
     * references its predecessor TWICE (own label + neighbor scan), so
@@ -2217,24 +2270,38 @@ object Dedup {
     * ONCE each (consumed by the next round's expansion, its except
     * list, and the final rollup — the clusterLabelsFrom lineage
     * reason).
+    *
+    * REGIME (r18 positioning): this is the ≤sf1 EXACT-RECALL ANCHOR —
+    * it rides [[bandEdges]] (d03's pigeonhole-exact banding), whose
+    * candidate join is measured disk-dead at sf10 (n²·6/2⁸), AND the
+    * exact BFS itself spills ~100 GiB-class at sf10. It exists so
+    * [[d33x_harmonic_rotblock]] (same BFS, shared rot-block edges)
+    * and [[d37_harmonic_kmvball]] (the at-scale sketched form) have
+    * a fully-exact differential anchor; at 100 TB run d37.
     */
   val d33_harmonic_centrality: Q = (spark, dir) =>
-    harmonicFrom(simhashEdges(spark, dir))
+    harmonicFrom(bandEdges(spark, dir))
 
-  /** d33x — d33's layered harmonic centrality over [[d35_simhash_rotblock]]'s
-    * rotation-blocked edge artifact instead of d03's banded one: the
-    * sf10-capable twin. The r17 probe could not run d33 at sf10 —
-    * its EDGE ARTIFACT (d03's 8-bit-band candidate join) spilled past
-    * the host's disk, the measured form of the n²·6/2^8 latent term —
-    * while this twin's candidate volume is 96× smaller by geometry
-    * (d35's envelope) with the BFS itself unchanged. Exact oracle:
-    * the same unrolled-layer SQL over the rotation-blocked edge CTEs;
-    * on any corpus where d35's recall is total the two relations are
-    * identical, and where it is not, the differential still proves
-    * the layered semantics over exactly the edges d35 admits.
+  /** d33x — d33's layered harmonic centrality over the SHARED
+    * rotation-blocked edge artifact ([[simhashEdges]], d35's keying
+    * since r18) instead of the exact-recall banded anchor: the
+    * sf10-capable exact-BFS form. The r17 probe could not run d33 at
+    * sf10 — its edge artifact (d03's 8-bit-band candidate join)
+    * spilled past the host's disk, the measured form of the n²·6/2^8
+    * latent term — while this twin's candidate volume is 96× smaller
+    * by geometry (d35's envelope) with the BFS itself unchanged.
+    * Exact oracle: the same unrolled-layer SQL over the rotation-
+    * blocked edge CTEs; on any corpus where d35's recall is total the
+    * two relations are identical, and where it is not, the
+    * differential still proves the layered semantics over exactly the
+    * edges d35 admits. SCALE CEILING (measured, r17): exact BFS ships
+    * Σ deg(u)·|layer(u)| member-longs per round — linear but
+    * ~100 GiB-class transient spill at sf10 on one host — so this is
+    * the ≤sf1 oracle twin; [[d37_harmonic_kmvball]] (|E|·k per round)
+    * is the at-scale centrality.
     */
   val d33x_harmonic_rotblock: Q = (spark, dir) =>
-    harmonicFrom(rotBlockEdges(spark, dir))
+    harmonicFrom(simhashEdges(spark, dir))
 
   /** KMV sketch width for [[d37_harmonic_kmvball]]. */
   private[graft] val HbK = 32
@@ -2247,7 +2314,8 @@ object Dedup {
     * transient spill at sf1 (measured), i.e. ~100 GiB-class at sf10,
     * past this host's disk. This twin replaces per-node MEMBER ARRAYS
     * with k-minimum-value sketches of the r-hop ball: per round every
-    * edge carries exactly [[HbK]] longs, so round volume is |E|·k —
+    * edge carries at most [[HbK]] longs (fewer while a ball's sketch
+    * is still below k), so round volume is bounded by |E|·k —
     * independent of component size, the Boldi–Vigna HyperBall shape
     * with a07's proven-oracled KMV estimator instead of HLL. The
     * merge is associative-exact (k smallest of a union of k-smallest
@@ -2256,13 +2324,16 @@ object Dedup {
     * differential exists at all: the DuckDB oracle computes exact
     * balls from the unrolled layer CTEs, takes the same k minima and
     * the same a07 estimator arithmetic, and must match to the bit.
-    * Counts below k are exact; above k the estimator's error is the
+    * Counts below k are exact up to 60-bit hash collisions (two ball
+    * members colliding would undercount by one — negligible at these
+    * cardinalities, and identical in both engines so the differential
+    * holds regardless); above k the estimator's error is the
     * standard KMV ±1/√(k−2) ≈ 18% per ball — the documented trade
     * for a 100 TB-capable volume envelope (d36's pricing discipline
     * applied to centrality).
     */
   val d37_harmonic_kmvball: Q = (spark, dir) => {
-    val edges = rotBlockEdges(spark, dir)
+    val edges = simhashEdges(spark, dir)
     val nodes = edges.select(col("doc_a").as("v")).distinct()
     val h = graft.functions.Portable.hash60(
       concat(lit("hb:"), col("v").cast("string")))
@@ -2446,19 +2517,17 @@ object Dedup {
   private[graft] val StarRounds = 6
 
   /** d33's oracle: the BFS layers unrolled (frontier-only expansion,
-    * NOT-EXISTS against earlier layers). */
+    * NOT-EXISTS against earlier layers) over the BANDED exact-recall
+    * edge CTEs — the anchor regime. */
   private def duckHarmonicSql: String =
-    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckBandEdgeCtes,
         $duckHarmonicBody"""
 
-  /** d33x's oracle: the identical unrolled layers over the
+  /** d33x's oracle: the identical unrolled layers over the shared
     * rotation-blocked edge CTEs (same `edges` name, d35's geometry).
     */
   private def duckHarmonicRotSql: String =
-    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckRotCandSql,
-        rprs AS (SELECT doc_a, doc_b FROM rcand WHERE hamming <= $MaxHamming),
-        edges AS MATERIALIZED (SELECT doc_a, doc_b FROM rprs
-                  UNION ALL SELECT doc_b, doc_a FROM rprs),
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
         $duckHarmonicBody"""
 
   /** d37's oracle: exact balls from the unrolled layer CTEs over the
@@ -2467,10 +2536,7 @@ object Dedup {
     * the sketch of the exact ball), and a07's estimator arithmetic.
     */
   private def duckKmvBallSql: String =
-    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckRotCandSql,
-        rprs AS (SELECT doc_a, doc_b FROM rcand WHERE hamming <= $MaxHamming),
-        edges AS MATERIALIZED (SELECT doc_a, doc_b FROM rprs
-                  UNION ALL SELECT doc_b, doc_a FROM rprs),
+    s"""WITH $duckNearCorpus, $duckSimhashBandsSql, $duckEdgeCtes,
         $duckLayerCtes,
         allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
                  UNION ALL SELECT * FROM p3),

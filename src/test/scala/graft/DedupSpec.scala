@@ -81,14 +81,17 @@ class DedupSpec extends SparkSpecBase {
     assert(uncapped.contains((1L, 2L)), "fixture must pair without the cap")
   }
 
-  test("d07: propagation converged at K rounds; every d03 pair co-clusters; keeper is the min id") {
+  test("d07: propagation converged at K rounds; every d35 pair co-clusters; keeper is the min id") {
     val k = Dedup.ClusterIters
     val atK = Dedup.clusterLabels(spark, sf, k)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val atK1 = Dedup.clusterLabels(spark, sf, k + 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(atK === atK1, "one more round must change nothing (converged)")
-    val pairs = Dedup.d03_simhash(spark, sf)
+    // the cluster contract is the transitive closure of the SHARED
+    // edge artifact — d35's rot-block pairs since r18 (d03 pairs the
+    // blocking misses at hamming 3-5 are NOT guaranteed to co-cluster)
+    val pairs = Dedup.d35_simhash_rotblock(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) =>
@@ -541,13 +544,17 @@ class DedupSpec extends SparkSpecBase {
     val dir = tmpDir("docs_tri_")
     val base = (1 to 14).map(i => s"tok$i").mkString(" ")
     val pair = (1 to 14).map(i => s"pair$i").mkString(" ")
+    // suffixes chosen so pairwise simhash hammings are ≤ 2 — inside
+    // the rot-block geometry's pigeonhole-guaranteed radius (the r18
+    // edge keying): base+alpha/upsilon/phi are [2,2,0] apart,
+    // pair+alpha/sfx15 are 2 apart; the far doc is 17+ from everything
     Seq(
       (1L, base + " alpha", "en", "web", 100L),
-      (2L, base + " beta", "en", "web", 100L),
-      (3L, base + " gamma", "en", "web", 100L),
+      (2L, base + " upsilon", "en", "web", 100L),
+      (3L, base + " phi", "en", "web", 100L),
       (4L, (1 to 14).map(i => s"far$i").mkString(" "), "en", "web", 80L),
-      (5L, pair + " delta", "en", "web", 100L),
-      (6L, pair + " epsilon", "en", "web", 100L))
+      (5L, pair + " alpha", "en", "web", 100L),
+      (6L, pair + " sfx15", "en", "web", 100L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val tri = Dedup.d22_triangle_count(spark, dir)
