@@ -402,9 +402,17 @@ object Bench {
       // Anchor the scrape to the metrics line itself (the last line
       // containing "metric"), not the whole file — the driver-side
       // BENCH_r*.json wraps a stdout tail where the key could appear
-      // inside an unrelated string (the r16 ADVICE finding).
-      val line = text.linesIterator.toSeq.reverse
-        .find(_.contains("\"metric\"")).getOrElse(text)
+      // inside an unrelated string (the r16 ADVICE finding). In those
+      // wrappers the tail is an ESCAPED JSON string (\"metric\":…),
+      // so unescape before scraping or every key search silently
+      // misses (the r17 ADVICE finding).
+      val rawLine = text.linesIterator.toSeq.reverse
+        .find(l => l.contains("\"metric\"") || l.contains("\\\"metric\\\""))
+        .getOrElse(text)
+      val line =
+        if (rawLine.contains("\\\"metric\\\""))
+          rawLine.replace("\\\\", "\\").replace("\\\"", "\"")
+        else rawLine
       val start = line.indexOf("\"" + key + "\":{")
       if (start < 0) return Map.empty
       val open = line.indexOf('{', start)
@@ -434,6 +442,12 @@ object Bench {
     }.getOrElse("")
     val prevSuite = jsonMap(prevLine, "queries")
     val prevIso = jsonMap(prevLine, "isolated")
+    // A baseline file that parses to NOTHING disables every drift
+    // trigger silently — say so instead (r17 ADVICE): either the
+    // wrapper's tail clipped the maps or the format changed.
+    if (prevPath.isDefined && prevSuite.isEmpty && prevIso.isEmpty)
+      System.err.println(
+        s"[bench] WARNING: baseline ${prevPath.get} yielded no queries/isolated map — drift triggers are OFF this run")
     val trigger: Map[String, String] = results.filter(_._3).flatMap {
       case (n, t, _, _) =>
         if (t > isoThresh) Some(n -> "gt_thresh")

@@ -31,6 +31,14 @@ import org.apache.spark.sql.types.StructType
   * checkpoint offset-tracking/restart semantics the Kafka source
   * shares (SinkSpec's restart contracts); the Kafka rows stay
   * config+spec by container constraint, not by omission.
+  *
+  * Re-checked 2026-08-16 (r18): the offline caches still hold no
+  * kafka artifact (`find ~/.cache/coursier ~/.ivy2 -iname '*kafka*'`
+  * empty; /opt/spark/jars ships no connector). New this round:
+  * `KafkaIntegrationSpec` — an env-gated executed round trip (K1
+  * produce → S1/S3 consume → parseEnvelope) that activates the moment
+  * `SPARK_GRAFT_KAFKA_BROKER` is set and the connector jar is on the
+  * classpath; it cancels (not fails) in this container.
   */
 object Sources {
 

@@ -13,20 +13,27 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class CountsSpec extends AnyFunSuite {
 
-  /** Mirrors tools/counts.sh's rules, which are validated against
-    * sbt's scalatest summary: suites = `class X extends AnyFunSuite|
-    * SparkSpecBase` declarations (a file can hold two); tests =
-    * non-comment `test(` openers (ScalaCheck `Properties` objects
-    * register under a different framework and are excluded from the
-    * scalatest totals the README quotes).
+  /** SHARES tools/counts.sh's rules by reading the same pattern file
+    * (tools/counts_rules.txt, line 1 = suite declaration, line 2 =
+    * test opener — syntax valid in both POSIX ERE and java.util.regex;
+    * the r17 ADVICE single-sourcing): suites = `class X extends
+    * AnyFunSuite|SparkSpecBase` declarations (a file can hold two);
+    * tests = non-comment `test(` openers (ScalaCheck `Properties`
+    * objects register under a different framework and are excluded
+    * from the scalatest totals the README quotes; env-gated tests
+    * that assume-cancel still count — sbt reports them as canceled,
+    * so its "run" total is succeeded+failed+canceled). Per-round the
+    * real sbt summary is cross-checked via
+    * `tools/counts.sh --check-summary <sbt-test-log>`.
     */
   private def treeCounts(): (Int, Int) = {
     val dir = Paths.get("src/test/scala/graft")
     val files = Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".scala")).toSeq
-    val suiteDecl =
-      """^\s*class [A-Za-z0-9]+ extends (AnyFunSuite|SparkSpecBase).*""".r
-    val opener = """^\s*test\(.*""".r
+    val rules = Files.readAllLines(Paths.get("tools/counts_rules.txt")).asScala
+    assert(rules.size >= 2, "tools/counts_rules.txt must hold the two patterns")
+    val suiteDecl = (rules(0) + ".*").r
+    val opener = (rules(1) + ".*").r
     val (suites, tests) = files.map { p =>
       val lines = Files.readAllLines(p).asScala
       (lines.count(suiteDecl.matches(_)), lines.count(opener.matches(_)))

@@ -4,21 +4,49 @@
 # the two marked README lines in place. Run after adding a suite or a
 # test; CountsSpec fails `sbt test` if README and tree ever diverge.
 #
-# Counting rules, validated against sbt's own scalatest summary
-# ("Suites: completed N" / "Total number of tests run: M"):
+# Counting rules live in tools/counts_rules.txt (line 1 = suite
+# declaration pattern, line 2 = test opener pattern) and are READ BY
+# BOTH this script and CountsSpec — one definition, two consumers
+# (the r17 ADVICE duplication finding). The patterns use only syntax
+# valid in BOTH POSIX ERE (grep -E) and java.util.regex:
 #  - a scalatest SUITE is a `class X extends AnyFunSuite|SparkSpecBase`
 #    declaration (SmootherSpec.scala holds two classes — file counts
 #    would under-report);
 #  - a scalatest TEST is a non-comment `test(` opener (ScalaCheck
 #    `Properties` objects — MinKSpec, ExpressionProps — register
 #    `property(...)=` checks under the scalacheck framework, which
-#    scalatest's summary does NOT include).
+#    scalatest's summary does NOT include). Env-gated tests that
+#    `assume`-cancel in this container (KafkaIntegrationSpec) still
+#    count: they are declared scalatest tests; sbt reports them under
+#    "canceled", so "tests run" = succeeded + failed + canceled.
+#
+# Optional per-round validation against sbt's REAL summary (the other
+# half of the ADVICE): pipe/point a fresh `sbt test` log via
+#   tools/counts.sh --check-summary /path/to/sbt_test.log
+# and the script asserts the tree counts equal the log's
+# "Suites: completed N" and succeeded+failed+canceled totals.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-suites=$(grep -rhcE '^[[:space:]]*class [A-Za-z0-9]+ extends (AnyFunSuite|SparkSpecBase)' \
-  src/test/scala/graft/*.scala | python3 -c 'import sys; print(sum(int(x) for x in sys.stdin))')
-tests=$(grep -rhE '^[[:space:]]*test\(' src/test/scala/graft/*.scala | wc -l | tr -d ' ')
+suite_re=$(sed -n 1p tools/counts_rules.txt)
+test_re=$(sed -n 2p tools/counts_rules.txt)
+
+suites=$(grep -rhcE "$suite_re" src/test/scala/graft/*.scala \
+  | python3 -c 'import sys; print(sum(int(x) for x in sys.stdin))')
+tests=$(grep -rhE "$test_re" src/test/scala/graft/*.scala | wc -l | tr -d ' ')
+
+if [[ "${1:-}" == "--check-summary" ]]; then
+  log="${2:?usage: counts.sh --check-summary <sbt-test-log>}"
+  got_suites=$(grep -oE 'Suites: completed [0-9]+' "$log" | tail -1 | grep -oE '[0-9]+')
+  line=$(grep -oE 'Tests: succeeded [0-9]+, failed [0-9]+, canceled [0-9]+' "$log" | tail -1)
+  got_tests=$(echo "$line" | grep -oE '[0-9]+' | python3 -c 'import sys; print(sum(int(x) for x in sys.stdin))')
+  if [[ "$got_suites" != "$suites" || "$got_tests" != "$tests" ]]; then
+    echo "MISMATCH: tree says ${suites}/${tests}, sbt summary says ${got_suites}/${got_tests}" >&2
+    exit 1
+  fi
+  echo "sbt summary matches tree: ${suites} suites, ${tests} tests (succeeded+failed+canceled)"
+  exit 0
+fi
 
 sed -i -E "s|[0-9]+ suites / [0-9]+ scalatest tests|${suites} suites / ${tests} scalatest tests|" README.md
 sed -i -E "s|# [0-9]+ suites, [0-9]+ tests|# ${suites} suites, ${tests} tests|" README.md

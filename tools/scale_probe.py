@@ -74,11 +74,21 @@ QUERIES = [
     # stages past ~1e5 docs (see SCALE_PROBE.md r17 addendum)
     "d35_simhash_rotblock", "d37_harmonic_kmvball",
     "n11_multiprobe_ivfadc",
+    # r18 additions (r17 verdict tasks 1+3): d22 proves the migrated
+    # rot-block edge artifact carries a second graph consumer through
+    # sf10 where d03's edges were disk-dead (d07 was already probed);
+    # d11/d12 + st38 are the incremental-dedup family, n17/n23 + st27
+    # the tuned ANN serving family, st44 the flush-time-state family —
+    # the most load-bearing 100 TB claims after the curation chain
+    "d22_triangle_count", "d11_incremental_dedup",
+    "d12_incremental_neardup", "n17_tuned_ivf", "n23_two_stage_rerank",
     # streaming
     "st05_outer_wide_join", "st10_full_outer_join", "st14_stream_index",
     "st18_stream_curation", "st28_stream_repetition",
     "st32_stream_attribution", "st89_stream_fingerprint",
     "st113_semi_join", "st116_tws_ttl_cache",
+    "st38_stream_incremental_neardup", "st27_tuned_ann_serve",
+    "st44_stream_multitouch",
 ]
 
 OUT_SMALL = os.environ.get("GRAFT_PROBE_OUT_SMALL", "/tmp/scale_probe_sf01.json")
