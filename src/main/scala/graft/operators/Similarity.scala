@@ -129,9 +129,39 @@ object Similarity {
         col("m.s").as("cos6") +: carryIn: _*)
   }
 
-  private def centroidSeeds(e: DataFrame): DataFrame =
-    e.where(col("vec_id") % CentroidStride === 0)
+  private def centroidSeeds(e: DataFrame, stride: Long = CentroidStride): DataFrame =
+    e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** TRAINING-SET CAP for the shared index artifact ([[indexPath]]) —
+    * the r18 sf1 probe finding: with seeds every [[CentroidStride]]-th
+    * vector of the FULL corpus, k grows linearly with n and every
+    * Lloyd round scores n·k = n²/stride cosines (measured: the n17
+    * leg — which pays the one-off build — went 13.1 s → 272.5 s over
+    * one decade, 20.8×); the PQ seed stride was worse (codes = n/20,
+    * quadratic AND overflowing a byte past 5 120 vectors). Production
+    * IVF (FAISS practice) trains the quantizer on a BOUNDED sample
+    * and only the two linear passes — assign + encode — touch the
+    * full corpus. `mod = ceil(n / cap)` and training reads vectors
+    * with `vec_id % mod = 0`: at the oracle SFs (sf0.1 = 2 000
+    * vectors = the cap) mod = 1, so the artifact is bit-identical to
+    * the unsampled build and every standing oracle holds unchanged;
+    * one decade up the sample pins at ~2 000 vectors, 20 coarse
+    * cells, 100 PQ codes — the build becomes linear with bounded
+    * constants. The DuckDB twins compute the same mod with the same
+    * integer arithmetic ((COUNT(*)+cap-1)//cap), so the differential
+    * stays exact at ANY SF. Scaling the GEOMETRY (more cells at
+    * 10⁹+ vectors) is a deployment knob: raise the cap (k and the
+    * per-cell fan-out move together), then re-price recall with
+    * n06/n08/n16 — the d36 discipline.
+    */
+  private[graft] val TrainSampleCap = 2000L
+
+  /** ceil(n / [[TrainSampleCap]]), min 1 — the training-sample modulus
+    * both engines derive with identical integer arithmetic.
+    */
+  private[graft] def trainMod(n: Long): Long =
+    math.max(1L, (n + TrainSampleCap - 1L) / TrainSampleCap)
 
   /** n03 — centroid assignment over the embeddings table (the
     * quantizer feeding an IVF index; see [[assignCells]]).
@@ -223,6 +253,12 @@ object Similarity {
     */
   val n10_kmeans_train: Q = (spark, dir) => {
     GraftExtensions.register(spark)
+    // deliberately FULL-corpus (with n04): the registered trainer
+    // anchors keep the whole training trajectory under exact
+    // differential measurement — the ≤sf1 oracle-anchor regime (the
+    // d33 positioning). The shared index ARTIFACT trains on the
+    // [[TrainSampleCap]] bounded sample; at the oracle SFs mod = 1 and
+    // the two coincide.
     val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     lloydStep(e, trainCentroids(e, centroidSeeds(e), TrainIters - 1))
   }
@@ -255,12 +291,22 @@ object Similarity {
       GraftExtensions.register(spark)
       val p = graft.Tables.scratchDir("graft_index_")
       val e = embeddings(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-      trainCentroids(e, centroidSeeds(e), TrainIters)
+      // bounded-sample training (see [[TrainSampleCap]]): mod = 1 at
+      // the oracle SFs (artifact bit-identical to the unsampled
+      // build); one decade up the quadratic train passes read ~cap
+      // vectors while the two LINEAR passes below (assign + encode)
+      // still cover the full corpus — the production IVF build shape.
+      // The count is a bounded eager read inside the one-off artifact
+      // build (the pickNprobe decision contract), not a query plan.
+      val mod = trainMod(e.count())
+      val es = e.where(col("vec_id") % mod === 0)
+      trainCentroids(es, centroidSeeds(es, mod * CentroidStride), TrainIters)
         .write.parquet(s"$p/coarse")
       scoredAssign(e, spark.read.parquet(s"$p/coarse"), carryVec = true)
         .select(col("vec_id"), col("cell_id"), col("v"))
         .write.parquet(s"$p/cells")
-      trainBooks(e, PqTrainIters).write.parquet(s"$p/books")
+      trainBooks(es, PqTrainIters, mod * PqCentroidStride)
+        .write.parquet(s"$p/books")
       pqEncodeL(e, spark.read.parquet(s"$p/books"), carryVec = false)
         .write.parquet(s"$p/codes")
       p
@@ -325,7 +371,7 @@ object Similarity {
 
   private[graft] def duckIndexUpsertSql: String =
     s"""WITH $duckVecs,
-        $duckTrainedCoarse,
+        $duckTrainedCoarseSampled,
         $duckPqTrain,
         ue AS (SELECT vec_id,
                       CASE WHEN vec_id % $UpsertMod = 0 THEN list_reverse(v) ELSE v END AS v
@@ -1354,8 +1400,9 @@ object Similarity {
     * independently per subspace: code c may survive in subspace 0 and
     * empty out in subspace 3.
     */
-  private[graft] def pqSeedBooks(e: DataFrame): DataFrame =
-    e.where(col("vec_id") % PqCentroidStride === 0)
+  private[graft] def pqSeedBooks(e: DataFrame,
+                                 stride: Long = PqCentroidStride): DataFrame =
+    e.where(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cid"), explode(array((0 until PqSubs).map { m =>
         struct(lit(m).as("m"), sub(col("v"), m).as("bv"))
       }: _*)).as("x"))
@@ -1395,8 +1442,9 @@ object Similarity {
     * that empty out in a subspace drop from that subspace's codebook
     * only — the long-form layout exists for exactly this.
     */
-  private[graft] def trainBooks(e: DataFrame, iters: Int): DataFrame = {
-    var books = pqSeedBooks(e)
+  private[graft] def trainBooks(e: DataFrame, iters: Int,
+                                seedStride: Long = PqCentroidStride): DataFrame = {
+    var books = pqSeedBooks(e, seedStride)
     for (_ <- 1 to iters) {
       books = pqEncodeL(e, books, carryVec = true)
         .select(col("m"), col("code"), posexplode(subM(col("v"))))
@@ -2400,11 +2448,11 @@ object Similarity {
     * centroid list `cI` through the same float cast as
     * [[trainCentroids]].
     */
-  private def duckCoarseRound(i: Int): String =
-    s"""cp$i AS (SELECT n.vec_id, cid,
+  private def duckCoarseRound(i: Int, rel: String = "n"): String =
+    s"""cp$i AS (SELECT $rel.vec_id, cid,
                  round(list_sum(list_transform(list_zip(cv, v), t -> t[1] * t[2]))
                        / (cn * nrm) * 1000000) / 1000000 AS cos6
-                 FROM n, c${i - 1}),
+                 FROM $rel, c${i - 1}),
         ca$i AS (SELECT vec_id, cid AS cell_id FROM cp$i
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos6 DESC, cid) = 1),
         cx$i AS (SELECT cell_id, unnest(range(0, len(v))) AS dim,
@@ -2426,7 +2474,26 @@ object Similarity {
   private[graft] def duckTrainedCoarse: String =
     s"""c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n
                WHERE vec_id % $CentroidStride = 0),
-        ${(1 to TrainIters).map(duckCoarseRound).mkString(",\n")},
+        ${(1 to TrainIters).map(duckCoarseRound(_)).mkString(",\n")},
+        ct AS (SELECT cid, cv, cn FROM c$TrainIters)"""
+
+  /** The ARTIFACT's coarse chain — [[duckTrainedCoarse]] over the
+    * [[TrainSampleCap]] bounded training sample, the SQL twin of
+    * [[indexPath]]'s sampled build: `smod` computes the same
+    * ceil(n/cap) modulus with the same integer arithmetic, `ns` is
+    * the sampled relation, seeds stride `md·CentroidStride` over it.
+    * mod = 1 at the oracle SFs, so this chain ≡ the full one there —
+    * which is exactly why every standing artifact-consumer oracle
+    * migrated without a value change. Used by every index consumer;
+    * the full-corpus chain stays for the n04/n10 trainer anchors.
+    */
+  private[graft] def duckTrainedCoarseSampled: String =
+    s"""smod AS (SELECT GREATEST((COUNT(*) + $TrainSampleCap - 1) // $TrainSampleCap, 1) AS md
+                 FROM n),
+        ns AS (SELECT n.* FROM n, smod WHERE vec_id % md = 0),
+        c0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM ns, smod
+               WHERE vec_id % (md * $CentroidStride) = 0),
+        ${(1 to TrainIters).map(duckCoarseRound(_, "ns")).mkString(",\n")},
         ct AS (SELECT cid, cv, cn FROM c$TrainIters)"""
 
   /** Corpus assignment against the trained centroids `ct`: `a` =
@@ -2453,12 +2520,12 @@ object Similarity {
     * `pxI`/`puI`, rebuild `bI` through the same float cast as
     * [[trainBooks]].
     */
-  private def duckBooksRound(i: Int): String =
+  private def duckBooksRound(i: Int, rel: String = "e"): String =
     s"""pe$i AS (SELECT vec_id, m, cid AS code FROM (
-                  SELECT e.vec_id, b.m, b.cid,
-                         row_number() OVER (PARTITION BY e.vec_id, b.m
-                           ORDER BY ${l2mD(duckSubB("e.v"), "b.bv")}, b.cid) AS rn
-                  FROM e, b${i - 1} b) WHERE rn = 1),
+                  SELECT $rel.vec_id, b.m, b.cid,
+                         row_number() OVER (PARTITION BY $rel.vec_id, b.m
+                           ORDER BY ${l2mD(duckSubB(s"$rel.v"), "b.bv")}, b.cid) AS rn
+                  FROM $rel, b${i - 1} b) WHERE rn = 1),
         px$i AS (SELECT m, code, unnest(range(0, $SubDim)) AS sd,
                         CAST(round(unnest(list_transform(v[m*$SubDim+1 : m*$SubDim+$SubDim], q -> q * 1000))) AS BIGINT) AS xi
                  FROM pe$i JOIN e USING (vec_id)),
@@ -2478,10 +2545,14 @@ object Similarity {
     * side exactly (see [[n07_pq_topk]]).
     */
   private[graft] def duckPqTrain: String =
-    s"""ps AS (SELECT vec_id AS cid, v FROM e WHERE vec_id % $PqCentroidStride = 0),
+    s"""pmod AS (SELECT GREATEST((COUNT(*) + $TrainSampleCap - 1) // $TrainSampleCap, 1) AS pm
+                 FROM e),
+        ep AS (SELECT e.* FROM e, pmod WHERE vec_id % pm = 0),
+        ps AS (SELECT vec_id AS cid, v FROM e, pmod
+               WHERE vec_id % (pm * $PqCentroidStride) = 0),
         m AS (SELECT unnest(range(0, $PqSubs)) AS m),
         b0 AS (SELECT m.m, cid, v[m.m*$SubDim+1 : m.m*$SubDim+$SubDim] AS bv FROM ps, m),
-        ${(1 to PqTrainIters).map(duckBooksRound).mkString(",\n")},
+        ${(1 to PqTrainIters).map(duckBooksRound(_, "ep")).mkString(",\n")},
         bt AS (SELECT m, cid, bv FROM b$PqTrainIters),
         enc AS (SELECT vec_id, m, cid AS code FROM (
                   SELECT e.vec_id, b.m, b.cid,
@@ -2517,7 +2588,7 @@ object Similarity {
     */
   private[graft] def duckTunedAdcSql: String =
     s"""WITH $duckVecs,
-        $duckTrainedCoarse,
+        $duckTrainedCoarseSampled,
         $duckCtAssign,
         $duckPqTrain,
         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
@@ -2700,7 +2771,7 @@ object Similarity {
           FROM s QUALIFY rnk <= $K""",
     "n06_ivf_recall" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
                 WHERE vec_id < $NumQueries),
@@ -2734,7 +2805,7 @@ object Similarity {
     "n15_index_upsert" -> duckIndexUpsertSql,
     "n20_index_delete" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign
           SELECT cell_id, COUNT(*) AS n_before,
                  CAST(SUM(CASE WHEN vec_id % $DeleteMod = 3 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2746,14 +2817,14 @@ object Similarity {
           FROM a GROUP BY 1""",
     "n21_compaction_execute" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign
           SELECT cell_id, COUNT(*) AS n_rows
           FROM a WHERE vec_id % $DeleteMod <> 3
           GROUP BY cell_id""",
     "n22_index_point_probe" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           $duckPqTrain
           SELECT enc.vec_id, enc.m, enc.code, a.cell_id
@@ -2763,7 +2834,7 @@ object Similarity {
     // the rank tail swapped for a top-C cut + exact-cosine re-rank
     "n23_two_stage_rerank" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           $duckPqTrain,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
@@ -2800,7 +2871,7 @@ object Similarity {
     // against the exact baseline, zero recall kept via the left join
     "n24_rerank_recall" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           $duckPqTrain,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
@@ -2878,7 +2949,7 @@ object Similarity {
     // PRECOMPUTED discount literals with the Spark side (no logs)
     "n25_retrieval_eval" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           $duckPqTrain,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
@@ -2937,7 +3008,7 @@ object Similarity {
           FROM mq LEFT JOIN pq USING (method, query_id)""",
     "n16_probe_sweep" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
                 WHERE vec_id < $NumQueries),
@@ -2970,7 +3041,7 @@ object Similarity {
           LEFT JOIN mtc ON mtc.probes = pr.probes AND mtc.query_id = q.query_id""",
     "n17_tuned_ivf" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
                 WHERE vec_id < $NumQueries),
@@ -3008,7 +3079,7 @@ object Similarity {
           $duckHybridFusionTail""",
     "n19_hybrid_ivf" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
                 WHERE vec_id < $NumQueries),
@@ -3037,7 +3108,7 @@ object Similarity {
       // chain), same per-subspace micro-unit squared-L2 to the OWN
       // code, same integer cell rollup
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           $duckPqTrain,
           dm AS (SELECT enc.vec_id, a.cell_id,
@@ -3113,7 +3184,7 @@ object Similarity {
     },
     "n31_cell_balance" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           c AS (SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n
                 FROM a GROUP BY 1),
@@ -3132,7 +3203,7 @@ object Similarity {
           FROM t""",
     "n14_cell_stats" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           cm AS (SELECT a.cell_id,
                         CAST(round(list_sum(list_transform(list_zip(av.v, ct.cv), t -> t[1] * t[2]))
@@ -3143,7 +3214,7 @@ object Similarity {
           FROM cm GROUP BY 1""",
     "n13_filtered_ivf" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
                 FROM n WHERE vec_id < $NumQueries),
@@ -3226,7 +3297,7 @@ object Similarity {
           FROM qx LEFT JOIN mr USING (query_id)""",
     "n09_ivfadc_topk" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           $duckPqTrain,
           qa AS (SELECT pqq.query_id, a.cell_id AS qcell
@@ -3250,7 +3321,7 @@ object Similarity {
           FROM cu$TrainIters""",
     "n11_multiprobe_ivfadc" ->
       s"""WITH $duckVecs,
-          $duckTrainedCoarse,
+          $duckTrainedCoarseSampled,
           $duckCtAssign,
           $duckPqTrain,
           q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
