@@ -57,6 +57,40 @@ object Replay {
   private[streaming] def stateProvider(spark: SparkSession, bigState: Boolean): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       if (bigState) RocksDbProvider else DefaultProvider)
+    // r18 optimization (guide §5 — per-task state cost): two RocksDB
+    // state-layout settings for the big-state replays, both
+    // production-documented and value-neutral (results unchanged):
+    //  - join stateFormatVersion 3 (Spark 4.x): a stream-stream join
+    //    keeps ONE RocksDB store per partition with virtual column
+    //    families instead of FOUR separate stores (keyToNumValues +
+    //    keyWithIndexToValue per side) — the per-batch fixed cost
+    //    (open/commit/snapshot/maintenance per store instance) drops
+    //    4×, and at production partition counts so does the
+    //    state-store file count. The version is pinned into each NEW
+    //    checkpoint's offset-log metadata; a deployed v2 checkpoint
+    //    keeps v2 on restart, so no restore contract is broken — new
+    //    deployments simply start on the cheaper layout. Measured
+    //    here (isolated min-of-two at sf0.1, quiet host, with
+    //    trackTotalNumberOfRows=false): st02+st05+st10+st113
+    //    34.5 s → see OPTIMIZATION_r18.md.
+    //  - trackTotalNumberOfRows=false: RocksDB maintains the
+    //    numTotalStateRows metric by pairing every put/delete with a
+    //    get; switching it off removes that read amplification on
+    //    every state write (the documented production setting for
+    //    write-heavy stateful jobs). Observability trade only — the
+    //    metric reads -1; no spec or query consumes it for RocksDB
+    //    replays. Scoped to bigState so the small-state (HDFS
+    //    provider) replays and the MemoryStream specs keep full
+    //    metrics.
+    if (bigState) {
+      spark.conf.set("spark.sql.streaming.join.stateFormatVersion", "3")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "false")
+    } else {
+      spark.conf.set("spark.sql.streaming.join.stateFormatVersion", "2")
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows", "true")
+    }
     // Changelog checkpointing MEASURED AND REJECTED for this harness
     // (round 15): committing only the batch's changes instead of a
     // full RocksDB snapshot per micro-batch is the production setting

@@ -85,6 +85,30 @@ class StateLockSpec extends SparkSpecBase {
             .map(f => s"${f.name}=${f.dataType.sql}").mkString(" ")
           s"op$opId:$opName/var:$v $cols"
         }
+      } else if (opName.contains("symmetricHashJoin")) {
+        // Stream-stream join: addressed per SIDE, not per store —
+        // the storeName layout is format-version-dependent (v2: four
+        // stores, keyToNumValues + keyWithIndexToValue per side; v3,
+        // the r18 big-state default: ONE "default" store with virtual
+        // column families) and v3's internal families are not
+        // flat-readable by storeName. The joinSide view is the stable
+        // public read for both versions, and the store inventory is
+        // kept in the line so a layout/format change still shows as a
+        // lock diff (it IS a restore-contract break for a deployed
+        // checkpoint — an existing checkpoint pins its version; only
+        // new checkpoints adopt v3).
+        val inventory = stores.filter(t => t._1 == opId).map(_._3)
+          .sorted.mkString(",")
+        if (store != stores.filter(t => t._1 == opId).map(_._3).min) Nil
+        else Seq("left", "right").map { side =>
+          val st = spark.read.format("statestore")
+            .option("operatorId", opId)
+            .option("joinSide", side)
+            .load(cp)
+          s"op$opId:$opName/stores[$inventory]/$side " +
+            s"key=${st.schema("key").dataType.sql} " +
+            s"value=${st.schema("value").dataType.sql}"
+        }
       } else {
         val st = spark.read.format("statestore")
           .option("operatorId", opId)
