@@ -331,6 +331,18 @@ object Bench {
       // lazy-plan queries persist() intermediates; unpersist is the
       // caller's job (outside the timed region — each pass recomputes)
       spark.catalog.clearCache()
+      // r18 (guide §5): clearCache only unpersists CATALOG-level
+      // cached plans. The iterative graph/centrality queries also
+      // localCheckpoint() per round, and those RDD blocks stay in the
+      // block manager until the RDD is GC'd + ContextCleaner runs —
+      // across 900+ timed executions the leaked blocks build storage
+      // pressure that bills LATER queries (the documented
+      // suite-position band; d33 read 8.6 s in-suite vs 2.9 isolated
+      // at the r18 baseline with identical plans). Drop every
+      // persistent RDD between timed regions — each pass recomputes
+      // from source by contract, so nothing downstream reads them.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       (sec, ok)
     }
 
