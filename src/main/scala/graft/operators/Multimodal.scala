@@ -872,10 +872,31 @@ object Multimodal {
     s"""transform(sequence(0, octet_length($body) - 1), i ->
           cast(conv(substr($hx, 2*i + 1, 2), 16, 10) as bigint) div 16)""")
 
-  /** Per-(doc, bin) counts of one body column: hex → explode the
-    * binned bytes → count (partials combine before the exchange).
+  /** Per-(doc, bin) counts of one body column via the codegen'd
+    * [[graft.functions.NibbleHist]] kernel (r18, guide §4): one binary
+    * pass per row, then a ≤16-row posexplode per document — the prior
+    * formulation ([[binsOf]], kept as the spec parity anchor) paid a
+    * two-char substr + radix parse + string→long cast PER BYTE through
+    * a hex round-trip and shipped one exploded row per byte into the
+    * aggregation. Zero-count bins are absent from both formulations
+    * (the old groupBy never saw them), so the relation is identical;
+    * `MultimodalSpec` locks the parity on a fixture corpus.
     */
-  private def binCounts(df: DataFrame, body: String, as: String): DataFrame =
+  private[graft] def binCounts(df: DataFrame, body: String, as: String): DataFrame = {
+    // self-sufficient registration: streaming twins (st101) call this
+    // from sessions that never ran a batch mm query first
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    df.select(col("doc_id"),
+        posexplode(call_function("nibble_hist", col(body)))
+          .as(Seq("bin0", as)))
+      .where(col(as) > 0)
+      .select(col("doc_id"), col("bin0").cast("long").as("bin"), col(as))
+  }
+
+  /** [[binsOf]]'s original per-byte formulation of [[binCounts]], kept
+    * for the NibbleHist parity lock (`MultimodalSpec`).
+    */
+  private[graft] def binCountsBuiltin(df: DataFrame, body: String, as: String): DataFrame =
     df.withColumn("hx", hex(col(body)))
       .select(col("doc_id"), explode(binsOf("hx", body)).as("bin"))
       .groupBy(col("doc_id"), col("bin"))

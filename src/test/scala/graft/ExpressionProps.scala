@@ -74,6 +74,14 @@ object ExpressionProps extends Properties("graft.expressions") {
         java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
 
+  property("nibble_hist = per-byte high-nibble counts") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val got = graft.functions.NibbleHistUtil.nibbleHist(bs.toArray)
+      got.numElements() == 16 && (0 until 16).forall { k =>
+        got.getLong(k) == bs.count(b => ((b & 0xff) >> 4) == k)
+      }
+    }
+
   property("trigram_hits = count of sliding-3 windows in the profile") = {
     val profile = Seq("abc", "bca", "aab")
     val set = new java.util.HashSet[UTF8String]()

@@ -88,6 +88,32 @@ class MultimodalSpec extends SparkSpecBase {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("binCounts nibble_hist kernel = hex-round-trip formulation (r18 parity lock)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // bytes spanning all 16 high nibbles: ASCII, multi-byte UTF-8
+    // (0xC3/0xE4/0xF0 lead bytes), control chars, and a planted binary
+    // body via the opaque md5 path mm14 itself uses
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "é世界 mixed utf8 😀"),
+      (3L, "A"),
+      (4L, "zzzz\t\nzzzz"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        when(col("doc_id") === 4L,
+          unhex(concat(md5(col("text")), md5(concat(col("text"), lit("x"))))))
+          .otherwise(encode(col("text"), "utf-8")).as("body"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = Multimodal.binCounts(docs, "body", "c")
+    val slow = Multimodal.binCountsBuiltin(docs, "body", "c")
+    assert(fast.schema("bin").dataType === slow.schema("bin").dataType)
+    val (f, s) = (rows(fast), rows(slow))
+    assert(f.nonEmpty && f === s)
+  }
+
   test("mm01 round-trip: synthesized header parses back to the derived dims") {
     val rows = Multimodal.mm01_binary_meta(spark, sf)
       .select(col("width"), col("height"), col("channels"), col("magic"))
