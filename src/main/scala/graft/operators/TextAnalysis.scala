@@ -1928,6 +1928,39 @@ object TextAnalysis {
     * state.
     */
   private[graft] def entropyOf(docs: DataFrame): DataFrame = {
+    // r18 (guide §4): per-char frequencies come from the codegen'd
+    // char_counts kernel — one pass per document, one exploded row per
+    // DISTINCT char (alphabet-bounded) — instead of the prior
+    // transform(sequence, substring)-lambda explode that allocated a
+    // single-char string and shipped a row PER CHARACTER (~2.7 M rows
+    // at sf0.1) into a (doc, ch) aggregation. Relation and all
+    // downstream integer arithmetic are bit-identical (the kernel
+    // slices code points exactly as substring does); the prior
+    // formulation survives as [[entropyOfBuiltin]], parity-locked in
+    // `TextStatsSpec`-style by `ExpressionProps` + the t37 oracle.
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val counts = docs
+      .where(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(call_function("char_counts", col("text"))).as("e"))
+      .select(col("doc_id"), col("e.ch").as("ch"), col("e.c").as("c"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    counts.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("n_distinct"),
+        (col("c") * (floor(log(col("n").cast("double")) * 1000).cast("long") -
+          floor(log(col("c").cast("double")) * 1000).cast("long"))).as("t"))
+      .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+      .agg(sum(col("t")).as("tsum"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+        expr("tsum div n").as("ent_mn"))
+  }
+
+  /** [[entropyOf]]'s original per-character formulation, kept as the
+    * CharCounts parity anchor (`TextAnalysisSpec`/`MultimodalSpec`
+    * pattern).
+    */
+  private[graft] def entropyOfBuiltin(docs: DataFrame): DataFrame = {
     val counts = docs
       .where(length(col("text")) > 0)
       .select(col("doc_id"), explode(expr(

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, NibbleHist, Pcm16Frames, Pcm16Peaks, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CharCounts, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, NibbleHist, Pcm16Frames, Pcm16Peaks, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dhash64)
     ext.injectFunction(GraftExtensions.byteShift)
     ext.injectFunction(GraftExtensions.nibbleHist)
+    ext.injectFunction(GraftExtensions.charCounts)
   }
 }
 
@@ -173,6 +174,14 @@ object GraftExtensions {
       ByteShift(args.head, c)
     })
 
+  val charCounts: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_counts"),
+    new ExpressionInfo(classOf[CharCounts].getName, "char_counts"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"char_counts expects 1 argument, got ${args.length}")
+      CharCounts(args.head)
+    })
+
   val nibbleHist: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("nibble_hist"),
     new ExpressionInfo(classOf[NibbleHist].getName, "nibble_hist"),
@@ -188,7 +197,7 @@ object GraftExtensions {
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
         wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
         bloomContains, pcm16Frames, pcm16Peaks, blockhash64, dhash64,
-        byteShift, nibbleHist).foreach {
+        byteShift, nibbleHist, charCounts).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -306,4 +306,21 @@ class CurationSpec extends SparkSpecBase {
         s"scanned a non-matching partition directory:\n${files.mkString("\n")}")
     } finally spark.catalog.clearCache()
   }
+
+  test("entropyOf char_counts kernel = per-char explode formulation (r18 parity lock)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "hello world"),
+      (2L, "é世界 mixed utf8 😀😀"),
+      (3L, "A"),
+      (4L, "zzzz\t\nzzzz aaa"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val fast = rows(graft.operators.TextAnalysis.entropyOf(docs))
+    val slow = rows(graft.operators.TextAnalysis.entropyOfBuiltin(docs))
+    assert(fast.nonEmpty && fast === slow)
+  }
 }

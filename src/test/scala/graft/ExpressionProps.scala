@@ -82,6 +82,23 @@ object ExpressionProps extends Properties("graft.expressions") {
       }
     }
 
+  property("char_counts = code-point frequency table, first-occurrence order") =
+    forAll(Gen.listOf(Gen.oneOf('a', 'b', 'é', '世', 'z', ' '))) { cs =>
+      val s = cs.mkString
+      val a = graft.functions.CharCountsUtil.charCounts(UTF8String.fromString(s))
+      val got = (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      // model: java code-point iteration, LinkedHashMap semantics
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      s.codePoints().toArray.foreach { cp =>
+        val k = new String(Character.toChars(cp))
+        m(k) = m.getOrElse(k, 0L) + 1L
+      }
+      got == m.toSeq
+    }
+
   property("trigram_hits = count of sliding-3 windows in the profile") = {
     val profile = Seq("abc", "bca", "aab")
     val set = new java.util.HashSet[UTF8String]()
