@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CharCounts, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MinHashMins, NibbleHist, Pcm16Frames, Pcm16Peaks, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CharCounts, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MaxIntersect, MinHashMins, NibbleHist, Pcm16Frames, Pcm16Peaks, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.byteShift)
     ext.injectFunction(GraftExtensions.nibbleHist)
     ext.injectFunction(GraftExtensions.charCounts)
+    ext.injectFunction(GraftExtensions.maxIntersect)
   }
 }
 
@@ -174,6 +175,14 @@ object GraftExtensions {
       ByteShift(args.head, c)
     })
 
+  val maxIntersect: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("max_intersect"),
+    new ExpressionInfo(classOf[MaxIntersect].getName, "max_intersect"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"max_intersect expects 2 arguments, got ${args.length}")
+      MaxIntersect(args.head, args(1))
+    })
+
   val charCounts: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("char_counts"),
     new ExpressionInfo(classOf[CharCounts].getName, "char_counts"),
@@ -197,7 +206,7 @@ object GraftExtensions {
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
         wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
         bloomContains, pcm16Frames, pcm16Peaks, blockhash64, dhash64,
-        byteShift, nibbleHist, charCounts).foreach {
+        byteShift, nibbleHist, charCounts, maxIntersect).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -821,8 +821,16 @@ object StreamQueries {
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"))
     val toksNE = filter(split(col("text"), " "), t => length(t) > 0)
-    val contamHits = aggregate(col("eval_sets"), lit(0),
-      (acc, es) => greatest(acc, size(array_intersect(es, col("ds")))))
+    // r18 (guide §4): the codegen'd max_intersect kernel — one probe
+    // set over ds per document instead of the builtin fold's |eval|
+    // array_intersect set-builds per document (the gate's measured
+    // share was ~4.4 s of st18's 11.3 s at sf0.1). Semantics pinned
+    // to the fold (both sides deduped per item, max over items) by an
+    // ExpressionProps property; the equivalent fold stays in this
+    // comment as the reference:
+    //   aggregate(eval_sets, 0, (acc, es) ->
+    //     greatest(acc, size(array_intersect(es, ds))))
+    val contamHits = call_function("max_intersect", col("eval_sets"), col("ds"))
     val bpeCount = aggregate(toksNE, lit(0L),
       (acc, t) => acc + coalesce(element_at(col("vm"), t), lit(0L)))
     // one explode per doc: (token, adjacent-bigram-or-null) items

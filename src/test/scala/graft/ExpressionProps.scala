@@ -99,6 +99,15 @@ object ExpressionProps extends Properties("graft.expressions") {
       got == m.toSeq
     }
 
+  property("max_intersect = max over items of |distinct(es) ∩ distinct(ds)|") =
+    forAll(Gen.listOf(Gen.listOf(Gen.choose(0L, 12L))), Gen.listOf(Gen.choose(0L, 12L))) {
+      (ess, ds) =>
+        val got = graft.functions.MaxIntersectUtil.maxIntersect(
+          arr(ess.map(es => arr(es))), arr(ds))
+        val want = (0 +: ess.map(es => (es.toSet intersect ds.toSet).size)).max
+        got == want
+    }
+
   property("trigram_hits = count of sliding-3 windows in the profile") = {
     val profile = Seq("abc", "bca", "aab")
     val set = new java.util.HashSet[UTF8String]()
