@@ -1356,6 +1356,37 @@ object TextAnalysis {
     */
   private[graft] def repSignals(spark: SparkSession, rel: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
+    // r18 (guide §2.4 + §4): every statistic below is DOCUMENT-LOCAL,
+    // so the exploded two-exchange formulation (kept as
+    // [[repSignalsBuiltin]], the parity anchor) collapses into the
+    // codegen'd [[graft.functions.RepStats]] kernel — one pass per
+    // document, zero gram rows shuffled. Row set and NULL-fraction
+    // semantics are pinned to the builtin: a doc emits a row iff it
+    // has ≥ 1 bigram position (n_tokens >= 2), and a family shorter
+    // than the doc reports NULL fractions (npos = 0).
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double"))
+    rel
+      .select(col("doc_id"), Portable.hash60Array(lmToks).as("th"))
+      .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),
+        call_function("rep_stats", col("th")).as("rs"))
+      .where(col("n_tokens") >= 2)
+      .select(col("doc_id"), col("n_tokens"),
+        frac(col("rs.top2"), col("rs.n2")).as("top2_frac"),
+        frac(col("rs.top3"), col("rs.n3")).as("top3_frac"),
+        frac(col("rs.dup5"), col("rs.n5")).as("dup5_frac"))
+      .withColumn("rep_keep",
+        col("top2_frac") <= RepTop2Max && col("top3_frac") <= RepTop3Max &&
+          col("dup5_frac") <= RepDup5Max)
+  }
+
+  /** The pre-r18 exploded formulation of [[repSignals]] — two keyed
+    * exchanges over ≤ 3 gram rows per token. Kept as the parity anchor
+    * the `CurationSpec` kernel test compares against (the
+    * binCountsBuiltin/entropyOfBuiltin convention).
+    */
+  private[graft] def repSignalsBuiltin(spark: SparkSession, rel: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val grams = rel
       .select(col("doc_id"), Portable.hash60Array(lmToks).as("th"))
       .select(col("doc_id"), size(col("th")).cast("long").as("n_tokens"),

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CharCounts, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MaxIntersect, MinHashMins, NibbleHist, Pcm16Frames, Pcm16Peaks, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CharCounts, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MaxIntersect, MinHashMins, NibbleHist, Pcm16Frames, Pcm16Peaks, RepStats, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.nibbleHist)
     ext.injectFunction(GraftExtensions.charCounts)
     ext.injectFunction(GraftExtensions.maxIntersect)
+    ext.injectFunction(GraftExtensions.repStats)
   }
 }
 
@@ -183,6 +184,14 @@ object GraftExtensions {
       MaxIntersect(args.head, args(1))
     })
 
+  val repStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("rep_stats"),
+    new ExpressionInfo(classOf[RepStats].getName, "rep_stats"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, s"rep_stats expects 1 argument, got ${args.length}")
+      RepStats(args.head)
+    })
+
   val charCounts: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("char_counts"),
     new ExpressionInfo(classOf[CharCounts].getName, "char_counts"),
@@ -206,7 +215,7 @@ object GraftExtensions {
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
         wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
         bloomContains, pcm16Frames, pcm16Peaks, blockhash64, dhash64,
-        byteShift, nibbleHist, charCounts, maxIntersect).foreach {
+        byteShift, nibbleHist, charCounts, maxIntersect, repStats).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

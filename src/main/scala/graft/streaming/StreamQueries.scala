@@ -691,32 +691,38 @@ object StreamQueries {
     val deduped = docs
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("content_hash")
-    val grams = deduped
-      .withColumn("th", P.hash60Array(toksNE))
-      .select(col("content_hash"), col("event_time"),
-        size(col("th")).cast("long").as("n_tokens"),
-        explode(concat(Seq(2, 3, 5).map(n =>
-          call_function("gram_keys", col("th"), lit(n))): _*)).as("g"))
-    val perGram = grams
-      .groupBy(window(col("event_time"), "1 hour"), col("content_hash"),
-        col("n_tokens"), col("g"))
-      .agg(count(lit(1)).as("c"))
-    def fam(n: Int) = shiftright(col("g"), 60) === n
+    // r18 (guide §2.4 + §4): all three repetition families are
+    // DOCUMENT-local — every gram of a doc shares its single event
+    // time, so the former gram-level windowed count and doc-level
+    // windowed rollup (stateful ops 2 and 3, one open row per
+    // (window, doc, gram) — corpus-sized state until the sentinel
+    // flushed it) never mixed documents. The codegen'd
+    // [[graft.functions.RepStats]] kernel computes the identical
+    // tagged-gram-key statistics row-locally, leaving dedup as the
+    // chain's ONLY stateful operator: rows emit on first arrival
+    // instead of at watermark closure (same rows — every emitted
+    // column is text-derived), per-doc gram state disappears, and the
+    // flush-cascade of chained no-data batches goes with it. A doc
+    // with no bigram position (n_tokens < 2, the sentinel's 1-token
+    // text included) produced no gram rows and thus no output row
+    // before; the n_tokens >= 2 filter pins that row set. NULL
+    // fractions for families longer than the doc (npos = 0) match the
+    // old conditional aggregates. Batch parity is CurationSpec's
+    // kernel test; the batch twin is [[graft.operators.TextAnalysis
+    // .repSignals]] (same kernel) with [[TextAnalysis
+    // .repSignalsBuiltin]] as the exploded parity anchor.
     def frac(num: Column, den: Column): Column =
-      num.cast("double") / den.cast("double")
-    perGram
-      .groupBy(window(col("window"), "1 hour"), col("content_hash"), col("n_tokens"))
-      .agg(
-        max(when(fam(2), col("c"))).as("top2_cnt"),
-        sum(when(fam(2), col("c"))).as("n2_pos"),
-        max(when(fam(3), col("c"))).as("top3_cnt"),
-        sum(when(fam(3), col("c"))).as("n3_pos"),
-        sum(when(fam(5), when(col("c") > 1, col("c")).otherwise(lit(0L)))).as("dup5_pos"),
-        sum(when(fam(5), col("c"))).as("n5_pos"))
+      when(den > 0, num.cast("double") / den.cast("double"))
+    deduped
+      .withColumn("th", P.hash60Array(toksNE))
+      .select(col("content_hash"),
+        size(col("th")).cast("long").as("n_tokens"),
+        call_function("rep_stats", col("th")).as("rs"))
+      .where(col("n_tokens") >= 2)
       .select(col("content_hash"), col("n_tokens"),
-        frac(col("top2_cnt"), col("n2_pos")).as("top2_frac"),
-        frac(col("top3_cnt"), col("n3_pos")).as("top3_frac"),
-        frac(col("dup5_pos"), col("n5_pos")).as("dup5_frac"))
+        frac(col("rs.top2"), col("rs.n2")).as("top2_frac"),
+        frac(col("rs.top3"), col("rs.n3")).as("top3_frac"),
+        frac(col("rs.dup5"), col("rs.n5")).as("dup5_frac"))
       .withColumn("rep_keep",
         col("top2_frac") <= graft.operators.TextAnalysis.RepTop2Max &&
           col("top3_frac") <= graft.operators.TextAnalysis.RepTop3Max &&

@@ -323,4 +323,28 @@ class CurationSpec extends SparkSpecBase {
     val slow = rows(graft.operators.TextAnalysis.entropyOfBuiltin(docs))
     assert(fast.nonEmpty && fast === slow)
   }
+
+  test("repSignals rep_stats kernel = exploded two-exchange formulation (r18 parity lock)") {
+    import spark.implicits._
+    val rep = "spam ham " * 30 // trips top2 (and dup5)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and the dog sleeps"),
+      (2L, rep.trim), // pathological repetition: every gate trips
+      (3L, "a b"), // bigram only: top3/dup5 fractions must be NULL
+      (4L, "one two three four"), // 2/3-gram families, no 5-gram
+      (5L, "single"), // no bigram position: NO output row
+      (6L, ""), // empty text: NO output row
+      (7L, "x y x y x y z q r s t u v w")) // mid-range fractions
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toSeq
+    val fast = rows(graft.operators.TextAnalysis.repSignals(spark, docs))
+    val slow = rows(graft.operators.TextAnalysis.repSignalsBuiltin(spark, docs))
+    assert(fast.nonEmpty && fast === slow)
+    assert(fast.map(_._1) === Seq(1L, 2L, 3L, 4L, 7L),
+      "docs with no bigram position must emit no row")
+  }
 }

@@ -108,6 +108,23 @@ object ExpressionProps extends Properties("graft.expressions") {
         got == want
     }
 
+  property("rep_stats = per-family (top, npos, dup) of the tagged gram-key multiset") =
+    forAll(Gen.listOf(Gen.choose(0L, 6L))) { hs => // tiny domain forces repeats
+      val a = arr(hs)
+      val row = graft.functions.RepStatsUtil.stats(a)
+      Seq(2, 3, 5).zipWithIndex.forall { case (n, fi) =>
+        // model: the exploded formulation — GramKeys.fold keys, grouped
+        val ks = graft.functions.GramKeys.fold(a, n)
+        val counts = (0 until ks.numElements()).map(ks.getLong)
+          .groupBy(identity).values.map(_.size.toLong)
+        val top = if (counts.isEmpty) 0L else counts.max
+        val dup = counts.filter(_ > 1L).sum
+        row.getLong(fi * 3) == top &&
+          row.getLong(fi * 3 + 1) == ks.numElements().toLong &&
+          row.getLong(fi * 3 + 2) == dup
+      }
+    }
+
   property("trigram_hits = count of sliding-3 windows in the profile") = {
     val profile = Seq("abc", "bca", "aab")
     val set = new java.util.HashSet[UTF8String]()

@@ -789,12 +789,14 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("st28's three chained stateful ops survive a checkpointed restart") {
-    // dedup -> gram-level windowed count -> doc-level windowed rollup
-    // (repGateChain), killed mid-stream: the post-restart duplicate must
-    // be dropped by RECOVERED dedup state, and the final per-doc signals
-    // must be assembled from RECOVERED state in BOTH aggregation stores
-    // — and equal the batch t21 arithmetic exactly.
+  test("st28's dedup state survives a checkpointed restart (row-local rep kernel)") {
+    // dedup -> row-local rep_stats projection (repGateChain, r18: the
+    // former gram-level + doc-level windowed aggregations collapsed
+    // into the codegen'd kernel — dedup is the chain's only stateful
+    // op and rows emit on first arrival), killed mid-stream: the
+    // post-restart duplicate must be dropped by RECOVERED dedup state,
+    // and every emitted row's signals must equal the batch t21
+    // arithmetic exactly.
     graft.plans.GraftExtensions.register(spark)
     implicit val ctx = spark.sqlContext
     import spark.implicits._
@@ -816,21 +818,23 @@ class StreamingSpec extends SparkSpecBase {
       ms.addData(DocIn(textA, t("2024-01-01 00:00:00")))
       ms.addData(DocIn(textA, t("2024-01-01 00:00:01"))) // dup, same run
       drain(q1)
-      assert(spark.read.parquet(out).count() === 0, "windows must still be open")
+      assert(spark.read.parquet(out).count() === 1,
+        "first arrival emits immediately; the in-run dup is dropped")
     } finally q1.stop()
     val q2 = start()
     try {
       // a's THIRD copy arrives after the restart: only recovered dedup
-      // state can drop it; B joins the same open window
+      // state can drop it (a lost store would emit a second textA row)
       ms.addData(DocIn(textA, t("2024-01-01 00:00:02")))
       ms.addData(DocIn(textB, t("2024-01-01 00:00:03")))
       drain(q2)
-      // sentinel advances the watermark; extra drains let the no-data
-      // batches cascade the flush through all three stateful operators
+      // sentinel: 1-token text derives no bigram position -> no row
       ms.addData(DocIn("x", sentinel))
-      drain(q2); drain(q2); drain(q2)
-      val got = spark.read.parquet(out)
-        .collect().map(r => r.getString(0) ->
+      drain(q2)
+      val rows = spark.read.parquet(out).collect()
+      assert(rows.length === 2,
+        s"one row per distinct doc — a third row means dedup state was lost")
+      val got = rows.map(r => r.getString(0) ->
           (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
       val expected = graft.operators.TextAnalysis.repSignals(spark,
           Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"))
