@@ -719,7 +719,16 @@ object Multimodal {
     * distance d ∈ [1, FpFanout] (peaks < 2¹⁵ ⇒ the packing is
     * injective and < 2³², long-safe).
     */
-  private[graft] def peakPairs(peaks: Column): Column = flatten(
+  private[graft] def peakPairs(peaks: Column): Column =
+    call_function("peak_pairs", peaks, lit(FpFanout))
+
+  /** The pre-r18 four-deep HOF formulation of [[peakPairs]] — kept as
+    * the parity anchor [[graft.functions.PeakPairs]] is locked against
+    * in `MultimodalSpec` (the binCountsBuiltin convention). Guide §4:
+    * higher-order functions are CodegenFallback, and this one ran per
+    * corpus document on the index side of mm13 AND st89.
+    */
+  private[graft] def peakPairsBuiltin(peaks: Column): Column = flatten(
     transform(peaks, (p, i) =>
       filter(
         transform(sequence(lit(1), lit(FpFanout)), d =>

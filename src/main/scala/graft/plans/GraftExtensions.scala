@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CharCounts, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MaxIntersect, MinHashMins, NibbleHist, Pcm16Frames, Pcm16Peaks, RepStats, Simhash48, TrigramHits, WinnowMin, WordShingles3}
+import graft.functions.{Blockhash64, BloomMightContain, ByteShift, DHash64, ByteStats, CharCounts, CosineSimilarity, GramKeys, Hash60Array, L2Sq, MaxIntersect, MinHashMins, NibbleHist, Pcm16Frames, Pcm16Peaks, PeakPairs, RepStats, Simhash48, TrigramHits, WinnowMin, WordShingles3}
 
 /** Session extensions registering graft's native Catalyst functions —
   * the `spark.sql.extensions` entry point, so SQL and `expr(...)` users
@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.charCounts)
     ext.injectFunction(GraftExtensions.maxIntersect)
     ext.injectFunction(GraftExtensions.repStats)
+    ext.injectFunction(GraftExtensions.peakPairs)
   }
 }
 
@@ -184,6 +185,14 @@ object GraftExtensions {
       MaxIntersect(args.head, args(1))
     })
 
+  val peakPairs: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("peak_pairs"),
+    new ExpressionInfo(classOf[PeakPairs].getName, "peak_pairs"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"peak_pairs expects 2 arguments, got ${args.length}")
+      PeakPairs(args.head, args(1))
+    })
+
   val repStats: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("rep_stats"),
     new ExpressionInfo(classOf[RepStats].getName, "rep_stats"),
@@ -215,7 +224,8 @@ object GraftExtensions {
     Seq(cosineSim, hash60Arr, simhash48, trigramHits, minhashMins,
         wordShingles3, winnowMin, byteStats, l2Sq, gramKeys,
         bloomContains, pcm16Frames, pcm16Peaks, blockhash64, dhash64,
-        byteShift, nibbleHist, charCounts, maxIntersect, repStats).foreach {
+        byteShift, nibbleHist, charCounts, maxIntersect, repStats,
+        peakPairs).foreach {
       case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

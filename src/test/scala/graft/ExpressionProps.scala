@@ -125,6 +125,19 @@ object ExpressionProps extends Properties("graft.expressions") {
       }
     }
 
+  property("peak_pairs = (anchor, packed-hash) pairs, fanout-bounded, in order") =
+    forAll(Gen.listOf(Gen.choose(0L, 32000L)), Gen.choose(1, 5)) { (ps, f) =>
+      val got = graft.functions.PeakPairsUtil.pairs(arr(ps), f)
+      val want = ps.zipWithIndex.flatMap { case (p, i) =>
+        (1 to f).filter(d => i + d <= ps.length - 1).map(d =>
+          (i.toLong, p * 131072L + ps(i + d) * 4L + d.toLong))
+      }
+      val gotSeq = (0 until got.numElements()).map { k =>
+        val r = got.getStruct(k, 2); (r.getLong(0), r.getLong(1))
+      }
+      gotSeq == want
+    }
+
   property("trigram_hits = count of sliding-3 windows in the profile") = {
     val profile = Seq("abc", "bca", "aab")
     val set = new java.util.HashSet[UTF8String]()

@@ -114,6 +114,25 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f.nonEmpty && f === s)
   }
 
+  test("peakPairs peak_pairs kernel = four-deep HOF formulation (r18 parity lock)") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val docs = Seq(
+      (1L, Seq[Long]()), // empty: no pairs
+      (2L, Seq(7L)), // single peak: no partner
+      (3L, Seq(5L, 9L)), // one pair, d=1
+      (4L, Seq(1L, 2L, 3L, 4L)), // full fanout at the head, tapering tail
+      (5L, (1L to 12L).map(_ * 100L))) // longer series
+      .toDF("doc_id", "peaks")
+    def rows(c: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id"), explode(c).as("p"))
+        .select(col("doc_id"), col("p.f"), col("p.hkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fast = rows(Multimodal.peakPairs(col("peaks")))
+    val slow = rows(Multimodal.peakPairsBuiltin(col("peaks")))
+    assert(fast.nonEmpty && fast === slow)
+  }
+
   test("mm01 round-trip: synthesized header parses back to the derived dims") {
     val rows = Multimodal.mm01_binary_meta(spark, sf)
       .select(col("width"), col("height"), col("channels"), col("magic"))
