@@ -331,62 +331,76 @@ object StreamQueries {
     * (argmax cosine against the broadcast TRAINED centroids) and
     * PQ-encoded (argmin squared-L2 per subspace against the broadcast
     * trained codebooks) — two stream-static broadcast joins whose
-    * per-vector argmin/argmax collapse in windowed aggregations
-    * (watermark-bounded state, flushed by the sentinel; each vector
-    * lives in exactly one window so exactly one row emerges per key).
-    * Emits the long-form index rows (vec_id, m, code, cell_id); the
-    * DuckDB oracle re-derives the same rows from the unrolled training
-    * CTEs, so the streamed index must equal the batch-built one
-    * bit-for-bit.
+    * per-vector argmin/argmax collapse BATCH-LOCALLY inside each
+    * micro-batch (r18; a vector's M·k join products derive in its own
+    * batch, so no cross-batch state exists to keep — see the inline
+    * note). Emits the long-form index rows (vec_id, m, code, cell_id);
+    * the DuckDB oracle re-derives the same rows from the unrolled
+    * training CTEs, so the streamed index must equal the batch-built
+    * one bit-for-bit.
     *
     * Scale shape: both joins broadcast ONLY bounded index parameters
-    * (k centroids, M·k codebook entries); state per vector is one
-    * argmin struct per (window, vec_id[, m]) until the watermark
-    * closes the window — ingest-rate bounded, not corpus bounded. The
-    * two streaming passes share nothing at runtime (independent
-    * checkpoints), exactly how assign and encode deploy as separate
-    * consumers of the same ingest topic.
-    *
-    * Sentinel handling (load-bearing): the sentinel row must NOT be
-    * filtered out between `withWatermark` and the aggregation — a
-    * `vec_id >= 0` predicate there is legally pushed below the
-    * watermark node into the parquet scan, where the sentinel file's
-    * single row group (min=max=-1) is stat-skipped, so the watermark
-    * never reaches 2100 and append mode emits NOTHING. Instead the
-    * sentinel flows into the aggregation like any row ([[Pipelines
-    * .dau]] sets the pattern): its far-future window never closes, so
-    * it never appears in append output; the batch-side filter after
-    * the replay is defense only.
+    * (k centroids, M·k codebook entries); streaming state is ZERO —
+    * the per-vector aggregations are micro-batch-local hash
+    * aggregations, and the append is idempotent by batch id (K3's
+    * contract), so at-least-once redelivery re-derives identical rows.
     */
   val st14_stream_index: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
     val S = graft.operators.Similarity
     val books = S.idx(spark, dir, "books")
     val coarse = S.idx(spark, dir, "coarse")
-    def stream() = Replay
+    // r18 (guide §2.4; the st19 lesson on the N-family build leg): a
+    // vector is ONE arriving event, so its M·k codebook distances and
+    // k centroid scores all derive inside its own micro-batch — the
+    // per-(vector[, m]) argmin/argmax never spans batches. The first
+    // cut ran TWO separate replays (independent checkpoints) whose
+    // windowed aggregations held one struct per open (window, vec[, m])
+    // until the sentinel flushed, then batch-joined the two read-backs;
+    // now ONE replay computes both legs batch-locally per micro-batch
+    // (plain hash aggregations, zero streaming state at any scale) and
+    // appends idempotently by batch id (the st84/st109 pattern).
+    // Assign and encode still share nothing across batches; the
+    // argmin/argmax structs and tiebreaks are verbatim, so the streamed
+    // index equals the batch-built one bit-for-bit (the oracle is
+    // unchanged). Sentinel pre-filtered — nothing is watermark-driven.
+    val path = graft.Tables.scratchDir("graft_bkt_sidx_")
+    val tbl = "graft_sidx_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "vec_id")
+    def indexOf(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val vecs = b.select(col("vec_id"), col("embedding").as("v"))
+      val enc = vecs.join(broadcast(books), lit(true), "inner")
+        .select(col("vec_id"), col("m"),
+          struct(S.l2micro(S.subM(col("v")), col("bv")).as("d"), col("cid").as("c")).as("dc"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(col("dc")).as("mn"))
+        .select(col("vec_id"), col("m"), col("mn.c").as("code"))
+      val cells = vecs.join(broadcast(coarse), lit(true), "inner")
+        .select(col("vec_id"),
+          struct(S.cos6(col("v"), col("cv")).as("s"), (-col("cid")).as("ncid")).as("sc"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("sc")).as("mx"))
+        .select(col("vec_id"), (-col("mx.ncid")).as("cell_id"))
+      enc.join(cells, "vec_id")
+        .select(col("vec_id"), col("m").cast("long").as("m"),
+          col("code"), col("cell_id"))
+    }
+    val stream = Replay
       .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
-      .withColumn("event_time", when(col("vec_id") < 0,
-          lit("2100-01-01 00:00:00").cast("timestamp"))
-        .otherwise(timestamp_micros(lit(1700000000000000L) + col("vec_id") * 1000000L)))
-      .withWatermark("event_time", "1 hour")
-      .select(col("vec_id"), col("embedding").as("v"), col("event_time"))
-    val enc = stream().join(broadcast(books), lit(true), "inner")
-      .select(col("vec_id"), col("event_time"), col("m"),
-        struct(S.l2micro(S.subM(col("v")), col("bv")).as("d"), col("cid").as("c")).as("dc"))
-      .groupBy(window(col("event_time"), "1 hour"), col("vec_id"), col("m"))
-      .agg(min(col("dc")).as("mn"))
-      .select(col("vec_id"), col("m"), col("mn.c").as("code"))
-    val cells = stream().join(broadcast(coarse), lit(true), "inner")
-      .select(col("vec_id"), col("event_time"),
-        struct(S.cos6(col("v"), col("cv")).as("s"), (-col("cid")).as("ncid")).as("sc"))
-      .groupBy(window(col("event_time"), "1 hour"), col("vec_id"))
-      .agg(max(col("sc")).as("mx"))
-      .select(col("vec_id"), (-col("mx.ncid")).as("cell_id"))
-    Replay.runAppend(spark, enc)
-      .join(Replay.runAppend(spark, cells), "vec_id")
       .where(col("vec_id") >= 0)
-      .select(col("vec_id"), col("m").cast("long").as("m"),
-        col("code"), col("cell_id"))
+      .select(col("vec_id"), col("embedding"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(indexOf(b), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read()
+      .select(col("vec_id"), col("m"), col("code"), col("cell_id"))
   }
 
   /** T-family streaming — CORPUS PREP AT INGEST (streaming twin of
@@ -916,52 +930,56 @@ object StreamQueries {
 
   /** T-family streaming — THE LM PERPLEXITY GATE AT INGEST (serving
     * twin of t18): arriving documents are scored against the TRAINED
-    * bigram model as STREAM-STATIC equi-joins — each doc explodes to
-    * its bigrams, left-joins the static pair-count and left-context
-    * tables on their natural keys (Catalyst broadcasts the small model
-    * side automatically; at 100 TB-corpus model size the same plan
-    * shuffle-joins — the size tradeoff is the optimizer's, not baked
-    * in), computes the micro-nat term per bigram in codegen, and one
-    * windowed aggregation per doc sums the exact integers. t18's
-    * arithmetic term-for-term, so a doc scored mid-ingest gets the
-    * IDENTICAL score the batch scorer assigns: the oracle is t18's.
+    * bigram model — [[graft.operators.TextAnalysis.lmScore]], t18's
+    * scorer VERBATIM (explode to bigrams, equi-join the static
+    * pair-count/left-context tables on their natural keys, sum the
+    * exact integer micro-nat terms per doc), run BATCH-LOCALLY inside
+    * each micro-batch and appended idempotently by batch id (the
+    * st84/st109 pattern). A document is ONE arriving event, so every
+    * bigram row derives inside its doc's own micro-batch — the per-doc
+    * sums never span batches, and cross-batch state would hold nothing.
     * (A broadcast-map `element_at` fold was the first cut — Spark's
     * map lookup is a per-access linear scan, so the interpreted fold
     * cost |doc|·|model| per row; the join formulation is the
     * Spark-native dictionary lookup.)
     *
-    * Sentinel: its null text derives NO bigram rows, but the explode
-    * sits after the watermark node, so the 2100 event time still
-    * advances the watermark and flushes every open window (st16's
-    * note). Docs with < 2 tokens never reach the aggregation — t18's
-    * inner-agg drop semantics. State: one (count, oov, sum) triple per
-    * (window, doc) — ingest-rate bounded, TTL-evicted.
+    * r18 (guide §2.4; the O6 lesson applied to the T-family serving
+    * leg): the first cut summed the per-bigram terms in a WINDOWED
+    * streaming aggregation — one (count, oov, sum) state row per
+    * (window, doc), a full exchange of every exploded bigram row into
+    * the state operator, and the sentinel/watermark machinery to
+    * flush it (attribution at sf0.1: the explode→windowed-agg path
+    * was ~3.5 s of the query's 6.2 s, the stateful-agg machinery
+    * ~1.9 s more; the model joins — broadcast — were ~0.2 s). The
+    * batch-local form keeps t18's arithmetic term-for-term with ZERO
+    * streaming state at any scale; docs with < 2 tokens still drop at
+    * the inner aggregation (t18's semantics), and the sentinel is
+    * pre-filtered (no watermark to starve — nothing here is
+    * watermark-driven). Oracle is t18's, unchanged.
     */
   val st19_stream_lm_gate: Q = (spark, dir) => {
     val T = graft.operators.TextAnalysis
-    val (c2, c1, v) = T.bigramModelParts(spark, dir)
-    val scored = Replay
+    val path = graft.Tables.scratchDir("graft_bkt_lmg_")
+    val tbl = "graft_lmg_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "doc_id")
+    val docs = Replay
       .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
-      .withColumn("event_time", docEventTime)
-      .withWatermark("event_time", "1 hour")
-      .select(col("doc_id"), col("event_time"),
-        explode(T.bigramsOf(T.lmToks)).as("pair"))
-      .join(c2, Seq("pair"), "left")
-      .withColumn("w1", substring_index(col("pair"), " ", 1))
-      .join(c1, Seq("w1"), "left")
-      .join(broadcast(v), lit(true), "inner")
-      .select(col("doc_id"), col("event_time"),
-        col("c2").isNull.cast("long").as("oov"),
-        floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * T.LmMicro)
-          .cast("long").as("lp"))
-      .groupBy(window(col("event_time"), "1 hour"), col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("oov")).as("n_oov"),
-        sum(col("lp")).as("sum_lp_micro"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("sum_lp_micro"))
-    Replay.runAppend(spark, scored)
       .where(col("doc_id") >= 0)
+      .select(col("doc_id"), col("text"))
+    val q = docs.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(T.lmScore(spark, dir, b)
+          .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+            col("sum_lp_micro")), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read()
+      .select(col("doc_id"), col("n_bigrams"), col("n_oov"), col("sum_lp_micro"))
       .withColumn("avg_lp_micro",
         col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
       .withColumn("ppl_keep", col("avg_lp_micro") >= T.PplGateMicro.toDouble)
