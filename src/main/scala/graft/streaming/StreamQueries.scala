@@ -770,10 +770,11 @@ object StreamQueries {
     *
     * Operator shape: every heuristic stage is a STATELESS per-row
     * expression against a broadcast artifact — the eval set's
-    * rare-shingle arrays collapsed to one row (contamination = max
-    * per-item intersection via a HOF fold, st16's eval-side-df rule),
-    * and the trained BPE vocabulary as a broadcast map (a tokenizer IS
-    * a broadcast dictionary; OOV counts 0, t12's semantics). The model
+    * rare-shingle arrays collapsed to one row (contamination = the
+    * codegen'd max_intersect kernel, st16's eval-side-df rule), and
+    * the trained BPE vocabulary as a dictionary relation equi-joined
+    * in the scoring leg (a tokenizer IS a dictionary; OOV counts 0,
+    * t12's semantics — see the vocabTbl note). The model
     * gates are st19's adjudicated serving shape: explode each
     * surviving doc ONCE into (token, bigram) rows, stream-static
     * equi-join the LM pair/left-context tables and the NB weight table
@@ -787,11 +788,12 @@ object StreamQueries {
     * unbounded state — streaming cures, the batch compactor (c02/t14)
     * packs; that division is the production architecture, not a gap.
     *
-    * TWO chained stateful operators (dedup → windowed agg), the
-    * supported event-time-ordered combination: dedup state is one
-    * entry per surviving content hash, the scoring state one
-    * (n, Σlp, Σw) triple per (window, hash) — both ingest-rate
-    * bounded, TTL/watermark-evicted. The capstone's REPETITION gate
+    * ONE stateful operator (r18; previously dedup → windowed scoring
+    * agg): dedup state is one entry per surviving content hash
+    * (ingest-rate bounded, TTL-evicted); the model scoring runs
+    * batch-locally per micro-batch — a deduped doc's item rows derive
+    * in its own batch, so the former windowed scoring state held
+    * nothing cross-batch (see the inline r18 note). The capstone's REPETITION gate
     * (batch stage 5) is deliberately NOT inlined here: its gram-level
     * + doc-level aggregations would push this pipeline to four
     * chained stateful ops whose flush cascades multiply replay
@@ -804,9 +806,9 @@ object StreamQueries {
     * and copy produce identical rows whichever arrives first, and the
     * batch oracle composes the same CTE fragments (incl. the shared
     * trained-model CTEs) with a plain DISTINCT. Same delivery contract
-    * and sentinel reasoning as st15 (gates sit after the watermark
-    * node; the sentinel fails them by construction, but still advances
-    * the watermark that flushes the scoring windows).
+    * as st15; the sentinel is pre-filtered at the source (nothing is
+    * watermark-driven since the r18 batch-local scoring — the
+    * watermark exists only as dedup's TTL clock).
     */
   val st18_stream_curation: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
@@ -827,10 +829,17 @@ object StreamQueries {
         .groupBy(col("eval_id")).agg(collect_list(col("s")).as("es"))
         .agg(collect_list(col("es")).as("eval_sets"))
     }
-    // broadcast artifact 2: the trained tokenizer vocabulary as a map
-    val vocabMap = T.bpeIdx(spark, dir, "vocab")
-      .select(col("token"), size(split(col("syms"), " ")).cast("long").as("n_sub"))
-      .agg(map_from_entries(collect_list(struct(col("token"), col("n_sub")))).as("vm"))
+    // artifact 2: the trained tokenizer vocabulary — joined per batch
+    // on the token key (r18: the first cut collapsed it into a 1-row
+    // broadcast MAP folded per token with element_at; Spark's MapData
+    // lookup is a per-access LINEAR SCAN over the whole vocabulary, so
+    // the fold cost |doc|·|vocab| per row — measured ~0.8 s of st18 at
+    // sf0.1. The scoring leg already explodes each doc's tokens once,
+    // so the vocab rides the same batch-local equi-join lane as the LM
+    // and NB models — the t12 "a tokenizer IS a dictionary" semantics
+    // on the Spark-native dictionary path, OOV still counting 0.)
+    val vocabTbl = T.bpeIdx(spark, dir, "vocab")
+      .select(col("token").as("w"), size(split(col("syms"), " ")).cast("long").as("n_sub"))
     // trained model artifacts (t18's LM; t20's NB weights + prior)
     val (c2, c1, v) = T.bigramModelParts(spark, dir)
     val (nbW, nbW0, nbPm) = T.nbModelParts(spark, dir)
@@ -851,8 +860,6 @@ object StreamQueries {
     //   aggregate(eval_sets, 0, (acc, es) ->
     //     greatest(acc, size(array_intersect(es, ds))))
     val contamHits = call_function("max_intersect", col("eval_sets"), col("ds"))
-    val bpeCount = aggregate(toksNE, lit(0L),
-      (acc, t) => acc + coalesce(element_at(col("vm"), t), lit(0L)))
     // one explode per doc: (token, adjacent-bigram-or-null) items
     val items = when(size(col("tk")) >= 1,
       transform(sequence(lit(1), size(col("tk"))), i =>
@@ -863,38 +870,43 @@ object StreamQueries {
             .otherwise(lit(null).cast("string")).as("pair"))))
       .otherwise(array().cast("array<struct<w:string,pair:string>>"))
 
-    // The gates must ADMIT the sentinel (doc_id < 0): Catalyst pushes
-    // deterministic non-event-time predicates BELOW the watermark node,
-    // so a gate that drops the sentinel starves the watermark
-    // accumulator of its 2100 event time and the scoring windows never
-    // close (st14's trap, the filter variant — bisected this round:
-    // the gate-free chain flushed, the gated one emitted zero rows).
-    // The sentinel's own rows never surface: its far-future window
-    // never closes, so it lives in agg state and is discarded with it.
-    val isSentinel = col("doc_id") < 0
-    val gated = docs().select(cols: _*).unionAll(d2)
+    // r18 (guide §2.4; the st19/st14 lesson applied to the capstone's
+    // scoring leg): a deduped document's (token, bigram) items all
+    // derive inside the micro-batch that emitted it from dedup state
+    // (dropDuplicatesWithinWatermark emits survivors on first
+    // arrival), so the per-doc LM/NB sums never span batches — the
+    // former WINDOWED scoring aggregation (one (n, Σlp, Σw) state row
+    // per (window, hash), a full exchange of every exploded item row,
+    // and the sentinel-driven flush cascade) held nothing cross-batch
+    // by construction. The model scoring now runs BATCH-LOCALLY in
+    // foreachBatch (plain hash aggregation) with an idempotent
+    // batch-id append (the st84/st109 pattern); dedup stays the
+    // chain's ONLY stateful operator. With no watermark-driven
+    // emission left, the sentinel is pre-filtered at the source and
+    // the gates lose their isSentinel escapes (the pushdown trap the
+    // old comment documented is moot — nothing downstream needs the
+    // 2100 event time; the watermark node remains only as
+    // dropDuplicatesWithinWatermark's TTL clock).
+    val gated = docs().where(col("doc_id") >= 0).select(cols: _*).unionAll(d2)
       .withColumn("event_time", prepCopyEventTime)
       .withWatermark("event_time", "1 hour")
       .join(broadcast(evalSets), lit(true), "inner")
-      .join(broadcast(vocabMap), lit(true), "inner")
       .withColumn("quality_score", T.prepQualityCol)
-      .where(isSentinel || (col("quality_score") >= 2 && T.prepEnOkCol))
+      .where(col("quality_score") >= 2 && T.prepEnOkCol)
       .withColumn("ds", P.hash60Array(D.shingles(col("text"))))
-      .where(isSentinel || contamHits < D.MinContamHits)
+      .where(contamHits < D.MinContamHits)
       .withColumn("content_hash", md5(col("text")))
       .withColumn("u", pmod(P.hash60(concat(lit("prep:"), col("content_hash"))), lit(100L)))
-      .where(isSentinel || col("u") < 80)
+      .where(col("u") < 80)
       .withColumn("split",
         when(P.hash60(concat(lit("split:"), col("content_hash"))) % 100 < T.TrainPct,
           "train").otherwise("val"))
-      .withColumn("n_bpe_tokens", bpeCount)
       .dropDuplicatesWithinWatermark("content_hash")
-    val scored = gated
+    def scoreBatch(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = b
       .withColumn("tk", toksNE)
       .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
-        col("n_bpe_tokens"), col("event_time"), explode(items).as("it"))
+        explode(items).as("it"))
       .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
-        col("n_bpe_tokens"), col("event_time"),
         col("it.w").as("w"), col("it.pair").as("pair"))
       .join(c2, Seq("pair"), "left")
       .withColumn("w1", substring_index(col("pair"), " ", 1))
@@ -903,23 +915,42 @@ object StreamQueries {
       .join(nbW, Seq("w"), "left")
       .join(broadcast(nbW0), lit(true), "inner")
       .join(broadcast(nbPm), lit(true), "inner")
+      .join(broadcast(vocabTbl), Seq("w"), "left")
       .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
-        col("n_bpe_tokens"), col("event_time"), col("prior_m"),
+        col("prior_m"),
         when(col("pair").isNotNull,
           floor(log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
             (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")) * T.LmMicro)
             .cast("long")).as("lp"),
-        coalesce(col("wm"), col("w0")).as("wm"))
-      .groupBy(window(col("event_time"), "1 hour"), col("content_hash"),
-        col("quality_score"), col("u"), col("split"), col("n_bpe_tokens"),
+        coalesce(col("wm"), col("w0")).as("wm"),
+        coalesce(col("n_sub"), lit(0L)).as("n_sub"))
+      .groupBy(col("content_hash"),
+        col("quality_score"), col("u"), col("split"),
         col("prior_m"))
       .agg(count(col("lp")).as("n_bigrams"),
         sum(col("lp")).as("sum_lp_micro"),
-        sum(col("wm")).as("sum_w"))
+        sum(col("wm")).as("sum_w"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
       .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
         col("n_bpe_tokens"), col("n_bigrams"), col("sum_lp_micro"),
         (col("sum_w") + col("prior_m")).as("log_odds_micro"))
-    Replay.runAppend(spark, scored)
+    val path = graft.Tables.scratchDir("graft_bkt_cur_")
+    val tbl = "graft_cur_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "content_hash")
+    val q = gated.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(scoreBatch(b), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    table.read()
+      .select(col("content_hash"), col("quality_score"), col("u"), col("split"),
+        col("n_bpe_tokens"), col("n_bigrams"), col("sum_lp_micro"),
+        col("log_odds_micro"))
       .withColumn("avg_lp_micro",
         col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
       .where(col("avg_lp_micro") >= T.PplGateMicro.toDouble &&
