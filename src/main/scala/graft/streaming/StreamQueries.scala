@@ -4280,10 +4280,18 @@ object StreamQueries {
     val pay = Seq("text", "lang", "n_chars", "source").map(col)
 
     // ---- last night's decisions (batch-derived, all broadcast) ----
-    val rates = T.mixtureRates(spark, dir)
+    // r18 (the sBuckets note generalized, guide §5): stream-static
+    // joins re-evaluate the static side EVERY micro-batch, so each of
+    // these nightly artifacts — the t19 mixture rollup, the t24 drift
+    // verdicts (feeding three broadcast legs), the standing hash set +
+    // its Bloom, the boilerplate keys — was re-derived from the corpus
+    // once per batch. persist() each once-per-run artifact; at 100 TB
+    // these are nightly batch outputs, not per-batch recomputes.
+    val rates = T.mixtureRates(spark, dir).persist()
     val tripped = T.driftVerdicts(spark, dir)
       .where(col("drift") && col("over"))
       .select(col("feature"), col("bucket"))
+      .persist()
     val docsB = graft.Tables.documents(spark, dir)
       .select(col("doc_id") +: pay: _*)
     val standingB = docsB.where(col("doc_id") % 10 =!= 0)
@@ -4306,6 +4314,7 @@ object StreamQueries {
       .select((col("n_quar") * 100 <=
         col("n_delta") * graft.operators.Curation.DriftRefuseCapPct).as("armed"))
     val ehB = standingB.select(md5(col("text")).as("content_hash")).distinct()
+      .persist()
     val ebf = ehB
       .agg(B.bloom(1 << 20)(P.hash60(col("content_hash"))).as("bf"))
       .select(col("bf.bits").as("ebits"))
@@ -4316,6 +4325,7 @@ object StreamQueries {
     val oneRow = armedRel
       .join(ebf, lit(true), "left")
       .join(bkeys, lit(true), "left")
+      .persist()
     // gates 6-7's standing artifact: the corpus's perceptual dHash
     // signatures, banded and capped (mm10's LSH discipline — over-cap
     // buckets dropped whole, so every bucket list is ≤ PhashBandCap
