@@ -486,23 +486,20 @@ object StreamQueries {
     * frequent within the eval set and the oracle mirrors that rule.
     * Same [[graft.operators.Dedup.MinContamHits]] threshold.
     *
-    * Watermark note: the sentinel survives to the aggregation because
-    * explode of its (empty) shingle set happens AFTER the watermark
-    * node — zero derived rows downstream still advance the watermark,
-    * unlike a pushed-down key filter (st14's note). Each doc has one
-    * event time, so all its shingle hits land in one window, making
-    * the windowed count exactly |shared shingles|.
-    *
     * Scale shape: the broadcast is |eval shingles| (KBs against a TB
-    * corpus); per-doc state is one count per (window, doc, eval item)
-    * with watermark eviction — ingest-rate bounded. No shuffle of the
-    * corpus at all: shingle hits aggregate map-side before the
-    * windowed state op's keyed exchange on (doc, eval) pairs, which
-    * only carries actual collisions.
+    * corpus); streaming state is ZERO (r18 — a doc's shingle hits all
+    * derive inside its own micro-batch, so the per-(doc, eval) count
+    * is batch-local; see the inline note). No shuffle of the corpus
+    * at all: shingle hits aggregate map-side before the batch-local
+    * keyed exchange on (doc, eval) pairs, which only carries actual
+    * collisions.
     */
   val st16_stream_decontam: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
     val D = graft.operators.Dedup
+    // r18: persisted — stream-static joins re-evaluate the static side
+    // per micro-batch, and this is the standing eval-shingle index (the
+    // st51/st89 artifact discipline).
     val evk = {
       val evsh = D.evalSet(spark, dir)
         .select(col("doc_id").as("eval_id"), D.shingles(col("text")).as("shd"))
@@ -513,19 +510,42 @@ object StreamQueries {
           org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
         .where(col("df") <= D.DfCap)
         .select(col("eval_id"), col("s"))
+        .persist()
     }
-    val hits = Replay
-      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
-      .withColumn("event_time", docEventTime)
-      .withWatermark("event_time", "1 hour")
-      .select(col("doc_id"), col("event_time"), D.shingles(col("text")).as("shd"))
-      .select(col("doc_id"), col("event_time"),
+    // r18 (the O8 pattern): a document is ONE arriving event — its
+    // shingle hits against the broadcast eval index all derive inside
+    // its own micro-batch, so the per-(doc, eval) overlap count never
+    // spans batches. The windowed aggregation (state: one count per
+    // open (window, doc, eval)) is replaced by a batch-local hash
+    // aggregation + idempotent batch-id append; the sentinel is
+    // pre-filtered (its empty shingle set fed nothing anyway).
+    def hitsBatch(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = b
+      .select(col("doc_id"), D.shingles(col("text")).as("shd"))
+      .select(col("doc_id"),
         explode(graft.functions.Portable.hash60Array(col("shd"))).as("s"))
       .join(broadcast(evk), "s")
-      .groupBy(window(col("event_time"), "1 hour"), col("doc_id"), col("eval_id"))
+      .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("inter"))
       .select(col("doc_id"), col("eval_id"), col("inter"))
-    Replay.runAppend(spark, hits)
+    val path = graft.Tables.scratchDir("graft_bkt_dcon_")
+    val tbl = "graft_dcon_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "doc_id")
+    val docs = Replay
+      .tableStream(spark, dir, "documents", Replay.documentsSentinel(spark))
+      .where(col("doc_id") >= 0)
+      .select(col("doc_id"), col("text"))
+    val sq = docs.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(hitsBatch(b), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    table.read()
+      .select(col("doc_id"), col("eval_id"), col("inter"))
       .where(col("inter") >= D.MinContamHits)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("inter")).as("max_overlap"))
@@ -542,13 +562,14 @@ object StreamQueries {
     * centroid set), expand the broadcast ADC lookup table (|Q|·M·k
     * rows — stateless generate), equi-join the cell-ordered index rows
     * on (m, code, cell), and collapse per-(query, vector) ADC
-    * distances in ONE windowed aggregation (watermark-bounded state,
-    * sentinel-flushed). The per-query top-k ranking runs on the
-    * materialized distances after the replay (the st12/st16 rollup
-    * pattern) — ranking is a bounded |Q|·cell-size sort, not stream
-    * state. The result must equal n09's batch answer exactly (the
-    * oracle IS n09's), proving a query served mid-ingest returns the
-    * same neighbors the batch index returns.
+    * distances BATCH-LOCALLY per micro-batch (r18 — a query event's
+    * join products derive in its own batch; see the inline note). The
+    * per-query top-k ranking runs on the appended distances after the
+    * replay (the st12/st16 rollup pattern) — ranking is a bounded
+    * |Q|·cell-size sort, not stream state. The result must equal
+    * n09's batch answer exactly (the oracle IS n09's), proving a
+    * query served mid-ingest returns the same neighbors the batch
+    * index returns.
     *
     * Scale shape: broadcasts carry only bounded index parameters (k
     * centroids as one collected array — index metadata, not data; the
@@ -558,12 +579,8 @@ object StreamQueries {
     * per (window, query, candidate) within the probed cell —
     * query-rate bounded, never corpus bounded. The interpreted HOF
     * argmax touches |queries|·k rows total (bounded), never the
-    * corpus.
-    *
-    * Sentinel: the `vec_id < NumQueries` predicate ADMITS the sentinel
-    * (-1 < 5), so pushdown below the watermark cannot stat-skip it
-    * (the st14 note); its far-future window never closes, and the
-    * post-replay filter is defense only.
+    * corpus. Streaming state is ZERO (r18); the sentinel is
+    * pre-filtered at the scan — nothing is watermark-driven.
     */
   val st17_stream_ann_serve: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
@@ -572,14 +589,18 @@ object StreamQueries {
       .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
     val books = S.idx(spark, dir, "books")
     val index = S.indexRows(spark, dir)
+    // r18 (the O8 pattern on the serving leg): a query vector is ONE
+    // arriving event — its ADC terms over the probed cell's index rows
+    // all derive inside its own micro-batch, so the per-(query,
+    // candidate) sum never spans batches. The windowed aggregation
+    // (state: one sum per open (window, query, candidate)) and the
+    // sentinel/watermark flush machinery are replaced by a batch-local
+    // hash aggregation + idempotent batch-id append; the sentinel is
+    // pre-filtered at the scan (nothing is watermark-driven).
     val q = Replay
       .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
-      .where(col("vec_id") < S.NumQueries)
-      .withColumn("event_time", when(col("vec_id") < 0,
-          lit("2100-01-01 00:00:00").cast("timestamp"))
-        .otherwise(timestamp_micros(lit(1700000000000000L) + col("vec_id") * 1000000L)))
-      .withWatermark("event_time", "1 hour")
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("event_time"))
+      .where(col("vec_id") >= 0 && col("vec_id") < S.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     // stateless coarse assignment: fold max(struct(cos6, -cid)) over the
     // broadcast centroid array — identical tiebreak to Similarity
     // .assignCells (higher cos6 wins; ties take the smaller cid)
@@ -592,19 +613,35 @@ object StreamQueries {
             (s === acc.getField("s") && nc > acc.getField("ncid")),
           struct(s.as("s"), nc.as("ncid"))).otherwise(acc)
       })
-    val withCell = q.join(broadcast(centsArr), lit(true), "inner")
-      .select(col("query_id"), col("qv"), col("event_time"),
-        (-qcell.getField("ncid")).as("qcell"))
-    val lut = withCell.join(broadcast(books), lit(true), "inner")
-      .select(col("query_id"), col("qcell"), col("event_time"), col("m"),
-        col("cid").as("code"), S.l2micro(S.subM(col("qv")), col("bv")).as("d"))
-    val adc = lut.alias("l").join(index.alias("i"),
-        col("l.m") === col("i.m") && col("l.code") === col("i.code") &&
-          col("i.cell_id") === col("l.qcell") && col("i.vec_id") =!= col("l.query_id"))
-      .groupBy(window(col("event_time"), "1 hour"), col("query_id"), col("vec_id"))
-      .agg(sum(col("d")).as("amicro"))
-      .select(col("query_id"), col("vec_id"), col("amicro"))
-    S.adcTopK(Replay.runAppend(spark, adc).where(col("query_id") >= 0))
+    def adcBatch(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val withCell = b.join(broadcast(centsArr), lit(true), "inner")
+        .select(col("query_id"), col("qv"),
+          (-qcell.getField("ncid")).as("qcell"))
+      val lut = withCell.join(broadcast(books), lit(true), "inner")
+        .select(col("query_id"), col("qcell"), col("m"),
+          col("cid").as("code"), S.l2micro(S.subM(col("qv")), col("bv")).as("d"))
+      lut.alias("l").join(index.alias("i"),
+          col("l.m") === col("i.m") && col("l.code") === col("i.code") &&
+            col("i.cell_id") === col("l.qcell") && col("i.vec_id") =!= col("l.query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("d")).as("amicro"))
+        .select(col("query_id"), col("vec_id"), col("amicro"))
+    }
+    val path = graft.Tables.scratchDir("graft_bkt_adc_")
+    val tbl = "graft_adc_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "query_id")
+    val sq = q.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(adcBatch(b), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    S.adcTopK(table.read()
+      .select(col("query_id"), col("vec_id"), col("amicro")))
   }
 
   /** N-family streaming — ANN SERVING AT THE TUNED DEPTH (st17's
@@ -622,10 +659,10 @@ object StreamQueries {
     * probe, so each (query, candidate, m) joins exactly one LUT row —
     * no dedup, the sum is the full M-subspace ADC distance. Oracle is
     * n09's shape with the ranked probe set (n11's P=[[graft.operators
-    * .Similarity.PickedNprobe]] slice). State stays query-rate
-    * bounded: one sum per (window, query, candidate) within the
-    * probed cells. Sentinel admitted by the `vec_id < NumQueries`
-    * scan predicate (st17's note); its far-future window never closes.
+    * .Similarity.PickedNprobe]] slice). Streaming state is ZERO (r18,
+    * st17's batch-local note — the per-(query, candidate) sums derive
+    * inside the query's own micro-batch); the sentinel is pre-filtered
+    * at the scan.
     */
   val st27_tuned_ann_serve: Q = (spark, dir) => {
     graft.plans.GraftExtensions.register(spark)
@@ -636,31 +673,43 @@ object StreamQueries {
     val index = S.indexRows(spark, dir)
     val q = Replay
       .tableStream(spark, dir, "embeddings", Replay.embeddingsSentinel(spark))
-      .where(col("vec_id") < S.NumQueries)
-      .withColumn("event_time", when(col("vec_id") < 0,
-          lit("2100-01-01 00:00:00").cast("timestamp"))
-        .otherwise(timestamp_micros(lit(1700000000000000L) + col("vec_id") * 1000000L)))
-      .withWatermark("event_time", "1 hour")
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("event_time"))
+      .where(col("vec_id") >= 0 && col("vec_id") < S.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val rankedCells = slice(
       array_sort(transform(col("cents"), c =>
         struct((-S.cos6(col("qv"), c.getField("cv"))).as("ns"),
           c.getField("cid").as("cid")))),
       1, S.PickedNprobe)
-    val withCells = q.join(broadcast(centsArr), lit(true), "inner")
-      .select(col("query_id"), col("qv"), col("event_time"),
-        explode(rankedCells).as("rc"))
-      .select(col("query_id"), col("qv"), col("event_time"), col("rc.cid").as("qcell"))
-    val lut = withCells.join(broadcast(books), lit(true), "inner")
-      .select(col("query_id"), col("qcell"), col("event_time"), col("m"),
-        col("cid").as("code"), S.l2micro(S.subM(col("qv")), col("bv")).as("d"))
-    val adc = lut.alias("l").join(index.alias("i"),
-        col("l.m") === col("i.m") && col("l.code") === col("i.code") &&
-          col("i.cell_id") === col("l.qcell") && col("i.vec_id") =!= col("l.query_id"))
-      .groupBy(window(col("event_time"), "1 hour"), col("query_id"), col("vec_id"))
-      .agg(sum(col("d")).as("amicro"))
-      .select(col("query_id"), col("vec_id"), col("amicro"))
-    S.adcTopK(Replay.runAppend(spark, adc).where(col("query_id") >= 0))
+    def adcBatch(b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val withCells = b.join(broadcast(centsArr), lit(true), "inner")
+        .select(col("query_id"), col("qv"),
+          explode(rankedCells).as("rc"))
+        .select(col("query_id"), col("qv"), col("rc.cid").as("qcell"))
+      val lut = withCells.join(broadcast(books), lit(true), "inner")
+        .select(col("query_id"), col("qcell"), col("m"),
+          col("cid").as("code"), S.l2micro(S.subM(col("qv")), col("bv")).as("d"))
+      lut.alias("l").join(index.alias("i"),
+          col("l.m") === col("i.m") && col("l.code") === col("i.code") &&
+            col("i.cell_id") === col("l.qcell") && col("i.vec_id") =!= col("l.query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("d")).as("amicro"))
+        .select(col("query_id"), col("vec_id"), col("amicro"))
+    }
+    val path = graft.Tables.scratchDir("graft_bkt_tadc_")
+    val tbl = "graft_tadc_" +
+      path.split('/').last.replaceAll("[^a-zA-Z0-9_]", "_")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val table = new graft.sinks.BucketedStreamTable(spark, tbl, path, 8, "query_id")
+    val sq = q.writeStream
+      .outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        table.append(adcBatch(b), id))
+      .option("checkpointLocation", graft.Tables.scratchDir("graft_cp_"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    S.adcTopK(table.read()
+      .select(col("query_id"), col("vec_id"), col("amicro")))
   }
 
   /** st28 — THE REPETITION GATE AT INGEST (streaming twin of the
