@@ -341,8 +341,12 @@ object Bench {
       // at the r18 baseline with identical plans). Drop every
       // persistent RDD between timed regions — each pass recomputes
       // from source by contract, so nothing downstream reads them.
+      // BLOCKING: an async removal of hundreds of localCheckpoint
+      // blocks would otherwise execute DURING the next query's timed
+      // region (the round-close adjudication of the graph family's
+      // in-suite drift) — block here, outside any timed region.
       spark.sparkContext.getPersistentRDDs.valuesIterator
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       (sec, ok)
     }
 
